@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify at a
+scale factor, then execute each oracle SQL in DuckDB over the same parquet
+tables and compare (columns sorted by name, rows sorted, exact values).
+
+Usage: python3 scripts/selfcheck.py [sfDir] [outDir] [--skip-verify]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+SKIP = "--skip-verify" in sys.argv
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    errs = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error" in l.lower()]
+    for l in errs[:40]:
+        print("  ", l)
+    if r.returncode != 0:
+        print("verify FAILED rc", r.returncode)
+        sys.exit(1)
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, sql, con):
+    res_dir = Path(OUT_DIR) / name
+    if not res_dir.exists():
+        return f"MISSING result dir"
+    try:
+        ours = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        ours_cols = sorted(ours.columns)
+        ours_rows = con.sql(
+            f"SELECT {', '.join(ours_cols)} FROM '{res_dir}/*.parquet' ORDER BY ALL"
+        ).fetchall()
+    except Exception as e:
+        return f"READ FAIL: {e}"
+    try:
+        oracle = con.sql(sql)
+        o_cols = sorted(oracle.columns)
+        o_rows = con.sql(
+            f"SELECT {', '.join(o_cols)} FROM ({sql}) ORDER BY ALL"
+        ).fetchall()
+    except Exception as e:
+        return f"ORACLE FAIL: {type(e).__name__}: {e}"
+    if ours_cols != o_cols:
+        return f"SCHEMA MISMATCH ours={ours_cols} oracle={o_cols}"
+    if len(ours_rows) != len(o_rows):
+        return f"ROWCOUNT MISMATCH ours={len(ours_rows)} oracle={len(o_rows)}"
+    for i, (a, b) in enumerate(zip(ours_rows, o_rows)):
+        for c, (x, y) in enumerate(zip(a, b)):
+            x, y = norm(x), norm(y)
+            if x != y:
+                if isinstance(x, float) and isinstance(y, float) and abs(x - y) < 1e-9:
+                    continue  # still report? exact hash would fail
+                return (f"VALUE MISMATCH row {i} col {o_cols[c]}: ours={x!r} oracle={y!r}")
+    return None
+
+
+def main():
+    if not SKIP:
+        run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    sqls = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
+    fails = 0
+    for name in sorted(sqls):
+        err = compare(name, sqls[name], con)
+        status = "OK  " if err is None else "FAIL"
+        if err:
+            fails += 1
+        print(f"{status} {name}" + (f"  -> {err}" if err else ""))
+    # rows-only queries (no oracle): just confirm output exists & rows>0
+    for d in sorted(Path(OUT_DIR).iterdir()):
+        if d.is_dir() and d.name not in sqls:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                print(f"{'OK  ' if n > 0 else 'FAIL'} {d.name} (rows-only: {n} rows)")
+                if n == 0:
+                    fails += 1
+            except Exception as e:
+                fails += 1
+                print(f"FAIL {d.name} (rows-only read: {e})")
+    print(f"\n{fails} failures")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

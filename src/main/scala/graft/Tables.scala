@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated TPC-H-ish tables (see TESTDATA.md).
+  *
+  * All queries read through here so that scan-level concerns (schema
+  * pruning, pushdown) are handled uniformly. At cluster scale the same
+  * API would point at partitioned/bucketed table roots instead of
+  * single parquet files; nothing downstream changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns written as parquet TIMESTAMP(NANOS), which Spark 4 cannot
+    * map to its µs TimestampType directly. We read them as raw nanos
+    * (legacy long mode) and rescale — lossless for this data (driver
+    * generates µs-precision values). */
+  private val nanosTimestampCols = Map("events" -> Seq("ts"))
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    nanosTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema.exists(f => f.name == c && f.dataType == LongType))
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))  // integer div: no double rounding
+      else d
+    }
+  }
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface: hash agg, distinct agg, rollup/cube/grouping
+  * sets, approximate distinct, and a typed `Aggregator` UDAF that
+  * reimplements the reference's per-video stats triple
+  * (frames, fire-count, max-probability — /root/reference
+  * streams/stream.py:380-386) as one partial-aggregable function.
+  *
+  * Scale notes: all of these are partial+final hash aggregates —
+  * map-side combine happens before the shuffle, so the shuffle volume
+  * is O(groups), not O(rows). `count_distinct` over two columns
+  * expands; at 100 TB prefer `approx_count_distinct` (HLL, fixed-size
+  * sketch, mergeable) — both are exposed below.
+  */
+object AggregateQueries {
+
+  import QueryDef.{rowsOnly, sql}
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Mirrors the reference's per-key stats dict: (frames, fires, max prob). */
+  final case class StatsBuf(n: Long, nHot: Long, maxV: Double)
+
+  /** Typed partial-aggregable UDAF: count / conditional count / max in
+    * one pass. `hot` threshold plays the role of the fire threshold. */
+  class HotStatsAgg(threshold: Double) extends Aggregator[Double, StatsBuf, StatsBuf] {
+    def zero: StatsBuf = StatsBuf(0L, 0L, Double.NegativeInfinity)
+    def reduce(b: StatsBuf, v: Double): StatsBuf =
+      StatsBuf(b.n + 1, b.nHot + (if (v > threshold) 1 else 0), math.max(b.maxV, v))
+    def merge(a: StatsBuf, b: StatsBuf): StatsBuf =
+      StatsBuf(a.n + b.n, a.nHot + b.nHot, math.max(a.maxV, b.maxV))
+    def finish(b: StatsBuf): StatsBuf = b
+    def bufferEncoder = Encoders.product[StatsBuf]
+    def outputEncoder = Encoders.product[StatsBuf]
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- TPC-H Q1 pricing summary (multi-aggregate hash agg) ----
+    sql(
+      "q_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2)                                        AS sum_qty,
+        |       round(sum(l_extendedprice), 2)                                   AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+        |       round(avg(l_quantity), 4)                                        AS avg_qty,
+        |       count(*)                                                         AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- distinct aggregates ----
+    sql(
+      "q_count_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- approximate distinct (HLL sketch; the 100 TB-scale path).
+    // Sketch internals are engine-specific → rows-only check. ----
+    rowsOnly("q_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- rollup (nation within region hierarchy) ----
+    sql(
+      "q_rollup",
+      """SELECT coalesce(r.r_name, 'ALL') AS region_name,
+        |       CASE WHEN r.r_name IS NULL THEN 'ALL'
+        |            ELSE coalesce(n.n_name, 'ALL') END AS nation_name,
+        |       count(c.c_custkey) AS n_cust,
+        |       round(sum(c.c_acctbal), 2) AS bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY region_name, nation_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          when(col("r_name").isNull, lit("ALL"))
+            .otherwise(coalesce(col("n_name"), lit("ALL"))).as("nation_name"),
+          col("n_cust"), col("bal"))
+        .orderBy("region_name", "nation_name")
+    },
+
+    // ---- cube ----
+    sql(
+      "q_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy("flag", "status")
+    },
+
+    // ---- explicit grouping sets ----
+    sql(
+      "q_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    },
+
+    // ---- typed Aggregator UDAF (reference A4 stats triple) ----
+    sql(
+      "q_udaf_stats",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS n_hot,
+        |       round(max(value), 2) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val agg = udaf(new HotStatsAgg(400.0), Encoders.scalaDouble)
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(agg(col("value")).as("stats"))
+        .select(
+          col("event_type"),
+          col("stats.n").as("n"),
+          col("stats.nHot").as("n_hot"),
+          round(col("stats.maxV"), 2).as("max_v"))
+        .orderBy("event_type")
+    },
+
+    // ---- having-style post-aggregation filter ----
+    sql(
+      "q_having",
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 3
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spent"))
+        .where(col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    }
+  )
+}

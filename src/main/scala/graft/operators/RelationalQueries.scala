@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / join / set-op / sort surface (SURVEY.md §2.2).
+  *
+  * Scale notes (100 TB): every query projects only the columns it
+  * needs (column pruning reaches the parquet scan) and filters before
+  * joining (predicate pushdown). Dimension sides of joins (region,
+  * nation, supplier, customer-at-small-SF) are explicitly
+  * `broadcast()`-hinted where they are bounded-size in the data model;
+  * fact-fact joins are left to Catalyst/AQE which picks sort-merge with
+  * runtime skew handling.
+  */
+object RelationalQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- projection, cast, rename, IN / BETWEEN / LIKE / modulo filters ----
+    sql(
+      "q_proj_filter",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(floor(l_quantity) AS INT) AS qty_int,
+        |       l_returnflag AS flag,
+        |       CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_quantity BETWEEN 10 AND 30
+        |  AND l_linenumber % 2 = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("A", "R")
+          && col("l_quantity").between(10, 30)
+          && col("l_linenumber") % 2 === 1)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("int").as("qty_int"),
+          col("l_returnflag").as("flag"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    sql(
+      "q_like_rlike",
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE p_name LIKE '%widget%' OR regexp_matches(p_name, '^(red|blue) ')
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .where(col("p_name").like("%widget%") || col("p_name").rlike("^(red|blue) "))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    },
+
+    // ---- inner equi join + aggregation (TPC-H Q3 shape; flagship) ----
+    sql(
+      "q_join_inner",
+      """SELECT l.l_orderkey,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       CAST(o.o_orderdate AS DATE) AS order_date
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      // customer is the selective dimension side here → broadcast it.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(20)
+    },
+
+    // ---- left outer join (keep customers with zero orders) ----
+    sql(
+      "q_join_left",
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- right outer join ----
+    sql(
+      "q_join_right",
+      """SELECT n.n_nationkey, n.n_name, count(s.s_suppkey) AS n_suppliers
+        |FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_nationkey, n.n_name
+        |ORDER BY n.n_nationkey""".stripMargin) { (s, dir) =>
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"), "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- full outer join of two aggregates keyed by nation ----
+    sql(
+      "q_join_full",
+      """WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |              FROM customer GROUP BY c_nationkey),
+        |     supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |              FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(cust.nk, supp.nk) AS nk,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, cust("cnk") === supp("snk"), "full")
+        .select(
+          coalesce(col("cnk"), col("snk")).as("nk"),
+          coalesce(col("n_cust"), lit(0)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0)).as("n_supp"))
+        .orderBy("nk")
+    },
+
+    // ---- left-semi (EXISTS) ----
+    sql(
+      "q_join_semi",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val l = t(s, dir, "lineitem").where(col("l_quantity") > 45).select("l_orderkey")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- left-anti (NOT EXISTS) ----
+    sql(
+      "q_join_anti",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      val o = t(s, dir, "orders").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .orderBy("c_custkey")
+    },
+
+    // ---- cross join (bounded dims only — never cross-join facts) ----
+    sql(
+      "q_join_cross",
+      """SELECT r.r_name, n.n_name
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").select("r_name")
+        .crossJoin(broadcast(t(s, dir, "nation").select("n_name")))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ---- theta / banded join (equi key + range residual) ----
+    sql(
+      "q_join_range",
+      """SELECT p.p_partkey, count(*) AS n_lines,
+        |       round(sum(l.l_extendedprice), 2) AS price_sum
+        |FROM part p JOIN lineitem l
+        |  ON l.l_partkey = p.p_partkey
+        | AND l.l_quantity BETWEEN p.p_size AND p.p_size + 10
+        |GROUP BY p.p_partkey
+        |ORDER BY p.p_partkey""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part").select("p_partkey", "p_size")
+      val l = t(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+      // Equi component carries the shuffle; the band predicate is a
+      // cheap post-join residual (never a nested-loop cross product).
+      l.join(broadcast(p),
+          l("l_partkey") === p("p_partkey")
+            && l("l_quantity").between(p("p_size"), p("p_size") + 10))
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_lines"), round(sum(col("l_extendedprice")), 2).as("price_sum"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- set ops ----
+    sql(
+      "q_union_all",
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier
+        |) GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    },
+
+    sql(
+      "q_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    sql(
+      "q_except",
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    // ---- global sort + limit (top-k shipped as a single reduction) ----
+    sql(
+      "q_sort_limit",
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      // orderBy+limit compiles to TakeOrderedAndProject — per-partition
+      // top-k then a single driver-side merge; no global sort at scale.
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(desc("price"), col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    },
+
+    // ---- null handling: null-safe equality, coalesce, nullif ----
+    sql(
+      "q_null_safe",
+      """WITH t AS (SELECT o_orderkey,
+        |                  nullif(o_orderstatus, 'P') AS st,
+        |                  CASE WHEN o_totalprice > 200000 THEN NULL
+        |                       ELSE o_orderpriority END AS pri
+        |           FROM orders)
+        |SELECT coalesce(st, '?') AS status,
+        |       count(*) AS n,
+        |       count(pri) AS n_pri,
+        |       sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_eq
+        |FROM t GROUP BY coalesce(st, '?') ORDER BY status""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("st"),
+        when(col("o_totalprice") > 200000, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("pri"))
+      base.groupBy(coalesce(col("st"), lit("?")).as("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("pri")).as("n_pri"),
+          sum(when(col("st") <=> lit(null.asInstanceOf[String]), 1).otherwise(0)).as("n_null_eq"))
+        .orderBy("status")
+    }
+  )
+}

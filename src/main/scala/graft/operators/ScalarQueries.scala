@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface: string, date/time, math, array
+  * (explode/transform/filter/aggregate), and JSON extraction — all
+  * codegen'd built-ins (no UDFs), per SURVEY.md §2.2.
+  */
+object ScalarQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- string functions ----
+    sql(
+      "q_string_fns",
+      """SELECT p_partkey,
+        |       upper(p_name) AS uname,
+        |       substr(p_name, 1, 4) AS prefix,
+        |       p_brand || ':' || p_type AS tag,
+        |       length(p_name) AS name_len,
+        |       replace(p_name, ' ', '_') AS snake,
+        |       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |       CAST(instr(p_name, 'e') AS INT) AS first_e
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 4).as("prefix"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("tag"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          instr(col("p_name"), "e").cast("int").as("first_e"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- date / time functions ----
+    sql(
+      "q_date_fns",
+      """SELECT event_id,
+        |       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+        |       CAST(extract(hour FROM ts) AS INT) AS hr,
+        |       CAST(dayofweek(ts) AS INT) AS dow,
+        |       strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+        |       CAST(date_trunc('day', ts) + INTERVAL 7 DAY AS TIMESTAMP) AS next_week
+        |FROM events
+        |WHERE event_id % 10 = 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday.
+      t(s, dir, "events")
+        .where(col("event_id") % 10 === 0)
+        .select(
+          col("event_id"),
+          date_trunc("day", col("ts")).as("day_ts"),
+          hour(col("ts")).as("hr"),
+          (dayofweek(col("ts")) - 1).as("dow"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm").as("fmt"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 7 DAY")).as("next_week"))
+        .orderBy("event_id")
+    },
+
+    // ---- math functions ----
+    sql(
+      "q_math_fns",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(abs(l_extendedprice - 30000), 2) AS dev,
+        |       round(ln(l_extendedprice), 6) AS log_price,
+        |       round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |       round(pow(l_discount, 2), 6) AS disc_sq,
+        |       CAST(l_orderkey % 7 AS BIGINT) AS bucket7,
+        |       CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_decile,
+        |       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
+        |FROM lineitem
+        |WHERE l_orderkey % 25 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 25 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_extendedprice") - 30000), 2).as("dev"),
+          round(log(col("l_extendedprice")), 6).as("log_price"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+          (col("l_orderkey") % 7).as("bucket7"),
+          ceil(col("l_quantity") / 10).as("qty_decile"),
+          floor(col("l_extendedprice") / 1000).as("price_k"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- array functions: split / transform / filter / aggregate ----
+    sql(
+      "q_array_fns",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |       len(words) AS n_words,
+        |       len(list_filter(words, x -> length(x) > 4)) AS n_long,
+        |       list_aggregate(list_transform(words, x -> length(x)), 'sum') AS total_chars,
+        |       array_to_string(list_transform(words[1:3], x -> upper(x)), '-') AS head3
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          size(col("words")).as("n_words"),
+          size(filter(col("words"), x => length(x) > 4)).as("n_long"),
+          aggregate(transform(col("words"), x => length(x)), lit(0),
+            (acc, x) => acc + x).as("total_chars"),
+          concat_ws("-", transform(slice(col("words"), 1, 3), x => upper(x))).as("head3"))
+        .orderBy("doc_id")
+    },
+
+    // ---- explode / unnest (generator): word frequencies ----
+    sql(
+      "q_explode_wordcount",
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word
+        |HAVING count(*) >= 5
+        |ORDER BY n DESC, word
+        |LIMIT 40""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+        .orderBy(desc("n"), col("word"))
+        .limit(40)
+    },
+
+    // ---- JSON extraction ----
+    sql(
+      "q_json_fns",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+        .orderBy("event_type")
+    },
+
+    // ---- base64 / binary round-trip ----
+    sql(
+      "q_base64",
+      """SELECT doc_id,
+        |       to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64,
+        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") % 7 === 0)
+        .select(
+          col("doc_id"),
+          base64(substring(col("text"), 1, 12).cast("binary")).as("b64"),
+          octet_length(col("text").cast("binary")).as("n_bytes"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface: ranking, analytic (lag/lead/first/last),
+  * frame-bounded aggregates, per-group top-k, and the as-of join
+  * (latest event at-or-before a time) built from a window — the Spark
+  * realization of "latest state per key" lookups.
+  *
+  * Scale notes: a window partitioned by a key is one shuffle on that
+  * key; all functions over the same (partitionBy, orderBy) share a
+  * single sort. Per-group top-k uses row_number + filter — the filter
+  * is applied during the sorted scan, never materializing full groups.
+  * The as-of join shuffles both sides once on the join key (union-style
+  * window trick) instead of an O(n·m) range cross-join.
+  */
+object WindowQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ranking family over one shared sort ----
+    sql(
+      "q_window_rank",
+      """SELECT c_nationkey, c_custkey,
+        |       round(c_acctbal, 2) AS bal,
+        |       row_number() OVER w AS rn,
+        |       rank()       OVER w AS rk,
+        |       dense_rank() OVER w AS drk,
+        |       ntile(4)     OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(
+          col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("bal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_nationkey", "rn")
+    },
+
+    // ---- analytic functions: lag / lead / first / last ----
+    sql(
+      "q_window_lag",
+      """SELECT user_id, event_id,
+        |       round(value, 2) AS v,
+        |       round(coalesce(lag(value)  OVER w, -1), 2) AS prev_v,
+        |       round(coalesce(lead(value) OVER w, -1), 2) AS next_v,
+        |       round(first_value(value) OVER w, 2) AS first_v,
+        |       round(last_value(value)  OVER w, 2) AS last_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"),
+          round(col("value"), 2).as("v"),
+          round(coalesce(lag(col("value"), 1).over(w), lit(-1)), 2).as("prev_v"),
+          round(coalesce(lead(col("value"), 1).over(w), lit(-1)), 2).as("next_v"),
+          round(first(col("value")).over(w), 2).as("first_v"),
+          round(last(col("value")).over(w), 2).as("last_v"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- frame-bounded aggregates: running total + moving average ----
+    sql(
+      "q_window_frames",
+      """SELECT user_id, event_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        |       count(*) OVER (PARTITION BY user_id) AS n_user
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"),
+          round(sum(col("value"))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running"),
+          round(avg(col("value"))
+            .over(ord.rowsBetween(-2, Window.currentRow)), 4).as("mov_avg"),
+          count(lit(1)).over(Window.partitionBy(col("user_id"))).as("n_user"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- per-group top-k ----
+    sql(
+      "q_topk_per_group",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ---- as-of join: for each order of a user, the latest event of
+    //      that user at-or-before the order date ----
+    sql(
+      "q_asof_join",
+      """SELECT o_orderkey, user_id, event_id AS asof_event, round(v, 2) AS asof_value
+        |FROM (
+        |  SELECT o.o_orderkey, o.o_custkey AS user_id, e.event_id, e.value AS v,
+        |         row_number() OVER (PARTITION BY o.o_orderkey
+        |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON e.user_id = o.o_custkey
+        |   AND e.ts <= o.o_orderdate + INTERVAL 9000 DAY)
+        |WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Order dates (1995-2001) predate event timestamps (2024), so the
+      // as-of point is shifted forward; the mechanics are unchanged.
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") + expr("INTERVAL 9000 DAY")).as("asof_ts"))
+      val e = t(s, dir, "events").select("user_id", "event_id", "ts", "value")
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(desc("ts"), desc("event_id"))
+      o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("asof_ts"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(
+          col("o_orderkey"), col("user_id"),
+          col("event_id").as("asof_event"),
+          round(col("value"), 2).as("asof_value"))
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -16,7 +16,11 @@ object SparkEntry {
       operators.AggregateQueries.defs ++
       operators.WindowQueries.defs ++
       operators.ScalarQueries.defs ++
-      operators.SessionQueries.defs
+      operators.SessionQueries.defs ++
+      llm.DedupQueries.defs ++
+      llm.SimilarityQueries.defs ++
+      llm.TextAnalysisQueries.defs ++
+      llm.MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped join+agg (customer ⋈ orders ⋈ lineitem). */

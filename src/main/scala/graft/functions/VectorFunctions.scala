@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding math over `array<float>` columns, computed with
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no
+  * UDFs, no MLlib Vector conversions, no shuffles. Inputs are cast to
+  * double once so accumulation happens in double precision (stable
+  * and cross-engine reproducible: a sequential left fold, matching
+  * the DuckDB oracle's list_dot_product).
+  */
+object VectorFunctions {
+
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity, dot/(sqrt(|a|^2*|b|^2)) — same association as
+    * the oracle formula so doubles match bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** 8-bit sign-signature LSH bucket from the first 8 dimensions:
+    * bit i set iff v[i] > 0. A deterministic, training-free coarse
+    * quantizer — the bucketed ANN path joins within buckets only. */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)),
+        i => when(element_at(v, i + 1) > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+}

@@ -1,0 +1,209 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.2 north-star set): exact hash dedup, canonical-fingerprint
+  * dedup, MinHash+LSH near-dup, n-gram Jaccard, and SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact/fingerprint dedup = one hash-partitioned aggregation on a
+  *    16-byte digest — shuffle carries (digest, doc_id), never text;
+  *  - MinHash+LSH: signatures are computed scan-side with codegen'd
+  *    higher-order functions (no explode of shingles), the only
+  *    shuffle is the band-signature self-join whose key space is
+  *    collision-bounded; candidate verification touches candidate
+  *    pairs only — never the O(n²) cross product;
+  *  - SimHash: per-doc 64-bit sketches; pair scan restricted to a
+  *    sampled query set (full-scale variant would band on simhash
+  *    prefixes exactly like LSH);
+  *  - all hashes derive from md5 (cross-engine reproducible), so the
+  *    DuckDB oracle checks the *values*, not just row counts. The
+  *    MLlib MinHashLSH variant (engine-private seeds) is kept as the
+  *    rows-only demonstration of the MLlib path.
+  */
+object DedupQueries {
+
+  import QueryDef.{rowsOnly, sql}
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val K = 12 // minhash signature length
+  private val BANDS = 4 // 4 bands × 3 rows
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: content hash → keeper + copy count ----
+    sql(
+      "q_dedup_exact",
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY keeper""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper")
+    },
+
+    // ---- canonical-fingerprint dedup (normalize → hash) ----
+    sql(
+      "q_dedup_fingerprint",
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY keeper""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper")
+    },
+
+    // ---- MinHash + LSH banding near-dup (portable hashes) ----
+    sql(
+      "q_dedup_minhash_lsh",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id,
+         |              list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sgl
+         |       FROM w WHERE len(words) >= 3),
+         |mh AS (SELECT doc_id,
+         |              list_transform(range(0, $K),
+         |                k -> list_min(list_transform(sgl,
+         |                       s -> ('0x' || substr(md5(k || ':' || s), 1, 8))::BIGINT))) AS m
+         |       FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |                 md5(m[3*b+1] || ',' || m[3*b+2] || ',' || m[3*b+3]) AS sig
+         |          FROM mh, range(0, $BANDS) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+         |         FROM bands a JOIN bands c ON a.sig = c.sig AND a.b = c.b
+         |                                  AND a.doc_id < c.doc_id)
+         |SELECT da, db,
+         |       round(len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0, 4) AS est_jaccard
+         |FROM cand JOIN mh x ON x.doc_id = da JOIN mh y ON y.doc_id = db
+         |WHERE len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0 >= 0.5
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 3)
+      val mh = docs
+        .select(col("doc_id"), minhashes(shingles(col("words"), 3), K).as("m"))
+      val bands = mh
+        .select(col("doc_id"), col("m"), explode(sequence(lit(0), lit(BANDS - 1))).as("b"))
+        .select(col("doc_id"), col("b"), bandSignature(col("m"), col("b"), 3).as("sig"))
+      val a = bands.select(col("doc_id").as("da"), col("b").as("ba"), col("sig").as("siga"))
+      val c = bands.select(col("doc_id").as("db"), col("b").as("bb"), col("sig").as("sigb"))
+      val cand = a.join(c,
+          a("siga") === c("sigb") && a("ba") === c("bb") && a("da") < c("db"))
+        .select("da", "db").distinct()
+      val x = mh.select(col("doc_id").as("xid"), col("m").as("ma"))
+      val y = mh.select(col("doc_id").as("yid"), col("m").as("mb"))
+      val matches = size(filter(sequence(lit(1), lit(K)),
+        i => element_at(col("ma"), i) === element_at(col("mb"), i)))
+      cand.join(x, col("da") === col("xid")).join(y, col("db") === col("yid"))
+        .withColumn("est_jaccard", matches / lit(K.toDouble))
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("da"), col("db"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("da", "db")
+    },
+
+    // ---- exact n-gram Jaccard on a sampled query set, candidates
+    //      via inverted shingle index (no cross product) ----
+    sql(
+      "q_dedup_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sgl
+        |       FROM w WHERE len(words) >= 3),
+        |sizes AS (SELECT doc_id, len(sgl) AS n FROM sh),
+        |ex AS (SELECT doc_id, unnest(sgl) AS g FROM sh),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        |          FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id <> a.doc_id
+        |          WHERE a.doc_id % 50 = 0
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT da, db, round(ni / (sa.n + sb.n - ni), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |WHERE ni / (sa.n + sb.n - ni) >= 0.3
+        |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 3)
+        .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))
+      val sizes = sh.select(col("doc_id"), size(col("sgl")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("sgl")).as("g"))
+      val aS = ex.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("da"), col("g").as("ga"))
+      val bS = ex.select(col("doc_id").as("db"), col("g").as("gb"))
+      val inter = aS.join(bS, col("ga") === col("gb") && col("db") =!= col("da"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      val jac = col("ni") / (col("na") + col("nb") - col("ni"))
+      inter
+        .join(sizes.select(col("doc_id").as("da2"), col("n").as("na")), col("da") === col("da2"))
+        .join(sizes.select(col("doc_id").as("db2"), col("n").as("nb")), col("db") === col("db2"))
+        .where(jac >= 0.3)
+        .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+        .orderBy("da", "db")
+    },
+
+    // ---- SimHash (64-bit as two portable 32-bit halves) ----
+    sql(
+      "q_dedup_simhash",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
+        |    list_sum(list_transform(words, t -> CASE WHEN
+        |      ((('0x' || substr(md5(0 || ':' || t), 1, 8))::BIGINT >> b) & 1) = 1
+        |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h0,
+        |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
+        |    list_sum(list_transform(words, t -> CASE WHEN
+        |      ((('0x' || substr(md5(1 || ':' || t), 1, 8))::BIGINT >> b) & 1) = 1
+        |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h1
+        |FROM w)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS dist
+        |FROM sh a JOIN sh b ON a.doc_id % 100 = 0 AND b.doc_id <> a.doc_id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 12
+        |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .select(col("doc_id"),
+          simhash32(col("words"), 0).as("h0"),
+          simhash32(col("words"), 1).as("h1"))
+      val a = sh.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("da"), col("h0").as("a0"), col("h1").as("a1"))
+      val b = sh.select(col("doc_id").as("db"), col("h0").as("b0"), col("h1").as("b1"))
+      val dist = (hamming(col("a0"), col("b0")) + hamming(col("a1"), col("b1"))).cast("int")
+      a.join(b, col("db") =!= col("da"))
+        .withColumn("dist", dist)
+        .where(col("dist") <= 12)
+        .select("da", "db", "dist")
+        .orderBy("da", "db")
+    },
+
+    // ---- MLlib MinHashLSH (engine-private seeds → rows-only check):
+    //      the packaged, approxSimilarityJoin-based scale path ----
+    rowsOnly("q_dedup_minhash_mllib") { (s, dir) =>
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 3)
+        .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))
+      val tf = new HashingTF().setInputCol("sgl").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val feat = tf.transform(docs)
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(4).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.35, "dist")
+        .select(
+          col("datasetA.doc_id").as("da"),
+          col("datasetB.doc_id").as("db"),
+          round(col("dist"), 4).as("dist"))
+        .where(col("da") < col("db"))
+        .orderBy("da", "db")
+    }
+  )
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.2 north-star set).
+  *
+  * Media (image/audio/video frames) travel as opaque `binary` columns
+  * with a typed metadata struct alongside — exactly how the reference
+  * moves JPEG frames through Kafka (`frame_data` bytes + width/height/
+  * fps — /root/reference producer/video_producer.py:116-124). The
+  * decode/feature-extract stage is a batched `mapPartitions` (the
+  * Scala analog of `mapInPandas`): rows stream through in bounded
+  * batches so a real decoder would amortize model/codec init per
+  * batch, exactly like a vectorized UDF.
+  *
+  * The actual pixel decode is STUBBED (no image libs in this
+  * container): `StubCodec` derives deterministic pseudo-dimensions
+  * from the bytes. The Spark-side plumbing — binary schema, batch
+  * shape, partition-local iteration, metadata struct — is real and
+  * oracle-checked byte-for-byte (first/last byte, sizes) since the
+  * payloads here are the documents' UTF-8 bytes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, kind: String)
+
+  /** Seam for a real decoder (JavaCV / ImageIO on a real cluster). */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake: pseudo-dims from payload size and content. */
+  object StubCodec extends MediaCodec {
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      val w = 16 + (bytes.length % 625)
+      val h = 16 + ((if (bytes.isEmpty) 0 else bytes.head & 0xff) % 465)
+      MediaMeta(w, h, "stub")
+    }
+  }
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int,
+      width: Int, height: Int)
+
+  /** Batched partition-local decode: the mapInPandas-shaped stage. */
+  def extractFeatures(ds: Dataset[MediaRow], codec: MediaCodec,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // A real codec would decode the whole batch in one native call.
+        batch.map { r =>
+          val meta = codec.decode(r.payload)
+          MediaFeatures(
+            r.doc_id, r.payload.length,
+            if (r.payload.isEmpty) -1 else r.payload.head & 0xff,
+            if (r.payload.isEmpty) -1 else r.payload.last & 0xff,
+            meta.width, meta.height)
+        }
+      }
+    }
+  }
+}
+
+object MultimodalQueries {
+
+  import QueryDef.sql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- binary payload + metadata struct + batched decode stage ----
+    sql(
+      "q_multimodal_features",
+      """SELECT doc_id,
+        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       ascii(substr(text, 1, 1)) AS first_byte,
+        |       ascii(substr(text, length(text), 1)) AS last_byte,
+        |       16 + octet_length(CAST(text AS BLOB)) % 625 AS width,
+        |       16 + ascii(substr(text, 1, 1)) % 465 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media, Multimodal.StubCodec)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // ---- metadata-struct projection over the binary column ----
+    sql(
+      "q_multimodal_meta",
+      """SELECT doc_id, kind, n_bytes, tag
+        |FROM (SELECT doc_id,
+        |             'doc' AS kind,
+        |             octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |             source || '/' || lang AS tag
+        |      FROM documents)
+        |WHERE n_bytes > 100
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          struct(
+            lit("doc").as("kind"),
+            octet_length(col("text").cast("binary")).as("n_bytes"),
+            concat(col("source"), lit("/"), col("lang")).as("tag")).as("meta"))
+        .where(col("meta.n_bytes") > 100)
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.tag").as("tag"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,130 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2.2
+  * north-star set): brute-force cosine top-k as the correctness
+  * baseline, a sign-LSH bucketed ANN as the scale path, plus
+  * normalization and blocked near-duplicate detection.
+  *
+  * Scale design (100 TB): brute force is O(queries × corpus) — fine
+  * for a bounded query set against a broadcast corpus partition, wrong
+  * as an all-pairs op. The ANN variant buckets both sides by a
+  * deterministic 8-bit sign signature so the join only compares
+  * within-bucket (256-way partition of the corpus); recall is traded
+  * via bucket bits. Near-dup uses label blocking for the same reason.
+  * All math is double-precision sequential folds (zip_with/aggregate,
+  * codegen'd) matching the oracle's list_dot_product semantics.
+  */
+object SimilarityQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val cosineSql =
+    "list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- embedding normalization (L2 norms) ----
+    sql(
+      "q_embed_norm",
+      """SELECT vec_id, label,
+        |       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
+        |       len(embedding) AS dim
+        |FROM embeddings
+        |WHERE vec_id % 10 = 0
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .where(col("vec_id") % 10 === 0)
+        .select(
+          col("vec_id"), col("label"),
+          round(l2Norm(asDouble(col("embedding"))), 6).as("l2"),
+          size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    },
+
+    // ---- brute-force cosine top-k (correctness baseline) ----
+    sql(
+      "q_knn_bruteforce",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             round($cosineSql, 6) AS sim
+         |      FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |SELECT qid, cid, sim FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+         |   FROM p)
+         |WHERE rn <= 5
+         |ORDER BY qid, sim DESC, cid""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
+      q.join(c, col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("qid", "cid", "sim")
+        .orderBy(col("qid"), desc("sim"), col("cid"))
+    },
+
+    // ---- bucketed ANN: deterministic sign-LSH coarse quantizer ----
+    sql(
+      "q_knn_signlsh",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |                  list_sum(list_transform(range(0, 8),
+         |                    i -> CASE WHEN embedding[i+1] > 0
+         |                              THEN (1::BIGINT << i) ELSE 0 END)) AS bkt
+         |           FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             round($cosineSql, 6) AS sim
+         |      FROM e q JOIN e c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+         |      WHERE q.vec_id % 25 = 0)
+         |SELECT qid, cid, sim FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+         |   FROM p)
+         |WHERE rn <= 3
+         |ORDER BY qid, sim DESC, cid""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bkt", signBucket(col("v")))
+      val q = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qb"))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("bkt").as("cb"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
+      q.join(c, col("qb") === col("cb") && col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("qid", "cid", "sim")
+        .orderBy(col("qid"), desc("sim"), col("cid"))
+    },
+
+    // ---- embedding near-dup: label-blocked high-cosine pairs ----
+    sql(
+      "q_embed_neardup",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT q.vec_id AS da, c.vec_id AS db,
+         |       round($cosineSql, 6) AS sim
+         |FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+         |WHERE q.vec_id % 20 = 0 AND $cosineSql >= 0.35
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val q = e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("da"), col("label").as("la"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("db"), col("label").as("lb"), col("v").as("cv"))
+      q.join(c, col("la") === col("lb") && col("da") < col("db"))
+        .withColumn("simraw", cosine(col("qv"), col("cv")))
+        .where(col("simraw") >= 0.35)
+        .select(col("da"), col("db"), round(col("simraw"), 6).as("sim"))
+        .orderBy("da", "db")
+    }
+  )
+}

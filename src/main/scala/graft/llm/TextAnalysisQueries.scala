@@ -1,0 +1,157 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (SURVEY.md §2.2
+  * north-star set): token counting (whitespace + regex), quality
+  * scoring, stopword-profile language ID, and document
+  * fingerprinting. All per-row codegen'd column math — embarrassingly
+  * parallel, no shuffles beyond the final aggregation where present.
+  */
+object TextAnalysisQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "is", "in")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "los")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting: whitespace + regex (BPE-ish subword bound) ----
+    sql(
+      "q_token_counts",
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS n_re_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '),
+        |                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = tokens(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(words).as("n_ws_tokens"),
+          size(filter(split(col("text"), "[^a-z0-9]+"), x => length(x) > 0)).as("n_re_tokens"),
+          aggregate(transform(words, w => ceil(length(w) / 4.0)), lit(0L),
+            (acc, x) => acc + x).as("n_subwords"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: length/stopword/uniqueness signals ----
+    sql(
+      s"""q_text_quality""",
+      s"""WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+         |SELECT doc_id,
+         |       len(words) AS n_tokens,
+         |       round(n_chars / len(words), 4) AS chars_per_token,
+         |       round(len(list_filter(words, x -> list_contains(${sqlList(stopEn)}, x)))
+         |             / len(words), 4) AS stop_ratio,
+         |       round(len(list_distinct(words)) / len(words), 4) AS uniq_ratio,
+         |       CASE WHEN len(words) >= 10
+         |             AND len(list_distinct(words)) / len(words) >= 0.3
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = col("words")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("words"))
+        .select(
+          col("doc_id"),
+          size(words).as("n_tokens"),
+          round(col("n_chars") / size(words), 4).as("chars_per_token"),
+          round(stopwordCount(words, stopEn) / size(words).cast("double"), 4).as("stop_ratio"),
+          round(size(array_distinct(words)) / size(words).cast("double"), 4).as("uniq_ratio"),
+          when(size(words) >= 10
+            && size(array_distinct(words)) / size(words).cast("double") >= 0.3, 1)
+            .otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language ID: stopword-profile scoring with argmax ----
+    sql(
+      "q_lang_id",
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |              len(list_filter(words, x -> list_contains(${sqlList(stopEn)}, x))) AS s_en,
+         |              len(list_filter(words, x -> list_contains(${sqlList(stopEs)}, x))) AS s_es,
+         |              len(list_filter(words, x -> list_contains(${sqlList(stopDe)}, x))) AS s_de
+         |       FROM w)
+         |SELECT doc_id, lang AS labeled_lang,
+         |       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |            WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+         |            WHEN s_de > 0 THEN 'de'
+         |            ELSE 'und' END AS detected_lang,
+         |       s_en, s_es, s_de
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sc = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("words"))
+        .select(
+          col("doc_id"), col("lang"),
+          stopwordCount(col("words"), stopEn).as("s_en"),
+          stopwordCount(col("words"), stopEs).as("s_es"),
+          stopwordCount(col("words"), stopDe).as("s_de"))
+      sc.select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+            .when(col("s_de") > 0, "de")
+            .otherwise("und").as("detected_lang"),
+          col("s_en"), col("s_es"), col("s_de"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprinting: canonical md5 + 32-bit numeric ----
+    sql(
+      "q_doc_fingerprint",
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8))::BIGINT AS fp32,
+        |       source
+        |FROM documents
+        |WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          h32(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp32"),
+          col("source"))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus-level rollup: tokens & quality per source × lang ----
+    sql(
+      "q_corpus_stats",
+      """WITH w AS (SELECT source, lang, n_chars,
+        |                  len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |       sum(n_tokens) AS total_tokens,
+        |       round(avg(n_tokens), 4) AS avg_tokens,
+        |       sum(n_chars) AS total_chars
+        |FROM w GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(tokens(col("text"))).as("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source", "lang")
+    }
+  )
+}

@@ -20,7 +20,8 @@ object SparkEntry {
       llm.DedupQueries.defs ++
       llm.SimilarityQueries.defs ++
       llm.TextAnalysisQueries.defs ++
-      llm.MultimodalQueries.defs
+      llm.MultimodalQueries.defs ++
+      streaming.VideoPipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped join+agg (customer ⋈ orders ⋈ lineitem). */

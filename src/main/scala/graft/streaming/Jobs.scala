@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Path, Paths}
+
+import graft.streaming.FireModel.Backend
+import graft.streaming.Schemas._
+import graft.streaming.VideoSessionProcessor.{Config, FrameIn}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end jobs (SURVEY.md §3): the Spark shapes of the
+  * reference's three entry points. Source-agnostic: the same
+  * transforms run over a Kafka stream on a cluster, a MemoryStream in
+  * tests, or a parquet batch — only the reader differs.
+  */
+object Jobs {
+
+  final case class DetectOutputs(detections: DataFrame, completions: DataFrame)
+
+  /** §3.2 core: frames → keyed state machine → (detections,
+    * completions). Batch flavor; the streaming flavor is
+    * `VideoSessionProcessor.processStream` with the same transforms
+    * downstream. */
+  def detect(
+      frames: Dataset[FrameIn],
+      cfg: Config = Config(),
+      model: Backend = FireModel.SyntheticFireModel()): DetectOutputs = {
+    val events = VideoSessionProcessor.processBatch(frames, cfg, model)
+    split(events.toDF())
+  }
+
+  def split(events: DataFrame): DetectOutputs =
+    DetectOutputs(
+      detections = events.where(col("kind") === "detection").select("detection.*"),
+      completions = events.where(col("kind") === "completion").select("completion.*"))
+
+  /** §3.1 ingest: split a binary source into keyed frame messages.
+    * Real video decode needs a codec lib; the decoder seam takes
+    * bytes → frame payloads (stubbed deterministically in tests, a
+    * JavaCV grabber on a cluster). Emits the msgpack wire format. */
+  def ingest(
+      files: Dataset[(String, Array[Byte])], // (video_id, file bytes)
+      frameSplitter: Array[Byte] => Seq[Array[Byte]],
+      fps: Double = 30.0,
+      width: Int = 640,
+      height: Int = 480,
+      extractionInterval: Int = 1): Dataset[(String, Array[Byte])] = {
+    import files.sparkSession.implicits._
+    files.flatMap { case (videoId, bytes) =>
+      frameSplitter(bytes).zipWithIndex
+        .filter { case (_, i) => i % extractionInterval == 0 } // S2 sampling
+        .map { case (payload, i) =>
+          val msg = FrameSerde.encodeMsgpack(FrameMessage(
+            videoId, i, new java.sql.Timestamp(0L), fps, payload, width, height))
+          (videoId, msg)
+        }
+    }
+  }
+
+  /** MP4 sink stage (§3.2 step 6): partition-local writer pool over
+    * annotated frames; finalizes every video at partition end (batch)
+    * — in streaming this runs per micro-batch from foreachBatch with
+    * finalize driven by completion rows. Frames MUST be partitioned
+    * by video_id upstream so one video's frames land in one pool. */
+  def writeAnnotatedVideos(
+      annotated: Dataset[(String, Int, Array[Byte])], // (video_id, frame_number, payload)
+      outDir: String): Unit = {
+    annotated
+      .repartition(col("_1")) // partition affinity by video_id
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .foreachPartition { (it: Iterator[(String, Int, Array[Byte])]) =>
+        val pool = new VideoSink.WriterPool(Paths.get(outDir))
+        it.foreach { case (vid, _, payload) => pool.append(vid, payload) }
+        pool.finalizeAll()
+        ()
+      }
+  }
+
+  /** §3.3 uploader: completion events → object-storage copy. Returns
+    * (video_id, destination) pairs; destUri may be file:// locally or
+    * s3a:// on a cluster — same code path. */
+  def uploadCompletions(
+      spark: SparkSession,
+      completions: Seq[CompletionEvent],
+      localDir: Path,
+      destBase: String): Seq[(String, String)] =
+    completions.map { c =>
+      val local = localDir.resolve(Paths.get(c.local_filepath).getFileName)
+      val dest = s"$destBase/videos/${c.video_id}_with_heatmaps.mp4"
+      (c.video_id, VideoSink.uploadTo(spark, local, dest))
+    }
+}

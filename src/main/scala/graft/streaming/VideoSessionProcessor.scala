@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.streaming.FireModel.Backend
+import graft.streaming.Schemas._
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The per-video keyed state machine — the heart of the reference's
+  * stream processor (SURVEY.md §2.1 A1–A6), as one pure transition
+  * function shared by the batch and streaming `flatMapGroupsWithState`
+  * wirings:
+  *
+  *  - A1 init-on-first-frame;
+  *  - A2 running max(frame_number);
+  *  - A3 gap-based session close: frame gap > `gapFrames` finalizes
+  *    the session and re-inits (reference streams/stream.py:341-349,
+  *    threshold 300);
+  *  - A4 per-video stats (frames, fire frames, max probability —
+  *    streams/stream.py:380-386);
+  *  - A5 inference cadence: run the model every `inferEveryN`-th
+  *    frame of a session, reuse the cached prediction between
+  *    (streams/stream.py:366-378) — note the reference keeps this
+  *    counter per *process*, which interleaves wrongly when one
+  *    consumer handles several videos; per-key state fixes that;
+  *  - A6 completion emit on close (streams/stream.py:210-282);
+  *  - F4 GradCAM cadence: recompute on the 1st positive of a run,
+  *    then every `gradcamEveryN`-th consecutive positive
+  *    (streams/models/fire_detect_nn.py:134-153).
+  *
+  * Scale design: state is O(1) per video (running aggregates — no
+  * frame buffering); the shuffle is one hash partition on video_id;
+  * in streaming mode state lives in the state store (RocksDB at
+  * scale) and idle videos close via processing-time timeout, exactly
+  * replacing the reference's shutdown-drain path (A10).
+  */
+object VideoSessionProcessor {
+
+  final case class Config(
+      gapFrames: Int = 300,
+      inferEveryN: Int = 4,
+      gradcamEveryN: Int = 3,
+      width: Int = 640,
+      height: Int = 480,
+      fps: Double = 30.0,
+      idleTimeoutMs: Long = 30000L)
+
+  /** Minimal frame input for the state machine (payload dropped after
+    * decode/inference upstream). */
+  final case class FrameIn(
+      video_id: String, frame_number: Int, timestamp_us: Long)
+
+  private def initState(sessionId: Long, cfg: Config, f: FrameIn): VideoState =
+    VideoState(
+      sessionId = sessionId, sessionIndex = 0L,
+      lastFrameNumber = f.frame_number, maxFrameSeen = f.frame_number,
+      frameCount = 0L, fireCount = 0L, maxFireProb = 0.0,
+      consecutiveFire = 0L, sinceInference = 0L,
+      lastProbability = 0.0, lastHasFire = false,
+      meta = VideoMeta(cfg.fps, cfg.width, cfg.height, 0L),
+      firstTimestampUs = f.timestamp_us, lastTimestampUs = f.timestamp_us)
+
+  def completionOf(videoId: String, st: VideoState): CompletionEvent =
+    CompletionEvent(
+      video_id = videoId,
+      local_filepath = s"/videos/${videoId}_s${st.sessionId}.mp4",
+      timestamp = new Timestamp(st.lastTimestampUs / 1000),
+      stats = VideoStats(st.frameCount, st.fireCount, st.maxFireProb),
+      video_metadata = st.meta.copy(frame_count = st.frameCount))
+
+  /** Process one key's frames (sorted by frame_number) starting from
+    * `state`; returns the new state plus emitted events. Pure — no
+    * Spark types — so unit tests and both wirings share it. */
+  def transition(
+      videoId: String,
+      state: Option[VideoState],
+      frames: Seq[FrameIn],
+      cfg: Config,
+      model: Backend,
+      processingTs: Timestamp): (Option[VideoState], Seq[VideoEvent]) = {
+
+    if (frames.isEmpty) return (state, Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[VideoEvent]
+    var st = state.getOrElse(initState(1L, cfg, frames.head))
+    if (state.isEmpty) () // fresh session starts below
+
+    frames.foreach { f =>
+      // A3: gap-based session close + re-init.
+      if (st.frameCount > 0 && f.frame_number - st.lastFrameNumber > cfg.gapFrames) {
+        out += VideoEvent("completion", None, Some(completionOf(videoId, st)))
+        st = initState(st.sessionId + 1, cfg, f)
+      }
+      // A5: inference cadence — session position 0, N, 2N, … runs the
+      // model; frames between reuse the cached prediction.
+      val runInference = st.sessionIndex % cfg.inferEveryN == 0
+      val (hasFire, prob) =
+        if (runInference) {
+          val p = model.predictBatch(Seq((videoId, f.frame_number, cfg.width, cfg.height))).head
+          (p.hasFire, p.fireProbability)
+        } else (st.lastHasFire, st.lastProbability)
+      // F4: GradCAM cadence over consecutive positives.
+      val consecutive = if (hasFire) st.consecutiveFire + 1 else 0L
+      val heatmap = hasFire && (consecutive == 1 || consecutive % cfg.gradcamEveryN == 0)
+
+      val detections =
+        if (hasFire) Seq(Detection(Seq(0, 0, cfg.width, cfg.height), prob, "fire", 1))
+        else Seq.empty
+      out += VideoEvent("detection", Some(DetectionResult(
+        video_id = videoId,
+        frame_number = f.frame_number,
+        timestamp = new Timestamp(f.timestamp_us / 1000),
+        processing_timestamp = processingTs,
+        has_fire = hasFire,
+        fire_probability = prob,
+        detections = detections,
+        frame_metadata = FrameMeta(cfg.width, cfg.height, cfg.fps),
+        session_id = st.sessionId,
+        session_index = st.sessionIndex,
+        inference_ran = runInference,
+        heatmap_computed = heatmap)), None)
+
+      st = st.copy(
+        sessionIndex = st.sessionIndex + 1,
+        lastFrameNumber = f.frame_number,
+        maxFrameSeen = math.max(st.maxFrameSeen, f.frame_number),
+        frameCount = st.frameCount + 1,
+        fireCount = st.fireCount + (if (hasFire) 1 else 0),
+        maxFireProb = math.max(st.maxFireProb, prob),
+        consecutiveFire = consecutive,
+        sinceInference = if (runInference) 0 else st.sinceInference + 1,
+        lastProbability = prob,
+        lastHasFire = hasFire,
+        lastTimestampUs = f.timestamp_us)
+    }
+    (Some(st), out.toSeq)
+  }
+
+  /** Batch wiring: whole group in one call; every session closes at
+    * end-of-input (the batch analog of the drain path A10). */
+  def processBatch(
+      frames: Dataset[FrameIn],
+      cfg: Config = Config(),
+      model: Backend = FireModel.SyntheticFireModel(),
+      processingTs: Timestamp = new Timestamp(0L)): Dataset[VideoEvent] = {
+    implicit val evEnc = Encoders.product[VideoEvent]
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.video_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (vid: String, it: Iterator[FrameIn], _: GroupState[VideoState]) =>
+          val sorted = it.toSeq.sortBy(f => (f.frame_number, f.timestamp_us))
+          val (st, events) = transition(vid, None, sorted, cfg, model, processingTs)
+          (events ++ st.map(s => VideoEvent("completion", None, Some(completionOf(vid, s))))).iterator
+      }
+  }
+
+  /** Streaming wiring: state persists across micro-batches; idle keys
+    * close via processing-time timeout (replaces the reference's
+    * SIGTERM drain + 300-gap close for the stream case). */
+  def processStream(
+      frames: Dataset[FrameIn],
+      cfg: Config = Config(),
+      model: Backend = FireModel.SyntheticFireModel()): Dataset[VideoEvent] = {
+    implicit val evEnc = Encoders.product[VideoEvent]
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.video_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (vid: String, it: Iterator[FrameIn], gs: GroupState[VideoState]) =>
+          if (gs.hasTimedOut) {
+            val events = gs.getOption.toSeq
+              .map(s => VideoEvent("completion", None, Some(completionOf(vid, s))))
+            gs.remove()
+            events.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(f => (f.frame_number, f.timestamp_us))
+            val (st, events) = transition(
+              vid, gs.getOption, sorted, cfg, model,
+              new Timestamp(System.currentTimeMillis()))
+            st.foreach(gs.update)
+            gs.setTimeoutDuration(cfg.idleTimeoutMs)
+            events.iterator
+          }
+      }
+  }
+}

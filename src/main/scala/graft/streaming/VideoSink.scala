@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable
+
+/** Per-video MP4 sink (SURVEY.md §2.1 S12/S13), restructured for
+  * distributed execution: open writer handles cannot live in
+  * checkpointed state, so a partition-local writer pool keyed by
+  * video_id lives in the sink (`foreachBatch`), with partition
+  * affinity guaranteed upstream by the video_id hash partitioning.
+  *
+  * The actual MP4 muxing is STUBBED (no JavaCV/ffmpeg in this
+  * container): `StubContainerWriter` writes a deterministic
+  * length-prefixed frame container with a footer, and `finalize`
+  * re-opens the file to verify the footer — the moov-atom probe
+  * analog (reference streams/pipeline/video_writer.py:92-167). The
+  * pool/finalize/idempotency semantics are real and tested; a JavaCV
+  * `FFmpegFrameRecorder` drops into [[ContainerWriter]] unchanged.
+  */
+object VideoSink {
+
+  val Magic = 0x47524654 // "GRFT"
+  val FooterMagic = 0x454e4421 // "END!"
+
+  /** Codec preference chain, mirroring the reference's probe order
+    * (streams/pipeline/video_writer.py:20-42). The stub accepts the
+    * first; a real muxer would try each until one opens. */
+  val codecChain: Seq[String] = Seq("hevc", "hvc1", "avc1", "H264", "mp4v")
+
+  def probeCodec(available: String => Boolean): Option[String] =
+    codecChain.find(available)
+
+  trait ContainerWriter {
+    def append(frame: Array[Byte]): Unit
+    def framesWritten: Long
+    def close(): Unit
+  }
+
+  final class StubContainerWriter(path: Path, codec: String) extends ContainerWriter {
+    private val out = new DataOutputStream(new FileOutputStream(path.toFile))
+    out.writeInt(Magic)
+    out.writeUTF(codec)
+    private var n = 0L
+    def append(frame: Array[Byte]): Unit = {
+      out.writeInt(frame.length); out.write(frame); n += 1
+    }
+    def framesWritten: Long = n
+    def close(): Unit = { out.writeLong(n); out.writeInt(FooterMagic); out.close() }
+  }
+
+  /** Partition-local pool of open writers keyed by video_id
+    * (reference's video_writers dict, streams/stream.py:104-121). */
+  final class WriterPool(outDir: Path) {
+    Files.createDirectories(outDir)
+    private val open = mutable.Map.empty[String, (Path, ContainerWriter)]
+
+    def pathFor(videoId: String): Path = {
+      // Suffix-bump on collision (video_writer.py:44-58).
+      var p = outDir.resolve(s"${videoId}_with_heatmaps.mp4")
+      var i = 1
+      while (Files.exists(p)) { p = outDir.resolve(s"${videoId}_with_heatmaps_$i.mp4"); i += 1 }
+      p
+    }
+
+    def append(videoId: String, frame: Array[Byte]): Unit = {
+      val (_, w) = open.getOrElseUpdate(videoId, {
+        val codec = probeCodec(_ => true).get
+        val p = pathFor(videoId)
+        (p, new StubContainerWriter(p, codec))
+      })
+      w.append(frame)
+    }
+
+    /** Finalize + verify; idempotent (double-close returns the same
+      * path, reference test_video_finalization_concurrency:404-426). */
+    def finalizeVideo(videoId: String): Option[Path] = open.remove(videoId).map {
+      case (p, w) =>
+        w.close()
+        require(verify(p), s"container verification failed for $p")
+        p
+    }
+
+    def finalizeAll(): Seq[Path] = open.keys.toSeq.sorted.flatMap(finalizeVideo)
+
+    def openCount: Int = open.size
+  }
+
+  /** Post-finalize integrity check — the moov-atom probe analog. */
+  def verify(p: Path): Boolean = {
+    val raf = new RandomAccessFile(p.toFile, "r")
+    try {
+      if (raf.length < 16) return false
+      raf.seek(0)
+      if (raf.readInt() != Magic) return false
+      raf.seek(raf.length - 4)
+      raf.readInt() == FooterMagic
+    } finally raf.close()
+  }
+
+  /** Object-storage upload (S14): a Hadoop FileSystem copy, so the
+    * same code serves file:// locally and s3a:// on a cluster —
+    * no vendor SDK. */
+  def uploadTo(spark: org.apache.spark.sql.SparkSession, local: Path, destUri: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(destUri)
+    val fs = dst.getFileSystem(conf)
+    fs.copyFromLocalFile(false, true, new org.apache.hadoop.fs.Path(local.toUri), dst)
+    destUri
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.VideoSessionProcessor.{Config, FrameIn}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming wiring: state continuity across micro-batches
+  * and idle-timeout session close (the streaming replacements for the
+  * reference's poll loop + SIGTERM drain, SURVEY.md §2.1 A9/A10). */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("keyed state persists across micro-batches; timeout emits completion") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FrameIn]
+    val cfg = Config(inferEveryN = 3, idleTimeoutMs = 3000L)
+    val events = VideoSessionProcessor.processStream(input.toDS(), cfg)
+    val query = events.writeStream
+      .format("memory").queryName("video_events")
+      .outputMode(OutputMode.Append())
+      .start()
+    def detCount() = spark.table("video_events").where($"kind" === "detection").count()
+    def awaitDet(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (detCount() < n && System.currentTimeMillis() < deadline) Thread.sleep(100L)
+      assert(detCount() >= n, s"timed out waiting for $n detections")
+    }
+    try {
+      input.addData(FrameIn("v1", 0, 0L), FrameIn("v1", 1, 1000L))
+      awaitDet(2)
+      input.addData(FrameIn("v1", 2, 2000L), FrameIn("v1", 3, 3000L))
+      awaitDet(4)
+      val dets = spark.table("video_events")
+        .where($"kind" === "detection").select($"detection.*")
+        .orderBy($"frame_number").collect()
+      // one continuous session across both batches: idx 0..3, inference at 0 and 3
+      assert(dets.map(_.getAs[Long]("session_index")).toSeq == Seq(0L, 1L, 2L, 3L))
+      assert(dets.map(_.getAs[Boolean]("inference_ran")).toSeq ==
+        Seq(true, false, false, true))
+
+      // let the idle timeout lapse, then feed another key; poll for the
+      // timeout-driven completion (processAllAvailable never settles
+      // under ProcessingTimeTimeout's self-triggering batches)
+      Thread.sleep(4000L)
+      input.addData(FrameIn("v2", 0, 0L))
+      val deadline = System.currentTimeMillis() + 30000L
+      def completions() = spark.table("video_events")
+        .where($"kind" === "completion").select($"completion.*").collect()
+      var comps = completions()
+      while (comps.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L); comps = completions()
+      }
+      assert(comps.length == 1)
+      assert(comps.head.getAs[String]("video_id") == "v1")
+      assert(comps.head.getAs[org.apache.spark.sql.Row]("stats")
+        .getAs[Long]("total_frames") == 4L)
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling window over a frame stream (event-time path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "vid")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute"), $"vid")
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 00:00:05"), "v1"), (t("2024-01-01 00:00:30"), "v1"))
+      query.processAllAvailable()
+      // advance past watermark so the first window finalizes
+      input.addData((t("2024-01-01 00:02:00"), "v1"))
+      query.processAllAvailable()
+      input.addData((t("2024-01-01 00:05:00"), "v1"))
+      query.processAllAvailable()
+      val rows = spark.table("win_out").orderBy($"window.start").collect()
+      assert(rows.nonEmpty)
+      assert(rows.head.getAs[Long]("n") == 2L) // both 00:00 frames in one window
+    } finally query.stop()
+  }
+
+  test("streaming dedup within watermark drops replayed frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val deduped = input.toDF().toDF("ts", "vid", "fn")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("vid", "fn")
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:00:01"), "v1", 0),
+        (t("2024-01-01 00:00:02"), "v1", 0), // duplicate (at-least-once replay)
+        (t("2024-01-01 00:00:03"), "v1", 1))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally query.stop()
+  }
+}

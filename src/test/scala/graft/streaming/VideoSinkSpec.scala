@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Writer-pool semantics, mirroring the reference's only
+  * integration-grade suite (tests/test_video_finalization_concurrency)
+  * against the stub container. */
+class VideoSinkSpec extends AnyFunSuite {
+
+  private def tmp() = Files.createTempDirectory("graft-sink")
+
+  test("single video: append + finalize produces a verifiable container") {
+    val pool = new VideoSink.WriterPool(tmp())
+    (0 until 10).foreach(i => pool.append("v1", Array.fill(16)(i.toByte)))
+    val p = pool.finalizeVideo("v1").get
+    assert(VideoSink.verify(p))
+    assert(p.getFileName.toString == "v1_with_heatmaps.mp4")
+  }
+
+  test("finalize is idempotent: second close is a no-op") {
+    val pool = new VideoSink.WriterPool(tmp())
+    pool.append("v1", Array[Byte](1))
+    assert(pool.finalizeVideo("v1").isDefined)
+    assert(pool.finalizeVideo("v1").isEmpty)
+  }
+
+  test("concurrent multi-video init/write/finalize") {
+    val dir = tmp()
+    val pool = new VideoSink.WriterPool(dir)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 50).foreach { i =>
+        pool.synchronized(pool.append(s"v$t", Array.fill(8)((t * 50 + i).toByte)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val paths = pool.finalizeAll()
+    assert(paths.size == 4)
+    assert(paths.forall(VideoSink.verify))
+    assert(pool.openCount == 0)
+  }
+
+  test("name collision bumps suffix (reference video_writer.py:44-58)") {
+    val dir = tmp()
+    val pool1 = new VideoSink.WriterPool(dir)
+    pool1.append("v1", Array[Byte](1)); pool1.finalizeAll()
+    val pool2 = new VideoSink.WriterPool(dir)
+    pool2.append("v1", Array[Byte](2))
+    val p = pool2.finalizeVideo("v1").get
+    assert(p.getFileName.toString == "v1_with_heatmaps_1.mp4")
+  }
+
+  test("codec probe follows the reference chain order") {
+    assert(VideoSink.probeCodec(_ => true).contains("hevc"))
+    assert(VideoSink.probeCodec(Set("mp4v")).contains("mp4v"))
+    assert(VideoSink.probeCodec(Set("avc1", "mp4v")).contains("avc1"))
+    assert(VideoSink.probeCodec(_ => false).isEmpty)
+  }
+
+  test("truncated file fails verification (moov-probe analog)") {
+    val dir = tmp()
+    val pool = new VideoSink.WriterPool(dir)
+    pool.append("v1", Array.fill(100)(1.toByte))
+    val p = pool.finalizeVideo("v1").get
+    val bytes = Files.readAllBytes(p)
+    Files.write(p, bytes.dropRight(3)) // chop the footer
+    assert(!VideoSink.verify(p))
+  }
+}

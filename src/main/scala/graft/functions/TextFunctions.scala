@@ -40,11 +40,32 @@ object TextFunctions {
           i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** K independent minhash values over a shingle array.
-    * minhash_k = min over shingles of h32(k || ':' || shingle). */
-  def minhashes(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      kk => array_min(transform(sh, s => h32Salted(kk, s))))
+  /** Mersenne prime 2^31-1: modulus for the minhash permutation family
+    * (keeps a*h+b inside 63 bits — no overflow in either engine). */
+  val MinhashP = 2147483647L
+
+  /** Fixed universal-hash coefficients for the K=12 permutations. */
+  val MinhashA: Seq[Long] = Seq(
+    1500450271L, 1113426385L, 2038074743L, 1129831, 1676299571L, 507961751L,
+    104395301L, 413158511L, 1693951927L, 715225739L, 987654323L, 179424673L)
+  val MinhashB: Seq[Long] = Seq(
+    12345L, 67891L, 872461L, 1987513L, 55533187L, 99990001L,
+    3141593L, 2718281L, 1414213L, 1732051L, 2236067L, 2645751L)
+
+  /** Base shingle hashes for minhash: one md5 per shingle, reduced
+    * mod p. The K permutations below are arithmetic — computing K
+    * md5s per shingle would cost K× the hashing for no extra
+    * independence. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => h32(s) % MinhashP)
+
+  /** K minhash values from precomputed shingle hashes:
+    * minhash_k = min over h of (a_k*h + b_k) mod p. Pass a
+    * *materialized column* (select shingleHashes first) so the md5s
+    * are evaluated once, not once per permutation. */
+  def minhashesFromHashes(hs: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hs, h => (lit(MinhashA(i)) * h + lit(MinhashB(i))) % MinhashP))): _*)
 
   /** LSH band signature: md5 over `rows` consecutive minhash values
     * starting at band b (0-based). Docs sharing any band signature are
@@ -53,19 +74,35 @@ object TextFunctions {
     md5(concat_ws(",",
       (1 to rows).map(j => element_at(mh, band * rows + j).cast("string")): _*))
 
-  /** 32-bit simhash of a token array: bit b is set iff the sum over
-    * tokens of ±1 (sign of bit b of h32(token)) is positive. */
-  def simhash32(words: Column, salt: Int): Column =
+  /** Salted per-word hashes. Materialize this as its own projection
+    * column before folding bits — referencing the expression inside
+    * a per-bit lambda would re-run every md5 32×. */
+  def wordHashes(words: Column, salt: Int): Column =
+    transform(words, w => h32Salted(lit(salt), w))
+
+  /** 32-bit simhash from per-word hashes: bit b is set iff the sum
+    * over words of ±1 (sign of bit b of hash) is positive.
+    *
+    * Shaped as ONE fold over the hash array that accumulates all 32
+    * bit-counters per step — the naive per-bit formulation places the
+    * hash-array expression inside the bit lambda, and after Catalyst's
+    * CollapseProject inlines the (md5-backed) producer there, every
+    * bit re-hashes every word (measured 32× slower). */
+  def simhash32FromHashes(hashes: Column): Column = {
+    val sums = aggregate(
+      hashes,
+      array_repeat(lit(0L), lit(32)),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(31)),
+          b => when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)),
+        (a, x) => a + x))
     aggregate(
-      transform(sequence(lit(0), lit(31)),
-        b => when(
-          aggregate(words, lit(0L),
-            (acc, w) => acc
-              + when(call_function("shiftright", h32Salted(lit(salt), w), b)
-                  .bitwiseAND(1) === 1, 1L)
-                .otherwise(-1L)) > 0,
-          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      zip_with(sums, sequence(lit(0), lit(31)),
+        (sCnt, b) => when(sCnt > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
+  }
 
   /** Hamming distance between two same-width hash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -61,35 +61,44 @@ object DedupQueries {
         .orderBy("keeper")
     },
 
-    // ---- MinHash + LSH banding near-dup (portable hashes) ----
+    // ---- MinHash + LSH banding near-dup (portable hashes).
+    //      One md5 per shingle; the K signature slots are arithmetic
+    //      permutations (a_k*h+b_k mod p) of the base hash. ----
     sql(
-      "q_dedup_minhash_lsh",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |sh AS (SELECT doc_id,
-         |              list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
-         |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sgl
-         |       FROM w WHERE len(words) >= 3),
-         |mh AS (SELECT doc_id,
-         |              list_transform(range(0, $K),
-         |                k -> list_min(list_transform(sgl,
-         |                       s -> ('0x' || substr(md5(k || ':' || s), 1, 8))::BIGINT))) AS m
-         |       FROM sh),
-         |bands AS (SELECT doc_id, b,
-         |                 md5(m[3*b+1] || ',' || m[3*b+2] || ',' || m[3*b+3]) AS sig
-         |          FROM mh, range(0, $BANDS) t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
-         |         FROM bands a JOIN bands c ON a.sig = c.sig AND a.b = c.b
-         |                                  AND a.doc_id < c.doc_id)
-         |SELECT da, db,
-         |       round(len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0, 4) AS est_jaccard
-         |FROM cand JOIN mh x ON x.doc_id = da JOIN mh y ON y.doc_id = db
-         |WHERE len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0 >= 0.5
-         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      "q_dedup_minhash_lsh", {
+        import graft.functions.TextFunctions.{MinhashA, MinhashB, MinhashP}
+        val perms = (0 until K).map(i =>
+          s"list_min(list_transform(hl, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP))")
+          .mkString("[", ",\n                ", "]")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |sh AS (SELECT doc_id,
+           |              list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+           |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sgl
+           |       FROM w WHERE len(words) >= 3),
+           |hs AS (SELECT doc_id,
+           |              list_transform(sgl, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $MinhashP) AS hl
+           |       FROM sh),
+           |mh AS (SELECT doc_id, $perms AS m
+           |       FROM hs),
+           |bands AS (SELECT doc_id, b,
+           |                 md5(m[3*b+1] || ',' || m[3*b+2] || ',' || m[3*b+3]) AS sig
+           |          FROM mh, range(0, $BANDS) t(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+           |         FROM bands a JOIN bands c ON a.sig = c.sig AND a.b = c.b
+           |                                  AND a.doc_id < c.doc_id)
+           |SELECT da, db,
+           |       round(len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0, 4) AS est_jaccard
+           |FROM cand JOIN mh x ON x.doc_id = da JOIN mh y ON y.doc_id = db
+           |WHERE len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0 >= 0.5
+           |ORDER BY da, db""".stripMargin
+      }) { (s, dir) =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(col("words")) >= 3)
-      val mh = docs
-        .select(col("doc_id"), minhashes(shingles(col("words"), 3), K).as("m"))
+      // Materialize the signatures: four consumers (two band sides, two
+      // estimate sides) would otherwise each recompute shingling + md5.
+      val hs = docs.select(col("doc_id"), shingleHashes(shingles(col("words"), 3)).as("hl"))
+      val mh = hs.select(col("doc_id"), minhashesFromHashes(col("hl"), K).as("m")).cache()
       val bands = mh
         .select(col("doc_id"), col("m"), explode(sequence(lit(0), lit(BANDS - 1))).as("b"))
         .select(col("doc_id"), col("b"), bandSignature(col("m"), col("b"), 3).as("sig"))
@@ -118,26 +127,49 @@ object DedupQueries {
         |              list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
         |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sgl
         |       FROM w WHERE len(words) >= 3),
-        |sizes AS (SELECT doc_id, len(sgl) AS n FROM sh),
         |ex AS (SELECT doc_id, unnest(sgl) AS g FROM sh),
+        |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100),
+        |exr AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare ON ex.g = rare.g),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
-        |          FROM ex a JOIN ex b ON a.g = b.g AND b.doc_id <> a.doc_id
+        |          FROM exr a JOIN exr b ON a.g = b.g AND b.doc_id <> a.doc_id
         |          WHERE a.doc_id % 50 = 0
         |          GROUP BY a.doc_id, b.doc_id)
         |SELECT da, db, round(ni / (sa.n + sb.n - ni), 4) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         |WHERE ni / (sa.n + sb.n - ni) >= 0.3
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      // Jaccard over the RARE-shingle space (doc-frequency cap 100 —
+      // standard stop-shingle removal): a shingle shared by thousands
+      // of docs would quadratically explode the inverted-index pair
+      // space at scale while carrying no dedup signal. The pair count
+      // aggregates directly on the join (no arrays shuffled).
+      // Materialize doc→shingles once: it feeds four consumers (df
+      // counts, sizes, both join sides), and without a barrier the
+      // shingle pipeline re-executes per consumer — worse, explode's
+      // pushed size()>0 filter and CollapseProject inline split(text)
+      // into every element_at, making the interpreted HOF chain
+      // quadratic-ish per row (measured ~20 s vs ~3 s at sf0.1). At
+      // cluster scale this is a persisted intermediate table.
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(col("words")) >= 3)
         .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))
-      val sizes = sh.select(col("doc_id"), size(col("sgl")).as("n"))
+        .cache()
       val ex = sh.select(col("doc_id"), explode(col("sgl")).as("g"))
-      val aS = ex.where(col("doc_id") % 50 === 0)
+      val rare = ex.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= 100)
+        .select("g")
+      // Broadcast the bounded sides: the rare-shingle set (df-capped)
+      // and the 2% query sample. The full inverted index then never
+      // shuffles — it streams map-side through both joins. (At cluster
+      // scale with an unbounded query set, drop the aS hint and let
+      // AQE pick SMJ on g — the df cap keeps that join's skew bounded.)
+      val exr = ex.join(broadcast(rare), "g")
+      val sizes = exr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val aS = exr.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("da"), col("g").as("ga"))
-      val bS = ex.select(col("doc_id").as("db"), col("g").as("gb"))
-      val inter = aS.join(bS, col("ga") === col("gb") && col("db") =!= col("da"))
+      val bS = exr.select(col("doc_id").as("db"), col("g").as("gb"))
+      val inter = broadcast(aS).join(bS, col("ga") === col("gb") && col("db") =!= col("da"))
         .groupBy("da", "db").agg(count(lit(1)).as("ni"))
       val jac = col("ni") / (col("na") + col("nb") - col("ni"))
       inter
@@ -152,16 +184,18 @@ object DedupQueries {
     sql(
       "q_dedup_simhash",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |wh AS (SELECT doc_id,
+        |  list_transform(words, t -> ('0x' || substr(md5(0 || ':' || t), 1, 8))::BIGINT) AS h0s,
+        |  list_transform(words, t -> ('0x' || substr(md5(1 || ':' || t), 1, 8))::BIGINT) AS h1s
+        |FROM w),
         |sh AS (SELECT doc_id,
         |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
-        |    list_sum(list_transform(words, t -> CASE WHEN
-        |      ((('0x' || substr(md5(0 || ':' || t), 1, 8))::BIGINT >> b) & 1) = 1
+        |    list_sum(list_transform(h0s, h -> CASE WHEN ((h >> b) & 1) = 1
         |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h0,
         |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
-        |    list_sum(list_transform(words, t -> CASE WHEN
-        |      ((('0x' || substr(md5(1 || ':' || t), 1, 8))::BIGINT >> b) & 1) = 1
+        |    list_sum(list_transform(h1s, h -> CASE WHEN ((h >> b) & 1) = 1
         |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h1
-        |FROM w)
+        |FROM wh)
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS dist
         |FROM sh a JOIN sh b ON a.doc_id % 100 = 0 AND b.doc_id <> a.doc_id
@@ -169,9 +203,15 @@ object DedupQueries {
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("words"))
+        // materialize word hashes once; the 32-bit folds reuse them
         .select(col("doc_id"),
-          simhash32(col("words"), 0).as("h0"),
-          simhash32(col("words"), 1).as("h1"))
+          wordHashes(col("words"), 0).as("wh0"),
+          wordHashes(col("words"), 1).as("wh1"))
+        .select(col("doc_id"),
+          simhash32FromHashes(col("wh0")).as("h0"),
+          simhash32FromHashes(col("wh1")).as("h1"))
+        // sketches feed both sides of the pair scan — compute once
+        .cache()
       val a = sh.where(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("da"), col("h0").as("a0"), col("h1").as("a1"))
       val b = sh.select(col("doc_id").as("db"), col("h0").as("b0"), col("h1").as("b1"))
@@ -187,7 +227,10 @@ object DedupQueries {
     //      the packaged, approxSimilarityJoin-based scale path ----
     rowsOnly("q_dedup_minhash_mllib") { (s, dir) =>
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      // Demonstrates the packaged MLlib path on a deterministic sample;
+      // the portable q_dedup_minhash_lsh above is the full-corpus op.
       val docs = t(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(col("words")) >= 3)
         .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))

@@ -92,8 +92,8 @@ object AggregateQueries {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
         .orderBy("l_returnflag")
     },
 

@@ -115,7 +115,8 @@ object VideoPipelineQueries {
          |GROUP BY vid, sid
          |ORDER BY video_id, session_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val events = VideoSessionProcessor.processBatch(framesFrom(s, dir))
+      // Both output branches consume the same stateful run — barrier it.
+      val events = VideoSessionProcessor.processBatch(framesFrom(s, dir)).cache()
       val det = events.where(col("kind") === "detection")
         .groupBy(
           col("detection.video_id").as("video_id"),

@@ -1,0 +1,66 @@
+package graft.expressions
+
+import java.time.Instant
+
+import graft.streaming.Msgpack
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expression decoding a msgpack frame envelope (the
+  * reference's binary transport, SURVEY.md §2.1 S8) straight to a
+  * struct — the expression-level alternative to the typed
+  * `mapPartitions` stage in FrameSerde: usable in any projection,
+  * no Dataset boundary, null on malformed input (poison-pill frames
+  * don't kill the stream; they surface as nulls to filter/quarantine).
+  *
+  * Object construction here is irreducibly branchy, so this is a
+  * deliberate CodegenFallback leaf (SURVEY.md §4 names msgpack_decode
+  * as the custom-expression candidate); the surrounding operators
+  * still whole-stage-codegen around it.
+  */
+case class MsgpackDecodeFrame(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = MsgpackDecodeFrame.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "msgpack_decode_frame"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    try {
+      val m = Msgpack.decodeMap(input.asInstanceOf[Array[Byte]])
+      val inst = Instant.parse(m("timestamp").asInstanceOf[String])
+      val tsMicros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      InternalRow(
+        UTF8String.fromString(m("video_id").asInstanceOf[String]),
+        m("frame_number").asInstanceOf[Long].toInt,
+        tsMicros,
+        m.get("fps").map(_.asInstanceOf[Double]).getOrElse(30.0),
+        m("frame_data").asInstanceOf[Array[Byte]],
+        m.get("width").map(_.asInstanceOf[Long].toInt).getOrElse(0),
+        m.get("height").map(_.asInstanceOf[Long].toInt).getOrElse(0))
+    } catch {
+      case _: Exception => null // malformed envelope → null row
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MsgpackDecodeFrame =
+    copy(child = newChild)
+}
+
+object MsgpackDecodeFrame {
+  val schema: StructType = StructType(Seq(
+    StructField("video_id", StringType),
+    StructField("frame_number", IntegerType),
+    StructField("timestamp", TimestampType),
+    StructField("fps", DoubleType),
+    StructField("frame_data", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  def apply(c: Column): Column = Bridge.column(MsgpackDecodeFrame(Bridge.expression(c)))
+}

@@ -22,9 +22,12 @@ object TextFunctions {
   /** Whitespace tokenization (single-space delimited corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** First 32 bits of md5 as an unsigned long (0 .. 2^32-1). */
-  def h32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+  /** First 32 bits of md5 as an unsigned long (0 .. 2^32-1).
+    * Backed by the native codegen'd [[graft.expressions.H32]]
+    * expression (identical value to
+    * `conv(substring(md5(s),1,8),16,10)`, without the hex-string
+    * round-trip and without breaking whole-stage codegen). */
+  def h32(s: Column): Column = graft.expressions.H32(s)
 
   /** Salted variant: independent hash function per integer salt. */
   def h32Salted(salt: Column, s: Column): Column =

@@ -1,0 +1,58 @@
+package graft.expressions
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.{FrameSerde, Schemas}
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expressions: value parity with the composed
+  * built-in forms, SQL registration, codegen integration, and
+  * malformed-input behavior. */
+class ExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("H32 equals the conv(substr(md5)) composition and the known md5 value") {
+    val df = Seq("abc", "", "vid:42", "ünïcode ☂").toDF("s")
+    val rows = df.select(
+      H32(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // md5('abc') = 900150983cd24fb0... → 0x90015098
+    assert(df.where($"s" === "abc").select(H32(col("s"))).head().getLong(0) == 0x90015098L)
+  }
+
+  test("H32 registers for SQL and stays inside whole-stage codegen") {
+    H32.register(spark)
+    val out = spark.sql("SELECT h32('abc') AS h").head().getLong(0)
+    assert(out == 0x90015098L)
+    // literal local data folds to LocalTableScan — use a range scan.
+    // The "*(n)" prefix marks a WholeStageCodegen stage: H32 must not
+    // force a fallback out of it.
+    val plan = spark.range(100).select(H32(col("id").cast("string")))
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*("), plan)
+  }
+
+  test("msgpack_decode_frame decodes the wire format in a projection") {
+    val f = Schemas.FrameMessage("v1", 7,
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00.123456Z")),
+      29.97, Array[Byte](1, 2, 3), 640, 480)
+    val df = Seq(FrameSerde.encodeMsgpack(f)).toDF("value")
+    val r = df.select(MsgpackDecodeFrame(col("value")).as("f"))
+      .select("f.*").head()
+    assert(r.getAs[String]("video_id") == "v1")
+    assert(r.getAs[Int]("frame_number") == 7)
+    assert(r.getAs[Timestamp]("timestamp") == f.timestamp)
+    assert(r.getAs[Double]("fps") == 29.97)
+    assert(r.getAs[Array[Byte]]("frame_data").toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("msgpack_decode_frame yields null on malformed bytes (poison pill)") {
+    val df = Seq(Array[Byte](0x47, 0x11), Array[Byte]()).toDF("value")
+    val rows = df.select(MsgpackDecodeFrame(col("value")).as("f")).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+}

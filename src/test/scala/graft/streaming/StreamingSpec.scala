@@ -84,6 +84,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static join enriches a frame stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val dim = Seq(("v1", "campA"), ("v2", "campB")).toDF("vid", "campaign")
+    val joined = input.toDF().toDF("vid", "fn").join(dim, Seq("vid"), "left")
+    val query = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("v1", 0), ("v3", 0))
+      query.processAllAvailable()
+      val rows = spark.table("ssj_out").orderBy("vid").collect()
+      assert(rows.map(r => (r.getString(0), r.getAs[String]("campaign"))).toSeq ==
+        Seq(("v1", "campA"), ("v3", null)))
+    } finally query.stop()
+  }
+
+  test("rate source drives a throughput smoke stream") {
+    val rate = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    val counted = rate.groupBy().count()
+    val query = counted.writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000L
+      def n(): Long = {
+        val rows = spark.table("rate_out").collect()
+        if (rows.isEmpty) 0L else rows.head.getLong(0)
+      }
+      while (n() == 0L && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(n() > 0L)
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark drops replayed frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Int)]

@@ -239,8 +239,10 @@ object DedupQueries {
       val feat = tf.transform(docs)
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(4).setSeed(42L)
-      val model = lsh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.35, "dist")
+      // fit + both join sides consume the featurized docs — barrier it
+      val featC = feat.cache()
+      val model = lsh.fit(featC)
+      model.approxSimilarityJoin(featC, featC, 0.35, "dist")
         .select(
           col("datasetA.doc_id").as("da"),
           col("datasetB.doc_id").as("db"),

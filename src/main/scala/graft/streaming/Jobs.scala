@@ -24,9 +24,19 @@ object Jobs {
   def detect(
       frames: Dataset[FrameIn],
       cfg: Config = Config(),
-      model: Backend = FireModel.SyntheticFireModel()): DetectOutputs = {
+      model: Backend = FireModel.SyntheticFireModel(),
+      observation: Option[org.apache.spark.sql.Observation] = None): DetectOutputs = {
     val events = VideoSessionProcessor.processBatch(frames, cfg, model)
-    split(events.toDF())
+    // A7 run-level counters (reference's message/detection/fire
+    // totals) ride the plan as an Observation — collected by the
+    // executors during the normal pass, no extra action.
+    val observed = observation.fold(events.toDF()) { obs =>
+      events.toDF().observe(obs,
+        count(when(col("kind") === "detection", 1)).as("n_detections"),
+        count(when(col("detection.has_fire"), 1)).as("n_fire"),
+        count(when(col("kind") === "completion", 1)).as("n_completions"))
+    }
+    split(observed)
   }
 
   def split(events: DataFrame): DetectOutputs =

@@ -33,8 +33,13 @@ class JobsSpec extends SparkSpec {
   test("detect splits detections and completions; MP4 sink + upload complete the chain") {
     val frames = (0 until 20).map(i => FrameIn("vidA", i, i * 1000L)) ++
       (0 until 5).map(i => FrameIn("vidB", i, i * 1000L))
-    val out = Jobs.detect(frames.toDS(), Config(inferEveryN = 2))
+    val obs = org.apache.spark.sql.Observation("detect_metrics")
+    val out = Jobs.detect(frames.toDS(), Config(inferEveryN = 2), observation = Some(obs))
     assert(out.detections.count() == 25)
+    // A7 run-level counters collected during the pass
+    val m = obs.get
+    assert(m("n_detections") == 25L)
+    assert(m("n_completions") == 2L)
     val comps = out.completions.orderBy("video_id").collect()
     assert(comps.map(_.getAs[String]("video_id")).toSeq == Seq("vidA", "vidB"))
     assert(comps.head.getAs[org.apache.spark.sql.Row]("stats").getAs[Long]("total_frames") == 20L)

@@ -16,6 +16,7 @@ object SparkEntry {
       operators.AggregateQueries.defs ++
       operators.WindowQueries.defs ++
       operators.ScalarQueries.defs ++
+      operators.StatsQueries.defs ++
       operators.SessionQueries.defs ++
       llm.DedupQueries.defs ++
       llm.SimilarityQueries.defs ++

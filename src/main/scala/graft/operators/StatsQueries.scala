@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates, pivot, exact percentiles, positional
+  * explode, range-frame windows, join-strategy hints, and
+  * edit-distance fuzzy matching — widening SURVEY.md §2.2's scalar/
+  * aggregate/window families.
+  */
+object StatsQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- statistical aggregates (sample variance family + bool aggs) ----
+    sql(
+      "q_stats_agg",
+      """SELECT event_type,
+        |       round(stddev(value), 4) AS sd,
+        |       round(var_samp(value), 4) AS var,
+        |       round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+        |       round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS cov_vk,
+        |       bool_and(value >= 0) AS all_nonneg,
+        |       bool_or(value > 480) AS any_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("double")
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(stddev(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("var"),
+          round(corr(col("value"), k), 6).as("corr_vk"),
+          round(covar_samp(col("value"), k), 4).as("cov_vk"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          bool_or(col("value") > 480).as("any_high"))
+        .orderBy("event_type")
+    },
+
+    // ---- exact percentiles (linear interpolation both engines) ----
+    sql(
+      "q_percentile",
+      """SELECT event_type,
+        |       round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+        |       round(CAST(quantile_cont(value, 0.5)  AS DOUBLE), 4) AS p50,
+        |       round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy("event_type")
+    },
+
+    // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
+    sql(
+      "q_pivot",
+      """SELECT user_id % 10 AS bucket,
+        |       round(coalesce(sum(CASE WHEN event_type = 'click'    THEN value END), 0), 2) AS click,
+        |       round(coalesce(sum(CASE WHEN event_type = 'error'    THEN value END), 0), 2) AS error,
+        |       round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase,
+        |       round(coalesce(sum(CASE WHEN event_type = 'signup'   THEN value END), 0), 2) AS signup,
+        |       round(coalesce(sum(CASE WHEN event_type = 'view'     THEN value END), 0), 2) AS view
+        |FROM events GROUP BY user_id % 10 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      // Explicit value list → single-pass pivot (no distinct-values job).
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", types)
+        .agg(sum(col("value")))
+      types.foldLeft(p)((d, ty) => d.withColumn(ty, round(coalesce(col(ty), lit(0)), 2)))
+        .orderBy("bucket")
+    },
+
+    // ---- positional explode (ordinality) ----
+    sql(
+      "q_posexplode",
+      """SELECT doc_id,
+        |       CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
+        |       unnest(string_split(text, ' ')) AS word
+        |FROM documents
+        |WHERE doc_id % 97 = 0
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      // Spark posexplode is 0-based; ordinality convention is 1-based.
+      t(s, dir, "documents")
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("word"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- range-frame window (value-based frame, not row-based) ----
+    sql(
+      "q_window_range_frame",
+      """SELECT event_id,
+        |       count(*) OVER (PARTITION BY event_type ORDER BY value
+        |                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_near,
+        |       round(sum(value) OVER (PARTITION BY event_type ORDER BY value
+        |                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW), 2) AS v_near
+        |FROM events
+        |WHERE event_id % 5 = 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rangeBetween(-10, Window.currentRow)
+      t(s, dir, "events")
+        .where(col("event_id") % 5 === 0)
+        .select(
+          col("event_id"),
+          count(lit(1)).over(w).as("n_near"),
+          round(sum(col("value")).over(w), 2).as("v_near"))
+        .orderBy("event_id")
+    },
+
+    // ---- join-strategy hints: same semantics, explicit physical pick.
+    //      (broadcast is hinted in q_join_inner; here merge + shuffle_hash.)
+    sql(
+      "q_join_hints",
+      """SELECT n.n_name, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").hint("shuffle_merge")
+      val n = t(s, dir, "nation").hint("shuffle_hash")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy("n_name")
+    },
+
+    // ---- edit-distance fuzzy near-dup on sampled short prefixes ----
+    sql(
+      "q_dedup_levenshtein",
+      """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre FROM documents)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+        |FROM p a JOIN p b ON a.doc_id % 250 = 0 AND b.doc_id % 7 = 0
+        |                 AND b.doc_id <> a.doc_id
+        |WHERE levenshtein(a.pre, b.pre) <= 12
+        |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"))
+      val a = p.where(col("doc_id") % 250 === 0)
+        .select(col("doc_id").as("da"), col("pre").as("pa"))
+      val b = p.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("db"), col("pre").as("pb"))
+      broadcast(a).join(b, col("db") =!= col("da"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("int"))
+        .where(col("dist") <= 12)
+        .select("da", "db", "dist")
+        .orderBy("da", "db")
+    }
+  )
+}

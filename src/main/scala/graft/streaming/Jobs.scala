@@ -75,9 +75,12 @@ object Jobs {
   def writeAnnotatedVideos(
       annotated: Dataset[(String, Int, Array[Byte])], // (video_id, frame_number, payload)
       outDir: String): Unit = {
+    import annotated.sparkSession.implicits._
     annotated
-      .repartition(col("_1")) // partition affinity by video_id
-      .sortWithinPartitions(col("_1"), col("_2"))
+      .toDF("vid", "fn", "payload") // normalize names (tuple vs named sources)
+      .as[(String, Int, Array[Byte])]
+      .repartition(col("vid")) // partition affinity by video_id
+      .sortWithinPartitions(col("vid"), col("fn"))
       .foreachPartition { (it: Iterator[(String, Int, Array[Byte])]) =>
         val pool = new VideoSink.WriterPool(Paths.get(outDir))
         it.foreach { case (vid, _, payload) => pool.append(vid, payload) }

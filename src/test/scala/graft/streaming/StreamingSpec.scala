@@ -116,6 +116,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch MP4 sink: writer pool per batch, finalize, verify") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-mp4").toString
+    val input = MemoryStream[(String, Int, Array[Byte])]
+    val query = input.toDF().toDF("vid", "fn", "payload")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        Jobs.writeAnnotatedVideos(
+          batch.select("vid", "fn", "payload").as[(String, Int, Array[Byte])], outDir)
+      }
+      .start()
+    try {
+      input.addData(("v1", 0, Array[Byte](1)), ("v1", 1, Array[Byte](2)),
+        ("v2", 0, Array[Byte](3)))
+      query.processAllAvailable()
+      val written = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+        .toArray.map(_.toString).sorted
+      assert(written.length == 2)
+      assert(written.forall(p => VideoSink.verify(java.nio.file.Paths.get(p))))
+    } finally query.stop()
+  }
+
+  test("GraftExtensions registers custom SQL functions at session build") {
+    // The shared session predates extension injection; exercise the
+    // builders directly — the same closures withExtensions would bind.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val byName = graft.GraftExtensions.functions
+      .map { case (id, _, b) => id.funcName -> b }.toMap
+    assert(byName.keySet == Set("h32", "msgpack_decode_frame"))
+    val h = byName("h32")(Seq(Literal(UTF8String.fromString("abc"),
+      org.apache.spark.sql.types.StringType)))
+    assert(h.eval(null) == 0x90015098L)
+  }
+
   test("streaming dedup within watermark drops replayed frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Int)]

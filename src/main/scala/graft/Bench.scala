@@ -34,12 +34,32 @@ object Bench {
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Caches with plan-identical subtrees are shared by the cache
+      // manager across queries — clear so each query pays its own cost.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Streaming-path throughput (BASELINE.md fps shape): synthetic
+    // frames through the full keyed state machine, frames/sec.
+    val fps = {
+      import spark.implicits._
+      import graft.streaming.VideoSessionProcessor
+      val nFrames = 200000
+      val frames = spark.range(nFrames).map { i =>
+        VideoSessionProcessor.FrameIn(s"v${i % 64}", (i / 64).toInt, i * 1000L)
+      }
+      val t0 = System.nanoTime()
+      VideoSessionProcessor.processBatch(frames).write
+        .format("noop").mode("overwrite").save()
+      nFrames / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","video_pipeline_fps":${fps.round}}""")
     spark.stop()
   }
 }

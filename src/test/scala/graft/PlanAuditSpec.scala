@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-quality audit over every registered query: no accidental
+  * cartesian products or nested-loop joins outside the ops that
+  * intentionally compare a bounded broadcast side against the corpus
+  * (brute-force similarity scans and deliberate cross joins). A new
+  * query that silently plans a cross product fails here before it
+  * ever reaches a large scale factor.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // Ops whose semantics are a bounded-side × corpus comparison: the
+  // nested-loop with a broadcast bounded side IS the intended plan.
+  private val allowedNestedLoop = Set(
+    "q_join_cross",        // deliberate small-dim cross join
+    "q_knn_bruteforce",    // 8 query vectors × corpus
+    "q_knn_signlsh",       // bucket-equi + residual (planner may NL the residual)
+    "q_embed_neardup",     // label-equi + residual
+    "q_dedup_simhash",     // sampled sketches × corpus
+    "q_dedup_levenshtein") // sampled prefixes × corpus
+
+  test("no unexpected cartesian/nested-loop joins in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val nestedLoop = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (nestedLoop && !allowedNestedLoop(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian in: ${offenders.mkString(", ")}")
+  }
+
+  test("parquet scans prune columns (no SELECT * reaching the scan)") {
+    // Spot-check a projection-heavy query: the lineitem scan must read
+    // only the referenced columns.
+    val plan = SparkEntry.queries("q_join_inner")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => s.split(",").length <= 4), readSchemas.mkString("\n"))
+  }
+}

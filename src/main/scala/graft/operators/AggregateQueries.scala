@@ -185,6 +185,29 @@ object AggregateQueries {
         .orderBy("event_type")
     },
 
+    // ---- salted two-phase aggregation (skew pattern).
+    //      events has only 5 event_type values → a direct groupBy puts
+    //      each hot key on one reducer. Salting spreads the partial
+    //      aggregation across 16 sub-keys; the final combine touches
+    //      only 5×16 rows. Result is identical to the direct groupBy
+    //      (which is what the oracle runs). ----
+    sql(
+      "q_agg_salted",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum,
+        |       round(max(value), 2) AS v_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val partial = t(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"), max(col("value")).as("pm"))
+      partial.groupBy("event_type")
+        .agg(
+          sum(col("pn")).as("n"),
+          round(sum(col("pv")), 2).as("v_sum"),
+          round(max(col("pm")), 2).as("v_max"))
+        .orderBy("event_type")
+    },
+
     // ---- having-style post-aggregation filter ----
     sql(
       "q_having",

@@ -154,6 +154,48 @@ object VideoSessionProcessor {
       }
   }
 
+  /** Spark 4 `transformWithState` wiring — same transition function
+    * behind the current-generation stateful API (typed ValueState in
+    * the state store; RocksDB provider at scale). Functionally
+    * equivalent to [[processStream]] minus the idle-timeout close
+    * (timers would do it; the fMGWS path covers that semantics). */
+  class VideoTwsProcessor(cfg: Config, model: Backend)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FrameIn, VideoEvent] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM, TTLConfig}
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[VideoState] = _
+
+    override def init(outputMode: OM, timeMode: TM): Unit =
+      state = getHandle.getValueState[VideoState](
+        "videoState", Encoders.product[VideoState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[FrameIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[VideoEvent] = {
+      val sorted = rows.toSeq.sortBy(f => (f.frame_number, f.timestamp_us))
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (st, events) = transition(
+        key, prev, sorted, cfg, model,
+        new Timestamp(timerValues.getCurrentProcessingTimeInMs()))
+      st.foreach(state.update)
+      events.iterator
+    }
+  }
+
+  def processStreamTws(
+      frames: Dataset[FrameIn],
+      cfg: Config = Config(),
+      model: Backend = FireModel.SyntheticFireModel()): Dataset[VideoEvent] = {
+    implicit val evEnc = Encoders.product[VideoEvent]
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.video_id)
+      .transformWithState(
+        new VideoTwsProcessor(cfg, model),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Streaming wiring: state persists across micro-batches; idle keys
     * close via processing-time timeout (replaces the reference's
     * SIGTERM drain + 300-gap close for the stream case). */

@@ -13,10 +13,11 @@ class StreamingSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("keyed state persists across micro-batches; timeout emits completion") {
+  test("keyed state persists across micro-batches (fMGWS)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FrameIn]
-    val cfg = Config(inferEveryN = 3, idleTimeoutMs = 3000L)
+    // generous idle timeout: continuity is under test, not the close
+    val cfg = Config(inferEveryN = 3, idleTimeoutMs = 120000L)
     val events = VideoSessionProcessor.processStream(input.toDS(), cfg)
     val query = events.writeStream
       .format("memory").queryName("video_events")
@@ -40,21 +41,42 @@ class StreamingSpec extends SparkSpec {
       assert(dets.map(_.getAs[Long]("session_index")).toSeq == Seq(0L, 1L, 2L, 3L))
       assert(dets.map(_.getAs[Boolean]("inference_ran")).toSeq ==
         Seq(true, false, false, true))
+    } finally query.stop()
+  }
 
-      // let the idle timeout lapse, then feed another key; poll for the
-      // timeout-driven completion (processAllAvailable never settles
-      // under ProcessingTimeTimeout's self-triggering batches)
-      Thread.sleep(4000L)
-      input.addData(FrameIn("v2", 0, 0L))
+  test("idle timeout closes a video and emits its completion (fMGWS)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FrameIn]
+    val cfg = Config(inferEveryN = 3, idleTimeoutMs = 500L)
+    val events = VideoSessionProcessor.processStream(input.toDS(), cfg)
+    val query = events.writeStream
+      .format("memory").queryName("video_events_timeout")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // all frames in ONE batch; then let the timeout lapse and poll
+      // (processAllAvailable never settles under ProcessingTimeTimeout's
+      // self-triggering batches)
+      input.addData(FrameIn("v1", 0, 0L), FrameIn("v1", 1, 1000L),
+        FrameIn("v1", 2, 2000L), FrameIn("v1", 3, 3000L))
+      // poll instead of processAllAvailable (which never settles under
+      // ProcessingTimeTimeout's self-triggering batches)
+      val detDeadline = System.currentTimeMillis() + 30000L
+      def dets() = spark.table("video_events_timeout")
+        .where($"kind" === "detection").count()
+      while (dets() < 4 && System.currentTimeMillis() < detDeadline) Thread.sleep(150L)
+      assert(dets() == 4)
+      Thread.sleep(1200L)
+      input.addData(FrameIn("v2", 0, 0L)) // unrelated key triggers a batch
       val deadline = System.currentTimeMillis() + 30000L
-      def completions() = spark.table("video_events")
-        .where($"kind" === "completion").select($"completion.*").collect()
+      def completions() = spark.table("video_events_timeout")
+        .where($"kind" === "completion" && $"completion.video_id" === "v1")
+        .select($"completion.*").collect()
       var comps = completions()
       while (comps.isEmpty && System.currentTimeMillis() < deadline) {
         Thread.sleep(250L); comps = completions()
       }
       assert(comps.length == 1)
-      assert(comps.head.getAs[String]("video_id") == "v1")
       assert(comps.head.getAs[org.apache.spark.sql.Row]("stats")
         .getAs[Long]("total_frames") == 4L)
     } finally query.stop()
@@ -81,7 +103,41 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("win_out").orderBy($"window.start").collect()
       assert(rows.nonEmpty)
       assert(rows.head.getAs[Long]("n") == 2L) // both 00:00 frames in one window
+      // late-data drop: an event far behind the watermark must not
+      // resurrect or alter the finalized 00:00 window
+      input.addData((t("2024-01-01 00:00:45"), "v1"))
+      query.processAllAvailable()
+      val after = spark.table("win_out").orderBy($"window.start").collect()
+      assert(after.head.getAs[Long]("n") == 2L)
+      assert(after.count(_.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").toString.contains("00:00:00")) == 1)
     } finally query.stop()
+  }
+
+  test("transformWithState (Spark 4 API, RocksDB store) matches fMGWS semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[FrameIn]
+      val events = VideoSessionProcessor.processStreamTws(
+        input.toDS(), Config(inferEveryN = 3))
+      val query = events.writeStream.format("memory").queryName("tws_events")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(FrameIn("v1", 0, 0L), FrameIn("v1", 1, 1000L))
+        query.processAllAvailable()
+        input.addData(FrameIn("v1", 2, 2000L), FrameIn("v1", 3, 3000L))
+        query.processAllAvailable()
+        val dets = spark.table("tws_events")
+          .where($"kind" === "detection").select($"detection.*")
+          .orderBy($"frame_number").collect()
+        // identical to the fMGWS expectations: one continuous session
+        assert(dets.map(_.getAs[Long]("session_index")).toSeq == Seq(0L, 1L, 2L, 3L))
+        assert(dets.map(_.getAs[Boolean]("inference_ran")).toSeq ==
+          Seq(true, false, false, true))
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("stream-static join enriches a frame stream with a dimension table") {

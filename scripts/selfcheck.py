@@ -62,6 +62,14 @@ def compare(name, sql, con):
         return f"ORACLE FAIL: {type(e).__name__}: {e}"
     if ours_cols != o_cols:
         return f"SCHEMA MISMATCH ours={ours_cols} oracle={o_cols}"
+    # dtype comparison: the driver's schema check may be typed; flag
+    # width mismatches (int32 vs int64, hugeint sums, etc.)
+    ours_types = dict(zip(ours.columns, [str(t) for t in ours.types]))
+    o_types = dict(zip(oracle.columns, [str(t) for t in oracle.types]))
+    dt = [f"{c}: ours={ours_types[c]} oracle={o_types[c]}"
+          for c in ours_cols if ours_types[c] != o_types[c]]
+    if dt:
+        return "DTYPE MISMATCH " + "; ".join(dt)
     if len(ours_rows) != len(o_rows):
         return f"ROWCOUNT MISMATCH ours={len(ours_rows)} oracle={len(o_rows)}"
     for i, (a, b) in enumerate(zip(ours_rows, o_rows)):

@@ -75,10 +75,10 @@ object MultimodalQueries {
     sql(
       "q_multimodal_features",
       """SELECT doc_id,
-        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         |       ascii(substr(text, 1, 1)) AS first_byte,
         |       ascii(substr(text, length(text), 1)) AS last_byte,
-        |       16 + octet_length(CAST(text AS BLOB)) % 625 AS width,
+        |       CAST(16 + octet_length(CAST(text AS BLOB)) % 625 AS INT) AS width,
         |       16 + ascii(substr(text, 1, 1)) % 465 AS height
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -96,7 +96,7 @@ object MultimodalQueries {
       """SELECT doc_id, kind, n_bytes, tag
         |FROM (SELECT doc_id,
         |             'doc' AS kind,
-        |             octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         |             source || '/' || lang AS tag
         |      FROM documents)
         |WHERE n_bytes > 100

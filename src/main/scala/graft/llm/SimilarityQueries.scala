@@ -36,7 +36,7 @@ object SimilarityQueries {
       "q_embed_norm",
       """SELECT vec_id, label,
         |       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2,
-        |       len(embedding) AS dim
+        |       CAST(len(embedding) AS INT) AS dim
         |FROM embeddings
         |WHERE vec_id % 10 = 0
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>

@@ -29,9 +29,9 @@ object TextAnalysisQueries {
     sql(
       "q_token_counts",
       """SELECT doc_id,
-        |       len(string_split(text, ' ')) AS n_ws_tokens,
-        |       len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
-        |                       x -> length(x) > 0)) AS n_re_tokens,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |       CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+        |                       x -> length(x) > 0)) AS INT) AS n_re_tokens,
         |       CAST(list_sum(list_transform(string_split(text, ' '),
         |                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
         |       n_chars
@@ -53,7 +53,7 @@ object TextAnalysisQueries {
       s"""q_text_quality""",
       s"""WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
          |SELECT doc_id,
-         |       len(words) AS n_tokens,
+         |       CAST(len(words) AS INT) AS n_tokens,
          |       round(n_chars / len(words), 4) AS chars_per_token,
          |       round(len(list_filter(words, x -> list_contains(${sqlList(stopEn)}, x)))
          |             / len(words), 4) AS stop_ratio,
@@ -91,7 +91,8 @@ object TextAnalysisQueries {
          |            WHEN s_es >= s_de AND s_es > 0 THEN 'es'
          |            WHEN s_de > 0 THEN 'de'
          |            ELSE 'und' END AS detected_lang,
-         |       s_en, s_es, s_de
+         |       CAST(s_en AS INT) AS s_en, CAST(s_es AS INT) AS s_es,
+         |       CAST(s_de AS INT) AS s_de
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val sc = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("words"))
@@ -137,9 +138,9 @@ object TextAnalysisQueries {
         |                  len(string_split(text, ' ')) AS n_tokens
         |           FROM documents)
         |SELECT source, lang, count(*) AS n_docs,
-        |       sum(n_tokens) AS total_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       round(avg(n_tokens), 4) AS avg_tokens,
-        |       sum(n_chars) AS total_chars
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM w GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")

@@ -169,7 +169,7 @@ object AggregateQueries {
       "q_udaf_stats",
       """SELECT event_type,
         |       count(*) AS n,
-        |       sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS n_hot,
+        |       CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
         |       round(max(value), 2) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       import s.implicits._

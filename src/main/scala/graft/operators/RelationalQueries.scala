@@ -271,7 +271,7 @@ object RelationalQueries {
         |SELECT coalesce(st, '?') AS status,
         |       count(*) AS n,
         |       count(pri) AS n_pri,
-        |       sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_eq
+        |       CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_eq
         |FROM t GROUP BY coalesce(st, '?') ORDER BY status""".stripMargin) { (s, dir) =>
       val base = t(s, dir, "orders").select(
         col("o_orderkey"),

@@ -23,7 +23,7 @@ object ScalarQueries {
         |       upper(p_name) AS uname,
         |       substr(p_name, 1, 4) AS prefix,
         |       p_brand || ':' || p_type AS tag,
-        |       length(p_name) AS name_len,
+        |       CAST(length(p_name) AS INT) AS name_len,
         |       replace(p_name, ' ', '_') AS snake,
         |       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
         |       CAST(instr(p_name, 'e') AS INT) AS first_e
@@ -34,7 +34,7 @@ object ScalarQueries {
           upper(col("p_name")).as("uname"),
           substring(col("p_name"), 1, 4).as("prefix"),
           concat(col("p_brand"), lit(":"), col("p_type")).as("tag"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("int").as("name_len"),
           regexp_replace(col("p_name"), " ", "_").as("snake"),
           regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
           instr(col("p_name"), "e").cast("int").as("first_e"))
@@ -99,9 +99,9 @@ object ScalarQueries {
       "q_array_fns",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         |SELECT doc_id,
-        |       len(words) AS n_words,
-        |       len(list_filter(words, x -> length(x) > 4)) AS n_long,
-        |       list_aggregate(list_transform(words, x -> length(x)), 'sum') AS total_chars,
+        |       CAST(len(words) AS INT) AS n_words,
+        |       CAST(len(list_filter(words, x -> length(x) > 4)) AS INT) AS n_long,
+        |       CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS BIGINT) AS total_chars,
         |       array_to_string(list_transform(words[1:3], x -> upper(x)), '-') AS head3
         |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
@@ -110,7 +110,7 @@ object ScalarQueries {
           col("doc_id"),
           size(col("words")).as("n_words"),
           size(filter(col("words"), x => length(x) > 4)).as("n_long"),
-          aggregate(transform(col("words"), x => length(x)), lit(0),
+          aggregate(transform(col("words"), x => length(x)), lit(0L),
             (acc, x) => acc + x).as("total_chars"),
           concat_ws("-", transform(slice(col("words"), 1, 3), x => upper(x))).as("head3"))
         .orderBy("doc_id")
@@ -138,7 +138,7 @@ object ScalarQueries {
       "q_json_fns",
       """SELECT event_type,
         |       count(*) AS n,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
@@ -154,7 +154,7 @@ object ScalarQueries {
       "q_base64",
       """SELECT doc_id,
         |       to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64,
-        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         |       md5(text) AS text_md5
         |FROM documents
         |WHERE doc_id % 7 = 0

@@ -129,8 +129,8 @@ object SessionQueries {
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
         |  FROM events),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                               ROWS UNBOUNDED PRECEDING) + 1 AS sid
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS sid
         |      FROM x)
         |SELECT user_id, sid, count(*) AS n, round(sum(value), 2) AS v_sum,
         |       min(ts) AS start_ts, max(ts) AS end_ts

@@ -43,10 +43,10 @@ object WindowQueries {
         .select(
           col("c_nationkey"), col("c_custkey"),
           round(col("c_acctbal"), 2).as("bal"),
-          row_number().over(w).as("rn"),
-          rank().over(w).as("rk"),
-          dense_rank().over(w).as("drk"),
-          ntile(4).over(w).as("quartile"))
+          row_number().over(w).cast("bigint").as("rn"),
+          rank().over(w).cast("bigint").as("rk"),
+          dense_rank().over(w).cast("bigint").as("drk"),
+          ntile(4).over(w).cast("bigint").as("quartile"))
         .orderBy("c_nationkey", "rn")
     },
 
@@ -113,7 +113,7 @@ object WindowQueries {
         .select(
           col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("total"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("bigint").as("rn"))
         .where(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     },

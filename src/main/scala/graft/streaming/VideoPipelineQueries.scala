@@ -50,7 +50,8 @@ object VideoPipelineQueries {
        |                   THEN 1 ELSE 0 END AS brk
        |       FROM f0),
        |f2 AS (SELECT vid, fn,
-       |              sum(brk) OVER (PARTITION BY vid ORDER BY fn ROWS UNBOUNDED PRECEDING) + 1 AS sid
+       |              CAST(sum(brk) OVER (PARTITION BY vid ORDER BY fn
+       |                                  ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS sid
        |       FROM f1),
        |f3 AS (SELECT vid, fn, sid,
        |              row_number() OVER (PARTITION BY vid, sid ORDER BY fn) - 1 AS idx
@@ -108,7 +109,7 @@ object VideoPipelineQueries {
          |SELECT vid AS video_id, sid AS session_id,
          |       '/videos/' || vid || '_s' || sid || '.mp4' AS local_filepath,
          |       count(*) AS total_frames,
-         |       sum(CASE WHEN has_fire THEN 1 ELSE 0 END) AS fire_count,
+         |       CAST(sum(CASE WHEN has_fire THEN 1 ELSE 0 END) AS BIGINT) AS fire_count,
          |       round(max(prob), 6) AS max_fire_probability,
          |       min(fn) AS first_frame, max(fn) AS last_frame
          |FROM f7

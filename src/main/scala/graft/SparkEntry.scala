@@ -21,6 +21,7 @@ object SparkEntry {
       llm.DedupQueries.defs ++
       llm.SimilarityQueries.defs ++
       llm.TextAnalysisQueries.defs ++
+      llm.TfIdfQueries.defs ++
       llm.MultimodalQueries.defs ++
       streaming.VideoPipelineQueries.defs
 

@@ -1,0 +1,58 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term scoring — the canonical corpus-statistics operator for
+  * text curation (keyword extraction, quality weighting).
+  *
+  * Scale notes: tf is a per-doc aggregation, df one hash aggregation
+  * over (word) — both partial+final; the doc-count is a broadcast
+  * scalar. Top-k terms per sampled doc via row_number, never a global
+  * sort of the full term matrix.
+  */
+object TfIdfQueries {
+
+  import QueryDef.sql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    sql(
+      "q_tfidf_top_terms",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w),
+        |ex AS (SELECT doc_id, unnest(words) AS word, len(words) AS dl FROM w),
+        |tf AS (SELECT doc_id, word, count(*) * 1.0 / max(dl) AS tf
+        |       FROM ex GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY word),
+        |sc AS (SELECT tf.doc_id, tf.word,
+        |              round(tf.tf * ln((SELECT n FROM tot) * 1.0 / df.dfc), 6) AS score
+        |       FROM tf JOIN df ON tf.word = df.word
+        |       WHERE tf.doc_id % 50 = 0)
+        |SELECT doc_id, word, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, word) AS rn
+        |  FROM sc)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, word""".stripMargin) { (s, dir) =>
+      val w = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val nDocs = w.count() // broadcast scalar (one tiny job)
+      val ex = w.select(col("doc_id"), explode(col("words")).as("word"),
+        size(col("words")).as("dl"))
+      val tf = ex.groupBy("doc_id", "word")
+        .agg((count(lit(1)) * 1.0 / max(col("dl"))).as("tf"))
+      val df = ex.groupBy("word").agg(countDistinct(col("doc_id")).as("dfc"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("word"))
+      tf.where(col("doc_id") % 50 === 0)
+        .join(df, "word")
+        .withColumn("score", round(col("tf") * log(lit(nDocs) * 1.0 / col("dfc")), 6))
+        .withColumn("rn", row_number().over(win))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("score"))
+        .orderBy(col("doc_id"), desc("score"), col("word"))
+    }
+  )
+}

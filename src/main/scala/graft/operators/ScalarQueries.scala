@@ -133,6 +133,28 @@ object ScalarQueries {
         .limit(40)
     },
 
+    // ---- conditional scalar functions ----
+    sql(
+      "q_conditional_fns",
+      """SELECT l_orderkey, l_linenumber,
+        |       round(greatest(l_tax, l_discount), 2) AS max_rate,
+        |       round(least(l_tax, l_discount), 2) AS min_rate,
+        |       CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+        |       coalesce(nullif(l_returnflag, 'N'), '-') AS flag_or_dash
+        |FROM lineitem
+        |WHERE l_orderkey % 40 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 40 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(greatest(col("l_tax"), col("l_discount")), 2).as("max_rate"),
+          round(least(col("l_tax"), col("l_discount")), 2).as("min_rate"),
+          when(col("l_quantity") > 25, "big").otherwise("small").as("size_class"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("-")).as("flag_or_dash"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- JSON extraction ----
     sql(
       "q_json_fns",

@@ -50,6 +50,24 @@ object WindowQueries {
         .orderBy("c_nationkey", "rn")
     },
 
+    // ---- distribution functions: percent_rank / cume_dist ----
+    sql(
+      "q_window_pct",
+      """SELECT s_suppkey,
+        |       round(percent_rank() OVER w, 6) AS prk,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM supplier
+        |WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("s_suppkey")
+    },
+
     // ---- analytic functions: lag / lead / first / last ----
     sql(
       "q_window_lag",

@@ -171,6 +171,34 @@ object ScalarQueries {
         .orderBy("event_type")
     },
 
+    // ---- map type: build / access / keys / cardinality ----
+    sql(
+      "q_map_fns",
+      """WITH m AS (SELECT event_id,
+        |                  map(['type', 'uid'],
+        |                      [event_type, CAST(user_id AS VARCHAR)]) AS meta
+        |           FROM events WHERE event_id % 25 = 0)
+        |SELECT event_id,
+        |       meta['type'][1] AS mtype,
+        |       meta['uid'][1] AS muid,
+        |       CAST(cardinality(meta) AS INT) AS n_keys,
+        |       array_to_string(list_sort(map_keys(meta)), ',') AS keys_sorted
+        |FROM m ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val meta = map_from_arrays(
+        array(lit("type"), lit("uid")),
+        array(col("event_type"), col("user_id").cast("string")))
+      t(s, dir, "events")
+        .where(col("event_id") % 25 === 0)
+        .select(col("event_id"), meta.as("meta"))
+        .select(
+          col("event_id"),
+          element_at(col("meta"), "type").as("mtype"),
+          element_at(col("meta"), "uid").as("muid"),
+          size(col("meta")).as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("meta")))).as("keys_sorted"))
+        .orderBy("event_id")
+    },
+
     // ---- base64 / binary round-trip ----
     sql(
       "q_base64",

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.StatsQueries.defs ++
       operators.SessionQueries.defs ++
       llm.DedupQueries.defs ++
+      llm.DedupClusterQueries.defs ++
       llm.SimilarityQueries.defs ++
       llm.TextAnalysisQueries.defs ++
       llm.TfIdfQueries.defs ++

@@ -155,19 +155,26 @@ object VideoSessionProcessor {
   }
 
   /** Spark 4 `transformWithState` wiring — same transition function
-    * behind the current-generation stateful API (typed ValueState in
-    * the state store; RocksDB provider at scale). Functionally
-    * equivalent to [[processStream]] minus the idle-timeout close
-    * (timers would do it; the fMGWS path covers that semantics). */
+    * behind the current-generation stateful API: typed ValueState in
+    * the state store (RocksDB provider at scale) and a processing-time
+    * timer per key for the idle-close path (re-armed on every input
+    * batch, exactly like fMGWS's setTimeoutDuration). */
   class VideoTwsProcessor(cfg: Config, model: Backend)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, FrameIn, VideoEvent] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode => TM, TTLConfig}
 
     @transient private var state: org.apache.spark.sql.streaming.ValueState[VideoState] = _
+    @transient private var timer: org.apache.spark.sql.streaming.ValueState[Long] = _
+    private var withTimers: Boolean = false
 
-    override def init(outputMode: OM, timeMode: TM): Unit =
+    override def init(outputMode: OM, timeMode: TM): Unit = {
       state = getHandle.getValueState[VideoState](
         "videoState", Encoders.product[VideoState], TTLConfig.NONE)
+      withTimers = timeMode.toString == "ProcessingTime"
+      if (withTimers)
+        timer = getHandle.getValueState[Long](
+          "idleTimer", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         key: String,
@@ -179,6 +186,24 @@ object VideoSessionProcessor {
         key, prev, sorted, cfg, model,
         new Timestamp(timerValues.getCurrentProcessingTimeInMs()))
       st.foreach(state.update)
+      if (withTimers) {
+        if (timer.exists()) getHandle.deleteTimer(timer.get())
+        val next = timerValues.getCurrentProcessingTimeInMs() + cfg.idleTimeoutMs
+        getHandle.registerTimer(next)
+        timer.update(next)
+      }
+      events.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[VideoEvent] = {
+      val events =
+        if (state.exists()) Seq(VideoEvent("completion", None, Some(completionOf(key, state.get()))))
+        else Seq.empty
+      state.clear()
+      if (timer != null) timer.clear()
       events.iterator
     }
   }
@@ -186,13 +211,17 @@ object VideoSessionProcessor {
   def processStreamTws(
       frames: Dataset[FrameIn],
       cfg: Config = Config(),
-      model: Backend = FireModel.SyntheticFireModel()): Dataset[VideoEvent] = {
+      model: Backend = FireModel.SyntheticFireModel(),
+      idleClose: Boolean = false): Dataset[VideoEvent] = {
     implicit val evEnc = Encoders.product[VideoEvent]
     import frames.sparkSession.implicits._
+    val timeMode =
+      if (idleClose) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
     frames.groupByKey(_.video_id)
       .transformWithState(
         new VideoTwsProcessor(cfg, model),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        timeMode,
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 

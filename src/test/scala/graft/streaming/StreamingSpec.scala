@@ -140,6 +140,40 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState timer closes an idle video (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[FrameIn]
+      val events = VideoSessionProcessor.processStreamTws(
+        input.toDS(), Config(inferEveryN = 3, idleTimeoutMs = 500L), idleClose = true)
+      val query = events.writeStream.format("memory").queryName("tws_timer_events")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // pure polling throughout: with TimeMode.ProcessingTime the
+        // engine self-triggers batches (which also fire due timers),
+        // and processAllAvailable never settles under that.
+        input.addData(FrameIn("v1", 0, 0L), FrameIn("v1", 1, 1000L))
+        val deadline = System.currentTimeMillis() + 60000L
+        def table() = spark.table("tws_timer_events")
+        def dets() = table().where($"kind" === "detection").count()
+        while (dets() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(150L)
+        assert(dets() == 2)
+        def comps() = table()
+          .where($"kind" === "completion" && $"completion.video_id" === "v1")
+          .select($"completion.*").collect()
+        var c = comps()
+        while (c.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250L); c = comps()
+        }
+        assert(c.length == 1)
+        assert(c.head.getAs[org.apache.spark.sql.Row]("stats")
+          .getAs[Long]("total_frames") == 2L)
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static join enriches a frame stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]

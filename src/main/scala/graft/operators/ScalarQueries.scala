@@ -171,6 +171,43 @@ object ScalarQueries {
         .orderBy("event_type")
     },
 
+    // ---- array set operations (order-normalized via sort) ----
+    sql(
+      "q_array_setops",
+      """WITH d AS (SELECT doc_id,
+        |                  string_split(substr(text, 1, 60), ' ') AS w1,
+        |                  string_split(substr(text, 30, 60), ' ') AS w2
+        |           FROM documents WHERE doc_id % 60 = 0)
+        |SELECT doc_id,
+        |       array_to_string(list_sort(list_distinct(list_intersect(w1, w2))), ',') AS inter,
+        |       CAST(len(list_distinct(w1 || w2)) AS INT) AS n_union,
+        |       CAST(len(list_filter(list_distinct(w1), x -> NOT list_contains(w2, x))) AS INT) AS n_only1
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") % 60 === 0)
+        .select(col("doc_id"),
+          split(substring(col("text"), 1, 60), " ").as("w1"),
+          split(substring(col("text"), 30, 60), " ").as("w2"))
+        .select(
+          col("doc_id"),
+          concat_ws(",", array_sort(array_distinct(array_intersect(col("w1"), col("w2"))))).as("inter"),
+          size(array_union(col("w1"), col("w2"))).cast("int").as("n_union"),
+          size(array_except(col("w1"), col("w2"))).cast("int").as("n_only1"))
+        .orderBy("doc_id")
+    },
+
+    // ---- aggregation to list: sorted group concat ----
+    sql(
+      "q_group_concat",
+      """SELECT n_regionkey AS region,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY region""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey").as("region"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("region")
+    },
+
     // ---- map type: build / access / keys / cardinality ----
     sql(
       "q_map_fns",

@@ -201,15 +201,17 @@ object DedupQueries {
         |FROM sh a JOIN sh b ON a.doc_id % 100 = 0 AND b.doc_id <> a.doc_id
         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 12
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      // Native codegen'd expressions (graft.expressions.*) — value-
+      // identical to the HOF formulation (asserted in spec) but run as
+      // tight loops instead of interpreted lambda chains.
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("words"))
-        // materialize word hashes once; the 32-bit folds reuse them
         .select(col("doc_id"),
-          wordHashes(col("words"), 0).as("wh0"),
-          wordHashes(col("words"), 1).as("wh1"))
+          graft.expressions.SaltedH32Array(col("words"), 0).as("wh0"),
+          graft.expressions.SaltedH32Array(col("words"), 1).as("wh1"))
         .select(col("doc_id"),
-          simhash32FromHashes(col("wh0")).as("h0"),
-          simhash32FromHashes(col("wh1")).as("h1"))
+          graft.expressions.Simhash32FromHashes(col("wh0")).as("h0"),
+          graft.expressions.Simhash32FromHashes(col("wh1")).as("h1"))
         // sketches feed both sides of the pair scan — compute once
         .cache()
       val a = sh.where(col("doc_id") % 100 === 0)

@@ -50,6 +50,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("frame_data").toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("native simhash expressions equal the higher-order-function formulation") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val both = docs.select(
+      col("doc_id"),
+      Simhash32FromHashes(SaltedH32Array(col("words"), 0)).as("native"),
+      TextFunctions.simhash32FromHashes(TextFunctions.wordHashes(col("words"), 0)).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("msgpack_decode_frame yields null on malformed bytes (poison pill)") {
     val df = Seq(Array[Byte](0x47, 0x11), Array[Byte]()).toDF("value")
     val rows = df.select(MsgpackDecodeFrame(col("value")).as("f")).collect()

@@ -1,8 +1,6 @@
 package graft.expressions
 
-import java.time.Instant
-
-import graft.streaming.Msgpack
+import graft.streaming.{FrameSerde, Msgpack}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -33,7 +31,8 @@ case class MsgpackDecodeFrame(child: Expression)
   protected override def nullSafeEval(input: Any): Any = {
     try {
       val m = Msgpack.decodeMap(input.asInstanceOf[Array[Byte]])
-      val inst = Instant.parse(m("timestamp").asInstanceOf[String])
+      // Lenient parse: the reference emits offset-less UTC timestamps.
+      val inst = FrameSerde.parseInstant(m("timestamp").asInstanceOf[String])
       val tsMicros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
       InternalRow(
         UTF8String.fromString(m("video_id").asInstanceOf[String]),

@@ -23,7 +23,7 @@ object DedupClusterQueries {
 
   private val K = 12
   private val BANDS = 4
-  private val Iterations = 6 // with pointer jumping: reach ≈ 2^6 ≥ any LSH component
+  private val MaxRounds = 12 // pointer jumping doubles reach per round: 2^12 ≫ any component
 
   /** Near-dup pairs (da < db), identical to q_dedup_minhash_lsh's. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -104,12 +104,20 @@ object DedupClusterQueries {
         .localCheckpoint()
       // Min-label propagation with pointer jumping: each round takes
       // the min over neighbors, then replaces comp with comp's comp —
-      // reach doubles per round, so 6 rounds cover any component LSH
-      // banding can realistically produce. Every round is
+      // reach doubles per round. Rounds run until a fixpoint (no label
+      // changed), so arbitrarily-long chain components converge
+      // correctly; MaxRounds (reach 2^12) is a loud-failure backstop,
+      // never the exit path. The convergence probe is one extra tiny
+      // action per round on the 4-partition checkpointed labels — and
+      // lets typical LSH graphs (small cliques) exit after 2-3 rounds
+      // instead of a fixed worst-case count. Every round is
       // localCheckpoint'ed: without the lineage cut, chained join+agg
       // plans make analysis itself exponential (on a real cluster:
       // reliable checkpoint to the distributed FS).
-      for (_ <- 1 to Iterations) {
+      var converged = false
+      var round = 0
+      while (!converged && round < MaxRounds) {
+        round += 1
         val fromNeighbors = edges
           .join(labels, edges("b") === labels("id"))
           .select(edges("a").as("id"), col("comp"))
@@ -117,10 +125,16 @@ object DedupClusterQueries {
           .groupBy("id").agg(min(col("comp")).as("comp"))
         // pointer jump: comp values are node ids, so the join is total
         val parents = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
-        labels = stepped.join(parents, stepped("comp") === parents("pid"))
+        val next = stepped.join(parents, stepped("comp") === parents("pid"))
           .select(stepped("id"), col("pcomp").as("comp"))
           .localCheckpoint()
+        val prev = labels.select(col("id").as("qid"), col("comp").as("qcomp"))
+        converged = next.join(prev, next("id") === prev("qid"))
+          .where(next("comp") =!= col("qcomp"))
+          .limit(1).count() == 0
+        labels = next
       }
+      require(converged, s"label propagation did not converge in $MaxRounds rounds")
       labels.select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     }

@@ -36,8 +36,8 @@ object FireModel {
     def predictBatch(frames: Seq[(String, Int, Int, Int)]): Seq[FramePrediction]
   }
 
-  /** Threshold mirroring CONFIDENCE_THRESHOLD (reference config.py). */
-  val DefaultThreshold = 0.55
+  /** Threshold mirroring CONFIDENCE_THRESHOLD (reference config.py:30). */
+  val DefaultThreshold = 0.5
 
   /** First 32 bits of md5("vid:frame") scaled to [0,1) — identical to
     * the SQL `('0x'||substr(md5(...),1,8))::BIGINT / 4294967296.0`,

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import java.time.Instant
+import java.time.{Instant, LocalDateTime, ZoneOffset}
 
 import graft.streaming.Schemas.FrameMessage
 import org.apache.spark.sql.{Column, DataFrame}
@@ -68,6 +68,19 @@ object FrameSerde {
       "width" -> f.width,
       "height" -> f.height))
 
+  /** The reference producer stamps frames with
+    * `datetime.utcnow().isoformat()` (producer/video_producer.py:119) —
+    * an ISO local datetime with NO offset, which `Instant.parse`
+    * rejects. Accept both: offset-bearing instants and bare local
+    * datetimes interpreted as UTC.
+    */
+  def parseInstant(s: String): Instant =
+    try Instant.parse(s)
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+    }
+
   def decodeMsgpack(bytes: Array[Byte]): FrameMessage = {
     val m = Msgpack.decodeMap(bytes)
     // Defaults mirror the reference's read-side backfill
@@ -75,7 +88,7 @@ object FrameSerde {
     FrameMessage(
       video_id = m("video_id").asInstanceOf[String],
       frame_number = m("frame_number").asInstanceOf[Long].toInt,
-      timestamp = Timestamp.from(Instant.parse(m("timestamp").asInstanceOf[String])),
+      timestamp = Timestamp.from(parseInstant(m("timestamp").asInstanceOf[String])),
       fps = m.get("fps").map(_.asInstanceOf[Double]).getOrElse(30.0),
       frame_data = m("frame_data").asInstanceOf[Array[Byte]],
       width = m.get("width").map(_.asInstanceOf[Long].toInt).getOrElse(0),

@@ -35,7 +35,8 @@ object Msgpack {
       val b = s.getBytes(StandardCharsets.UTF_8)
       if (b.length < 32) out.writeByte(0xa0 | b.length)
       else if (b.length < 256) { out.writeByte(0xd9); out.writeByte(b.length) }
-      else { out.writeByte(0xda); out.writeShort(b.length) }
+      else if (b.length < 65536) { out.writeByte(0xda); out.writeShort(b.length) }
+      else { out.writeByte(0xdb); out.writeInt(b.length) }
       out.write(b)
     case b: Array[Byte] =>
       if (b.length < 256) { out.writeByte(0xc4); out.writeByte(b.length) }

@@ -65,8 +65,8 @@ object VideoPipelineQueries {
        |                / 4294967296.0 AS praw
        |       FROM f5),
        |f7 AS (SELECT vid, fn, sid, idx, inference_ran,
-       |              praw >= 0.55 AS has_fire,
-       |              CASE WHEN praw >= 0.55 THEN praw ELSE 0.0 END AS prob
+       |              praw >= 0.5 AS has_fire,
+       |              CASE WHEN praw >= 0.5 THEN praw ELSE 0.0 END AS prob
        |       FROM f6)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -84,7 +84,7 @@ object VideoPipelineQueries {
          |SELECT vid AS video_id, fn AS frame_number, sid AS session_id,
          |       idx AS session_index, inference_ran, has_fire,
          |       round(prob, 6) AS fire_probability,
-         |       (has_fire AND (run_len = 1 OR run_len % 3 = 0)) AS heatmap_computed
+         |       (has_fire AND (run_len - 1) % 3 = 0) AS heatmap_computed
          |FROM f9
          |ORDER BY video_id, frame_number""".stripMargin) { (s, dir) =>
       import s.implicits._

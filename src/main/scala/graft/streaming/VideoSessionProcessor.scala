@@ -99,9 +99,11 @@ object VideoSessionProcessor {
           val p = model.predictBatch(Seq((videoId, f.frame_number, cfg.width, cfg.height))).head
           (p.hasFire, p.fireProbability)
         } else (st.lastHasFire, st.lastProbability)
-      // F4: GradCAM cadence over consecutive positives.
+      // F4: GradCAM cadence over consecutive positives — the reference
+      // recomputes when (consecutive-1) % N == 0, i.e. positives
+      // 1, N+1, 2N+1 of a run (fire_detect_nn.py:134-153).
       val consecutive = if (hasFire) st.consecutiveFire + 1 else 0L
-      val heatmap = hasFire && (consecutive == 1 || consecutive % cfg.gradcamEveryN == 0)
+      val heatmap = hasFire && (consecutive - 1) % cfg.gradcamEveryN == 0
 
       val detections =
         if (hasFire) Seq(Detection(Seq(0, 0, cfg.width, cfg.height), prob, "fire", 1))

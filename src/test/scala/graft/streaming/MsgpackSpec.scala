@@ -54,6 +54,25 @@ class MsgpackSpec extends AnyFunSuite {
     assert(f.fps == 30.0 && f.width == 0 && f.height == 0)
   }
 
+  test("offset-less reference timestamps decode (datetime.utcnow().isoformat())") {
+    // The reference producer emits ISO timestamps with NO UTC offset
+    // (producer/video_producer.py:119); both decode paths must accept them.
+    val bytes = Msgpack.encodeMap(Seq(
+      "video_id" -> "v", "frame_number" -> 1,
+      "timestamp" -> "2024-06-05T12:34:56.789012", // no 'Z'
+      "frame_data" -> Array[Byte](9)))
+    val f = FrameSerde.decodeMsgpack(bytes)
+    assert(f.timestamp == Timestamp.from(java.time.Instant.parse("2024-06-05T12:34:56.789012Z")))
+    assert(FrameSerde.parseInstant("2024-01-01T00:00:00Z") ==
+      java.time.Instant.parse("2024-01-01T00:00:00Z"))
+  }
+
+  test("strings >= 64 KiB take the str32 branch without truncation") {
+    val big = "x" * 70000
+    val out = Msgpack.decodeMap(Msgpack.encodeMap(Seq("s" -> big, "t" -> "small")))
+    assert(out("s") == big && out("t") == "small")
+  }
+
   test("integer width edge cases survive") {
     val m = Seq("a" -> 0L, "b" -> 127L, "c" -> 128L, "d" -> -32L, "e" -> -33L,
       "f" -> 65535L, "g" -> -65536L, "h" -> Long.MaxValue, "i" -> Long.MinValue)

@@ -71,9 +71,10 @@ class TransitionSpec extends AnyFunSuite {
     val (_, events) = transition("v1", None, frames("v1", 0 to 8: _*),
       cfg, Scripted((0 to 6).toSet + 8), ts)
     val dets = events.flatMap(_.detection)
-    // consecutive: 1,2,3,4,5,6,7 → heatmap at 1,3,6; reset; 8 is a new run → 1
+    // reference cadence (consecutive-1) % 3 == 0: consecutive
+    // 1,2,3,4,5,6,7 → heatmap at 1,4,7; reset; 8 is a new run → 1
     assert(dets.map(_.heatmap_computed) ==
-      Seq(true, false, true, false, false, true, false, false, true))
+      Seq(true, false, false, true, false, false, true, false, true))
   }
 
   test("A6: completion carries metadata and deterministic filepath") {

@@ -1,0 +1,122 @@
+package graft.expressions
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the MinHash hot path (the dedup family's
+  * residual cost after SimHash went native in round 2). The
+  * higher-order-function formulation — shingles → array_distinct →
+  * per-shingle md5 → K array_min/transform folds — walks the
+  * interpreted expression evaluator once per lambda step per element;
+  * these run the identical math as one tight JVM loop per row and stay
+  * inside whole-stage codegen via static calls.
+  *
+  * Value compatibility: bit-identical to the HOF forms in
+  * [[graft.functions.TextFunctions]] (asserted in
+  * `MinhashNativeSpec`) and to the DuckDB oracle SQL, which is
+  * unchanged. Shingle multiplicity cannot affect a min, so the
+  * array_distinct step of the HOF pipeline is skipped here.
+  */
+
+/** Distinct word n-gram shingles of a token array, first-occurrence
+  * order — value-identical to
+  * `array_distinct(transform(...concat_ws(" ", …)))` including the
+  * `size(words) < n` → empty-array case. */
+case class ShinglesArray(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_array"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShinglesArray.eval(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShinglesArray.eval($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesArray =
+    copy(child = newChild)
+}
+
+object ShinglesArray {
+  private val Space = UTF8String.fromString(" ")
+
+  def eval(words: ArrayData, n: Int): ArrayData = {
+    val nw = words.numElements()
+    if (nw < n) return new GenericArrayData(Array.empty[Any])
+    // concatWs allocates fresh UTF8Strings, so the set never aliases
+    // the (reused) input row buffer.
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= nw) {
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(ShinglesArray(Bridge.expression(c), n))
+}
+
+/** Full K-slot MinHash signature straight from the token array:
+  * for each word n-gram shingle s, h = H32(s) mod p; signature slot k
+  * is min over shingles of (a_k*h + b_k) mod p — one md5 per shingle
+  * and K fused multiply-mod-min updates, no intermediate arrays.
+  *
+  * Degenerate input (< n words, so zero shingles) yields slots pinned
+  * at p (the fold identity — larger than any (a*h+b) mod p); callers
+  * filter `size(words) >= n` first, mirroring the HOF pipeline whose
+  * array_min would return null there. */
+case class MinhashSignature(child: Expression, n: Int, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinhashSignature.eval(input.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MinhashSignature.eval($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  private val Space = UTF8String.fromString(" ")
+  private val P = TextFunctions.MinhashP
+  private val A = TextFunctions.MinhashA.toArray
+  private val B = TextFunctions.MinhashB.toArray
+
+  def eval(words: ArrayData, n: Int, k: Int): ArrayData = {
+    val nw = words.numElements()
+    val out = Array.fill(k)(P)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= nw) {
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val h = H32.hash(UTF8String.concatWs(Space, parts: _*)) % P
+      var t = 0
+      while (t < k) {
+        val v = (A(t) * h + B(t)) % P // a < p, h < p ⇒ product < 2^62: no overflow
+        if (v < out(t)) out(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, n: Int, k: Int): Column =
+    Bridge.column(MinhashSignature(Bridge.expression(c), n, k))
+}

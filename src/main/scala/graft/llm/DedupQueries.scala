@@ -12,14 +12,12 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - exact/fingerprint dedup = one hash-partitioned aggregation on a
   *    16-byte digest — shuffle carries (digest, doc_id), never text;
-  *  - MinHash+LSH: signatures are computed scan-side with codegen'd
-  *    higher-order functions (no explode of shingles), the only
-  *    shuffle is the band-signature self-join whose key space is
-  *    collision-bounded; candidate verification touches candidate
-  *    pairs only — never the O(n²) cross product;
-  *  - SimHash: per-doc 64-bit sketches; pair scan restricted to a
-  *    sampled query set (full-scale variant would band on simhash
-  *    prefixes exactly like LSH);
+  *  - MinHash+LSH: see [[MinhashPipeline]] — native codegen'd
+  *    signatures, band-signature equi-join candidates only;
+  *  - SimHash: per-doc 64-bit sketches; FULL-corpus pair scan via
+  *    4×16-bit band equi-join (Manku et al., WWW'07): Hamming ≤ 3
+  *    over 4 bands means at least one band is identical (pigeonhole),
+  *    so banding is exact — candidates share a band, never O(n²);
   *  - all hashes derive from md5 (cross-engine reproducible), so the
   *    DuckDB oracle checks the *values*, not just row counts. The
   *    MLlib MinHashLSH variant (engine-private seeds) is kept as the
@@ -31,8 +29,10 @@ object DedupQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  private val K = 12 // minhash signature length
-  private val BANDS = 4 // 4 bands × 3 rows
+  /** Max Hamming distance for simhash near-dup; band count must
+    * exceed it for the pigeonhole guarantee (4 bands > 3). */
+  private val SimhashMaxDist = 3
+  private val BandMask = 0xFFFFL // 16-bit bands
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -61,59 +61,16 @@ object DedupQueries {
         .orderBy("keeper")
     },
 
-    // ---- MinHash + LSH banding near-dup (portable hashes).
-    //      One md5 per shingle; the K signature slots are arithmetic
-    //      permutations (a_k*h+b_k mod p) of the base hash. ----
+    // ---- MinHash + LSH banding near-dup (portable hashes); the
+    //      signature → band → verify pipeline is shared with
+    //      q_dedup_components via MinhashPipeline ----
     sql(
-      "q_dedup_minhash_lsh", {
-        import graft.functions.TextFunctions.{MinhashA, MinhashB, MinhashP}
-        val perms = (0 until K).map(i =>
-          s"list_min(list_transform(hl, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP))")
-          .mkString("[", ",\n                ", "]")
-        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-           |sh AS (SELECT doc_id,
-           |              list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
-           |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sgl
-           |       FROM w WHERE len(words) >= 3),
-           |hs AS (SELECT doc_id,
-           |              list_transform(sgl, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $MinhashP) AS hl
-           |       FROM sh),
-           |mh AS (SELECT doc_id, $perms AS m
-           |       FROM hs),
-           |bands AS (SELECT doc_id, b,
-           |                 md5(m[3*b+1] || ',' || m[3*b+2] || ',' || m[3*b+3]) AS sig
-           |          FROM mh, range(0, $BANDS) t(b)),
-           |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
-           |         FROM bands a JOIN bands c ON a.sig = c.sig AND a.b = c.b
-           |                                  AND a.doc_id < c.doc_id)
-           |SELECT da, db,
-           |       round(len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0, 4) AS est_jaccard
-           |FROM cand JOIN mh x ON x.doc_id = da JOIN mh y ON y.doc_id = db
-           |WHERE len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0 >= 0.5
-           |ORDER BY da, db""".stripMargin
-      }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("words"))
-        .where(size(col("words")) >= 3)
-      // Materialize the signatures: four consumers (two band sides, two
-      // estimate sides) would otherwise each recompute shingling + md5.
-      val hs = docs.select(col("doc_id"), shingleHashes(shingles(col("words"), 3)).as("hl"))
-      val mh = hs.select(col("doc_id"), minhashesFromHashes(col("hl"), K).as("m")).cache()
-      val bands = mh
-        .select(col("doc_id"), col("m"), explode(sequence(lit(0), lit(BANDS - 1))).as("b"))
-        .select(col("doc_id"), col("b"), bandSignature(col("m"), col("b"), 3).as("sig"))
-      val a = bands.select(col("doc_id").as("da"), col("b").as("ba"), col("sig").as("siga"))
-      val c = bands.select(col("doc_id").as("db"), col("b").as("bb"), col("sig").as("sigb"))
-      val cand = a.join(c,
-          a("siga") === c("sigb") && a("ba") === c("bb") && a("da") < c("db"))
-        .select("da", "db").distinct()
-      val x = mh.select(col("doc_id").as("xid"), col("m").as("ma"))
-      val y = mh.select(col("doc_id").as("yid"), col("m").as("mb"))
-      val matches = size(filter(sequence(lit(1), lit(K)),
-        i => element_at(col("ma"), i) === element_at(col("mb"), i)))
-      cand.join(x, col("da") === col("xid")).join(y, col("db") === col("yid"))
-        .withColumn("est_jaccard", matches / lit(K.toDouble))
-        .where(col("est_jaccard") >= 0.5)
+      "q_dedup_minhash_lsh",
+      s"""WITH ${MinhashPipeline.pairsSqlCte}
+         |SELECT da, db, round(est_jaccard, 4) AS est_jaccard
+         |FROM pairs
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      MinhashPipeline.pairs(s, dir)
         .select(col("da"), col("db"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("da", "db")
     },
@@ -144,17 +101,15 @@ object DedupQueries {
       // of docs would quadratically explode the inverted-index pair
       // space at scale while carrying no dedup signal. The pair count
       // aggregates directly on the join (no arrays shuffled).
-      // Materialize doc→shingles once: it feeds four consumers (df
-      // counts, sizes, both join sides), and without a barrier the
-      // shingle pipeline re-executes per consumer — worse, explode's
-      // pushed size()>0 filter and CollapseProject inline split(text)
-      // into every element_at, making the interpreted HOF chain
-      // quadratic-ish per row (measured ~20 s vs ~3 s at sf0.1). At
-      // cluster scale this is a persisted intermediate table.
+      // Shingling is the native ShinglesArray expression (tight loop,
+      // codegen'd); materialize doc→shingles once — it feeds four
+      // consumers (df counts, sizes, both join sides) and would
+      // re-execute per consumer otherwise. At cluster scale this is a
+      // persisted intermediate table.
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(col("words")) >= 3)
-        .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))
+        .select(col("doc_id"), graft.expressions.ShinglesArray(col("words"), 3).as("sgl"))
         .cache()
       val ex = sh.select(col("doc_id"), explode(col("sgl")).as("g"))
       val rare = ex.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= 100)
@@ -180,30 +135,43 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
-    // ---- SimHash (64-bit as two portable 32-bit halves) ----
+    // ---- SimHash (64-bit as two portable 32-bit halves), FULL-corpus
+    //      near-dup via 4×16-bit band equi-join. Pigeonhole: a pair
+    //      within Hamming distance 3 differs in at most 3 of the 4
+    //      bands, so at least one band matches exactly — banding is a
+    //      complete (not approximate) candidate generator for the
+    //      distance-3 predicate, and the join is an equi-join on
+    //      (band index, band value): no nested-loop scan anywhere. ----
     sql(
       "q_dedup_simhash",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |wh AS (SELECT doc_id,
-        |  list_transform(words, t -> ('0x' || substr(md5(0 || ':' || t), 1, 8))::BIGINT) AS h0s,
-        |  list_transform(words, t -> ('0x' || substr(md5(1 || ':' || t), 1, 8))::BIGINT) AS h1s
-        |FROM w),
-        |sh AS (SELECT doc_id,
-        |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
-        |    list_sum(list_transform(h0s, h -> CASE WHEN ((h >> b) & 1) = 1
-        |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h0,
-        |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
-        |    list_sum(list_transform(h1s, h -> CASE WHEN ((h >> b) & 1) = 1
-        |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h1
-        |FROM wh)
-        |SELECT a.doc_id AS da, b.doc_id AS db,
-        |       CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS dist
-        |FROM sh a JOIN sh b ON a.doc_id % 100 = 0 AND b.doc_id <> a.doc_id
-        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 12
-        |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      // Native codegen'd expressions (graft.expressions.*) — value-
-      // identical to the HOF formulation (asserted in spec) but run as
-      // tight loops instead of interpreted lambda chains.
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |wh AS (SELECT doc_id,
+         |  list_transform(words, t -> ('0x' || substr(md5(0 || ':' || t), 1, 8))::BIGINT) AS h0s,
+         |  list_transform(words, t -> ('0x' || substr(md5(1 || ':' || t), 1, 8))::BIGINT) AS h1s
+         |FROM w),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
+         |    list_sum(list_transform(h0s, h -> CASE WHEN ((h >> b) & 1) = 1
+         |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h0,
+         |  list_sum(list_transform(range(0, 32), b -> CASE WHEN
+         |    list_sum(list_transform(h1s, h -> CASE WHEN ((h >> b) & 1) = 1
+         |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h1
+         |FROM wh),
+         |bands AS (SELECT doc_id, h0, h1, b,
+         |  CASE b WHEN 0 THEN h0 & $BandMask WHEN 1 THEN (h0 >> 16) & $BandMask
+         |         WHEN 2 THEN h1 & $BandMask ELSE (h1 >> 16) & $BandMask END AS v
+         |  FROM sh, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+         |                a.h0 AS a0, a.h1 AS a1, c.h0 AS b0, c.h1 AS b1
+         |         FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+         |                                  AND a.doc_id < c.doc_id)
+         |SELECT da, db,
+         |       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT) AS dist
+         |FROM cand
+         |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= $SimhashMaxDist
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      // Sketches via native codegen'd expressions (graft.expressions.*)
+      // — value-identical to the HOF formulation (asserted in spec).
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .select(col("doc_id"),
@@ -212,15 +180,25 @@ object DedupQueries {
         .select(col("doc_id"),
           graft.expressions.Simhash32FromHashes(col("wh0")).as("h0"),
           graft.expressions.Simhash32FromHashes(col("wh1")).as("h1"))
-        // sketches feed both sides of the pair scan — compute once
-        .cache()
-      val a = sh.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("da"), col("h0").as("a0"), col("h1").as("a1"))
-      val b = sh.select(col("doc_id").as("db"), col("h0").as("b0"), col("h1").as("b1"))
+      val banded = sh.select(col("doc_id"), col("h0"), col("h1"),
+        posexplode(array(
+          col("h0").bitwiseAND(lit(BandMask)),
+          call_function("shiftright", col("h0"), lit(16)).bitwiseAND(lit(BandMask)),
+          col("h1").bitwiseAND(lit(BandMask)),
+          call_function("shiftright", col("h1"), lit(16)).bitwiseAND(lit(BandMask)))))
+        .select(col("doc_id"), col("h0"), col("h1"), col("pos").as("b"), col("col").as("v"))
+      val a = banded.select(col("doc_id").as("da"), col("h0").as("a0"), col("h1").as("a1"),
+        col("b").as("ba"), col("v").as("va"))
+      val c = banded.select(col("doc_id").as("db"), col("h0").as("b0"), col("h1").as("b1"),
+        col("b").as("bb"), col("v").as("vb"))
+      // Sketches ride along the candidate join (functionally dependent
+      // on the ids), so no re-join with the sketch table is needed.
+      val cand = a.join(c,
+          a("ba") === c("bb") && a("va") === c("vb") && a("da") < c("db"))
+        .select("da", "db", "a0", "a1", "b0", "b1").distinct()
       val dist = (hamming(col("a0"), col("b0")) + hamming(col("a1"), col("b1"))).cast("int")
-      a.join(b, col("db") =!= col("da"))
-        .withColumn("dist", dist)
-        .where(col("dist") <= 12)
+      cand.withColumn("dist", dist)
+        .where(col("dist") <= SimhashMaxDist)
         .select("da", "db", "dist")
         .orderBy("da", "db")
     },
@@ -235,7 +213,7 @@ object DedupQueries {
         .where(col("doc_id") % 2 === 0)
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(col("words")) >= 3)
-        .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))
+        .select(col("doc_id"), graft.expressions.ShinglesArray(col("words"), 3).as("sgl"))
       val tf = new HashingTF().setInputCol("sgl").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
       val feat = tf.transform(docs)

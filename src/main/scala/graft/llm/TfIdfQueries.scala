@@ -39,7 +39,10 @@ object TfIdfQueries {
         |ORDER BY doc_id, score DESC, word""".stripMargin) { (s, dir) =>
       val w = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("words"))
-      val nDocs = w.count() // broadcast scalar (one tiny job)
+      // Doc count stays IN the plan (broadcast 1-row aggregate joined
+      // cross) — a driver-side w.count() would be a second full corpus
+      // scan before the main job even starts.
+      val tot = w.agg(count(lit(1)).as("n_docs"))
       val ex = w.select(col("doc_id"), explode(col("words")).as("word"),
         size(col("words")).as("dl"))
       val tf = ex.groupBy("doc_id", "word")
@@ -48,7 +51,8 @@ object TfIdfQueries {
       val win = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("word"))
       tf.where(col("doc_id") % 50 === 0)
         .join(df, "word")
-        .withColumn("score", round(col("tf") * log(lit(nDocs) * 1.0 / col("dfc")), 6))
+        .crossJoin(broadcast(tot))
+        .withColumn("score", round(col("tf") * log(col("n_docs") * 1.0 / col("dfc")), 6))
         .withColumn("rn", row_number().over(win))
         .where(col("rn") <= 3)
         .select(col("doc_id"), col("word"), col("score"))

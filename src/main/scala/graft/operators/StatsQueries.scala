@@ -29,8 +29,13 @@ object StatsQueries {
         |       bool_and(value >= 0) AS all_nonneg,
         |       bool_or(value > 480) AS any_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val k = get_json_object(col("props"), "$.k").cast("double")
+      // Project the JSON-extracted k ONCE before the aggregate:
+      // referencing the get_json_object expression inside two agg
+      // expressions parses the props JSON twice per row.
+      val k = col("k")
       t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
         .groupBy("event_type")
         .agg(
           round(stddev(col("value")), 4).as("sd"),
@@ -133,23 +138,29 @@ object StatsQueries {
         .orderBy("n_name")
     },
 
-    // ---- edit-distance fuzzy near-dup on sampled short prefixes ----
+    // ---- edit-distance fuzzy near-dup, FULL corpus, blocked. The
+    //      blocking key (leading 4 chars) turns the pair scan into a
+    //      hash equi-join: candidates share a block, the Levenshtein
+    //      residual runs on candidates only. Standard record-linkage
+    //      blocking — pairs that disagree in their first 4 characters
+    //      are missed by design (recall/cost trade; at 100 TB, widen
+    //      or compose keys — e.g. + length band — instead of ever
+    //      falling back to the O(n²) scan). ----
     sql(
       "q_dedup_levenshtein",
-      """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre FROM documents)
+      """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre,
+        |                  substr(text, 1, 4) AS blk FROM documents)
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
-        |FROM p a JOIN p b ON a.doc_id % 250 = 0 AND b.doc_id % 7 = 0
-        |                 AND b.doc_id <> a.doc_id
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pre, b.pre) <= 12
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
       val p = t(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"))
-      val a = p.where(col("doc_id") % 250 === 0)
-        .select(col("doc_id").as("da"), col("pre").as("pa"))
-      val b = p.where(col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("db"), col("pre").as("pb"))
-      broadcast(a).join(b, col("db") =!= col("da"))
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+          substring(col("text"), 1, 4).as("blk"))
+      val a = p.select(col("doc_id").as("da"), col("pre").as("pa"), col("blk").as("ka"))
+      val b = p.select(col("doc_id").as("db"), col("pre").as("pb"), col("blk").as("kb"))
+      a.join(b, col("ka") === col("kb") && col("da") < col("db"))
         .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("int"))
         .where(col("dist") <= 12)
         .select("da", "db", "dist")

@@ -13,13 +13,14 @@ class PlanAuditSpec extends SparkSpec {
 
   // Ops whose semantics are a bounded-side × corpus comparison: the
   // nested-loop with a broadcast bounded side IS the intended plan.
+  // (q_dedup_simhash and q_dedup_levenshtein left this list in round
+  // 3: both are banded/blocked equi-joins over the full corpus now.)
   private val allowedNestedLoop = Set(
     "q_join_cross",        // deliberate small-dim cross join
     "q_knn_bruteforce",    // 8 query vectors × corpus
     "q_knn_signlsh",       // bucket-equi + residual (planner may NL the residual)
     "q_embed_neardup",     // label-equi + residual
-    "q_dedup_simhash",     // sampled sketches × corpus
-    "q_dedup_levenshtein") // sampled prefixes × corpus
+    "q_tfidf_top_terms")   // 1-row broadcast doc-count scalar riding the plan
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

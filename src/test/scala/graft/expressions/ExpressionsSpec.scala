@@ -62,6 +62,46 @@ class ExpressionsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("native minhash signature equals the higher-order-function formulation") {
+    import graft.functions.TextFunctions
+    val K = 12
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .where(size(col("words")) >= 3)
+    val both = docs.select(
+      col("doc_id"),
+      MinhashSignature(col("words"), 3, K).as("native"),
+      TextFunctions.minhashesFromHashes(
+        TextFunctions.shingleHashes(TextFunctions.shingles(col("words"), 3)), K).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("native shingles equal the HOF form (distinct, first-occurrence order)") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    // includes < n-word docs: both forms must yield an empty array
+    val both = docs.select(
+      col("doc_id"),
+      ShinglesArray(col("words"), 3).as("native"),
+      TextFunctions.shingles(col("words"), 3).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    // repeated-shingle doc: distinctness preserved
+    val rep = Seq("a b a b a b").toDF("text")
+      .select(ShinglesArray(split(col("text"), " "), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(rep == Seq("a b a", "b a b"))
+  }
+
+  test("minhash signature stays inside whole-stage codegen") {
+    val plan = spark.range(100)
+      .select(split(concat($"id".cast("string"), lit(" x y z")), " ").as("words"))
+      .select(MinhashSignature(col("words"), 3, 12))
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*("), plan)
+  }
+
   test("msgpack_decode_frame yields null on malformed bytes (poison pill)") {
     val df = Seq(Array[Byte](0x47, 0x11), Array[Byte]()).toDF("value")
     val rows = df.select(MsgpackDecodeFrame(col("value")).as("f")).collect()

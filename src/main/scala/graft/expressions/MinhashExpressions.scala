@@ -34,10 +34,10 @@ case class ShinglesArray(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingles_array"
 
   protected override def nullSafeEval(input: Any): Any =
-    ShinglesArray.eval(input.asInstanceOf[ArrayData], n)
+    ShinglesArray.compute(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.ShinglesArray.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShinglesArray.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesArray =
     copy(child = newChild)
@@ -46,7 +46,7 @@ case class ShinglesArray(child: Expression, n: Int) extends UnaryExpression {
 object ShinglesArray {
   private val Space = UTF8String.fromString(" ")
 
-  def eval(words: ArrayData, n: Int): ArrayData = {
+  def compute(words: ArrayData, n: Int): ArrayData = {
     val nw = words.numElements()
     if (nw < n) return new GenericArrayData(Array.empty[Any])
     // concatWs allocates fresh UTF8Strings, so the set never aliases
@@ -82,10 +82,10 @@ case class MinhashSignature(child: Expression, n: Int, k: Int) extends UnaryExpr
   override def prettyName: String = "minhash_signature"
 
   protected override def nullSafeEval(input: Any): Any =
-    MinhashSignature.eval(input.asInstanceOf[ArrayData], n, k)
+    MinhashSignature.compute(input.asInstanceOf[ArrayData], n, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.MinhashSignature.eval($c, $n, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MinhashSignature.compute($c, $n, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
@@ -97,7 +97,7 @@ object MinhashSignature {
   private val A = TextFunctions.MinhashA.toArray
   private val B = TextFunctions.MinhashB.toArray
 
-  def eval(words: ArrayData, n: Int, k: Int): ArrayData = {
+  def compute(words: ArrayData, n: Int, k: Int): ArrayData = {
     val nw = words.numElements()
     val out = Array.fill(k)(P)
     val parts = new Array[UTF8String](n)

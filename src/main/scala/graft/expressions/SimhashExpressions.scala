@@ -25,17 +25,17 @@ case class SaltedH32Array(child: Expression, salt: Int) extends UnaryExpression 
   override def prettyName: String = "salted_h32_array"
 
   protected override def nullSafeEval(input: Any): Any =
-    SaltedH32Array.eval(input.asInstanceOf[ArrayData], salt)
+    SaltedH32Array.compute(input.asInstanceOf[ArrayData], salt)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.SaltedH32Array.eval($c, $salt)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SaltedH32Array.compute($c, $salt)")
 
   override protected def withNewChildInternal(newChild: Expression): SaltedH32Array =
     copy(child = newChild)
 }
 
 object SaltedH32Array {
-  def eval(arr: ArrayData, salt: Int): ArrayData = {
+  def compute(arr: ArrayData, salt: Int): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     val prefix = UTF8String.fromString(salt.toString + ":")
@@ -59,17 +59,17 @@ case class Simhash32FromHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash32"
 
   protected override def nullSafeEval(input: Any): Any =
-    Simhash32FromHashes.eval(input.asInstanceOf[ArrayData])
+    Simhash32FromHashes.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.Simhash32FromHashes.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Simhash32FromHashes.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32FromHashes =
     copy(child = newChild)
 }
 
 object Simhash32FromHashes {
-  def eval(arr: ArrayData): Long = {
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](32)
     var i = 0

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (SURVEY.md §2.2
   * north-star set): brute-force cosine top-k as the correctness
-  * baseline, a sign-LSH bucketed ANN as the scale path, plus
-  * normalization and blocked near-duplicate detection.
+  * baseline, a sign-LSH bucketed ANN and a trained IVF (k-means
+  * coarse quantizer) as the scale paths, plus normalization and
+  * blocked near-duplicate detection.
   *
   * Scale design (100 TB): brute force is O(queries × corpus) — fine
   * for a bounded query set against a broadcast corpus partition, wrong
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  import QueryDef.sql
+  import QueryDef.{rowsOnly, sql}
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
@@ -99,6 +100,38 @@ object SimilarityQueries {
       val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("bkt").as("cb"))
       val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
       q.join(c, col("qb") === col("cb") && col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("qid", "cid", "sim")
+        .orderBy(col("qid"), desc("sim"), col("cid"))
+    },
+
+    // ---- IVF ANN: trained k-means coarse quantizer (the second ANN
+    //      rung after sign-LSH). Each vector is assigned to its
+    //      nearest centroid — the inverted list — and a query searches
+    //      only its own cell: the pair space is an equi-join on the
+    //      cell id, never a corpus scan. nprobe=1 here; at scale,
+    //      k ≈ √N cells, probe the top-P cells per query, and add a
+    //      product-quantized residual for in-cell distance. MLlib's
+    //      k-means init is engine-private → rows-only check (same
+    //      labeling as the MLlib MinHash path). ----
+    rowsOnly("q_knn_ivf") { (s, dir) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("fv", array_to_vector(col("v")))
+        .cache() // feeds fit + both join sides
+      val km = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+      val model = km.fit(e)
+      val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+      val q = assigned.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("qc"))
+      val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell").as("cc"))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
+      q.join(c, col("qc") === col("cc") && col("cid") =!= col("qid"))
         .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)

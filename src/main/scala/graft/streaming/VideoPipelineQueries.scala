@@ -42,6 +42,11 @@ object VideoPipelineQueries {
       |            // 300000000 AS INT) AS fn
       |FROM events""".stripMargin
 
+  // Cadence moduli come from the processor Config so the oracle tracks
+  // a default change instead of silently diverging from the Spark side.
+  private val inferN = VideoSessionProcessor.Config().inferEveryN
+  private val gradcamN = VideoSessionProcessor.Config().gradcamEveryN
+
   /** Shared oracle prefix: sessionize, cadence, synthetic inference. */
   private val pipelineSql =
     s"""WITH f0 AS ($framesSql),
@@ -57,10 +62,10 @@ object VideoPipelineQueries {
        |              row_number() OVER (PARTITION BY vid, sid ORDER BY fn) - 1 AS idx
        |       FROM f2),
        |f5 AS (SELECT vid, fn, sid, idx,
-       |              last_value(CASE WHEN idx % 4 = 0 THEN fn END IGNORE NULLS)
+       |              last_value(CASE WHEN idx % $inferN = 0 THEN fn END IGNORE NULLS)
        |                OVER (PARTITION BY vid, sid ORDER BY fn ROWS UNBOUNDED PRECEDING) AS inf_fn
        |       FROM f3),
-       |f6 AS (SELECT vid, fn, sid, idx, (idx % 4 = 0) AS inference_ran,
+       |f6 AS (SELECT vid, fn, sid, idx, (idx % $inferN = 0) AS inference_ran,
        |              ('0x' || substr(md5(vid || ':' || inf_fn), 1, 8))::BIGINT
        |                / 4294967296.0 AS praw
        |       FROM f5),
@@ -84,7 +89,7 @@ object VideoPipelineQueries {
          |SELECT vid AS video_id, fn AS frame_number, sid AS session_id,
          |       idx AS session_index, inference_ran, has_fire,
          |       round(prob, 6) AS fire_probability,
-         |       (has_fire AND (run_len - 1) % 3 = 0) AS heatmap_computed
+         |       (has_fire AND (run_len - 1) % $gradcamN = 0) AS heatmap_computed
          |FROM f9
          |ORDER BY video_id, frame_number""".stripMargin) { (s, dir) =>
       import s.implicits._

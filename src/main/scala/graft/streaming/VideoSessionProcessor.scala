@@ -101,7 +101,16 @@ object VideoSessionProcessor {
         } else (st.lastHasFire, st.lastProbability)
       // F4: GradCAM cadence over consecutive positives — the reference
       // recomputes when (consecutive-1) % N == 0, i.e. positives
-      // 1, N+1, 2N+1 of a run (fire_detect_nn.py:134-153).
+      // 1, N+1, 2N+1 of a run (fire_detect_nn.py:134-153). Deliberate
+      // divergence: `consecutive` here counts EVERY positive frame,
+      // including ones whose prediction was cache-reused between
+      // inference runs, whereas the reference increments only on
+      // frames where detect() actually ran — so with inferEveryN=4,
+      // gradcamEveryN=3 the recompute positions can differ from the
+      // reference's. Counting all positives is internally consistent
+      // with the SQL oracle (gaps-and-islands run length) and treats
+      // a reused positive as part of the same fire run, which is the
+      // semantics the completion stats already use.
       val consecutive = if (hasFire) st.consecutiveFire + 1 else 0L
       val heatmap = hasFire && (consecutive - 1) % cfg.gradcamEveryN == 0
 

@@ -102,6 +102,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.trim.startsWith("*("), plan)
   }
 
+  test("native expressions compile under CODEGEN_ONLY (no silent interpreter fallback)") {
+    // A static call that Janino cannot resolve doesn't fail the query —
+    // UnsafeProjection quietly falls back to interpreter mode and the
+    // "codegen'd" expression runs interpreted (this bit the round-2
+    // simhash expressions: the companion's `eval` forwarder is
+    // suppressed because UnaryExpression already has eval(InternalRow)).
+    // CODEGEN_ONLY + wholeStage=off makes the compile error fatal here.
+    val factory = "spark.sql.codegen.factoryMode"
+    val whole = "spark.sql.codegen.wholeStage"
+    val prevF = spark.conf.get(factory, "FALLBACK")
+    val prevW = spark.conf.get(whole, "true")
+    spark.conf.set(factory, "CODEGEN_ONLY")
+    spark.conf.set(whole, "false")
+    try {
+      val out = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          H32(col("doc_id").cast("string")).as("h"),
+          SaltedH32Array(col("words"), 0).as("wh"),
+          Simhash32FromHashes(SaltedH32Array(col("words"), 1)).as("sh"),
+          ShinglesArray(col("words"), 3).as("sg"),
+          MinhashSignature(col("words"), 3, 12).as("m"))
+        .collect()
+      assert(out.nonEmpty)
+    } finally {
+      spark.conf.set(factory, prevF)
+      spark.conf.set(whole, prevW)
+    }
+  }
+
   test("msgpack_decode_frame yields null on malformed bytes (poison pill)") {
     val df = Seq(Array[Byte](0x47, 0x11), Array[Byte]()).toDF("value")
     val rows = df.select(MsgpackDecodeFrame(col("value")).as("f")).collect()

@@ -41,6 +41,59 @@ class KafkaIOSpec extends SparkSpec {
     assert(new String(recs.head.getAs[Array[Byte]]("value")) == """{"n":1}""")
   }
 
+  test("msgpack kafka round-trip drives the state machine end-to-end (S6/S7/S10/S11/S15)") {
+    import graft.streaming.Schemas.FrameMessage
+    import graft.streaming.VideoSessionProcessor.FrameIn
+    // Producer side, as the broker would deliver it: two interleaved
+    // videos, key = video_id (per-video ordering via the partitioner,
+    // docs/ARCHITECTURE.md:488-489), one partition per key here.
+    val frames = for { i <- 0 until 12; v <- Seq("vA", "vB") } yield
+      FrameMessage(v, i, new Timestamp(1700000000000L + i * 1000L), 30.0,
+        Array[Byte](i.toByte), 4, 4)
+    val kafka = frames.zipWithIndex.map { case (f, off) =>
+      (f.video_id.getBytes("UTF-8"), FrameSerde.encodeMsgpack(f), "video-frames",
+        if (f.video_id == "vA") 0 else 1, off.toLong,
+        new Timestamp(1700000100000L + off * 10L), 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+    // S7/S15 consume: wire value → typed frame; key must equal the
+    // decoded video_id on every record (the ordering invariant the
+    // sink wrote — checked via the native decode expression).
+    val keyCheck = kafka.select(
+      col("key").cast("string").as("k"),
+      graft.expressions.MsgpackDecodeFrame(col("value")).getField("video_id").as("vid"))
+    assert(keyCheck.where(col("k") =!= col("vid")).count() == 0)
+
+    // state machine over the decoded stream
+    val fin = FrameSerde.decodeMsgpackDF(kafka)
+      .select(col("video_id"), col("frame_number"),
+        unix_micros(col("timestamp")).as("timestamp_us"))
+      .as[FrameIn]
+    val out = Jobs.detect(fin)
+    val det = out.detections
+      .select("video_id", "frame_number", "session_index").collect()
+    assert(det.length == 24)
+    for (v <- Seq("vA", "vB")) {
+      val rows = det.filter(_.getString(0) == v).sortBy(_.getLong(2))
+      // per-video frame order is intact through decode + state machine
+      assert(rows.map(_.getInt(1)).toSeq == (0 until 12))
+    }
+    val comp = out.completions.select("video_id", "stats.total_frames").collect()
+    assert(comp.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("vA", 12L), ("vB", 12L)))
+
+    // S10/S11 produce: detections back to keyed binary records
+    val recs = KafkaIO.toKafkaRecords(out.detections, "video_id",
+      to_json(struct(col("frame_number"), col("has_fire")))).collect()
+    assert(recs.length == 24)
+    assert(recs.map(r => new String(r.getAs[Array[Byte]]("key"))).toSet == Set("vA", "vB"))
+
+    // S16 inspection over the same fake batch
+    val status = KafkaIO.topicStatus(kafka).collect()
+    assert(status.map(r => (r.getInt(0), r.getLong(3))).toSeq ==
+      Seq((0, 12L), (1, 12L)))
+  }
+
   test("JSON legacy transport round-trips a frame (S5/S8)") {
     val frame = struct(
       lit("v1").as("video_id"), lit(7).as("frame_number"),

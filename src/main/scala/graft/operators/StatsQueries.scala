@@ -158,11 +158,21 @@ object StatsQueries {
       val p = t(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
           substring(col("text"), 1, 4).as("blk"))
+      // Spread the probe side by doc id: the corpus fits one parquet
+      // split locally, which would run every residual levenshtein in a
+      // single task; hashing on the DOC id (not the block key) also
+      // spreads a hot block's probes across all tasks instead of
+      // pinning them to one partition.
       val a = p.select(col("doc_id").as("da"), col("pre").as("pa"), col("blk").as("ka"))
+        .repartition(64, col("da"))
       val b = p.select(col("doc_id").as("db"), col("pre").as("pb"), col("blk").as("kb"))
+      // Thresholded levenshtein: banded O(len·k) with early exit
+      // (returns -1 past the threshold) instead of the full O(len²)
+      // table — for matching rows the value equals the plain distance,
+      // so the DuckDB oracle is unchanged.
       a.join(b, col("ka") === col("kb") && col("da") < col("db"))
-        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("int"))
-        .where(col("dist") <= 12)
+        .withColumn("dist", levenshtein(col("pa"), col("pb"), 12).cast("int"))
+        .where(col("dist").between(0, 12))
         .select("da", "db", "dist")
         .orderBy("da", "db")
     }

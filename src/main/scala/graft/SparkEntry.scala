@@ -22,6 +22,7 @@ object SparkEntry {
       llm.DedupClusterQueries.defs ++
       llm.SimilarityQueries.defs ++
       llm.TextAnalysisQueries.defs ++
+      llm.CurationQueries.defs ++
       llm.TfIdfQueries.defs ++
       llm.MultimodalQueries.defs ++
       streaming.VideoPipelineQueries.defs

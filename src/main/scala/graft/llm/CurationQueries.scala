@@ -1,0 +1,207 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond scoring (SURVEY.md §2.2 north-star
+  * set, widened): rule-based quality filtering with drop reasons
+  * (Gopher-style bounds), repetition signals (C4-style duplicate
+  * n-gram fractions), PII detection/redaction, deterministic
+  * train/val/test assignment, and per-stratum hash sampling.
+  *
+  * Scale design (100 TB): everything except the repetition top-word
+  * count is per-row codegen'd column math (no shuffle at all); the
+  * repetition query's one shuffle is a (doc_id, word) hash aggregation
+  * whose partial combine collapses each doc's counts map-side. Splits
+  * and samples hash the KEY, not a random() — re-runs, backfills, and
+  * multi-table joins agree on membership with zero coordination.
+  */
+object CurationQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "is", "in")
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- rule-based quality filter with drop reasons (Gopher-style
+    //      bounds; first failing rule names the drop) ----
+    sql(
+      "q_quality_filter",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |sig AS (SELECT doc_id,
+         |               len(words) AS n,
+         |               list_sum(list_transform(words, x -> length(x))) / len(words) AS mwl,
+         |               len(list_filter(words, x -> list_contains(${sqlList(stopEn)}, x))) AS stops,
+         |               len(list_distinct(words)) / len(words) AS uniq
+         |        FROM w)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+         |       round(mwl, 4) AS mean_word_len,
+         |       CAST(stops AS INT) AS n_stopwords,
+         |       round(uniq, 4) AS uniq_ratio,
+         |       CASE WHEN n < 5 OR n > 5000 THEN 'length'
+         |            WHEN mwl < 2 OR mwl > 12 THEN 'word_len'
+         |            WHEN stops < 1 THEN 'no_stopwords'
+         |            WHEN uniq < 0.2 THEN 'repetitive'
+         |            ELSE 'keep' END AS verdict
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = col("words")
+      val n = size(words)
+      val mwl = aggregate(transform(words, w => length(w).cast("long")), lit(0L),
+        (acc, x) => acc + x) / n
+      val stops = stopwordCount(words, stopEn)
+      val uniq = size(array_distinct(words)) / n.cast("double")
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .select(col("doc_id"), n.as("n"), mwl.as("mwl"), stops.as("stops"), uniq.as("uniq"))
+        .select(
+          col("doc_id"),
+          col("n").cast("int").as("n_tokens"),
+          round(col("mwl"), 4).as("mean_word_len"),
+          col("stops").cast("int").as("n_stopwords"),
+          round(col("uniq"), 4).as("uniq_ratio"),
+          when(col("n") < 5 || col("n") > 5000, "length")
+            .when(col("mwl") < 2 || col("mwl") > 12, "word_len")
+            .when(col("stops") < 1, "no_stopwords")
+            .when(col("uniq") < 0.2, "repetitive")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // ---- repetition signals: duplicate word/bigram fractions and the
+    //      top-word share (C4/Gopher-style repetition gates) ----
+    sql(
+      "q_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |base AS (SELECT doc_id, len(words) AS n,
+        |                len(list_distinct(list_transform(range(1, len(words)),
+        |                    i -> words[i] || ' ' || words[i+1]))) AS dbg,
+        |                len(list_distinct(words)) AS dw
+        |         FROM w WHERE len(words) >= 2),
+        |ex AS (SELECT doc_id, unnest(words) AS word FROM w),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM ex GROUP BY doc_id, word),
+        |tw AS (SELECT doc_id, max(c) AS top FROM wc GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
+        |       round(tw.top / b.n, 4) AS top_word_frac,
+        |       round(1 - b.dw / b.n, 4) AS dup_word_frac,
+        |       round(1 - b.dbg / (b.n - 1), 4) AS dup_bigram_frac,
+        |       CASE WHEN tw.top / b.n > 0.2 OR 1 - b.dbg / (b.n - 1) > 0.5
+        |            THEN 1 ELSE 0 END AS repetitive
+        |FROM base b JOIN tw ON tw.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      // Array signals are per-row (native shingles for the distinct
+      // bigram count); only the top-word share needs the (doc_id, word)
+      // aggregation — partial combine keeps the shuffle at one row per
+      // distinct word per doc.
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 2)
+      val base = w.select(
+        col("doc_id"), size(col("words")).as("n"),
+        size(graft.expressions.ShinglesArray(col("words"), 2)).as("dbg"),
+        size(array_distinct(col("words"))).as("dw"))
+      val tw = w.select(col("doc_id"), explode(col("words")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top"))
+      base.join(tw, "doc_id")
+        .select(
+          col("doc_id"),
+          col("n").cast("int").as("n_tokens"),
+          round(col("top") / col("n"), 4).as("top_word_frac"),
+          round(lit(1) - col("dw") / col("n"), 4).as("dup_word_frac"),
+          round(lit(1) - col("dbg") / (col("n") - 1), 4).as("dup_bigram_frac"),
+          when(col("top") / col("n") > 0.2
+            || lit(1) - col("dbg") / (col("n") - 1) > 0.5, 1).otherwise(0).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // ---- PII detection + redaction. The corpus is synthetic, so PII
+    //      is injected deterministically per doc; the operator is the
+    //      regex detect/mask pipeline itself (patterns restricted to
+    //      the Java∩RE2 regex subset so both engines agree). ----
+    sql(
+      "q_pii_redact",
+      s"""WITH aug AS (SELECT doc_id,
+         |  'contact u' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+         |  CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text AS t
+         |  FROM documents WHERE doc_id % 4 = 0)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$IpRe')) AS INT) AS n_ips,
+         |  substr(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |                        '$IpRe', '<IP>', 'g'), 1, 80) AS redacted_prefix
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = concat(
+        lit("contact u"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 "), col("text"))
+      t(s, dir, "documents")
+        .where(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), aug.as("t"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).as("n_ips"),
+          substring(
+            regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), IpRe, "<IP>"),
+            1, 80).as("redacted_prefix"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic train/val/test assignment: hash of the KEY,
+    //      not random() — re-runs and joins agree on membership ----
+    sql(
+      "q_split_assign",
+      """WITH s AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents)
+        |SELECT source,
+        |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY source, split
+        |ORDER BY source, split""".stripMargin) { (s, dir) =>
+      val b = h32(col("doc_id").cast("string")) % 100
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), b.as("b"))
+        .select(col("doc_id"), col("source"),
+          when(col("b") < 90, "train").when(col("b") < 95, "val")
+            .otherwise("test").as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("source", "split")
+    },
+
+    // ---- stratified hash sampling: per-stratum rates (the data-mixing
+    //      primitive — downsample dominant strata deterministically) ----
+    sql(
+      "q_stratified_sample",
+      """WITH r AS (SELECT event_id, event_type,
+        |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_sampled,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM r
+        |WHERE b < CASE event_type WHEN 'view' THEN 5 WHEN 'click' THEN 20 ELSE 100 END
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val b = h32(col("event_id").cast("string")) % 100
+      val rate = when(col("event_type") === "view", 5)
+        .when(col("event_type") === "click", 20).otherwise(100)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), b.as("b"))
+        .where(col("b") < rate)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
+    }
+  )
+}

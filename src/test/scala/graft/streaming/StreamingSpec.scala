@@ -242,6 +242,30 @@ class StreamingSpec extends SparkSpec {
     assert(h.eval(null) == 0x90015098L)
   }
 
+  test("stream-stream interval join matches events within the time bound") {
+    // The two-stream correlation shape (e.g. detections ⋈ completions,
+    // impressions ⋈ clicks): inner join on key + event-time interval,
+    // watermarks bounding both sides' state.
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val det = MemoryStream[(String, java.sql.Timestamp)]
+    val ack = MemoryStream[(String, java.sql.Timestamp)]
+    val detDf = det.toDF().toDF("vid", "dts").withWatermark("dts", "10 seconds")
+    val ackDf = ack.toDF().toDF("avid", "ats").withWatermark("ats", "10 seconds")
+    val joined = detDf.join(ackDf,
+      expr("vid = avid AND ats BETWEEN dts AND dts + interval 20 seconds"))
+    val query = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      det.addData(("v1", t("2024-01-01 00:00:00")), ("v2", t("2024-01-01 00:00:05")))
+      ack.addData(("v1", t("2024-01-01 00:00:10")), // inside v1's 20 s bound
+        ("v2", t("2024-01-01 00:00:40"))) // 35 s after v2 — outside
+      query.processAllAvailable()
+      val rows = spark.table("ssjoin_out").select("vid").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("v1"))
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark drops replayed frames") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Int)]

@@ -203,6 +203,61 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // ---- substring-style dedup via long-shingle collisions: the
+    //      map-reduce approximation of suffix-array dedup (docs
+    //      sharing ≥3 distinct 8-word shingles share long spans).
+    //      Same inverted-index shape as n-gram Jaccard — candidates
+    //      only from shingle-key collisions, df-capped for skew. ----
+    sql(
+      "q_dedup_substring",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, greatest(len(words) - 6, 1)),
+        |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |                                 words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+        |                                 words[i+6] || ' ' || words[i+7])) AS sgl
+        |       FROM w WHERE len(words) >= 8),
+        |ex AS (SELECT doc_id, unnest(sgl) AS g FROM sh),
+        |rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 50),
+        |exr AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare ON ex.g = rare.g)
+        |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+        |FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 8)
+        .select(col("doc_id"), explode(graft.expressions.ShinglesArray(col("words"), 8)).as("g"))
+      val rare = ex.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= 50)
+        .select("g")
+      val exr = ex.join(broadcast(rare), "g")
+      val a = exr.select(col("doc_id").as("da"), col("g").as("ga"))
+      val b = exr.select(col("doc_id").as("db"), col("g").as("gb"))
+      a.join(b, col("ga") === col("gb") && col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy("da", "db")
+    },
+
+    // ---- dedup materialization: greedy pairwise prune — any doc with
+    //      a smaller near-duplicate is dropped; the kept corpus is the
+    //      LEFT ANTI join against the pair list (transitively-exact
+    //      group pruning is q_dedup_components' min-label output) ----
+    sql(
+      "q_dedup_prune",
+      s"""WITH ${MinhashPipeline.pairsSqlCte}
+         |SELECT d.doc_id, d.source
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT db FROM pairs)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val nonKeepers = MinhashPipeline.pairs(s, dir).select("db").distinct()
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(nonKeepers), col("doc_id") === col("db"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // ---- MLlib MinHashLSH (engine-private seeds → rows-only check):
     //      the packaged, approxSimilarityJoin-based scale path ----
     rowsOnly("q_dedup_minhash_mllib") { (s, dir) =>

@@ -108,17 +108,20 @@ object SimilarityQueries {
     },
 
     // ---- IVF ANN: trained k-means coarse quantizer (the second ANN
-    //      rung after sign-LSH). Each vector is assigned to its
-    //      nearest centroid — the inverted list — and a query searches
-    //      only its own cell: the pair space is an equi-join on the
-    //      cell id, never a corpus scan. nprobe=1 here; at scale,
-    //      k ≈ √N cells, probe the top-P cells per query, and add a
-    //      product-quantized residual for in-cell distance. MLlib's
-    //      k-means init is engine-private → rows-only check (same
-    //      labeling as the MLlib MinHash path). ----
+    //      rung after sign-LSH). Every vector is assigned to its
+    //      nearest centroid — the inverted list — and a query probes
+    //      its top-2 cells (multi-probe recovers the recall lost at
+    //      cell borders): the candidate space is an equi-join on the
+    //      cell id, never a corpus scan. The only non-equi step is the
+    //      query × centroid-table distance — a 16-row broadcast. At
+    //      scale: k ≈ √N cells, larger nprobe, and an int8/PQ residual
+    //      (q_embed_quantized is that storage path). MLlib's k-means
+    //      init is engine-private → rows-only check (same labeling as
+    //      the MLlib MinHash path). ----
     rowsOnly("q_knn_ivf") { (s, dir) =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
+      import s.implicits._
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("fv", array_to_vector(col("v")))
@@ -127,16 +130,72 @@ object SimilarityQueries {
         .setFeaturesCol("fv").setPredictionCol("cell")
       val model = km.fit(e)
       val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
-      val q = assigned.where(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("qc"))
+      // centroid table: k rows, broadcast for the per-query probe rank
+      val cents = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }.toDF("ccell", "cvec")
+      val sqDist = aggregate(
+        zip_with(col("qv"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
+      val probes = assigned.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist", sqDist)
+        .withColumn("crn", row_number().over(wq))
+        .where(col("crn") <= 2) // nprobe = 2
+        .select(col("qid"), col("qv"), col("ccell"))
       val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell").as("cc"))
       val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
-      q.join(c, col("qc") === col("cc") && col("cid") =!= col("qid"))
+      probes.join(c, col("ccell") === col("cc") && col("cid") =!= col("qid"))
         .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select("qid", "cid", "sim")
         .orderBy(col("qid"), desc("sim"), col("cid"))
+    },
+
+    // ---- int8 symmetric quantization: the storage path for vectors
+    //      at 100 TB (4× smaller than float32, 8× than float64).
+    //      Per-vector scale = max|x|/127; rounding is floor(x/s + .5)
+    //      so both engines use the identical deterministic rule (no
+    //      HALF_UP vs HALF_EVEN ambiguity). The fidelity columns
+    //      (RMSE, cosine of original vs dequantized) are what a
+    //      curation pipeline monitors before swapping the index. ----
+    sql(
+      "q_embed_quantized",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id % 10 = 0),
+        |s AS (SELECT vec_id, v,
+        |             list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+        |      FROM s),
+        |d AS (SELECT vec_id, v, scale, dq,
+        |             list_transform(range(1, len(v) + 1), i -> v[i] - dq[i]) AS dif
+        |      FROM q)
+        |SELECT vec_id, CAST(len(v) AS INT) AS dim,
+        |       round(scale, 6) AS scale,
+        |       round(sqrt(list_dot_product(dif, dif) / len(v)), 6) AS rmse,
+        |       round(list_dot_product(v, dq) /
+        |             sqrt(list_dot_product(v, v) * list_dot_product(dq, dq)), 6) AS cos_fidelity
+        |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val scale = (aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+        (m, x) => greatest(m, x)) / 127).as("scale")
+      val sdf = e.select(col("vec_id"), col("v"), scale)
+      val qdf = sdf.select(col("vec_id"), col("v"), col("scale"),
+        transform(col("v"), x => floor(x / col("scale") + 0.5) * col("scale")).as("dq"))
+        .withColumn("dif", zip_with(col("v"), col("dq"), (x, y) => x - y))
+      qdf.select(
+          col("vec_id"),
+          size(col("v")).as("dim"),
+          round(col("scale"), 6).as("scale"),
+          round(sqrt(dot(col("dif"), col("dif")) / size(col("v"))), 6).as("rmse"),
+          round(cosine(col("v"), col("dq")), 6).as("cos_fidelity"))
+        .orderBy("vec_id")
     },
 
     // ---- embedding near-dup: label-blocked high-cosine pairs ----

@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_bruteforce",    // 8 query vectors × corpus
     "q_knn_signlsh",       // bucket-equi + residual (planner may NL the residual)
     "q_embed_neardup",     // label-equi + residual
-    "q_tfidf_top_terms")   // 1-row broadcast doc-count scalar riding the plan
+    "q_tfidf_top_terms",   // 1-row broadcast doc-count scalar riding the plan
+    "q_knn_ivf")           // 16-row broadcast centroid table for the probe rank
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

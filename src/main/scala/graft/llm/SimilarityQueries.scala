@@ -154,6 +154,101 @@ object SimilarityQueries {
         .orderBy(col("qid"), desc("sim"), col("cid"))
     },
 
+    // ---- IVF-PQ-style ANN: sign-LSH coarse index + product-quantized
+    //      asymmetric-distance scoring + exact rerank. The corpus is
+    //      stored as M=4 codes of 4 bits' worth each (16-way k-means
+    //      per 16-dim subspace) — at 100 TB that is the index that
+    //      fits: 4 bytes/vector instead of 256. Scoring a candidate is
+    //      M table lookups (the per-query distance table is 64 rows),
+    //      realized relationally as melt → equi-join → sum; the top-10
+    //      by ADC are reranked with the exact cosine. Every join is an
+    //      equi-join (bucket, subspace id, code, vec id) — no scan is
+    //      ever O(n²). k-means codebooks are engine-private →
+    //      rows-only check. ----
+    rowsOnly("q_knn_pq") { (s, dir) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import s.implicits._
+      val M = 4; val SubDim = 16; val Codes = 16
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bkt", signBucket(col("v")))
+      val subCols = (0 until M).map(m =>
+        slice(col("v"), m * SubDim + 1, SubDim).as(s"sub$m"))
+      val sub = e.select(Seq(col("vec_id"), col("bkt"), col("v")) ++ subCols: _*)
+        .cache() // feeds M fits, the encode pass, and the query side
+      // per-subspace codebooks — the M fits are independent, so they
+      // run concurrently (Spark schedules the jobs side by side)
+      val models = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.DurationInt
+        // codebooks train on a bounded sample collapsed to few
+        // partitions: iterative k-means on a small input otherwise
+        // pays scheduler overhead per iteration × per subspace (at
+        // corpus scale: sample() first, same shape)
+        val fitInput = sub.select(Seq(col("vec_id")) ++
+          (0 until M).map(m => col(s"sub$m")): _*).coalesce(1).cache()
+        val fitted = Await.result(Future.sequence((0 until M).map(m => Future {
+          new KMeans().setK(Codes).setSeed(100L + m).setMaxIter(5).setInitMode("random")
+            .setFeaturesCol("fv").setPredictionCol(s"code$m")
+            .fit(fitInput.select(array_to_vector(col(s"sub$m")).as("fv")))
+        })), 10.minutes)
+        fitInput.unpersist()
+        fitted
+      }
+      // encode: each corpus vector → M small codes
+      val enc = models.zipWithIndex.foldLeft(sub) { case (df, (mo, m)) =>
+        mo.setFeaturesCol("fv").setPredictionCol(s"code$m")
+          .transform(df.withColumn("fv", array_to_vector(col(s"sub$m"))))
+          .drop("fv")
+      }
+      // centroid table (M × Codes = 64 rows) for the query-side ADC table
+      val cents = models.zipWithIndex.flatMap { case (mo, m) =>
+        mo.clusterCenters.zipWithIndex.map { case (c, k) => (m, k, c.toArray) }
+      }.toDF("cm", "ccode", "cvec")
+      val queries = sub.where(col("vec_id") % 25 === 0)
+        .select(Seq(col("vec_id").as("qid"), col("bkt").as("qbkt"), col("v").as("qv")) ++
+          (0 until M).map(m => col(s"sub$m").as(s"qsub$m")): _*)
+      // melt query subvectors → (qid, qm, qsub); equi-join the centroid
+      // table on the subspace id → per-(query, subspace, code) distance
+      val melted = (0 until M).map(m =>
+          queries.select(col("qid"), lit(m).as("qm"), col(s"qsub$m").as("qsub")))
+        .reduce(_ unionByName _)
+      val sq = aggregate(zip_with(col("qsub"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val dtab = melted.join(broadcast(cents), col("qm") === col("cm"))
+        .select(col("qid").as("dqid"), col("qm").as("dm"), col("ccode").as("dcode"),
+          sq.as("d"))
+      // candidates from the coarse bucket; melt their codes and look
+      // up. Everything bounded-by-the-query-set broadcasts (the query
+      // side, the ADC table, the shortlist) — the corpus-sized encode
+      // streams through map-side joins and is never shuffled.
+      val cand = broadcast(queries.select(col("qid"), col("qbkt")))
+        .join(enc.select(col("vec_id").as("cid"), col("bkt").as("cbkt"),
+            array((0 until M).map(m => col(s"code$m")): _*).as("codes")),
+          col("qbkt") === col("cbkt") && col("cid") =!= col("qid"))
+      val scored = cand
+        .select(col("qid"), col("cid"), posexplode(col("codes")))
+        .join(broadcast(dtab), col("qid") === col("dqid") && col("pos") === col("dm")
+          && col("col") === col("dcode"))
+        .groupBy("qid", "cid").agg(sum(col("d")).as("adc"))
+      // top-10 by approximate distance, exact-cosine rerank to top-3
+      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+      val shortlist = scored.withColumn("arn", row_number().over(wAdc))
+        .where(col("arn") <= 10)
+        .join(broadcast(queries.select(col("qid").as("q2"), col("qv"))),
+          col("qid") === col("q2"))
+      val wSim = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
+      e.select(col("vec_id").as("c2"), col("v").as("cv"))
+        .join(broadcast(shortlist), col("c2") === col("cid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(wSim))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("sim"), round(col("adc"), 6).as("adc_dist"))
+        .orderBy(col("qid"), desc("sim"), col("cid"))
+    },
+
     // ---- int8 symmetric quantization: the storage path for vectors
     //      at 100 TB (4× smaller than float32, 8× than float64).
     //      Per-vector scale = max|x|/127; rounding is floor(x/s + .5)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{H32, MsgpackDecodeFrame}
+import graft.expressions.{H32, MinhashSignature, MsgpackDecodeFrame, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,11 +27,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Static int parameters (salt, n, k) must be foldable literals at
+    * registration-time call sites: `minhash_signature(words, 3, 12)`. */
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name expects a literal integer argument")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("h32"),
       new ExpressionInfo(classOf[H32].getName, "h32"),
       (exprs: Seq[Expression]) => H32(exprs.head)),
     (FunctionIdentifier("msgpack_decode_frame"),
       new ExpressionInfo(classOf[MsgpackDecodeFrame].getName, "msgpack_decode_frame"),
-      (exprs: Seq[Expression]) => MsgpackDecodeFrame(exprs.head)))
+      (exprs: Seq[Expression]) => MsgpackDecodeFrame(exprs.head)),
+    (FunctionIdentifier("salted_h32_array"),
+      new ExpressionInfo(classOf[SaltedH32Array].getName, "salted_h32_array"),
+      (exprs: Seq[Expression]) =>
+        SaltedH32Array(exprs.head, intArg(exprs(1), "salted_h32_array"))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[Simhash32FromHashes].getName, "simhash32"),
+      (exprs: Seq[Expression]) => Simhash32FromHashes(exprs.head)),
+    (FunctionIdentifier("shingles_array"),
+      new ExpressionInfo(classOf[ShinglesArray].getName, "shingles_array"),
+      (exprs: Seq[Expression]) =>
+        ShinglesArray(exprs.head, intArg(exprs(1), "shingles_array"))),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) =>
+        MinhashSignature(exprs.head, intArg(exprs(1), "minhash_signature"),
+          intArg(exprs(2), "minhash_signature"))))
 }

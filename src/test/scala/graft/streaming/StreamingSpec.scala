@@ -236,7 +236,15 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.unsafe.types.UTF8String
     val byName = graft.GraftExtensions.functions
       .map { case (id, _, b) => id.funcName -> b }.toMap
-    assert(byName.keySet == Set("h32", "msgpack_decode_frame"))
+    assert(byName.keySet == Set("h32", "msgpack_decode_frame", "salted_h32_array",
+      "simhash32", "shingles_array", "minhash_signature"))
+    // parameterized builder: literal int args resolve to the expression
+    val mh = byName("minhash_signature")(Seq(
+      Literal.create(Array("a", "b", "c", "d"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      Literal(3), Literal(12)))
+    assert(mh.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 12)
     val h = byName("h32")(Seq(Literal(UTF8String.fromString("abc"),
       org.apache.spark.sql.types.StringType)))
     assert(h.eval(null) == 0x90015098L)

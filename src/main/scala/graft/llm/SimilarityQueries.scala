@@ -126,7 +126,10 @@ object SimilarityQueries {
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("fv", array_to_vector(col("v")))
         .cache() // feeds fit + both join sides
-      val km = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
+      // random init: k-means|| spends extra passes picking seeds, and
+      // the coarse-quantizer quality difference is immaterial once
+      // multi-probe + rerank are in play
+      val km = new KMeans().setK(16).setSeed(7L).setMaxIter(10).setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("cell")
       val model = km.fit(e)
       val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))

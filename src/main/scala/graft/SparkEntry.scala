@@ -18,6 +18,7 @@ object SparkEntry {
       operators.ScalarQueries.defs ++
       operators.StatsQueries.defs ++
       operators.SessionQueries.defs ++
+      operators.TemporalQueries.defs ++
       llm.DedupQueries.defs ++
       llm.DedupClusterQueries.defs ++
       llm.SimilarityQueries.defs ++

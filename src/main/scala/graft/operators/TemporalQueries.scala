@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table: regular-grid
+  * gap-filling with forward fill (the resample/ffill primitive),
+  * ordered funnel analysis, and fixed-width value histograms —
+  * rounding out SURVEY.md §2.2's window/aggregate families with the
+  * temporal shapes an analytics user expects.
+  *
+  * Scale design: gap-fill generates each key's grid WITH the key
+  * (sequence + explode — no cross join against a global calendar
+  * table), so the expansion is partition-local after one shuffle on
+  * the key; forward fill is a running last-non-null window, one sort
+  * per key partition. Funnel and histogram are single hash
+  * aggregations.
+  */
+object TemporalQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- hourly resample + forward fill over a sparse series ----
+    sql(
+      "q_gapfill_ffill",
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+        |           FROM events WHERE user_id % 100 = 0),
+        |obs AS (SELECT user_id, h, round(avg(value), 4) AS v
+        |        FROM e GROUP BY user_id, h),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h), max(h),
+        |                                INTERVAL 1 HOUR)) AS h
+        |         FROM e GROUP BY user_id)
+        |SELECT g.user_id, CAST(g.h AS TIMESTAMP) AS hour,
+        |       round(last_value(o.v IGNORE NULLS)
+        |             OVER (PARTITION BY g.user_id ORDER BY g.h
+        |                   ROWS UNBOUNDED PRECEDING), 4) AS v_filled,
+        |       CASE WHEN o.v IS NULL THEN 0 ELSE 1 END AS observed
+        |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+        |ORDER BY g.user_id, hour""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .where(col("user_id") % 100 === 0)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val obs = e.groupBy("user_id", "h").agg(round(avg(col("value")), 4).as("v"))
+      // per-key grid: the sequence is built inside the key's aggregate
+      // row and exploded — no global calendar cross join
+      val grid = e.groupBy("user_id")
+        .agg(sequence(min(col("h")), max(col("h")), expr("interval 1 hour")).as("hs"))
+        .select(col("user_id"), explode(col("hs")).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .select(
+          col("user_id"), col("h").as("hour"),
+          round(last(col("v"), ignoreNulls = true).over(w), 4).as("v_filled"),
+          when(col("v").isNull, 0).otherwise(1).as("observed"))
+        .orderBy("user_id", "hour")
+    },
+
+    // ---- ordered funnel: view → click → purchase, strict order ----
+    sql(
+      "q_funnel",
+      """WITH s AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       count(t_view) AS n_view,
+        |       count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        |       count(CASE WHEN t_purchase > t_click AND t_click > t_view
+        |             THEN 1 END) AS n_full_funnel
+        |FROM s""".stripMargin) { (s, dir) =>
+      val st = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      st.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+        count(when(col("t_purchase") > col("t_click")
+          && col("t_click") > col("t_view"), 1)).as("n_full_funnel"))
+    },
+
+    // ---- fixed-width value histogram per event type ----
+    sql(
+      "q_histogram",
+      """SELECT event_type, CAST(floor(value / 50) AS INT) AS bucket,
+        |       count(*) AS n,
+        |       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), floor(col("value") / 50).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"), round(max(col("value")), 2).as("hi"))
+        .orderBy("event_type", "bucket")
+    }
+  )
+}

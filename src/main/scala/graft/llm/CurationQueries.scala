@@ -156,6 +156,40 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- URL parsing: host/path/param extraction (the provenance
+    //      fields a web-corpus pipeline filters and groups on). URLs
+    //      are synthesized deterministically (corpus has none); Spark
+    //      runs the native parse_url expression, the oracle the
+    //      equivalent regexes. ----
+    sql(
+      "q_url_extract",
+      """WITH u AS (SELECT doc_id,
+        |  'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/' || source ||
+        |  '/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&p=' ||
+        |  CAST(doc_id % 13 AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        |       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        |       regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+        |       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+        |       regexp_extract(url, '[?&]p=([^&]*)', 1) AS p_param
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val url = concat(
+        lit("https://w"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/"), col("source"), lit("/"), col("doc_id").cast("string"),
+        lit("?lang="), col("lang"), lit("&p="), (col("doc_id") % 13).cast("string"))
+      t(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), url.as("url"))
+        .select(
+          col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+          parse_url(col("url"), lit("QUERY"), lit("p")).as("p_param"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic train/val/test assignment: hash of the KEY,
     //      not random() — re-runs and joins agree on membership ----
     sql(

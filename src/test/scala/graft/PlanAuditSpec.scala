@@ -34,6 +34,25 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected nested-loop/cartesian in: ${offenders.mkString(", ")}")
   }
 
+  test("flagship queries keep their intended physical strategies") {
+    // Pin the plan shapes that carry the scale story: selective
+    // dimension broadcast, top-n pushed into the sort, rank-limit
+    // pushed below the window, and the banded/blocked dedup scans
+    // planned as hash equi-joins. A Spark upgrade or query edit that
+    // silently degrades one of these fails here, not in a benchmark.
+    val expected = Map(
+      "q_join_inner" -> Seq("BroadcastHashJoin"),
+      "q_sort_limit" -> Seq("TakeOrderedAndProject"),
+      "q_topk_per_group" -> Seq("WindowGroupLimit"), // rank filter below the window
+      "q_dedup_simhash" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      "q_dedup_levenshtein" -> Seq("BroadcastHashJoin"))
+    val misses = expected.toSeq.sortBy(_._1).flatMap { case (name, markers) =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      markers.filterNot(plan.contains).map(m => s"$name missing $m")
+    }
+    assert(misses.isEmpty, misses.mkString("; "))
+  }
+
   test("parquet scans prune columns (no SELECT * reaching the scan)") {
     // Spot-check a projection-heavy query: the lineitem scan must read
     // only the referenced columns.

@@ -250,6 +250,34 @@ class StreamingSpec extends SparkSpec {
     assert(h.eval(null) == 0x90015098L)
   }
 
+  test("streaming corpus curation: fingerprint dedup + quality gate on a doc stream") {
+    // The llm curation ops are plain column expressions, so the same
+    // pipeline runs unchanged over an unbounded source: canonical
+    // fingerprint → dedup-within-watermark → token-count quality gate.
+    import graft.functions.TextFunctions.fingerprint
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val curated = input.toDF().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "1 minute")
+      .withColumn("fp", fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .where(size(split(col("text"), " ")) >= 3)
+    val query = curated.writeStream.format("memory").queryName("curated_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:01"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 00:00:02"), 2L, "  The  quick  BROWN fox "), // dup after canonicalization
+        (ts("2024-01-01 00:00:03"), 3L, "too short"), // fails the quality gate
+        (ts("2024-01-01 00:00:04"), 4L, "a genuinely different document"))
+      query.processAllAvailable()
+      val kept = spark.table("curated_docs").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 4L))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches events within the time bound") {
     // The two-stream correlation shape (e.g. detections ⋈ completions,
     // impressions ⋈ clicks): inner join on key + event-time interval,

@@ -31,8 +31,12 @@ object GraftExtensions {
   /** Static int parameters (salt, n, k) must be foldable literals at
     * registration-time call sites: `minhash_signature(words, 3, 12)`. */
   private def intArg(e: Expression, name: String): Int = {
-    require(e.foldable, s"$name expects a literal integer argument")
-    e.eval(null).asInstanceOf[Number].intValue()
+    val v = if (e.foldable) e.eval(null) else null
+    v match {
+      case n: Number => n.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$name expects a literal integer argument, got: ${e.sql}")
+    }
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Value compatibility: bit-identical to the HOF forms in
   * [[graft.functions.TextFunctions]] (asserted in
-  * `MinhashNativeSpec`) and to the DuckDB oracle SQL, which is
+  * `ExpressionsSpec`) and to the DuckDB oracle SQL, which is
   * unchanged. Shingle multiplicity cannot affect a min, so the
   * array_distinct step of the HOF pipeline is skipped here.
   */

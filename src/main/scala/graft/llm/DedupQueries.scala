@@ -180,6 +180,9 @@ object DedupQueries {
         .select(col("doc_id"),
           graft.expressions.Simhash32FromHashes(col("wh0")).as("h0"),
           graft.expressions.Simhash32FromHashes(col("wh1")).as("h1"))
+        // both self-join sides consume the sketches; without the
+        // barrier the scan + per-word salted md5 passes run twice
+        .cache()
       val banded = sh.select(col("doc_id"), col("h0"), col("h1"),
         posexplode(array(
           col("h0").bitwiseAND(lit(BandMask)),

@@ -243,7 +243,7 @@ object SimilarityQueries {
         .join(broadcast(queries.select(col("qid").as("q2"), col("qv"))),
           col("qid") === col("q2"))
       val wSim = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
-      e.select(col("vec_id").as("c2"), col("v").as("cv"))
+      sub.select(col("vec_id").as("c2"), col("v").as("cv")) // cached — no re-scan
         .join(broadcast(shortlist), col("c2") === col("cid"))
         .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
         .withColumn("rn", row_number().over(wSim))

@@ -40,7 +40,10 @@ class ProgressListener(
 
   private def tracks(name: String): Boolean = queryName.forall(_ == name)
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    // capture the runId here too: a tracked query that dies before its
+    // first progress event must still finalize on termination
+    if (event.name != null && tracks(event.name)) trackedRunId = Some(event.runId)
 
   override def onQueryProgress(event: QueryProgressEvent): Unit =
     if (tracks(event.progress.name)) {

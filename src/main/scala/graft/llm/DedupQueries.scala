@@ -261,6 +261,83 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- hybrid text+embedding dedup: MinHash-LSH candidates
+    //      cross-checked against embedding cosine (the multimodal
+    //      confirmation pass — lexical near-dups whose embeddings
+    //      disagree are usually template pages with different payloads).
+    //      Pair list is bounded by the banding, so the embedding join
+    //      is candidate-sized, never corpus². ----
+    sql(
+      "q_dedup_hybrid",
+      s"""WITH ${MinhashPipeline.pairsSqlCte},
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT da, db, round(est_jaccard, 4) AS est_jaccard,
+         |       round(list_dot_product(x.v, y.v) /
+         |             sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)), 6) AS cos_sim,
+         |       CASE WHEN list_dot_product(x.v, y.v) /
+         |                 sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v)) >= 0.2
+         |            THEN 1 ELSE 0 END AS confirmed
+         |FROM pairs JOIN e x ON x.vec_id = da JOIN e y ON y.vec_id = db
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorFunctions.{asDouble, cosine}
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val x = e.select(col("vec_id").as("xid"), col("v").as("xv"))
+      val y = e.select(col("vec_id").as("yid"), col("v").as("yv"))
+      MinhashPipeline.pairs(s, dir)
+        .join(x, col("da") === col("xid")).join(y, col("db") === col("yid"))
+        .withColumn("cosr", cosine(col("xv"), col("yv")))
+        .select(
+          col("da"), col("db"),
+          round(col("est_jaccard"), 4).as("est_jaccard"),
+          round(col("cosr"), 6).as("cos_sim"),
+          when(col("cosr") >= 0.2, 1).otherwise(0).as("confirmed"))
+        .orderBy("da", "db")
+    },
+
+    // ---- incremental dedup: the daily-ingest shape — a NEW batch
+    //      (doc_id % 10 = 9 stands in for today's crawl) probes the
+    //      existing corpus index by exact fingerprint and by LSH band
+    //      collision. At 100 TB the index side is a persisted
+    //      (fingerprint) / (band, sig) table; the probe is two
+    //      hash joins sized by the new batch. ----
+    sql(
+      "q_dedup_incremental",
+      s"""WITH ${MinhashPipeline.bandsSqlCte},
+         |fps AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |               source
+         |        FROM documents),
+         |idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 9),
+         |nb AS (SELECT * FROM fps WHERE doc_id % 10 = 9),
+         |idxb AS (SELECT DISTINCT b, sig FROM bands WHERE doc_id % 10 <> 9),
+         |hits AS (SELECT DISTINCT n.doc_id
+         |         FROM bands n JOIN idxb i ON n.b = i.b AND n.sig = i.sig
+         |         WHERE n.doc_id % 10 = 9)
+         |SELECT nb.doc_id, nb.source,
+         |       CASE WHEN idx.fp IS NULL THEN 0 ELSE 1 END AS is_exact_dup,
+         |       CASE WHEN hits.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup_candidate
+         |FROM nb LEFT JOIN idx ON nb.fp = idx.fp
+         |        LEFT JOIN hits ON hits.doc_id = nb.doc_id
+         |ORDER BY nb.doc_id""".stripMargin) { (s, dir) =>
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"), col("source"))
+      val idx = fps.where(col("doc_id") % 10 =!= 9).select(col("fp").as("ifp")).distinct()
+      val nb = fps.where(col("doc_id") % 10 === 9)
+      val bands = MinhashPipeline.bandSignatures(s, dir)
+      val idxb = bands.where(col("doc_id") % 10 =!= 9)
+        .select(col("b").as("ib"), col("sig").as("isig")).distinct()
+      val hits = bands.where(col("doc_id") % 10 === 9)
+        .join(idxb, col("b") === col("ib") && col("sig") === col("isig"), "left_semi")
+        .select(col("doc_id").as("hid")).distinct()
+      nb.join(idx, col("fp") === col("ifp"), "left")
+        .join(hits, col("doc_id") === col("hid"), "left")
+        .select(
+          col("doc_id"), col("source"),
+          when(col("ifp").isNull, 0).otherwise(1).as("is_exact_dup"),
+          when(col("hid").isNull, 0).otherwise(1).as("near_dup_candidate"))
+        .orderBy("doc_id")
+    },
+
     // ---- MLlib MinHashLSH (engine-private seeds → rows-only check):
     //      the packaged, approxSimilarityJoin-based scale path ----
     rowsOnly("q_dedup_minhash_mllib") { (s, dir) =>

@@ -40,13 +40,18 @@ object MinhashPipeline {
         graft.expressions.MinhashSignature(col("words"), 3, K).as("m"))
       .cache()
 
+  /** (doc_id, b, sig): the LSH band signatures per doc — the index an
+    * incremental (new-batch-vs-corpus) dedup probes. */
+  def bandSignatures(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir)
+      .select(col("doc_id"), col("m"), explode(sequence(lit(0), lit(Bands - 1))).as("b"))
+      .select(col("doc_id"), col("b"), bandSignature(col("m"), col("b"), Rows).as("sig"))
+
   /** Verified near-dup pairs (da < db, est_jaccard ≥ [[JaccardMin]]).
     * Candidates come from the band-signature equi-join only. */
   def pairs(s: SparkSession, dir: String): DataFrame = {
     val mh = signatures(s, dir)
-    val bands = mh
-      .select(col("doc_id"), col("m"), explode(sequence(lit(0), lit(Bands - 1))).as("b"))
-      .select(col("doc_id"), col("b"), bandSignature(col("m"), col("b"), Rows).as("sig"))
+    val bands = bandSignatures(s, dir)
     val a = bands.select(col("doc_id").as("da"), col("b").as("ba"), col("sig").as("siga"))
     val c = bands.select(col("doc_id").as("db"), col("b").as("bb"), col("sig").as("sigb"))
     val cand = a.join(c, a("siga") === c("sigb") && a("ba") === c("bb") && a("da") < c("db"))
@@ -61,9 +66,9 @@ object MinhashPipeline {
       .select("da", "db", "est_jaccard")
   }
 
-  /** The identical pair derivation as a DuckDB CTE chain ending in
-    * `pairs(da, db, est_jaccard)` — shared by both oracle SQLs. */
-  def pairsSqlCte: String = {
+  /** DuckDB CTE chain ending in `bands(doc_id, b, sig)` — the SQL twin
+    * of [[bandSignatures]]. */
+  def bandsSqlCte: String = {
     val perms = (0 until K).map(i =>
       s"list_min(list_transform(hl, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP))")
       .mkString("[", ",\n                ", "]")
@@ -79,7 +84,13 @@ object MinhashPipeline {
        |       FROM hs),
        |bands AS (SELECT doc_id, b,
        |                 md5(m[3*b+1] || ',' || m[3*b+2] || ',' || m[3*b+3]) AS sig
-       |          FROM mh, range(0, $Bands) t(b)),
+       |          FROM mh, range(0, $Bands) t(b))""".stripMargin
+  }
+
+  /** The identical pair derivation as a DuckDB CTE chain ending in
+    * `pairs(da, db, est_jaccard)` — shared by the dedup oracle SQLs. */
+  def pairsSqlCte: String =
+    s"""$bandsSqlCte,
        |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
        |         FROM bands a JOIN bands c ON a.sig = c.sig AND a.b = c.b
        |                                  AND a.doc_id < c.doc_id),
@@ -87,5 +98,4 @@ object MinhashPipeline {
        |                 len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0 AS est_jaccard
        |          FROM cand JOIN mh x ON x.doc_id = da JOIN mh y ON y.doc_id = db
        |          WHERE len(list_filter(range(1, ${K + 1}), i -> x.m[i] = y.m[i])) / $K.0 >= $JaccardMin)""".stripMargin
-  }
 }

@@ -54,6 +54,46 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), plan)
   }
 
+  test("JSON corrupt records land in _corrupt_record instead of failing the job") {
+    // At ingest scale some fraction of records is always malformed;
+    // PERMISSIVE mode quarantines them in a column for a dead-letter
+    // branch rather than failing the scan.
+    val dir = s"$base/json_corrupt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.json"),
+      Seq("""{"doc_id": 1, "text": "good row"}""",
+        """{"doc_id": 2, "text": "truncated""",
+        """{"doc_id": 3, "text": "another good row"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache() // corrupt-record column requires a materialized scan
+    assert(df.count() == 3)
+    assert(df.where(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.where(col("_corrupt_record").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    // A 100 TB table accretes columns over time; old partitions must
+    // stay readable next to new ones.
+    val dir = s"$base/evolved"
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(s"$dir/v=1")
+    docs.select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text", "v"))
+    assert(merged.count() == 2 * docs.count())
+    // rows from the old layout surface the new column as null
+    assert(merged.where(col("v") === 1 && col("lang").isNull).count() == docs.count())
+    assert(merged.where(col("v") === 2 && col("lang").isNotNull).count() == docs.count())
+  }
+
   test("text source reads lines; binaryFile exposes content + metadata") {
     val dir = s"$base/text"
     docs.select(col("text")).write.mode("overwrite").text(dir)

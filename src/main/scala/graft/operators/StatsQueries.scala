@@ -84,6 +84,27 @@ object StatsQueries {
         .orderBy("bucket")
     },
 
+    // ---- unpivot/melt: wide → long (inverse of q_pivot) ----
+    sql(
+      "q_unpivot",
+      """WITH p AS (SELECT user_id % 10 AS bucket,
+        |           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click,
+        |           round(coalesce(sum(CASE WHEN event_type = 'view'  THEN value END), 0), 2) AS view
+        |           FROM events GROUP BY 1)
+        |SELECT bucket, metric, v
+        |FROM p UNPIVOT (v FOR metric IN (click, view))
+        |ORDER BY bucket, metric""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          round(coalesce(sum(when(col("event_type") === "click", col("value"))), lit(0)), 2)
+            .as("click"),
+          round(coalesce(sum(when(col("event_type") === "view", col("value"))), lit(0)), 2)
+            .as("view"))
+      p.unpivot(Array(col("bucket")), Array(col("click"), col("view")), "metric", "v")
+        .orderBy("bucket", "metric")
+    },
+
     // ---- positional explode (ordinality) ----
     sql(
       "q_posexplode",

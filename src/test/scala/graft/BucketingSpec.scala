@@ -41,4 +41,34 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("incremental dedup probe against a bucketed fingerprint index shuffles only the new batch") {
+    // The q_dedup_incremental shape at steady state: the corpus
+    // fingerprint index is a persisted bucketed table, so the daily
+    // probe shuffles ONLY the (small) new batch into the index's
+    // bucketing — the 100 TB index side never moves.
+    import graft.functions.TextFunctions.fingerprint
+    val sf = "/root/testdata/sf0.001"
+    val fps = Tables(spark, sf, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    fps.where(col("doc_id") % 10 =!= 9)
+      .write.mode("overwrite").bucketBy(8, "fp").sortBy("fp").saveAsTable("fp_index")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nb = fps.where(col("doc_id") % 10 === 9)
+      val dups = nb.join(spark.table("fp_index").select("fp"), Seq("fp"), "left_semi")
+      val plan = dups.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // exactly one Exchange: the probe batch aligning to the buckets
+      assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
+      // and the probe result matches the unbucketed computation
+      val expected = nb.join(
+        fps.where(col("doc_id") % 10 =!= 9).select("fp"), Seq("fp"), "left_semi").count()
+      assert(dups.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS fp_index")
+    }
+  }
 }

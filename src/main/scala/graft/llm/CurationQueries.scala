@@ -156,6 +156,42 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- document chunking: fixed-size token windows with overlap
+    //      (window 32, stride 24 → 8-token overlap) — the core
+    //      context-length prep op for LLM training. Pure per-row
+    //      array math + one generator; chunk identity is the md5 of
+    //      the joined tokens so the oracle checks content, not just
+    //      shape. Tail chunks shorter than 8 tokens are dropped
+    //      (standard minimum-fill policy). ----
+    sql(
+      "q_doc_chunks",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE doc_id % 5 = 0),
+        |st AS (SELECT doc_id, words, unnest(range(0, len(words), 24)) AS start
+        |       FROM w),
+        |ch AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        |              words[start + 1 : least(start + 32, len(words))] AS chunk
+        |       FROM st)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(chunk) AS INT) AS chunk_tokens,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch
+        |WHERE len(chunk) >= 8
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .select(col("doc_id"), col("words"),
+          posexplode(sequence(lit(0), size(col("words")) - 1, lit(24))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          slice(col("words"), col("col") + 1, lit(32)).as("chunk"))
+        .where(size(col("chunk")) >= 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- URL parsing: host/path/param extraction (the provenance
     //      fields a web-corpus pipeline filters and groups on). URLs
     //      are synthesized deterministically (corpus has none); Spark

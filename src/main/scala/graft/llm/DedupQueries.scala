@@ -243,6 +243,41 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // ---- decontamination: flag training docs sharing long n-grams
+    //      with a held-out benchmark set (doc_id % 50 = 0 stands in
+    //      for the eval suite). The benchmark shingle set is bounded
+    //      → broadcast; the training side streams through one
+    //      map-side semi-join + count. Same inverted-index shape as
+    //      substring dedup, but corpus-vs-reference instead of
+    //      corpus-vs-itself. ----
+    sql(
+      "q_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, greatest(len(words) - 6, 1)),
+        |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |                                 words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+        |                                 words[i+6] || ' ' || words[i+7])) AS sgl
+        |       FROM w WHERE len(words) >= 8),
+        |bench AS (SELECT DISTINCT unnest(sgl) AS g FROM sh WHERE doc_id % 50 = 0),
+        |ex AS (SELECT doc_id, unnest(sgl) AS g FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT ex.doc_id, count(*) AS n_contaminated_shingles
+        |FROM ex JOIN bench ON ex.g = bench.g
+        |GROUP BY ex.doc_id
+        |ORDER BY ex.doc_id""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 8)
+        .select(col("doc_id"), graft.expressions.ShinglesArray(col("words"), 8).as("sgl"))
+      val bench = sh.where(col("doc_id") % 50 === 0)
+        .select(explode(col("sgl")).as("g")).distinct()
+      sh.where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(col("sgl")).as("g"))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_shingles"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup materialization: greedy pairwise prune — any doc with
     //      a smaller near-duplicate is dropped; the kept corpus is the
     //      LEFT ANTI join against the pair list (transitively-exact

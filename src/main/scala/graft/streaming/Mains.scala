@@ -1,7 +1,9 @@
 package graft.streaming
 
+import graft.Sessions
 import graft.streaming.VideoSessionProcessor.FrameIn
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** spark-submit-able entry points mirroring the reference's three
@@ -12,32 +14,30 @@ import org.apache.spark.sql.functions._
   * `spark-submit --class graft.streaming.{IngestMain,DetectMain,InspectMain}`.
   *
   * Local parquet stands in for the Kafka hop in this container (no
-  * connector jar); on a cluster the same frames flow through
-  * `KafkaIO.framesSource` / `toKafkaRecords` with `format("kafka")`
-  * readers/writers — the transforms are identical either way.
+  * connector jar): IngestMain writes kafka-record-shaped rows (key,
+  * value, topic, partition, offset, timestamp) so DetectMain and
+  * InspectMain consume exactly what a broker would deliver. On a
+  * cluster the same frames flow through `KafkaIO.framesSource` /
+  * `toKafkaRecords` with `format("kafka")` readers/writers — the
+  * transforms are identical either way.
   */
 object Mains {
-  private[streaming] def session(app: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
-      .appName(app)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  private[streaming] def usage(msg: String): Nothing = {
+    System.err.println(msg)
+    sys.exit(2)
   }
 }
 
-/** §3.1: binary video files → sampled, msgpack-encoded frame records.
-  * Args: <inputDir> <outDir> [extractionInterval]. The codec seam is
-  * the fixed-size splitter stub in this container (JavaCV grabber on
-  * a cluster — same flatMap shape). */
+/** §3.1: binary video files → sampled, msgpack-encoded, kafka-shaped
+  * frame records. Args: <inputDir> <outDir> [extractionInterval].
+  * The codec seam is the fixed-size splitter stub in this container
+  * (JavaCV grabber on a cluster — same flatMap shape). */
 object IngestMain {
   def main(args: Array[String]): Unit = {
-    val Array(inputDir, outDir, rest @ _*) = args: @unchecked
-    val spark = Mains.session("graft-ingest")
-    run(spark, inputDir, outDir, rest.headOption.map(_.toInt).getOrElse(1))
+    if (args.length < 2)
+      Mains.usage("usage: IngestMain <inputDir> <outDir> [extractionInterval]")
+    val spark = Sessions.build("graft-ingest")
+    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(1))
     spark.stop()
   }
 
@@ -52,19 +52,30 @@ object IngestMain {
     val chunk = 4096 // stub frame splitter: fixed-size payload chunks
     val frames = Jobs.ingest(files,
       bytes => bytes.grouped(chunk).toSeq, extractionInterval = interval)
-    frames.toDF("key", "value").write.mode("overwrite").parquet(outDir)
+    // kafka-record shape, as the broker would deliver it: 6 partitions
+    // keyed by video (the reference's topic layout), offsets per
+    // partition, deterministic timestamps off the offset.
+    val w = Window.partitionBy(col("partition"))
+      .orderBy(col("key"), monotonically_increasing_id())
+    frames.toDF("key", "value")
+      .withColumn("topic", lit("video-frames"))
+      .withColumn("partition", pmod(hash(col("key")), lit(6)).cast("int"))
+      .withColumn("offset", (row_number().over(w) - 1).cast("long"))
+      .withColumn("timestamp", timestamp_millis(lit(1700000000000L) + col("offset") * 10))
+      .withColumn("timestampType", lit(0))
+      .write.mode("overwrite").parquet(outDir)
   }
 }
 
 /** §3.2: frame records → detections + completions.
-  * Args: <framesParquet> <outDir>. Input schema: either raw
-  * (key, value=msgpack) records from IngestMain or typed
+  * Args: <framesParquet> <outDir>. Input schema: either kafka-shaped
+  * (value = msgpack) records from IngestMain or typed
   * (video_id, frame_number, timestamp_us) rows. */
 object DetectMain {
   def main(args: Array[String]): Unit = {
-    val Array(framesPath, outDir) = args: @unchecked
-    val spark = Mains.session("graft-detect")
-    run(spark, framesPath, outDir)
+    if (args.length != 2) Mains.usage("usage: DetectMain <framesParquet> <outDir>")
+    val spark = Sessions.build("graft-detect")
+    run(spark, args(0), args(1))
     spark.stop()
   }
 
@@ -78,19 +89,23 @@ object DetectMain {
             unix_micros(col("timestamp")).as("timestamp_us"))
           .as[FrameIn]
       else raw.select("video_id", "frame_number", "timestamp_us").as[FrameIn]
-    val out = Jobs.detect(frames)
-    out.detections.write.mode("overwrite").parquet(s"$outDir/detections")
-    out.completions.write.mode("overwrite").parquet(s"$outDir/completions")
+    // both sinks consume the stateful pass — materialize it once
+    val events = VideoSessionProcessor.processBatch(frames).toDF().cache()
+    try {
+      val out = Jobs.split(events)
+      out.detections.write.mode("overwrite").parquet(s"$outDir/detections")
+      out.completions.write.mode("overwrite").parquet(s"$outDir/completions")
+    } finally events.unpersist()
   }
 }
 
-/** S16/S17: topic inspection over any kafka-schema batch.
-  * Args: <kafkaBatchParquet> [tailLimit]. */
+/** S16/S17: topic inspection over any kafka-schema batch (such as
+  * IngestMain's output). Args: <kafkaBatchParquet> [tailLimit]. */
 object InspectMain {
   def main(args: Array[String]): Unit = {
-    val Array(path, rest @ _*) = args: @unchecked
-    val spark = Mains.session("graft-inspect")
-    run(spark, path, rest.headOption.map(_.toInt).getOrElse(10))
+    if (args.length < 1) Mains.usage("usage: InspectMain <kafkaBatchParquet> [tailLimit]")
+    val spark = Sessions.build("graft-inspect")
+    run(spark, args(0), args.lift(1).map(_.toInt).getOrElse(10))
     spark.stop()
   }
 

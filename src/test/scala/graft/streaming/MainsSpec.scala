@@ -27,6 +27,14 @@ class MainsSpec extends SparkSpec {
     assert(frames.count() == 10)
     assert(frames.select("key").distinct().collect().map(_.getString(0)).sorted.toSeq
       == Seq("vidA", "vidB"))
+    // kafka-record shape: per-partition offsets are dense from 0, so
+    // the inspection main consumes the same parquet "topic"
+    assert(frames.columns.toSet ==
+      Set("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+    val status = KafkaIO.topicStatus(frames).collect()
+    assert(status.map(_.getLong(3)).sum == 10)
+    assert(status.forall(_.getLong(1) == 0L)) // first_offset dense from 0
+    InspectMain.run(spark, s"$base/frames", 3) // prints; must resolve the schema
 
     DetectMain.run(spark, s"$base/frames", s"$base/out")
     val det = spark.read.parquet(s"$base/out/detections")

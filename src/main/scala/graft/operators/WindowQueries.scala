@@ -25,6 +25,30 @@ object WindowQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- positional value functions over an explicit rows frame ----
+    sql(
+      "q_window_nth",
+      """SELECT event_id,
+        |       round(first_value(value) OVER w, 2) AS v_first,
+        |       round(nth_value(value, 3) OVER w, 2) AS v_third,
+        |       round(last_value(value) OVER w, 2) AS v_last
+        |FROM events
+        |WHERE event_id % 11 = 0
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(-2, 2)
+      t(s, dir, "events")
+        .where(col("event_id") % 11 === 0)
+        .select(
+          col("event_id"),
+          round(first(col("value")).over(w), 2).as("v_first"),
+          round(nth_value(col("value"), 3).over(w), 2).as("v_third"),
+          round(last(col("value")).over(w), 2).as("v_last"))
+        .orderBy("event_id")
+    },
+
     // ---- ranking family over one shared sort ----
     sql(
       "q_window_rank",

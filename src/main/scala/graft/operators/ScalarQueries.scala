@@ -171,6 +171,29 @@ object ScalarQueries {
         .orderBy("event_type")
     },
 
+    // ---- VARIANT (Spark 4 semi-structured type): parse the JSON once
+    //      into a variant and extract typed paths; try_variant_get
+    //      yields null for a missing path instead of failing. The
+    //      DuckDB twin uses its JSON type the same way. ----
+    sql(
+      "q_variant",
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |       CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+        |       json_extract_string(props, '$.missing') AS missing_field
+        |FROM events WHERE event_id % 13 = 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .where(col("event_id") % 13 === 0)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          (variant_get(col("v"), "$.k", "bigint") % 10).as("k_bucket"),
+          try_variant_get(col("v"), "$.missing", "string").as("missing_field"))
+        .orderBy("event_id")
+    },
+
     // ---- array set operations (order-normalized via sort) ----
     sql(
       "q_array_setops",

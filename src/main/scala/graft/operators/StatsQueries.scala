@@ -159,6 +159,31 @@ object StatsQueries {
         .orderBy("n_name")
     },
 
+    // ---- manual salted skew join: the fact side salts its key, the
+    //      dimension side explodes across all salts — a hot key's rows
+    //      spread over 8 partitions instead of one. Value-identical to
+    //      the plain join (the oracle IS the plain join); AQE handles
+    //      this automatically (ScaleBehaviorSpec), the manual pattern
+    //      is for engines/paths where it can't. ----
+    sql(
+      "q_join_salted",
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val salts = 8
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .withColumn("salt", pmod(hash(col("o_totalprice")), lit(salts)))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("c_mktsegment")
+    },
+
     // ---- edit-distance fuzzy near-dup, FULL corpus, blocked. The
     //      blocking key (leading 4 chars) turns the pair scan into a
     //      hash equi-join: candidates share a block, the Levenshtein

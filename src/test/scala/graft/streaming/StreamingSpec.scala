@@ -82,6 +82,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("event-time timeout closes keyed state when the watermark passes (fMGWS)") {
+    // The third stateful-timeout mode (processing-time + timers are
+    // covered above): state expires on EVENT time, so replays behave
+    // identically regardless of wall-clock — the deterministic choice
+    // for backfills.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = input.toDF().toDF("ts", "key")
+      .withWatermark("ts", "5 seconds")
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(java.sql.Timestamp, String)], gs: GroupState[Long]) =>
+          if (gs.hasTimedOut) {
+            val n = gs.get
+            gs.remove()
+            Iterator(s"closed:$key:$n")
+          } else {
+            val batch = it.toSeq
+            val n = gs.getOption.getOrElse(0L) + batch.size
+            gs.update(n)
+            // close 10 s of EVENT time after the last event seen
+            gs.setTimeoutTimestamp(batch.map(_._1.getTime).max + 10000L)
+            Iterator.empty
+          }
+      }
+    val query = sessions.writeStream.format("memory").queryName("et_timeout")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (t("2024-01-01 00:00:01"), "k1"), (t("2024-01-01 00:00:02"), "k1"))
+      query.processAllAvailable()
+      assert(spark.table("et_timeout").count() == 0) // watermark hasn't passed
+      // a much later event advances the watermark past k1's timeout
+      input.addData((t("2024-01-01 00:01:00"), "k2"))
+      query.processAllAvailable()
+      // timeouts fire on the NEXT batch after the watermark advances
+      input.addData((t("2024-01-01 00:01:01"), "k2"))
+      query.processAllAvailable()
+      val rows = spark.table("et_timeout").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("closed:k1:2"))
+    } finally query.stop()
+  }
+
   test("watermarked tumbling window over a frame stream (event-time path)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]

@@ -45,6 +45,40 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int,
       width: Int, height: Int)
 
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Int, peak: Int, rms: Double, n_sign_changes: Int)
+
+  /** Audio-shaped feature extraction: treat the payload's first
+    * `window` bytes as centered 8-bit samples and compute the signal
+    * stats a curation pipeline gates on (peak, RMS, sign-change
+    * count ≈ zero-crossing rate). Same batched partition-local stage
+    * as [[extractFeatures]] — a real PCM/codec decoder drops into the
+    * per-batch seam; the byte→sample arithmetic is the real, tested
+    * plumbing (oracle-checked value-for-value since payloads are the
+    * documents' ASCII bytes). */
+  def extractAudioFeatures(ds: Dataset[MediaRow], window: Int = 64,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val samples = r.payload.take(window).map(b => (b & 0xff) - 128)
+          val n = samples.length
+          val peak = if (n == 0) 0 else samples.map(math.abs).max
+          val rms = if (n == 0) 0.0
+            else math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / n)
+          val changes = samples.sliding(2).count {
+            case Array(a, b) => a * b < 0
+            case _ => false
+          }
+          AudioFeatures(r.doc_id, n, peak,
+            BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            changes)
+        }
+      }
+    }
+  }
+
   /** Batched partition-local decode: the mapInPandas-shaped stage. */
   def extractFeatures(ds: Dataset[MediaRow], codec: MediaCodec,
       batchSize: Int = 64): Dataset[MediaFeatures] = {
@@ -88,6 +122,28 @@ object MultimodalQueries {
       Multimodal.extractFeatures(media, Multimodal.StubCodec)
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // ---- audio-shaped sample statistics over the binary payload ----
+    sql(
+      "q_multimodal_audio",
+      """WITH s AS (SELECT doc_id,
+        |  list_transform(range(1, least(length(text), 64) + 1),
+        |                 i -> ascii(substr(text, i, 1)) - 128) AS smp
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id,
+        |       CAST(len(smp) AS INT) AS n_samples,
+        |       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,
+        |       round(sqrt(list_sum(list_transform(smp, x -> x * x)) * 1.0 / len(smp)), 6) AS rms,
+        |       CAST(len(list_filter(range(1, len(smp)),
+        |                 i -> smp[i] * smp[i+1] < 0)) AS INT) AS n_sign_changes
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractAudioFeatures(media).toDF().orderBy("doc_id")
     },
 
     // ---- metadata-struct projection over the binary column ----

@@ -82,6 +82,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming aggregation in Complete and Update output modes") {
+    // Append is exercised everywhere else; Complete re-emits the full
+    // result table per batch and Update emits only changed rows — the
+    // dashboard/upsert-sink modes.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val agg = input.toDF().toDF("k", "v").groupBy("k").agg(sum($"v").as("total"))
+    val qc = agg.writeStream.format("memory").queryName("agg_complete")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(("a", 1), ("b", 2)); qc.processAllAvailable()
+      assert(spark.table("agg_complete").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 1L, "b" -> 2L))
+      input.addData(("a", 5)); qc.processAllAvailable()
+      // complete mode replaces the whole table: running totals, both keys
+      assert(spark.table("agg_complete").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 6L, "b" -> 2L))
+    } finally qc.stop()
+    val input2 = MemoryStream[(String, Int)]
+    val agg2 = input2.toDF().toDF("k", "v").groupBy("k").agg(sum($"v").as("total"))
+    val qu = agg2.writeStream.format("memory").queryName("agg_update")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input2.addData(("a", 1), ("b", 2)); qu.processAllAvailable()
+      assert(spark.table("agg_update").count() == 2) // both keys changed
+      input2.addData(("b", 10)); qu.processAllAvailable()
+      val rows = spark.table("agg_update").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      // only b changed in the second batch: exactly one new row, with
+      // the updated running total; a is not re-emitted
+      assert(rows.length == 3)
+      assert(rows.filter(_._1 == "b").map(_._2).sorted.toSeq == Seq(2L, 12L))
+      assert(rows.count(_._1 == "a") == 1)
+    } finally qu.stop()
+  }
+
   test("event-time timeout closes keyed state when the watermark passes (fMGWS)") {
     // The third stateful-timeout mode (processing-time + timers are
     // covered above): state expires on EVENT time, so replays behave

@@ -93,6 +93,50 @@ object SessionQueries {
         .orderBy("w_start", "event_type")
     },
 
+    // ---- DYNAMIC-gap session window: the gap depends on the event
+    //      (purchases hold a session open 20 min, everything else 10)
+    //      — session_window with a gap EXPRESSION. The oracle replica
+    //      generalizes gaps-and-islands: a session breaks when ts
+    //      reaches the running max of previous events' (ts + gap)
+    //      (session ends are exclusive), and the session end is the
+    //      max (ts + gap) of its members. ----
+    sql(
+      "q_session_dynamic_gap",
+      """WITH x AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN INTERVAL 20 MINUTE
+        |              ELSE INTERVAL 10 MINUTE END AS gap
+        |  FROM events),
+        |y AS (SELECT *,
+        |             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS prev_end
+        |      FROM x),
+        |z AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+        |      FROM y),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM z)
+        |SELECT user_id, min(ts) AS session_start, max(ts + gap) AS session_end,
+        |       count(*) AS n, round(sum(value), 2) AS v_sum
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      // session_window's dynamic gap requires CalendarIntervalType
+      // (ANSI INTERVAL literals are DayTimeIntervalType) → make_interval
+      val gap = when(col("event_type") === "purchase",
+          expr("make_interval(0, 0, 0, 0, 0, 20, 0)"))
+        .otherwise(expr("make_interval(0, 0, 0, 0, 0, 10, 0)"))
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v_sum"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n"), col("v_sum"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ---- session window (10 min gap) via built-in session_window ----
     sql(
       "q_session_window",

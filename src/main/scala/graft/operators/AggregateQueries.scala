@@ -97,6 +97,41 @@ object AggregateQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- approximate percentile (mergeable digest — exact
+    //      percentiles need a full sort per group; this is what runs
+    //      at 100 TB). Digest internals are engine-specific →
+    //      rows-only check; q_percentile is the exact twin. ----
+    rowsOnly("q_approx_percentile") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(percentile_approx(
+          col("value"), array(lit(0.25), lit(0.5), lit(0.95)), lit(10000)).as("pcts"))
+        .select(col("event_type"),
+          round(element_at(col("pcts"), 1), 2).as("p25"),
+          round(element_at(col("pcts"), 2), 2).as("p50"),
+          round(element_at(col("pcts"), 3), 2).as("p95"))
+        .orderBy("event_type")
+    },
+
+    // ---- HLL sketch lifecycle (DataSketches, Spark 3.5+): build one
+    //      sketch per source partition, STORE the sketch bytes, and
+    //      union them later for the global estimate — the pattern that
+    //      lets a 100 TB pipeline maintain distinct counts
+    //      incrementally without ever rescanning history. rows-only
+    //      (sketch encoding is engine-private). ----
+    rowsOnly("q_hll_sketch_union") { (s, dir) =>
+      val perSource = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(hll_sketch_agg(col("lang")).as("sk"))
+        .cache() // consumed per-source and by the union
+      val per = perSource.select(col("source"),
+        hll_sketch_estimate(col("sk")).as("est_langs"))
+      val overall = perSource.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_langs"))
+        .select(lit("ALL").as("source"), col("est_langs"))
+      per.unionByName(overall).orderBy("source")
+    },
+
     // ---- rollup (nation within region hierarchy) ----
     sql(
       "q_rollup",

@@ -97,6 +97,29 @@ object AggregateQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- arg-extremum (min_by/max_by on a UNIQUE ordering key — ties
+    //      would be engine-dependent) and bitwise aggregates (floor
+    //      before the int cast: CAST rounds in DuckDB, truncates in
+    //      Spark) ----
+    sql(
+      "q_arg_minmax",
+      """SELECT event_type,
+        |       min_by(user_id, event_id) AS first_user,
+        |       max_by(user_id, event_id) AS last_user,
+        |       CAST(bit_and(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_and,
+        |       CAST(bit_or(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_or,
+        |       CAST(bit_xor(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = floor(col("value")).cast("bigint")
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          max_by(col("user_id"), col("event_id")).as("last_user"),
+          bit_and(v).as("v_and"), bit_or(v).as("v_or"), bit_xor(v).as("v_xor"))
+        .orderBy("event_type")
+    },
+
     // ---- approximate percentile (mergeable digest — exact
     //      percentiles need a full sort per group; this is what runs
     //      at 100 TB). Digest internals are engine-specific →

@@ -55,14 +55,18 @@ object Multimodal {
     * as [[extractFeatures]] — a real PCM/codec decoder drops into the
     * per-batch seam; the byte→sample arithmetic is the real, tested
     * plumbing (oracle-checked value-for-value since payloads are the
-    * documents' ASCII bytes). */
+    * documents' ASCII bytes). The pivot is 96, not 128: ASCII text
+    * never exceeds 127, so a 128 pivot would make every sample
+    * negative and the sign-change stat vacuously zero — at 96,
+    * lowercase letters sit above the axis and spaces/digits below,
+    * so crossings genuinely exercise the stat. */
   def extractAudioFeatures(ds: Dataset[MediaRow], window: Int = 64,
       batchSize: Int = 64): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val samples = r.payload.take(window).map(b => (b & 0xff) - 128)
+          val samples = r.payload.take(window).map(b => (b & 0xff) - 96)
           val n = samples.length
           val peak = if (n == 0) 0 else samples.map(math.abs).max
           val rms = if (n == 0) 0.0
@@ -129,12 +133,13 @@ object MultimodalQueries {
       "q_multimodal_audio",
       """WITH s AS (SELECT doc_id,
         |  list_transform(range(1, least(length(text), 64) + 1),
-        |                 i -> ascii(substr(text, i, 1)) - 128) AS smp
+        |                 i -> ascii(substr(text, i, 1)) - 96) AS smp
         |  FROM documents WHERE doc_id % 2 = 0)
         |SELECT doc_id,
         |       CAST(len(smp) AS INT) AS n_samples,
-        |       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,
-        |       round(sqrt(list_sum(list_transform(smp, x -> x * x)) * 1.0 / len(smp)), 6) AS rms,
+        |       CAST(coalesce(list_max(list_transform(smp, x -> abs(x))), 0) AS INT) AS peak,
+        |       coalesce(round(sqrt(list_sum(list_transform(smp, x -> x * x)) * 1.0
+        |                           / len(smp)), 6), 0.0) AS rms,
         |       CAST(len(list_filter(range(1, len(smp)),
         |                 i -> smp[i] * smp[i+1] < 0)) AS INT) AS n_sign_changes
         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>

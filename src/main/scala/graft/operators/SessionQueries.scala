@@ -96,10 +96,11 @@ object SessionQueries {
     // ---- DYNAMIC-gap session window: the gap depends on the event
     //      (purchases hold a session open 20 min, everything else 10)
     //      — session_window with a gap EXPRESSION. The oracle replica
-    //      generalizes gaps-and-islands: a session breaks when ts
-    //      reaches the running max of previous events' (ts + gap)
-    //      (session ends are exclusive), and the session end is the
-    //      max (ts + gap) of its members. ----
+    //      generalizes gaps-and-islands: a session breaks only when ts
+    //      EXCEEDS the running max of previous events' (ts + gap) —
+    //      Spark merges an event arriving exactly at the session end
+    //      (UpdatingSessionsIterator splits on start > end) — and the
+    //      session end is the max (ts + gap) of its members. ----
     sql(
       "q_session_dynamic_gap",
       """WITH x AS (
@@ -112,7 +113,7 @@ object SessionQueries {
         |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |               AS prev_end
         |      FROM x),
-        |z AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+        |z AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END AS brk
         |      FROM y),
         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                               ROWS UNBOUNDED PRECEDING) AS sid

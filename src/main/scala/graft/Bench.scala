@@ -38,17 +38,24 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> runs.min
+      name -> runs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // headline numbers stay min-of-2 (stable plan-cost signal), but
+    // BOTH run times are reported: a loaded host shows up as a
+    // min/other gap in the artifact itself instead of needing a re-run
+    // to disprove (round-3 lesson — two phantom 3-4 s readings).
+    val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qruns = results.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
 
     // Streaming-path throughput (BASELINE.md fps shape): synthetic
     // frames through the full keyed state machine, frames/sec.
     // Best-of-2, same rationale as the per-query min: one GC pause
     // shouldn't smear the round's headline number.
-    val fps = {
+    val fpsRuns = {
       import spark.implicits._
       import graft.streaming.VideoSessionProcessor
       val nFrames = 200000
@@ -60,10 +67,11 @@ object Bench {
         VideoSessionProcessor.processBatch(frames).write
           .format("noop").mode("overwrite").save()
         nFrames / ((System.nanoTime() - t0) / 1e9)
-      }.max
+      }
     }
+    val fps = fpsRuns.max
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","video_pipeline_fps":${fps.round}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}]}""")
     spark.stop()
   }
 }

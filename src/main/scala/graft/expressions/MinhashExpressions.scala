@@ -2,7 +2,7 @@ package graft.expressions
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -28,8 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * order — value-identical to
   * `array_distinct(transform(...concat_ws(" ", …)))` including the
   * `size(words) < n` → empty-array case. */
-case class ShinglesArray(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesArray(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  // ExpectsInputTypes: a wrong-typed argument (e.g. an unsplit string
+  // at the SQL registration) fails analysis, not with a runtime
+  // ClassCastException inside the codegen'd static call.
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles_array"
 
@@ -72,20 +77,27 @@ object ShinglesArray {
   * is min over shingles of (a_k*h + b_k) mod p — one md5 per shingle
   * and K fused multiply-mod-min updates, no intermediate arrays.
   *
-  * Degenerate input (< n words, so zero shingles) yields slots pinned
-  * at p (the fold identity — larger than any (a*h+b) mod p); callers
-  * filter `size(words) >= n` first, mirroring the HOF pipeline whose
-  * array_min would return null there. */
-case class MinhashSignature(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  * Degenerate input (< n words, so zero shingles) yields NULL — the
+  * same value the HOF pipeline's `array_min` produces on an empty
+  * shingle array. A sentinel signature here would band-collide every
+  * short doc with every other as an est_jaccard=1.0 near-dup through
+  * the SQL-registered `minhash_signature`, where no size(words) >= n
+  * guard is enforced. */
+case class MinhashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   protected override def nullSafeEval(input: Any): Any =
     MinhashSignature.compute(input.asInstanceOf[ArrayData], n, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.MinhashSignature.compute($c, $n, $k)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.MinhashSignature.compute($c, $n, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
@@ -99,6 +111,7 @@ object MinhashSignature {
 
   def compute(words: ArrayData, n: Int, k: Int): ArrayData = {
     val nw = words.numElements()
+    if (nw < n) return null // zero shingles: null, like array_min([])
     val out = Array.fill(k)(P)
     val parts = new Array[UTF8String](n)
     var i = 0

@@ -232,9 +232,13 @@ object DedupQueries {
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(col("words")) >= 8)
         .select(col("doc_id"), explode(graft.expressions.ShinglesArray(col("words"), 8)).as("g"))
+      // `rare` (df-capped shingles) is corpus-proportional — nearly all
+      // distinct long shingles of a real corpus are rare — so no
+      // broadcast hint: AQE picks broadcast at small scale and a
+      // shuffled hash join once the set outgrows the broadcast limit.
       val rare = ex.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= 50)
         .select("g")
-      val exr = ex.join(broadcast(rare), "g")
+      val exr = ex.join(rare, "g")
       val a = exr.select(col("doc_id").as("da"), col("g").as("ga"))
       val b = exr.select(col("doc_id").as("db"), col("g").as("gb"))
       a.join(b, col("ga") === col("gb") && col("da") < col("db"))
@@ -289,10 +293,13 @@ object DedupQueries {
          |FROM documents d
          |WHERE d.doc_id NOT IN (SELECT db FROM pairs)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      // the pair-victim set scales with the corpus's duplication rate —
+      // no broadcast hint; AQE broadcasts while it fits and falls back
+      // to a shuffled anti join beyond the limit
       val nonKeepers = MinhashPipeline.pairs(s, dir).select("db").distinct()
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"))
-        .join(broadcast(nonKeepers), col("doc_id") === col("db"), "left_anti")
+        .join(nonKeepers, col("doc_id") === col("db"), "left_anti")
         .orderBy("doc_id")
     },
 

@@ -169,10 +169,9 @@ object SimilarityQueries {
     //      ever O(n²). k-means codebooks are engine-private →
     //      rows-only check. ----
     rowsOnly("q_knn_pq") { (s, dir) =>
-      import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import s.implicits._
-      val M = 4; val SubDim = 16; val Codes = 16
+      import PqIndex.{M, SubDim}
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("bkt", signBucket(col("v")))
@@ -180,26 +179,7 @@ object SimilarityQueries {
         slice(col("v"), m * SubDim + 1, SubDim).as(s"sub$m"))
       val sub = e.select(Seq(col("vec_id"), col("bkt"), col("v")) ++ subCols: _*)
         .cache() // feeds M fits, the encode pass, and the query side
-      // per-subspace codebooks — the M fits are independent, so they
-      // run concurrently (Spark schedules the jobs side by side)
-      val models = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.DurationInt
-        // codebooks train on a bounded sample collapsed to few
-        // partitions: iterative k-means on a small input otherwise
-        // pays scheduler overhead per iteration × per subspace (at
-        // corpus scale: sample() first, same shape)
-        val fitInput = sub.select(Seq(col("vec_id")) ++
-          (0 until M).map(m => col(s"sub$m")): _*).coalesce(1).cache()
-        val fitted = Await.result(Future.sequence((0 until M).map(m => Future {
-          new KMeans().setK(Codes).setSeed(100L + m).setMaxIter(5).setInitMode("random")
-            .setFeaturesCol("fv").setPredictionCol(s"code$m")
-            .fit(fitInput.select(array_to_vector(col(s"sub$m")).as("fv")))
-        })), 10.minutes)
-        fitInput.unpersist()
-        fitted
-      }
+      val models = PqIndex.fitCodebooks(sub)
       // encode: each corpus vector → M small codes
       val enc = models.zipWithIndex.foldLeft(sub) { case (df, (mo, m)) =>
         mo.setFeaturesCol("fv").setPredictionCol(s"code$m")
@@ -264,7 +244,7 @@ object SimilarityQueries {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |           WHERE vec_id % 10 = 0),
         |s AS (SELECT vec_id, v,
-        |             list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |             greatest(list_max(list_transform(v, x -> abs(x))) / 127, 1e-300) AS scale
         |      FROM e),
         |q AS (SELECT vec_id, v, scale,
         |             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
@@ -281,8 +261,10 @@ object SimilarityQueries {
       val e = t(s, dir, "embeddings")
         .where(col("vec_id") % 10 === 0)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val scale = (aggregate(transform(col("v"), x => abs(x)), lit(0.0),
-        (m, x) => greatest(m, x)) / 127).as("scale")
+      // floor at 1e-300 (mirrored in the oracle SQL): an all-zero
+      // embedding would otherwise quantize as x/0 → NaN fidelity stats
+      val scale = greatest(aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+        (m, x) => greatest(m, x)) / 127, lit(1e-300)).as("scale")
       val sdf = e.select(col("vec_id"), col("v"), scale)
       val qdf = sdf.select(col("vec_id"), col("v"), col("scale"),
         transform(col("v"), x => floor(x / col("scale") + 0.5) * col("scale")).as("dq"))

@@ -38,16 +38,33 @@ class ProgressListener(
     log.asScala.toSeq.map(_.doubleValue())
   }
 
-  private def tracks(name: String): Boolean = queryName.forall(_ == name)
+  // Gauge ownership is per-RUN: a named listener owns every run of that
+  // query name (a restart = new runId resets the row counter, so
+  // replayed micro-batches after recovery don't double-count); an
+  // unnamed listener latches onto the FIRST run it observes and ignores
+  // every other query on the session.
+  private def adopt(runId: java.util.UUID, name: String): Boolean = synchronized {
+    if (trackedRunId.contains(runId)) true
+    else {
+      val owns = queryName match {
+        case Some(n) => name != null && n == name // restart of the named query
+        case None => trackedRunId.isEmpty // anonymous: first run wins
+      }
+      if (owns) {
+        if (trackedRunId.isDefined) seen.set(0L) // new runId: replay must not double-count
+        trackedRunId = Some(runId)
+      }
+      owns
+    }
+  }
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    // capture the runId here too: a tracked query that dies before its
-    // first progress event must still finalize on termination
-    if (event.name != null && tracks(event.name)) trackedRunId = Some(event.runId)
+    // adopt here too: a tracked query that dies before its first
+    // progress event must still finalize on termination
+    adopt(event.runId, event.name)
 
   override def onQueryProgress(event: QueryProgressEvent): Unit =
-    if (tracks(event.progress.name)) {
-      trackedRunId = Some(event.progress.runId)
+    if (adopt(event.progress.runId, event.progress.name)) {
       val total = seen.addAndGet(event.progress.numInputRows)
       val raw =
         if (expectedTotal <= 0L) 100.0 else total * 100.0 / expectedTotal
@@ -58,10 +75,12 @@ class ProgressListener(
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    // QueryTerminatedEvent carries no name — match on the runId seen
-    // in progress events (terminations of other queries must not
-    // finalize this gauge).
-    if (queryName.isEmpty || trackedRunId.contains(event.runId)) {
+    // QueryTerminatedEvent carries no name — match on the adopted runId
+    // (terminations of other queries must not finalize this gauge); an
+    // unnamed listener that never saw a run finalizes on any
+    // termination, preserving the close-out-on-teardown behavior.
+    if (trackedRunId.contains(event.runId) ||
+        (queryName.isEmpty && trackedRunId.isEmpty)) {
       current = Progress.finalizeValue(current, producerPct())
       log.add(current)
     }

@@ -147,21 +147,58 @@ object VideoSessionProcessor {
     (Some(st), out.toSeq)
   }
 
-  /** Batch wiring: whole group in one call; every session closes at
-    * end-of-input (the batch analog of the drain path A10). */
+  /** Batch wiring: secondary-sort shape — hash-partition on video_id,
+    * sort WITHIN partitions by (video_id, frame_number), then stream
+    * each partition through the same pure `transition` one frame at a
+    * time. Every session closes at end-of-key (the batch analog of the
+    * drain path A10).
+    *
+    * Why not groupByKey+flatMapGroups: that wiring must buffer a whole
+    * key's frames in task memory to sort them (a 10M-frame video = a
+    * per-task memory spike). Here the sort runs in Spark's spillable
+    * shuffle sorter and the state stays O(1)/key, exactly as the
+    * streaming wirings advertise — the iterator never materializes a
+    * group. */
   def processBatch(
       frames: Dataset[FrameIn],
       cfg: Config = Config(),
       model: Backend = FireModel.SyntheticFireModel(),
       processingTs: Timestamp = new Timestamp(0L)): Dataset[VideoEvent] = {
     implicit val evEnc = Encoders.product[VideoEvent]
-    import frames.sparkSession.implicits._
-    frames.groupByKey(_.video_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (vid: String, it: Iterator[FrameIn], _: GroupState[VideoState]) =>
-          val sorted = it.toSeq.sortBy(f => (f.frame_number, f.timestamp_us))
-          val (st, events) = transition(vid, None, sorted, cfg, model, processingTs)
-          (events ++ st.map(s => VideoEvent("completion", None, Some(completionOf(vid, s))))).iterator
+    frames
+      .repartition(org.apache.spark.sql.functions.col("video_id"))
+      .sortWithinPartitions("video_id", "frame_number", "timestamp_us")
+      .mapPartitions { it: Iterator[FrameIn] =>
+        new Iterator[VideoEvent] {
+          private val in = it.buffered
+          private var out: Iterator[VideoEvent] = Iterator.empty
+          private var curVid: String = null
+          private var st: Option[VideoState] = None
+
+          private def closeCurrent(): Iterator[VideoEvent] = {
+            val fin = st.map(s =>
+              VideoEvent("completion", None, Some(completionOf(curVid, s)))).iterator
+            st = None
+            fin
+          }
+
+          private def advance(): Unit =
+            while (!out.hasNext && (in.hasNext || st.isDefined)) {
+              if (in.hasNext && (curVid == null || in.head.video_id == curVid)) {
+                val f = in.next()
+                curVid = f.video_id
+                val (ns, events) = transition(curVid, st, Seq(f), cfg, model, processingTs)
+                st = ns
+                out = events.iterator
+              } else { // key change or end of partition: drain the session
+                out = closeCurrent()
+                if (in.hasNext) curVid = in.head.video_id
+              }
+            }
+
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): VideoEvent = { advance(); out.next() }
+        }
       }
   }
 

@@ -20,6 +20,14 @@ object VectorFunctions {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Unit-normalize (zero-norm guarded): on the unit sphere squared L2
+    * is 2 - 2·cos, so L2-metric structures (k-means cells, PQ
+    * codebooks) agree with cosine ranking. */
+  def l2Normalize(v: Column): Column = {
+    val n = greatest(l2Norm(v), lit(1e-300))
+    transform(v, x => x / n)
+  }
+
   /** Cosine similarity, dot/(sqrt(|a|^2*|b|^2)) — same association as
     * the oracle formula so doubles match bit-for-bit. */
   def cosine(a: Column, b: Column): Column =

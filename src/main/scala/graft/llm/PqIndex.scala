@@ -22,9 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  val M = 4 // subspaces
-  val SubDim = 16 // dims per subspace (M × SubDim = embedding dim)
+  // Coarse (IVF) stage — shared by q_knn_ivf and q_knn_pq. k ≈ √N at
+  // scale; nprobe is recall-calibrated against brute-force ground
+  // truth in AccuracySpec (this synthetic corpus is near-random — the
+  // hardest recall case — so nprobe = k/2; structured corpora reach
+  // the same recall at much smaller nprobe/k).
+  val CoarseK = 8 // inverted-list cells
+  val NProbe = 4 // cells a query probes
+
+  // PQ stage
+  val M = 8 // subspaces
+  val SubDim = 8 // dims per subspace (M × SubDim = embedding dim)
   val Codes = 16 // centroids per subspace (4 bits' worth)
+  val Shortlist = 50 // ADC shortlist width before the exact rerank
   val SampleRows = 4096 // fit-sample cap (k-means sees at most this)
 
   /** Fit the M per-subspace codebooks from a frame carrying

@@ -108,44 +108,54 @@ object SimilarityQueries {
     },
 
     // ---- IVF ANN: trained k-means coarse quantizer (the second ANN
-    //      rung after sign-LSH). Every vector is assigned to its
-    //      nearest centroid — the inverted list — and a query probes
-    //      its top-2 cells (multi-probe recovers the recall lost at
-    //      cell borders): the candidate space is an equi-join on the
-    //      cell id, never a corpus scan. The only non-equi step is the
-    //      query × centroid-table distance — a 16-row broadcast. At
-    //      scale: k ≈ √N cells, larger nprobe, and an int8/PQ residual
-    //      (q_embed_quantized is that storage path). MLlib's k-means
-    //      init is engine-private → rows-only check (same labeling as
-    //      the MLlib MinHash path). ----
+    //      rung after sign-LSH). Vectors are L2-NORMALIZED before
+    //      clustering and assignment — the ranking metric is cosine,
+    //      and on the unit sphere squared L2 is 2 - 2·cos, so cell
+    //      membership agrees with the metric the query ranks by
+    //      (unnormalized IVF cells cost ~2× the recall: measured in
+    //      AccuracySpec's ground-truth harness). Every vector joins
+    //      its nearest-centroid inverted list; a query multi-probes
+    //      its top-nprobe cells via the k-row broadcast centroid
+    //      table — candidates are an equi-join on cell id, never a
+    //      corpus scan. Parameters are recall-calibrated on this
+    //      corpus (near-random synthetic embeddings — the hardest
+    //      case): k=8, nprobe=4 ⇒ recall@3 ≈ 0.9, asserted ≥ 0.8 in
+    //      AccuracySpec. At scale: k ≈ √N cells and nprobe re-tuned to
+    //      the recall target — structured real corpora reach the same
+    //      recall at far smaller nprobe/k. MLlib's k-means internals
+    //      are engine-private → rows-only oracle check; the recall
+    //      spec is the value-level gate. ----
     rowsOnly("q_knn_ivf") { (s, dir) =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import s.implicits._
+      val K = PqIndex.CoarseK; val NProbe = PqIndex.NProbe
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("fv", array_to_vector(col("v")))
+        .withColumn("vn", l2Normalize(col("v")))
+        .withColumn("fv", array_to_vector(col("vn")))
         .cache() // feeds fit + both join sides
-      // random init: k-means|| spends extra passes picking seeds, and
-      // the coarse-quantizer quality difference is immaterial once
-      // multi-probe + rerank are in play
-      val km = new KMeans().setK(16).setSeed(7L).setMaxIter(10).setInitMode("random")
+      // k-means|| init: the coarse quantizer IS the recall ceiling
+      // (candidates come only from probed cells), so seed quality
+      // matters here — random init measurably costs recall@3 on this
+      // corpus (0.68 vs 0.9 at the same nprobe)
+      val km = new KMeans().setK(K).setSeed(7L).setMaxIter(20)
         .setFeaturesCol("fv").setPredictionCol("cell")
       val model = km.fit(e)
-      val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+      val assigned = model.transform(e).select(col("vec_id"), col("v"), col("vn"), col("cell"))
       // centroid table: k rows, broadcast for the per-query probe rank
       val cents = model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray) }.toDF("ccell", "cvec")
       val sqDist = aggregate(
-        zip_with(col("qv"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        zip_with(col("qvn"), col("cvec"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
       val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
       val probes = assigned.where(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"))
         .crossJoin(broadcast(cents))
         .withColumn("cdist", sqDist)
         .withColumn("crn", row_number().over(wq))
-        .where(col("crn") <= 2) // nprobe = 2
+        .where(col("crn") <= NProbe)
         .select(col("qid"), col("qv"), col("ccell"))
       val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell").as("cc"))
       val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
@@ -157,69 +167,103 @@ object SimilarityQueries {
         .orderBy(col("qid"), desc("sim"), col("cid"))
     },
 
-    // ---- IVF-PQ-style ANN: sign-LSH coarse index + product-quantized
-    //      asymmetric-distance scoring + exact rerank. The corpus is
-    //      stored as M=4 codes of 4 bits' worth each (16-way k-means
-    //      per 16-dim subspace) — at 100 TB that is the index that
-    //      fits: 4 bytes/vector instead of 256. Scoring a candidate is
-    //      M table lookups (the per-query distance table is 64 rows),
-    //      realized relationally as melt → equi-join → sum; the top-10
-    //      by ADC are reranked with the exact cosine. Every join is an
-    //      equi-join (bucket, subspace id, code, vec id) — no scan is
-    //      ever O(n²). k-means codebooks are engine-private →
-    //      rows-only check. ----
+    // ---- IVF-PQ ANN: the SAME normalized k-means coarse index as
+    //      q_knn_ivf (k=CoarseK cells, nprobe-cell multi-probe) with
+    //      product-quantized asymmetric-distance scoring + exact
+    //      rerank. The corpus is stored as M=8 codes of 4 bits' worth
+    //      each (16-way k-means per 8-dim subspace of the UNIT
+    //      vector) — at 100 TB that is the index that fits: 8 nibbles
+    //      per vector instead of 256 bytes. Scoring a candidate is M
+    //      table lookups (the per-query distance table is M×Codes =
+    //      128 rows), realized relationally as melt → equi-join →
+    //      sum; the top-[[PqIndex.Shortlist]] by ADC are reranked
+    //      with the exact cosine. Every join is an equi-join (cell,
+    //      subspace id, code, vec id) — no scan is ever O(n²).
+    //      Parameters are recall-calibrated in AccuracySpec (≥ 0.6
+    //      against brute-force ground truth; ADC quantization noise
+    //      on this near-random corpus is what the wide shortlist
+    //      absorbs). k-means codebooks are engine-private →
+    //      rows-only oracle check; the recall spec is the value gate.
+    //      (Round 3's version used an 8-bit sign-LSH coarse index:
+    //      256 buckets over a 500-vector corpus left ~2 candidates
+    //      per query — recall 0.02. The shared IVF cells fix the
+    //      candidate starvation; the recall spec now pins it.) ----
     rowsOnly("q_knn_pq") { (s, dir) =>
+      import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import s.implicits._
-      import PqIndex.{M, SubDim}
+      import PqIndex.{CoarseK, M, NProbe, Shortlist, SubDim}
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bkt", signBucket(col("v")))
+        .withColumn("vn", l2Normalize(col("v")))
       val subCols = (0 until M).map(m =>
-        slice(col("v"), m * SubDim + 1, SubDim).as(s"sub$m"))
-      val sub = e.select(Seq(col("vec_id"), col("bkt"), col("v")) ++ subCols: _*)
-        .cache() // feeds M fits, the encode pass, and the query side
+        slice(col("vn"), m * SubDim + 1, SubDim).as(s"sub$m"))
+      val sub = e.select(Seq(col("vec_id"), col("v"), col("vn"),
+          array_to_vector(col("vn")).as("fv")) ++ subCols: _*)
+        .cache() // feeds coarse fit + M PQ fits, the encode pass, and the query side
+      // coarse quantizer: same spherical cells as q_knn_ivf (k-means||
+      // init — the coarse stage is the recall ceiling)
+      val coarse = new KMeans().setK(CoarseK).setSeed(7L).setMaxIter(20)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(sub)
+      val ccents = coarse.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }.toDF("ccell", "cvec")
       val models = PqIndex.fitCodebooks(sub)
-      // encode: each corpus vector → M small codes
-      val enc = models.zipWithIndex.foldLeft(sub) { case (df, (mo, m)) =>
-        mo.setFeaturesCol("fv").setPredictionCol(s"code$m")
-          .transform(df.withColumn("fv", array_to_vector(col(s"sub$m"))))
-          .drop("fv")
+      // encode: each corpus vector → cell + M small codes
+      val enc = models.zipWithIndex.foldLeft(
+          coarse.transform(sub).select(
+            Seq(col("vec_id"), col("cell")) ++ (0 until M).map(m => col(s"sub$m")): _*)) {
+        case (df, (mo, m)) =>
+          mo.setFeaturesCol(s"pfv$m").setPredictionCol(s"code$m")
+            .transform(df.withColumn(s"pfv$m", array_to_vector(col(s"sub$m"))))
+            .drop(s"pfv$m")
       }
-      // centroid table (M × Codes = 64 rows) for the query-side ADC table
-      val cents = models.zipWithIndex.flatMap { case (mo, m) =>
-        mo.clusterCenters.zipWithIndex.map { case (c, k) => (m, k, c.toArray) }
-      }.toDF("cm", "ccode", "cvec")
+      // query set probes its top-nprobe cells via the k-row broadcast
       val queries = sub.where(col("vec_id") % 25 === 0)
-        .select(Seq(col("vec_id").as("qid"), col("bkt").as("qbkt"), col("v").as("qv")) ++
+        .select(Seq(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn")) ++
           (0 until M).map(m => col(s"sub$m").as(s"qsub$m")): _*)
-      // melt query subvectors → (qid, qm, qsub); equi-join the centroid
-      // table on the subspace id → per-(query, subspace, code) distance
+      val cellDist = aggregate(
+        zip_with(col("qvn"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
+      val probes = queries.select(col("qid"), col("qvn"))
+        .crossJoin(broadcast(ccents))
+        .withColumn("cdist", cellDist)
+        .withColumn("crn", row_number().over(wq))
+        .where(col("crn") <= NProbe)
+        .select(col("qid").as("pqid"), col("ccell"))
+      // per-(query, subspace, code) ADC distance table: melt query
+      // subvectors, equi-join the M×Codes broadcast codebook table
+      val pcents = models.zipWithIndex.flatMap { case (mo, m) =>
+        mo.clusterCenters.zipWithIndex.map { case (c, k) => (m, k, c.toArray) }
+      }.toDF("cm", "ccode", "cbvec")
       val melted = (0 until M).map(m =>
           queries.select(col("qid"), lit(m).as("qm"), col(s"qsub$m").as("qsub")))
         .reduce(_ unionByName _)
-      val sq = aggregate(zip_with(col("qsub"), col("cvec"), (x, y) => (x - y) * (x - y)),
+      val sq = aggregate(zip_with(col("qsub"), col("cbvec"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-      val dtab = melted.join(broadcast(cents), col("qm") === col("cm"))
+      val dtab = melted.join(broadcast(pcents), col("qm") === col("cm"))
         .select(col("qid").as("dqid"), col("qm").as("dm"), col("ccode").as("dcode"),
           sq.as("d"))
-      // candidates from the coarse bucket; melt their codes and look
-      // up. Everything bounded-by-the-query-set broadcasts (the query
-      // side, the ADC table, the shortlist) — the corpus-sized encode
+      // candidates = probed-cell equi-join; melt their codes and look
+      // up. Everything bounded-by-the-query-set broadcasts (probes,
+      // the ADC table, the shortlist) — the corpus-sized encode
       // streams through map-side joins and is never shuffled.
-      val cand = broadcast(queries.select(col("qid"), col("qbkt")))
-        .join(enc.select(col("vec_id").as("cid"), col("bkt").as("cbkt"),
-            array((0 until M).map(m => col(s"code$m")): _*).as("codes")),
-          col("qbkt") === col("cbkt") && col("cid") =!= col("qid"))
+      val cand = enc
+        .select(col("vec_id").as("cid"), col("cell").as("ccid"),
+          array((0 until M).map(m => col(s"code$m")): _*).as("codes"))
+        .join(broadcast(probes), col("ccid") === col("ccell"))
+        .where(col("cid") =!= col("pqid"))
+        .select(col("pqid").as("qid"), col("cid"), col("codes"))
       val scored = cand
         .select(col("qid"), col("cid"), posexplode(col("codes")))
         .join(broadcast(dtab), col("qid") === col("dqid") && col("pos") === col("dm")
           && col("col") === col("dcode"))
         .groupBy("qid", "cid").agg(sum(col("d")).as("adc"))
-      // top-10 by approximate distance, exact-cosine rerank to top-3
+      // wide ADC shortlist, exact-cosine rerank to top-3
       val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
       val shortlist = scored.withColumn("arn", row_number().over(wAdc))
-        .where(col("arn") <= 10)
+        .where(col("arn") <= Shortlist)
         .join(broadcast(queries.select(col("qid").as("q2"), col("qv"))),
           col("qid") === col("q2"))
       val wSim = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))

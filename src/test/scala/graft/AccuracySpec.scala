@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Value-level validation for the six rows-only oracle queries — the
+  * ones whose engine-private internals (HLL/digest sketch encodings,
+  * MLlib hash seeds, k-means centroids) admit no DuckDB hash-compare.
+  * Each check here pins the query's OUTPUT quality against a
+  * deterministic exact twin computed in-spec, so a bug that returned
+  * plausibly-shaped wrong answers (wrong neighbors, wildly-off
+  * estimates) fails a test instead of sailing through a rows-only
+  * count:
+  *
+  *  - ANN recall@3 vs brute-force ground truth (IVF ≥ 0.8, PQ ≥ 0.6
+  *    pre-rerank bound per VERDICT r3 #1);
+  *  - approx_count_distinct within the 3σ HLL++ bound (rsd = 0.02);
+  *  - percentile_approx within the digest's rank-ε guarantee;
+  *  - DataSketches HLL union within 3σ of exact distinct counts;
+  *  - MLlib MinHashLSH distances ≈ true Jaccard, and no high-Jaccard
+  *    pair missed by the banding.
+  *
+  * All inputs are the fixed sf0.01 parquet tables and every estimator
+  * is seeded, so these are deterministic checks, not flaky tolerances.
+  */
+class AccuracySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  import spark.implicits._
+
+  /** (qid, cid) pairs ranked top-k by exact cosine for exactly the
+    * query set the ANN queries use (vec_id % 25 == 0). */
+  private def bruteForceTopK(k: Int): Set[(Long, Long)] = {
+    import graft.functions.VectorFunctions.{asDouble, cosine}
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
+    q.join(c, col("cid") =!= col("qid"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "cid")
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def returnedPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  test("q_knn_ivf recall@3 vs brute-force ground truth >= 0.8") {
+    val truth = bruteForceTopK(3)
+    val ivf = returnedPairs(SparkEntry.queries("q_knn_ivf")(spark, sf))
+    val recall = (ivf & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"IVF recall@3 = $recall (hits ${(ivf & truth).size}/${truth.size})")
+  }
+
+  test("q_knn_pq recall@3 vs brute-force ground truth >= 0.6") {
+    val truth = bruteForceTopK(3)
+    val pq = returnedPairs(SparkEntry.queries("q_knn_pq")(spark, sf))
+    val recall = (pq & truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"PQ recall@3 = $recall (hits ${(pq & truth).size}/${truth.size})")
+  }
+
+  test("q_approx_distinct estimates within the 3-sigma HLL++ bound of exact counts") {
+    // rsd = 0.02 is the requested standard error; 3σ = 6% relative.
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .select($"l_returnflag", $"approx_parts".cast("long"), $"approx_orders".cast("long"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (p, o)) =>
+      val (ap, ao) = approx(flag)
+      assert(math.abs(ap - p).toDouble / p <= 0.06, s"$flag parts: approx $ap vs exact $p")
+      assert(math.abs(ao - o).toDouble / o <= 0.06, s"$flag orders: approx $ao vs exact $o")
+    }
+  }
+
+  test("q_approx_percentile values sit within the digest's rank-epsilon band") {
+    // accuracy = 10000 ⇒ rank error ε = 1/10000 of the group size; the
+    // check is rank-based (the estimator returns a member of the group,
+    // not an interpolated value, so value-compare against an
+    // interpolating exact percentile would be the wrong test).
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, sf)
+      .select($"event_type", $"p25", $"p50", $"p95")
+      .as[(String, Double, Double, Double)].collect()
+    val groups = Tables(spark, sf, "events")
+      .select($"event_type", $"value".cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    approx.foreach { case (et, p25, p50, p95) =>
+      val vs = groups(et)
+      val n = vs.length
+      Seq(0.25 -> p25, 0.5 -> p50, 0.95 -> p95).foreach { case (q, est) =>
+        // rank window the digest guarantees, ±1 for the round(,2) the
+        // query applies to its output
+        val lo = math.max(math.floor((q - 1.0 / 10000) * n).toInt - 1, 0)
+        val hi = math.min(math.ceil((q + 1.0 / 10000) * n).toInt + 1, n - 1)
+        val (vLo, vHi) = (vs(lo) - 0.01, vs(hi) + 0.01)
+        assert(est >= vLo && est <= vHi,
+          s"$et q=$q: estimate $est outside value band [$vLo, $vHi] (ranks $lo..$hi of $n)")
+      }
+    }
+  }
+
+  test("q_hll_sketch_union estimates match exact distinct counts within 3 sigma") {
+    // DataSketches HLL at the default lgK=12 has rse ≈ 1.04/√4096 ≈
+    // 1.6%; the per-source lang cardinalities here are tiny (sparse
+    // mode — near-exact), so 3σ = 5% with a floor of 1 absorbs both
+    // regimes.
+    val est = SparkEntry.queries("q_hll_sketch_union")(spark, sf)
+      .select($"source", $"est_langs".cast("double"))
+      .as[(String, Double)].collect().toMap
+    val docs = Tables(spark, sf, "documents")
+    val exactPer = docs.groupBy("source").agg(countDistinct($"lang").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = docs.agg(countDistinct($"lang")).as[Long].head()
+    (exactPer + ("ALL" -> exactAll)).foreach { case (src, n) =>
+      val e = est(src)
+      assert(math.abs(e - n) <= math.max(1.0, 0.05 * n),
+        s"$src: HLL estimate $e vs exact $n")
+    }
+  }
+
+  test("q_dedup_minhash_mllib distances track true Jaccard and miss no 0.9+ pair") {
+    import graft.functions.TextFunctions.tokens
+    // the query's own input population: even doc_ids, >= 3 words
+    val sgl = Tables(spark, sf, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), graft.expressions.ShinglesArray(col("words"), 3).as("sgl"))
+    val a = sgl.select(col("doc_id").as("da"), col("sgl").as("sa"))
+    val b = sgl.select(col("doc_id").as("db"), col("sgl").as("sb"))
+    // exact pairwise Jaccard on the 3-shingle sets (few hundred docs —
+    // the all-pairs scan is the point of a ground-truth computation)
+    val trueJ = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("j"))
+      .where(col("j") > 0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+    val returned = SparkEntry.queries("q_dedup_minhash_mllib")(spark, sf)
+      .select($"da".cast("long"), $"db".cast("long"), $"dist".cast("double"))
+      .as[(Long, Long, Double)].collect()
+    assert(returned.nonEmpty)
+    returned.foreach { case (da, db, dist) =>
+      val j = trueJ.getOrElse((da, db), 0.0)
+      // MLlib's keyDistance is exact Jaccard over the 2^18-bucket
+      // hashed shingle space — collisions only tighten distance, so
+      // the reported distance may only slightly UNDERSTATE 1 - J.
+      assert(math.abs((1.0 - dist) - j) <= 0.05,
+        s"pair ($da,$db): dist $dist vs true Jaccard $j")
+    }
+    // completeness: every true near-identical pair must be caught (at
+    // J >= 0.9 the per-table miss probability is (1-J)^4 <= 1e-4, and
+    // the run is seeded — this is deterministic, not probabilistic)
+    val returnedSet = returned.map { case (x, y, _) => (x, y) }.toSet
+    val mustCatch = trueJ.filter(_._2 >= 0.9).keySet
+    val missed = mustCatch -- returnedSet
+    assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
+  }
+}

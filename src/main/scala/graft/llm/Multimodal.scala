@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * batches so a real decoder would amortize model/codec init per
   * batch, exactly like a vectorized UDF.
   *
-  * The actual pixel decode is STUBBED (no image libs in this
-  * container): `StubCodec` derives deterministic pseudo-dimensions
-  * from the bytes. The Spark-side plumbing — binary schema, batch
-  * shape, partition-local iteration, metadata struct — is real and
-  * oracle-checked byte-for-byte (first/last byte, sizes) since the
-  * payloads here are the documents' UTF-8 bytes.
+  * Two codecs serve the [[Multimodal.MediaCodec]] seam: `StubCodec`
+  * (deterministic pseudo-dims from the bytes — what the ORACLE checks,
+  * since the test payloads are the documents' UTF-8 bytes, not images)
+  * and [[graft.adapters.ImageIoMedia.ImageIoCodec]], a REAL JPEG/PNG
+  * decoder on the JDK's javax.imageio — `AdaptersSpec` proves it drops
+  * into `extractFeatures` unchanged with true dimensions. The
+  * Spark-side plumbing — binary schema, batch shape, partition-local
+  * iteration, metadata struct — is identical under either.
   */
 object Multimodal {
 

@@ -16,8 +16,10 @@ import scala.collection.mutable
   * length-prefixed frame container with a footer, and `finalize`
   * re-opens the file to verify the footer — the moov-atom probe
   * analog (reference streams/pipeline/video_writer.py:92-167). The
-  * pool/finalize/idempotency semantics are real and tested; a JavaCV
-  * `FFmpegFrameRecorder` drops into [[ContainerWriter]] unchanged.
+  * pool/finalize/idempotency semantics are real and tested; the
+  * reflection-resolved [[graft.adapters.RuntimeAdapters.JavaCvContainerWriter]]
+  * implements [[ContainerWriter]] against FFmpegFrameRecorder and
+  * plugs into [[WriterPool]] via its `mkWriter` seam.
   */
 object VideoSink {
 
@@ -51,8 +53,15 @@ object VideoSink {
   }
 
   /** Partition-local pool of open writers keyed by video_id
-    * (reference's video_writers dict, streams/stream.py:104-121). */
-  final class WriterPool(outDir: Path) {
+    * (reference's video_writers dict, streams/stream.py:104-121).
+    * `mkWriter` is the muxer seam: the default stub writes the
+    * length-prefixed test container; on a jar-equipped cluster pass
+    * `(p, _) => new RuntimeAdapters.JavaCvContainerWriter(p, w, h, fps)`
+    * and every pool/finalize/suffix-bump semantic is unchanged. */
+  final class WriterPool(
+      outDir: Path,
+      mkWriter: (Path, String) => ContainerWriter =
+        (p, codec) => new StubContainerWriter(p, codec)) {
     Files.createDirectories(outDir)
     private val open = mutable.Map.empty[String, (Path, ContainerWriter)]
 
@@ -68,7 +77,7 @@ object VideoSink {
       val (_, w) = open.getOrElseUpdate(videoId, {
         val codec = probeCodec(_ => true).get
         val p = pathFor(videoId)
-        (p, new StubContainerWriter(p, codec))
+        (p, mkWriter(p, codec))
       })
       w.append(frame)
     }

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale checkpoint (VERDICT r3 next-round #5): no sf1 testdata exists
+  * in this container, so this main materializes a ~10× corpus from
+  * sf0.1 into target/sfx10 and times a heavy-query subset at both
+  * scales, printing per-query scaling factors. A query whose cost
+  * curve hides a candidate-pair blowup or a skew cliff at sf0.1 shows
+  * a factor far above ~10 here.
+  *
+  * Replication is STATISTICS-PRESERVING, not copy-paste: key columns
+  * shift per replica (so join fan-outs stay realistic), document text
+  * is word-permuted per replica with a deterministic hash order (same
+  * vocabulary/length distributions, but replicas are NOT near-dups of
+  * their origin — a copy-paste corpus would degenerate every dedup
+  * query into 10-way duplicate cliques, which is a different workload),
+  * and embeddings get ±5% deterministic jitter (norms preserved,
+  * exact-dup structure broken). Replica 0 is the original data.
+  */
+object ScaleCheck {
+
+  val Replicas = 10
+  val Stride = 100000000L // key shift per replica, above any base key
+
+  private def shiftKeys(df: DataFrame, r: Int, keys: String*): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
+
+  def buildReplica(spark: SparkSession, base: String, out: String): Unit = {
+    if (Files.exists(Paths.get(out, "_DONE"))) return
+    def write(name: String, mk: Int => DataFrame): Unit = {
+      val full = (0 until Replicas).map(mk).reduce(_ unionByName _)
+      full.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    write("region", _ => Tables(spark, base, "region")) // dims replicate as-is
+    write("nation", _ => Tables(spark, base, "nation"))
+    write("customer", r => shiftKeys(Tables(spark, base, "customer"), r, "c_custkey"))
+    write("supplier", r => shiftKeys(Tables(spark, base, "supplier"), r, "s_suppkey"))
+    write("part", r => shiftKeys(Tables(spark, base, "part"), r, "p_partkey"))
+    write("orders", r =>
+      shiftKeys(Tables(spark, base, "orders"), r, "o_orderkey", "o_custkey"))
+    write("lineitem", r =>
+      shiftKeys(Tables(spark, base, "lineitem"), r, "l_orderkey", "l_partkey", "l_suppkey"))
+    write("events", r =>
+      shiftKeys(Tables(spark, base, "events"), r, "event_id", "user_id"))
+    write("documents", r => {
+      val d = shiftKeys(Tables(spark, base, "documents"), r, "doc_id")
+      if (r == 0) d
+      else {
+        // per-replica word permutation: sort (hash, word) structs — the
+        // hash is keyed on (word, position, replica), so each replica
+        // is a fresh deterministic shuffle of the same tokens
+        val words = split(col("text"), " ")
+        val permuted = array_join(
+          transform(
+            array_sort(transform(words,
+              (w, i) => struct(xxhash64(w, i, lit(r)).as("h"), w.as("w")))),
+            s => s.getField("w")),
+          " ")
+        d.withColumn("text", permuted)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    })
+    write("embeddings", r => {
+      val d = shiftKeys(Tables(spark, base, "embeddings"), r, "vec_id")
+      if (r == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) +
+            (pmod(xxhash64(col("vec_id"), i, lit(r)), lit(1000)) / 10000.0 - 0.05)))
+            .cast("float")))
+    })
+    Files.createFile(Paths.get(out, "_DONE"))
+  }
+
+  /** Families chosen for scale risk: the dedup ladder (candidate-pair
+    * growth), ANN (index fit + probe), wide windows, salted/skew aggs,
+    * sessionization, and one scan/join baseline each. */
+  val heavyQueries: Seq[String] = Seq(
+    "q_proj_filter", "q_agg_pricing", "q_join_salted", "q_topk_per_group",
+    "q_window_frames", "q_session_window", "q_stats_agg",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_dedup_ngram_jaccard", "q_dedup_substring", "q_dedup_levenshtein",
+    "q_dedup_components", "q_dedup_hybrid", "q_knn_ivf", "q_knn_pq")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "target/sfx10"
+    val spark = Sessions.build("graft-scalecheck")
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"[scale] building $out from $base (${Replicas}x) ...")
+    val tb = System.nanoTime()
+    buildReplica(spark, base, out)
+    println(f"[scale] corpus ready in ${(System.nanoTime() - tb) / 1e9}%.1f s")
+
+    def time(name: String, dir: String): Double = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      runs.min
+    }
+    // warmup
+    Tables(spark, base, "region").groupBy("r_name").count()
+      .write.format("noop").mode("overwrite").save()
+
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sfx10"}%8s  factor")
+    val rows = heavyQueries.map { q =>
+      val t1 = time(q, base)
+      val t10 = time(q, out)
+      println(f"$q%-24s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")
+      (q, t1, t10)
+    }
+    val j = rows.map { case (q, t1, t10) =>
+      f""""$q":[$t1%.3f,$t10%.3f]""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","replicas":$Replicas,"queries":$j}""")
+    spark.stop()
+  }
+}

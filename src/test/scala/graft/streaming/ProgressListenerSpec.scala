@@ -58,4 +58,68 @@ class ProgressListenerSpec extends SparkSpec {
       assert(capped.history.forall(_ <= 60.0))
     }
   }
+
+  test("a restarted query (new runId) does not double-count replayed rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Int]
+    val listener = new ProgressListener(
+      expectedTotal = 40L, queryName = Some("progress_restart"))
+    spark.streams.addListener(listener)
+    def start() = input.toDS().writeStream
+      .format("memory").queryName("progress_restart")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(1 to 10: _*); q1.processAllAvailable()
+      await()(listener.pct >= 25.0)
+      assert(listener.pct == 25.0)
+    } finally {
+      // detach across the restart: termination-finalize is the
+      // "consumer finished" signal, which a supervised restart is not
+      spark.streams.removeListener(listener)
+      q1.stop()
+    }
+    spark.streams.addListener(listener)
+    // no checkpoint: the restarted run re-reads all 10 rows from the
+    // MemoryStream. The per-runId reset keeps the replay from
+    // double-counting (without it: (10+10+6)/40 = 65%).
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replayed batch
+      input.addData(1 to 6: _*); q2.processAllAvailable()
+      await()(listener.pct >= 40.0)
+      assert(listener.pct == 40.0, s"replay double-counted: ${listener.pct}")
+    } finally {
+      q2.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("an unnamed listener latches onto its first run and ignores other queries") {
+    implicit val sqlCtx = spark.sqlContext
+    val inputA = MemoryStream[Int]
+    val inputB = MemoryStream[Int]
+    val listener = new ProgressListener(expectedTotal = 20L, queryName = None)
+    val qa = inputA.toDS().writeStream
+      .format("memory").queryName("anon_first").outputMode("append").start()
+    try {
+      // register AFTER qa started; latch happens on qa's first progress
+      spark.streams.addListener(listener)
+      inputA.addData(1 to 5: _*); qa.processAllAvailable()
+      await()(listener.pct >= 25.0)
+      val qb = inputB.toDS().writeStream
+        .format("memory").queryName("anon_second").outputMode("append").start()
+      try {
+        inputB.addData(1 to 20: _*); qb.processAllAvailable()
+        Thread.sleep(500L) // give the bus time to (wrongly) deliver
+        assert(listener.pct == 25.0, s"foreign query counted: ${listener.pct}")
+        inputA.addData(1 to 5: _*); qa.processAllAvailable()
+        await()(listener.pct >= 50.0)
+        assert(listener.pct == 50.0)
+      } finally qb.stop()
+    } finally {
+      qa.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{H32, MinhashSignature, MsgpackDecodeFrame, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
+import graft.expressions.{DotProduct, H32, MinhashSignature, MsgpackDecodeFrame, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -61,5 +61,8 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
       (exprs: Seq[Expression]) =>
         MinhashSignature(exprs.head, intArg(exprs(1), "minhash_signature"),
-          intArg(exprs(2), "minhash_signature"))))
+          intArg(exprs(2), "minhash_signature"))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
 }

@@ -122,45 +122,47 @@ object SimilarityQueries {
     //      case): k=8, nprobe=4 ⇒ recall@3 ≈ 0.9, asserted ≥ 0.8 in
     //      AccuracySpec. At scale: k ≈ √N cells and nprobe re-tuned to
     //      the recall target — structured real corpora reach the same
-    //      recall at far smaller nprobe/k. MLlib's k-means internals
-    //      are engine-private → rows-only oracle check; the recall
-    //      spec is the value-level gate. ----
+    //      recall at far smaller nprobe/k. Training is a driver-side
+    //      seeded Lloyd on a bounded sample; assignment is a pure
+    //      codegen'd argmin projection (PqIndex scaladoc). k-means
+    //      internals stay engine-specific → rows-only oracle check;
+    //      the recall spec is the value-level gate. ----
     rowsOnly("q_knn_ivf") { (s, dir) =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       import s.implicits._
-      val K = PqIndex.CoarseK; val NProbe = PqIndex.NProbe
+      val NProbe = PqIndex.NProbe
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("vn", l2Normalize(col("v")))
-        .withColumn("fv", array_to_vector(col("vn")))
-        .cache() // feeds fit + both join sides
-      // k-means|| init: the coarse quantizer IS the recall ceiling
-      // (candidates come only from probed cells), so seed quality
-      // matters here — random init measurably costs recall@3 on this
-      // corpus (0.68 vs 0.9 at the same nprobe)
-      val km = new KMeans().setK(K).setSeed(7L).setMaxIter(20)
-        .setFeaturesCol("fv").setPredictionCol("cell")
-      val model = km.fit(e)
-      val assigned = model.transform(e).select(col("vec_id"), col("v"), col("vn"), col("cell"))
+        .cache() // feeds the fit sample + both join sides
+      // driver-side Lloyd over a bounded hash-ordered sample (see
+      // PqIndex scaladoc for why this beats an in-query MLlib fit);
+      // assignment is a pure codegen'd argmin projection
+      val coarse = PqIndex.fitCoarse(e)
+      val assigned = e.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
       // centroid table: k rows, broadcast for the per-query probe rank
-      val cents = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }.toDF("ccell", "cvec")
+      val cents = PqIndex.centroidRows(coarse).toDF("ccell", "cvec")
       val sqDist = aggregate(
         zip_with(col("qvn"), col("cvec"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
       val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
+      // squared norms computed ONCE PER ROW on each side — the naive
+      // per-pair cosine recomputes both self-dots per candidate pair,
+      // tripling the hot join's arithmetic (same values either way:
+      // dot(a,a) is dot(a,a) wherever it's evaluated)
       val probes = assigned.where(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"),
+          dot(col("v"), col("v")).as("qn2"))
         .crossJoin(broadcast(cents))
         .withColumn("cdist", sqDist)
         .withColumn("crn", row_number().over(wq))
         .where(col("crn") <= NProbe)
-        .select(col("qid"), col("qv"), col("ccell"))
-      val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"), col("cell").as("cc"))
+        .select(col("qid"), col("qv"), col("qn2"), col("ccell"))
+      val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),
+        dot(col("v"), col("v")).as("cn2"), col("cell").as("cc"))
       val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
       probes.join(c, col("ccell") === col("cc") && col("cid") =!= col("qid"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("sim",
+          round(dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")), 6))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select("qid", "cid", "sim")
@@ -189,35 +191,35 @@ object SimilarityQueries {
     //      per query — recall 0.02. The shared IVF cells fix the
     //      candidate starvation; the recall spec now pins it.) ----
     rowsOnly("q_knn_pq") { (s, dir) =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       import s.implicits._
-      import PqIndex.{CoarseK, M, NProbe, Shortlist, SubDim}
+      import PqIndex.{M, NProbe, Shortlist, SubDim}
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("vn", l2Normalize(col("v")))
       val subCols = (0 until M).map(m =>
         slice(col("vn"), m * SubDim + 1, SubDim).as(s"sub$m"))
-      val sub = e.select(Seq(col("vec_id"), col("v"), col("vn"),
-          array_to_vector(col("vn")).as("fv")) ++ subCols: _*)
-        .cache() // feeds coarse fit + M PQ fits, the encode pass, and the query side
-      // coarse quantizer: same spherical cells as q_knn_ivf (k-means||
-      // init — the coarse stage is the recall ceiling)
-      val coarse = new KMeans().setK(CoarseK).setSeed(7L).setMaxIter(20)
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(sub)
-      val ccents = coarse.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }.toDF("ccell", "cvec")
-      val models = PqIndex.fitCodebooks(sub)
-      // encode: each corpus vector → cell + M small codes
-      val enc = models.zipWithIndex.foldLeft(
-          coarse.transform(sub).select(
-            Seq(col("vec_id"), col("cell")) ++ (0 until M).map(m => col(s"sub$m")): _*)) {
-        case (df, (mo, m)) =>
-          mo.setFeaturesCol(s"pfv$m").setPredictionCol(s"code$m")
-            .transform(df.withColumn(s"pfv$m", array_to_vector(col(s"sub$m"))))
-            .drop(s"pfv$m")
-      }
+      val sub = e.select(Seq(col("vec_id"), col("v"), col("vn")) ++ subCols: _*)
+        .cache() // feeds the fit samples, the encode pass, and the query side
+      // coarse quantizer: same spherical cells as q_knn_ivf; PQ
+      // codebooks per subspace — all driver-side Lloyd over ONE
+      // bounded hash-ordered sample job (PqIndex scaladoc), so the
+      // query pays no per-fit Spark-job overhead
+      val (coarse, books) = PqIndex.fitAll(sub)
+      val ccents = PqIndex.centroidRows(coarse).toDF("ccell", "cvec")
+      // encode: each corpus vector → cell + M small codes, all pure
+      // codegen'd argmin projections. MATERIALIZED: the encode feeds
+      // the candidate join, and CollapseProject would otherwise inline
+      // the 128-dot argmin chains past the join and re-evaluate them
+      // once per candidate PAIR instead of once per corpus row
+      // (measured 5× the whole query's cost at the 10× corpus; at
+      // cluster scale this is the persisted PQ-codes table an IVF-PQ
+      // index stores anyway)
+      val enc = books.zipWithIndex.foldLeft(
+          sub.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
+            .select(Seq(col("vec_id"), col("cell")) ++ (0 until M).map(m => col(s"sub$m")): _*)) {
+        case (df, (book, m)) =>
+          df.withColumn(s"code$m", PqIndex.nearestCentroid(col(s"sub$m"), book))
+      }.cache()
       // query set probes its top-nprobe cells via the k-row broadcast
       val queries = sub.where(col("vec_id") % 25 === 0)
         .select(Seq(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn")) ++
@@ -234,8 +236,8 @@ object SimilarityQueries {
         .select(col("qid").as("pqid"), col("ccell"))
       // per-(query, subspace, code) ADC distance table: melt query
       // subvectors, equi-join the M×Codes broadcast codebook table
-      val pcents = models.zipWithIndex.flatMap { case (mo, m) =>
-        mo.clusterCenters.zipWithIndex.map { case (c, k) => (m, k, c.toArray) }
+      val pcents = books.zipWithIndex.flatMap { case (book, m) =>
+        PqIndex.centroidRows(book).map { case (k, c) => (m, k, c) }
       }.toDF("cm", "ccode", "cbvec")
       val melted = (0 until M).map(m =>
           queries.select(col("qid"), lit(m).as("qm"), col(s"qsub$m").as("qsub")))

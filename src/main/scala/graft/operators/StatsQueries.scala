@@ -185,33 +185,44 @@ object StatsQueries {
     },
 
     // ---- edit-distance fuzzy near-dup, FULL corpus, blocked. The
-    //      blocking key (leading 4 chars) turns the pair scan into a
-    //      hash equi-join: candidates share a block, the Levenshtein
-    //      residual runs on candidates only. Standard record-linkage
-    //      blocking — pairs that disagree in their first 4 characters
-    //      are missed by design (recall/cost trade; at 100 TB, widen
-    //      or compose keys — e.g. + length band — instead of ever
-    //      falling back to the O(n²) scan). ----
+    //      blocking key (leading 8 chars) turns the pair scan into a
+    //      hash equi-join, and a hot-block df-cap (≤ 256 docs/block,
+    //      mirrored in the oracle) bounds candidates to Cap·N — the
+    //      LINEAR guarantee blocked fuzzy matching needs at 100 TB.
+    //      Round 4's 10× ScaleCheck caught the uncapped 4-char version
+    //      scaling 58× (Σ block² is quadratic in block size; this
+    //      corpus has only ~60 distinct 4-char prefixes). Recall trade,
+    //      by design: pairs differing in their first 8 chars, or
+    //      living in a super-hot boilerplate-prefix block, are missed —
+    //      hot boilerplate is what exact/MinHash dedup already catches
+    //      upstream, and the O(n²) fallback is never acceptable. ----
     sql(
       "q_dedup_levenshtein",
       """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre,
-        |                  substr(text, 1, 4) AS blk FROM documents)
+        |                  substr(text, 1, 8) AS blk FROM documents),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 256),
+        |pf AS (SELECT p.* FROM p JOIN ok ON p.blk = ok.blk)
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |FROM pf a JOIN pf b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pre, b.pre) <= 12
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
       val p = t(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
-          substring(col("text"), 1, 4).as("blk"))
+          substring(col("text"), 1, 8).as("blk"))
+      // skew guard: drop blocks over the cap (semi-join keeps the scan
+      // one-pass; the block-count agg is a few thousand rows)
+      val ok = p.groupBy("blk").agg(count(lit(1)).as("c"))
+        .where(col("c") <= 256).select("blk")
+      val pf = p.join(ok, "blk")
       // Spread the probe side by doc id: the corpus fits one parquet
       // split locally, which would run every residual levenshtein in a
       // single task; hashing on the DOC id (not the block key) also
       // spreads a hot block's probes across all tasks instead of
       // pinning them to one partition.
-      val a = p.select(col("doc_id").as("da"), col("pre").as("pa"), col("blk").as("ka"))
+      val a = pf.select(col("doc_id").as("da"), col("pre").as("pa"), col("blk").as("ka"))
         .repartition(64, col("da"))
-      val b = p.select(col("doc_id").as("db"), col("pre").as("pb"), col("blk").as("kb"))
+      val b = pf.select(col("doc_id").as("db"), col("pre").as("pb"), col("blk").as("kb"))
       // Thresholded levenshtein: banded O(len·k) with early exit
       // (returns -1 past the threshold) instead of the full O(len²)
       // table — for matching rows the value equals the plain distance,

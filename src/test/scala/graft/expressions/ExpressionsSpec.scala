@@ -94,6 +94,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(rep == Seq("a b a", "b a b"))
   }
 
+  test("native dot product equals the HOF fold, including null semantics") {
+    import graft.functions.VectorFunctions
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val x = e.select(col("vec_id").as("i"), col("v").as("a"))
+    val y = e.select(col("vec_id").as("j"), col("v").as("b"))
+    val both = x.join(y, col("i") < col("j"))
+      .select(
+        VectorFunctions.dot(col("a"), col("b")).as("native"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("hof"))
+    // bit-identical: same sequential accumulation order
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+    // length mismatch → null (zip_with pads null, poisoning the sum)
+    val mismatched = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b")).as("d"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("dh"))
+      .head()
+    assert(mismatched.isNullAt(0) && mismatched.isNullAt(1))
+  }
+
   test("minhash signature stays inside whole-stage codegen") {
     val plan = spark.range(100)
       .select(split(concat($"id".cast("string"), lit(" x y z")), " ").as("words"))
@@ -123,7 +144,10 @@ class ExpressionsSpec extends SparkSpec {
           SaltedH32Array(col("words"), 0).as("wh"),
           Simhash32FromHashes(SaltedH32Array(col("words"), 1)).as("sh"),
           ShinglesArray(col("words"), 3).as("sg"),
-          MinhashSignature(col("words"), 3, 12).as("m"))
+          MinhashSignature(col("words"), 3, 12).as("m"),
+          DotProduct(
+            transform(col("words"), w => length(w).cast("double")),
+            transform(col("words"), w => length(w).cast("double"))).as("dp"))
         .collect()
       assert(out.nonEmpty)
     } finally {

@@ -319,7 +319,7 @@ class StreamingSpec extends SparkSpec {
     val byName = graft.GraftExtensions.functions
       .map { case (id, _, b) => id.funcName -> b }.toMap
     assert(byName.keySet == Set("h32", "msgpack_decode_frame", "salted_h32_array",
-      "simhash32", "shingles_array", "minhash_signature"))
+      "simhash32", "shingles_array", "minhash_signature", "dot_product"))
     // parameterized builder: literal int args resolve to the expression
     val mh = byName("minhash_signature")(Seq(
       Literal.create(Array("a", "b", "c", "d"),

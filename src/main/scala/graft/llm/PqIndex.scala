@@ -32,10 +32,28 @@ object PqIndex {
   // truth in AccuracySpec (this synthetic corpus is near-random — the
   // hardest recall case — so nprobe = k/2; structured corpora reach
   // the same recall at much smaller nprobe/k).
-  val CoarseK = 8 // inverted-list cells
-  val NProbe = 4 // cells a query probes
+  val CoarseK = 8 // minimum inverted-list cells
+  val NProbe = 4 // minimum cells a query probes
   val CoarseIters = 20
   val CoarseSeed = 7L
+  val MaxCells = 64 // local cap: assignment is a k-wide codegen'd argmin
+
+  /** Cell count scales as √(N/8) (FAISS's ~√N guidance) so per-cell
+    * size stays ~√(8N) instead of N/k — the bounded-task-size property
+    * an inverted index exists for. Round 4's 10× ScaleCheck measured
+    * the fixed-k=8 version at 12.4× (each probe scanned 10×-bigger
+    * cells). Floor = the sf0.01 recall-calibrated k (AccuracySpec);
+    * cap = what a literal-centroid argmin projection comfortably
+    * codegens — a cluster deployment raises it with a broadcast
+    * centroid-table assign. */
+  def cellsFor(n: Long): Int =
+    math.min(MaxCells, math.max(CoarseK, math.ceil(math.sqrt(n / 8.0)).toInt))
+
+  /** Probe count: the recall-calibrated floor (4 of 8 cells on the
+    * near-random sf0.01 corpus — AccuracySpec), growing as k/4 so the
+    * probed FRACTION falls as the index grows. At scale nprobe is a
+    * recall-target tunable; clustered real corpora need far less. */
+  def nprobeFor(cells: Int): Int = math.max(NProbe, cells / 4)
 
   // PQ stage
   val M = 8 // subspaces
@@ -103,8 +121,9 @@ object PqIndex {
       .map(_.getSeq[Double](0).toArray)
 
   /** Coarse spherical centroids (train on the normalized vectors). */
-  def fitCoarse(df: DataFrame, vnCol: String = "vn", idCol: String = "vec_id"): Array[Array[Double]] =
-    lloyd(sample(df, vnCol, idCol), CoarseK, CoarseIters, CoarseSeed)
+  def fitCoarse(df: DataFrame, cells: Int, vnCol: String = "vn", idCol: String = "vec_id")
+      : Array[Array[Double]] =
+    lloyd(sample(df, vnCol, idCol), cells, CoarseIters, CoarseSeed)
 
   /** Coarse quantizer AND all M PQ codebooks from ONE sample job:
     * collect the hash-ordered normalized-vector sample once, slice
@@ -114,10 +133,10 @@ object PqIndex {
     * The separate-per-column formulation scheduled 1 + M
     * TakeOrderedAndProject jobs; their fixed overhead was most of
     * q_knn_pq's bench cost. */
-  def fitAll(df: DataFrame, vnCol: String = "vn", idCol: String = "vec_id")
+  def fitAll(df: DataFrame, cells: Int, vnCol: String = "vn", idCol: String = "vec_id")
       : (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
     val vns = sample(df, vnCol, idCol)
-    val coarse = lloyd(vns, CoarseK, CoarseIters, CoarseSeed)
+    val coarse = lloyd(vns, cells, CoarseIters, CoarseSeed)
     val books = (0 until M).map { m =>
       val pts = vns.map(v => java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim))
       lloyd(pts, Codes, PqIters, PqSeed + m)

@@ -117,27 +117,34 @@ object SimilarityQueries {
     //      its nearest-centroid inverted list; a query multi-probes
     //      its top-nprobe cells via the k-row broadcast centroid
     //      table — candidates are an equi-join on cell id, never a
-    //      corpus scan. Parameters are recall-calibrated on this
-    //      corpus (near-random synthetic embeddings — the hardest
-    //      case): k=8, nprobe=4 ⇒ recall@3 ≈ 0.9, asserted ≥ 0.8 in
-    //      AccuracySpec. At scale: k ≈ √N cells and nprobe re-tuned to
-    //      the recall target — structured real corpora reach the same
-    //      recall at far smaller nprobe/k. Training is a driver-side
+    //      corpus scan. Index geometry scales with the corpus:
+    //      cells = √(N/8) (per-cell size stays ~√(8N) — the bounded-
+    //      task-size property the inverted index exists for), probes
+    //      = cells/4. The floor (k=8, nprobe=4 at sf0.01's 500
+    //      near-random vectors — the hardest case) is recall-
+    //      calibrated: recall@3 ≈ 0.9, asserted ≥ 0.8 in AccuracySpec;
+    //      nprobe is a recall tunable, and structured real corpora
+    //      reach the same recall at far smaller nprobe/k than random
+    //      ones. Training is a driver-side
     //      seeded Lloyd on a bounded sample; assignment is a pure
     //      codegen'd argmin projection (PqIndex scaladoc). k-means
     //      internals stay engine-specific → rows-only oracle check;
     //      the recall spec is the value-level gate. ----
     rowsOnly("q_knn_ivf") { (s, dir) =>
       import s.implicits._
-      val NProbe = PqIndex.NProbe
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("vn", l2Normalize(col("v")))
-        .cache() // feeds the fit sample + both join sides
+        .cache() // feeds the count, the fit sample + both join sides
+      // index geometry from the corpus size (cells ~ √(N/8), probes
+      // k/4 — PqIndex scaladoc; the count is one job on the cache,
+      // the same N any index build must know)
+      val cells = PqIndex.cellsFor(e.count())
+      val NProbe = PqIndex.nprobeFor(cells)
       // driver-side Lloyd over a bounded hash-ordered sample (see
       // PqIndex scaladoc for why this beats an in-query MLlib fit);
       // assignment is a pure codegen'd argmin projection
-      val coarse = PqIndex.fitCoarse(e)
+      val coarse = PqIndex.fitCoarse(e, cells)
       val assigned = e.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
       // centroid table: k rows, broadcast for the per-query probe rank
       val cents = PqIndex.centroidRows(coarse).toDF("ccell", "cvec")
@@ -192,19 +199,22 @@ object SimilarityQueries {
     //      candidate starvation; the recall spec now pins it.) ----
     rowsOnly("q_knn_pq") { (s, dir) =>
       import s.implicits._
-      import PqIndex.{M, NProbe, Shortlist, SubDim}
+      import PqIndex.{M, Shortlist, SubDim}
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("vn", l2Normalize(col("v")))
       val subCols = (0 until M).map(m =>
         slice(col("vn"), m * SubDim + 1, SubDim).as(s"sub$m"))
       val sub = e.select(Seq(col("vec_id"), col("v"), col("vn")) ++ subCols: _*)
-        .cache() // feeds the fit samples, the encode pass, and the query side
+        .cache() // feeds the count, fit samples, encode pass, query side
+      // same corpus-sized geometry as q_knn_ivf (cells ~ √(N/8))
+      val cells = PqIndex.cellsFor(sub.count())
+      val NProbe = PqIndex.nprobeFor(cells)
       // coarse quantizer: same spherical cells as q_knn_ivf; PQ
       // codebooks per subspace — all driver-side Lloyd over ONE
       // bounded hash-ordered sample job (PqIndex scaladoc), so the
       // query pays no per-fit Spark-job overhead
-      val (coarse, books) = PqIndex.fitAll(sub)
+      val (coarse, books) = PqIndex.fitAll(sub, cells)
       val ccents = PqIndex.centroidRows(coarse).toDF("ccell", "cvec")
       // encode: each corpus vector → cell + M small codes, all pure
       // codegen'd argmin projections. MATERIALIZED: the encode feeds

@@ -184,53 +184,66 @@ object StatsQueries {
         .orderBy("c_mktsegment")
     },
 
-    // ---- edit-distance fuzzy near-dup, FULL corpus, blocked. The
-    //      blocking key (leading 8 chars) turns the pair scan into a
-    //      hash equi-join, and a hot-block df-cap (≤ 256 docs/block,
-    //      mirrored in the oracle) bounds candidates to Cap·N — the
-    //      LINEAR guarantee blocked fuzzy matching needs at 100 TB.
-    //      Round 4's 10× ScaleCheck caught the uncapped 4-char version
-    //      scaling 58× (Σ block² is quadratic in block size; this
-    //      corpus has only ~60 distinct 4-char prefixes). Recall trade,
-    //      by design: pairs differing in their first 8 chars, or
-    //      living in a super-hot boilerplate-prefix block, are missed —
-    //      hot boilerplate is what exact/MinHash dedup already catches
-    //      upstream, and the O(n²) fallback is never acceptable. ----
+    // ---- edit-distance fuzzy near-dup, FULL corpus, via the
+    //      sorted-neighborhood method (Hernández & Stolfo, SIGMOD'95):
+    //      block on the leading 8 chars, sort each block by the
+    //      40-char prefix, and pair every doc with only its next
+    //      W = 8 neighbors in sort order — `lead()` windows, NO join,
+    //      so the candidate count is EXACTLY W·N at any corpus size.
+    //      Round 4's 10× ScaleCheck motivated this twice over: the
+    //      uncapped 4-char block scaled 58× (Σ block² is quadratic in
+    //      block size), and the df-capped variant that replaced it
+    //      still scaled 16.9× (capped-quadratic between cap
+    //      crossings — and at 100× every block would cross the cap
+    //      and be DROPPED, a recall collapse). SNM keeps hot blocks,
+    //      costs W·|block| in them, and its one skew surface (a
+    //      mega-block is one window partition's sort) sub-blocks with
+    //      a longer prefix at cluster scale. Recall trade, by design:
+    //      a pair is found iff ≤ W−1 other docs sort between it —
+    //      edit-close 40-char prefixes sort adjacently, and >W-deep
+    //      boilerplate runs are what exact/MinHash dedup already
+    //      catches upstream. ----
     sql(
       "q_dedup_levenshtein",
       """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre,
         |                  substr(text, 1, 8) AS blk FROM documents),
-        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 256),
-        |pf AS (SELECT p.* FROM p JOIN ok ON p.blk = ok.blk)
-        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |r AS (SELECT doc_id, pre, blk,
+        |             row_number() OVER (PARTITION BY blk ORDER BY pre, doc_id) AS rn
+        |      FROM p)
+        |SELECT least(a.doc_id, b.doc_id) AS da,
+        |       greatest(a.doc_id, b.doc_id) AS db,
         |       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
-        |FROM pf a JOIN pf b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 8
         |WHERE levenshtein(a.pre, b.pre) <= 12
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val W = 8
       val p = t(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
           substring(col("text"), 1, 8).as("blk"))
-      // skew guard: drop blocks over the cap (semi-join keeps the scan
-      // one-pass; the block-count agg is a few thousand rows)
-      val ok = p.groupBy("blk").agg(count(lit(1)).as("c"))
-        .where(col("c") <= 256).select("blk")
-      val pf = p.join(ok, "blk")
-      // Spread the probe side by doc id: the corpus fits one parquet
-      // split locally, which would run every residual levenshtein in a
-      // single task; hashing on the DOC id (not the block key) also
-      // spreads a hot block's probes across all tasks instead of
-      // pinning them to one partition.
-      val a = pf.select(col("doc_id").as("da"), col("pre").as("pa"), col("blk").as("ka"))
-        .repartition(64, col("da"))
-      val b = pf.select(col("doc_id").as("db"), col("pre").as("pb"), col("blk").as("kb"))
+      // each row carries its W sort-successors (nulls past the block
+      // end drop in the explode) — the oracle's rn-range self-join
+      // expressed joinlessly: one window shuffle, W·N candidate rows
+      val wn = Window.partitionBy(col("blk")).orderBy(col("pre"), col("doc_id"))
+      val withNext = p.withColumn("nxt", array(
+        (1 to W).map(i => struct(
+          lead(col("doc_id"), i).over(wn).as("db0"),
+          lead(col("pre"), i).over(wn).as("pb"))): _*))
+      val pairs = withNext
+        .select(col("doc_id").as("da0"), col("pre").as("pa"), explode(col("nxt")).as("n"))
+        .where(col("n.db0").isNotNull)
+        // spread the levenshtein residual: locally the corpus is one
+        // parquet split, which would run every distance in one task
+        .repartition(64, col("da0"))
       // Thresholded levenshtein: banded O(len·k) with early exit
       // (returns -1 past the threshold) instead of the full O(len²)
-      // table — for matching rows the value equals the plain distance,
-      // so the DuckDB oracle is unchanged.
-      a.join(b, col("ka") === col("kb") && col("da") < col("db"))
-        .withColumn("dist", levenshtein(col("pa"), col("pb"), 12).cast("int"))
+      // table — for kept rows the value equals the plain distance,
+      // so the DuckDB oracle is unchanged. Pair ids normalize to
+      // (min, max): sort position and id order can disagree.
+      pairs
+        .withColumn("dist", levenshtein(col("pa"), col("n.pb"), 12).cast("int"))
         .where(col("dist").between(0, 12))
-        .select("da", "db", "dist")
+        .select(least(col("da0"), col("n.db0")).as("da"),
+          greatest(col("da0"), col("n.db0")).as("db"), col("dist"))
         .orderBy("da", "db")
     }
   )

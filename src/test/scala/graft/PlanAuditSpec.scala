@@ -46,12 +46,18 @@ class PlanAuditSpec extends SparkSpec {
       "q_sort_limit" -> Seq("TakeOrderedAndProject"),
       "q_topk_per_group" -> Seq("WindowGroupLimit"), // rank filter below the window
       "q_dedup_simhash" -> Seq("BroadcastHashJoin", "HashAggregate"),
-      "q_dedup_levenshtein" -> Seq("BroadcastHashJoin"))
+      // sorted-neighborhood: ONE window (the block sort) + the
+      // neighbor explode, and NO join of any kind — W·N candidates
+      // come from lead(), not a pair join
+      "q_dedup_levenshtein" -> Seq("Window", "Generate explode"))
     val misses = expected.toSeq.sortBy(_._1).flatMap { case (name, markers) =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       markers.filterNot(plan.contains).map(m => s"$name missing $m")
     }
     assert(misses.isEmpty, misses.mkString("; "))
+    val levPlan = SparkEntry.queries("q_dedup_levenshtein")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!levPlan.contains("Join"), "q_dedup_levenshtein must be join-free (SNM)")
   }
 
   test("parquet scans prune columns (no SELECT * reaching the scan)") {

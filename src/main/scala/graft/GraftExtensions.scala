@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, H32, MinhashSignature, MsgpackDecodeFrame, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
+import graft.expressions.{DotProduct, H32, L2Normalize, MinhashSignature, MsgpackDecodeFrame, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -64,5 +64,8 @@ object GraftExtensions {
           intArg(exprs(2), "minhash_signature"))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    (FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
+      (exprs: Seq[Expression]) => L2Normalize(exprs.head)))
 }

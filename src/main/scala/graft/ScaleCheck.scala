@@ -35,8 +35,11 @@ object ScaleCheck {
       val full = (0 until Replicas).map(mk).reduce(_ unionByName _)
       full.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    write("region", _ => Tables(spark, base, "region")) // dims replicate as-is
-    write("nation", _ => Tables(spark, base, "nation"))
+    // dims keep their PRIMARY KEYS unique: one copy, not a 10-way
+    // union (duplicate r_regionkey/n_nationkey would fan every
+    // dim-joined fact row out 10× and corrupt the scaling factors)
+    Tables(spark, base, "region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    Tables(spark, base, "nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
     write("customer", r => shiftKeys(Tables(spark, base, "customer"), r, "c_custkey"))
     write("supplier", r => shiftKeys(Tables(spark, base, "supplier"), r, "s_suppkey"))
     write("part", r => shiftKeys(Tables(spark, base, "part"), r, "p_partkey"))

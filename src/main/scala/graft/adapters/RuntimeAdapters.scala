@@ -37,32 +37,96 @@ object RuntimeAdapters {
       s"$what requires $cls on the executor classpath (add the runtime jar; " +
         "the engine seam needs no change)")
 
-  /** F2/F5 adapter: ONNX session per executor (the Backend contract is
-    * batch-in/batch-out, so the session loads once and frames batch
-    * through a single `run`). Preprocessing contract mirrors
-    * fire_detect_nn.py:93-130: RGB 224×224, [0,1]-scaled CHW floats. */
+  /** F2/F5 adapter: ONNX session per executor, REAL inference via
+    * [[predictImages]] — decode (ImageIO), 224×224 resize, [0,1] CHW
+    * float tensor, one batched `session.run`, sigmoid per frame
+    * (preprocessing contract mirrors fire_detect_nn.py:93-130). The
+    * entire call sequence is reflective, so this compiles with no
+    * onnxruntime dependency and activates when the jar is present
+    * (ignored round-trip in AdaptersSpec).
+    *
+    * NOTE the seam split: `FireModel.Backend.predictBatch` is the
+    * state machine's METADATA-ONLY contract — `FrameIn` deliberately
+    * drops the pixel payload after the upstream decode stage, exactly
+    * where the reference runs its model (stream.py feeds decoded
+    * frames to fire_detect_nn). A pixel model therefore wires in at
+    * that upstream stage via [[predictImages]]; calling the metadata
+    * entry point on a pixel model fails fast with this explanation
+    * rather than fabricating predictions. */
   final class OnnxFireBackend(modelPath: String, threshold: Double = FireModel.DefaultThreshold)
       extends FireModel.Backend {
     val name = "onnx"
+    private val Side = 224
 
-    @transient private lazy val session: AnyRef = {
+    @transient private lazy val envAndSession: (AnyRef, AnyRef) = {
       if (!onnxAvailable) needs("OnnxFireBackend", "ai.onnxruntime (onnxruntime jar)")
       val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
       val env = envCls.getMethod("getEnvironment").invoke(null)
-      envCls.getMethod("createSession", classOf[String])
+      val session = envCls.getMethod("createSession", classOf[String])
         .invoke(env, modelPath)
+      (env, session)
     }
 
-    def predictBatch(frames: Seq[(String, Int, Int, Int)]): Seq[FramePrediction] = {
-      val s = session // force resolution (throws the named error when absent)
-      // With the runtime present: build the NCHW float tensor for the
-      // batch, session.run, read the sigmoid logit per frame. The
-      // reflective call sequence is OrtSession.run(Map("input" ->
-      // OnnxTensor.createTensor(env, buf, shape))) — left to the
-      // jar-equipped environment (ignored round-trip in AdaptersSpec);
-      // this container can only prove the unavailable path.
-      needs(s"OnnxFireBackend.predictBatch (session=$s)", "ai.onnxruntime runtime execution")
+    /** Real batched inference over encoded image payloads. */
+    def predictImages(payloads: Seq[Array[Byte]]): Seq[FramePrediction] = {
+      val (env, session) = envAndSession
+      val n = payloads.length
+      val buf = java.nio.FloatBuffer.allocate(n * 3 * Side * Side)
+      payloads.foreach { bytes =>
+        val img = ImageIoMedia.decodeImage(bytes).getOrElse(
+          throw new IllegalArgumentException("frame payload is not a decodable image"))
+        val r = ImageIoMedia.resize(img, Side, Side)
+        // CHW, [0,1]: channel-major planes like the reference's
+        // transforms.ToTensor()
+        var c = 0
+        while (c < 3) {
+          var y = 0
+          while (y < Side) {
+            var x = 0
+            while (x < Side) {
+              val rgb = r.getRGB(x, y)
+              val v = c match {
+                case 0 => (rgb >> 16) & 0xff
+                case 1 => (rgb >> 8) & 0xff
+                case _ => rgb & 0xff
+              }
+              buf.put(v / 255.0f)
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
+        }
+      }
+      buf.rewind()
+      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+      val tensor = tensorCls
+        .getMethod("createTensor", envCls, classOf[java.nio.FloatBuffer], classOf[Array[Long]])
+        .invoke(null, env, buf, Array(n.toLong, 3L, Side.toLong, Side.toLong))
+      val inputName = session.getClass.getMethod("getInputNames").invoke(session)
+        .asInstanceOf[java.util.Set[String]].iterator().next()
+      val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+        .invoke(session, java.util.Collections.singletonMap(inputName, tensor))
+      try {
+        val value = result.getClass.getMethod("get", classOf[Int])
+          .invoke(result, Int.box(0))
+        val logits = value.getClass.getMethod("getValue").invoke(value)
+          .asInstanceOf[Array[Array[Float]]]
+        logits.toSeq.map { row =>
+          val prob = 1.0 / (1.0 + math.exp(-row(0).toDouble)) // sigmoid, fire_detect_nn.py:169
+          predictionFrom(prob, Side, Side)
+        }
+      } finally result.getClass.getMethod("close").invoke(result)
     }
+
+    def predictBatch(frames: Seq[(String, Int, Int, Int)]): Seq[FramePrediction] =
+      throw new UnsupportedOperationException(
+        "OnnxFireBackend is a PIXEL model: the state machine's metadata-only " +
+          "Backend contract carries no frame payload (FrameIn drops it after the " +
+          "upstream decode stage). Wire predictImages(payloads) at that decode " +
+          "stage — where the reference runs fire_detect_nn — and feed the state " +
+          "machine its outputs.")
 
     def predictionFrom(prob: Double, w: Int, h: Int): FramePrediction = {
       val fire = prob >= threshold
@@ -112,6 +176,34 @@ object RuntimeAdapters {
     def close(): Unit = {
       recorder.getClass.getMethod("stop").invoke(recorder)
       recorder.getClass.getMethod("release").invoke(recorder)
+    }
+
+    /** The moov-atom probe the reference performs with ffprobe
+      * (video_writer.py:92-117), dependency-free: walk the top-level
+      * MP4 boxes and require both `ftyp` and `moov` (the recorder
+      * writes moov in close(); a truncated file lacks it). */
+    def verify(p: Path): Boolean = {
+      val raf = new java.io.RandomAccessFile(p.toFile, "r")
+      try {
+        val len = raf.length()
+        var pos = 0L
+        var sawFtyp = false
+        var sawMoov = false
+        while (pos + 8 <= len) {
+          raf.seek(pos)
+          var size: Long = raf.readInt().toLong & 0xffffffffL
+          val box = new Array[Byte](4)
+          raf.readFully(box)
+          val name = new String(box, java.nio.charset.StandardCharsets.US_ASCII)
+          if (size == 1) { size = raf.readLong() } // 64-bit box
+          else if (size == 0) { size = len - pos } // box runs to EOF
+          if (size < 8) return false
+          if (name == "ftyp") sawFtyp = true
+          if (name == "moov") sawMoov = true
+          pos += size
+        }
+        pos == len && sawFtyp && sawMoov
+      } catch { case _: java.io.IOException => false } finally raf.close()
     }
   }
 }

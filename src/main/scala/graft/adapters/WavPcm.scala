@@ -13,12 +13,25 @@ import javax.sound.sampled.AudioSystem
 object WavPcm {
 
   /** Decode a WAV payload to mono-averaged 16-bit samples; None for
-    * payloads that aren't a parseable audio container. */
+    * payloads that aren't a parseable audio container OR aren't
+    * 8/16-bit integer PCM (24/32-bit, float, μ-law/A-law parse fine
+    * via AudioSystem but would read one byte of each wider sample as
+    * if it were the whole value — garbage offered as data; those
+    * formats route through AudioSystem.getAudioInputStream(targetFmt)
+    * transcoding on a cluster). */
   def decode(bytes: Array[Byte]): Option[Array[Int]] =
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        // canonical WAV layouts only: 16-bit signed, or 8-bit (either
+        // sign convention — handled below)
+        val ok = (signed && fmt.getSampleSizeInBits == 16) ||
+          ((signed || unsigned) && fmt.getSampleSizeInBits == 8)
+        if (!ok) return None
         val frameSize = fmt.getFrameSize
         val channels = fmt.getChannels
         val bytesPerSample = fmt.getSampleSizeInBits / 8
@@ -36,7 +49,8 @@ object WavPcm {
                 val lo = raw(off) & 0xff; val hi = raw(off + 1)
                 if (fmt.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xff)
                 else (hi << 8) | lo
-              } else (raw(off) & 0xff) - 128 // 8-bit WAV is unsigned
+              } else if (unsigned) (raw(off) & 0xff) - 128 // 8-bit WAV norm
+              else raw(off).toInt // 8-bit signed (AIFF convention)
             acc += s
             c += 1
           }

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -51,7 +51,9 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
 
   /** Sequential left-fold Σ a(i)·b(i); null on length mismatch (the
-    * zip_with-pads-null analog). Boxed return so null is expressible —
+    * zip_with-pads-null analog) and on any null ELEMENT (a null
+    * product poisons the HOF sum — ArrayData.getDouble would silently
+    * read a null slot as 0.0). Boxed return so null is expressible —
     * one box per ROW, against 2·dim interpreted lambda frames saved. */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -59,6 +61,7 @@ object DotProduct {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -67,4 +70,61 @@ object DotProduct {
 
   def apply(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Unit-normalize an `array<double>` in one pass: x / max(‖x‖, 1e-300)
+  * (the zero-norm guard keeps all-zero vectors finite). The HOF form
+  * (`transform(v, x => x / greatest(sqrt(dot(v,v)), eps))`) embeds the
+  * norm subtree in the lambda BODY, and higher-order functions
+  * re-evaluate the whole body per element with no loop-invariant
+  * hoisting — O(dim²) multiply-adds per row, corpus-wide in the ANN
+  * queries. Here the norm is computed once, then one divide per
+  * element. A null ELEMENT nulls the result (the norm is poisoned —
+  * same rule as [[DotProduct]]); a null array is null.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  protected override def nullSafeEval(v: Any): Any =
+    L2Normalize.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val res = ctx.freshName("l2nRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $res =
+        graft.expressions.L2Normalize.compute($v);
+      ${ev.isNull} = $res == null;
+      ${ev.value} = $res;"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val norm = math.max(math.sqrt(s), 1e-300)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(v: Column): Column = Bridge.column(L2Normalize(Bridge.expression(v)))
 }

@@ -30,8 +30,13 @@ object VectorFunctions {
 
   /** Unit-normalize (zero-norm guarded): on the unit sphere squared L2
     * is 2 - 2·cos, so L2-metric structures (k-means cells, PQ
-    * codebooks) agree with cosine ranking. */
-  def l2Normalize(v: Column): Column = {
+    * codebooks) agree with cosine ranking. Native one-pass expression —
+    * the HOF form re-evaluates the norm subtree per ELEMENT (O(dim²)
+    * per row; parity asserted in ExpressionsSpec). */
+  def l2Normalize(v: Column): Column = graft.expressions.L2Normalize(v)
+
+  /** The HOF formulation (kept for the parity spec). */
+  def l2NormalizeHof(v: Column): Column = {
     val n = greatest(l2Norm(v), lit(1e-300))
     transform(v, x => x / n)
   }
@@ -40,6 +45,15 @@ object VectorFunctions {
     * the oracle formula so doubles match bit-for-bit. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Elementwise squared-L2 fold. HOF on purpose: its only callers
+    * rank BOUNDED volumes (query × broadcast centroid table), and the
+    * elementwise sequential accumulation is the value both the recall
+    * calibration and any oracle replica reproduce exactly — the
+    * algebraic |a|²−2ab+|b|² form drifts in the last ulps. */
+  def sqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** 8-bit sign-signature LSH bucket from the first 8 dimensions:
     * bit i set iff v[i] > 0. A deterministic, training-free coarse

@@ -162,4 +162,25 @@ object PqIndex {
   /** (cell/code id, centroid) rows for broadcast-side distance tables. */
   def centroidRows(cents: Array[Array[Double]]): Seq[(Int, Array[Double])] =
     cents.zipWithIndex.map { case (c, j) => (j, c) }.toSeq
+
+  /** The multi-probe step both ANN queries share: rank the k-row
+    * broadcast centroid table per query row by squared L2 on the
+    * normalized vector (deterministic cell-id tie-break) and keep the
+    * top `nprobe`. Returns the query frame's columns + `ccell`, one
+    * row per (query, probed cell) — so a probe-rule change lands in
+    * one place instead of drifting between q_knn_ivf and q_knn_pq. */
+  def probeCells(queries: DataFrame, qidCol: String, qvnCol: String,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cdf = centroidRows(cents).toDF("ccell", "cvec")
+    val wq = Window.partitionBy(col(qidCol)).orderBy(col("cdist"), col("ccell"))
+    queries
+      .crossJoin(broadcast(cdf))
+      .withColumn("cdist", graft.functions.VectorFunctions.sqL2(col(qvnCol), col("cvec")))
+      .withColumn("crn", row_number().over(wq))
+      .where(col("crn") <= nprobe)
+      .drop("cvec", "cdist", "crn")
+  }
 }

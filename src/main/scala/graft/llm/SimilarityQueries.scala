@@ -146,23 +146,15 @@ object SimilarityQueries {
       // assignment is a pure codegen'd argmin projection
       val coarse = PqIndex.fitCoarse(e, cells)
       val assigned = e.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
-      // centroid table: k rows, broadcast for the per-query probe rank
-      val cents = PqIndex.centroidRows(coarse).toDF("ccell", "cvec")
-      val sqDist = aggregate(
-        zip_with(col("qvn"), col("cvec"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-      val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
       // squared norms computed ONCE PER ROW on each side — the naive
       // per-pair cosine recomputes both self-dots per candidate pair,
       // tripling the hot join's arithmetic (same values either way:
       // dot(a,a) is dot(a,a) wherever it's evaluated)
-      val probes = assigned.where(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"),
-          dot(col("v"), col("v")).as("qn2"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cdist", sqDist)
-        .withColumn("crn", row_number().over(wq))
-        .where(col("crn") <= NProbe)
+      val probes = PqIndex.probeCells(
+          assigned.where(col("vec_id") % 25 === 0)
+            .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"),
+              dot(col("v"), col("v")).as("qn2")),
+          "qid", "qvn", coarse, NProbe)
         .select(col("qid"), col("qv"), col("qn2"), col("ccell"))
       val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),
         dot(col("v"), col("v")).as("cn2"), col("cell").as("cc"))
@@ -215,7 +207,6 @@ object SimilarityQueries {
       // bounded hash-ordered sample job (PqIndex scaladoc), so the
       // query pays no per-fit Spark-job overhead
       val (coarse, books) = PqIndex.fitAll(sub, cells)
-      val ccents = PqIndex.centroidRows(coarse).toDF("ccell", "cvec")
       // encode: each corpus vector → cell + M small codes, all pure
       // codegen'd argmin projections. MATERIALIZED: the encode feeds
       // the candidate join, and CollapseProject would otherwise inline
@@ -234,15 +225,8 @@ object SimilarityQueries {
       val queries = sub.where(col("vec_id") % 25 === 0)
         .select(Seq(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn")) ++
           (0 until M).map(m => col(s"sub$m").as(s"qsub$m")): _*)
-      val cellDist = aggregate(
-        zip_with(col("qvn"), col("cvec"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-      val wq = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("ccell"))
-      val probes = queries.select(col("qid"), col("qvn"))
-        .crossJoin(broadcast(ccents))
-        .withColumn("cdist", cellDist)
-        .withColumn("crn", row_number().over(wq))
-        .where(col("crn") <= NProbe)
+      val probes = PqIndex.probeCells(
+          queries.select(col("qid"), col("qvn")), "qid", "qvn", coarse, NProbe)
         .select(col("qid").as("pqid"), col("ccell"))
       // per-(query, subspace, code) ADC distance table: melt query
       // subvectors, equi-join the M×Codes broadcast codebook table
@@ -252,8 +236,7 @@ object SimilarityQueries {
       val melted = (0 until M).map(m =>
           queries.select(col("qid"), lit(m).as("qm"), col(s"qsub$m").as("qsub")))
         .reduce(_ unionByName _)
-      val sq = aggregate(zip_with(col("qsub"), col("cbvec"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      val sq = graft.functions.VectorFunctions.sqL2(col("qsub"), col("cbvec"))
       val dtab = melted.join(broadcast(pcents), col("qm") === col("cm"))
         .select(col("qid").as("dqid"), col("qm").as("dm"), col("ccode").as("dcode"),
           sq.as("d"))

@@ -29,7 +29,8 @@ class ProgressListener(
   @volatile private var current: Double = 0.0
   @volatile private var trackedRunId: Option[java.util.UUID] = None
 
-  /** Latest progress percentage (monotone, ≤ 100). */
+  /** Latest progress percentage (monotone WITHIN a run, ≤ 100; a
+    * restart re-arms the gauge at 0 for the new run). */
   def pct: Double = current
 
   /** Every value `pct` has taken, in listener-bus order. */
@@ -39,10 +40,12 @@ class ProgressListener(
   }
 
   // Gauge ownership is per-RUN: a named listener owns every run of that
-  // query name (a restart = new runId resets the row counter, so
-  // replayed micro-batches after recovery don't double-count); an
-  // unnamed listener latches onto the FIRST run it observes and ignores
-  // every other query on the session.
+  // query name (a restart = new runId resets the ROW COUNTER AND THE
+  // GAUGE, so replayed micro-batches after recovery don't double-count
+  // and a finalize from the previous run can't pin a monotone 100 over
+  // the whole recovery — the reference rewrites its progress file per
+  // run, progress.py:18-49); an unnamed listener latches onto the FIRST
+  // run it observes and ignores every other query on the session.
   private def adopt(runId: java.util.UUID, name: String): Boolean = synchronized {
     if (trackedRunId.contains(runId)) true
     else {
@@ -51,7 +54,10 @@ class ProgressListener(
         case None => trackedRunId.isEmpty // anonymous: first run wins
       }
       if (owns) {
-        if (trackedRunId.isDefined) seen.set(0L) // new runId: replay must not double-count
+        if (trackedRunId.isDefined) { // new runId: re-arm for the new run
+          seen.set(0L)
+          current = 0.0
+        }
         trackedRunId = Some(runId)
       }
       owns
@@ -79,8 +85,13 @@ class ProgressListener(
     // (terminations of other queries must not finalize this gauge); an
     // unnamed listener that never saw a run finalizes on any
     // termination, preserving the close-out-on-teardown behavior.
-    if (trackedRunId.contains(event.runId) ||
-        (queryName.isEmpty && trackedRunId.isEmpty)) {
+    // Finalize is the CLEAN-stop "consumer finished" signal only: a
+    // crash (exception present) must not report completion — the
+    // supervisor restarts from checkpoint and the new run's adopt()
+    // re-arms the gauge.
+    if (event.exception.isEmpty &&
+        (trackedRunId.contains(event.runId) ||
+          (queryName.isEmpty && trackedRunId.isEmpty))) {
       current = Progress.finalizeValue(current, producerPct())
       log.add(current)
     }

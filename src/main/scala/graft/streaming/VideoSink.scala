@@ -38,6 +38,11 @@ object VideoSink {
     def append(frame: Array[Byte]): Unit
     def framesWritten: Long
     def close(): Unit
+    /** Post-close integrity probe for THIS writer's container format —
+      * part of the contract so [[WriterPool.finalizeVideo]] verifies
+      * whatever container the seam actually wrote (the stub's footer,
+      * a real muxer's moov atom) instead of hard-coding the stub's. */
+    def verify(path: Path): Boolean
   }
 
   final class StubContainerWriter(path: Path, codec: String) extends ContainerWriter {
@@ -50,6 +55,7 @@ object VideoSink {
     }
     def framesWritten: Long = n
     def close(): Unit = { out.writeLong(n); out.writeInt(FooterMagic); out.close() }
+    def verify(p: Path): Boolean = VideoSink.verify(p)
   }
 
   /** Partition-local pool of open writers keyed by video_id
@@ -87,7 +93,7 @@ object VideoSink {
     def finalizeVideo(videoId: String): Option[Path] = open.remove(videoId).map {
       case (p, w) =>
         w.close()
-        require(verify(p), s"container verification failed for $p")
+        require(w.verify(p), s"container verification failed for $p")
         p
     }
 

@@ -96,9 +96,16 @@ class AdaptersSpec extends SparkSpec {
     assert(!RuntimeAdapters.javacvAvailable)
     val onnxErr = intercept[UnsupportedOperationException] {
       new RuntimeAdapters.OnnxFireBackend("/models/fire.onnx")
-        .predictBatch(Seq(("v1", 0, 224, 224)))
+        .predictImages(Seq(Array[Byte](1, 2, 3)))
     }
     assert(onnxErr.getMessage.contains("onnxruntime"))
+    // the metadata-only Backend entry point names the seam split (a
+    // pixel model wires in at the upstream decode stage) jar or no jar
+    val seamErr = intercept[UnsupportedOperationException] {
+      new RuntimeAdapters.OnnxFireBackend("/models/fire.onnx")
+        .predictBatch(Seq(("v1", 0, 224, 224)))
+    }
+    assert(seamErr.getMessage.contains("predictImages"))
     val cvErr = intercept[UnsupportedOperationException] {
       new RuntimeAdapters.JavaCvContainerWriter(
         java.nio.file.Paths.get("/tmp/x.mp4"), 64, 48, 30.0)
@@ -115,8 +122,10 @@ class AdaptersSpec extends SparkSpec {
 
   ignore("onnx round-trip on a jar-equipped cluster: session loads and scores a frame batch") {
     // with onnxruntime on the classpath: OnnxFireBackend(modelPath)
-    // .predictBatch over a synthetic 224x224 batch returns calibrated
-    // probabilities and full-frame boxes above threshold
+    // .predictImages over ImageIoMedia-encoded 224x224 JPEGs runs the
+    // real reflective decode->CHW-tensor->session.run->sigmoid path
+    // and returns calibrated probabilities with full-frame boxes
+    // above threshold
   }
 
   ignore("javacv round-trip on a jar-equipped cluster: mp4 writes, finalizes, and ffprobes clean") {

@@ -113,6 +113,30 @@ class ExpressionsSpec extends SparkSpec {
         VectorFunctions.dotHof(col("a"), col("b")).as("dh"))
       .head()
     assert(mismatched.isNullAt(0) && mismatched.isNullAt(1))
+    // null ELEMENT → null (ArrayData.getDouble would silently read a
+    // null slot as 0.0; the HOF's null product poisons its sum)
+    val nullElem = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b")).as("d"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("dh"))
+      .head()
+    assert(nullElem.isNullAt(0) && nullElem.isNullAt(1))
+  }
+
+  test("native l2_normalize equals the HOF formulation (incl. the zero-norm guard)") {
+    import graft.functions.VectorFunctions
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val both = e.select(
+      VectorFunctions.l2Normalize(col("v")).as("native"),
+      VectorFunctions.l2NormalizeHof(col("v")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+    // all-zero vector: guarded scale keeps it finite (zeros, not NaN)
+    val z = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+      .select(VectorFunctions.l2Normalize(col("v")).as("n"))
+      .head().getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0, 0.0))
   }
 
   test("minhash signature stays inside whole-stage codegen") {
@@ -147,7 +171,9 @@ class ExpressionsSpec extends SparkSpec {
           MinhashSignature(col("words"), 3, 12).as("m"),
           DotProduct(
             transform(col("words"), w => length(w).cast("double")),
-            transform(col("words"), w => length(w).cast("double"))).as("dp"))
+            transform(col("words"), w => length(w).cast("double"))).as("dp"),
+          L2Normalize(
+            transform(col("words"), w => length(w).cast("double"))).as("l2n"))
         .collect()
       assert(out.nonEmpty)
     } finally {

@@ -95,6 +95,36 @@ class ProgressListenerSpec extends SparkSpec {
     }
   }
 
+  test("a restart with the listener still attached re-arms the finalized gauge") {
+    // the crash-recovery shape: nothing detaches a listener before an
+    // unsupervised restart, so the previous run's finalize (pct=100)
+    // must not pin the monotone gauge over the whole recovery run
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Int]
+    val listener = new ProgressListener(
+      expectedTotal = 40L, queryName = Some("progress_rearm"))
+    spark.streams.addListener(listener)
+    def start() = input.toDS().writeStream
+      .format("memory").queryName("progress_rearm")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(1 to 10: _*); q1.processAllAvailable()
+      await()(listener.pct >= 25.0)
+    } finally q1.stop() // listener stays attached: clean-stop finalizes to 100
+    await()(listener.pct == 100.0)
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the 10 rows into the new run
+      await()(listener.pct == 25.0) // re-armed: 10/40, not pinned at 100
+      input.addData(1 to 6: _*); q2.processAllAvailable()
+      await()(listener.pct == 40.0)
+    } finally {
+      q2.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("an unnamed listener latches onto its first run and ignores other queries") {
     implicit val sqlCtx = spark.sqlContext
     val inputA = MemoryStream[Int]

@@ -319,7 +319,8 @@ class StreamingSpec extends SparkSpec {
     val byName = graft.GraftExtensions.functions
       .map { case (id, _, b) => id.funcName -> b }.toMap
     assert(byName.keySet == Set("h32", "msgpack_decode_frame", "salted_h32_array",
-      "simhash32", "shingles_array", "minhash_signature", "dot_product"))
+      "simhash32", "shingles_array", "minhash_signature", "dot_product",
+      "l2_normalize"))
     // parameterized builder: literal int args resolve to the expression
     val mh = byName("minhash_signature")(Seq(
       Literal.create(Array("a", "b", "c", "d"),

@@ -179,31 +179,37 @@ object RuntimeAdapters {
     }
 
     /** The moov-atom probe the reference performs with ffprobe
-      * (video_writer.py:92-117), dependency-free: walk the top-level
-      * MP4 boxes and require both `ftyp` and `moov` (the recorder
-      * writes moov in close(); a truncated file lacks it). */
-    def verify(p: Path): Boolean = {
-      val raf = new java.io.RandomAccessFile(p.toFile, "r")
-      try {
-        val len = raf.length()
-        var pos = 0L
-        var sawFtyp = false
-        var sawMoov = false
-        while (pos + 8 <= len) {
-          raf.seek(pos)
-          var size: Long = raf.readInt().toLong & 0xffffffffL
-          val box = new Array[Byte](4)
-          raf.readFully(box)
-          val name = new String(box, java.nio.charset.StandardCharsets.US_ASCII)
-          if (size == 1) { size = raf.readLong() } // 64-bit box
-          else if (size == 0) { size = len - pos } // box runs to EOF
-          if (size < 8) return false
-          if (name == "ftyp") sawFtyp = true
-          if (name == "moov") sawMoov = true
-          pos += size
-        }
-        pos == len && sawFtyp && sawMoov
-      } catch { case _: java.io.IOException => false } finally raf.close()
-    }
+      * (video_writer.py:92-117) — [[RuntimeAdapters.mp4Verify]], which
+      * is a plain static so the probe itself is testable without the
+      * JavaCV jar this constructor requires. */
+    def verify(p: Path): Boolean = mp4Verify(p)
+  }
+
+  /** Dependency-free MP4 integrity probe: walk the top-level boxes and
+    * require both `ftyp` and `moov` with sizes that tile the file
+    * exactly (a truncated recording lacks moov — FFmpegFrameRecorder
+    * writes it in close/stop). */
+  def mp4Verify(p: Path): Boolean = {
+    val raf = new java.io.RandomAccessFile(p.toFile, "r")
+    try {
+      val len = raf.length()
+      var pos = 0L
+      var sawFtyp = false
+      var sawMoov = false
+      while (pos + 8 <= len) {
+        raf.seek(pos)
+        var size: Long = raf.readInt().toLong & 0xffffffffL
+        val box = new Array[Byte](4)
+        raf.readFully(box)
+        val name = new String(box, java.nio.charset.StandardCharsets.US_ASCII)
+        if (size == 1) { size = raf.readLong() } // 64-bit largesize box
+        else if (size == 0) { size = len - pos } // box runs to EOF
+        if (size < 8) return false
+        if (name == "ftyp") sawFtyp = true
+        if (name == "moov") sawMoov = true
+        pos += size
+      }
+      pos == len && sawFtyp && sawMoov
+    } catch { case _: java.io.IOException => false } finally raf.close()
   }
 }

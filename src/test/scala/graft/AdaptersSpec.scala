@@ -89,6 +89,44 @@ class AdaptersSpec extends SparkSpec {
     assert(WavPcm.decode("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("WavPcm refuses wider-than-16-bit PCM instead of decoding garbage") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a parseable 24-bit WAV: per-sample bytes would be misread one
+    // byte at a time by an ungated 8/16-bit reader — the gate must
+    // return None, never Some(noise)
+    val n = 32
+    val fmt24 = new AudioFormat(8000f, 24, 1, true, false)
+    val raw = new Array[Byte](n * 3)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt24, n),
+      AudioFileFormat.Type.WAVE, bos)
+    assert(WavPcm.decode(bos.toByteArray).isEmpty)
+  }
+
+  test("mp4Verify walks top-level boxes: ftyp+moov pass, truncation fails") {
+    import java.io.{ByteArrayOutputStream => BOS, DataOutputStream}
+    def box(name: String, payload: Int): Array[Byte] = {
+      val b = new BOS(); val d = new DataOutputStream(b)
+      d.writeInt(8 + payload); d.writeBytes(name); d.write(new Array[Byte](payload))
+      b.toByteArray
+    }
+    def fileOf(parts: Array[Byte]*): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempFile("graft_mp4probe", ".mp4")
+      java.nio.file.Files.write(p, parts.flatten.toArray)
+      p
+    }
+    val good = fileOf(box("ftyp", 16), box("mdat", 100), box("moov", 64))
+    assert(RuntimeAdapters.mp4Verify(good))
+    // truncated mid-recording: moov never written
+    val noMoov = fileOf(box("ftyp", 16), box("mdat", 100))
+    assert(!RuntimeAdapters.mp4Verify(noMoov))
+    // box size overruns the file (torn final box)
+    val torn = fileOf(box("ftyp", 16), box("moov", 64).dropRight(10))
+    assert(!RuntimeAdapters.mp4Verify(torn))
+    assert(!RuntimeAdapters.mp4Verify(fileOf("GRFT-not-mp4".getBytes("UTF-8"))))
+  }
+
   test("ONNX and JavaCV adapters report unavailability and fail fast with a named dependency") {
     // this container carries neither jar — the honest path is a
     // named-dependency error at the seam, never a silent stub result

@@ -125,6 +125,24 @@ class ProgressListenerSpec extends SparkSpec {
     }
   }
 
+  test("a crash termination (exception present) does not finalize the gauge") {
+    // synthetic listener-bus events: a crashed run must not report
+    // "consumer finished" — the supervisor restarts it from checkpoint
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{
+      QueryStartedEvent, QueryTerminatedEvent}
+    val id = java.util.UUID.randomUUID()
+    val run1 = java.util.UUID.randomUUID()
+    val listener = new ProgressListener(
+      expectedTotal = 40L, queryName = Some("crash_probe"))
+    listener.onQueryStarted(new QueryStartedEvent(id, run1, "crash_probe", "t0"))
+    listener.onQueryTerminated(new QueryTerminatedEvent(id, run1, Some("boom")))
+    assert(listener.pct == 0.0 && listener.history.isEmpty,
+      "crash must not pin the gauge")
+    // the same run id terminating CLEANLY does finalize
+    listener.onQueryTerminated(new QueryTerminatedEvent(id, run1, None))
+    assert(listener.pct == 100.0 && listener.history == Seq(100.0))
+  }
+
   test("an unnamed listener latches onto its first run and ignores other queries") {
     implicit val sqlCtx = spark.sqlContext
     val inputA = MemoryStream[Int]

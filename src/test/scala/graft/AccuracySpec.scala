@@ -129,6 +129,30 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_levenshtein SNM finds every true edit-close pair on this corpus") {
+    // ground truth: the UNBLOCKED all-pairs scan (the O(n²) the
+    // operator exists to avoid — affordable once, in a spec, at
+    // sf0.01). The sorted-neighborhood recall trade is real in
+    // general (a pair needs ≤ W-1 docs sorting between it inside its
+    // block); this pins how it cashes out here, and that every
+    // returned pair is a true pair (precision 1.0 by construction —
+    // the residual filter recomputes the true distance).
+    val p = Tables(spark, sf, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"))
+    val a = p.select(col("doc_id").as("da"), col("pre").as("pa"))
+    val b = p.select(col("doc_id").as("db"), col("pre").as("pb"))
+    val truth = a.join(b, col("da") < col("db"))
+      .where(levenshtein(col("pa"), col("pb"), 12).between(0, 12))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val found = SparkEntry.queries("q_dedup_levenshtein")(spark, sf)
+      .select(col("da").cast("long"), col("db").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), s"false pairs: ${(found -- truth).take(5)}")
+    assert(truth.nonEmpty, "vacuous corpus: no edit-close pairs to find")
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"SNM recall $recall (${(truth -- found).size} missed of ${truth.size})")
+  }
+
   test("q_dedup_minhash_mllib distances track true Jaccard and miss no 0.9+ pair") {
     import graft.functions.TextFunctions.tokens
     // the query's own input population: even doc_ids, >= 3 words

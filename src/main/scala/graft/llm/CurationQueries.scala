@@ -272,6 +272,48 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_sampled"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy("event_type")
+    },
+
+    // ---- sequence packing: the training-batch prep step — fill
+    //      fixed-token-budget sequences with documents (sequential
+    //      fill: pack id = exclusive-prefix-sum(tokens) div budget,
+    //      so a pack overflows by at most one document and an
+    //      over-budget document gets a pack of its own). Packing is
+    //      inherently ORDER-dependent, so the scalable shape shards
+    //      first (deterministic hash, the q_split_assign convention)
+    //      and packs each shard independently: the window partitions
+    //      by shard — parallelism = shard count, no global sort, no
+    //      single-partition window. At cluster scale shards ∝ cores
+    //      and each pack's doc list is written out; here the oracle
+    //      checks the per-pack accounting. ----
+    sql(
+      "q_pack_sequences",
+      """WITH d AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, shard, n_tok,
+        |  COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    // 2048 AS pack FROM d)
+        |SELECT shard, pack, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY shard, pack ORDER BY shard, pack""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (h32(col("doc_id").cast("string")) % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("pack",
+          floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / 2048).cast("long"))
+        .groupBy("shard", "pack")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("shard", "pack")
     }
   )
 }

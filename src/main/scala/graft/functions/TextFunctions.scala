@@ -110,6 +110,16 @@ object TextFunctions {
   /** Hamming distance between two same-width hash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Shared stopword lexicons — ONE definition, because
+    * q_quality_filter's no_stopwords verdict and q_text_quality's
+    * stop_ratio (and the lang-id scorer) must agree on what counts. */
+  val stopEn = Seq("the", "a", "of", "to", "and", "is", "in")
+  val stopEs = Seq("el", "la", "de", "que", "y", "los")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
+
+  /** DuckDB list-literal rendering for an oracle's lexicon. */
+  def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
   /** Stopword hit count against a fixed lexicon. */
   def stopwordCount(words: Column, lexicon: Seq[String]): Column =
     size(filter(words, w => w.isin(lexicon: _*)))

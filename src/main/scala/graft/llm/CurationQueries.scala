@@ -24,8 +24,6 @@ object CurationQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  private val stopEn = Seq("the", "a", "of", "to", "and", "is", "in")
-  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
@@ -276,9 +274,11 @@ object CurationQueries {
 
     // ---- sequence packing: the training-batch prep step — fill
     //      fixed-token-budget sequences with documents (sequential
-    //      fill: pack id = exclusive-prefix-sum(tokens) div budget,
-    //      so a pack overflows by at most one document and an
-    //      over-budget document gets a pack of its own). Packing is
+    //      fill: pack id = exclusive-prefix-sum(tokens) div budget —
+    //      a pack's tokens can exceed the budget by up to one
+    //      document's length, the straddler belongs to the pack it
+    //      STARTED in; consumers chunk or truncate the straddler,
+    //      pack_tokens is the pre-split accounting). Packing is
     //      inherently ORDER-dependent, so the scalable shape shards
     //      first (deterministic hash, the q_split_assign convention)
     //      and packs each shard independently: the window partitions
@@ -304,7 +304,7 @@ object CurationQueries {
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
           (h32(col("doc_id").cast("string")) % 8).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
+          size(tokens(col("text"))).cast("long").as("n_tok"))
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       d.withColumn("pack",

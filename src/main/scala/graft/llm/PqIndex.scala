@@ -66,13 +66,24 @@ object PqIndex {
 
   /** Deterministic Lloyd's k-means (k-means++-style greedy seeding by
     * hash order is unnecessary — the sample is already hash-shuffled,
-    * so the first k distinct points seed it) over driver-local rows. */
+    * so the first k DISTINCT points seed it; distinctness matters on
+    * dedup-shaped corpora, where exact-duplicate vectors in the first
+    * k sample slots would seed identical centroids that the empty-
+    * cell keep-old rule then preserves forever — fewer effective
+    * cells than cellsFor(n) promised) over driver-local rows. */
   def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "k-means needs a non-empty sample")
     val dim = points.head.length
     val rnd = new scala.util.Random(seed)
     val order = rnd.shuffle(points.indices.toList)
-    val cents = Array.tabulate(math.min(k, points.length))(j => points(order(j)).clone())
+    val seedPts = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seenPts = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    val it0 = order.iterator
+    while (seedPts.length < k && it0.hasNext) {
+      val p = points(it0.next())
+      if (seenPts.add(p.toSeq)) seedPts += p.clone()
+    }
+    val cents = seedPts.toArray // < k only if the sample has < k distinct points
     val kk = cents.length
     val assign = new Array[Int](points.length)
     var it = 0

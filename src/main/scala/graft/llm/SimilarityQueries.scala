@@ -149,12 +149,18 @@ object SimilarityQueries {
       // squared norms computed ONCE PER ROW on each side — the naive
       // per-pair cosine recomputes both self-dots per candidate pair,
       // tripling the hot join's arithmetic (same values either way:
-      // dot(a,a) is dot(a,a) wherever it's evaluated)
+      // dot(a,a) is dot(a,a) wherever it's evaluated). The probe rank
+      // itself runs THIN — (qid, qvn) only — and the 130-double query
+      // payload joins back on qid after the k-way cross join + window
+      // discard nprobe/k of the rows, instead of riding through them.
+      val qset = assigned.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"),
+          dot(col("v"), col("v")).as("qn2"))
       val probes = PqIndex.probeCells(
-          assigned.where(col("vec_id") % 25 === 0)
-            .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"),
-              dot(col("v"), col("v")).as("qn2")),
-          "qid", "qvn", coarse, NProbe)
+          qset.select(col("qid"), col("qvn")), "qid", "qvn", coarse, NProbe)
+        .select(col("qid").as("pqid"), col("ccell"))
+        .join(broadcast(qset.select(col("qid"), col("qv"), col("qn2"))),
+          col("pqid") === col("qid"))
         .select(col("qid"), col("qv"), col("qn2"), col("ccell"))
       val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),
         dot(col("v"), col("v")).as("cn2"), col("cell").as("cc"))

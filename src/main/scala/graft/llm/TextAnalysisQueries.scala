@@ -17,11 +17,7 @@ object TextAnalysisQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  private val stopEn = Seq("the", "a", "of", "to", "and", "is", "in")
-  private val stopEs = Seq("el", "la", "de", "que", "y", "los")
-  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
 
-  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   val defs: Seq[QueryDef] = Seq(
 

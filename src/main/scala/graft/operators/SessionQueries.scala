@@ -142,11 +142,11 @@ object SessionQueries {
     sql(
       "q_session_window",
       """WITH x AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
         |  FROM events),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                               ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM x)
         |SELECT user_id, min(ts) AS session_start,

@@ -27,10 +27,14 @@ object Bench {
     force(Tables(spark, sfDir, "region").groupBy("r_name").count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // Caches with plan-identical subtrees are shared by the cache
         // manager across queries (and across the two timed runs) —
@@ -38,18 +42,27 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> runs
+      (name, runs, err)
     }
+    // A failed query's time-to-failure is NOT a benchmark number: it
+    // leaves `queries` entirely and lands in `errors`, so a breakage
+    // can't masquerade as a speedup in the cross-round comparison.
+    val ok = results.collect { case (k, rs, None) => k -> rs }
+    val errs = results.collect { case (k, _, Some(m)) => k -> m }
     // headline numbers stay min-of-2 (stable plan-cost signal), but
     // BOTH run times are reported: a loaded host shows up as a
     // min/other gap in the artifact itself instead of needing a re-run
     // to disprove (round-3 lesson — two phantom 3-4 s readings).
-    val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.min }
+    val qs = ok.map { case (k, rs) => "\"" + k + "\":" + rs.min }
       .mkString("{", ",", "}")
-    val qruns = results.map { case (k, rs) =>
+    val qruns = ok.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    val errJson = errs.map { case (k, m) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2.min).sum
 
     // Streaming-path throughput (BASELINE.md fps shape): synthetic
     // frames through the full keyed state machine, frames/sec.
@@ -71,7 +84,7 @@ object Bench {
     }
     val fps = fpsRuns.max
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}]}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}]}""")
     spark.stop()
   }
 }

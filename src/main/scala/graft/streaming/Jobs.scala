@@ -70,24 +70,40 @@ object Jobs {
   /** MP4 sink stage (§3.2 step 6): partition-local writer pool over
     * annotated frames; finalizes every video at partition end (batch)
     * — in streaming this runs per micro-batch from foreachBatch with
-    * finalize driven by completion rows. Frames MUST be partitioned
-    * by video_id upstream so one video's frames land in one pool. */
+    * finalize driven by completion rows. Frames are repartitioned by
+    * video_id here so one video's frames land in one pool. Returns the
+    * publish manifest (video_id → finalized path) — one row per video,
+    * the driver-side handle the reference stamps into its completion
+    * message before publish (streams/stream.py output_path). */
   def writeAnnotatedVideos(
       annotated: Dataset[(String, Int, Array[Byte])], // (video_id, frame_number, payload)
-      outDir: String): Unit = {
+      outDir: String): Map[String, String] = {
     import annotated.sparkSession.implicits._
     annotated
       .toDF("vid", "fn", "payload") // normalize names (tuple vs named sources)
       .as[(String, Int, Array[Byte])]
       .repartition(col("vid")) // partition affinity by video_id
       .sortWithinPartitions(col("vid"), col("fn"))
-      .foreachPartition { (it: Iterator[(String, Int, Array[Byte])]) =>
+      .mapPartitions { it =>
         val pool = new VideoSink.WriterPool(Paths.get(outDir))
-        it.foreach { case (vid, _, payload) => pool.append(vid, payload) }
-        pool.finalizeAll()
-        ()
+        val vids = scala.collection.mutable.LinkedHashSet.empty[String]
+        it.foreach { case (vid, _, payload) =>
+          vids += vid; pool.append(vid, payload)
+        }
+        vids.iterator.map(v => v -> pool.finalizeVideo(v).get.toString)
       }
+      .collect().toMap // one (video_id, path) pair per video — bounded
   }
+
+  /** Stamp the sink's real output paths into completion events before
+    * publish — the production step the reference performs by mutating
+    * the completion message (stream.py); events for videos the sink
+    * did not write pass through unchanged. */
+  def stampFilepaths(
+      completions: Seq[CompletionEvent],
+      manifest: Map[String, String]): Seq[CompletionEvent] =
+    completions.map(c =>
+      manifest.get(c.video_id).fold(c)(p => c.copy(local_filepath = p)))
 
   /** §3.3 uploader: completion events → object-storage copy. Returns
     * (video_id, destination) pairs; destUri may be file:// locally or

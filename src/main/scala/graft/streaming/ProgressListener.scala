@@ -28,6 +28,8 @@ class ProgressListener(
   private val log = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
   @volatile private var current: Double = 0.0
   @volatile private var trackedRunId: Option[java.util.UUID] = None
+  // Runs this gauge has already moved past; bounded by restart count.
+  private val retired = scala.collection.mutable.Set.empty[java.util.UUID]
 
   /** Latest progress percentage (monotone WITHIN a run, ≤ 100; a
     * restart re-arms the gauge at 0 for the new run). */
@@ -48,16 +50,25 @@ class ProgressListener(
   // run it observes and ignores every other query on the session.
   private def adopt(runId: java.util.UUID, name: String): Boolean = synchronized {
     if (trackedRunId.contains(runId)) true
+    else if (retired.contains(runId)) false // stale queued event of a replaced run
     else {
       val owns = queryName match {
         case Some(n) => name != null && n == name // restart of the named query
         case None => trackedRunId.isEmpty // anonymous: first run wins
       }
       if (owns) {
-        if (trackedRunId.isDefined) { // new runId: re-arm for the new run
-          seen.set(0L)
-          current = 0.0
-        }
+        // A replaced run can never adopt again: QueryStartedEvent is
+        // delivered synchronously but progress/termination drain from
+        // the async bus, so the previous run's queued events arrive
+        // AFTER the restart adopted the new runId — without the
+        // retired set they would steal ownership back, double-count
+        // stale rows, and finalize the gauge mid-recovery.
+        trackedRunId.foreach(retired += _)
+        // Re-arm unconditionally: also covers an unnamed listener that
+        // finalized on an unrelated query's termination BEFORE first
+        // adoption (current pinned at 100 otherwise).
+        seen.set(0L)
+        current = 0.0
         trackedRunId = Some(runId)
       }
       owns

@@ -83,7 +83,6 @@ object Schemas {
       fireCount: Long,
       maxFireProb: Double,
       consecutiveFire: Long,    // GradCAM cadence counter (F4)
-      sinceInference: Long,     // inference cadence counter (A5)
       lastProbability: Double,  // cached prediction for skipped frames
       lastHasFire: Boolean,
       meta: VideoMeta,

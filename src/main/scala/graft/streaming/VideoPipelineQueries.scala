@@ -42,16 +42,18 @@ object VideoPipelineQueries {
       |            // 300000000 AS INT) AS fn
       |FROM events""".stripMargin
 
-  // Cadence moduli come from the processor Config so the oracle tracks
-  // a default change instead of silently diverging from the Spark side.
+  // Cadence moduli AND the session gap come from the processor Config
+  // so the oracle tracks a default change instead of silently
+  // diverging from the Spark side.
   private val inferN = VideoSessionProcessor.Config().inferEveryN
   private val gradcamN = VideoSessionProcessor.Config().gradcamEveryN
+  private val gapN = VideoSessionProcessor.Config().gapFrames
 
   /** Shared oracle prefix: sessionize, cadence, synthetic inference. */
   private val pipelineSql =
     s"""WITH f0 AS ($framesSql),
        |f1 AS (SELECT vid, fn,
-       |              CASE WHEN fn - lag(fn) OVER (PARTITION BY vid ORDER BY fn) > 300
+       |              CASE WHEN fn - lag(fn) OVER (PARTITION BY vid ORDER BY fn) > $gapN
        |                   THEN 1 ELSE 0 END AS brk
        |       FROM f0),
        |f2 AS (SELECT vid, fn,

@@ -56,10 +56,20 @@ object VideoSessionProcessor {
       sessionId = sessionId, sessionIndex = 0L,
       lastFrameNumber = f.frame_number, maxFrameSeen = f.frame_number,
       frameCount = 0L, fireCount = 0L, maxFireProb = 0.0,
-      consecutiveFire = 0L, sinceInference = 0L,
+      consecutiveFire = 0L,
       lastProbability = 0.0, lastHasFire = false,
       meta = VideoMeta(cfg.fps, cfg.width, cfg.height, 0L),
       firstTimestampUs = f.timestamp_us, lastTimestampUs = f.timestamp_us)
+
+  /** Idle-timeout close leaves this marker behind instead of deleting
+    * the key outright: the next epoch's session id continues from it
+    * (no (video_id, session_id) collision with an already-emitted
+    * completion), and one more idle window with no input expires the
+    * marker entirely — bounded state, unlike a forever-tombstone. */
+  def closedMarker(st: VideoState): VideoState =
+    st.copy(frameCount = 0L, sessionIndex = 0L, fireCount = 0L,
+      maxFireProb = 0.0, consecutiveFire = 0L,
+      lastProbability = 0.0, lastHasFire = false)
 
   def completionOf(videoId: String, st: VideoState): CompletionEvent =
     CompletionEvent(
@@ -82,8 +92,14 @@ object VideoSessionProcessor {
 
     if (frames.isEmpty) return (state, Seq.empty)
     val out = scala.collection.mutable.ArrayBuffer.empty[VideoEvent]
-    var st = state.getOrElse(initState(1L, cfg, frames.head))
-    if (state.isEmpty) () // fresh session starts below
+    var st = state match {
+      // closed marker from an idle-timeout (persisted frameCount is
+      // never 0 for an open session): the next session CONTINUES the
+      // id sequence instead of reusing already-emitted ids
+      case Some(s) if s.frameCount == 0L => initState(s.sessionId + 1, cfg, frames.head)
+      case Some(s) => s
+      case None => initState(1L, cfg, frames.head)
+    }
 
     frames.foreach { f =>
       // A3: gap-based session close + re-init.
@@ -139,7 +155,6 @@ object VideoSessionProcessor {
         fireCount = st.fireCount + (if (hasFire) 1 else 0),
         maxFireProb = math.max(st.maxFireProb, prob),
         consecutiveFire = consecutive,
-        sinceInference = if (runInference) 0 else st.sinceInference + 1,
         lastProbability = prob,
         lastHasFire = hasFire,
         lastTimestampUs = f.timestamp_us)
@@ -218,7 +233,10 @@ object VideoSessionProcessor {
     override def init(outputMode: OM, timeMode: TM): Unit = {
       state = getHandle.getValueState[VideoState](
         "videoState", Encoders.product[VideoState], TTLConfig.NONE)
-      withTimers = timeMode.toString == "ProcessingTime"
+      // value equality against the API's own constructor — a string
+      // compare on the rendering would silently disable timers if the
+      // case object's toString ever changed
+      withTimers = timeMode == TM.ProcessingTime()
       if (withTimers)
         timer = getHandle.getValueState[Long](
           "idleTimer", Encoders.scalaLong, TTLConfig.NONE)
@@ -247,12 +265,19 @@ object VideoSessionProcessor {
         key: String,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[VideoEvent] = {
-      val events =
-        if (state.exists()) Seq(VideoEvent("completion", None, Some(completionOf(key, state.get()))))
-        else Seq.empty
-      state.clear()
-      if (timer != null) timer.clear()
-      events.iterator
+      val open = if (state.exists()) Some(state.get()).filter(_.frameCount > 0L) else None
+      open match {
+        case Some(s) => // close + keep the marker one more idle window
+          state.update(closedMarker(s))
+          val next = timerValues.getCurrentProcessingTimeInMs() + cfg.idleTimeoutMs
+          getHandle.registerTimer(next)
+          if (timer != null) timer.update(next)
+          Iterator.single(VideoEvent("completion", None, Some(completionOf(key, s))))
+        case None => // marker (or nothing) expired: forget the key
+          state.clear()
+          if (timer != null) timer.clear()
+          Iterator.empty
+      }
     }
   }
 
@@ -286,10 +311,18 @@ object VideoSessionProcessor {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (vid: String, it: Iterator[FrameIn], gs: GroupState[VideoState]) =>
           if (gs.hasTimedOut) {
-            val events = gs.getOption.toSeq
-              .map(s => VideoEvent("completion", None, Some(completionOf(vid, s))))
-            gs.remove()
-            events.iterator
+            gs.getOption match {
+              case Some(s) if s.frameCount > 0L =>
+                // close the open session; keep a marker one more idle
+                // window so a resuming video continues the id sequence
+                gs.update(closedMarker(s))
+                gs.setTimeoutDuration(cfg.idleTimeoutMs)
+                Iterator.single(
+                  VideoEvent("completion", None, Some(completionOf(vid, s))))
+              case _ => // marker expired with no new input: forget the key
+                gs.remove()
+                Iterator.empty
+            }
           } else {
             val sorted = it.toSeq.sortBy(f => (f.frame_number, f.timestamp_us))
             val (st, events) = transition(

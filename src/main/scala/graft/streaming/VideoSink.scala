@@ -63,38 +63,65 @@ object VideoSink {
     * `mkWriter` is the muxer seam: the default stub writes the
     * length-prefixed test container; on a jar-equipped cluster pass
     * `(p, _) => new RuntimeAdapters.JavaCvContainerWriter(p, w, h, fps)`
-    * and every pool/finalize/suffix-bump semantic is unchanged. */
+    * and every pool/finalize/publish semantic is unchanged.
+    *
+    * Task-commit discipline: frames stream into a per-attempt hidden
+    * temp file; only a CLOSED, VERIFIED container is atomically moved
+    * to its canonical name (suffix-bumped on genuine collision,
+    * video_writer.py:44-58). A task retry or speculative twin
+    * therefore can never leave a truncated file holding the canonical
+    * name the upload path resolves — the dead attempt's `.inprogress-*`
+    * leftover is janitor garbage, never published output. */
   final class WriterPool(
       outDir: Path,
       mkWriter: (Path, String) => ContainerWriter =
         (p, codec) => new StubContainerWriter(p, codec)) {
     Files.createDirectories(outDir)
+    // One nonce per pool = per task attempt: a retry and the attempt
+    // it replaces (or a speculative twin) write disjoint temp files.
+    private val nonce = java.util.UUID.randomUUID().toString.take(8)
     private val open = mutable.Map.empty[String, (Path, ContainerWriter)]
 
-    def pathFor(videoId: String): Path = {
-      // Suffix-bump on collision (video_writer.py:44-58).
-      var p = outDir.resolve(s"${videoId}_with_heatmaps.mp4")
-      var i = 1
-      while (Files.exists(p)) { p = outDir.resolve(s"${videoId}_with_heatmaps_$i.mp4"); i += 1 }
-      p
-    }
+    private def tmpFor(videoId: String): Path =
+      outDir.resolve(s".${videoId}_with_heatmaps.mp4.inprogress-$nonce")
 
     def append(videoId: String, frame: Array[Byte]): Unit = {
       val (_, w) = open.getOrElseUpdate(videoId, {
         val codec = probeCodec(_ => true).get
-        val p = pathFor(videoId)
+        val p = tmpFor(videoId)
         (p, mkWriter(p, codec))
       })
       w.append(frame)
     }
 
-    /** Finalize + verify; idempotent (double-close returns the same
-      * path, reference test_video_finalization_concurrency:404-426). */
+    /** Atomically claim the canonical name, bumping the suffix past
+      * files that already exist; ATOMIC_MOVE + retry-on-collision keeps
+      * two concurrent publishers from both landing on the same name. */
+    private def publish(tmp: Path, videoId: String): Path = {
+      var i = 0
+      while (true) {
+        val target =
+          if (i == 0) outDir.resolve(s"${videoId}_with_heatmaps.mp4")
+          else outDir.resolve(s"${videoId}_with_heatmaps_$i.mp4")
+        if (!Files.exists(target)) {
+          try return Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+        i += 1
+      }
+      sys.error("unreachable")
+    }
+
+    /** Finalize + verify + publish; idempotent (double-close returns
+      * the same path, reference test_video_finalization_concurrency:404-426).
+      * Verification runs BEFORE the move, so a corrupt container never
+      * reaches a canonical name. */
     def finalizeVideo(videoId: String): Option[Path] = open.remove(videoId).map {
-      case (p, w) =>
+      case (tmp, w) =>
         w.close()
-        require(w.verify(p), s"container verification failed for $p")
-        p
+        require(w.verify(tmp), s"container verification failed for $tmp")
+        publish(tmp, videoId)
     }
 
     def finalizeAll(): Seq[Path] = open.keys.toSeq.sorted.flatMap(finalizeVideo)

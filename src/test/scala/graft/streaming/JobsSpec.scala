@@ -44,22 +44,26 @@ class JobsSpec extends SparkSpec {
     assert(comps.map(_.getAs[String]("video_id")).toSeq == Seq("vidA", "vidB"))
     assert(comps.head.getAs[org.apache.spark.sql.Row]("stats").getAs[Long]("total_frames") == 20L)
 
-    // MP4 sink stage over annotated frames
+    // MP4 sink stage over annotated frames; the returned manifest is
+    // the sink's publish record (video_id → finalized path)
     val outDir = Files.createTempDirectory("graft-mp4").toString
     val annotated = frames.map(f => (f.video_id, f.frame_number, Array.fill(8)(f.frame_number.toByte))).toDS()
-    Jobs.writeAnnotatedVideos(annotated, outDir)
+    val manifest = Jobs.writeAnnotatedVideos(annotated, outDir)
     val written = Files.list(Paths.get(outDir)).toArray.map(_.toString).sorted
     assert(written.length == 2)
     assert(written.forall(p => VideoSink.verify(Paths.get(p))))
+    assert(manifest.keySet == Set("vidA", "vidB"))
+    assert(manifest.values.toSet == written.toSet)
 
     // upload via Hadoop FileSystem (file:// here, s3a:// on a cluster);
-    // in production the sink stamps its real output path into the
-    // completion event before publish — mirror that here
+    // stampFilepaths is the production step that writes the sink's
+    // real output path into the completion event before publish
     val destBase = "file://" + Files.createTempDirectory("graft-s3").toString
     val localDir = Paths.get(outDir)
-    val completion = VideoSessionProcessor
-      .completionOf("vidA", transitionStateOf("vidA", 20))
-      .copy(local_filepath = written.find(_.contains("vidA")).get)
+    val Seq(completion) = Jobs.stampFilepaths(
+      Seq(VideoSessionProcessor.completionOf("vidA", transitionStateOf("vidA", 20))),
+      manifest)
+    assert(completion.local_filepath == manifest("vidA"))
     val uploaded = Jobs.uploadCompletions(spark, Seq(completion), localDir, destBase)
     assert(uploaded.nonEmpty)
     val destPath = Paths.get(new java.net.URI(uploaded.head._2))

@@ -143,6 +143,41 @@ class ProgressListenerSpec extends SparkSpec {
     assert(listener.pct == 100.0 && listener.history == Seq(100.0))
   }
 
+  test("a replaced run's stale queued events cannot steal ownership back") {
+    // QueryStartedEvent is delivered synchronously but the async bus
+    // can drain a previous run's queued events AFTER a restart adopted
+    // the new runId — a stale event must not re-adopt the old run
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{
+      QueryStartedEvent, QueryTerminatedEvent}
+    val id = java.util.UUID.randomUUID()
+    val run1 = java.util.UUID.randomUUID()
+    val run2 = java.util.UUID.randomUUID()
+    val listener = new ProgressListener(
+      expectedTotal = 40L, queryName = Some("steal_probe"))
+    listener.onQueryStarted(new QueryStartedEvent(id, run1, "steal_probe", "t0"))
+    listener.onQueryStarted(new QueryStartedEvent(id, run2, "steal_probe", "t1"))
+    // stale re-delivery of the replaced run: must be inert
+    listener.onQueryStarted(new QueryStartedEvent(id, run1, "steal_probe", "t0"))
+    // run2 must still own the gauge: its clean termination finalizes
+    listener.onQueryTerminated(new QueryTerminatedEvent(id, run2, None))
+    assert(listener.pct == 100.0, "stale run stole the gauge back")
+  }
+
+  test("an unnamed listener that finalized before first adoption re-arms on adopt") {
+    // unrelated query stops cleanly before the intended query starts:
+    // the close-out-on-teardown finalize must not pin the gauge at 100
+    // for the run the listener then latches onto
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{
+      QueryStartedEvent, QueryTerminatedEvent}
+    val listener = new ProgressListener(expectedTotal = 40L, queryName = None)
+    listener.onQueryTerminated(new QueryTerminatedEvent(
+      java.util.UUID.randomUUID(), java.util.UUID.randomUUID(), None))
+    assert(listener.pct == 100.0) // teardown close-out, nothing latched yet
+    listener.onQueryStarted(new QueryStartedEvent(
+      java.util.UUID.randomUUID(), java.util.UUID.randomUUID(), "late_query", "t0"))
+    assert(listener.pct == 0.0, "gauge stayed pinned at 100 after adoption")
+  }
+
   test("an unnamed listener latches onto its first run and ignores other queries") {
     implicit val sqlCtx = spark.sqlContext
     val inputA = MemoryStream[Int]

@@ -298,6 +298,7 @@ class StreamingSpec extends SparkSpec {
         import batch.sparkSession.implicits._
         Jobs.writeAnnotatedVideos(
           batch.select("vid", "fn", "payload").as[(String, Int, Array[Byte])], outDir)
+        () // manifest unused here; a production foreachBatch stamps+publishes it
       }
       .start()
     try {

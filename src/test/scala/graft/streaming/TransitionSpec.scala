@@ -86,6 +86,22 @@ class TransitionSpec extends AnyFunSuite {
     assert(comp.stats.total_frames == 2 && comp.stats.fire_count == 0)
   }
 
+  test("idle-timeout marker: the next session continues the id sequence") {
+    val cfg = Config()
+    val (st1, _) = transition("v1", None, frames("v1", 0, 1), cfg, Scripted(Set()), ts)
+    assert(st1.get.sessionId == 1L)
+    // idle-timeout close leaves the marker behind (frameCount == 0)
+    val marker = VideoSessionProcessor.closedMarker(st1.get)
+    assert(marker.frameCount == 0L)
+    val (st2, _) = transition("v1", Some(marker), frames("v1", 100, 101), cfg, Scripted(Set()), ts)
+    // resumed video continues ids: no (video_id, session_id) collision
+    // with the completion already emitted for session 1
+    assert(st2.get.sessionId == 2L)
+    assert(st2.get.frameCount == 2L)
+    assert(VideoSessionProcessor.completionOf("v1", st2.get)
+      .local_filepath == "/videos/v1_s2.mp4")
+  }
+
   test("state continuity: resuming from prior state keeps session position") {
     val cfg = Config(inferEveryN = 3)
     val (st1, ev1) = transition("v1", None, frames("v1", 0, 1), cfg, Scripted(Set(0)), ts)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -49,6 +49,22 @@ class VideoSinkSpec extends AnyFunSuite {
     pool2.append("v1", Array[Byte](2))
     val p = pool2.finalizeVideo("v1").get
     assert(p.getFileName.toString == "v1_with_heatmaps_1.mp4")
+  }
+
+  test("task retry: dead attempt's partial file never holds the canonical name") {
+    val dir = tmp()
+    val dead = new VideoSink.WriterPool(dir)
+    dead.append("v1", Array.fill(100)(1.toByte)) // attempt dies mid-write: no finalize
+    val retry = new VideoSink.WriterPool(dir)
+    retry.append("v1", Array[Byte](7))
+    val p = retry.finalizeVideo("v1").get
+    // the retry's verified container claims the canonical name — no bump
+    assert(p.getFileName.toString == "v1_with_heatmaps.mp4")
+    assert(VideoSink.verify(p))
+    // the dead attempt's leftover is janitor garbage, not published output
+    val leftovers = Files.list(dir).toArray.map(_.toString).filter(_.contains("inprogress"))
+    assert(leftovers.nonEmpty)
+    assert(leftovers.forall(l => Paths.get(l).getFileName.toString.startsWith(".")))
   }
 
   test("codec probe follows the reference chain order") {

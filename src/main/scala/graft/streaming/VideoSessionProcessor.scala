@@ -44,7 +44,13 @@ object VideoSessionProcessor {
       width: Int = 640,
       height: Int = 480,
       fps: Double = 30.0,
-      idleTimeoutMs: Long = 30000L)
+      idleTimeoutMs: Long = 30000L,
+      // How long a closed-session marker outlives its idle-timeout
+      // close. Within this horizon a resuming video continues the
+      // session-id sequence (no collision with already-emitted
+      // completion ids/filepaths); after it the key's state is
+      // reclaimed — bounded state, not a forever-tombstone.
+      markerTtlMs: Long = 600000L)
 
   /** Minimal frame input for the state machine (payload dropped after
     * decode/inference upstream). */
@@ -64,8 +70,8 @@ object VideoSessionProcessor {
   /** Idle-timeout close leaves this marker behind instead of deleting
     * the key outright: the next epoch's session id continues from it
     * (no (video_id, session_id) collision with an already-emitted
-    * completion), and one more idle window with no input expires the
-    * marker entirely — bounded state, unlike a forever-tombstone. */
+    * completion), and after `markerTtlMs` with no input the marker
+    * expires entirely — bounded state, unlike a forever-tombstone. */
   def closedMarker(st: VideoState): VideoState =
     st.copy(frameCount = 0L, sessionIndex = 0L, fireCount = 0L,
       maxFireProb = 0.0, consecutiveFire = 0L,
@@ -267,9 +273,9 @@ object VideoSessionProcessor {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[VideoEvent] = {
       val open = if (state.exists()) Some(state.get()).filter(_.frameCount > 0L) else None
       open match {
-        case Some(s) => // close + keep the marker one more idle window
+        case Some(s) => // close + keep the marker for the TTL horizon
           state.update(closedMarker(s))
-          val next = timerValues.getCurrentProcessingTimeInMs() + cfg.idleTimeoutMs
+          val next = timerValues.getCurrentProcessingTimeInMs() + cfg.markerTtlMs
           getHandle.registerTimer(next)
           if (timer != null) timer.update(next)
           Iterator.single(VideoEvent("completion", None, Some(completionOf(key, s))))
@@ -313,10 +319,10 @@ object VideoSessionProcessor {
           if (gs.hasTimedOut) {
             gs.getOption match {
               case Some(s) if s.frameCount > 0L =>
-                // close the open session; keep a marker one more idle
-                // window so a resuming video continues the id sequence
+                // close the open session; keep a marker for the TTL
+                // horizon so a resuming video continues the id sequence
                 gs.update(closedMarker(s))
-                gs.setTimeoutDuration(cfg.idleTimeoutMs)
+                gs.setTimeoutDuration(cfg.markerTtlMs)
                 Iterator.single(
                   VideoEvent("completion", None, Some(completionOf(vid, s))))
               case _ => // marker expired with no new input: forget the key

@@ -82,6 +82,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a video resuming after an idle-timeout close continues the session-id sequence") {
+    // the closed-marker semantics end-to-end: timeout emits session 1's
+    // completion, later frames for the SAME key open session 2 — no
+    // (video_id, session_id) / filepath collision with what was emitted
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FrameIn]
+    val cfg = Config(inferEveryN = 3, idleTimeoutMs = 500L)
+    val events = VideoSessionProcessor.processStream(input.toDS(), cfg)
+    val query = events.writeStream
+      .format("memory").queryName("video_events_resume")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def completions() = spark.table("video_events_resume")
+        .where($"kind" === "completion" && $"completion.video_id" === "v1")
+        .select($"completion.*").orderBy($"local_filepath").collect()
+      def awaitComps(n: Int): Array[org.apache.spark.sql.Row] = {
+        val deadline = System.currentTimeMillis() + 30000L
+        var c = completions()
+        while (c.length < n && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250L); c = completions()
+        }
+        c
+      }
+      input.addData(FrameIn("v1", 0, 0L), FrameIn("v1", 1, 1000L))
+      Thread.sleep(1200L)
+      input.addData(FrameIn("vx", 0, 0L)) // unrelated key triggers a batch
+      assert(awaitComps(1).length == 1)
+      // v1 resumes after its close: must continue as session 2
+      input.addData(FrameIn("v1", 100, 100000L), FrameIn("v1", 101, 101000L))
+      Thread.sleep(1200L)
+      input.addData(FrameIn("vy", 0, 0L))
+      val comps = awaitComps(2)
+      assert(comps.length == 2, s"expected two completions, got ${comps.length}")
+      // session id continues: the filepath (which carries it) differs
+      assert(comps.map(_.getAs[String]("local_filepath")).toSeq ==
+        Seq("/videos/v1_s1.mp4", "/videos/v1_s2.mp4"))
+    } finally query.stop()
+  }
+
   test("streaming aggregation in Complete and Update output modes") {
     // Append is exercised everywhere else; Complete re-emits the full
     // result table per batch and Update emits only changed rows — the

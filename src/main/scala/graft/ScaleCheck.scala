@@ -87,7 +87,8 @@ object ScaleCheck {
     "q_window_frames", "q_session_window", "q_stats_agg",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_dedup_ngram_jaccard", "q_dedup_substring", "q_dedup_levenshtein",
-    "q_dedup_components", "q_dedup_hybrid", "q_knn_ivf", "q_knn_pq")
+    "q_dedup_components", "q_dedup_hybrid", "q_knn_ivf", "q_knn_pq",
+    "q_perplexity_bigram")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

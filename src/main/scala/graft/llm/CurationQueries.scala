@@ -314,6 +314,46 @@ object CurationQueries {
           sum(col("n_tok")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("shard", "pack")
+    },
+
+    // ---- domain mixture weights: temperature-scaled sampling rates
+    //      (the Pile / DoReMi-style α=0.5 reweighting — upsample the
+    //      tail, damp the dominant domain) plus expected epochs per
+    //      domain under a fixed token budget. One corpus aggregation
+    //      (hash-partitioned on source) collapses 100 TB to one row
+    //      per domain; the windows run over that domain-count-sized
+    //      result — driver-trivial at any corpus scale. ----
+    sql(
+      "q_domain_mix",
+      """WITH d AS (SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, n_docs, n_tokens,
+        |  n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS raw_share,
+        |  pow(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 0.5) AS scaled
+        |  FROM d)
+        |SELECT source, n_docs, n_tokens,
+        |       round(raw_share, 6) AS raw_share,
+        |       round(scaled / sum(scaled) OVER (), 6) AS mix_weight,
+        |       round((scaled / sum(scaled) OVER ()) * 1000000 / n_tokens, 4) AS epochs_at_1m
+        |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy()
+      val d = t(s, dir, "documents")
+        .select(col("source"), size(tokens(col("text"))).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val rawShare = col("n_tokens") / sum(col("n_tokens")).over(all).cast("double")
+      val sc = d.select(col("source"), col("n_docs"), col("n_tokens"),
+        rawShare.as("raw_share"), pow(rawShare, 0.5).as("scaled"))
+      sc.select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("raw_share"), 6).as("raw_share"),
+          round(col("scaled") / sum(col("scaled")).over(all), 6).as("mix_weight"),
+          round(col("scaled") / sum(col("scaled")).over(all) * 1000000 / col("n_tokens"), 4)
+            .as("epochs_at_1m"))
+        .orderBy("source")
     }
   )
 }

@@ -127,6 +127,57 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // ---- LM-perplexity quality scoring (CCNet-style) ----
+    // Corpus-trained add-k bigram LM scores each document in
+    // bits-per-token; high-perplexity docs are the classic "remove
+    // from training data" candidates. Everything is hash-partitioned
+    // group-bys and equi-joins on token keys: the unigram/bigram count
+    // tables shuffle on well-distributed word keys, the vocabulary
+    // size rides a 1-row broadcast aggregate (the TF-IDF doc-count
+    // pattern), and scoring is one shuffle join of bigrams against
+    // the LM. At 100 TB the LM table gets a min-count prune (CCNet
+    // prunes singletons for exactly this reason) — the join shape is
+    // unchanged.
+    sql(
+      "q_perplexity_bigram",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, words[g] AS w1, words[g + 1] AS w2
+        |       FROM w, unnest(range(1, len(words))) AS t(g)),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |bi  AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |v   AS (SELECT count(DISTINCT w1) AS vsz FROM bg)
+        |SELECT bg.doc_id,
+        |       CAST(count(*) AS INT) AS n_bigrams,
+        |       round(avg(-log2((c2 + 0.5) / (c1 + 0.5 * vsz))), 4) AS bits_per_token,
+        |       round(pow(2, avg(-log2((c2 + 0.5) / (c1 + 0.5 * vsz)))), 4) AS ppl
+        |FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+      val words = col("words")
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(words) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(words, lit(1), size(words) - 1),
+            slice(words, lit(2), size(words) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val vocab = bg.agg(countDistinct(col("w1")).as("vsz"))
+      val bits = -log2((col("c2") + 0.5) / (col("c1") + col("vsz") * 0.5))
+      bg.join(bi, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"), avg(bits).as("b"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("b"), 4).as("bits_per_token"),
+          round(pow(lit(2.0), col("b")), 4).as("ppl"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus-level rollup: tokens & quality per source × lang ----
     sql(
       "q_corpus_stats",

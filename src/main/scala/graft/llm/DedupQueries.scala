@@ -114,12 +114,15 @@ object DedupQueries {
       val ex = sh.select(col("doc_id"), explode(col("sgl")).as("g"))
       val rare = ex.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= 100)
         .select("g")
-      // Broadcast the bounded sides: the rare-shingle set (df-capped)
-      // and the 2% query sample. The full inverted index then never
-      // shuffles — it streams map-side through both joins. (At cluster
-      // scale with an unbounded query set, drop the aS hint and let
-      // AQE pick SMJ on g — the df cap keeps that join's skew bounded.)
-      val exr = ex.join(broadcast(rare), "g")
+      // The rare-shingle filter join carries NO broadcast hint: the
+      // df cap bounds per-shingle pair fanout, not the distinct-
+      // shingle set size — in a real corpus nearly every distinct
+      // shingle is rare, so that side grows with the corpus. AQE
+      // broadcasts it while it fits and falls back to a shuffle join
+      // on g past that (df cap keeps the skew bounded). The 2% query
+      // sample keeps its hint; at cluster scale with an unbounded
+      // query set, drop it too.
+      val exr = ex.join(rare, "g")
       val sizes = exr.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val aS = exr.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("da"), col("g").as("ga"))

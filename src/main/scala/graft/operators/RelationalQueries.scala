@@ -80,9 +80,12 @@ object RelationalQueries {
       val l = t(s, dir, "lineitem")
         .where(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      // customer is the selective dimension side here → broadcast it.
+      // The filtered one-column customer side is the small side, but
+      // it is SF-proportional (a 1/5 segment of an SF-scaled table) —
+      // no hard broadcast hint: AQE broadcasts it while it fits and
+      // degrades to a shuffle join past the limit at cluster scale.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .select("l_orderkey", "revenue", "order_date")
@@ -200,7 +203,9 @@ object RelationalQueries {
       val l = t(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
       // Equi component carries the shuffle; the band predicate is a
       // cheap post-join residual (never a nested-loop cross product).
-      l.join(broadcast(p),
+      // part is SF-scaled, so no hard broadcast hint — AQE picks
+      // broadcast at small SF, shuffle hash/SMJ on p_partkey at scale.
+      l.join(p,
           l("l_partkey") === p("p_partkey")
             && l("l_quantity").between(p("p_size"), p("p_size") + 10))
         .groupBy("p_partkey")

@@ -342,6 +342,50 @@ object SimilarityQueries {
         .where(col("simraw") >= 0.35)
         .select(col("da"), col("db"), round(col("simraw"), 6).as("sim"))
         .orderBy("da", "db")
+    },
+
+    // ---- semantic balance: density-flattening sample rates over
+    //      embedding-space buckets (the SemDeDup-style counterpart to
+    //      q_domain_mix's metadata domains — dense semantic regions
+    //      get downsampled to the mean bucket density, tail regions
+    //      kept whole, plus the same temperature mixture weights).
+    //      Bucketing is the portable 8-bit sign signature (cross-
+    //      engine checkable, unlike k-means cells); one hash
+    //      aggregation collapses the corpus to ≤256 bucket rows and
+    //      the windows run over those. At cluster scale swap the sign
+    //      signature for the trained IVF cells — same query shape. ----
+    sql(
+      "q_semantic_balance",
+      """WITH e AS (SELECT vec_id,
+        |                  CAST(list_sum(list_transform(range(0, 8),
+        |                    i -> CASE WHEN embedding[i+1] > 0
+        |                              THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS bkt
+        |           FROM embeddings),
+        |d AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY bkt),
+        |s AS (SELECT bkt, n_vecs,
+        |             n_vecs / CAST(sum(n_vecs) OVER () AS DOUBLE) AS raw_share,
+        |             pow(n_vecs / CAST(sum(n_vecs) OVER () AS DOUBLE), 0.5) AS scaled,
+        |             sum(n_vecs) OVER () / CAST(count(*) OVER () AS DOUBLE) AS mean_n
+        |      FROM d)
+        |SELECT bkt, n_vecs,
+        |       round(raw_share, 6) AS raw_share,
+        |       round(scaled / sum(scaled) OVER (), 6) AS mix_weight,
+        |       round(least(1.0, mean_n / n_vecs), 4) AS keep_rate
+        |FROM s ORDER BY bkt""".stripMargin) { (s, dir) =>
+      val all = Window.partitionBy()
+      val d = t(s, dir, "embeddings")
+        .select(signBucket(asDouble(col("embedding"))).as("bkt"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_vecs"))
+      val rawShare = col("n_vecs") / sum(col("n_vecs")).over(all).cast("double")
+      val sc = d.select(col("bkt"), col("n_vecs"),
+        rawShare.as("raw_share"), pow(rawShare, 0.5).as("scaled"),
+        (sum(col("n_vecs")).over(all) / count(lit(1)).over(all).cast("double")).as("mean_n"))
+      sc.select(col("bkt"), col("n_vecs"),
+          round(col("raw_share"), 6).as("raw_share"),
+          round(col("scaled") / sum(col("scaled")).over(all), 6).as("mix_weight"),
+          round(least(lit(1.0), col("mean_n") / col("n_vecs")), 4).as("keep_rate"))
+        .orderBy("bkt")
     }
   )
 }

@@ -338,21 +338,16 @@ object CurationQueries {
         |       round(scaled / sum(scaled) OVER (), 6) AS mix_weight,
         |       round((scaled / sum(scaled) OVER ()) * 1000000 / n_tokens, 4) AS epochs_at_1m
         |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val all = Window.partitionBy()
       val d = t(s, dir, "documents")
         .select(col("source"), size(tokens(col("text"))).as("n_tok"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast("long").as("n_tokens"))
-      val rawShare = col("n_tokens") / sum(col("n_tokens")).over(all).cast("double")
-      val sc = d.select(col("source"), col("n_docs"), col("n_tokens"),
-        rawShare.as("raw_share"), pow(rawShare, 0.5).as("scaled"))
-      sc.select(col("source"), col("n_docs"), col("n_tokens"),
+      Balance.temperatureMix(d, "n_tokens")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("raw_share"), 6).as("raw_share"),
-          round(col("scaled") / sum(col("scaled")).over(all), 6).as("mix_weight"),
-          round(col("scaled") / sum(col("scaled")).over(all) * 1000000 / col("n_tokens"), 4)
-            .as("epochs_at_1m"))
+          round(col("mix_weight"), 6).as("mix_weight"),
+          round(col("mix_weight") * 1000000 / col("n_tokens"), 4).as("epochs_at_1m"))
         .orderBy("source")
     }
   )

@@ -372,18 +372,16 @@ object SimilarityQueries {
         |       round(scaled / sum(scaled) OVER (), 6) AS mix_weight,
         |       round(least(1.0, mean_n / n_vecs), 4) AS keep_rate
         |FROM s ORDER BY bkt""".stripMargin) { (s, dir) =>
-      val all = Window.partitionBy()
       val d = t(s, dir, "embeddings")
         .select(signBucket(asDouble(col("embedding"))).as("bkt"))
         .groupBy("bkt")
         .agg(count(lit(1)).as("n_vecs"))
-      val rawShare = col("n_vecs") / sum(col("n_vecs")).over(all).cast("double")
-      val sc = d.select(col("bkt"), col("n_vecs"),
-        rawShare.as("raw_share"), pow(rawShare, 0.5).as("scaled"),
-        (sum(col("n_vecs")).over(all) / count(lit(1)).over(all).cast("double")).as("mean_n"))
-      sc.select(col("bkt"), col("n_vecs"),
+      val meanN = Balance.totalOver(col("n_vecs")) / Balance.countOver.cast("double")
+      Balance.temperatureMix(d, "n_vecs")
+        .withColumn("mean_n", meanN)
+        .select(col("bkt"), col("n_vecs"),
           round(col("raw_share"), 6).as("raw_share"),
-          round(col("scaled") / sum(col("scaled")).over(all), 6).as("mix_weight"),
+          round(col("mix_weight"), 6).as("mix_weight"),
           round(least(lit(1.0), col("mean_n") / col("n_vecs")), 4).as("keep_rate"))
         .orderBy("bkt")
     }

@@ -145,7 +145,7 @@ object TextAnalysisQueries {
         |       FROM w, unnest(range(1, len(words))) AS t(g)),
         |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
         |bi  AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |v   AS (SELECT count(DISTINCT w1) AS vsz FROM bg)
+        |v   AS (SELECT count(*) AS vsz FROM uni)
         |SELECT bg.doc_id,
         |       CAST(count(*) AS INT) AS n_bigrams,
         |       round(avg(-log2((c2 + 0.5) / (c1 + 0.5 * vsz))), 4) AS bits_per_token,
@@ -154,6 +154,11 @@ object TextAnalysisQueries {
         |GROUP BY bg.doc_id
         |ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
       val words = col("words")
+      // bg feeds three consumers (unigram LM, bigram LM, the scoring
+      // probe) — materialize it, or the tokenize + interpreted
+      // zip_with/explode re-executes per consumer (the
+      // q_dedup_ngram_jaccard convention; a persisted intermediate
+      // table at cluster scale).
       val bg = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(words) >= 2)
@@ -163,9 +168,13 @@ object TextAnalysisQueries {
             slice(words, lit(2), size(words) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .cache()
       val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // vocab = |distinct w1| = uni's row count: a count over the
+      // small LM table, not a second distinct-shuffle over the
+      // corpus-sized bigram stream.
+      val vocab = uni.agg(count(lit(1)).as("vsz"))
       val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val vocab = bg.agg(countDistinct(col("w1")).as("vsz"))
       val bits = -log2((col("c2") + 0.5) / (col("c1") + col("vsz") * 0.5))
       bg.join(bi, Seq("w1", "w2"))
         .join(uni, Seq("w1"))

@@ -32,7 +32,10 @@ object Bench {
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
         catch { case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          val m = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          // don't truncate mid-surrogate-pair: a lone high surrogate
+          // is itself invalid JSON string content
+          err = Some(if (m.nonEmpty && Character.isHighSurrogate(m.last)) m.dropRight(1) else m)
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -58,9 +61,17 @@ object Bench {
     val qruns = ok.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // Full JSON string escaping: exception messages routinely embed
+    // plan fragments with tabs/CRs, and any raw control char makes the
+    // whole artifact unparseable to a strict reader.
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errJson = errs.map { case (k, m) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ") + "\"" }
+      "\"" + k + "\":\"" + jesc(m) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
 

@@ -106,18 +106,23 @@ object RuntimeAdapters {
         .invoke(null, env, buf, Array(n.toLong, 3L, Side.toLong, Side.toLong))
       val inputName = session.getClass.getMethod("getInputNames").invoke(session)
         .asInstanceOf[java.util.Set[String]].iterator().next()
-      val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
-        .invoke(session, java.util.Collections.singletonMap(inputName, tensor))
+      // The input tensor is a NATIVE (off-heap) allocation: ORT frees
+      // it on close(), not via GC finalization — leaking it per batch
+      // grows a long-running executor until the container is killed.
       try {
-        val value = result.getClass.getMethod("get", classOf[Int])
-          .invoke(result, Int.box(0))
-        val logits = value.getClass.getMethod("getValue").invoke(value)
-          .asInstanceOf[Array[Array[Float]]]
-        logits.toSeq.map { row =>
-          val prob = 1.0 / (1.0 + math.exp(-row(0).toDouble)) // sigmoid, fire_detect_nn.py:169
-          predictionFrom(prob, Side, Side)
-        }
-      } finally result.getClass.getMethod("close").invoke(result)
+        val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+          .invoke(session, java.util.Collections.singletonMap(inputName, tensor))
+        try {
+          val value = result.getClass.getMethod("get", classOf[Int])
+            .invoke(result, Int.box(0))
+          val logits = value.getClass.getMethod("getValue").invoke(value)
+            .asInstanceOf[Array[Array[Float]]]
+          logits.toSeq.map { row =>
+            val prob = 1.0 / (1.0 + math.exp(-row(0).toDouble)) // sigmoid, fire_detect_nn.py:169
+            predictionFrom(prob, Side, Side)
+          }
+        } finally result.getClass.getMethod("close").invoke(result)
+      } finally tensor.getClass.getMethod("close").invoke(tensor)
     }
 
     def predictBatch(frames: Seq[(String, Int, Int, Int)]): Seq[FramePrediction] =

@@ -114,8 +114,14 @@ object Jobs {
       localDir: Path,
       destBase: String): Seq[(String, String)] =
     completions.map { c =>
-      val local = localDir.resolve(Paths.get(c.local_filepath).getFileName)
-      val dest = s"$destBase/videos/${c.video_id}_with_heatmaps.mp4"
+      // Destination name mirrors the STAMPED local filename, not a
+      // recomputed canonical one: a video spanning micro-batches gets
+      // suffix-bumped sink outputs (v1_with_heatmaps_1.mp4, ...), and
+      // recomputing the name here would upload every segment onto the
+      // same object, keeping only the last.
+      val fname = Paths.get(c.local_filepath).getFileName
+      val local = localDir.resolve(fname)
+      val dest = s"$destBase/videos/$fname"
       (c.video_id, VideoSink.uploadTo(spark, local, dest))
     }
 }

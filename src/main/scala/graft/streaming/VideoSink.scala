@@ -95,18 +95,32 @@ object VideoSink {
     }
 
     /** Atomically claim the canonical name, bumping the suffix past
-      * files that already exist; ATOMIC_MOVE + retry-on-collision keeps
-      * two concurrent publishers from both landing on the same name. */
+      * files that already exist. The claim is a hard LINK, not a move:
+      * link(2) is atomic-exclusive (fails if the target exists), while
+      * rename(2) — what ATOMIC_MOVE maps to on POSIX — silently
+      * REPLACES an existing target, so a move-based claim would let a
+      * speculative twin overwrite an already-published container
+      * instead of bumping the suffix. */
     private def publish(tmp: Path, videoId: String): Path = {
       var i = 0
       while (true) {
         val target =
           if (i == 0) outDir.resolve(s"${videoId}_with_heatmaps.mp4")
           else outDir.resolve(s"${videoId}_with_heatmaps_$i.mp4")
-        if (!Files.exists(target)) {
-          try return Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        try {
+          Files.createLink(target, tmp)
+          Files.deleteIfExists(tmp)
+          return target
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // bump
+          case _: UnsupportedOperationException =>
+            // Filesystem without hard links (some object-store
+            // mounts): degrade to the racy exists+move — still
+            // verified-before-publish, just without the exclusive
+            // claim guarantee.
+            if (!Files.exists(target))
+              return Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         i += 1
       }

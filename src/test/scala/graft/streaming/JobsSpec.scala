@@ -70,6 +70,23 @@ class JobsSpec extends SparkSpec {
     assert(Files.exists(destPath))
   }
 
+  test("upload keeps suffix-bumped segment names (multi-batch videos)") {
+    // A video spanning micro-batches gets suffix-bumped sink outputs;
+    // the upload must mirror the STAMPED filename or every segment
+    // lands on the same destination object and only the last survives.
+    val localDir = Files.createTempDirectory("graft-mp4-seg")
+    val destBase = "file://" + Files.createTempDirectory("graft-s3-seg")
+    val names = Seq("v1_with_heatmaps.mp4", "v1_with_heatmaps_1.mp4")
+    names.foreach(n => Files.write(localDir.resolve(n), Array[Byte](1, 2, 3)))
+    val comps = names.map(n =>
+      VideoSessionProcessor.completionOf("v1", transitionStateOf("v1", 2))
+        .copy(local_filepath = localDir.resolve(n).toString))
+    val uploaded = Jobs.uploadCompletions(spark, comps, localDir, destBase)
+    val destNames = uploaded.map(u => Paths.get(new java.net.URI(u._2)).getFileName.toString)
+    assert(destNames == names)
+    assert(uploaded.forall(u => Files.exists(Paths.get(new java.net.URI(u._2)))))
+  }
+
   private def transitionStateOf(vid: String, n: Int) = {
     val (st, _) = VideoSessionProcessor.transition(vid, None,
       (0 until n).map(i => FrameIn(vid, i, i * 1000L)),

@@ -51,6 +51,27 @@ class VideoSinkSpec extends AnyFunSuite {
     assert(p.getFileName.toString == "v1_with_heatmaps_1.mp4")
   }
 
+  test("concurrent publishers of one video land on distinct names, none lost") {
+    // rename(2) REPLACES an existing target on POSIX, so a move-based
+    // claim would let one publisher silently overwrite the other's
+    // published container; the hard-link claim makes the race a
+    // suffix bump. Race two pools (a task and its speculative twin)
+    // over the same video many times.
+    val dir = tmp()
+    (0 until 20).foreach { r =>
+      val a = new VideoSink.WriterPool(dir)
+      val b = new VideoSink.WriterPool(dir)
+      a.append(s"v$r", Array[Byte](1)); b.append(s"v$r", Array[Byte](2))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+      val ts = Seq(a, b).map(p => new Thread(() => results.add(p.finalizeVideo(s"v$r").get)))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val paths = results.asScala.toSeq
+      assert(paths.distinct.size == 2, s"round $r: both publishers claimed ${paths.head}")
+      assert(paths.forall(p => Files.exists(p) && VideoSink.verify(p)))
+    }
+  }
+
   test("task retry: dead attempt's partial file never holds the canonical name") {
     val dir = tmp()
     val dead = new VideoSink.WriterPool(dir)

@@ -32,9 +32,14 @@ object FrameSerde {
 
   // ---- JSON transport (S5/S8, legacy path) ----
 
-  /** value (binary JSON) → typed frame columns. */
+  /** value (binary JSON) → typed frame columns. The producer stamps
+    * offset-less UTC timestamps (see [[parseInstant]]) — pin the parse
+    * timezone to UTC so the JSON and msgpack transports decode the
+    * same message to the same instant regardless of the session
+    * timezone. */
   def decodeJson(value: Column): Column = {
-    val parsed = from_json(value.cast("string"), frameSchema)
+    val parsed = from_json(value.cast("string"), frameSchema,
+      Map("timeZone" -> "UTC"))
     struct(
       parsed.getField("video_id").as("video_id"),
       parsed.getField("frame_number").as("frame_number"),
@@ -89,7 +94,9 @@ object FrameSerde {
       video_id = m("video_id").asInstanceOf[String],
       frame_number = m("frame_number").asInstanceOf[Long].toInt,
       timestamp = Timestamp.from(parseInstant(m("timestamp").asInstanceOf[String])),
-      fps = m.get("fps").map(_.asInstanceOf[Double]).getOrElse(30.0),
+      // a producer may pack fps as an int (msgpack int tag decodes to
+      // Long) — coerce any numeric width instead of class-casting
+      fps = m.get("fps").map(_.asInstanceOf[Number].doubleValue).getOrElse(30.0),
       frame_data = m("frame_data").asInstanceOf[Array[Byte]],
       width = m.get("width").map(_.asInstanceOf[Long].toInt).getOrElse(0),
       height = m.get("height").map(_.asInstanceOf[Long].toInt).getOrElse(0))

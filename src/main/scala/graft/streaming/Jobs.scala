@@ -77,7 +77,12 @@ object Jobs {
     * message before publish (streams/stream.py output_path). */
   def writeAnnotatedVideos(
       annotated: Dataset[(String, Int, Array[Byte])], // (video_id, frame_number, payload)
-      outDir: String): Map[String, String] = {
+      outDir: String,
+      // the muxer seam, surfaced at the job level: pass
+      // `(p, _) => new RuntimeAdapters.JavaCvContainerWriter(...)` on a
+      // jar-equipped cluster without re-implementing the wiring
+      mkWriter: (java.nio.file.Path, String) => VideoSink.ContainerWriter =
+        (p, codec) => new VideoSink.StubContainerWriter(p, codec)): Map[String, String] = {
     import annotated.sparkSession.implicits._
     annotated
       .toDF("vid", "fn", "payload") // normalize names (tuple vs named sources)
@@ -85,7 +90,7 @@ object Jobs {
       .repartition(col("vid")) // partition affinity by video_id
       .sortWithinPartitions(col("vid"), col("fn"))
       .mapPartitions { it =>
-        val pool = new VideoSink.WriterPool(Paths.get(outDir))
+        val pool = new VideoSink.WriterPool(Paths.get(outDir), mkWriter)
         val vids = scala.collection.mutable.LinkedHashSet.empty[String]
         it.foreach { case (vid, _, payload) =>
           vids += vid; pool.append(vid, payload)
@@ -113,15 +118,20 @@ object Jobs {
       completions: Seq[CompletionEvent],
       localDir: Path,
       destBase: String): Seq[(String, String)] =
-    completions.map { c =>
+    completions.flatMap { c =>
       // Destination name mirrors the STAMPED local filename, not a
       // recomputed canonical one: a video spanning micro-batches gets
       // suffix-bumped sink outputs (v1_with_heatmaps_1.mp4, ...), and
       // recomputing the name here would upload every segment onto the
-      // same object, keeping only the last.
+      // same object, keeping only the last. Completions that carry no
+      // stamped file on disk (stampFilepaths passes manifest-less
+      // events through with their default path — e.g. a gap-close
+      // whose frames went through an earlier batch's sink pool) are
+      // skipped, not crashed on: one absent file must not fail the
+      // whole upload batch.
       val fname = Paths.get(c.local_filepath).getFileName
       val local = localDir.resolve(fname)
-      val dest = s"$destBase/videos/$fname"
-      (c.video_id, VideoSink.uploadTo(spark, local, dest))
+      if (!java.nio.file.Files.exists(local)) None
+      else Some((c.video_id, VideoSink.uploadTo(spark, local, s"$destBase/videos/$fname")))
     }
 }

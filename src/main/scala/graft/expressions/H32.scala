@@ -3,10 +3,10 @@ package graft.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's portable 32-bit hash:
@@ -20,8 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `doGenCode` emits a static call so the operator stays inside
   * whole-stage codegen (no CodegenFallback, no UDF ser/de).
   */
-case class H32(child: Expression) extends UnaryExpression {
+case class H32(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
 
+  // analysis inserts the implicit cast for e.g. h32(bigint_col) —
+  // without this, codegen emits H32.hash(long) with no overload and
+  // the projection silently degrades to the interpreter, where the
+  // cast fails per row instead of at analysis
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "h32"
 

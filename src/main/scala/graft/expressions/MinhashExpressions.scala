@@ -2,6 +2,7 @@ package graft.expressions
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -37,6 +38,17 @@ case class ShinglesArray(child: Expression, n: Int)
   override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles_array"
+
+  // n < 1 would loop forever in compute (i + n <= nw never advances
+  // past nw for n <= 0) — reject at analysis, where the SQL-registered
+  // shingles(words, n) can reach it.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"shingle width n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   protected override def nullSafeEval(input: Any): Any =
     ShinglesArray.compute(input.asInstanceOf[ArrayData], n)
@@ -90,6 +102,20 @@ case class MinhashSignature(child: Expression, n: Int, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
+
+  // Only 12 hash-permutation coefficient pairs exist; an
+  // out-of-range k through the SQL-registered minhash_signature
+  // would otherwise AIOOBE per row mid-job. Fail analysis instead.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"shingle width n must be >= 1, got $n")
+    else if (k < 1 || k > TextFunctions.MinhashA.length)
+      TypeCheckResult.TypeCheckFailure(
+        s"signature size k must be in 1..${TextFunctions.MinhashA.length}, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   protected override def nullSafeEval(input: Any): Any =
     MinhashSignature.compute(input.asInstanceOf[ArrayData], n, k)

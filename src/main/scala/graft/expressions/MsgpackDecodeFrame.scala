@@ -3,8 +3,9 @@ package graft.expressions
 import graft.streaming.{FrameSerde, Msgpack}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge.AbstractType
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,8 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * still whole-stage-codegen around it.
   */
 case class MsgpackDecodeFrame(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  // A wrong-typed argument (e.g. a base64 STRING column through the
+  // SQL registration) must fail analysis — the catch below would
+  // otherwise swallow the per-row ClassCastException and return NULL
+  // for every row, indistinguishable from 100% poison-pill frames.
+  override def inputTypes: Seq[AbstractType] = Seq(BinaryType)
   override def dataType: DataType = MsgpackDecodeFrame.schema
   override def nullable: Boolean = true
   override def prettyName: String = "msgpack_decode_frame"
@@ -38,10 +44,13 @@ case class MsgpackDecodeFrame(child: Expression)
         UTF8String.fromString(m("video_id").asInstanceOf[String]),
         m("frame_number").asInstanceOf[Long].toInt,
         tsMicros,
-        m.get("fps").map(_.asInstanceOf[Double]).getOrElse(30.0),
+        // numeric fields coerce any packed width (msgpack ints decode
+        // to Long, a nil slot to null) — same read-side leniency as
+        // FrameSerde.decodeMsgpack; nil falls to the backfill default
+        (m.get("fps") match { case Some(n: Number) => n.doubleValue; case _ => 30.0 }),
         m("frame_data").asInstanceOf[Array[Byte]],
-        m.get("width").map(_.asInstanceOf[Long].toInt).getOrElse(0),
-        m.get("height").map(_.asInstanceOf[Long].toInt).getOrElse(0))
+        (m.get("width") match { case Some(n: Number) => n.intValue; case _ => 0 }),
+        (m.get("height") match { case Some(n: Number) => n.intValue; case _ => 0 }))
     } catch {
       case _: Exception => null // malformed envelope → null row
     }

@@ -187,4 +187,33 @@ class ExpressionsSpec extends SparkSpec {
     val rows = df.select(MsgpackDecodeFrame(col("value")).as("f")).collect()
     assert(rows.forall(_.isNullAt(0)))
   }
+
+  test("wrong-typed or invalid expression arguments fail at ANALYSIS, not per-row") {
+    // Exercise the same expressions the SQL registration binds
+    // (StreamingSpec pins that binding); the hardening contract is
+    // fail-at-analysis instead of AIOOBE/infinite-loop/null-every-row
+    // at execution.
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    // out-of-range signature size: 12 coefficient pairs exist — this
+    // used to AIOOBE per row mid-job
+    val eK = intercept[Exception] {
+      df.select(MinhashSignature(split(col("text"), " "), 3, 16)).collect()
+    }
+    assert(eK.getMessage.contains("signature size"), eK.getMessage)
+    // n < 1 used to loop forever inside compute
+    val eN = intercept[Exception] {
+      df.select(ShinglesArray(split(col("text"), " "), 0)).collect()
+    }
+    assert(eN.getMessage.contains("shingle width"), eN.getMessage)
+    // a STRING through msgpack_decode_frame used to null every row
+    // (CCE swallowed by the poison-pill catch) — now an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(MsgpackDecodeFrame(col("text"))).collect()
+    }
+    // h32 on a non-string implicitly casts (bigint → string) and
+    // matches the explicit-cast value
+    val Array(r) = df.select(
+      (H32(col("id")) === H32(col("id").cast("string"))).as("same")).collect()
+    assert(r.getBoolean(0))
+  }
 }

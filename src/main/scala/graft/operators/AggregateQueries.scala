@@ -211,15 +211,19 @@ object AggregateQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin) { (s, dir) =>
-      val o = t(s, dir, "orders")
-      o.createOrReplaceTempView("orders_gs")
-      s.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-          |       coalesce(o_orderpriority, 'ALL') AS priority,
-          |       count(*) AS n, round(sum(o_totalprice), 2) AS total
-          |FROM orders_gs
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-          |ORDER BY status, priority""".stripMargin)
+      // Native Dataset API (Spark 4 groupingSets) — not a SQL-string
+      // passthrough, which would only test Spark's parser against
+      // DuckDB's and leak a temp view into the shared session.
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
     },
 
     // ---- typed Aggregator UDAF (reference A4 stats triple) ----

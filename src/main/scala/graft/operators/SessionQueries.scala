@@ -32,12 +32,20 @@ object SessionQueries {
       user_id: Long, sid: Long, n: Long, v_sum: Double,
       start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
+  /** Microseconds since epoch — `getTime` alone truncates to ms while
+    * the events table and the DuckDB oracle are µs-precision: an event
+    * pair whose true gap straddles the boundary only in its sub-ms
+    * component would sessionize differently under ms math. */
+  def usOf(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
   /** Gap-based sessionizer over one key's events (sorted by ts,
     * event_id): splits when the gap exceeds `gapMs`. Mirrors the
     * reference's count-gap session close generalized to event time. */
   def sessionize(userId: Long, sorted: Seq[Ev], gapMs: Long): Seq[SessionOut] = {
     if (sorted.isEmpty) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    val gapUs = gapMs * 1000
     var sid = 1L
     var n = 0L
     var vSum = 0.0
@@ -49,7 +57,7 @@ object SessionQueries {
       out += SessionOut(userId, sid, n, rounded, start, end)
     }
     sorted.foreach { e =>
-      if (e.ts.getTime - prev.getTime > gapMs) {
+      if (usOf(e.ts) - usOf(prev) > gapUs) {
         flush(prev); sid += 1; n = 0L; vSum = 0.0; start = e.ts
       }
       n += 1; vSum += e.value; prev = e.ts
@@ -189,7 +197,7 @@ object SessionQueries {
         // Batch mode: one invocation per key; order within the group is
         // not guaranteed, so sort (groups are bounded per key by the
         // upstream partitioning/watermark in the streaming variant).
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = it.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
         sessionize(uid, sorted, gapMs).iterator
       }
       ev.groupByKey(_.user_id)

@@ -232,8 +232,12 @@ object StatsQueries {
         .select(col("doc_id").as("da0"), col("pre").as("pa"), explode(col("nxt")).as("n"))
         .where(col("n.db0").isNotNull)
         // spread the levenshtein residual: locally the corpus is one
-        // parquet split, which would run every distance in one task
-        .repartition(64, col("da0"))
+        // parquet split, which would run every distance in one task.
+        // Parallelism derives from the configured shuffle width (2×
+        // for the per-row-expensive residual), not a magic constant
+        // that would cap a cluster at 64 tasks.
+        .repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt * 2, col("da0"))
       // Thresholded levenshtein: banded O(len·k) with early exit
       // (returns -1 past the threshold) instead of the full O(len²)
       // table — for kept rows the value equals the plain distance,

@@ -83,6 +83,13 @@ object WindowQueries {
         |FROM supplier
         |WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      // A GLOBAL (unpartitioned) window — every row lands in one task.
+      // percent_rank/cume_dist over a whole table need the global rank
+      // by definition; at cluster scale compute it scalably instead:
+      // global sort, per-partition counts to the driver, then rank =
+      // partition offset + local rank (or approx via percentile_approx
+      // when exactness isn't required). Kept single-window here as the
+      // oracle-checkable exact form over the bounded supplier table.
       val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
       t(s, dir, "supplier")
         .select(
@@ -176,18 +183,39 @@ object WindowQueries {
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       // Order dates (1995-2001) predate event timestamps (2024), so the
       // as-of point is shifted forward; the mechanics are unchanged.
+      //
+      // Union-style as-of: tag events and order-probes, sort both
+      // streams together per user, and carry the latest event forward
+      // with last(ignoreNulls) — ONE shuffle + window over |e| + |o|
+      // rows. The per-key range join the oracle spells out would
+      // materialize events×orders rows per user before rn=1 prunes
+      // (measured ~65× fan-out at sf0.01, quadratic in per-key
+      // density) — the classic as-of scale trap. Probes sort AFTER
+      // events at an equal timestamp (isProbe tiebreak) so the ≤ of
+      // the as-of predicate stays inclusive; events at equal ts sort
+      // by event_id so the window's last() agrees with the oracle's
+      // ts DESC, event_id DESC rn=1 pick.
       val o = t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_custkey"),
-        (col("o_orderdate") + expr("INTERVAL 9000 DAY")).as("asof_ts"))
-      val e = t(s, dir, "events").select("user_id", "event_id", "ts", "value")
-      val w = Window.partitionBy(col("o_orderkey")).orderBy(desc("ts"), desc("event_id"))
-      o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("asof_ts"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+        col("o_custkey").as("user_id"),
+        (col("o_orderdate") + expr("INTERVAL 9000 DAY")).as("ts"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("o_orderkey"),
+        lit(1).as("is_probe"))
+      val e = t(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(0).as("is_probe"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("asof_event", last(col("event_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("value"), ignoreNulls = true).over(w))
+        .where(col("is_probe") === 1 && col("asof_event").isNotNull)
         .select(
-          col("o_orderkey"), col("user_id"),
-          col("event_id").as("asof_event"),
-          round(col("value"), 2).as("asof_value"))
+          col("o_orderkey"), col("user_id"), col("asof_event"),
+          round(col("asof_value"), 2).as("asof_value"))
         .orderBy("o_orderkey")
     }
   )

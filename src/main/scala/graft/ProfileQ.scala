@@ -1,11 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object ProfileQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // Same factory as Bench/Verify — a hand-rolled session here would
+    // profile a configuration (cores, timezone, shuffle width) that
+    // the measured entry points never run.
+    val spark = Sessions.build("graft-profile")
     spark.sparkContext.setLogLevel("WARN")
     val name = args(0); val sf = args(1)
     val fn = SparkEntry.queries(name)

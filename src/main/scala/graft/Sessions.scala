@@ -13,12 +13,18 @@ object Sessions {
     val b = SparkSession.builder().appName(app)
       .config("spark.sql.session.timeZone", "UTC")
     // spark-submit sets the spark.master system property — only pick a
-    // master (and local-mode tuning) when none was submitted.
+    // master when none was submitted. The local-mode tuning (shuffle
+    // width = cores, UI off) applies ONLY when that master is actually
+    // local[*]: SPARK_MASTER pointing at a real cluster must not get a
+    // 4-wide shuffle and no UI.
     if (!sys.props.contains("spark.master")) {
-      b.master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
+      val master = sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]")
+      b.master(master)
+      if (master.startsWith("local")) {
+        b.config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false")
+      }
     }
     b.getOrCreate()
   }

@@ -13,7 +13,18 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString keeps the class for message-less throwables (a
+        // bare NPE printed "failed: null")
+        System.err.println(s"[verify] $name failed: $e")
+        // A reused outDir may hold the PREVIOUS run's parquet for this
+        // query — delete it, or the compare would check stale results
+        // against the oracle and report a regression as a pass.
+        val stale = Paths.get(outDir, name)
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
       }
       // bound memory across the full query sweep (several queries
       // cache multi-consumer intermediates)

@@ -42,9 +42,13 @@ object VectorFunctions {
   }
 
   /** Cosine similarity, dot/(sqrt(|a|^2*|b|^2)) — same association as
-    * the oracle formula so doubles match bit-for-bit. */
+    * the oracle formula so doubles match bit-for-bit. The denominator
+    * floors at 1e-300 (the l2Normalize guard): a zero vector would be
+    * 0/0, which under Spark 4's default ANSI mode is not NaN but a
+    * DIVIDE_BY_ZERO error killing the whole query. Non-zero vectors
+    * are unaffected (their norm product is far above the floor). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    dot(a, b) / greatest(sqrt(dot(a, a) * dot(b, b)), lit(1e-300))
 
   /** Elementwise squared-L2 fold. HOF on purpose: its only callers
     * rank BOUNDED volumes (query × broadcast centroid table), and the
@@ -57,10 +61,14 @@ object VectorFunctions {
 
   /** 8-bit sign-signature LSH bucket from the first 8 dimensions:
     * bit i set iff v[i] > 0. A deterministic, training-free coarse
-    * quantizer — the bucketed ANN path joins within buckets only. */
+    * quantizer — the bucketed ANN path joins within buckets only.
+    * The size guard short-circuits before element_at: under ANSI mode
+    * (Spark 4 default) an out-of-bounds element_at THROWS rather than
+    * returning null, so a truncated vector would abort the job. */
   def signBucket(v: Column, bits: Int = 8): Column =
     aggregate(
       transform(sequence(lit(0), lit(bits - 1)),
-        i => when(element_at(v, i + 1) > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+        i => when(size(v) > i && element_at(v, i + 1) > 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
 }

@@ -139,6 +139,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(z == Seq(0.0, 0.0, 0.0))
   }
 
+  test("ANSI-mode guards: zero-vector cosine and short-vector signBucket don't throw") {
+    import graft.functions.VectorFunctions
+    // Spark 4 defaults ANSI on: unguarded these are DIVIDE_BY_ZERO /
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT job aborts, not nulls
+    val r = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("zero", "short3")
+      .select(
+        VectorFunctions.cosine(col("zero"), col("zero")).as("c"),
+        VectorFunctions.signBucket(col("short3")).as("b"))
+      .head()
+    assert(r.getDouble(0) == 0.0) // 0/floor, not a crash or NaN
+    assert(r.getLong(1) == 7L)    // dims 1..3 positive, 4..8 absent → 0b111
+  }
+
   test("minhash signature stays inside whole-stage codegen") {
     val plan = spark.range(100)
       .select(split(concat($"id".cast("string"), lit(" x y z")), " ").as("words"))

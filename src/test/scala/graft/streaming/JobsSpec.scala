@@ -85,6 +85,12 @@ class JobsSpec extends SparkSpec {
     val destNames = uploaded.map(u => Paths.get(new java.net.URI(u._2)).getFileName.toString)
     assert(destNames == names)
     assert(uploaded.forall(u => Files.exists(Paths.get(new java.net.URI(u._2)))))
+
+    // a completion whose stamped file is absent (manifest-less
+    // pass-through) is skipped — it must not fail the whole batch
+    val ghost = comps.head.copy(local_filepath = "/videos/ghost_s1.mp4")
+    val mixed = Jobs.uploadCompletions(spark, ghost +: comps, localDir, destBase)
+    assert(mixed.size == comps.size)
   }
 
   private def transitionStateOf(vid: String, n: Int) = {

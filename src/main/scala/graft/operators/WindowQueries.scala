@@ -83,19 +83,37 @@ object WindowQueries {
         |FROM supplier
         |WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
-      // A GLOBAL (unpartitioned) window — every row lands in one task.
-      // percent_rank/cume_dist over a whole table need the global rank
-      // by definition; at cluster scale compute it scalably instead:
-      // global sort, per-partition counts to the driver, then rank =
-      // partition offset + local rank (or approx via percentile_approx
-      // when exactness isn't required). Kept single-window here as the
-      // oracle-checkable exact form over the bounded supplier table.
-      val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
-      t(s, dir, "supplier")
+      // Global percent_rank/cume_dist WITHOUT the global window: a
+      // naive Window.orderBy(...) puts the whole SF-scaled table in
+      // ONE task (Spark even warns). Scalable two-pass form instead:
+      // range-partition on the sort key (so partition order = sort
+      // order), rank locally per partition, then lift local ranks to
+      // global with a #partitions-row cumulative-offset table joined
+      // back by pid. The full sort key (acctbal, suppkey) is UNIQUE,
+      // so rank() ≡ row_number() and the closed forms are exact:
+      // prk = (rank-1)/(N-1), cd = rank/N — same arithmetic Spark's
+      // window functions evaluate, oracle unchanged.
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_acctbal")
+        .repartitionByRange(col("s_acctbal"), col("s_suppkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("s_acctbal", "s_suppkey")
+      val local = sup.withColumn("lr", row_number().over(wLocal).cast("long"))
+      val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val wPid = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("off", coalesce(sum(col("cnt")).over(wPid), lit(0L)))
+      val total = counts.agg(sum(col("cnt")).as("n_total"))
+      local
+        .join(broadcast(offsets.select("pid", "off")), "pid")
+        .crossJoin(broadcast(total))
         .select(
           col("s_suppkey"),
-          round(percent_rank().over(w), 6).as("prk"),
-          round(cume_dist().over(w), 6).as("cd"))
+          // greatest(...,1): a 1-row table is prk=0 (0/1), matching
+          // percent_rank's internal n==1 guard instead of ANSI 0/0
+          round((col("off") + col("lr") - 1) /
+            greatest(col("n_total") - 1, lit(1L)).cast("double"), 6).as("prk"),
+          round((col("off") + col("lr")) / col("n_total").cast("double"), 6).as("cd"))
         .orderBy("s_suppkey")
     },
 

@@ -71,7 +71,14 @@ object VideoSink {
     * video_writer.py:44-58). A task retry or speculative twin
     * therefore can never leave a truncated file holding the canonical
     * name the upload path resolves — the dead attempt's `.inprogress-*`
-    * leftover is janitor garbage, never published output. */
+    * leftover is janitor garbage, never published output.
+    *
+    * Threading contract: one pool per task (it lives inside
+    * mapPartitions/foreachBatch) — the internal writer map is NOT
+    * thread-safe; callers sharing a pool across threads must
+    * synchronize. Publish-time exclusivity across DIFFERENT pools
+    * (the retry/speculation race) is what the hard-link claim
+    * guarantees. */
   final class WriterPool(
       outDir: Path,
       mkWriter: (Path, String) => ContainerWriter =

@@ -24,8 +24,11 @@ class AdaptersSpec extends SparkSpec {
 
   test("ImageIoCodec decodes real JPEG and PNG dimensions; non-images fall back to stub") {
     val jpeg = ImageIoMedia.encodeJpeg(testImage(320, 200))
-    assert(Multimodal.StubCodec.decode(jpeg) !=
-      Multimodal.MediaMeta(320, 200, "image")) // stub can't know the true dims
+    // falsifiable form: compare DIMENSIONS only — comparing the whole
+    // MediaMeta against kind "image" was vacuous (the stub's kind
+    // "stub" made != hold even if it guessed the true dims)
+    val stubMeta = Multimodal.StubCodec.decode(jpeg)
+    assert((stubMeta.width, stubMeta.height) != (320, 200)) // stub can't know the true dims
     assert(ImageIoMedia.ImageIoCodec.decode(jpeg) == Multimodal.MediaMeta(320, 200, "image"))
 
     val png = { // PNG round-trips losslessly through ImageIO.write

@@ -70,6 +70,19 @@ class PlanAuditSpec extends SparkSpec {
     val readSchemas = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(readSchemas.nonEmpty)
-    assert(readSchemas.forall(s => s.split(",").length <= 4), readSchemas.mkString("\n"))
+    // count TOP-LEVEL fields: a naive split(",") would count
+    // decimal(12,2) or a nested struct's commas as extra columns
+    def topLevelFields(s: String): Int = {
+      if (s.isEmpty) return 0
+      var depth = 0; var n = 1
+      s.foreach {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ',' if depth == 0 => n += 1
+        case _ => ()
+      }
+      n
+    }
+    assert(readSchemas.forall(s => topLevelFields(s) <= 4), readSchemas.mkString("\n"))
   }
 }

@@ -19,7 +19,10 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every registered query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      catch { case e: Throwable =>
+        // String.valueOf: a null message (bare NPE) must not abort the
+        // sweep with an NPE in the reporter itself
+        Some(s"$name: ${String.valueOf(e.getMessage).take(120)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

@@ -32,7 +32,12 @@ class SourcesSpec extends SparkSpec {
   test("CSV round-trips with an explicit schema (no inference scan)") {
     val dir = s"$base/csv"
     docs.write.option("header", "true").mode("overwrite").csv(dir)
-    val back = spark.read.schema(docSchema).option("header", "true").csv(dir)
+    // multiLine: a regenerated fixture with an embedded newline in a
+    // quoted field must not split the record; emptyValue "": an empty
+    // string must round-trip as "" rather than null (CSV default)
+    val back = spark.read.schema(docSchema)
+      .option("header", "true").option("multiLine", "true")
+      .option("emptyValue", "").csv(dir)
     assert(sortedRows(back) == sortedRows(docs))
   }
 

@@ -40,23 +40,25 @@ class ProgressListenerSpec extends SparkSpec {
       assert(listener.pct == 50.0)
       // overshoot: 70 rows against an expected 40 — gauge caps at 100
       input.addData(1 to 30: _*); query.processAllAvailable()
-      await()(listener.pct >= 100.0)
+      // await BOTH listeners: the bus delivers in registration order,
+      // so gating only on `listener` races `capped`'s delivery
+      await()(listener.pct >= 100.0 && capped.pct >= 60.0)
       assert(listener.pct == 100.0)
       // the producer-capped twin never passes the producer
       assert(capped.pct == 60.0)
-    } finally {
-      query.stop()
-      await()(listener.history.nonEmpty && listener.history.last == 100.0)
-      // finalize with a finished producer pins 100; the capped gauge
-      // stays frozen at the producer's cap
-      await()(capped.history.nonEmpty && capped.history.last == 60.0)
-      spark.streams.removeListener(listener)
-      spark.streams.removeListener(capped)
-      val h = listener.history
-      assert(h.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
-      assert(h.forall(_ <= 100.0))
-      assert(capped.history.forall(_ <= 60.0))
-    }
+    } finally query.stop()
+    // post-stop assertions OUTSIDE the finally: an assert (or await
+    // timeout) inside finally would supersede the primary failure
+    await()(listener.history.nonEmpty && listener.history.last == 100.0)
+    // finalize with a finished producer pins 100; the capped gauge
+    // stays frozen at the producer's cap
+    await()(capped.history.nonEmpty && capped.history.last == 60.0)
+    spark.streams.removeListener(listener)
+    spark.streams.removeListener(capped)
+    val h = listener.history
+    assert(h.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
+    assert(h.forall(_ <= 100.0))
+    assert(capped.history.forall(_ <= 60.0))
   }
 
   test("a restarted query (new runId) does not double-count replayed rows") {

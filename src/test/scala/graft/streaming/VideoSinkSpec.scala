@@ -26,7 +26,12 @@ class VideoSinkSpec extends AnyFunSuite {
     assert(pool.finalizeVideo("v1").isEmpty)
   }
 
-  test("concurrent multi-video init/write/finalize") {
+  test("multi-video init/write/finalize under external synchronization") {
+    // Contract note: a WriterPool is owned by ONE task (it lives
+    // inside mapPartitions); its internal map is deliberately not
+    // thread-safe. This test's pool.synchronized models a caller
+    // that shares one pool across threads — publish-time exclusivity
+    // across INDEPENDENT pools is what the race test below pins.
     val dir = tmp()
     val pool = new VideoSink.WriterPool(dir)
     val threads = (0 until 4).map { t =>

@@ -249,6 +249,67 @@ object StatsQueries {
         .select(least(col("da0"), col("n.db0")).as("da"),
           greatest(col("da0"), col("n.db0")).as("db"), col("dist"))
         .orderBy("da", "db")
+    },
+
+    // ---- data profiling: per-column stats in ONE corpus pass ----
+    // The describe/data-quality primitive a pipeline runs before
+    // training: null counts, exact distinct cardinality, min/max/avg
+    // per column. One wide aggregation computes every column's
+    // metrics together (the multi-countDistinct Expand is k small
+    // shuffles over partial aggregates, never k table scans); the
+    // long-format reshape unions off the single 1-row result. At
+    // 100 TB swap countDistinct for approx_count_distinct (the
+    // mergeable-sketch path) — the plan shape is unchanged.
+    sql(
+      "q_profile_stats",
+      """WITH agg AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(l_quantity) AS q_n, CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_nd,
+        |           round(min(l_quantity), 4) AS q_min, round(max(l_quantity), 4) AS q_max,
+        |           round(avg(l_quantity), 4) AS q_avg,
+        |         count(l_extendedprice) AS p_n, CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS p_nd,
+        |           round(min(l_extendedprice), 4) AS p_min, round(max(l_extendedprice), 4) AS p_max,
+        |           round(avg(l_extendedprice), 4) AS p_avg,
+        |         count(l_discount) AS d_n, CAST(count(DISTINCT l_discount) AS BIGINT) AS d_nd,
+        |           round(min(l_discount), 4) AS d_min, round(max(l_discount), 4) AS d_max,
+        |           round(avg(l_discount), 4) AS d_avg,
+        |         count(l_tax) AS t_n, CAST(count(DISTINCT l_tax) AS BIGINT) AS t_nd,
+        |           round(min(l_tax), 4) AS t_min, round(max(l_tax), 4) AS t_max,
+        |           round(avg(l_tax), 4) AS t_avg
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, q_n AS n_values, n_rows - q_n AS n_nulls,
+        |       q_nd AS n_distinct, q_min AS min_val, q_max AS max_val, q_avg AS avg_val FROM agg
+        |UNION ALL
+        |SELECT 'l_extendedprice', p_n, n_rows - p_n, p_nd, p_min, p_max, p_avg FROM agg
+        |UNION ALL
+        |SELECT 'l_discount', d_n, n_rows - d_n, d_nd, d_min, d_max, d_avg FROM agg
+        |UNION ALL
+        |SELECT 'l_tax', t_n, n_rows - t_n, t_nd, t_min, t_max, t_avg FROM agg
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val wide = t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            count(col(c)).as(s"${c}_n"),
+            countDistinct(col(c)).as(s"${c}_nd"),
+            round(min(col(c)), 4).as(s"${c}_min"),
+            round(max(col(c)), 4).as(s"${c}_max"),
+            round(avg(col(c)), 4).as(s"${c}_avg"))): _*)
+        // 1-row result feeds one union branch per column — materialize
+        // or each branch re-runs the corpus aggregation
+        .cache()
+      cols.map { c =>
+        wide.select(
+          lit(c).as("col_name"),
+          col(s"${c}_n").as("n_values"),
+          (col("n_rows") - col(s"${c}_n")).as("n_nulls"),
+          col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_val"),
+          col(s"${c}_max").as("max_val"),
+          col(s"${c}_avg").as("avg_val"))
+      }.reduce(_ unionByName _)
+        .orderBy("col_name")
     }
   )
 }

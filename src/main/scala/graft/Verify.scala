@@ -22,8 +22,12 @@ object Verify {
         val stale = Paths.get(outDir, name)
         if (Files.exists(stale)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(stale).iterator().asScala.toSeq.reverse
+          // Files.walk holds directory handles until closed — leak one
+          // per failed query in the sweep without the try/finally.
+          val walk = Files.walk(stale)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
       // bound memory across the full query sweep (several queries

@@ -97,7 +97,16 @@ object WindowQueries {
         .repartitionByRange(col("s_acctbal"), col("s_suppkey"))
         .withColumn("pid", spark_partition_id())
       val wLocal = Window.partitionBy("pid").orderBy("s_acctbal", "s_suppkey")
+      // localCheckpoint: `local` fans out to three consumers (counts →
+      // broadcast offsets, total, and the join's streamed side), and
+      // correctness needs all three to observe the SAME
+      // spark_partition_id() assignment. Exchange reuse happens to
+      // guarantee that today, but AQE re-planning or a partial
+      // recompute after executor loss could re-sample the range
+      // partitioner; checkpointing materializes the pid-stamped rows
+      // once so the invariant is structural, not incidental.
       val local = sup.withColumn("lr", row_number().over(wLocal).cast("long"))
+        .localCheckpoint()
       val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
       val wPid = Window.orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -227,13 +236,20 @@ object WindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("is_probe"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // (event_id, value) ride as ONE struct through a single
+      // last(ignoreNulls): the carried value always belongs to the
+      // picked event, even if an event row has a NULL value (a
+      // value-only last() would skip past it to an older event,
+      // diverging from the oracle's rn=1 pick).
       e.unionByName(o)
-        .withColumn("asof_event", last(col("event_id"), ignoreNulls = true).over(w))
-        .withColumn("asof_value", last(col("value"), ignoreNulls = true).over(w))
-        .where(col("is_probe") === 1 && col("asof_event").isNotNull)
+        .withColumn("ev",
+          when(col("is_probe") === 0, struct(col("event_id"), col("value"))))
+        .withColumn("asof", last(col("ev"), ignoreNulls = true).over(w))
+        .where(col("is_probe") === 1 && col("asof").isNotNull)
         .select(
-          col("o_orderkey"), col("user_id"), col("asof_event"),
-          round(col("asof_value"), 2).as("asof_value"))
+          col("o_orderkey"), col("user_id"),
+          col("asof.event_id").as("asof_event"),
+          round(col("asof.value"), 2).as("asof_value"))
         .orderBy("o_orderkey")
     }
   )

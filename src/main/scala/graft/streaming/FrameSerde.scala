@@ -92,14 +92,26 @@ object FrameSerde {
     // (streams/stream.py:328-331,351-358): fps → 30.0, dims → 0.
     FrameMessage(
       video_id = m("video_id").asInstanceOf[String],
-      frame_number = m("frame_number").asInstanceOf[Long].toInt,
+      // Numeric fields coerce through Number and map nil (→ null) to
+      // the documented default — same contract as the codegen'd
+      // MsgpackDecodeFrame expression, so the two decode paths can't
+      // drift: a nil width is 0 BY RULE (not by accidental null
+      // unboxing), and any non-Long numeric packing decodes instead
+      // of throwing per message.
+      frame_number = m("frame_number") match {
+        case n: Number => n.intValue; case _ => 0
+      },
       timestamp = Timestamp.from(parseInstant(m("timestamp").asInstanceOf[String])),
-      // a producer may pack fps as an int (msgpack int tag decodes to
-      // Long) — coerce any numeric width instead of class-casting
-      fps = m.get("fps").map(_.asInstanceOf[Number].doubleValue).getOrElse(30.0),
+      fps = m.get("fps") match {
+        case Some(n: Number) => n.doubleValue; case _ => 30.0
+      },
       frame_data = m("frame_data").asInstanceOf[Array[Byte]],
-      width = m.get("width").map(_.asInstanceOf[Long].toInt).getOrElse(0),
-      height = m.get("height").map(_.asInstanceOf[Long].toInt).getOrElse(0))
+      width = m.get("width") match {
+        case Some(n: Number) => n.intValue; case _ => 0
+      },
+      height = m.get("height") match {
+        case Some(n: Number) => n.intValue; case _ => 0
+      })
   }
 
   /** DataFrame stage: binary `value` column → typed frames (msgpack). */

@@ -120,11 +120,15 @@ object VideoSink {
           return target
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => () // bump
-          case _: UnsupportedOperationException =>
-            // Filesystem without hard links (some object-store
-            // mounts): degrade to the racy exists+move — still
-            // verified-before-publish, just without the exclusive
-            // claim guarantee.
+          // UnsupportedOperationException: filesystem without hard
+          // links. FileSystemException: filesystems that advertise
+          // link(2) but refuse it at runtime (EPERM/EXDEV on
+          // fuse/object-store mounts). FileAlreadyExistsException is a
+          // FileSystemException subclass but is matched above, so it
+          // keeps bumping the suffix. Either way degrade to the racy
+          // exists+move — still verified-before-publish, just without
+          // the exclusive claim guarantee.
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
             if (!Files.exists(target))
               return Files.move(tmp, target,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -26,7 +26,14 @@ object Bench {
     // Warmup: touch parquet reader + codegen + shuffle machinery once.
     force(Tables(spark, sfDir, "region").groupBy("r_name").count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names). The driver never
+    // sets it, so the per-round artifact always covers every query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -79,7 +86,7 @@ object Bench {
     // frames through the full keyed state machine, frames/sec.
     // Best-of-2, same rationale as the per-query min: one GC pause
     // shouldn't smear the round's headline number.
-    val fpsRuns = {
+    val fpsRuns = if (only.isDefined) Seq(0.0) else {
       import spark.implicits._
       import graft.streaming.VideoSessionProcessor
       val nFrames = 200000

@@ -3,7 +3,7 @@
 scale factor, then execute each oracle SQL in DuckDB over the same parquet
 tables and compare (columns sorted by name, rows sorted, exact values).
 
-Usage: python3 scripts/selfcheck.py [sfDir] [outDir] [--skip-verify]
+Usage: python3 scripts/selfcheck.py [sfDir] [outDir] [--skip-verify] [--only=q_a,q_b]
 """
 import json
 import math
@@ -16,13 +16,17 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 SKIP = "--skip-verify" in sys.argv
+# --only=q_a,q_b: run + compare a subset (fast targeted iteration)
+ONLY = next((a.split("=", 1)[1].split(",") for a in sys.argv
+             if a.startswith("--only=")), None)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def run_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    sel = f" {','.join(ONLY)}" if ONLY else ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{sel}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     errs = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error" in l.lower()]
     for l in errs[:40]:
@@ -89,6 +93,8 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     sqls = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
+    if ONLY:
+        sqls = {k: v for k, v in sqls.items() if k in ONLY}
     fails = 0
     for name in sorted(sqls):
         err = compare(name, sqls[name], con)
@@ -98,6 +104,8 @@ def main():
         print(f"{status} {name}" + (f"  -> {err}" if err else ""))
     # rows-only queries (no oracle): just confirm output exists & rows>0
     for d in sorted(Path(OUT_DIR).iterdir()):
+        if ONLY and d.name not in ONLY:
+            continue
         if d.is_dir() and d.name not in sqls:
             try:
                 n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]

@@ -289,6 +289,53 @@ object RelationalQueries {
           count(col("pri")).as("n_pri"),
           sum(when(col("st") <=> lit(null.asInstanceOf[String]), 1).otherwise(0)).as("n_null_eq"))
         .orderBy("status")
+    },
+
+    // ---- MERGE / upsert: the incremental-snapshot primitive ----
+    // A corpus refresh merges a re-crawl batch into the current
+    // snapshot: matched keys take the update, unmatched updates
+    // insert, untouched rows carry over. Realized as ONE full-outer
+    // shuffle join on the merge key + coalesce — the relational core
+    // of Delta/Iceberg MERGE INTO. At 100 TB the base side stays
+    // partitioned on the key (no re-shuffle when bucketed), a small
+    // delta broadcast-joins instead, and AQE handles hot-key skew;
+    // the coalesce/action logic is unchanged.
+    sql(
+      "q_merge_upsert",
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+        |upd AS (
+        |  SELECT doc_id, upper(source) AS source, n_chars + 1 AS n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 9)
+        |SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+        |       coalesce(u.source, b.source) AS source,
+        |       coalesce(u.n_chars, b.n_chars) AS n_chars,
+        |       CASE WHEN b.doc_id IS NULL THEN 'insert'
+        |            WHEN u.doc_id IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM base b FULL JOIN upd u ON b.doc_id = u.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = docs.select(
+        col("doc_id").as("b_id"), col("source").as("b_src"),
+        col("n_chars").as("b_nc"))
+      val upd = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("u_id"), upper(col("source")).as("u_src"),
+          (col("n_chars") + 1).as("u_nc"))
+        .unionByName(docs.where(col("doc_id") % 10 === 9)
+          .select((col("doc_id") + 1000000).as("u_id"),
+            col("source").as("u_src"), col("n_chars").as("u_nc")))
+      base.join(upd, col("b_id") === col("u_id"), "full_outer")
+        .select(
+          coalesce(col("u_id"), col("b_id")).as("doc_id"),
+          coalesce(col("u_src"), col("b_src")).as("source"),
+          coalesce(col("u_nc"), col("b_nc")).as("n_chars"),
+          when(col("b_id").isNull, lit("insert"))
+            .when(col("u_id").isNull, lit("keep"))
+            .otherwise(lit("update")).as("action"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -103,6 +103,53 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 2).as("lo"), round(max(col("value")), 2).as("hi"))
         .orderBy("event_type", "bucket")
+    },
+
+    // ---- gaps-and-islands: collapse consecutive same-type runs into
+    //      validity intervals (the SCD2 / run-length primitive) ----
+    // Scale design: a change flag (lag ≠ current) and its running sum
+    // share ONE window spec (partition user_id, order ts, event_id),
+    // so both evaluate in a single WindowExec after a single shuffle +
+    // sort — unlike the classic rn-minus-rn formulation, whose second
+    // row_number partitions by (user_id, event_type) and forces a
+    // second exchange.
+    sql(
+      "q_runs_islands",
+      """WITH e AS (SELECT user_id, event_type, ts, event_id
+        |           FROM events WHERE user_id % 10 = 0),
+        |c AS (SELECT user_id, event_type, ts,
+        |             CASE WHEN lag(event_type) OVER
+        |                    (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg,
+        |             event_id
+        |      FROM e),
+        |g AS (SELECT user_id, event_type, ts,
+        |             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM c)
+        |SELECT user_id, event_type,
+        |       CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
+        |       CAST(epoch_us(max(ts)) AS BIGINT) AS valid_to_us,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, event_type, grp
+        |ORDER BY user_id, valid_from_us""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .where(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) <=> col("event_type"), lit(0))
+            .otherwise(lit(1)))
+        .withColumn("grp", sum(col("chg")).over(wRun))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+          unix_micros(min(col("ts"))).as("valid_from_us"),
+          unix_micros(max(col("ts"))).as("valid_to_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"))
+        .orderBy("user_id", "valid_from_us")
     }
   )
 }

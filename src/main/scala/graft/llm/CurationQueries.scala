@@ -349,6 +349,38 @@ object CurationQueries {
           round(col("mix_weight"), 6).as("mix_weight"),
           round(col("mix_weight") * 1000000 / col("n_tokens"), 4).as("epochs_at_1m"))
         .orderBy("source")
+    },
+
+    // ---- token-budget cut: keep the top of the corpus (by priority
+    //      order) until a global token budget is exhausted ----
+    // The "train on the best 60%" curation step. The global running
+    // token total over a corpus-wide priority order is the classic
+    // one-task-window trap; [[graft.operators.GlobalPrefix]] computes
+    // it as a two-pass range-partitioned prefix sum (shared with
+    // q_window_pct), so the cut stays all-parallel at 100 TB. The
+    // budget threshold rides a 1-row broadcast of the grand total —
+    // no second corpus pass.
+    sql(
+      "q_token_budget",
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             CAST(sum(toks) OVER (ORDER BY toks DESC, doc_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t FROM d)
+        |SELECT doc_id, toks, cum
+        |FROM c CROSS JOIN tot WHERE cum <= 0.6 * t
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), ceil(col("n_chars") / 4.0).cast("long").as("toks"))
+      val (c, grand) = graft.operators.GlobalPrefix.runningTotalWithGrand(
+        d, Seq(col("toks").desc, col("doc_id")), col("toks"), "cum")
+      c.crossJoin(broadcast(grand.select(col("__grand").as("t"))))
+        .where(col("cum") <= lit(0.6) * col("t"))
+        .select(col("doc_id"), col("toks"), col("cum"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global running totals over a total order — the shared
+  * two-pass pattern behind `q_window_pct` and `q_token_budget`.
+  *
+  * A naive `Window.orderBy(...)` with no partition key sends the whole
+  * table through ONE task (Spark warns about exactly this). Instead:
+  * range-partition on the sort key so partition order equals sort
+  * order, compute the running total pid-locally, then lift to global
+  * with a (#partitions)-row cumulative-offset table joined back by
+  * pid. Two passes, all-parallel, no single-task stage at any scale.
+  *
+  * The pid-stamped rows are localCheckpointed because they fan out to
+  * two consumers (the local window and the per-pid totals) and
+  * correctness requires both to observe the SAME
+  * `spark_partition_id()` assignment — without it, AQE re-planning or
+  * a partial recompute after executor loss could re-sample the range
+  * partitioner between consumers (round-4 advice).
+  */
+object GlobalPrefix {
+
+  /** Adds `out` = running sum of `value` over the total order given by
+    * `sortCols` (inclusive of the current row). `sortCols` must be a
+    * unique ordering for the result to be well-defined.
+    */
+  def runningTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
+      out: String): DataFrame =
+    runningTotalWithGrand(df, sortCols, value, out)._1
+
+  /** As [[runningTotal]], and also returns the 1-row grand total
+    * (column `__grand`) derived from the per-partition totals — so a
+    * caller needing "share of total" math doesn't pay a second
+    * corpus-sized aggregation.
+    */
+  def runningTotalWithGrand(df: DataFrame, sortCols: Seq[Column],
+      value: Column, out: String): (DataFrame, DataFrame) = {
+    val stamped = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = stamped.withColumn("__lc", sum(value).over(w))
+    val perPid = stamped.groupBy("__pid").agg(sum(value).as("__t"))
+    // #partitions rows — the one intentionally tiny global window.
+    val wPid = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPid
+      .withColumn("__off", coalesce(sum(col("__t")).over(wPid), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val result = local.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + col("__lc"))
+      .drop("__pid", "__lc", "__off")
+    (result, perPid.agg(sum(col("__t")).as("__grand")))
+  }
+}

@@ -85,44 +85,25 @@ object WindowQueries {
         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
       // Global percent_rank/cume_dist WITHOUT the global window: a
       // naive Window.orderBy(...) puts the whole SF-scaled table in
-      // ONE task (Spark even warns). Scalable two-pass form instead:
-      // range-partition on the sort key (so partition order = sort
-      // order), rank locally per partition, then lift local ranks to
-      // global with a #partitions-row cumulative-offset table joined
-      // back by pid. The full sort key (acctbal, suppkey) is UNIQUE,
-      // so rank() ≡ row_number() and the closed forms are exact:
+      // ONE task (Spark even warns). The scalable two-pass prefix-sum
+      // lives in [[GlobalPrefix]] (shared with q_token_budget): the
+      // global rank is the running count over the total order. The
+      // full sort key (acctbal, suppkey) is UNIQUE, so rank() ≡
+      // row_number() and the closed forms are exact:
       // prk = (rank-1)/(N-1), cd = rank/N — same arithmetic Spark's
       // window functions evaluate, oracle unchanged.
       val sup = t(s, dir, "supplier").select("s_suppkey", "s_acctbal")
-        .repartitionByRange(col("s_acctbal"), col("s_suppkey"))
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy("pid").orderBy("s_acctbal", "s_suppkey")
-      // localCheckpoint: `local` fans out to three consumers (counts →
-      // broadcast offsets, total, and the join's streamed side), and
-      // correctness needs all three to observe the SAME
-      // spark_partition_id() assignment. Exchange reuse happens to
-      // guarantee that today, but AQE re-planning or a partial
-      // recompute after executor loss could re-sample the range
-      // partitioner; checkpointing materializes the pid-stamped rows
-      // once so the invariant is structural, not incidental.
-      val local = sup.withColumn("lr", row_number().over(wLocal).cast("long"))
-        .localCheckpoint()
-      val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      val wPid = Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = counts
-        .withColumn("off", coalesce(sum(col("cnt")).over(wPid), lit(0L)))
-      val total = counts.agg(sum(col("cnt")).as("n_total"))
-      local
-        .join(broadcast(offsets.select("pid", "off")), "pid")
-        .crossJoin(broadcast(total))
+      val (ranked, grand) = GlobalPrefix.runningTotalWithGrand(
+        sup, Seq(col("s_acctbal"), col("s_suppkey")), lit(1L), "rk")
+      ranked
+        .crossJoin(broadcast(grand.select(col("__grand").as("n_total"))))
         .select(
           col("s_suppkey"),
           // greatest(...,1): a 1-row table is prk=0 (0/1), matching
           // percent_rank's internal n==1 guard instead of ANSI 0/0
-          round((col("off") + col("lr") - 1) /
+          round((col("rk") - 1) /
             greatest(col("n_total") - 1, lit(1L)).cast("double"), 6).as("prk"),
-          round((col("off") + col("lr")) / col("n_total").cast("double"), 6).as("cd"))
+          round(col("rk") / col("n_total").cast("double"), 6).as("cd"))
         .orderBy("s_suppkey")
     },
 

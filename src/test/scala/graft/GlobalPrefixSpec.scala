@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.GlobalPrefix
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-pass prefix sum must agree with the one-task global window
+  * it replaces — on ascending and descending unique orders, long and
+  * double values, and with more partitions than rows (empty-partition
+  * offsets).
+  */
+class GlobalPrefixSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("running total matches the global-window reference (long, asc)") {
+    val df = (1 to 257).map(i => (i.toLong, (i * 37 % 101).toLong))
+      .toDF("k", "v")
+    val got = GlobalPrefix.runningTotal(df, Seq(col("k")), col("v"), "cum")
+      .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("running total matches the reference on a descending double order") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7) + i / 100.0))
+      .toDF("k", "v")
+    val order = Seq(col("v").desc, col("k"))
+    val got = GlobalPrefix.runningTotal(df, order, col("v"), "cum")
+      .select("k", "cum").as[(Long, Double)].collect().sortBy(_._1)
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").as[(Long, Double)].collect().sortBy(_._1)
+    got.zip(want).foreach { case ((k1, c1), (k2, c2)) =>
+      assert(k1 == k2 && math.abs(c1 - c2) < 1e-9, s"$k1: $c1 vs $c2")
+    }
+  }
+
+  test("grand total rides the per-partition totals, not a second scan") {
+    val df = (1 to 50).map(i => (i.toLong, 2L)).toDF("k", "v")
+    val (ranked, grand) = GlobalPrefix.runningTotalWithGrand(
+      df, Seq(col("k")), col("v"), "cum")
+    assert(grand.as[Long].head() == 100L)
+    // inclusive: the max cum equals the grand total
+    assert(ranked.agg(max("cum")).as[Long].head() == 100L)
+  }
+
+  test("more partitions than rows: empty partitions don't shift offsets") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .repartition(16)
+    val got = GlobalPrefix.runningTotal(df, Seq(col("k")), col("v"), "cum")
+      .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L), (2L, 30L), (3L, 60L)))
+  }
+}

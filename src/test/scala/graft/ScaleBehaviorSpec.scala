@@ -62,6 +62,47 @@ class ScaleBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The 100 TB shape: a huge fact scan sort-merge-joined to a
+    // filtered dimension too big to broadcast. Spark 4's
+    // InjectRuntimeFilter builds a bloom filter from the dim side's
+    // join keys and pushes a might_contain probe into the fact scan —
+    // rows that can't join die at the scan, not in the shuffle. At
+    // laptop scale the size thresholds never trip, so model the
+    // cluster shape explicitly: creation side under its threshold,
+    // application side over (0). Equality with the unfiltered join is
+    // asserted, not assumed.
+    val conf = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // broadcast would already prune; force the shuffle-join shape
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      def join() = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "supplier").where($"s_acctbal" > 9000),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy("s_name").agg(sum($"l_quantity").as("q"))
+      val filtered = join()
+      val opt = filtered.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") && opt.contains("might_contain"),
+        opt.take(2000))
+      val expected = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try join().collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      }
+      val got = filtered.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(got == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitionBy output layout prunes partitions at read time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

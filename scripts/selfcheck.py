@@ -13,8 +13,9 @@ from pathlib import Path
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUT_DIR = _pos[1] if len(_pos) > 1 else "/tmp/graft_verify"
 SKIP = "--skip-verify" in sys.argv
 # --only=q_a,q_b: run + compare a subset (fast targeted iteration)
 ONLY = next((a.split("=", 1)[1].split(",") for a in sys.argv
@@ -94,11 +95,20 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     sqls = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
     if ONLY:
+        # a typo'd name must NOT produce a vacuous green run: validate
+        # against the full oracle map + the rows-only dump dirs
+        known = set(sqls) | {d.name for d in Path(OUT_DIR).iterdir() if d.is_dir()}
+        unknown = [n for n in ONLY if n not in known]
+        if unknown:
+            print(f"unknown --only names: {unknown}")
+            sys.exit(2)
         sqls = {k: v for k, v in sqls.items() if k in ONLY}
     fails = 0
+    checked = 0
     for name in sorted(sqls):
         err = compare(name, sqls[name], con)
         status = "OK  " if err is None else "FAIL"
+        checked += 1
         if err:
             fails += 1
         print(f"{status} {name}" + (f"  -> {err}" if err else ""))
@@ -110,12 +120,16 @@ def main():
             try:
                 n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
                 print(f"{'OK  ' if n > 0 else 'FAIL'} {d.name} (rows-only: {n} rows)")
+                checked += 1
                 if n == 0:
                     fails += 1
             except Exception as e:
                 fails += 1
                 print(f"FAIL {d.name} (rows-only read: {e})")
     print(f"\n{fails} failures")
+    if ONLY and checked == 0:
+        print("--only matched zero checks")
+        sys.exit(2)
     sys.exit(1 if fails else 0)
 
 

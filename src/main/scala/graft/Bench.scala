@@ -29,9 +29,7 @@ object Bench {
     // Dev-only subset filter (comma-separated names). The driver never
     // sets it, so the per-round artifact always covers every query.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (k, _) => f(k) })
+    val selected = SparkEntry.select(only)
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
@@ -48,8 +46,12 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // Caches with plan-identical subtrees are shared by the cache
         // manager across queries (and across the two timed runs) —
-        // clear so each run pays its own full cost.
+        // clear so each run pays its own full cost. localCheckpoint
+        // blocks (GlobalPrefix pid pinning) are NOT CacheManager
+        // entries: unpersist them explicitly or they accumulate in
+        // executor storage across the sweep.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
       (name, runs, err)

@@ -109,6 +109,8 @@ object ScaleCheck {
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint blocks aren't CacheManager entries
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
       runs.min

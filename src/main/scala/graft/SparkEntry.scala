@@ -37,6 +37,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(d => d.name -> d.fn).toMap
 
+  /** Dev-only subset selection (Bench's SPARK_GRAFT_BENCH_ONLY env
+    * var, Verify's optional third arg): comma-separated names → the
+    * matching queries; None or an all-blank list → every query. One
+    * parser so the two entry points can't drift.
+    */
+  def select(namesCsv: Option[String]): Map[String, (SparkSession, String) => DataFrame] =
+    namesCsv.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(f) if f.nonEmpty => queries.filter { case (k, _) => f(k) }
+      case _ => queries
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

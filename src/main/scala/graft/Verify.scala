@@ -9,9 +9,7 @@ object Verify {
     // Optional third arg: comma-separated query names — dev-only
     // subset for fast targeted oracle iteration (scripts/selfcheck.py
     // --only). The driver always runs the 2-arg full sweep.
-    val only = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (k, _) => f(k) })
+    val selected = SparkEntry.select(args.lift(2))
     val spark = Sessions.build("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -37,8 +35,10 @@ object Verify {
         }
       }
       // bound memory across the full query sweep (several queries
-      // cache multi-consumer intermediates)
+      // cache multi-consumer intermediates; localCheckpoint blocks
+      // are not CacheManager entries and need their own unpersist)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -42,7 +42,11 @@ case class MsgpackDecodeFrame(child: Expression)
       val tsMicros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
       InternalRow(
         UTF8String.fromString(m("video_id").asInstanceOf[String]),
-        m("frame_number").asInstanceOf[Long].toInt,
+        // Number coercion, like every numeric field below: a
+        // float-packed frame_number must decode here exactly as it
+        // does in FrameSerde.decodeMsgpack, not null the whole row
+        // via the catch-all while the DataFrame path keeps the frame.
+        (m("frame_number") match { case n: Number => n.intValue; case _ => 0 }),
         tsMicros,
         // numeric fields coerce any packed width (msgpack ints decode
         // to Long, a nil slot to null) — same read-side leniency as

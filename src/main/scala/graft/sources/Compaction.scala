@@ -50,10 +50,16 @@ object Compaction {
     val df = spark.read.parquet(inDir)
     val rows = df.count()
     // rows-per-file guard from the observed average row size; 0 rows →
-    // no guard needed (empty write).
+    // no guard needed (empty write). Divide BEFORE multiplying:
+    // 2*targetBytes*rows overflows Long at exactly the table sizes
+    // this module exists for (1 GiB target × ~4.3e9 rows), and Spark
+    // silently ignores a non-positive maxRecordsPerFile.
     val maxRecords =
       if (rows == 0 || totalBytes == 0) Long.MaxValue
-      else math.max(1L, 2L * targetBytes * rows / totalBytes)
+      else {
+        val avgRowBytes = math.max(1L, totalBytes / rows)
+        math.max(1L, 2L * targetBytes / avgRowBytes)
+      }
     df.coalesce(nOut)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecords)

@@ -34,12 +34,20 @@ object ZOrder {
     * shifted to unsigned order (int range → [0, 2^32)) so negative
     * values sort before positive ones, then bit-spread and woven
     * together: a takes the even bits, b the odd bits.
+    *
+    * The raw interleave must compare as UNSIGNED, but Spark sorts
+    * longs signed — and b's top (unsigned-order) bit lands in z bit
+    * 63, so without correction every b ≥ 0 row would sort BEFORE
+    * every b < 0 row. Flipping bit 63 makes signed long comparison
+    * equal unsigned Morton order, so the returned value is directly
+    * usable as a sort/range-partition key.
     */
   def zvalue(a: Column, b: Column): Column = {
     def unsigned(c: Column): Column =
       c.cast("long") + lit(1L << 31)
     spreadBits(unsigned(a))
       .bitwiseOR(shiftleft(spreadBits(unsigned(b)), 1))
+      .bitwiseXOR(lit(Long.MinValue))
   }
 
   /** Rewrites `df` into `nFiles` z-clustered parquet files on

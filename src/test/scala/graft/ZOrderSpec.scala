@@ -33,9 +33,28 @@ class ZOrderSpec extends SparkSpec {
       .select(ZOrder.zvalue(col("a"), col("b")).as("z"))
       .as[Long].collect()
     val want = samples.map { case (a, b) =>
-      mortonRef(a.toLong + (1L << 31), b.toLong + (1L << 31))
+      // bit 63 flipped: signed comparison == unsigned Morton order
+      mortonRef(a.toLong + (1L << 31), b.toLong + (1L << 31)) ^ Long.MinValue
     }
     assert(got.toSeq == want)
+  }
+
+  test("signed long ordering of zvalue equals unsigned Morton ordering") {
+    // Mixed-sign inputs: without the bit-63 flip, every b >= 0 row
+    // sorts before every b < 0 row (z bit 63 carries b's top bit) and
+    // the boundary file would span the whole b range.
+    val samples = for (a <- Seq(-7, -1, 0, 3, 900); b <- Seq(-900, -2, 0, 5, 81))
+      yield (a, b)
+    val zs = samples.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val bySigned = zs.sortBy(_._2).map(_._1).toSeq
+    val byUnsignedMorton = samples.sortWith { case ((a1, b1), (a2, b2)) =>
+      java.lang.Long.compareUnsigned(
+        mortonRef(a1.toLong + (1L << 31), b1.toLong + (1L << 31)),
+        mortonRef(a2.toLong + (1L << 31), b2.toLong + (1L << 31))) < 0
+    }
+    assert(bySigned == byUnsignedMorton)
   }
 
   /** Average per-file span of `c`, normalized by the global span. */

@@ -50,6 +50,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("frame_data").toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("msgpack_decode_frame coerces a float-packed frame_number like decodeMsgpack") {
+    // Parity contract between the two decode paths: a producer packing
+    // the counter as a float must not null the row here while the
+    // FrameSerde path keeps the frame.
+    val bytes = graft.streaming.Msgpack.encodeMap(Seq(
+      "video_id" -> "v", "frame_number" -> 7.0,
+      "timestamp" -> "2024-01-01T00:00:00Z",
+      "frame_data" -> Array[Byte](1)))
+    val r = Seq(bytes).toDF("value")
+      .select(MsgpackDecodeFrame(col("value")).as("f"))
+      .select("f.*").head()
+    assert(r.getAs[Int]("frame_number") == 7)
+    assert(FrameSerde.decodeMsgpack(bytes).frame_number == 7)
+  }
+
   test("native simhash expressions equal the higher-order-function formulation") {
     import graft.functions.TextFunctions
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

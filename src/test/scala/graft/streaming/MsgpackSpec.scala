@@ -85,13 +85,13 @@ class MsgpackSpec extends AnyFunSuite {
     // hit the documented defaults BY RULE, and a producer packing
     // fps/dims as float/int decodes instead of throwing per message.
     val bytes = Msgpack.encodeMap(Seq(
-      "video_id" -> "v", "frame_number" -> 3L,
+      "video_id" -> "v", "frame_number" -> 3.0, // float-packed counter
       "timestamp" -> "2024-01-01T00:00:00Z",
       "frame_data" -> Array[Byte](9),
       "fps" -> 24L,          // int-packed fps (msgpack int tag)
       "width" -> null,       // nil → default 0, not accidental unboxing
       "height" -> 2.0))      // float-packed dim
     val f = FrameSerde.decodeMsgpack(bytes)
-    assert(f.fps == 24.0 && f.width == 0 && f.height == 2)
+    assert(f.frame_number == 3 && f.fps == 24.0 && f.width == 0 && f.height == 2)
   }
 }

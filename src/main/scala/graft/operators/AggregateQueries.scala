@@ -283,6 +283,44 @@ object AggregateQueries {
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spent"))
         .where(col("n_orders") >= 3)
         .orderBy("o_custkey")
+    },
+
+    // ---- incremental aggregation: mergeable partial states ----
+    // The materialized-view-maintenance primitive: aggregate state
+    // computed over yesterday's base and today's delta MERGES into the
+    // state of the union — sum/count/min/max are mergeable as-is, avg
+    // derives from (sum, count) at read time. At 100 TB the base
+    // state table is a few rows per group that never get re-scanned;
+    // only the delta pays a pass. The oracle aggregates the full
+    // table directly — merged state must equal the from-scratch
+    // answer exactly.
+    sql(
+      "q_incr_agg",
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       round(sum(l_quantity), 2) AS q_sum,
+        |       round(min(l_quantity), 2) AS q_min,
+        |       round(max(l_quantity), 2) AS q_max,
+        |       round(sum(l_quantity) / count(*), 6) AS q_avg
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+      def state(part: org.apache.spark.sql.DataFrame) = part
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("pn"), sum(col("l_quantity")).as("ps"),
+          min(col("l_quantity")).as("pmin"), max(col("l_quantity")).as("pmax"))
+      // base = the standing snapshot's state, delta = today's batch
+      val base = state(li.where(col("l_orderkey") % 10 < 9))
+      val delta = state(li.where(col("l_orderkey") % 10 === 9))
+      base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("pn")).as("n"),
+          round(sum(col("ps")), 2).as("q_sum"),
+          round(min(col("pmin")), 2).as("q_min"),
+          round(max(col("pmax")), 2).as("q_max"),
+          round(sum(col("ps")) / sum(col("pn")), 6).as("q_avg"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -318,6 +318,55 @@ object StatsQueries {
           col(s"${c}_avg").as("avg_val"))
       }.reduce(_ unionByName _)
         .orderBy("col_name")
+    },
+
+    // ---- equal-frequency binning: global ntile without the global
+    //      window ----
+    // Quantile bucketing over a corpus-wide order (length-bucketed
+    // batching, score-quartile curricula). ntile's allocation — the
+    // first N mod k buckets take one extra row — is reproduced exactly
+    // from the GlobalPrefix global rank and a broadcast row count, so
+    // the plan stays all-parallel where Window.orderBy(...) would
+    // funnel the corpus through one task.
+    sql(
+      "q_equi_bins",
+      """WITH r AS (SELECT l_extendedprice AS p,
+        |                  ntile(4) OVER (ORDER BY l_extendedprice,
+        |                                 l_orderkey, l_linenumber) AS bin
+        |           FROM lineitem)
+        |SELECT bin, count(*) AS n,
+        |       round(min(p), 2) AS p_min,
+        |       round(max(p), 2) AS p_max,
+        |       round(avg(p), 4) AS p_avg
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val k = 4
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("p"),
+          col("l_orderkey"), col("l_linenumber"))
+      val (ranked, grand) = GlobalPrefix.runningTotalWithGrand(
+        li, Seq(col("p"), col("l_orderkey"), col("l_linenumber")),
+        lit(1L), "rk")
+      // ntile's exact allocation from (rank, N): the first rem = N%k
+      // buckets hold q+1 = N/k+1 rows, the rest q. Column `/` is
+      // double division, so ceil(a/b) is floor((a+b-1)/b) — exact in
+      // a double for any realistic N (< 2^53). BIGINT to match
+      // DuckDB's ntile type.
+      val n = col("n_total")
+      val q = floor(n / k).cast("long")
+      val rem = n % k
+      val cut = rem * (q + 1)
+      val bin = when(col("rk") <= cut,
+          floor((col("rk") + q) / (q + 1)))
+        .otherwise(rem + floor((col("rk") - cut + q - 1) / greatest(q, lit(1L))))
+        .cast("long")
+      ranked.crossJoin(broadcast(grand.select(col("__grand").as("n_total"))))
+        .withColumn("bin", bin)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("p")), 2).as("p_min"),
+          round(max(col("p")), 2).as("p_max"),
+          round(avg(col("p")), 4).as("p_avg"))
+        .orderBy("bin")
     }
   )
 }

@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_window_pct",        // 1-row broadcast row-count scalar riding the plan
     "q_profile_stats",     // 1-row stat aggregates crossJoined (split-distinct)
     "q_token_budget",      // 1-row broadcast grand-total scalar riding the plan
+    "q_equi_bins",         // 1-row broadcast row-count scalar riding the plan
     "q_knn_ivf",           // k-row broadcast centroid table for the probe rank
     "q_knn_pq")            // same coarse-probe shape as q_knn_ivf
 

@@ -104,7 +104,41 @@ object Bench {
     }
     val fps = fpsRuns.max
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}]}""")
+    // Per-frame latency percentiles (BASELINE.md's bench.py shape:
+    // p50/p95/p99, Kafka bypassed, frame-by-frame through the
+    // processing stages). Frames walk the keyed state machine one at a
+    // time with state threaded — the same per-frame loop the
+    // reference's stream processor runs — against the synthetic
+    // inference backend (the ONNX runtime is jar-gated in this
+    // container; the dispatch/cadence/session cost is what this
+    // measures). Milliseconds, after a warmup slice.
+    val latPcts = if (only.isDefined) Seq(0.0, 0.0, 0.0) else {
+      import graft.streaming.VideoSessionProcessor._
+      import graft.streaming.FireModel
+      val cfg = Config()
+      val model = FireModel.SyntheticFireModel()
+      val ts = new java.sql.Timestamp(0L)
+      val nWarm = 2000
+      val nMeasure = 50000
+      var st: Option[graft.streaming.Schemas.VideoState] = None
+      val lat = new Array[Double](nMeasure)
+      var i = 0
+      while (i < nWarm + nMeasure) {
+        val f = FrameIn("vb", i, i * 33333L)
+        val t0 = System.nanoTime()
+        val (st2, _) = transition("vb", st, Seq(f), cfg, model, ts)
+        val dt = (System.nanoTime() - t0) / 1e6
+        st = st2
+        if (i >= nWarm) lat(i - nWarm) = dt
+        i += 1
+      }
+      java.util.Arrays.sort(lat)
+      Seq(0.50, 0.95, 0.99).map(p =>
+        lat(math.min(nMeasure - 1, (p * nMeasure).toInt)))
+    }
+    val Seq(p50, p95, p99) = latPcts.map(v => math.rint(v * 10000) / 10000)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}],"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99}}""")
     spark.stop()
   }
 }

@@ -56,4 +56,31 @@ object GlobalPrefix {
       .drop("__pid", "__lc", "__off")
     (result, perPid.agg(sum(col("__t")).as("__grand")))
   }
+
+  /** Adds `out` = running MAX of `value` over the total order given by
+    * `sortCols`, EXCLUSIVE of the current row (NULL for the global
+    * first row) — the prefix shape of skyline/Pareto and
+    * record-so-far computations. Same two-pass plan as
+    * [[runningTotal]]: pid-local exclusive window max, lifted with a
+    * broadcast exclusive running max of the per-partition maxes
+    * (`greatest` ignores NULLs, so empty prefixes need no sentinel).
+    */
+  def runningMaxExclusive(df: DataFrame, sortCols: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    val stamped = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = stamped.withColumn("__lm", max(value).over(wLoc))
+    val perPid = stamped.groupBy("__pid").agg(max(value).as("__t"))
+    val wPid = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPid
+      .withColumn("__off", max(col("__t")).over(wPid))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, greatest(col("__lm"), col("__off")))
+      .drop("__pid", "__lm", "__off")
+  }
 }

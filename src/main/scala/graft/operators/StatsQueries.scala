@@ -367,6 +367,38 @@ object StatsQueries {
           round(max(col("p")), 2).as("p_max"),
           round(avg(col("p")), 4).as("p_avg"))
         .orderBy("bin")
+    },
+
+    // ---- skyline / Pareto frontier ----
+    // "No other row is both cheaper and higher-quantity": the 2-D
+    // skyline reduces to an EXCLUSIVE prefix max over the price order
+    // (a row survives iff its qty beats every strictly-preceding
+    // row's), so GlobalPrefix.runningMaxExclusive computes it with
+    // two all-parallel passes — no self-join, no per-row dominance
+    // probe, no one-task window. The naive NOT EXISTS formulation is
+    // a corpus×corpus quadratic trap at scale.
+    sql(
+      "q_skyline",
+      """WITH o AS (SELECT l_orderkey, l_linenumber,
+        |                  l_extendedprice AS price, l_quantity AS qty
+        |           FROM lineitem),
+        |m AS (SELECT *, max(qty) OVER (ORDER BY price, l_orderkey, l_linenumber
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |      FROM o)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(price, 2) AS price, round(qty, 2) AS qty
+        |FROM m WHERE best_prev IS NULL OR qty > best_prev
+        |ORDER BY price, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+      GlobalPrefix.runningMaxExclusive(
+          o, Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+          col("qty"), "best_prev")
+        .where(col("best_prev").isNull || col("qty") > col("best_prev"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("price"), 2).as("price"), round(col("qty"), 2).as("qty"))
+        .orderBy("price", "l_orderkey", "l_linenumber")
     }
   )
 }

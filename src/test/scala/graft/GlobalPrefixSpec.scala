@@ -49,6 +49,23 @@ class GlobalPrefixSpec extends SparkSpec {
     assert(ranked.agg(max("cum")).as[Long].head() == 100L)
   }
 
+  test("exclusive running max matches the global-window reference") {
+    val df = (1 to 300).map(i => (i.toLong, ((i * 53) % 97).toDouble))
+      .toDF("k", "v")
+    val got = GlobalPrefix.runningMaxExclusive(df, Seq(col("k")), col("v"), "m")
+      .select("k", "m").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    val want = df.withColumn("m",
+        max(col("v")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("k", "m").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    assert(got.head._2.isEmpty) // global first row has no predecessor
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("more partitions than rows: empty partitions don't shift offsets") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
       .repartition(16)

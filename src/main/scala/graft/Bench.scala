@@ -133,8 +133,10 @@ object Bench {
         i += 1
       }
       java.util.Arrays.sort(lat)
+      // uniform nearest-rank: ceil(p*n)-1 (plain (p*n).toInt flips
+      // convention between exactly-representable and inexact p*n)
       Seq(0.50, 0.95, 0.99).map(p =>
-        lat(math.min(nMeasure - 1, (p * nMeasure).toInt)))
+        lat(math.min(nMeasure - 1, math.max(0, math.ceil(p * nMeasure).toInt - 1))))
     }
     val Seq(p50, p95, p99) = latPcts.map(v => math.rint(v * 10000) / 10000)
 

@@ -369,33 +369,45 @@ object StatsQueries {
         .orderBy("bin")
     },
 
-    // ---- skyline / Pareto frontier ----
-    // "No other row is both cheaper and higher-quantity": the 2-D
-    // skyline reduces to an EXCLUSIVE prefix max over the price order
-    // (a row survives iff its qty beats every strictly-preceding
-    // row's), so GlobalPrefix.runningMaxExclusive computes it with
-    // two all-parallel passes — no self-join, no per-row dominance
-    // probe, no one-task window. The naive NOT EXISTS formulation is
-    // a corpus×corpus quadratic trap at scale.
+    // ---- skyline / Pareto frontier (strict dominance) ----
+    // Rows no other row STRICTLY dominates (s.price ≤ r.price ∧
+    // s.qty ≥ r.qty with one inequality strict). Computed exactly:
+    // collapse to per-price max qty (a row below its price's max is
+    // dominated by that same-price max row), then a price survives iff
+    // its max beats the EXCLUSIVE prefix max over strictly-cheaper
+    // prices (equality = dominated by the cheaper equal-qty row), and
+    // the surviving (price, max) pairs join back to recover every
+    // achieving row — co-max ties and exact duplicates all survive, as
+    // strict dominance requires. The prefix runs over DISTINCT prices
+    // (post-aggregation), so the GlobalPrefix pass is tiny; the naive
+    // NOT EXISTS dominance probe is corpus×corpus (92 s in DuckDB at
+    // sf0.01 vs <1 s for this form — SkylineSpec pins the equivalence
+    // on adversarial ties instead). Frontier join-back broadcasts
+    // (a 2-D frontier is bounded by the distinct qty count).
     sql(
       "q_skyline",
       """WITH o AS (SELECT l_orderkey, l_linenumber,
         |                  l_extendedprice AS price, l_quantity AS qty
         |           FROM lineitem),
-        |m AS (SELECT *, max(qty) OVER (ORDER BY price, l_orderkey, l_linenumber
+        |g AS (SELECT price, max(qty) AS gmax FROM o GROUP BY price),
+        |m AS (SELECT *, max(gmax) OVER (ORDER BY price
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
-        |      FROM o)
-        |SELECT l_orderkey, l_linenumber,
-        |       round(price, 2) AS price, round(qty, 2) AS qty
-        |FROM m WHERE best_prev IS NULL OR qty > best_prev
+        |      FROM g),
+        |f AS (SELECT price, gmax FROM m WHERE best_prev IS NULL OR gmax > best_prev)
+        |SELECT o.l_orderkey, o.l_linenumber,
+        |       round(o.price, 2) AS price, round(o.qty, 2) AS qty
+        |FROM o JOIN f ON o.price = f.price AND o.qty = f.gmax
         |ORDER BY price, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
       val o = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
-      GlobalPrefix.runningMaxExclusive(
-          o, Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
-          col("qty"), "best_prev")
-        .where(col("best_prev").isNull || col("qty") > col("best_prev"))
+      val g = o.groupBy("price").agg(max(col("qty")).as("gmax"))
+      val frontier = GlobalPrefix.runningMaxExclusive(
+          g, Seq(col("price")), col("gmax"), "best_prev")
+        .where(col("best_prev").isNull || col("gmax") > col("best_prev"))
+        .select(col("price").as("f_price"), col("gmax"))
+      o.join(broadcast(frontier),
+          col("price") === col("f_price") && col("qty") === col("gmax"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("price"), 2).as("price"), round(col("qty"), 2).as("qty"))
         .orderBy("price", "l_orderkey", "l_linenumber")

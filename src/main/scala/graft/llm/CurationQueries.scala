@@ -224,6 +224,67 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- URL canonicalization dedup: the crawl-frontier primitive.
+    //      Each doc yields a clean URL and a messy twin (scheme/host
+    //      case, :443 default port, tracking params, shuffled param
+    //      order, trailing slash, fragment); canonicalization must
+    //      collapse exactly the twins and nothing else. Pure per-row
+    //      regex column math + one hash aggregation — no shuffle
+    //      beyond the group-by at any scale. Regex steps are shared
+    //      verbatim with the oracle (Java∩RE2 subset, (?i) inline
+    //      flag), so both engines canonicalize identically. ----
+    sql(
+      "q_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/' || source ||
+        |    '/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&p=' ||
+        |    CAST(doc_id % 13 AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'HTTPS://W' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.ORG:443/' || source ||
+        |    '/' || CAST(doc_id AS VARCHAR) || '/?p=' || CAST(doc_id % 13 AS VARCHAR) ||
+        |    '&utm_source=feed&lang=' || lang || '#top' AS url
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |c AS (SELECT doc_id,
+        |  'https://' || lower(regexp_extract(url, '(?i)https?://([^/:?#]+)', 1)) ||
+        |  regexp_replace(regexp_extract(url, '(?i)https?://[^/?#]+(/[^?#]*)', 1), '/+$', '') ||
+        |  '?lang=' || regexp_extract(url, '[?&]lang=([^&#]*)', 1) ||
+        |  '&p=' || regexp_extract(url, '[?&]p=([^&#]*)', 1) AS curl
+        |  FROM u)
+        |SELECT curl, count(*) AS n_variants,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_doc
+        |FROM c GROUP BY curl ORDER BY curl""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+      val clean = docs.select(col("doc_id"), concat(
+        lit("https://w"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/"), col("source"), lit("/"), col("doc_id").cast("string"),
+        lit("?lang="), col("lang"), lit("&p="), (col("doc_id") % 13).cast("string"))
+        .as("url"))
+      val messy = docs.select(col("doc_id"), concat(
+        lit("HTTPS://W"), (col("doc_id") % 7).cast("string"),
+        lit(".EXAMPLE.ORG:443/"), col("source"), lit("/"), col("doc_id").cast("string"),
+        lit("/?p="), (col("doc_id") % 13).cast("string"),
+        lit("&utm_source=feed&lang="), col("lang"), lit("#top")).as("url"))
+      val u = clean.unionByName(messy)
+      val curl = concat(
+        lit("https://"),
+        lower(regexp_extract(col("url"), "(?i)https?://([^/:?#]+)", 1)),
+        regexp_replace(
+          regexp_extract(col("url"), "(?i)https?://[^/?#]+(/[^?#]*)", 1),
+          "/+$", ""),
+        lit("?lang="), regexp_extract(col("url"), "[?&]lang=([^&#]*)", 1),
+        lit("&p="), regexp_extract(col("url"), "[?&]p=([^&#]*)", 1))
+      u.select(col("doc_id"), curl.as("curl"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("curl")
+    },
+
     // ---- deterministic train/val/test assignment: hash of the KEY,
     //      not random() — re-runs and joins agree on membership ----
     sql(

@@ -411,6 +411,23 @@ object StatsQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("price"), 2).as("price"), round(col("qty"), 2).as("qty"))
         .orderBy("price", "l_orderkey", "l_linenumber")
+    },
+
+    // ---- heavy hitters: single-pass frequent-token sketch ----
+    // Spark's native freqItems (a Karp–Shenker–Papadimitriou /
+    // Misra–Gries family counter): ONE pass, O(1/support) state per
+    // partition, mergeable partials — the shape that finds hot tokens
+    // in 100 TB without a full token-frequency aggregation. Guarantee
+    // (no false negatives above the support threshold) is value-pinned
+    // in AccuracySpec against exact counts; the candidate list itself
+    // is sketch-dependent, hence rows-only for the oracle.
+    QueryDef.rowsOnly("q_freq_items") { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      words.stat.freqItems(Seq("w"), 0.01)
+        .select(explode(col("w_freqItems")).as("tok"))
+        .select(col("tok").cast("string").as("token"))
+        .orderBy("token")
     }
   )
 }

@@ -192,4 +192,24 @@ class AccuracySpec extends SparkSpec {
     val missed = mustCatch -- returnedSet
     assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
   }
+
+  test("q_freq_items misses no token above the support threshold") {
+    // The freqItems guarantee is one-sided: every item with true
+    // frequency > support·N must be returned (false positives are
+    // allowed, false negatives are not). Pin it against exact counts.
+    import graft.functions.TextFunctions.tokens
+    val words = Tables(spark, sf, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+    val n = words.count()
+    val mustHave = words.groupBy("w").count()
+      .where(col("count") > 0.01 * n)
+      .select("w").as[String].collect().toSet
+    val got = SparkEntry.queries("q_freq_items")(spark, sf)
+      .select("token").as[String].collect().toSet
+    assert(got.nonEmpty)
+    val missed = mustHave -- got
+    assert(missed.isEmpty,
+      s"freqItems missed ${missed.size} above-threshold tokens: " +
+        missed.take(5).mkString(","))
+  }
 }

@@ -169,6 +169,32 @@ object VideoSink {
     } finally raf.close()
   }
 
+  /** Janitor for crashed/speculative attempts: a dead task's
+    * `.{id}...inprogress-{nonce}` temp file is never published (the
+    * retry writes under its own nonce), so it sits in the output dir
+    * until someone deletes it. Removes in-progress files older than
+    * `olderThanMs` — the TTL is what protects LIVE attempts, so size
+    * it well above the longest expected task (published containers are
+    * never touched: they carry no `.inprogress-` suffix). Returns the
+    * deleted paths.
+    */
+  def vacuumOrphans(dir: Path, olderThanMs: Long,
+      now: Long = System.currentTimeMillis): Seq[Path] = {
+    require(olderThanMs > 0, "olderThanMs must be positive")
+    val d = dir.toFile
+    if (!d.isDirectory) return Seq.empty
+    d.listFiles().toSeq
+      .filter { f =>
+        f.isFile && f.getName.startsWith(".") &&
+          f.getName.contains(".inprogress-") &&
+          now - f.lastModified() > olderThanMs
+      }
+      .flatMap { f =>
+        val p = f.toPath
+        if (Files.deleteIfExists(p)) Some(p) else None
+      }
+  }
+
   /** Object-storage upload (S14): a Hadoop FileSystem copy, so the
     * same code serves file:// locally and s3a:// on a cluster —
     * no vendor SDK. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Value-level validation for the six rows-only oracle queries — the
+/** Value-level validation for the seven rows-only oracle queries — the
   * ones whose engine-private internals (HLL/digest sketch encodings,
   * MLlib hash seeds, k-means centroids) admit no DuckDB hash-compare.
   * Each check here pins the query's OUTPUT quality against a
@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *  - percentile_approx within the digest's rank-ε guarantee;
   *  - DataSketches HLL union within 3σ of exact distinct counts;
   *  - MLlib MinHashLSH distances ≈ true Jaccard, and no high-Jaccard
-  *    pair missed by the banding.
+  *    pair missed by the banding;
+  *  - freqItems heavy hitters: no token above the support threshold
+  *    missing from the candidate list.
   *
   * All inputs are the fixed sf0.01 parquet tables and every estimator
   * is seeded, so these are deterministic checks, not flaky tolerances.

@@ -109,4 +109,23 @@ class VideoSinkSpec extends AnyFunSuite {
     Files.write(p, bytes.dropRight(3)) // chop the footer
     assert(!VideoSink.verify(p))
   }
+
+  test("vacuumOrphans deletes only stale in-progress files") {
+    val dir = tmp()
+    // published container + a LIVE attempt's temp + a crashed
+    // attempt's stale temp
+    val pool = new VideoSink.WriterPool(dir)
+    pool.append("v1", Array.fill(10)(1.toByte))
+    val published = pool.finalizeVideo("v1").get
+    val live = dir.resolve(".v2_with_heatmaps.mp4.inprogress-aaaa1111")
+    val stale = dir.resolve(".v3_with_heatmaps.mp4.inprogress-bbbb2222")
+    Files.write(live, Array[Byte](1))
+    Files.write(stale, Array[Byte](2))
+    val now = System.currentTimeMillis
+    stale.toFile.setLastModified(now - 7200_000L) // 2h old
+    val deleted = VideoSink.vacuumOrphans(dir, olderThanMs = 3600_000L, now = now)
+    assert(deleted == Seq(stale))
+    assert(Files.exists(live) && Files.exists(published))
+    assert(!Files.exists(stale))
+  }
 }

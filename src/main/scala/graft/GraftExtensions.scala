@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, H32, L2Normalize, MinhashSignature, MsgpackDecodeFrame, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
+import graft.expressions.{DotProduct, H32, L2Normalize, MinhashSignature, MsgpackDecodeFrame, NfcNormalize, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -63,6 +63,9 @@ object GraftExtensions {
     (FunctionIdentifier("msgpack_decode_frame"),
       new ExpressionInfo(classOf[MsgpackDecodeFrame].getName, "msgpack_decode_frame"),
       arity("msgpack_decode_frame", 1)(exprs => MsgpackDecodeFrame(exprs.head))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      arity("nfc_normalize", 1)(exprs => NfcNormalize(exprs.head))),
     (FunctionIdentifier("salted_h32_array"),
       new ExpressionInfo(classOf[SaltedH32Array].getName, "salted_h32_array"),
       arity("salted_h32_array", 2)(exprs =>

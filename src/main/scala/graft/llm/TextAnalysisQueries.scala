@@ -195,6 +195,43 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Unicode NFC normalization: native expression vs DuckDB ----
+    // Composed vs decomposed strings (é vs e+U+0301) must dedup/join
+    // identically, so normalization runs before any fingerprint. Spark
+    // has no built-in; graft.expressions.NfcNormalize is a codegen'd
+    // wrapper over Unicode canonical composition and DuckDB's
+    // nfc_normalize is the oracle twin — the HASH compare proves the
+    // two implementations compose identically. Decomposed sequences
+    // are synthesized deterministically (corpus text is ASCII).
+    sql(
+      "q_normalize_nfc",
+      """WITH r AS (SELECT doc_id,
+        |  substr(text, 1, 20) || ' caf' || chr(101) || chr(769) ||
+        |  ' No' || chr(101) || chr(776) || 'l' AS raw
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id,
+        |       nfc_normalize(raw) AS norm,
+        |       CAST(length(raw) AS BIGINT) AS len_raw,
+        |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = concat(
+        substring(col("text"), 1, 20),
+        // NB: these literals are DECOMPOSED (e + combining mark, like
+        // the oracle's chr(101)||chr(769)) — an editor "fixing" them
+        // to composed chars would break len_raw
+        lit(" caf"), lit("é"), lit(" No"), lit("ë"), lit("l"))
+      val norm = graft.expressions.NfcNormalize(col("raw"))
+      t(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(
+          col("doc_id"),
+          norm.as("norm"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(norm).cast("long").as("len_norm"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus-level rollup: tokens & quality per source × lang ----
     sql(
       "q_corpus_stats",

@@ -202,7 +202,8 @@ class ExpressionsSpec extends SparkSpec {
             transform(col("words"), w => length(w).cast("double")),
             transform(col("words"), w => length(w).cast("double"))).as("dp"),
           L2Normalize(
-            transform(col("words"), w => length(w).cast("double"))).as("l2n"))
+            transform(col("words"), w => length(w).cast("double"))).as("l2n"),
+          NfcNormalize(concat(col("doc_id").cast("string"), lit("é"))).as("nfc"))
         .collect()
       assert(out.nonEmpty)
     } finally {

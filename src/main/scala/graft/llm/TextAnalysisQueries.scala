@@ -254,6 +254,61 @@ object TextAnalysisQueries {
           round(avg(col("n_tokens")), 4).as("avg_tokens"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("source", "lang")
+    },
+
+    // ---- token-distribution Shannon entropy per doc (vocabulary
+    // diversity — low entropy flags boilerplate/spam for curation).
+    // H = log2(n) - (Σ c·ln c)/(n·ln 2) folds the whole computation
+    // into ONE aggregation over (doc, word) counts — no join back for
+    // the doc total. Per-doc work only; a single shuffle on doc_id.
+    sql(
+      "q_token_entropy",
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |            FROM documents),
+        |cnt AS (SELECT doc_id, word, count(*) * 1.0 AS c
+        |        FROM ex GROUP BY doc_id, word)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS INT) AS n_tokens,
+        |       CAST(count(*) AS INT) AS n_distinct,
+        |       round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6) AS entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word")
+        .agg((count(lit(1)) * 1.0).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).cast("int").as("n_tokens"),
+          count(lit(1)).cast("int").as("n_distinct"),
+          round((log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")))
+            / log(lit(2.0)), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // ---- BPE merge candidates: adjacent character-pair counts within
+    // words across the corpus — the inner statistic of byte-pair
+    // tokenizer training. The pair generation is a per-row codegen'd
+    // transform over sequence(1, len-1); the only shuffle is the final
+    // count aggregation on pair (map-side partials collapse it).
+    sql(
+      "q_bpe_pairs",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+        |                                   i -> substring(word, CAST(i AS INT), 2))) AS pair
+        |      FROM w WHERE length(word) >= 2)
+        |SELECT pair, count(*) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair"))
+        .limit(20)
     }
   )
 }

@@ -58,6 +58,55 @@ object TfIdfQueries {
         .where(col("rn") <= 3)
         .select(col("doc_id"), col("word"), col("score"))
         .orderBy(col("doc_id"), desc("score"), col("word"))
+    },
+
+    // ---- BM25 retrieval scoring (Okapi k1=1.2 b=0.75) for a fixed
+    // query-term set — the standard lexical ranker for corpus search
+    // and contamination triage. The term filter lands before the tf/df
+    // aggregations, so the shuffled term matrix holds only query
+    // terms; n_docs/avgdl ride as a broadcast 1-row aggregate.
+    sql(
+      "q_bm25",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |stats AS (SELECT count(*) * 1.0 AS n_docs, avg(len(words)) AS avgdl FROM w),
+        |ex AS (SELECT doc_id, unnest(words) AS word, len(words) AS dl FROM w),
+        |tf AS (SELECT doc_id, word, count(*) * 1.0 AS tf, max(dl) AS dl
+        |       FROM ex WHERE word IN ('spark', 'merge', 'vector')
+        |       GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS dfc FROM ex
+        |       WHERE word IN ('spark', 'merge', 'vector') GROUP BY word),
+        |sc AS (SELECT tf.doc_id,
+        |              ln(((SELECT n_docs FROM stats) - df.dfc + 0.5) / (df.dfc + 0.5) + 1.0)
+        |                * tf.tf * 2.2
+        |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (SELECT avgdl FROM stats))) AS s
+        |       FROM tf JOIN df ON tf.word = df.word)
+        |SELECT doc_id, round(sum(s), 6) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      val qTerms = Seq("spark", "merge", "vector")
+      val w = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("words"))
+      val stats = w.agg(
+        (count(lit(1)) * 1.0).as("n_docs"),
+        avg(size(col("words"))).as("avgdl"))
+      val ex = w
+        .select(col("doc_id"), explode(col("words")).as("word"),
+          size(col("words")).as("dl"))
+        .where(col("word").isin(qTerms: _*))
+      val tf = ex.groupBy("doc_id", "word")
+        .agg((count(lit(1)) * 1.0).as("tf"), max(col("dl")).as("dl"))
+      val df = ex.groupBy("word").agg(countDistinct(col("doc_id")).as("dfc"))
+      tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log((col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum(col("s")), 6).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(15)
     }
   )
 }

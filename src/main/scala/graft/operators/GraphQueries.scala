@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation — PageRank over the trade graph
+  * (customer nation → supplier nation, weighted by line items).
+  * Complements the dedup connected-components operator with the other
+  * canonical iterative-join pattern: crawl-frontier prioritization at
+  * corpus scale ranks domains exactly this way before fetch budgeting.
+  *
+  * Scale notes: the edge build is the expensive part — two fact-table
+  * joins collapsed by one (src, dst) aggregation; the dimension joins
+  * broadcast. Each of the K iterations is one hash join on src + one
+  * aggregation on dst, both partitioned on node id, so a 1e9-node
+  * graph runs the same plan with bigger shuffles. Ranks are
+  * `localCheckpoint`ed per round — iterative lineage otherwise makes
+  * analysis itself exponential (see NOTES pitfalls). The damping
+  * constant 0.85 and K=5 are fixed so the DuckDB oracle can unroll
+  * the identical recurrence.
+  */
+object GraphQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** One unrolled oracle iteration: rank(node) = 0.15/n + 0.85·Σ_in p·pr. */
+  private def oracleIter(k: Int): String =
+    s"""r$k AS (SELECT u.node,
+       |             0.15 / (SELECT nn FROM n)
+       |             + 0.85 * coalesce(sum(en.p * rp.pr), 0) AS pr
+       |      FROM r0 u
+       |      LEFT JOIN en ON en.dst = u.node
+       |      LEFT JOIN r${k - 1} rp ON rp.node = en.src
+       |      GROUP BY u.node)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    sql(
+      "q_pagerank",
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) * 1.0 AS w
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY src),
+         |en AS (SELECT e.src, e.dst, e.w / o.tw AS p
+         |       FROM e JOIN outw o ON e.src = o.src),
+         |n AS (SELECT count(*) * 1.0 AS nn FROM nation),
+         |r0 AS (SELECT n_nationkey AS node, 1.0 / (SELECT nn FROM n) AS pr
+         |       FROM nation),
+         |${(1 to 5).map(oracleIter).mkString(",\n")}
+         |SELECT node, round(pr, 6) AS pr
+         |FROM r5 ORDER BY node""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val lineitem = t(s, dir, "lineitem")
+      val supplier = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+
+      val edges = orders
+        .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg((count(lit(1)) * 1.0).as("w"))
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+      // Out-weight-normalized transition probabilities, materialized
+      // once — every iteration re-reads this, not the fact tables.
+      val en = edges.join(outw, "src")
+        .select(col("src"), col("dst"), (col("w") / col("tw")).as("p"))
+        .localCheckpoint()
+
+      // Node-count rides the plan as a broadcast 1-row aggregate — no
+      // driver-side count, and the same nn feeds init + every round.
+      val n = nation.agg((count(lit(1)) * 1.0).as("nn"))
+      val nodes = nation.select(col("n_nationkey").as("node"))
+
+      var pr: DataFrame = nodes.crossJoin(broadcast(n))
+        .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
+      for (_ <- 1 to 5) {
+        val contrib = en
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("p") * col("pr")).as("in_mass"))
+        pr = nodes
+          .join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("node"),
+            (lit(0.15) / col("nn")
+              + lit(0.85) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    }
+  )
+}

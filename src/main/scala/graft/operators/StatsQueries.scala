@@ -64,6 +64,55 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // ---- robust outlier detection: per-group median/MAD z-score
+    // (|x - med| > 3·1.4826·MAD) — the data-quality screen that
+    // survives the outliers it hunts, unlike mean/stddev. Two exact
+    // per-group percentile aggregations, each joined back via
+    // broadcast (the per-group table is #groups rows); at 100 TB the
+    // exact percentile swaps for approx_percentile with the same
+    // plan shape.
+    sql(
+      "q_anomaly_mad",
+      """WITH med AS (SELECT event_type,
+        |                    CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+        |             FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_type, e.value, m.med,
+        |               abs(e.value - m.med) AS ad
+        |        FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type,
+        |               CAST(quantile_cont(ad, 0.5) AS DOUBLE) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+        |       round(max(d.med), 4) AS med,
+        |       round(max(m.mad), 4) AS mad
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_type", "value")
+      // The per-group frames are #groups rows — localCheckpoint them
+      // so the expensive exact-percentile aggregations run ONCE each
+      // instead of re-executing under every downstream branch (Spark
+      // shares plan-identical subtrees only through the cache manager).
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+        .localCheckpoint()
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+        .localCheckpoint()
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("ad") > lit(3) * 1.4826 * col("mad"), 1L).otherwise(0L)).as("n_anom"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"))
+        .orderBy("event_type")
+    },
+
     // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
     sql(
       "q_pivot",

@@ -1,0 +1,60 @@
+package graft
+
+/** q_pagerank's DuckDB oracle unrolls the SAME recurrence the Spark
+  * loop runs, so (as with SkylineSpec) the hash match alone can't
+  * catch a shared modeling error. This spec recomputes the rank from
+  * the raw sf0.001 tables with a straight-line in-memory power
+  * iteration — textbook damped PageRank over out-weight-normalized
+  * transition probabilities — and requires node-wise agreement.
+  */
+class GraphSpec extends SparkSpec {
+
+  test("q_pagerank equals an in-memory power iteration at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def read(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+
+    val got = SparkEntry.queries("q_pagerank")(spark, dir)
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getDouble(1)).toMap
+
+    val custNation = read("customer").select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val suppNation = read("supplier").select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val orderCust = read("orders").select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val nodes = read("nation").select("n_nationkey")
+      .collect().map(_.getAs[Number](0).longValue).sorted
+
+    // Edge weights: one count per (customer nation, supplier nation)
+    // line item, exactly the query's fact-table join.
+    val w = read("lineitem").select("l_orderkey", "l_suppkey").collect()
+      .flatMap { r =>
+        orderCust.get(r.getAs[Number](0).longValue).map { ck =>
+          (custNation(ck), suppNation(r.getAs[Number](1).longValue)) -> 1.0
+        }
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val outW = w.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val p = w.map { case ((src, dst), cnt) => (src, dst) -> cnt / outW(src) }
+
+    val nn = nodes.size.toDouble
+    var pr = nodes.map(_ -> 1.0 / nn).toMap
+    for (_ <- 1 to 5) {
+      val inMass = p.toSeq
+        .map { case ((src, dst), prob) => dst -> prob * pr(src) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      pr = nodes.map(v => v -> (0.15 / nn + 0.85 * inMass.getOrElse(v, 0.0))).toMap
+    }
+
+    assert(got.keySet == nodes.toSet)
+    for (v <- nodes) {
+      assert(math.abs(got(v) - pr(v)) <= 1e-6,
+        s"node $v: query ${got(v)} vs power iteration ${pr(v)}")
+    }
+    // Rank mass stays a proper distribution up to dangling leak and
+    // the per-node round-to-1e-6 (each node can carry +5e-7).
+    val slack = nodes.size * 5e-7
+    val total = got.values.sum
+    assert(total > 0.5 && total <= 1.0 + slack, s"total rank mass $total")
+  }
+}

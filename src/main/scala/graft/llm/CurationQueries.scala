@@ -442,6 +442,32 @@ object CurationQueries {
         .where(col("cum") <= lit(0.6) * col("t"))
         .select(col("doc_id"), col("toks"), col("cum"))
         .orderBy("doc_id")
+    },
+
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis
+    // A-Res): per-row key u^(1/w) with u a DETERMINISTIC md5-uniform —
+    // the top-k by key IS a w-weighted sample, reproducible across
+    // re-runs/backfills with zero coordination (same property as the
+    // hash splits above). Expressed in ln-space (-ln u / w ascending)
+    // for numeric spread; w is chars/1000 so keys stay O(1). One
+    // codegen'd pass + a TakeOrderedAndProject top-k — no shuffle of
+    // the corpus, no random().
+    sql(
+      "q_weighted_sample",
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 + 0.5)
+        |    / 1000000.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       round(-ln(u) / (n_chars / 1000.0), 6) AS sk
+        |FROM s ORDER BY sk, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val u = (h32(col("doc_id").cast("string")) % 1000000 + 0.5) / 1000000.0
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), u.as("u"))
+        .select(col("doc_id"), col("n_chars"),
+          round(-log(col("u")) / (col("n_chars") / 1000.0), 6).as("sk"))
+        .orderBy(col("sk"), col("doc_id"))
+        .limit(20)
     }
   )
 }

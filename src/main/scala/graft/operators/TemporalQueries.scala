@@ -150,6 +150,62 @@ object TemporalQueries {
         .select(col("user_id"), col("event_type"),
           col("valid_from_us"), col("valid_to_us"), col("n_events"))
         .orderBy("user_id", "valid_from_us")
+    },
+
+    // ---- exponential smoothing (EWMA α=0.3) per key — the canonical
+    // inherently-SEQUENTIAL recurrence (s = αx + (1−α)s_prev), which no
+    // window frame can express. Implemented with the secondary-sort
+    // pattern: repartition on the key, sortWithinPartitions on
+    // (key, ts, id), then ONE sequential pass per partition folding
+    // contiguous same-key runs — mapPartitions as the documented last
+    // resort, and the scale story is exact: every key's run is local
+    // to one partition, the fold is O(rows), state is one double.
+    // The DuckDB oracle folds the identically-ordered list with
+    // list_reduce (first lambda arg = accumulator, verified), seeding
+    // s_0 = x_0 on both sides.
+    sql(
+      "q_ewma",
+      """WITH l AS (SELECT user_id,
+        |                  list(value ORDER BY ts, event_id) AS xs
+        |           FROM events WHERE user_id % 10 = 0
+        |           GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(len(xs) AS BIGINT) AS n_events,
+        |       round(CAST(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc) AS DOUBLE), 6) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val alpha = 0.3
+      val width = s.sessionState.conf.numShufflePartitions
+      t(s, dir, "events")
+        .where(col("user_id") % 10 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .repartition(width, col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapPartitions { it =>
+          new Iterator[(Long, Long, Double)] {
+            private var pending: Option[(Long, Long, Long, Double)] =
+              if (it.hasNext) Some(it.next()) else None
+            def hasNext: Boolean = pending.isDefined
+            def next(): (Long, Long, Double) = {
+              val (uid, _, _, v0) = pending.get
+              var acc = v0
+              var cnt = 1L
+              pending = None
+              while (pending.isEmpty && it.hasNext) {
+                val r = it.next()
+                if (r._1 == uid) { acc = alpha * r._4 + (1 - alpha) * acc; cnt += 1 }
+                else pending = Some(r)
+              }
+              (uid, cnt, acc)
+            }
+          }
+        }
+        .toDF("user_id", "n_events", "ewma")
+        .select(col("user_id"), col("n_events"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")
     }
   )
 }

@@ -90,6 +90,11 @@ object TfIdfQueries {
       val stats = w.agg(
         (count(lit(1)) * 1.0).as("n_docs"),
         avg(size(col("words"))).as("avgdl"))
+      // tf and df both branch off the filtered postings; the branch
+      // recompute (scan + explode + isin) measures CHEAPER at bench
+      // scale than a localCheckpoint materialization (0.86 s vs
+      // 1.35 s), so the recompute stays. At a 100 TB corpus the
+      // tradeoff flips — persist/checkpoint `ex` there.
       val ex = w
         .select(col("doc_id"), explode(col("words")).as("word"),
           size(col("words")).as("dl"))

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
 object TfIdfQueries {
 
   import QueryDef.sql
+
+  /** (doc_id, words) corpus projection shared by both scorers. */
+  private def wordsByDoc(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("words"))
+
+  /** Exploded postings (doc_id, word, dl) off a wordsByDoc frame. */
+  private def postings(w: DataFrame): DataFrame =
+    w.select(col("doc_id"), explode(col("words")).as("word"),
+      size(col("words")).as("dl"))
+
+  /** Document frequency per word off a postings frame. */
+  private def docFreq(ex: DataFrame): DataFrame =
+    ex.groupBy("word").agg(countDistinct(col("doc_id")).as("dfc"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -37,18 +51,15 @@ object TfIdfQueries {
         |  FROM sc)
         |WHERE rn <= 3
         |ORDER BY doc_id, score DESC, word""".stripMargin) { (s, dir) =>
-      val w = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("words"))
+      val w = wordsByDoc(s, dir)
       // Doc count stays IN the plan (broadcast 1-row aggregate joined
       // cross) — a driver-side w.count() would be a second full corpus
       // scan before the main job even starts.
       val tot = w.agg(count(lit(1)).as("n_docs"))
-      val ex = w.select(col("doc_id"), explode(col("words")).as("word"),
-        size(col("words")).as("dl"))
+      val ex = postings(w)
       val tf = ex.groupBy("doc_id", "word")
         .agg((count(lit(1)) * 1.0 / max(col("dl"))).as("tf"))
-      val df = ex.groupBy("word").agg(countDistinct(col("doc_id")).as("dfc"))
+      val df = docFreq(ex)
       val win = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("word"))
       tf.where(col("doc_id") % 50 === 0)
         .join(df, "word")
@@ -84,9 +95,7 @@ object TfIdfQueries {
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
       val qTerms = Seq("spark", "merge", "vector")
-      val w = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.tokens(col("text")).as("words"))
+      val w = wordsByDoc(s, dir)
       val stats = w.agg(
         (count(lit(1)) * 1.0).as("n_docs"),
         avg(size(col("words"))).as("avgdl"))
@@ -95,13 +104,10 @@ object TfIdfQueries {
       // scale than a localCheckpoint materialization (0.86 s vs
       // 1.35 s), so the recompute stays. At a 100 TB corpus the
       // tradeoff flips — persist/checkpoint `ex` there.
-      val ex = w
-        .select(col("doc_id"), explode(col("words")).as("word"),
-          size(col("words")).as("dl"))
-        .where(col("word").isin(qTerms: _*))
+      val ex = postings(w).where(col("word").isin(qTerms: _*))
       val tf = ex.groupBy("doc_id", "word")
         .agg((count(lit(1)) * 1.0).as("tf"), max(col("dl")).as("dl"))
-      val df = ex.groupBy("word").agg(countDistinct(col("doc_id")).as("dfc"))
+      val df = docFreq(ex)
       tf.join(broadcast(df), "word")
         .crossJoin(broadcast(stats))
         .withColumn("s",

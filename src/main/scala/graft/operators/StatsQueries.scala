@@ -92,17 +92,18 @@ object StatsQueries {
         |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events").select("event_type", "value")
       // The per-group frames are #groups rows — localCheckpoint them
-      // so the expensive exact-percentile aggregations run ONCE each
-      // instead of re-executing under every downstream branch (Spark
-      // shares plan-identical subtrees only through the cache manager).
+      // (lazily, so plan-only consumers trigger no jobs) so the
+      // expensive exact-percentile aggregations run ONCE each instead
+      // of re-executing under every downstream branch (Spark shares
+      // plan-identical subtrees only through the cache manager).
       val med = ev.groupBy("event_type")
         .agg(expr("percentile(value, 0.5)").as("med"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("ad", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type")
         .agg(expr("percentile(ad, 0.5)").as("mad"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       dev.join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(

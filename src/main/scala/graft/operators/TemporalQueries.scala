@@ -175,13 +175,16 @@ object TemporalQueries {
         |FROM l ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val alpha = 0.3
-      val width = s.sessionState.conf.numShufflePartitions
+      // Un-sized repartition on purpose: the per-row fold is trivial,
+      // so AQE is free to coalesce the ~10%-selectivity partitions
+      // (contrast the blocked-levenshtein case in NOTES, where an
+      // expensive residual NEEDS the pinned width).
       t(s, dir, "events")
         .where(col("user_id") % 10 === 0)
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("value"))
         .as[(Long, Long, Long, Double)]
-        .repartition(width, col("user_id"))
+        .repartition(col("user_id"))
         .sortWithinPartitions("user_id", "us", "event_id")
         .mapPartitions { it =>
           new Iterator[(Long, Long, Double)] {

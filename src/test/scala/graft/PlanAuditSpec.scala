@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_token_budget",      // 1-row broadcast grand-total scalar riding the plan
     "q_equi_bins",         // 1-row broadcast row-count scalar riding the plan
     "q_knn_ivf",           // k-row broadcast centroid table for the probe rank
-    "q_knn_pq")            // same coarse-probe shape as q_knn_ivf
+    "q_knn_pq",            // same coarse-probe shape as q_knn_ivf
+    "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
+                           // body (earlier rounds sit behind lazy checkpoints
+                           // and are out of this audit's reach by construction)
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -309,6 +309,51 @@ object TextAnalysisQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("pair"))
         .limit(20)
+    },
+
+    // ---- word co-occurrence PMI (collocation mining / embedding
+    // context statistics): ln(c_ab·N / (c_a·c_b)) over document-level
+    // co-occurrence, vocabulary bounded to the top-30 df words so the
+    // per-doc pair fan-out is ≤ V(V−1)/2 regardless of corpus size —
+    // the self-join is doc_id-keyed (one shuffle) with the vocabulary
+    // broadcast, so the plan is linear in docs at constant V.
+    sql(
+      "q_cooccur_pmi",
+      """WITH ex AS (SELECT DISTINCT doc_id, word FROM
+        |            (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents)),
+        |dfq AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+        |voc AS (SELECT word, c FROM dfq ORDER BY c DESC, word LIMIT 30),
+        |n AS (SELECT count(DISTINCT doc_id) * 1.0 AS nd FROM ex),
+        |ev AS (SELECT ex.doc_id, ex.word, voc.c FROM ex
+        |       JOIN voc ON ex.word = voc.word),
+        |pairs AS (SELECT a.word AS wa, b.word AS wb,
+        |                 max(a.c) AS ca, max(b.c) AS cb, count(*) AS cab
+        |          FROM ev a JOIN ev b
+        |            ON a.doc_id = b.doc_id AND a.word < b.word
+        |          GROUP BY a.word, b.word)
+        |SELECT wa, wb, cab,
+        |       round(ln(cab * (SELECT nd FROM n) / (ca * cb)), 6) AS pmi
+        |FROM pairs
+        |ORDER BY pmi DESC, wa, wb LIMIT 20""".stripMargin) { (s, dir) =>
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct()
+      val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
+      val voc = dfq.orderBy(desc("c"), col("word")).limit(30)
+      val n = ex.agg((countDistinct(col("doc_id")) * 1.0).as("nd"))
+      val ev = ex.join(broadcast(voc), "word")
+      val a = ev.select(col("doc_id"), col("word").as("wa"), col("c").as("ca"))
+      val b = ev.select(col("doc_id").as("doc_b"), col("word").as("wb"), col("c").as("cb"))
+      a.join(b, col("doc_id") === col("doc_b") && col("wa") < col("wb"))
+        .groupBy("wa", "wb")
+        .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"),
+          count(lit(1)).as("cab"))
+        .crossJoin(broadcast(n))
+        .select(col("wa"), col("wb"), col("cab"),
+          round(log(col("cab") * col("nd") / (col("ca") * col("cb"))), 6).as("pmi"))
+        .orderBy(desc("pmi"), col("wa"), col("wb"))
+        .limit(20)
     }
   )
 }

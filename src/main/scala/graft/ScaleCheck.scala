@@ -90,7 +90,8 @@ object ScaleCheck {
     "q_dedup_components", "q_dedup_hybrid", "q_knn_ivf", "q_knn_pq",
     "q_perplexity_bigram", "q_asof_join", "q_stateful_sessions",
     "q_merge_upsert", "q_runs_islands", "q_equi_bins", "q_skyline",
-    "q_pagerank", "q_anomaly_mad", "q_ewma", "q_bpe_pairs")
+    "q_pagerank", "q_anomaly_mad", "q_ewma", "q_bpe_pairs",
+    "q_cooccur_pmi", "q_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -114,6 +114,49 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // ---- A/B experiment analysis: Welch's t-statistic per metric
+    // group between two hash-assigned variants. ONE pass computes all
+    // per-(group, variant) moments; the variant pair join runs on the
+    // #groups×2-row aggregate, broadcast. At 100 TB the shape is
+    // unchanged — the corpus collapses before any join.
+    sql(
+      "q_ab_ttest",
+      """WITH v AS (SELECT event_type,
+        |                  CAST(json_extract_string(props, '$.k') AS INT) % 2 AS variant,
+        |                  value
+        |           FROM events),
+        |s AS (SELECT event_type, variant, count(*) AS n,
+        |             avg(value) AS m, var_samp(value) AS v2
+        |      FROM v GROUP BY event_type, variant)
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |       round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+        |       round((a.m - b.m) / sqrt(a.v2 / a.n + b.v2 / b.n), 6) AS t_welch
+        |FROM s a JOIN s b
+        |  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+        |ORDER BY a.event_type""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2).as("variant"),
+          col("value"))
+      val stats = v.groupBy("event_type", "variant")
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+          var_samp(col("value")).as("v2"))
+      val a = stats.where(col("variant") === 0)
+        .select(col("event_type"), col("n").as("n_a"),
+          col("m").as("m_a"), col("v2").as("v2_a"))
+      val b = stats.where(col("variant") === 1)
+        .select(col("event_type").as("et_b"), col("n").as("n_b"),
+          col("m").as("m_b"), col("v2").as("v2_b"))
+      a.join(broadcast(b), col("event_type") === col("et_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("m_a"), 4).as("mean_a"),
+          round(col("m_b"), 4).as("mean_b"),
+          round((col("m_a") - col("m_b"))
+            / sqrt(col("v2_a") / col("n_a") + col("v2_b") / col("n_b")), 6)
+            .as("t_welch"))
+        .orderBy("event_type")
+    },
+
     // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
     sql(
       "q_pivot",

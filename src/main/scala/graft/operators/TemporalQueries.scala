@@ -209,6 +209,111 @@ object TemporalQueries {
         .select(col("user_id"), col("n_events"),
           round(col("ewma"), 6).as("ewma"))
         .orderBy("user_id")
+    },
+
+    // ---- cumulative distinct users per day — the scalable rewrite of
+    // the (unsupported) windowed COUNT(DISTINCT): attribute each user
+    // to their FIRST-SEEN day, then prefix-sum new-user counts. The
+    // corpus collapses to #users rows (first-seen agg) and #days rows
+    // before any window runs, so the ordered window spans ~30 rows,
+    // not the event log.
+    sql(
+      "q_cumulative_distinct",
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |           FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+        |nu AS (SELECT first_day AS day, count(*) AS new_users
+        |       FROM fs GROUP BY first_day),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM d GROUP BY day)
+        |SELECT dau.day AS day, dau.dau,
+        |       coalesce(nu.new_users, 0) AS new_users,
+        |       CAST(sum(coalesce(nu.new_users, 0))
+        |              OVER (ORDER BY dau.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_users
+        |FROM dau LEFT JOIN nu ON dau.day = nu.day
+        |ORDER BY dau.day""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val fs = d.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      val nu = fs.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val dau = d.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(nu, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(wCum))
+        .select(col("day"), col("dau"), col("new_users"), col("cum_users"))
+        .orderBy("day")
+    },
+
+    // ---- cohort retention matrix: users bucketed by first-seen week,
+    // tracked across activity weeks. Distinct (user, week) pairs
+    // collapse the log first; the cohort-size table is #cohorts rows
+    // and broadcasts back for the retention ratio.
+    sql(
+      "q_cohort_retention",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  CAST(date_trunc('week', ts) AS DATE) AS wk
+        |           FROM events),
+        |fs AS (SELECT user_id, min(wk) AS cohort FROM d GROUP BY user_id),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM fs GROUP BY cohort),
+        |act AS (SELECT d.user_id, fs.cohort, d.wk
+        |        FROM d JOIN fs ON d.user_id = fs.user_id)
+        |SELECT act.cohort,
+        |       CAST((act.wk - act.cohort) / 7 AS BIGINT) AS age_weeks,
+        |       count(*) AS n_active,
+        |       round(count(*) * 1.0 / max(cs.cohort_size), 6) AS retention
+        |FROM act JOIN cs ON act.cohort = cs.cohort
+        |GROUP BY act.cohort, act.wk
+        |ORDER BY act.cohort, age_weeks""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val fs = d.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val cs = fs.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      d.join(fs, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cs), "cohort")
+        .select(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("age_weeks"),
+          col("n_active"),
+          round(col("n_active") * 1.0 / col("cohort_size"), 6).as("retention"))
+        .orderBy("cohort", "age_weeks")
+    },
+
+    // ---- first-order Markov transition matrix over user journeys:
+    // lag() pairs consecutive events per user (one shuffle+sort on
+    // user_id — the same exchange every per-user window op shares),
+    // then the transition counts and row-normalized probabilities run
+    // on the #states² aggregate.
+    sql(
+      "q_markov_transitions",
+      """WITH o AS (SELECT user_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                                        ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT prev, event_type AS next, count(*) AS cnt
+        |      FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+        |tot AS (SELECT prev, sum(cnt) AS t FROM c GROUP BY prev)
+        |SELECT c.prev, c.next, c.cnt,
+        |       round(c.cnt * 1.0 / tot.t, 6) AS p
+        |FROM c JOIN tot ON c.prev = tot.prev
+        |ORDER BY c.prev, c.next""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val o = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+      val c = o.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = c.groupBy("prev").agg(sum(col("cnt")).as("t"))
+      c.join(broadcast(tot), "prev")
+        .select(col("prev"), col("next"), col("cnt"),
+          round(col("cnt") * 1.0 / col("t"), 6).as("p"))
+        .orderBy("prev", "next")
     }
   )
 }

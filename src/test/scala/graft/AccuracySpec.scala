@@ -214,4 +214,29 @@ class AccuracySpec extends SparkSpec {
       s"freqItems missed ${missed.size} above-threshold tokens: " +
         missed.take(5).mkString(","))
   }
+
+  test("q_weighted_sample selection frequency follows the weights across salts") {
+    // The oracle hash-match proves determinism, not SAMPLING
+    // correctness (the SQL shares the A-Res formula). Re-run the
+    // selection under 20 independent salted uniforms and check the
+    // statistical property the formula exists for: inclusion
+    // frequency must track the weight (n_chars). Deterministic —
+    // the salted hashes are fixed functions of the data.
+    import graft.functions.TextFunctions.h32Salted
+    val docs = Tables(spark, sf, "documents").select("doc_id", "n_chars")
+    val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    val perSalt = (0 until 20).map { salt =>
+      val u = (h32Salted(lit(salt.toString), col("doc_id").cast("string"))
+        % 1000000 + 0.5) / 1000000.0
+      docs.select(col("doc_id"), col("n_chars"),
+          (-log(u) / (col("n_chars") / 1000.0)).as("sk"))
+        .orderBy(col("sk"), col("doc_id")).limit(20)
+        .agg(avg(col("n_chars"))).head.getDouble(0)
+    }
+    // every salt's selected set must skew heavier than the corpus
+    perSalt.zipWithIndex.foreach { case (m, i) =>
+      assert(m > corpusMean,
+        s"salt $i: selected mean n_chars $m <= corpus mean $corpusMean")
+    }
+  }
 }

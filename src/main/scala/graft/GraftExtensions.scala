@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, H32, L2Normalize, MinhashSignature, MsgpackDecodeFrame, NfcNormalize, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
+import graft.expressions.{DotProduct, H32, JaroWinkler, L2Normalize, MinhashSignature, MsgpackDecodeFrame, NfcNormalize, SaltedH32Array, ShinglesArray, Simhash32FromHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -87,5 +87,8 @@ object GraftExtensions {
       arity("dot_product", 2)(exprs => DotProduct(exprs.head, exprs(1)))),
     (FunctionIdentifier("l2_normalize"),
       new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
-      arity("l2_normalize", 1)(exprs => L2Normalize(exprs.head))))
+      arity("l2_normalize", 1)(exprs => L2Normalize(exprs.head))),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      arity("jaro_winkler", 2)(exprs => JaroWinkler(exprs.head, exprs(1)))))
 }

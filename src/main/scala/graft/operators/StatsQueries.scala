@@ -344,6 +344,47 @@ object StatsQueries {
         .orderBy("da", "db")
     },
 
+    // ---- record linkage via the native Jaro-Winkler expression —
+    //      the fuzzy-match metric for names/short strings where
+    //      Levenshtein over-penalizes transpositions. Same SNM
+    //      blocking as above (W = 4 lead-window neighbors, join-free
+    //      W·N candidates); the scorer is the codegen'd
+    //      `expressions.JaroWinkler`, fuzz-locked to DuckDB's
+    //      jaro_winkler_similarity (3000-case parity sweep: boost
+    //      threshold 0.7, prefix cap 4, empty → 0). ----
+    sql(
+      "q_dedup_jarowinkler",
+      """WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pre,
+        |                  substr(text, 1, 8) AS blk FROM documents),
+        |r AS (SELECT doc_id, pre, blk,
+        |             row_number() OVER (PARTITION BY blk ORDER BY pre, doc_id) AS rn
+        |      FROM p)
+        |SELECT least(a.doc_id, b.doc_id) AS da,
+        |       greatest(a.doc_id, b.doc_id) AS db,
+        |       round(jaro_winkler_similarity(a.pre, b.pre), 6) AS sim
+        |FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4
+        |WHERE jaro_winkler_similarity(a.pre, b.pre) >= 0.92
+        |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val W = 4
+      val p = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+          substring(col("text"), 1, 8).as("blk"))
+      val wn = Window.partitionBy(col("blk")).orderBy(col("pre"), col("doc_id"))
+      val withNext = p.withColumn("nxt", array(
+        (1 to W).map(i => struct(
+          lead(col("doc_id"), i).over(wn).as("db0"),
+          lead(col("pre"), i).over(wn).as("pb"))): _*))
+      withNext
+        .select(col("doc_id").as("da0"), col("pre").as("pa"), explode(col("nxt")).as("n"))
+        .where(col("n.db0").isNotNull)
+        .withColumn("sim", graft.expressions.JaroWinkler(col("pa"), col("n.pb")))
+        .where(col("sim") >= 0.92)
+        .select(least(col("da0"), col("n.db0")).as("da"),
+          greatest(col("da0"), col("n.db0")).as("db"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("da", "db")
+    },
+
     // ---- data profiling: per-column null/distinct/min/max/avg ----
     // The describe/data-quality primitive a pipeline runs before
     // training. Non-distinct stats ride one wide aggregation; exact

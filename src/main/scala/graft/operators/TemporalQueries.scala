@@ -393,6 +393,96 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(col("value")), 2).as("revenue"))
         .orderBy("touch")
+    },
+
+    // ---- rolling exact median (5-row frame) per key — the robust
+    // running-statistic for noisy telemetry. Spark's exact
+    // `percentile` runs as a WINDOW aggregate over the rows frame and
+    // interpolates identically to DuckDB's windowed quantile_cont
+    // (verified value-for-value); one per-key shuffle+sort, O(W log W)
+    // per row at W=5.
+    sql(
+      "q_rolling_median",
+      """SELECT user_id, event_id,
+        |       round(CAST(quantile_cont(value, 0.5) OVER (
+        |               PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+        |         AS med5
+        |FROM events WHERE user_id % 20 = 0
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .where(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)").over(w).cast("double"), 4).as("med5"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- OHLC candles (telemetry downsampling): open/close via
+    // min_by/max_by on the event time — one hash aggregation per
+    // bucket, no window, no sort of the raw stream. ts is unique in
+    // this data (verified at both oracle SFs), so the time key needs
+    // no tiebreak; with non-unique stamps the key becomes
+    // (ts, event_id) on engines that support struct keys.
+    sql(
+      "q_ohlc",
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS h_us,
+        |       round(arg_min(value, ts), 2) AS open,
+        |       round(max(value), 2) AS high,
+        |       round(min(value), 2) AS low,
+        |       round(arg_max(value, ts), 2) AS close,
+        |       count(*) AS volume
+        |FROM events GROUP BY h_us ORDER BY h_us""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("h_us"))
+        .agg(
+          round(expr("min_by(value, ts)"), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(expr("max_by(value, ts)"), 2).as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy("h_us")
+    },
+
+    // ---- RFM segmentation (recency / frequency / monetary): one
+    // per-user aggregation collapses the log, then three quintile
+    // ranks over the #users frame and a ≤125-row segment rollup. The
+    // global ntile windows run on the COLLAPSED user table; at
+    // billions of users each swaps for the GlobalPrefix equal-
+    // frequency allocation (q_equi_bins) with the same semantics.
+    sql(
+      "q_rfm",
+      """WITH u AS (SELECT user_id, count(*) AS f,
+        |                  round(sum(value), 2) AS m, max(ts) AS last_ts
+        |           FROM events GROUP BY user_id),
+        |mx AS (SELECT max(ts) AS mts FROM events),
+        |q AS (SELECT user_id, f, m,
+        |             CAST(epoch_us((SELECT mts FROM mx)) - epoch_us(last_ts) AS BIGINT)
+        |               AS rec_us
+        |      FROM u),
+        |s AS (SELECT CAST(ntile(5) OVER (ORDER BY rec_us, user_id) AS INT) AS r_q,
+        |             CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS INT) AS f_q,
+        |             CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS INT) AS m_q
+        |      FROM q)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users
+        |FROM s GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val u = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("f"), round(sum(col("value")), 2).as("m"),
+          max(col("ts")).as("last_ts"))
+      val mx = ev.agg(max(col("ts")).as("mts"))
+      val q = u.crossJoin(broadcast(mx))
+        .select(col("user_id"), col("f"), col("m"),
+          (unix_micros(col("mts")) - unix_micros(col("last_ts"))).as("rec_us"))
+      q.select(
+          ntile(5).over(Window.orderBy(col("rec_us"), col("user_id"))).as("r_q"),
+          ntile(5).over(Window.orderBy(desc("f"), col("user_id"))).as("f_q"),
+          ntile(5).over(Window.orderBy(desc("m"), col("user_id"))).as("m_q"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_q", "f_q", "m_q")
     }
   )
 }

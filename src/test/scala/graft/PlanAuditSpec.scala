@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_tfidf_top_terms",   // 1-row broadcast doc-count scalar riding the plan
     "q_bm25",              // 1-row broadcast n_docs/avgdl scalar riding the plan
     "q_cooccur_pmi",       // 1-row broadcast doc-count scalar riding the plan
+    "q_rfm",               // 1-row broadcast corpus-max-ts scalar riding the plan
     "q_perplexity_bigram", // 1-row broadcast vocab-size scalar riding the plan
     "q_window_pct",        // 1-row broadcast row-count scalar riding the plan
     "q_profile_stats",     // 1-row stat aggregates crossJoined (split-distinct)

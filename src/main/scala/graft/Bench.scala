@@ -33,7 +33,7 @@ object Bench {
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val runs = (1 to 2).map { _ =>
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
         catch { case e: Throwable =>
@@ -45,15 +45,22 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // Caches with plan-identical subtrees are shared by the cache
-        // manager across queries (and across the two timed runs) —
-        // clear so each run pays its own full cost. localCheckpoint
-        // blocks (GlobalPrefix pid pinning) are NOT CacheManager
-        // entries: unpersist them explicitly or they accumulate in
-        // executor storage across the sweep.
+        // manager across queries (and across the timed runs) — clear
+        // so each run pays its own full cost. localCheckpoint blocks
+        // (GlobalPrefix pid pinning) are NOT CacheManager entries:
+        // unpersist them explicitly or they accumulate in executor
+        // storage across the sweep.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
+      var runs = Vector(timedRun(), timedRun())
+      // When the two runs disagree >3×, BOTH may be contention-loaded
+      // (r4 VERDICT: even the min read 9.1 s for a 0.58 s query under
+      // driver load) — buy one tiebreaker run so the reported min has
+      // a 3-sample basis exactly where the signal is noisy.
+      if (err.isEmpty && runs.min > 0 && runs.max / runs.min > 3.0)
+        runs :+= timedRun()
       (name, runs, err)
     }
     // A failed query's time-to-failure is NOT a benchmark number: it
@@ -61,8 +68,8 @@ object Bench {
     // can't masquerade as a speedup in the cross-round comparison.
     val ok = results.collect { case (k, rs, None) => k -> rs }
     val errs = results.collect { case (k, _, Some(m)) => k -> m }
-    // headline numbers stay min-of-2 (stable plan-cost signal), but
-    // BOTH run times are reported: a loaded host shows up as a
+    // headline numbers stay min-of-runs (stable plan-cost signal),
+    // but ALL run times are reported: a loaded host shows up as a
     // min/other gap in the artifact itself instead of needing a re-run
     // to disprove (round-3 lesson — two phantom 3-4 s readings).
     val qs = ok.map { case (k, rs) => "\"" + k + "\":" + rs.min }
@@ -86,8 +93,9 @@ object Bench {
 
     // Streaming-path throughput (BASELINE.md fps shape): synthetic
     // frames through the full keyed state machine, frames/sec.
-    // Best-of-2, same rationale as the per-query min: one GC pause
-    // shouldn't smear the round's headline number.
+    // Best-of-2 (plus the same >3×-disagreement tiebreaker as the
+    // queries — r4's artifact showed fps runs 6× apart under load):
+    // one GC pause shouldn't smear the round's headline number.
     val fpsRuns = if (only.isDefined) Seq(0.0) else {
       import spark.implicits._
       import graft.streaming.VideoSessionProcessor
@@ -95,12 +103,15 @@ object Bench {
       val frames = spark.range(nFrames).map { i =>
         VideoSessionProcessor.FrameIn(s"v${i % 64}", (i / 64).toInt, i * 1000L)
       }
-      (1 to 2).map { _ =>
+      def fpsRun(): Double = {
         val t0 = System.nanoTime()
         VideoSessionProcessor.processBatch(frames).write
           .format("noop").mode("overwrite").save()
         nFrames / ((System.nanoTime() - t0) / 1e9)
       }
+      var rs = Vector(fpsRun(), fpsRun())
+      if (rs.min > 0 && rs.max / rs.min > 3.0) rs :+= fpsRun()
+      rs
     }
     val fps = fpsRuns.max
 

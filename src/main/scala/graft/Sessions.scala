@@ -10,8 +10,18 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def build(app: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the engine's SQL functions ride every session this factory
+    // builds; APPEND to (never clobber) extensions a spark-submit
+    // already configured. Static conf — only effective for the session
+    // that actually getOrCreate()s the context, like the master below.
+    val ext = sys.props.get("spark.sql.extensions")
+      .filter(_.nonEmpty)
+      .map(e => if (e.contains("graft.GraftExtensions")) e
+                else e + ",graft.GraftExtensions")
+      .getOrElse("graft.GraftExtensions")
     val b = SparkSession.builder().appName(app)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", ext)
     // spark-submit sets the spark.master system property — only pick a
     // master when none was submitted. The local-mode tuning (shuffle
     // width = cores, UI off) applies ONLY when that master is actually

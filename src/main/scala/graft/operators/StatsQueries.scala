@@ -16,6 +16,35 @@ object StatsQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo,
+    * SIGMOD'95), shared by the edit-distance and Jaro-Winkler fuzzy
+    * matchers: block on the leading 8 chars, sort each block by the
+    * 40-char prefix, and pair every doc with its next W sort-order
+    * neighbors via lead() — join-free, exactly W·N candidates at any
+    * corpus size. The result is repartitioned to 2× the configured
+    * shuffle width before the caller's per-pair scorer runs: locally
+    * the corpus is one parquet split (one task), and AQE would
+    * otherwise concentrate the expensive residual into few tasks.
+    * Columns: da0 (left id), pa (left prefix), n.db0 / n.pb (right).
+    */
+  private def snmCandidates(s: SparkSession, dir: String, W: Int) = {
+    val p = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+        substring(col("text"), 1, 8).as("blk"))
+    val wn = Window.partitionBy(col("blk")).orderBy(col("pre"), col("doc_id"))
+    // each row carries its W sort-successors (nulls past the block
+    // end drop in the explode) — the oracle's rn-range self-join
+    // expressed joinlessly: one window shuffle, W·N candidate rows
+    p.withColumn("nxt", array(
+        (1 to W).map(i => struct(
+          lead(col("doc_id"), i).over(wn).as("db0"),
+          lead(col("pre"), i).over(wn).as("pb"))): _*))
+      .select(col("doc_id").as("da0"), col("pre").as("pa"), explode(col("nxt")).as("n"))
+      .where(col("n.db0").isNotNull)
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt * 2, col("da0"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- statistical aggregates (sample variance family + bool aggs) ----
@@ -130,7 +159,7 @@ object StatsQueries {
         |      FROM v GROUP BY event_type, variant)
         |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
         |       round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
-        |       round((a.m - b.m) / sqrt(a.v2 / a.n + b.v2 / b.n), 6) AS t_welch
+        |       round((a.m - b.m) / sqrt(nullif(a.v2 / a.n + b.v2 / b.n, 0)), 6) AS t_welch
         |FROM s a JOIN s b
         |  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
         |ORDER BY a.event_type""".stripMargin) { (s, dir) =>
@@ -151,8 +180,13 @@ object StatsQueries {
         .select(col("event_type"), col("n_a"), col("n_b"),
           round(col("m_a"), 4).as("mean_a"),
           round(col("m_b"), 4).as("mean_b"),
+          // nullif guards the zero-variance degenerate case: Spark's
+          // non-ANSI x/0 is NULL while DuckDB's IEEE division is ±inf,
+          // so an unguarded constant-valued group would silently break
+          // oracle parity. Both sides emit NULL there instead.
           round((col("m_a") - col("m_b"))
-            / sqrt(col("v2_a") / col("n_a") + col("v2_b") / col("n_b")), 6)
+            / sqrt(nullif(col("v2_a") / col("n_a") + col("v2_b") / col("n_b"),
+              lit(0))), 6)
             .as("t_welch"))
         .orderBy("event_type")
     },
@@ -309,34 +343,12 @@ object StatsQueries {
         |FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 8
         |WHERE levenshtein(a.pre, b.pre) <= 12
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val W = 8
-      val p = t(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
-          substring(col("text"), 1, 8).as("blk"))
-      // each row carries its W sort-successors (nulls past the block
-      // end drop in the explode) — the oracle's rn-range self-join
-      // expressed joinlessly: one window shuffle, W·N candidate rows
-      val wn = Window.partitionBy(col("blk")).orderBy(col("pre"), col("doc_id"))
-      val withNext = p.withColumn("nxt", array(
-        (1 to W).map(i => struct(
-          lead(col("doc_id"), i).over(wn).as("db0"),
-          lead(col("pre"), i).over(wn).as("pb"))): _*))
-      val pairs = withNext
-        .select(col("doc_id").as("da0"), col("pre").as("pa"), explode(col("nxt")).as("n"))
-        .where(col("n.db0").isNotNull)
-        // spread the levenshtein residual: locally the corpus is one
-        // parquet split, which would run every distance in one task.
-        // Parallelism derives from the configured shuffle width (2×
-        // for the per-row-expensive residual), not a magic constant
-        // that would cap a cluster at 64 tasks.
-        .repartition(
-          s.conf.get("spark.sql.shuffle.partitions").toInt * 2, col("da0"))
       // Thresholded levenshtein: banded O(len·k) with early exit
       // (returns -1 past the threshold) instead of the full O(len²)
       // table — for kept rows the value equals the plain distance,
       // so the DuckDB oracle is unchanged. Pair ids normalize to
       // (min, max): sort position and id order can disagree.
-      pairs
+      snmCandidates(s, dir, W = 8)
         .withColumn("dist", levenshtein(col("pa"), col("n.pb"), 12).cast("int"))
         .where(col("dist").between(0, 12))
         .select(least(col("da0"), col("n.db0")).as("da"),
@@ -365,18 +377,7 @@ object StatsQueries {
         |FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4
         |WHERE jaro_winkler_similarity(a.pre, b.pre) >= 0.92
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val W = 4
-      val p = t(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
-          substring(col("text"), 1, 8).as("blk"))
-      val wn = Window.partitionBy(col("blk")).orderBy(col("pre"), col("doc_id"))
-      val withNext = p.withColumn("nxt", array(
-        (1 to W).map(i => struct(
-          lead(col("doc_id"), i).over(wn).as("db0"),
-          lead(col("pre"), i).over(wn).as("pb"))): _*))
-      withNext
-        .select(col("doc_id").as("da0"), col("pre").as("pa"), explode(col("nxt")).as("n"))
-        .where(col("n.db0").isNotNull)
+      snmCandidates(s, dir, W = 4)
         .withColumn("sim", graft.expressions.JaroWinkler(col("pa"), col("n.pb")))
         .where(col("sim") >= 0.92)
         .select(least(col("da0"), col("n.db0")).as("da"),

@@ -205,21 +205,31 @@ object VideoSessionProcessor {
 
   /** Batch wiring: secondary-sort shape — hash-partition on video_id,
     * sort WITHIN partitions by (video_id, frame_number), then stream
-    * each partition through the same pure `transition` one frame at a
-    * time. Every session closes at end-of-key (the batch analog of the
-    * drain path A10).
+    * each partition through the same pure `transition` in bounded
+    * same-key runs of `batchFrames`. Every session closes at
+    * end-of-key (the batch analog of the drain path A10).
+    *
+    * Why runs, not single frames: `transition`'s A5 pre-pass scores
+    * all cadence-selected frames of its input slice in ONE
+    * `Backend.predictBatch` call — the forward-pass amortization a
+    * real model needs most on exactly this backfill path. Feeding it
+    * one frame at a time would cap every inference batch at 1; runs
+    * of `batchFrames` restore batching while keeping task memory
+    * bounded (≤ batchFrames frames buffered, state still O(1)/key).
+    * The streaming wirings batch per trigger slice the same way.
     *
     * Why not groupByKey+flatMapGroups: that wiring must buffer a whole
     * key's frames in task memory to sort them (a 10M-frame video = a
     * per-task memory spike). Here the sort runs in Spark's spillable
-    * shuffle sorter and the state stays O(1)/key, exactly as the
-    * streaming wirings advertise — the iterator never materializes a
-    * group. */
+    * shuffle sorter, exactly as the streaming wirings advertise — the
+    * iterator never materializes a group. */
   def processBatch(
       frames: Dataset[FrameIn],
       cfg: Config = Config(),
       model: Backend = FireModel.SyntheticFireModel(),
-      processingTs: Timestamp = new Timestamp(0L)): Dataset[VideoEvent] = {
+      processingTs: Timestamp = new Timestamp(0L),
+      batchFrames: Int = 64): Dataset[VideoEvent] = {
+    require(batchFrames >= 1, s"batchFrames must be >= 1, got $batchFrames")
     implicit val evEnc = Encoders.product[VideoEvent]
     frames
       .repartition(org.apache.spark.sql.functions.col("video_id"))
@@ -241,9 +251,15 @@ object VideoSessionProcessor {
           private def advance(): Unit =
             while (!out.hasNext && (in.hasNext || st.isDefined)) {
               if (in.hasNext && (curVid == null || in.head.video_id == curVid)) {
-                val f = in.next()
-                curVid = f.video_id
-                val (ns, events) = transition(curVid, st, Seq(f), cfg, model, processingTs)
+                curVid = in.head.video_id
+                // bounded same-key run: one transition (= one
+                // predictBatch) per ≤ batchFrames frames
+                val run = scala.collection.mutable.ArrayBuffer.empty[FrameIn]
+                while (run.size < batchFrames && in.hasNext &&
+                    in.head.video_id == curVid)
+                  run += in.next()
+                val (ns, events) =
+                  transition(curVid, st, run.toSeq, cfg, model, processingTs)
                 st = ns
                 out = events.iterator
               } else { // key change or end of partition: drain the session

@@ -17,4 +17,19 @@ object Bridge {
     * outside the sql package need the alias to declare
     * `ExpectsInputTypes.inputTypes`. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Register a SQL function on an ALREADY-BUILT session. The
+    * supported path is `spark.sql.extensions=graft.GraftExtensions`
+    * at build time (which `graft.Sessions` sets); this is for hosts
+    * that hand the engine a session they built themselves — the
+    * function registry hangs off `sessionState`, private[sql] on the
+    * classic session. */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
 }

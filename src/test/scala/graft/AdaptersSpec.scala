@@ -162,6 +162,7 @@ class AdaptersSpec extends SparkSpec {
   }
 
   ignore("onnx round-trip on a jar-equipped cluster: session loads and scores a frame batch") {
+    // ADAPTERS.md §1 has the exact spark-submit + jar coordinates.
     // with onnxruntime on the classpath: OnnxFireBackend(modelPath)
     // .predictImages over ImageIoMedia-encoded 224x224 JPEGs runs the
     // real reflective decode->CHW-tensor->session.run->sigmoid path
@@ -170,6 +171,7 @@ class AdaptersSpec extends SparkSpec {
   }
 
   ignore("javacv round-trip on a jar-equipped cluster: mp4 writes, finalizes, and ffprobes clean") {
+    // ADAPTERS.md §2 has the exact spark-submit + jar coordinates.
     // with javacv-platform on the classpath: JavaCvContainerWriter
     // appended with ImageIoMedia JPEG frames produces an MP4 whose
     // moov atom ffprobe accepts; WriterPool semantics are unchanged

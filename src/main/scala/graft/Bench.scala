@@ -32,8 +32,8 @@ object Bench {
     val selected = SparkEntry.select(only)
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var err: Option[String] = None
-      def timedRun(): Double = {
+      def timedRun(): (Double, Option[String]) = {
+        var err: Option[String] = None
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
         catch { case e: Throwable =>
@@ -52,15 +52,23 @@ object Bench {
         // storage across the sweep.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        dt
+        (dt, err)
       }
-      var runs = Vector(timedRun(), timedRun())
+      val base = Vector(timedRun(), timedRun())
+      var runs = base.map(_._1)
+      val err = base.flatMap(_._2).headOption
       // When the two runs disagree >3×, BOTH may be contention-loaded
       // (r4 VERDICT: even the min read 9.1 s for a 0.58 s query under
       // driver load) — buy one tiebreaker run so the reported min has
-      // a 3-sample basis exactly where the signal is noisy.
-      if (err.isEmpty && runs.min > 0 && runs.max / runs.min > 3.0)
-        runs :+= timedRun()
+      // a 3-sample basis exactly where the signal is noisy. A FAILED
+      // tiebreaker must not discard the two valid timings already in
+      // hand: its error is kept separate and the query reports
+      // min-of-2 (a transient fault on the extra run is not a query
+      // failure).
+      if (err.isEmpty && runs.min > 0 && runs.max / runs.min > 3.0) {
+        val (t3, e3) = timedRun()
+        if (e3.isEmpty) runs :+= t3
+      }
       (name, runs, err)
     }
     // A failed query's time-to-failure is NOT a benchmark number: it
@@ -157,7 +165,15 @@ object Bench {
     // chunk's latency = enqueue → its events observable in the sink.
     // This measures what a consumer actually waits: micro-batch
     // scheduling + state machine + sink commit.
-    val e2ePcts = if (only.isDefined) Seq(0.0, 0.0, 0.0) else {
+    //
+    // Dual-run + >3×-disagreement tiebreaker, same discipline as the
+    // queries/fps sections (r5 VERDICT "what's wrong #1": a single-shot
+    // e2e block let a contended host write p99 = 6,053 ms into the
+    // round artifact where a quiet re-run measures 564 ms). All runs
+    // are reported; the headline triple is the run with the lowest
+    // p99 — a self-consistent (p50,p95,p99) from one run, not a
+    // cross-run per-percentile min that no single execution produced.
+    def e2eRun(tag: String): Seq[Double] = {
       import spark.implicits._
       import graft.streaming.VideoSessionProcessor._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -166,10 +182,11 @@ object Bench {
       val input = MemoryStream[FrameIn]
       // idle timeout far beyond the run: no completion-event noise
       val events = processStream(input.toDS(), Config(idleTimeoutMs = 600000L))
+      val sinkName = s"bench_e2e_$tag"
       val q = events.writeStream
-        .format("memory").queryName("bench_e2e")
+        .format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append()).start()
-      def sunk(): Long = spark.table("bench_e2e").count()
+      def sunk(): Long = spark.table(sinkName).count()
       val chunk = 64
       val warm = 3
       val measured = 40
@@ -193,9 +210,19 @@ object Bench {
       Seq(0.50, 0.95, 0.99).map(p =>
         lats(math.min(measured - 1, math.max(0, math.ceil(p * measured).toInt - 1))))
     }
+    val e2eRuns: Seq[Seq[Double]] = if (only.isDefined) Seq(Seq(0.0, 0.0, 0.0)) else {
+      var rs = Vector(e2eRun("a"), e2eRun("b"))
+      val p99s = rs.map(_.last)
+      if (p99s.min > 0 && p99s.max / p99s.min > 3.0) rs :+= e2eRun("c")
+      rs
+    }
+    val e2ePcts = e2eRuns.minBy(_.last)
     val Seq(e50, e95, e99) = e2ePcts.map(v => math.rint(v * 100) / 100)
+    val e2eRunsJson = e2eRuns.map(r =>
+      r.map(v => math.rint(v * 100) / 100).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}],"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}],"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"e2e_latency_ms_runs":$e2eRunsJson}""")
     spark.stop()
   }
 }

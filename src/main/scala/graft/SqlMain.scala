@@ -13,7 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `graft_<name>` (e.g. `SELECT * FROM graft_q_dedup_minhash_lsh`);
   *    registration is LAZY — only the views a statement actually
   *    references are constructed, so an ad-hoc query doesn't pay for
-  *    the ANN index fits of operators it never touches;
+  *    the ANN index fits of operators it never touches. Exception:
+  *    the views built on eager `localCheckpoint()` cores
+  *    (`graft_q_window_pct`, `graft_q_token_budget`,
+  *    `graft_q_equi_bins`, `graft_q_skyline`, `graft_q_pagerank`,
+  *    `graft_q_anomaly_mad`) run their checkpoint jobs at view
+  *    CONSTRUCTION — i.e. during [[registerReferenced]], before the
+  *    user's statement executes — so referencing one of those pays
+  *    its materialization cost up front;
   *  - the native expressions (jaro_winkler, minhash_signature,
   *    dot_product, ...) are SQL-callable: `Sessions.build` injects
   *    `GraftExtensions`, and [[registerFunctions]] covers sessions a
@@ -73,6 +80,25 @@ object SqlMain {
     spark.sql(sql)
   }
 
+  /** Quote-aware `;` split for the stdin path: semicolons inside
+    * single-quoted SQL string literals (`WHERE c = 'a;b'`) do not
+    * terminate a statement. ANSI `''` escaping falls out naturally —
+    * the second `'` just reopens the literal. Double-quoted
+    * identifiers are handled the same way for symmetry. */
+  def splitStatements(input: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    input.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { cur += c; quote = c }
+      else if (c == ';') { out += cur.result(); cur.clear() }
+      else cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
@@ -82,7 +108,7 @@ object SqlMain {
     val sfDir = args(0)
     val stmts: Seq[String] =
       if (args.length > 1) args.drop(1).toSeq
-      else scala.io.Source.stdin.mkString.split(';').toSeq
+      else splitStatements(scala.io.Source.stdin.mkString)
     val spark = Sessions.build("graft-sql")
     spark.sparkContext.setLogLevel("WARN")
     stmts.map(_.trim).filter(_.nonEmpty).foreach { stmt =>

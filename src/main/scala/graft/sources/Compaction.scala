@@ -33,9 +33,18 @@ object Compaction {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
+    // Recursive walk: spark.read.parquet(dir) reads nested/partitioned
+    // layouts, so the byte sizing must see the same files — a top-level
+    // listing on a partitioned table would report 0 bytes and disable
+    // both the output-count sizing and the maxRecordsPerFile guard.
+    val it = fs.listFiles(p, true)
+    val buf = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        buf += ((s.getPath.toString, s.getLen))
+    }
+    buf.result()
   }
 
   /** Rewrites `inDir`'s parquet files into `outDir` packed to

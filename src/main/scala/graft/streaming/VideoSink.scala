@@ -183,7 +183,9 @@ object VideoSink {
     require(olderThanMs > 0, "olderThanMs must be positive")
     val d = dir.toFile
     if (!d.isDirectory) return Seq.empty
-    d.listFiles().toSeq
+    // listFiles() returns null if the directory vanished between the
+    // isDirectory check and the list (concurrent session cleanup).
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter { f =>
         f.isFile && f.getName.startsWith(".") &&
           f.getName.contains(".inprogress-") &&

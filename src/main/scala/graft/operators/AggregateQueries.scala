@@ -87,13 +87,31 @@ object AggregateQueries {
     },
 
     // ---- approximate distinct (HLL sketch; the 100 TB-scale path).
-    // Sketch internals are engine-specific → rows-only check. ----
-    rowsOnly("q_approx_distinct") { (s, dir) =>
+    // Sketch values are engine-specific (Spark HLL++ vs DuckDB's
+    // sketch) so the raw estimate can never hash-match an oracle.
+    // Instead the accuracy CONTRACT is emitted as data: exact counts
+    // plus `*_ok` booleans asserting |approx − exact| ≤ 3σ (rsd =
+    // 0.02 → 6%). DuckDB reproduces the exact columns and literal
+    // `true` flags, so the driver's value-hash gate now enforces the
+    // HLL bound itself (VERDICT r5 ask #5); AccuracySpec keeps
+    // bounding the raw estimates. ----
+    sql(
+      "q_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |       true AS parts_ok, true AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+          (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.06).as("parts_ok"),
+          (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.06).as("orders_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -122,17 +140,40 @@ object AggregateQueries {
 
     // ---- approximate percentile (mergeable digest — exact
     //      percentiles need a full sort per group; this is what runs
-    //      at 100 TB). Digest internals are engine-specific →
-    //      rows-only check; q_percentile is the exact twin. ----
-    rowsOnly("q_approx_percentile") { (s, dir) =>
+    //      at 100 TB). Digest picks are engine-specific, so the
+    //      oracle checks the CONTRACT: exact interpolated percentiles
+    //      (q_percentile parity) plus `*_ok` booleans asserting each
+    //      digest value lies inside the exact [p−0.01, p+0.01]
+    //      quantile band — vastly wider than the digest's rank-ε
+    //      guarantee (ε = 1/10000) yet still a value-level check the
+    //      hash gate enforces (VERDICT r5 ask #5). AccuracySpec keeps
+    //      the tight rank-ε band on the raw digest values. ----
+    sql(
+      "q_approx_percentile",
+      """SELECT event_type,
+        |       round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+        |       round(CAST(quantile_cont(value, 0.5)  AS DOUBLE), 4) AS p50,
+        |       round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95,
+        |       true AS p25_ok, true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ex = expr(
+        "percentile(value, array(0.24D, 0.25D, 0.26D, 0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
+      def okFlag(lo: Int, ap: Int, hi: Int) =
+        element_at(col("ap"), ap)
+          .between(element_at(col("ex"), lo), element_at(col("ex"), hi))
       t(s, dir, "events")
         .groupBy("event_type")
-        .agg(percentile_approx(
-          col("value"), array(lit(0.25), lit(0.5), lit(0.95)), lit(10000)).as("pcts"))
+        .agg(
+          ex.as("ex"),
+          percentile_approx(
+            col("value"), array(lit(0.25), lit(0.5), lit(0.95)), lit(10000)).as("ap"))
         .select(col("event_type"),
-          round(element_at(col("pcts"), 1), 2).as("p25"),
-          round(element_at(col("pcts"), 2), 2).as("p50"),
-          round(element_at(col("pcts"), 3), 2).as("p95"))
+          round(element_at(col("ex"), 2), 4).as("p25"),
+          round(element_at(col("ex"), 5), 4).as("p50"),
+          round(element_at(col("ex"), 8), 4).as("p95"),
+          okFlag(1, 1, 3).as("p25_ok"),
+          okFlag(4, 2, 6).as("p50_ok"),
+          okFlag(7, 3, 9).as("p95_ok"))
         .orderBy("event_type")
     },
 
@@ -140,19 +181,38 @@ object AggregateQueries {
     //      sketch per source partition, STORE the sketch bytes, and
     //      union them later for the global estimate — the pattern that
     //      lets a 100 TB pipeline maintain distinct counts
-    //      incrementally without ever rescanning history. rows-only
-    //      (sketch encoding is engine-private). ----
-    rowsOnly("q_hll_sketch_union") { (s, dir) =>
+    //      incrementally without ever rescanning history. Sketch
+    //      encoding is engine-private, so the oracle checks exact
+    //      distinct counts plus an `est_ok` boolean asserting the
+    //      estimate (including the one that went through the sketch
+    //      UNION) lands within max(6%, 1) of exact — the hash gate
+    //      enforces the estimate's contract value-wise (VERDICT r5
+    //      ask #5); AccuracySpec keeps bounding the raw estimates. ----
+    sql(
+      "q_hll_sketch_union",
+      """SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, true AS est_ok
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT 'ALL' AS source, CAST(count(DISTINCT lang) AS BIGINT), true FROM documents
+        |ORDER BY source""".stripMargin) { (s, dir) =>
       val perSource = t(s, dir, "documents")
         .groupBy("source")
-        .agg(hll_sketch_agg(col("lang")).as("sk"))
+        .agg(hll_sketch_agg(col("lang")).as("sk"),
+          countDistinct(col("lang")).as("n_langs"))
         .cache() // consumed per-source and by the union
-      val per = perSource.select(col("source"),
-        hll_sketch_estimate(col("sk")).as("est_langs"))
+      val per = perSource.select(col("source"), col("n_langs"),
+        hll_sketch_estimate(col("sk")).as("est"))
+      val overallExact = t(s, dir, "documents")
+        .agg(countDistinct(col("lang")).as("n_langs"))
       val overall = perSource.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_langs"))
-        .select(lit("ALL").as("source"), col("est_langs"))
-      per.unionByName(overall).orderBy("source")
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(overallExact)) // 1 row × 1 row
+        .select(lit("ALL").as("source"), col("n_langs"), col("est"))
+      per.unionByName(overall)
+        .select(col("source"), col("n_langs"),
+          (abs(col("est") - col("n_langs")) <=
+            greatest(col("n_langs") * 0.06, lit(1.0))).as("est_ok"))
+        .orderBy("source")
     },
 
     // ---- rollup (nation within region hierarchy) ----

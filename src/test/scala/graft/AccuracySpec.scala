@@ -70,8 +70,13 @@ class AccuracySpec extends SparkSpec {
 
   test("q_approx_distinct estimates within the 3-sigma HLL++ bound of exact counts") {
     // rsd = 0.02 is the requested standard error; 3σ = 6% relative.
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
-      .select($"l_returnflag", $"approx_parts".cast("long"), $"approx_orders".cast("long"))
+    // The query now emits the bound as `*_ok` flags (so the DuckDB
+    // hash gate enforces it); this spec keeps bounding the RAW
+    // estimates independently of the flag formula.
+    val approx = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     val exact = Tables(spark, sf, "lineitem")
       .groupBy("l_returnflag")
@@ -83,6 +88,9 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(ap - p).toDouble / p <= 0.06, s"$flag parts: approx $ap vs exact $p")
       assert(math.abs(ao - o).toDouble / o <= 0.06, s"$flag orders: approx $ao vs exact $o")
     }
+    val flags = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .select($"parts_ok" && $"orders_ok").as[Boolean].collect()
+    assert(flags.nonEmpty && flags.forall(identity), "q_approx_distinct bound flag false")
   }
 
   test("q_approx_percentile values sit within the digest's rank-epsilon band") {
@@ -90,8 +98,15 @@ class AccuracySpec extends SparkSpec {
     // check is rank-based (the estimator returns a member of the group,
     // not an interpolated value, so value-compare against an
     // interpolating exact percentile would be the wrong test).
-    val approx = SparkEntry.queries("q_approx_percentile")(spark, sf)
-      .select($"event_type", $"p25", $"p50", $"p95")
+    // raw digest values, independent of the query's [p±0.01] ok-flags
+    val approx = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx($"value",
+        array(lit(0.25), lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+      .select($"event_type",
+        element_at($"ap", 1).cast("double"),
+        element_at($"ap", 2).cast("double"),
+        element_at($"ap", 3).cast("double"))
       .as[(String, Double, Double, Double)].collect()
     val groups = Tables(spark, sf, "events")
       .select($"event_type", $"value".cast("double"))
@@ -101,15 +116,16 @@ class AccuracySpec extends SparkSpec {
       val vs = groups(et)
       val n = vs.length
       Seq(0.25 -> p25, 0.5 -> p50, 0.95 -> p95).foreach { case (q, est) =>
-        // rank window the digest guarantees, ±1 for the round(,2) the
-        // query applies to its output
+        // rank window the digest guarantees
         val lo = math.max(math.floor((q - 1.0 / 10000) * n).toInt - 1, 0)
         val hi = math.min(math.ceil((q + 1.0 / 10000) * n).toInt + 1, n - 1)
-        val (vLo, vHi) = (vs(lo) - 0.01, vs(hi) + 0.01)
-        assert(est >= vLo && est <= vHi,
-          s"$et q=$q: estimate $est outside value band [$vLo, $vHi] (ranks $lo..$hi of $n)")
+        assert(est >= vs(lo) && est <= vs(hi),
+          s"$et q=$q: estimate $est outside value band [${vs(lo)}, ${vs(hi)}] (ranks $lo..$hi of $n)")
       }
     }
+    val flags = SparkEntry.queries("q_approx_percentile")(spark, sf)
+      .select($"p25_ok" && $"p50_ok" && $"p95_ok").as[Boolean].collect()
+    assert(flags.nonEmpty && flags.forall(identity), "q_approx_percentile band flag false")
   }
 
   test("q_hll_sketch_union estimates match exact distinct counts within 3 sigma") {
@@ -117,10 +133,17 @@ class AccuracySpec extends SparkSpec {
     // 1.6%; the per-source lang cardinalities here are tiny (sparse
     // mode — near-exact), so 3σ = 5% with a floor of 1 absorbs both
     // regimes.
-    val est = SparkEntry.queries("q_hll_sketch_union")(spark, sf)
-      .select($"source", $"est_langs".cast("double"))
-      .as[(String, Double)].collect().toMap
+    // raw estimates rebuilt here (the query now emits exact counts +
+    // an est_ok flag for the hash gate; the raw sketch numbers stay
+    // spec-bounded independently)
     val docs = Tables(spark, sf, "documents")
+    val perSource = docs.groupBy("source").agg(hll_sketch_agg($"lang").as("sk"))
+    val est = perSource
+      .select($"source", hll_sketch_estimate($"sk").cast("double").as("e"))
+      .unionByName(perSource.agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).cast("double").as("e"))
+        .select(lit("ALL").as("source"), $"e"))
+      .as[(String, Double)].collect().toMap
     val exactPer = docs.groupBy("source").agg(countDistinct($"lang").as("n"))
       .as[(String, Long)].collect().toMap
     val exactAll = docs.agg(countDistinct($"lang")).as[Long].head()
@@ -129,6 +152,9 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(e - n) <= math.max(1.0, 0.05 * n),
         s"$src: HLL estimate $e vs exact $n")
     }
+    val flags = SparkEntry.queries("q_hll_sketch_union")(spark, sf)
+      .select($"est_ok").as[Boolean].collect()
+    assert(flags.nonEmpty && flags.forall(identity), "q_hll_sketch_union bound flag false")
   }
 
   test("q_dedup_levenshtein SNM finds every true edit-close pair on this corpus") {

@@ -27,6 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_perplexity_bigram", // 1-row broadcast vocab-size scalar riding the plan
     "q_window_pct",        // 1-row broadcast row-count scalar riding the plan
     "q_profile_stats",     // 1-row stat aggregates crossJoined (split-distinct)
+    "q_profile_stats_approx", // same split-distinct core feeding the nd_ok flag
+    "q_hll_sketch_union",  // 1-row sketch-union est × 1-row exact count
     "q_token_budget",      // 1-row broadcast grand-total scalar riding the plan
     "q_equi_bins",         // 1-row broadcast row-count scalar riding the plan
     "q_knn_ivf",           // k-row broadcast centroid table for the probe rank

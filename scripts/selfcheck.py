@@ -92,7 +92,12 @@ def main():
         run_verify()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver testdata tables are single parquet FILES; ScaleCheck's
+        # 10x corpus writes Spark-style DIRECTORIES named t.parquet —
+        # glob the part files in that case
+        src = Path(SF_DIR) / f"{t}.parquet"
+        pat = f"{src}/*.parquet" if src.is_dir() else str(src)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     sqls = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
     if ONLY:
         # a typo'd name must NOT produce a vacuous green run: validate

@@ -94,8 +94,14 @@ object ScaleCheck {
     "q_cooccur_pmi", "q_cohort_retention")
 
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = if (args.length > 1) args(1) else "target/sfx10"
+    // --build-only: materialize the corpus and exit — the mode the
+    // 10× DuckDB oracle sweep uses (scripts/selfcheck.py pointed at
+    // the sfx10 dir) so correctness above sf0.1 doesn't pay for the
+    // timing sweep.
+    val buildOnly = args.contains("--build-only")
+    val pos = args.filterNot(_.startsWith("--"))
+    val base = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (pos.length > 1) pos(1) else "target/sfx10"
     val spark = Sessions.build("graft-scalecheck")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -103,6 +109,7 @@ object ScaleCheck {
     val tb = System.nanoTime()
     buildReplica(spark, base, out)
     println(f"[scale] corpus ready in ${(System.nanoTime() - tb) / 1e9}%.1f s")
+    if (buildOnly) { spark.stop(); return }
 
     def time(name: String, dir: String): Double = {
       val runs = (1 to 2).map { _ =>

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.StatsQueries.defs ++
       operators.SessionQueries.defs ++
       operators.TemporalQueries.defs ++
+      operators.TpchQueries.defs ++
       operators.GraphQueries.defs ++
       llm.DedupQueries.defs ++
       llm.DedupClusterQueries.defs ++

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -44,26 +44,40 @@ object AggregateQueries {
     // ---- TPC-H Q1 pricing summary (multi-aggregate hash agg) ----
     sql(
       "q_agg_pricing",
+      // Money sums accumulate in DECIMAL(18,6): a double sum over
+      // millions of ~1e4 terms carries summation-order error that
+      // lands on round()'s half-ulp boundary at 1e11 magnitudes (the
+      // 10× corpus sweep caught sum_charge off by the last cent), and
+      // Spark's final-merge order isn't even run-deterministic. The
+      // per-row product stays double (bit-identical in both engines);
+      // only the ACCUMULATION is exact, so the result is
+      // order-independent at any scale. Integral sums (quantity) are
+      // exact in double below 2^53 and stay as-is.
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2)                                        AS sum_qty,
-        |       round(sum(l_extendedprice), 2)                                   AS sum_base,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+        |            AS DOUBLE)                                                  AS sum_base,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(18,6))), 2) AS DOUBLE)                           AS sum_disc,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |            AS DECIMAL(18,6))), 2) AS DOUBLE)                           AS sum_charge,
         |       round(avg(l_quantity), 4)                                        AS avg_qty,
         |       count(*)                                                         AS n
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      def dsum(c: Column) = sum(c.cast("decimal(18,6)"))
       t(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(dsum(col("l_extendedprice")), 2).cast("double").as("sum_base"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .cast("double").as("sum_disc"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -267,18 +281,24 @@ object AggregateQueries {
       "q_grouping_sets",
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin) { (s, dir) =>
       // Native Dataset API (Spark 4 groupingSets) — not a SQL-string
       // passthrough, which would only test Spark's parser against
       // DuckDB's and leak a temp view into the shared session.
+      // Decimal accumulation for the money sum: the '()' grand-total
+      // set aggregates the whole table, where double summation order
+      // hits round()'s last-cent boundary at the 10× corpus.
       t(s, dir, "orders")
         .groupingSets(
           Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
           col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double").as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -315,17 +335,24 @@ object AggregateQueries {
     //      (which is what the oracle runs). ----
     sql(
       "q_agg_salted",
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum,
+      // Decimal accumulation is doubly load-bearing here: beyond the
+      // corpus-proportional 5-group sum, the salted two-phase order
+      // STRUCTURALLY differs from the oracle's direct sum — only an
+      // order-independent accumulator makes them exactly equal.
+      """SELECT event_type, count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS v_sum,
         |       round(max(value), 2) AS v_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val partial = t(s, dir, "events")
         .withColumn("salt", pmod(col("event_id"), lit(16)))
         .groupBy("event_type", "salt")
-        .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"), max(col("value")).as("pm"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,6)")).as("pv"),
+          max(col("value")).as("pm"))
       partial.groupBy("event_type")
         .agg(
           sum(col("pn")).as("n"),
-          round(sum(col("pv")), 2).as("v_sum"),
+          round(sum(col("pv")), 2).cast("double").as("v_sum"),
           round(max(col("pm")), 2).as("v_max"))
         .orderBy("event_type")
     },

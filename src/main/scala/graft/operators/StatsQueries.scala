@@ -331,14 +331,19 @@ object StatsQueries {
     //      (broadcast is hinted in q_join_inner; here merge + shuffle_hash.)
     sql(
       "q_join_hints",
-      """SELECT n.n_name, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS bal
+      // Money sum per ~25 nation groups is corpus-proportional →
+      // decimal accumulation (order-independent; see q_agg_pricing).
+      """SELECT n.n_name, count(*) AS n_cust,
+        |       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
       val c = t(s, dir, "customer").hint("shuffle_merge")
       val n = t(s, dir, "nation").hint("shuffle_hash")
       c.join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double").as("bal"))
         .orderBy("n_name")
     },
 
@@ -350,8 +355,11 @@ object StatsQueries {
     //      is for engines/paths where it can't. ----
     sql(
       "q_join_salted",
+      // 5 mktsegment groups × whole-orders money sum (~1e10+ above the
+      // 10× corpus) → decimal accumulation, order-independent at any
+      // scale (see q_agg_pricing).
       """SELECT c.c_mktsegment, count(*) AS n_orders,
-        |       round(sum(o.o_totalprice), 2) AS rev
+        |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
       val salts = 8
@@ -363,7 +371,9 @@ object StatsQueries {
         .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
       o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double").as("rev"))
         .orderBy("c_mktsegment")
     },
 

@@ -377,7 +377,7 @@ object TemporalQueries {
         |           FROM events)
         |SELECT coalesce(touch, 'none') AS touch,
         |       count(*) AS n_purchases,
-        |       round(sum(value), 2) AS revenue
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM o WHERE event_type = 'purchase'
         |GROUP BY touch ORDER BY touch""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -391,7 +391,10 @@ object TemporalQueries {
         .where(col("event_type") === "purchase")
         .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
         .agg(count(lit(1)).as("n_purchases"),
-          round(sum(col("value")), 2).as("revenue"))
+          // 3 touch groups × corpus-proportional sum → decimal
+          // accumulation (order-independent; see q_agg_pricing)
+          round(sum(col("value").cast("decimal(18,6)")), 2)
+            .cast("double").as("revenue"))
         .orderBy("touch")
     },
 

@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped flagship queries (VERDICT r5 ask #6): the operator
+  * surface is proven piecewise by the per-operator oracle queries;
+  * these compose it — multi-join + aggregation + order/limit in one
+  * plan, the workload shape reference users actually bring — adapted
+  * to the columns the driver testdata carries (no o_shippriority /
+  * returns table, so Q3 carries o_orderpriority and Q18's threshold is
+  * sized to this data's per-order quantity distribution).
+  *
+  * Scale shapes under audit in PlanAuditSpec: Q1 is a single
+  * partial+final hash agg over a pushed-down scan (shuffle = O(4
+  * groups)); Q3 broadcasts the filtered customer dim into the
+  * orders⋈lineitem shuffle join and ends in TakeOrderedAndProject
+  * (top-10 never sorts the full result); Q18's HAVING subquery is a
+  * map-side-combined agg whose survivors semi-join lineitem BEFORE
+  * the wide customer/orders joins.
+  */
+object TpchQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Q1: pricing summary report — the canonical wide-agg scan.
+    // All eight aggregates ride one partial+final hash aggregate; the
+    // shipdate filter is pushed to the parquet scan. Money sums and
+    // the non-integral averages accumulate in DECIMAL(18,6): double
+    // summation order hits round()'s last-cent boundary at 1e11
+    // magnitudes (caught by the 10× corpus sweep on q_agg_pricing),
+    // and decimal accumulation is order-independent at any scale.
+    // Averages divide the exact decimal sum by the count in double —
+    // identical inputs give identical division results in both
+    // engines, unlike avg(double)'s order-dependent running sum. ----
+    sql(
+      "q_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |         AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         / count(*), 4) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |         / count(*), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      def dsum(c: Column) = sum(c.cast("decimal(18,6)"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(dsum(col("l_extendedprice")).cast("double") / count(lit(1)), 4)
+            .as("avg_price"),
+          round(dsum(col("l_discount")).cast("double") / count(lit(1)), 4)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- Q3: shipping-priority top-10 — selective dim broadcast into
+    // a fact⋈fact shuffle join, then agg + TakeOrderedAndProject.
+    // o_orderkey added to the sort for a deterministic oracle under
+    // revenue ties. ----
+    sql(
+      "q_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- Q5: local-supplier volume — the 6-table join chain.
+    // region→nation collapses to a ≤25-row broadcast that prunes BOTH
+    // fact-side dimensions (supplier and customer) before the big
+    // lineitem⋈orders shuffle; the c_nationkey = s_nationkey residual
+    // rides the supplier equi-join. Revenue per ≤25 nation groups is
+    // corpus-proportional → decimal accumulation (see q_agg_pricing). ----
+    sql(
+      "q_tpch_q5",
+      """SELECT n_name,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val rn = t(s, dir, "nation")
+        .join(t(s, dir, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- Q10: returned-item reporting — per-customer revenue lost to
+    // returns, top 20. Per-customer groups are key-bounded, so the
+    // money sum stays double; the returnflag + date filters push to
+    // the scans, nation broadcasts, and the top-20 is
+    // TakeOrderedAndProject (never a full sort). ----
+    sql(
+      "q_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(c_acctbal, 2) AS acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- Q18: large-volume customers — HAVING-subquery semi-join.
+    // The per-order quantity agg is map-side combined; its few
+    // survivors broadcast-semi-join lineitem BEFORE the customer and
+    // orders joins, so the wide joins only see qualifying orders.
+    // Threshold 150 ≈ the top few % of orders on this data
+    // (max per-order sum ≈ 380–460 at test SFs). ----
+    sql(
+      "q_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sq"))
+        .where(col("sq") > 150)
+        .select(col("l_orderkey").as("big_orderkey"))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .join(broadcast(big), col("l_orderkey") === col("big_orderkey"), "left_semi")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    })
+}

@@ -62,7 +62,14 @@ class PlanAuditSpec extends SparkSpec {
       // sorted-neighborhood: ONE window (the block sort) + the
       // neighbor explode, and NO join of any kind — W·N candidates
       // come from lead(), not a pair join
-      "q_dedup_levenshtein" -> Seq("Window", "Generate explode"))
+      "q_dedup_levenshtein" -> Seq("Window", "Generate explode"),
+      // TPC-H flagships (r5 ask #6): filtered dims broadcast, top-n
+      // pushed into the sort, Q18's HAVING survivors semi-joined
+      "q_tpch_q1" -> Seq("HashAggregate"),
+      "q_tpch_q3" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+      "q_tpch_q5" -> Seq("BroadcastHashJoin"),
+      "q_tpch_q10" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+      "q_tpch_q18" -> Seq("LeftSemi", "TakeOrderedAndProject"))
     val misses = expected.toSeq.sortBy(_._1).flatMap { case (name, markers) =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       markers.filterNot(plan.contains).map(m => s"$name missing $m")

@@ -15,6 +15,11 @@ class ProfileStatsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("approx default is a single-pass plan: one scan, no Expand") {
+    // plan-shape assertions below count InMemoryRelation/scan nodes —
+    // cached plan-identical subtrees left by earlier suites in the
+    // shared session would perturb the counts (the cache manager
+    // substitutes matching subtrees into NEW plans)
+    spark.catalog.clearCache()
     val df = operators.StatsQueries.profileStats(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "approx profile plan contains Expand:\n" + plan)
@@ -32,6 +37,7 @@ class ProfileStatsSpec extends SparkSpec {
   }
 
   test("exact mode has no Expand either (split-distinct, not fused)") {
+    spark.catalog.clearCache()
     val plan = operators.StatsQueries.profileStats(spark, sf, approx = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "exact profile plan contains Expand:\n" + plan)

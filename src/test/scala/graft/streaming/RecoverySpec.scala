@@ -102,4 +102,57 @@ class RecoverySpec extends SparkSpec {
       ds => VideoSessionProcessor.processStreamTws(ds, Config()))
     finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("tws restart yields the identical completion set as an uninterrupted run") {
+    // Parity form of the recovery guarantee (VERDICT r5 ask #7): a
+    // kill+restart mid-stream must be OBSERVATIONALLY INVISIBLE in the
+    // completion output, not merely non-duplicating. Two keys keep
+    // multi-key state in play across the restart boundary; the
+    // comparison uses the deterministic completion fields (processing
+    // timestamps legitimately differ between runs).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(tag: String, interrupt: Boolean): Seq[org.apache.spark.sql.Row] = {
+        implicit val sqlCtx = spark.sqlContext
+        val out = Files.createTempDirectory(s"graft_twspar_${tag}_out").toString
+        val ckpt = Files.createTempDirectory(s"graft_twspar_${tag}_ckpt").toString
+        val input = MemoryStream[FrameIn]
+        def start() = VideoSessionProcessor
+          .processStreamTws(input.toDS(), Config(idleTimeoutMs = 600000L))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        def dets() = sink(out).where($"kind" === "detection").count()
+        def comps() = sink(out).where($"kind" === "completion")
+        var q = start()
+        try {
+          input.addData((0 to 4).map(i => FrameIn("v1", i, i * 1000L)) ++
+            (0 to 2).map(i => FrameIn("v2", i, i * 1000L)): _*)
+          poll()(dets() == 8)
+          if (interrupt) { q.stop(); q = start() }
+          input.addData((5 to 9).map(i => FrameIn("v1", i, i * 1000L)) ++
+            (3 to 5).map(i => FrameIn("v2", i, i * 1000L)): _*)
+          poll()(dets() == 16)
+          // gap > 300 closes both sessions (the gap frames themselves
+          // open fresh sessions and emit 2 more detections)
+          input.addData(FrameIn("v1", 400, 400000L), FrameIn("v2", 400, 400000L))
+          poll()(comps().count() == 2 && dets() == 18)
+        } finally q.stop()
+        comps().select(
+            $"completion.video_id",
+            $"completion.stats.total_frames",
+            $"completion.stats.fire_count",
+            $"completion.stats.max_fire_probability")
+          .orderBy($"video_id").collect().toSeq
+      }
+      val uninterrupted = run("base", interrupt = false)
+      val restarted = run("restart", interrupt = true)
+      assert(uninterrupted == restarted,
+        s"completion parity broke:\nuninterrupted=$uninterrupted\nrestarted=$restarted")
+      // sanity: both closed sessions carry their full frame counts
+      assert(uninterrupted.map(_.getLong(1)) == Seq(10L, 6L))
+    } finally spark.conf.unset(key)
+  }
 }

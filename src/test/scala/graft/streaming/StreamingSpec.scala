@@ -8,8 +8,45 @@ import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured Streaming wiring: state continuity across micro-batches
   * and idle-timeout session close (the streaming replacements for the
-  * reference's poll loop + SIGTERM drain, SURVEY.md §2.1 A9/A10). */
-class StreamingSpec extends SparkSpec {
+  * reference's poll loop + SIGTERM drain, SURVEY.md §2.1 A9/A10).
+  *
+  * Abstract so the whole suite runs under BOTH state-store providers
+  * (VERDICT r5 ask #8): [[StreamingSpec]] is the default
+  * HDFS-backed profile, [[StreamingRocksDbSpec]] re-runs every test
+  * under `RocksDBStateStoreProvider` — the 100-TB configuration the
+  * scaladocs promise (state larger than executor heap spills to
+  * RocksDB's on-disk LSM instead of OOMing the JVM).
+  */
+abstract class StreamingSpecBase extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  /** State-store provider class this profile runs under; None = the
+    * session default (HDFSBackedStateStoreProvider). */
+  protected def stateStoreProvider: Option[String]
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(p => spark.conf.set(ProviderKey, p))
+  }
+
+  override protected def afterAll(): Unit = {
+    stateStoreProvider.foreach(_ => spark.conf.unset(ProviderKey))
+    super.afterAll()
+  }
+
+  /** Pin a provider for one query, restoring the suite's profile after
+    * — a bare unset would silently drop the RocksDB profile for the
+    * rest of the suite. */
+  protected def withProvider[T](p: String)(body: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, p)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
 
   import spark.implicits._
 
@@ -238,9 +275,8 @@ class StreamingSpec extends SparkSpec {
 
   test("transformWithState (Spark 4 API, RocksDB store) matches fMGWS semantics") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withProvider(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val input = MemoryStream[FrameIn]
       val events = VideoSessionProcessor.processStreamTws(
         input.toDS(), Config(inferEveryN = 3))
@@ -259,14 +295,13 @@ class StreamingSpec extends SparkSpec {
         assert(dets.map(_.getAs[Boolean]("inference_ran")).toSeq ==
           Seq(true, false, false, true))
       } finally query.stop()
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("transformWithState timer closes an idle video (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withProvider(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val input = MemoryStream[FrameIn]
       val events = VideoSessionProcessor.processStreamTws(
         input.toDS(), Config(inferEveryN = 3, idleTimeoutMs = 500L), idleClose = true)
@@ -293,7 +328,7 @@ class StreamingSpec extends SparkSpec {
         assert(c.head.getAs[org.apache.spark.sql.Row]("stats")
           .getAs[Long]("total_frames") == 2L)
       } finally query.stop()
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("stream-static join enriches a frame stream with a dimension table") {
@@ -444,4 +479,17 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_out").count() == 2)
     } finally query.stop()
   }
+}
+
+/** Default-provider profile (HDFS-backed in-memory state store). */
+class StreamingSpec extends StreamingSpecBase {
+  protected def stateStoreProvider: Option[String] = None
+}
+
+/** RocksDB profile: the whole suite again under the state-store the
+  * 100-TB deployment would run (keyed state spills to an on-disk LSM
+  * instead of living in executor heap). */
+class StreamingRocksDbSpec extends StreamingSpecBase {
+  protected def stateStoreProvider: Option[String] = Some(
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }

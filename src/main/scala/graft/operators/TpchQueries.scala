@@ -160,6 +160,64 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // ---- Q6: forecasting revenue change — the pure scan-and-reduce
+    // query: three pushed-down range predicates, ONE global sum, no
+    // shuffle beyond the single-row final combine. A whole-corpus
+    // single-group money sum is the maximal case for the decimal
+    // accumulation idiom (1e12+ magnitude at scale). ----
+    sql(
+      "q_tpch_q6",
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- Q14: promotion effect — conditional aggregation over the
+    // lineitem⋈part join. part is SF-scaled so no hard broadcast hint
+    // (AQE broadcasts while it fits, q_join_range-style); both ratio
+    // terms are decimal-exact sums, divided in double AFTER the agg so
+    // the quotient is computed once from order-independent inputs. ----
+    sql(
+      "q_tpch_q14",
+      """SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |         THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |         AS DECIMAL(18,6))) AS DOUBLE)
+        |       / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_revenue_pct,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(t(s, dir, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0)
+            * sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0))
+                .cast("decimal(18,6)")).cast("double")
+            / sum(disc.cast("decimal(18,6)")).cast("double"), 4)
+            .as("promo_revenue_pct"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // ---- Q10: returned-item reporting — per-customer revenue lost to
     // returns, top 20. Per-customer groups are key-bounded, so the
     // money sum stays double; the returnflag + date filters push to

@@ -68,6 +68,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_tpch_q1" -> Seq("HashAggregate"),
       "q_tpch_q3" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
       "q_tpch_q5" -> Seq("BroadcastHashJoin"),
+      "q_tpch_q6" -> Seq("HashAggregate", "PushedFilters"),
       "q_tpch_q10" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
       "q_tpch_q18" -> Seq("LeftSemi", "TakeOrderedAndProject"))
     val misses = expected.toSeq.sortBy(_._1).flatMap { case (name, markers) =>

@@ -294,5 +294,211 @@ object TpchQueries {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
         .limit(100)
+    },
+
+    // ---- Q4: order-priority checking — the EXISTS shape. The
+    // correlated subquery is a LEFT SEMI join on the order key with
+    // the late-shipment range predicate riding the join condition; no
+    // order ever duplicates no matter how many late lineitems it has.
+    // (Testdata has no l_commitdate/l_receiptdate, so "late" = shipped
+    // more than 90 days after the order date.) ----
+    sql(
+      "q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- Q13: customer order-count distribution — the outer-join
+    // histogram. The priority filter lives ON the join (not a WHERE,
+    // which would turn the outer join inner and drop zero-order
+    // customers); the per-customer count is key-bounded, and the
+    // second agg's keyspace is tiny (distinct counts), so the heavy
+    // shuffle is only the first. ----
+    sql(
+      "q_tpch_q13",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) cnts
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- Q15: top supplier — the scalar-subquery-equality shape.
+    // Per-supplier revenue is rounded to cents INSIDE the CTE so the
+    // max-equality compares identical values in both engines
+    // (per-supplier sums are key-bounded, so double + round is exact
+    // enough; see q_tpch_q10). The max rides a 1-row broadcast and the
+    // ≤handful of survivors broadcast into the supplier join — the
+    // full revenue table is never shuffled twice. ----
+    sql(
+      "q_tpch_q15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      val top = rev.crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("max_rev"))
+        .select("l_suppkey", "total_revenue")
+      t(s, dir, "supplier").select("s_suppkey", "s_name")
+        .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // ---- Q17: small-quantity-order revenue — the correlated-average
+    // shape, decorrelated: the per-part average joins back to the
+    // brand-filtered lineitems on the part key (both sides
+    // brand-bounded, equi-join — never a per-row subquery). The
+    // 0.5·avg threshold is exact across engines because quantities are
+    // integral, so double sums/averages are bit-identical regardless
+    // of order; the final whole-brand money sum is corpus-proportional
+    // → decimal accumulation. ----
+    sql(
+      "q_tpch_q17",
+      """SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |         AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
+      val pb = t(s, dir, "part").where(col("p_brand") === "Brand#13")
+        .select("p_partkey")
+      val l = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pb, col("l_partkey") === col("p_partkey"))
+      val halfAvg = l.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((lit(0.5) * avg(col("l_quantity"))).as("half_avg"))
+      l.join(halfAvg, col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity") < col("half_avg"))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double") / 7.0, 2).cast("double").as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- Q19: discounted revenue — the disjunctive-predicate join.
+    // The oracle keeps the pure OR; the Spark side ALSO states the
+    // OR's implied conjuncts (brand ∈ {...}, quantity ∈ [1,35])
+    // explicitly so they push to the parquet scans as range/IN
+    // filters — semantically redundant, but the scan then skips
+    // everything outside the union of the three branches before the
+    // join. ----
+    sql(
+      "q_tpch_q19",
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |         AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 25
+        |         AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 40
+        |         AND l_quantity BETWEEN 20 AND 35)""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+        .where(col("l_quantity").between(1, 35))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = t(s, dir, "part")
+        .where(col("p_brand").isin("Brand#13", "Brand#20", "Brand#7"))
+        .select("p_partkey", "p_brand", "p_size")
+      val branch = (b: String, s0: Int, s1: Int, q0: Int, q1: Int) =>
+        col("p_brand") === b && col("p_size").between(s0, s1) &&
+          col("l_quantity").between(q0, q1)
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .where(branch("Brand#13", 1, 10, 1, 15)
+          || branch("Brand#20", 10, 25, 10, 25)
+          || branch("Brand#7", 20, 40, 20, 35))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- Q22: global-sales opportunity — the anti-join + scalar-
+    // broadcast shape. The positive-balance average rides a 1-row
+    // broadcast; "no recent orders" is a LEFT ANTI against the
+    // date-filtered order keys (testdata customers all have SOME
+    // order, so the reference's "no orders at all" would be empty —
+    // the recency window keeps the anti-join load-bearing). Five
+    // segment groups × corpus-proportional balance sums → decimal
+    // accumulation. ----
+    sql(
+      "q_tpch_q22",
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |         AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val avgBal = c.where(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")), 2).cast("double")
+            .as("totacctbal"))
+        .orderBy("c_mktsegment")
     })
 }

@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_equi_bins",         // 1-row broadcast row-count scalar riding the plan
     "q_knn_ivf",           // k-row broadcast centroid table for the probe rank
     "q_knn_pq",            // same coarse-probe shape as q_knn_ivf
+    "q_tpch_q15",          // 1-row broadcast max-revenue scalar riding the plan
+    "q_tpch_q22",          // 1-row broadcast avg-acctbal scalar riding the plan
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)
@@ -70,7 +72,15 @@ class PlanAuditSpec extends SparkSpec {
       "q_tpch_q5" -> Seq("BroadcastHashJoin"),
       "q_tpch_q6" -> Seq("HashAggregate", "PushedFilters"),
       "q_tpch_q10" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
-      "q_tpch_q18" -> Seq("LeftSemi", "TakeOrderedAndProject"))
+      "q_tpch_q18" -> Seq("LeftSemi", "TakeOrderedAndProject"),
+      // second flagship batch: EXISTS → semi, NOT EXISTS → anti, the
+      // outer-join histogram stays outer, and the correlated-average
+      // decorrelates to hash joins (never a per-row subquery)
+      "q_tpch_q4" -> Seq("LeftSemi"),
+      "q_tpch_q13" -> Seq("LeftOuter", "HashAggregate"),
+      "q_tpch_q17" -> Seq("HashAggregate"),
+      "q_tpch_q19" -> Seq("BroadcastHashJoin"),
+      "q_tpch_q22" -> Seq("LeftAnti"))
     val misses = expected.toSeq.sortBy(_._1).flatMap { case (name, markers) =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       markers.filterNot(plan.contains).map(m => s"$name missing $m")

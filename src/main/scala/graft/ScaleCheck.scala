@@ -91,7 +91,13 @@ object ScaleCheck {
     "q_perplexity_bigram", "q_asof_join", "q_stateful_sessions",
     "q_merge_upsert", "q_runs_islands", "q_equi_bins", "q_skyline",
     "q_pagerank", "q_anomaly_mad", "q_ewma", "q_bpe_pairs",
-    "q_cooccur_pmi", "q_cohort_retention")
+    "q_cooccur_pmi", "q_cohort_retention",
+    // TPC-H composites with corpus-proportional shuffle surface: the
+    // wide agg (q1), the 8-table star (q8), the profit star (q9), the
+    // outer-join histogram (q13), the correlated-average join-back
+    // (q17), and the nested-agg semi-join chain (q20)
+    "q_tpch_q1", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13",
+    "q_tpch_q17", "q_tpch_q20")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

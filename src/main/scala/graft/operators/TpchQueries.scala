@@ -500,5 +500,240 @@ object TpchQueries {
           round(sum(col("c_acctbal").cast("decimal(18,6)")), 2).cast("double")
             .as("totacctbal"))
         .orderBy("c_mktsegment")
+    },
+
+    // ---- Q7: volume shipping between two nations — the dual-dim
+    // star. BOTH nation dims pre-filter to the two names and broadcast
+    // into supplier/customer before any fact-table join, so the big
+    // lineitem⋈orders shuffle carries only rows whose BOTH endpoints
+    // survive; the (N1,N1)/(N2,N2) combos fall to the pair predicate
+    // after the joins. 4 groups × corpus-proportional money → decimal
+    // accumulation. ----
+    sql(
+      "q_tpch_q7",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val pair = t(s, dir, "nation")
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(pair), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(pair), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ---- Q8: national market share — the conditional-share agg over
+    // an 8-table star. Region filters the CUSTOMER's nation (market),
+    // the SUPPLIER's nation names the share subject; both ride
+    // broadcast dim chains. Numerator and denominator both accumulate
+    // in decimal so the ratio divides two exact, order-independent
+    // sums — round(double/double, 4) is then engine-identical. ----
+    sql(
+      "q_tpch_q8",
+      """SELECT o_year,
+        |       round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+        |                                ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |           / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         AS mkt_share,
+        |       count(*) AS n_lines
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             l_extendedprice * (1 - l_discount) AS volume,
+        |             n2.n_name AS nation
+        |      FROM part, lineitem, supplier, orders, customer,
+        |           nation n1, nation n2, region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n1.n_nationkey
+        |        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |        AND s_nationkey = n2.n_nationkey
+        |        AND p_type = 'PROMO') t
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mkt_nationkey"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("mkt_nationkey"))
+        .select("c_custkey")
+      val supNation = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val promo = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(
+            sum(when(col("nation") === "NATION_3", vol).otherwise(lit(0))
+              .cast("decimal(18,6)")).cast("double")
+              / sum(vol.cast("decimal(18,6)")).cast("double"), 4)
+            .as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
+    },
+
+    // ---- Q9: product-type profit by nation and year. No supplycost
+    // column in the testdata, so cost = p_retailprice · quantity (the
+    // same per-row double arithmetic in both engines). The name LIKE
+    // prunes part BEFORE it broadcasts into lineitem; 25 nations × 7
+    // years of corpus-proportional sums → decimal accumulation. ----
+    sql(
+      "q_tpch_q9",
+      """SELECT nation, o_year,
+        |       CAST(round(sum(CAST(amount AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |         AS sum_profit,
+        |       count(*) AS n_lines
+        |FROM (SELECT n_name AS nation,
+        |             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             l_extendedprice * (1 - l_discount)
+        |               - p_retailprice * l_quantity AS amount
+        |      FROM part, supplier, lineitem, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%gear%') t
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      val gearParts = t(s, dir, "part")
+        .where(col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+      val supNation = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("amount",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(col("amount").cast("decimal(18,6)")), 2).cast("double")
+            .as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // ---- Q16: supplier counts per part attribute — the
+    // distinct-count histogram. The testdata has no partsupp relation,
+    // so lineitem IS the observed supplier×part catalog (reference
+    // semantics: how many distinct suppliers can serve this part
+    // class). The attribute filters prune part before the broadcast;
+    // countDistinct shuffles (group, suppkey) pairs — bounded by the
+    // true catalog size, never the lineitem row count. ----
+    sql(
+      "q_tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // ---- Q20: dominant suppliers of red parts — the nested-agg
+    // semi-join chain. partsupp's availqty threshold becomes "shipped
+    // more than half of this part's 1997 red-part volume": per
+    // (part, supplier) sums roll up to per-part totals, join back on
+    // the part key (both sides key-bounded), and the qualifying
+    // supplier keys semi-join supplier. Quantities are integral, so
+    // double sums are exact and the 0.5· threshold is
+    // engine-identical. ----
+    sql(
+      "q_tpch_q20",
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (
+        |  SELECT l_partkey AS t_partkey, sum(qty) AS total_qty
+        |  FROM sp GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM sp JOIN tot ON l_partkey = t_partkey
+        |  WHERE qty > 0.5 * total_qty)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val redParts = t(s, dir, "part").where(col("p_name").like("red%"))
+        .select("p_partkey")
+      val sp = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+      val tot = sp.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("qty")).as("total_qty"))
+      val dominant = sp.join(tot, col("l_partkey") === col("t_partkey"))
+        .where(col("qty") > lit(0.5) * col("total_qty"))
+        .select("l_suppkey")
+      t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
     })
 }

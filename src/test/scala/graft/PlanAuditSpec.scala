@@ -80,7 +80,15 @@ class PlanAuditSpec extends SparkSpec {
       "q_tpch_q13" -> Seq("LeftOuter", "HashAggregate"),
       "q_tpch_q17" -> Seq("HashAggregate"),
       "q_tpch_q19" -> Seq("BroadcastHashJoin"),
-      "q_tpch_q22" -> Seq("LeftAnti"))
+      "q_tpch_q22" -> Seq("LeftAnti"),
+      // third flagship batch: dual-dim star joins stay broadcast on
+      // the filtered dims, Q16's histogram keeps an exact distinct
+      // (Expand-based partial), Q20's qualifying keys semi-join back
+      "q_tpch_q7" -> Seq("BroadcastHashJoin"),
+      "q_tpch_q8" -> Seq("BroadcastHashJoin"),
+      "q_tpch_q9" -> Seq("BroadcastHashJoin"),
+      "q_tpch_q16" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      "q_tpch_q20" -> Seq("LeftSemi", "BroadcastHashJoin"))
     val misses = expected.toSeq.sortBy(_._1).flatMap { case (name, markers) =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       markers.filterNot(plan.contains).map(m => s"$name missing $m")

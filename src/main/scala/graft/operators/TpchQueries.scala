@@ -735,5 +735,184 @@ object TpchQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
+    },
+
+    // ---- Q2: min-cost supplier — the per-group min-equality
+    // join-back (Q15's shape, but keyed per part instead of global).
+    // No partsupp, so an "offer" is the min OBSERVED unit price per
+    // (part, supplier) among region suppliers; per-line rounding
+    // happens BEFORE either min so both engines compare identical
+    // doubles. The best-price table is key-bounded (one row per
+    // part) and joins back on (partkey, price equality); the part
+    // attribute filter stays OUT of the best-price computation,
+    // mirroring Q2's unfiltered inner subquery. ----
+    sql(
+      "q_tpch_q2",
+      """WITH eu_offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(round(l_extendedprice / l_quantity, 4)) AS min_price
+        |  FROM lineitem, supplier, nation, region
+        |  WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT l_partkey AS b_partkey, min(min_price) AS best_price
+        |  FROM eu_offers GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, min_price
+        |FROM part, eu_offers, best, supplier, nation
+        |WHERE p_partkey = l_partkey AND b_partkey = l_partkey
+        |  AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+        |  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |  AND min_price = best_price
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val euNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")
+          .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("eu_nationkey"), col("n_name"))
+      val euSup = t(s, dir, "supplier")
+        .join(broadcast(euNations), col("s_nationkey") === col("eu_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val offers = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(euSup.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
+          .as("min_price"))
+      val best = offers.groupBy(col("l_partkey").as("b_partkey"))
+        .agg(min(col("min_price")).as("best_price"))
+      val parts = t(s, dir, "part")
+        .where(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select("p_partkey", "p_type")
+      offers
+        .join(best, col("l_partkey") === col("b_partkey")
+          && col("min_price") === col("best_price"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euSup), col("l_suppkey") === col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+          "min_price")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // ---- Q21: suppliers who kept orders waiting — semi AND anti on
+    // the same fact. No commit/receipt dates, so "late" = shipped >60
+    // days after the order date; the blamed supplier is late on a
+    // multi-supplier order where NO other supplier was also late.
+    // Both the EXISTS and NOT EXISTS are equi-joins on the order key
+    // with the supplier inequality as a join residual — never a
+    // per-row subquery — and the late set is computed once and
+    // reused for both sides of the anti. ----
+    sql(
+      "q_tpch_q21",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val late = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val others = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = late
+        .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+      late
+        .join(others, col("o2_orderkey") === col("l_orderkey")
+          && col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("o3_orderkey") === col("l_orderkey")
+          && col("o3_suppkey") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // ---- Q11: important stock — the HAVING-vs-scalar-subquery
+    // shape. No partsupp, so "stock value" is a nation's observed
+    // line revenue per part. Per-part and grand totals BOTH
+    // accumulate in decimal, then BOTH cast to double before the
+    // 0.001· threshold compare — each engine derives both comparands
+    // from the same exact sums, so the boundary cannot flip on
+    // summation order. The grand total rides a 1-row broadcast. ----
+    sql(
+      "q_tpch_q11",
+      """WITH natline AS (
+        |  SELECT l_partkey,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS val
+        |  FROM lineitem, supplier, nation
+        |  WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_7')
+        |SELECT l_partkey, CAST(round(sum(val), 2) AS DOUBLE) AS value
+        |FROM natline
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(val) AS DOUBLE) >
+        |  (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM natline)
+        |ORDER BY value DESC, l_partkey""".stripMargin) { (s, dir) =>
+      val natSup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, dir, "nation")
+          .where(col("n_name") === "NATION_7").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val natline = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)").as("val"))
+      val perPart = natline.groupBy("l_partkey")
+        .agg(sum(col("val")).as("part_val"))
+      val total = natline.agg(
+        (sum(col("val")).cast("double") * 0.001).as("threshold"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("part_val").cast("double") > col("threshold"))
+        .select(col("l_partkey"),
+          round(col("part_val"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // ---- Q12: priority histogram — the conditional two-way count.
+    // No l_shipmode, so l_linestatus stands in for the mode axis and
+    // "late" is a shipdate window off the order date; the two CASE
+    // sums ride one partial+final hash aggregate over the join. ----
+    sql(
+      "q_tpch_q12",
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate < o_orderdate + INTERVAL 120 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linestatus", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(isHigh, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!isHigh, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("l_linestatus")
     })
 }

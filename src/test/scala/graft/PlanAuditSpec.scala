@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_pq",            // same coarse-probe shape as q_knn_ivf
     "q_tpch_q15",          // 1-row broadcast max-revenue scalar riding the plan
     "q_tpch_q22",          // 1-row broadcast avg-acctbal scalar riding the plan
+    "q_tpch_q11",          // 1-row broadcast value-threshold scalar riding the plan
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)
@@ -88,7 +89,14 @@ class PlanAuditSpec extends SparkSpec {
       "q_tpch_q8" -> Seq("BroadcastHashJoin"),
       "q_tpch_q9" -> Seq("BroadcastHashJoin"),
       "q_tpch_q16" -> Seq("BroadcastHashJoin", "HashAggregate"),
-      "q_tpch_q20" -> Seq("LeftSemi", "BroadcastHashJoin"))
+      "q_tpch_q20" -> Seq("LeftSemi", "BroadcastHashJoin"),
+      // Q2's per-part min join-back ends in the pushed top-100; Q21
+      // keeps both the EXISTS (semi) and NOT EXISTS (anti) as
+      // equi-joins with the supplier inequality as a residual
+      "q_tpch_q2" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      "q_tpch_q21" -> Seq("LeftSemi", "LeftAnti", "TakeOrderedAndProject"),
+      "q_tpch_q11" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      "q_tpch_q12" -> Seq("HashAggregate"))
     val misses = expected.toSeq.sortBy(_._1).flatMap { case (name, markers) =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       markers.filterNot(plan.contains).map(m => s"$name missing $m")

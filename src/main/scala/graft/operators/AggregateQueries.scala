@@ -108,7 +108,14 @@ object AggregateQueries {
     // 0.02 → 6%). DuckDB reproduces the exact columns and literal
     // `true` flags, so the driver's value-hash gate now enforces the
     // HLL bound itself (VERDICT r5 ask #5); AccuracySpec keeps
-    // bounding the raw estimates. ----
+    // bounding the raw estimates.
+    //
+    // Split-distinct shape: two DISTINCTs on DIFFERENT columns in one
+    // agg make Spark Expand-triple every row before the shuffle; each
+    // exact count instead dedups only its own narrow (flag, key)
+    // pairs, the HLL pass stays Expand-free, and the three 5-row
+    // results broadcast-join back together (same plan family as
+    // q_profile_stats — measured 5.9 s → ~2 s at sf0.1). ----
     sql(
       "q_approx_distinct",
       """SELECT l_returnflag,
@@ -116,13 +123,19 @@ object AggregateQueries {
         |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |       true AS parts_ok, true AS orders_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_partkey", "l_orderkey")
+      val nParts = li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_parts"))
+      val nOrders = li.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_orders"))
+      val approx = li.groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      nParts
+        .join(broadcast(nOrders), "l_returnflag")
+        .join(broadcast(approx), "l_returnflag")
         .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
           (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.06).as("parts_ok"),
           (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.06).as("orders_ok"))

@@ -1,6 +1,7 @@
 package graft.llm
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dedup-group assignment: connected components over the MinHash-LSH
@@ -21,22 +22,12 @@ object DedupClusterQueries {
 
   private val MaxRounds = 12 // pointer jumping doubles reach per round: 2^12 ≫ any component
 
-  val defs: Seq[QueryDef] = Seq(
-
-    sql(
-      "q_dedup_components",
-      s"""WITH RECURSIVE
-         |${MinhashPipeline.pairsSqlCte},
-         |edges AS (SELECT da AS a, db AS b FROM pairs
-         |          UNION ALL SELECT db, da FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |walk(id, root) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.b, wk.root FROM walk wk JOIN edges e ON e.a = wk.id)
-         |SELECT id AS doc_id, min(root) AS component
-         |FROM walk GROUP BY id
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+  /** (doc_id, component) for every doc that appears in the LSH pair
+    * graph — the min-label propagation shared by `q_dedup_components`
+    * (which emits it directly) and `q_split_leakproof` (which buckets
+    * on it so near-dups can never straddle a train/test boundary).
+    */
+  def componentLabels(s: SparkSession, dir: String): DataFrame = {
       // The pair graph is orders of magnitude smaller than the corpus:
       // collapse it to a few partitions so the iteration pays per-task
       // overhead proportional to the graph, not the corpus scan. The
@@ -87,7 +78,81 @@ object DedupClusterQueries {
       }
       require(converged, s"label propagation did not converge in $MaxRounds rounds")
       labels.select(col("id").as("doc_id"), col("comp").as("component"))
-        .orderBy("doc_id")
+  }
+
+  private val componentsSqlCtes =
+    s"""${MinhashPipeline.pairsSqlCte},
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |walk(id, root) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, wk.root FROM walk wk JOIN edges e ON e.a = wk.id),
+       |comp AS (SELECT id, min(root) AS component FROM walk GROUP BY id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    sql(
+      "q_dedup_components",
+      s"""WITH RECURSIVE
+         |$componentsSqlCtes
+         |SELECT id AS doc_id, component
+         |FROM comp
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      componentLabels(s, dir).orderBy("doc_id")
+    },
+
+    // ---- leakage-safe train/val/test split: bucket by DEDUP GROUP,
+    //      not by doc ----
+    // A per-doc hash split (q_split_assign) leaks: near-duplicate
+    // pairs land on opposite sides of the train/test boundary and the
+    // eval set scores memorization. Here the split key is the
+    // connected-component label of the LSH near-dup graph (singleton
+    // docs are their own component), so every near-dup group moves as
+    // a unit — co-location is CONSTRUCTIVE (split is a function of
+    // component), not a post-hoc filter. The DuckDB oracle recomputes
+    // the components with a recursive CTE and must reproduce the same
+    // doc→component→bucket mapping bit-for-bit. n_docs and n_groups
+    // come from separate aggs joined back (6 rows) — two grains in
+    // one agg would Expand-double the corpus scan. ----
+    sql(
+      "q_split_leakproof",
+      s"""WITH RECURSIVE
+         |$componentsSqlCtes,
+         |assigned AS (
+         |  SELECT d.doc_id, d.source,
+         |         coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |b AS (
+         |  SELECT source, component,
+         |         ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+         |           % 100 AS bkt
+         |  FROM assigned)
+         |SELECT source,
+         |       CASE WHEN bkt < 90 THEN 'train'
+         |            WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(count(DISTINCT component) AS BIGINT) AS n_groups
+         |FROM b GROUP BY source, split
+         |ORDER BY source, split""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val comp = componentLabels(s, dir)
+        .select(col("doc_id").as("cid"), col("component"))
+      val assigned = Tables(s, dir, "documents").select("doc_id", "source")
+        .join(comp, col("doc_id") === col("cid"), "left")
+        .select(col("source"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("split",
+          when(h32(col("component").cast("string")) % 100 < 90, "train")
+            .when(h32(col("component").cast("string")) % 100 < 95, "val")
+            .otherwise("test"))
+      val nDocs = assigned.groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+      val nGroups = assigned.select("source", "split", "component").distinct()
+        .groupBy("source", "split").agg(count(lit(1)).as("n_groups"))
+      nDocs.join(broadcast(nGroups), Seq("source", "split"))
+        .orderBy("source", "split")
     }
   )
 }

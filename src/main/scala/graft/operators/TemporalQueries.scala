@@ -62,6 +62,92 @@ object TemporalQueries {
         .orderBy("user_id", "hour")
     },
 
+    // ---- hourly resample + LINEAR interpolation ----
+    // The ffill twin's other half: missing grid points take the
+    // straight line between the neighboring observations instead of
+    // carrying the last one forward. The interpolation fraction is a
+    // ratio of INTEGER grid positions (row_number over the per-key
+    // grid), not timestamp arithmetic — both engines divide the same
+    // small ints and scale the same doubles, so the result is
+    // bit-identical without any epoch/unit reconciliation. Every
+    // key's grid starts and ends at an observed hour (min/max come
+    // from the observations), so prev/next always exist and no edge
+    // case leaks NULLs. Same scale shape as q_gapfill_ffill: per-key
+    // sequence+explode grid, per-key windows, no global stage.
+    //
+    // The interpolated value is computed in exact integer
+    // ten-thousandths — endpoints are 4-decimal values, so scaling by
+    // 10^4 gives integers the weighted sum keeps exact in a double —
+    // and only ONE final division rounds. `pv + (nv-pv)*frac` instead
+    // lands NEAR the half-boundary of round(·,4), where Spark's
+    // exact-BigDecimal rounding and DuckDB's scaled-multiply rounding
+    // disagree on the last digit (caught at sf0.01 row 493). ----
+    sql(
+      "q_resample_interp",
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+        |           FROM events WHERE user_id % 100 = 0),
+        |obs AS (SELECT user_id, h, round(avg(value), 4) AS v
+        |        FROM e GROUP BY user_id, h),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h), max(h),
+        |                                INTERVAL 1 HOUR)) AS h
+        |         FROM e GROUP BY user_id),
+        |g2 AS (SELECT g.user_id, g.h, o.v,
+        |              row_number() OVER (PARTITION BY g.user_id
+        |                                 ORDER BY g.h) AS pos
+        |       FROM grid g LEFT JOIN obs o
+        |         ON o.user_id = g.user_id AND o.h = g.h),
+        |f AS (SELECT user_id, h, v, pos,
+        |             last_value(v IGNORE NULLS) OVER wp AS pv,
+        |             last_value(CASE WHEN v IS NOT NULL THEN pos END
+        |                        IGNORE NULLS) OVER wp AS pp,
+        |             first_value(v IGNORE NULLS) OVER wn AS nv,
+        |             first_value(CASE WHEN v IS NOT NULL THEN pos END
+        |                         IGNORE NULLS) OVER wn AS np
+        |      FROM g2
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY h
+        |                    ROWS UNBOUNDED PRECEDING),
+        |             wn AS (PARTITION BY user_id ORDER BY h
+        |                    ROWS BETWEEN CURRENT ROW
+        |                             AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(h AS TIMESTAMP) AS hour,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE round((round(pv * 10000) * CAST(np - pos AS DOUBLE)
+        |                        + round(nv * 10000) * CAST(pos - pp AS DOUBLE))
+        |                       / CAST(np - pp AS DOUBLE)) / 10000.0
+        |       END AS v_interp,
+        |       CASE WHEN v IS NULL THEN 0 ELSE 1 END AS observed
+        |FROM f
+        |ORDER BY user_id, hour""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .where(col("user_id") % 100 === 0)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val obs = e.groupBy("user_id", "h").agg(round(avg(col("value")), 4).as("v"))
+      val grid = e.groupBy("user_id")
+        .agg(sequence(min(col("h")), max(col("h")), expr("interval 1 hour")).as("hs"))
+        .select(col("user_id"), explode(col("hs")).as("h"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsPos = when(col("v").isNotNull, col("pos"))
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("pos", row_number().over(wOrd))
+        .select(col("user_id"), col("h"), col("v"), col("pos"),
+          last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+          last(obsPos, ignoreNulls = true).over(wPrev).as("pp"),
+          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+          first(obsPos, ignoreNulls = true).over(wNext).as("np"))
+        .select(
+          col("user_id"), col("h").as("hour"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(round(
+              (round(col("pv") * 10000, 0) * (col("np") - col("pos")).cast("double")
+                + round(col("nv") * 10000, 0) * (col("pos") - col("pp")).cast("double"))
+                / (col("np") - col("pp")).cast("double"), 0) / 10000.0)
+            .as("v_interp"),
+          when(col("v").isNull, 0).otherwise(1).as("observed"))
+        .orderBy("user_id", "hour")
+    },
+
     // ---- ordered funnel: view → click → purchase, strict order ----
     sql(
       "q_funnel",

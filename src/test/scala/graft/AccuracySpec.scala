@@ -265,4 +265,38 @@ class AccuracySpec extends SparkSpec {
         s"salt $i: selected mean n_chars $m <= corpus mean $corpusMean")
     }
   }
+
+  test("q_split_leakproof never places an LSH near-dup pair across splits") {
+    // The oracle hash pins doc→component→bucket; this pins the
+    // PROPERTY the operator exists for: every near-dup pair the LSH
+    // graph knows about lands in ONE split. q_split_assign (per-doc
+    // hashing) must violate it on the same corpus, or the comparison
+    // is vacuous.
+    import graft.functions.TextFunctions.h32
+    def splitOf(component: org.apache.spark.sql.Column) = {
+      val b = h32(component.cast("string")) % 100
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    val comp = llm.DedupClusterQueries.componentLabels(spark, sf)
+    val assigned = Tables(spark, sf, "documents").select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(coalesce(col("component"), col("doc_id"))).as("split"))
+    val pairs = llm.MinhashPipeline.pairs(spark, sf).select("da", "db")
+    val sa = assigned.select(col("doc_id").as("da"), col("split").as("sa"))
+    val sb = assigned.select(col("doc_id").as("db"), col("split").as("sb"))
+    val crossing = pairs.join(sa, "da").join(sb, "db")
+      .where(col("sa") =!= col("sb")).count()
+    assert(crossing == 0, s"$crossing near-dup pairs straddle splits")
+
+    // counter-witness: naive per-doc hashing leaks on this corpus
+    val perDoc = Tables(spark, sf, "documents")
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    val na = perDoc.select(col("doc_id").as("da"), col("split").as("sa"))
+    val nb = perDoc.select(col("doc_id").as("db"), col("split").as("sb"))
+    val naiveCrossing = pairs.join(na, "da").join(nb, "db")
+      .where(col("sa") =!= col("sb")).count()
+    assert(naiveCrossing > 0,
+      "corpus has no cross-split near-dup pairs under per-doc hashing — property check is vacuous")
+  }
 }

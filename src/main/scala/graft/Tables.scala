@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish tables (see TESTDATA.md).
   *
@@ -25,10 +25,17 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+    val rescaled = nanosTimestampCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema.exists(f => f.name == c && f.dataType == LongType))
         d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))  // integer div: no double rounding
       else d
     }
+    // Driver encodings have varied across rounds: TIMESTAMP(NANOS) (handled
+    // above) and, currently, µs TIMESTAMP_NTZ (isAdjustedToUTC=false). The
+    // session is pinned UTC (Sessions.scala), so casting NTZ → TIMESTAMP is
+    // a wall-clock identity, and every downstream instant function
+    // (unix_micros, window, watermarks) works uniformly.
+    rescaled.schema.collect { case f if f.dataType == TimestampNTZType => f.name }
+      .foldLeft(rescaled)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 }

@@ -13,6 +13,10 @@ object Verify {
     val spark = Sessions.build("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be loud IN THE ARTIFACT, not only on stderr: a
+    // query that throws gets an errors.json entry, so a reader diffing
+    // round artifacts sees it fail rather than silently vanish.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -20,6 +24,7 @@ object Verify {
         // e.toString keeps the class for message-less throwables (a
         // bare NPE printed "failed: null")
         System.err.println(s"[verify] $name failed: $e")
+        errors(name) = e.toString.take(2000)
         // A reused outDir may hold the PREVIOUS run's parquet for this
         // query — delete it, or the compare would check stale results
         // against the oracle and report a regression as a pass.
@@ -55,6 +60,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -631,16 +631,36 @@ object StatsQueries {
     // Spark's native freqItems (a Karp–Shenker–Papadimitriou /
     // Misra–Gries family counter): ONE pass, O(1/support) state per
     // partition, mergeable partials — the shape that finds hot tokens
-    // in 100 TB without a full token-frequency aggregation. Guarantee
-    // (no false negatives above the support threshold) is value-pinned
-    // in AccuracySpec against exact counts; the candidate list itself
-    // is sketch-dependent, hence rows-only for the oracle.
-    QueryDef.rowsOnly("q_freq_items") { (s, dir) =>
+    // in 100 TB without a full token-frequency aggregation. The
+    // guarantee is one-sided (every token with true count > support·N
+    // is a candidate; extras allowed), so the candidate list alone is
+    // sketch-dependent — but candidates FILTERED by exact count >
+    // support·N are deterministically THE heavy-hitter set, which the
+    // oracle verifies value-for-value. The filter join doubles as a
+    // per-run proof of the no-false-negative property (a missed heavy
+    // hitter ⇒ a missing output row ⇒ hash mismatch); AccuracySpec
+    // additionally pins the guarantee against exact counts directly.
+    // At scale the exact-count verification leg is optional; the
+    // sketch leg alone is the O(1/support)-state production path.
+    sql(
+      "q_freq_items",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+        |t AS (SELECT count(*) AS n FROM w)
+        |SELECT c.w AS token, c.cnt FROM c, t
+        |WHERE c.cnt > 0.01 * t.n
+        |ORDER BY token""".stripMargin) { (s, dir) =>
       val words = t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      words.stat.freqItems(Seq("w"), 0.01)
+      val candidates = words.stat.freqItems(Seq("w"), 0.01)
         .select(explode(col("w_freqItems")).as("tok"))
         .select(col("tok").cast("string").as("token"))
+      val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = words.agg(count(lit(1)).as("n_total"))
+      counts.join(broadcast(candidates), col("w") === col("token"))
+        .crossJoin(broadcast(total)) // 1-row corpus scalar riding the plan
+        .where(col("cnt") > lit(0.01) * col("n_total"))
+        .select(col("token"), col("cnt"))
         .orderBy("token")
     }
   )

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_hll_sketch_union",  // 1-row sketch-union est × 1-row exact count
     "q_token_budget",      // 1-row broadcast grand-total scalar riding the plan
     "q_equi_bins",         // 1-row broadcast row-count scalar riding the plan
+    "q_freq_items",        // 1-row broadcast token-total scalar riding the plan
     "q_knn_ivf",           // k-row broadcast centroid table for the probe rank
     "q_knn_pq",            // same coarse-probe shape as q_knn_ivf
     "q_tpch_q15",          // 1-row broadcast max-revenue scalar riding the plan

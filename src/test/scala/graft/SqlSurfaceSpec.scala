@@ -56,4 +56,22 @@ class SqlSurfaceSpec extends SparkSpec {
       == Seq("SELECT \"a;b\" FROM t"))
     assert(SqlMain.splitStatements("").map(_.trim).filter(_.nonEmpty).isEmpty)
   }
+
+  test("quoted semicolons survive the stdin path end-to-end: split, then execute") {
+    // The exact pipeline main() runs on stdin input (r6 ask #7): one
+    // raw multi-statement string → splitStatements → each statement
+    // through run(). Embedded `;` in a single-quoted literal, an ANSI
+    // ''-escaped literal, and a double-quoted `;` must each reach
+    // execution intact — values checked, not just statement counts.
+    val input =
+      "SELECT count(*) AS n FROM region WHERE r_name <> 'no;such;region';\n" +
+        "SELECT 'it''s; fine' AS s; SELECT \"a;b\" AS d"
+    val stmts = SqlMain.splitStatements(input).map(_.trim).filter(_.nonEmpty)
+    assert(stmts.size == 3, stmts.mkString(" | "))
+    val results = stmts.map(SqlMain.run(spark, sf, _).collect())
+    assert(results(0)(0).getLong(0) == 5)   // all 5 regions survive the filter
+    assert(results(1)(0).getString(0) == "it's; fine")
+    // default Spark (doubleQuotedIdentifiers off): "a;b" is a string literal
+    assert(results(2)(0).getString(0) == "a;b")
+  }
 }

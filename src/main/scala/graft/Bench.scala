@@ -263,7 +263,10 @@ object Bench {
       .map { case (k, rs) => "\"" + k + "\":" + r3(rs.min) }
       .mkString("{", ",", "}")
     val errsCompact = errs.map { case (k, m) =>
-      "\"" + k + "\":\"" + jesc(m.take(60)) + "\"" }
+      val t = m.take(60)
+      // same guard as capture time: don't end on a split surrogate pair
+      val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+      "\"" + k + "\":\"" + jesc(safe) + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"bench_full.json","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99}}""")
     spark.stop()

@@ -91,7 +91,8 @@ object ScaleCheck {
     "q_perplexity_bigram", "q_asof_join", "q_stateful_sessions",
     "q_merge_upsert", "q_runs_islands", "q_equi_bins", "q_skyline",
     "q_pagerank", "q_anomaly_mad", "q_ewma", "q_bpe_pairs",
-    "q_cooccur_pmi", "q_cohort_retention",
+    "q_cooccur_pmi", "q_cohort_retention", "q_ks_drift",
+    "q_chi2_independence",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back
@@ -134,8 +135,13 @@ object ScaleCheck {
     Tables(spark, base, "region").groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
 
+    // --only=q_a,q_b: targeted factor rerun (new/changed queries)
+    // without paying for the full 37-query sweep.
+    val only = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=").split(",").map(_.trim).filter(_.nonEmpty).toSet }
+    val sweep = only.fold(heavyQueries)(f => heavyQueries.filter(f))
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sfx10"}%8s  factor")
-    val rows = heavyQueries.map { q =>
+    val rows = sweep.map { q =>
       val t1 = time(q, base)
       val t10 = time(q, out)
       println(f"$q%-24s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,37 @@ object StatsQueries {
     * crossJoins. ProfileStatsSpec pins the approx plan to a single
     * scan with no Expand and bounds its estimates against exact.
     */
+  /** Two-sample Kolmogorov–Smirnov test as a reusable operator:
+    * D = max_x |F_a(x) − F_b(x)| over `v`, returned as one row
+    * (n1, n2, ks_num, ks_stat, reject_05). Exact integer arithmetic
+    * end-to-end: ties collapse in one groupBy, the running CDF
+    * difference is ONE GlobalPrefix prefix sum of c1·n2 − c2·n1
+    * (so max|R| = D·n1·n2 exactly, order-independent), and the only
+    * double division happens on the 1-row result. BIGINT headroom
+    * |R| ≤ n1·n2 holds through ~3e9 rows per side; past that, scale
+    * the weights to DECIMAL. `reject_05` uses the asymptotic
+    * c(0.05) = 1.358 critical value. Null values are ignored
+    * (CDF over observed values only). */
+  def ksTest(a: DataFrame, b: DataFrame, v: Column): DataFrame = {
+    val tagged = a.select(v.as("v"), lit(1L).as("t"))
+      .where(col("v").isNotNull)
+      .unionByName(b.select(v.as("v"), lit(0L).as("t"))
+        .where(col("v").isNotNull))
+    val u = tagged.groupBy("v")
+      .agg(sum(col("t")).as("c1"), sum(lit(1L) - col("t")).as("c2"))
+    val tot = u.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val weighted = u.crossJoin(broadcast(tot)) // 1-row totals scalar
+      .withColumn("w", col("c1") * col("n2") - col("c2") * col("n1"))
+    val run = GlobalPrefix.runningTotal(weighted, Seq(col("v")), col("w"), "rdiff")
+    val ks = run.agg(max(abs(col("rdiff"))).as("ks_num"))
+    ks.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        round(col("ks_num") / (col("n1") * col("n2")), 6).as("ks_stat"),
+        when(col("ks_num") / (col("n1") * col("n2")) >
+            lit(1.358) * sqrt((col("n1") + col("n2")) / (col("n1") * col("n2"))),
+          1).otherwise(0).cast("int").as("reject_05"))
+  }
+
   def profileStats(s: SparkSession, dir: String, approx: Boolean = true): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = t(s, dir, "lineitem").select(cols.map(col): _*)
@@ -662,6 +693,102 @@ object StatsQueries {
         .where(col("cnt") > lit(0.01) * col("n_total"))
         .select(col("token"), col("cnt"))
         .orderBy("token")
+    },
+
+    // ---- distribution drift: two-sample Kolmogorov–Smirnov ----
+    // Training-data QA: is the `value` distribution of one event slice
+    // drifting from another (snapshot-to-snapshot / source-to-source)?
+    // D = max_x |F1(x) − F2(x)|. Scale shape: ONE groupBy collapses
+    // ties, then the running CDF difference is a single GlobalPrefix
+    // two-pass prefix sum over distinct values — no one-task global
+    // window, no per-sample second pass. The statistic is computed in
+    // EXACT integer arithmetic (running sum of c1·n2 − c2·n1, so
+    // max|R| = D·n1·n2 exactly) — order-independent, hash-stable; the
+    // one double division happens once on the 1-row result. BIGINT
+    // headroom: |R| ≤ n1·n2, fine through ~3e9 rows per side; past
+    // that, scale the weights to DECIMAL. Rejection flag at α=0.05
+    // (c(α)=1.358 asymptotic).
+    sql(
+      "q_ks_drift",
+      """WITH s AS (SELECT value AS v,
+        |                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+        |           FROM events
+        |           WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |u AS (SELECT v, CAST(sum(a) AS BIGINT) AS c1,
+        |             CAST(sum(1 - a) AS BIGINT) AS c2 FROM s GROUP BY v),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM u),
+        |r AS (SELECT CAST(sum(c1) OVER w AS BIGINT) AS r1,
+        |             CAST(sum(c2) OVER w AS BIGINT) AS r2
+        |      FROM u WINDOW w AS (ORDER BY v)),
+        |d AS (SELECT max(abs(r1 * t.n2 - r2 * t.n1)) AS ks_num FROM r, t)
+        |SELECT t.n1, t.n2, d.ks_num,
+        |       round(d.ks_num / (t.n1 * t.n2), 6) AS ks_stat,
+        |       CAST(CASE WHEN d.ks_num / (t.n1 * t.n2) >
+        |                      1.358 * sqrt((t.n1 + t.n2) / (t.n1 * t.n2))
+        |                 THEN 1 ELSE 0 END AS INT) AS reject_05
+        |FROM d, t""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+      ksTest(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        col("value"))
+    },
+
+    // ---- corpus audit: chi-squared independence (lang × source) ----
+    // Is document language independent of source? A skewed cell here
+    // means a source is over/under-contributing a language — the
+    // mixture-drift check a curation pipeline runs before reweighting
+    // (pair with q_domain_mix). Scale shape: three hash aggregations
+    // over the corpus (cells, row totals, column totals — each one
+    // shuffle, mergeable), then ALL remaining math happens on the
+    // #langs × #sources cell grid built from two broadcast dim
+    // aggregates (zero-count cells included via the left join — they
+    // still contribute (0−e)²/e). Per-cell terms are double; the SUM
+    // accumulates in DECIMAL(38,18) (the NOTES money-sum idiom) so the
+    // final rounded statistic is independent of Spark's merge order.
+    sql(
+      "q_chi2_independence",
+      """WITH d AS (SELECT lang, source FROM documents),
+        |o AS (SELECT lang, source, count(*) AS o FROM d GROUP BY 1, 2),
+        |rl AS (SELECT lang, count(*) AS rl FROM d GROUP BY 1),
+        |cs AS (SELECT source, count(*) AS cs FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM d),
+        |cells AS (SELECT rl.rl, cs.cs, coalesce(o.o, 0) AS o
+        |          FROM rl CROSS JOIN cs
+        |          LEFT JOIN o ON o.lang = rl.lang AND o.source = cs.source),
+        |terms AS (SELECT CAST((o - rl * cs / CAST(t.n AS DOUBLE))
+        |                      * (o - rl * cs / CAST(t.n AS DOUBLE))
+        |                      / (rl * cs / CAST(t.n AS DOUBLE)) AS DECIMAL(38,18)) AS term
+        |          FROM cells, t)
+        |SELECT CAST(((SELECT count(*) FROM rl) - 1)
+        |            * ((SELECT count(*) FROM cs) - 1) AS BIGINT) AS dof,
+        |       round(CAST(sum(term) AS DOUBLE), 4) AS chi2,
+        |       (SELECT CAST(n AS BIGINT) FROM t) AS n
+        |FROM terms""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select("lang", "source")
+      val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rl = d.groupBy("lang").agg(count(lit(1)).as("rl"))
+      val cs = d.groupBy("source").agg(count(lit(1)).as("cs"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      // double division on BOTH sides (DuckDB's bare `1.0` would be
+      // DECIMAL and silently switch the oracle to decimal division)
+      val e = col("rl") * col("cs") / col("n").cast("double")
+      val terms = rl.crossJoin(broadcast(cs)) // #langs × #sources grid
+        .join(obs, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot)) // 1-row corpus count
+        .withColumn("term",
+          ((col("o") - e) * (col("o") - e) / e).cast("decimal(38,18)"))
+      val dims = rl.agg(count(lit(1)).as("nl"))
+        .crossJoin(broadcast(cs.agg(count(lit(1)).as("ns"))))
+      terms.agg(sum(col("term")).as("chi2_dec"))
+        .crossJoin(broadcast(dims))
+        .crossJoin(broadcast(tot))
+        .select(((col("nl") - 1) * (col("ns") - 1)).cast("bigint").as("dof"),
+          round(col("chi2_dec").cast("double"), 4).as("chi2"),
+          col("n").cast("bigint").as("n"))
     }
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StatsQueries
+
+/** Property checks for the reusable two-sample KS operator — the
+  * oracle hash-match on q_ks_drift proves engine parity on ONE input;
+  * these pin the statistic's defining properties on adversarial
+  * shapes (ties within and across samples, disjoint supports).
+  */
+class KsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ks(a: Seq[Double], b: Seq[Double]) =
+    StatsQueries.ksTest(a.toDF("x"), b.toDF("x"), col("x")).collect()(0)
+
+  test("identical samples: D = 0, no rejection") {
+    val r = ks(Seq(1.0, 2, 2, 3, 5), Seq(1.0, 2, 2, 3, 5))
+    assert(r.getAs[Long]("ks_num") == 0L)
+    assert(r.getAs[Double]("ks_stat") == 0.0)
+    assert(r.getAs[Int]("reject_05") == 0)
+  }
+
+  test("disjoint supports: D = 1, rejected at alpha=0.05") {
+    val a = (1 to 10).map(_.toDouble)
+    val b = (101 to 110).map(_.toDouble)
+    val r = ks(a, b)
+    assert(r.getAs[Double]("ks_stat") == 1.0)
+    // c(0.05)·sqrt(20/100) ≈ 0.607 < 1
+    assert(r.getAs[Int]("reject_05") == 1)
+  }
+
+  test("matches a brute-force CDF sweep incl. cross-sample ties") {
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 5.0, 7.0, 7.0, 9.0)
+    val b = Seq(2.0, 3.0, 3.0, 4.0, 7.0, 8.0)
+    val pts = (a ++ b).distinct.sorted
+    val brute = pts.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.size -
+        b.count(_ <= x).toDouble / b.size)
+    }.max
+    val r = ks(a, b)
+    assert(r.getAs[Long]("n1") == a.size && r.getAs[Long]("n2") == b.size)
+    val d = r.getAs[Long]("ks_num").toDouble / (a.size.toLong * b.size)
+    assert(math.abs(d - brute) < 1e-12, s"engine D=$d brute D=$brute")
+  }
+
+  test("asymmetric sizes and null handling") {
+    // nulls are ignored, not counted in n
+    val a = Seq[java.lang.Double](1.0, null, 3.0, null, 5.0)
+      .toDF("x").select(col("x").cast("double").as("x"))
+    val b = Seq[java.lang.Double](2.0, 4.0)
+      .toDF("x").select(col("x").cast("double").as("x"))
+    val r = StatsQueries.ksTest(a, b, col("x")).collect()(0)
+    assert(r.getAs[Long]("n1") == 3L)
+    assert(r.getAs[Long]("n2") == 2L)
+  }
+}

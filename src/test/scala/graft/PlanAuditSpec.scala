@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_token_budget",      // 1-row broadcast grand-total scalar riding the plan
     "q_equi_bins",         // 1-row broadcast row-count scalar riding the plan
     "q_freq_items",        // 1-row broadcast token-total scalar riding the plan
+    "q_ks_drift",          // 1-row broadcast sample-totals scalar riding the plan
+    "q_chi2_independence", // #langs × #sources grid from two broadcast dim aggs
     "q_knn_ivf",           // k-row broadcast centroid table for the probe rank
     "q_knn_pq",            // same coarse-probe shape as q_knn_ivf
     "q_tpch_q15",          // 1-row broadcast max-revenue scalar riding the plan
@@ -72,7 +74,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_tpch_q1" -> Seq("HashAggregate"),
       "q_tpch_q3" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
       "q_tpch_q5" -> Seq("BroadcastHashJoin"),
-      "q_tpch_q6" -> Seq("HashAggregate", "PushedFilters"),
+      // "PushedFilters: [IsNotNull" (not the bare label, which also
+      // matches an EMPTY pushed list): proves the shipdate/discount
+      // range predicates actually reach the parquet scan — the NTZ→TS
+      // normalization cast in Tables must keep being unwrapped by
+      // Catalyst (UnwrapCastInBinaryComparison) for this to hold.
+      "q_tpch_q6" -> Seq("HashAggregate", "PushedFilters: [IsNotNull"),
       "q_tpch_q10" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
       "q_tpch_q18" -> Seq("LeftSemi", "TakeOrderedAndProject"),
       // second flagship batch: EXISTS → semi, NOT EXISTS → anti, the

@@ -262,7 +262,11 @@ object Bench {
     val topQs = ok.sortBy { case (_, rs) => -rs.min }.take(20)
       .map { case (k, rs) => "\"" + k + "\":" + r3(rs.min) }
       .mkString("{", ",", "}")
-    val errsCompact = errs.map { case (k, m) =>
+    // cap at 10 entries: a catastrophic round (every query failing the
+    // same way) must not balloon the compact line past the tail window
+    // it exists to fit — errors_n carries the true count, bench_full
+    // the full messages.
+    val errsCompact = errs.take(10).map { case (k, m) =>
       val t = m.take(60)
       // same guard as capture time: don't end on a split surrogate pair
       val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t

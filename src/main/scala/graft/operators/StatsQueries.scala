@@ -48,7 +48,10 @@ object StatsQueries {
         .where(col("v").isNotNull))
     val u = tagged.groupBy("v")
       .agg(sum(col("t")).as("c1"), sum(lit(1L) - col("t")).as("c2"))
-    val tot = u.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    // 1-row eager materialization: tot rides the plan twice (weight
+    // construction + the final select); without the checkpoint each
+    // use re-aggregates the corpus from scratch.
+    val tot = u.agg(sum("c1").as("n1"), sum("c2").as("n2")).localCheckpoint()
     val weighted = u.crossJoin(broadcast(tot)) // 1-row totals scalar
       .withColumn("w", col("c1") * col("n2") - col("c2") * col("n1"))
     val run = GlobalPrefix.runningTotal(weighted, Seq(col("v")), col("w"), "rdiff")
@@ -769,9 +772,13 @@ object StatsQueries {
         |FROM terms""".stripMargin) { (s, dir) =>
       val d = t(s, dir, "documents").select("lang", "source")
       val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
-      val rl = d.groupBy("lang").agg(count(lit(1)).as("rl"))
-      val cs = d.groupBy("source").agg(count(lit(1)).as("cs"))
-      val tot = d.agg(count(lit(1)).as("n"))
+      // dim/total aggregates are tiny (#langs, #sources, 1 rows) but
+      // each RIDES THE PLAN more than once (grid build + dof + n);
+      // eager-materialize so the corpus is scanned once per aggregate,
+      // not once per use (the anomaly_mad pattern).
+      val rl = d.groupBy("lang").agg(count(lit(1)).as("rl")).localCheckpoint()
+      val cs = d.groupBy("source").agg(count(lit(1)).as("cs")).localCheckpoint()
+      val tot = d.agg(count(lit(1)).as("n")).localCheckpoint()
       // double division on BOTH sides (DuckDB's bare `1.0` would be
       // DECIMAL and silently switch the oracle to decimal division)
       val e = col("rl") * col("cs") / col("n").cast("double")

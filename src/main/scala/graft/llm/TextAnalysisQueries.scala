@@ -354,6 +354,74 @@ object TextAnalysisQueries {
           round(log(col("cab") * col("nd") / (col("ca") * col("cb"))), 6).as("pmi"))
         .orderBy(desc("pmi"), col("wa"), col("wb"))
         .limit(20)
+    },
+
+    // ---- corpus comparison: Jensen–Shannon divergence ----
+    // How far apart are two sources' token DISTRIBUTIONS? The standard
+    // symmetric, bounded ([0,1] bit) corpus-drift metric for training
+    // mixes (pairs with q_domain_mix/q_ks_drift: KS compares a scalar
+    // column, JSD compares whole vocabularies). Scale shape: one
+    // explode+groupBy collapses each side to per-token counts (union
+    // vocabulary via conditional sums — one shuffle), 1-row totals
+    // eager-materialized, then every per-token term is computed from
+    // exact integers and accumulated in DECIMAL(30,15) (merge-order-
+    // independent, the money-sum idiom). ln parity between engines is
+    // already load-bearing for q_token_entropy/q_perplexity_bigram/
+    // q_cooccur_pmi; the ln(2) bits-conversion constant is pinned to
+    // the same double literal on both sides rather than each engine's
+    // ln(2) evaluation.
+    sql(
+      "q_js_divergence",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents WHERE source IN ('src1', 'src2')),
+        |c AS (SELECT tok,
+        |             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM w GROUP BY tok),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2,
+        |             count(*) AS vocab FROM c),
+        |terms AS (SELECT
+        |    CASE WHEN c1 > 0 THEN CAST((c1 / CAST(t.n1 AS DOUBLE))
+        |         * ln((c1 / CAST(t.n1 AS DOUBLE))
+        |              / ((c1 / CAST(t.n1 AS DOUBLE) + c2 / CAST(t.n2 AS DOUBLE))
+        |                 / CAST(2 AS DOUBLE))) AS DECIMAL(30,15))
+        |         ELSE CAST(0 AS DECIMAL(30,15)) END AS pa,
+        |    CASE WHEN c2 > 0 THEN CAST((c2 / CAST(t.n2 AS DOUBLE))
+        |         * ln((c2 / CAST(t.n2 AS DOUBLE))
+        |              / ((c1 / CAST(t.n1 AS DOUBLE) + c2 / CAST(t.n2 AS DOUBLE))
+        |                 / CAST(2 AS DOUBLE))) AS DECIMAL(30,15))
+        |         ELSE CAST(0 AS DECIMAL(30,15)) END AS pb
+        |    FROM c, t)
+        |SELECT (SELECT n1 FROM t) AS n1, (SELECT n2 FROM t) AS n2,
+        |       (SELECT vocab FROM t) AS vocab,
+        |       round(CAST(sum(pa + pb) AS DOUBLE) / CAST(2 AS DOUBLE)
+        |             / CAST(0.6931471805599453 AS DOUBLE), 6) AS jsd_bits
+        |FROM terms""".stripMargin) { (s, dir) =>
+      val w = t(s, dir, "documents")
+        .where(col("source").isin("src1", "src2"))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val c = w.groupBy("tok").agg(
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src2", 1L).otherwise(0L)).as("c2"))
+      // 1-row eager totals: ride the plan in every term (see ksTest)
+      val tot = c.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        count(lit(1)).as("vocab")).localCheckpoint()
+      val p = col("c1") / col("n1").cast("double")
+      val q = col("c2") / col("n2").cast("double")
+      val m = (p + q) / lit(2.0)
+      val dec = "decimal(30,15)"
+      val terms = c.crossJoin(broadcast(tot))
+        .select(
+          when(col("c1") > 0, (p * log(p / m)).cast(dec))
+            .otherwise(lit(0).cast(dec)).as("pa"),
+          when(col("c2") > 0, (q * log(q / m)).cast(dec))
+            .otherwise(lit(0).cast(dec)).as("pb"))
+      terms.agg(sum(col("pa") + col("pb")).as("jsd_dec"))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"), col("vocab"),
+          round(col("jsd_dec").cast("double") / lit(2.0)
+            / lit(0.6931471805599453), 6).as("jsd_bits"))
     }
   )
 }

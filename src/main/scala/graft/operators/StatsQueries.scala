@@ -64,6 +64,40 @@ object StatsQueries {
           1).otherwise(0).cast("int").as("reject_05"))
   }
 
+  /** Mann–Whitney U / AUC as a reusable operator: one row
+    * (n1, n2, u1_x2, auc, z_approx) where auc = P(pos score > neg
+    * score) + ½P(tie) — the ROC AUC of `v` as a classifier score.
+    * Tie-corrected rank sums in exact integer arithmetic (2·R1 =
+    * Σ c1·(2·prev + c + 1) clears the average-rank half; Σ(c³−c)
+    * feeds the z tie correction); the double math happens once on the
+    * 1-row result. Nulls ignored. BIGINT headroom 2·R1 ≤ 2N² holds
+    * through ~2e9 pooled rows. */
+  def mannWhitney(pos: DataFrame, neg: DataFrame, v: Column): DataFrame = {
+    val tagged = pos.select(v.as("v"), lit(1L).as("pos"))
+      .where(col("v").isNotNull)
+      .unionByName(neg.select(v.as("v"), lit(0L).as("pos"))
+        .where(col("v").isNotNull))
+    val u = tagged.groupBy("v")
+      .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
+    // 1-row eager totals: ride the plan twice (see ksTest)
+    val tot = u.agg(sum("c1").as("n1"), sum(col("c") - col("c1")).as("n2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie_term"))
+      .localCheckpoint()
+    val ranked = GlobalPrefix.runningTotal(u, Seq(col("v")), col("c"), "incl")
+      .withColumn("prev", col("incl") - col("c"))
+    val rs = ranked
+      .agg(sum(col("c1") * (lit(2L) * col("prev") + col("c") + 1L)).as("r1_x2"))
+    val u1x2 = col("r1_x2") - col("n1") * (col("n1") + 1L)
+    val sigma = lit(2.0) * sqrt((col("n1").cast("double") * col("n2") / lit(12.0))
+      * ((col("n1") + col("n2") + 1L)
+        - col("tie_term") / ((col("n1") + col("n2")).cast("double")
+          * (col("n1") + col("n2") - 1L))))
+    rs.crossJoin(broadcast(tot)) // 1-row totals scalar riding the plan
+      .select(col("n1"), col("n2"), u1x2.as("u1_x2"),
+        round(u1x2 / (lit(2L) * col("n1") * col("n2")).cast("double"), 6).as("auc"),
+        round((u1x2 - col("n1") * col("n2")) / sigma, 4).as("z_approx"))
+  }
+
   def profileStats(s: SparkSession, dir: String, approx: Boolean = true): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = t(s, dir, "lineitem").select(cols.map(col): _*)
@@ -696,6 +730,48 @@ object StatsQueries {
         .where(col("cnt") > lit(0.01) * col("n_total"))
         .select(col("token"), col("cnt"))
         .orderBy("token")
+    },
+
+    // ---- ranking quality: Mann–Whitney U / AUC ----
+    // "Does `value` rank purchases above views?" — exactly the AUC of
+    // `value` as a classifier score, which equals U1/(n1·n2) from the
+    // tie-corrected rank sum. Same scale shape as q_ks_drift: ONE
+    // groupBy collapses ties, ONE GlobalPrefix prefix sum provides
+    // each tie block's preceding-count, and the rank-sum accumulates
+    // in EXACT integers (2·R1 = Σ c1·(2·prev + c + 1), so doubling
+    // clears the average-rank half). The tie-corrected normal
+    // z-statistic is derived from the same exact integers (Σ(c³−c)
+    // tie term) with identical double ops on both engines. BIGINT
+    // headroom: 2·R1 ≤ 2N², fine through ~2e9 pooled rows.
+    sql(
+      "q_auc_mannwhitney",
+      """WITH s AS (SELECT value AS v,
+        |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |           FROM events
+        |           WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |u AS (SELECT v, CAST(sum(pos) AS BIGINT) AS c1,
+        |             CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v),
+        |r AS (SELECT v, c1, c,
+        |             CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c AS prev FROM u),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c - c1) AS BIGINT) AS n2,
+        |             CAST(sum(c * c * c - c) AS BIGINT) AS tie_term FROM u),
+        |rs AS (SELECT CAST(sum(c1 * (2 * prev + c + 1)) AS BIGINT) AS r1_x2 FROM r)
+        |SELECT t.n1, t.n2, rs.r1_x2 - t.n1 * (t.n1 + 1) AS u1_x2,
+        |       round((rs.r1_x2 - t.n1 * (t.n1 + 1))
+        |             / CAST(2 * t.n1 * t.n2 AS DOUBLE), 6) AS auc,
+        |       round((rs.r1_x2 - t.n1 * (t.n1 + 1) - t.n1 * t.n2)
+        |             / (2 * sqrt((CAST(t.n1 AS DOUBLE) * t.n2 / CAST(12 AS DOUBLE))
+        |                * ((t.n1 + t.n2 + 1)
+        |                   - tie_term / (CAST(t.n1 + t.n2 AS DOUBLE)
+        |                                 * (t.n1 + t.n2 - 1))))), 4) AS z_approx
+        |FROM rs, t""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+      mannWhitney(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "view"),
+        col("value"))
     },
 
     // ---- distribution drift: two-sample Kolmogorov–Smirnov ----

@@ -45,6 +45,33 @@ class KsDriftSpec extends SparkSpec {
     assert(math.abs(d - brute) < 1e-12, s"engine D=$d brute D=$brute")
   }
 
+  private def auc(pos: Seq[Double], neg: Seq[Double]) =
+    StatsQueries.mannWhitney(pos.toDF("x"), neg.toDF("x"), col("x")).collect()(0)
+
+  test("mannWhitney: perfect separation gives AUC 1, reversed gives 0") {
+    val hi = Seq(10.0, 11, 12, 13)
+    val lo = Seq(1.0, 2, 3)
+    assert(auc(hi, lo).getAs[Double]("auc") == 1.0)
+    assert(auc(lo, hi).getAs[Double]("auc") == 0.0)
+  }
+
+  test("mannWhitney: identical samples (all ties) give AUC 0.5") {
+    val r = auc(Seq(5.0, 5, 7, 7), Seq(5.0, 5, 7, 7))
+    assert(r.getAs[Double]("auc") == 0.5)
+    assert(r.getAs[Double]("z_approx") == 0.0)
+  }
+
+  test("mannWhitney: matches brute-force pair counting with ties") {
+    val pos = Seq(1.0, 3.0, 3.0, 6.0, 8.0)
+    val neg = Seq(2.0, 3.0, 5.0, 8.0, 9.0, 9.0)
+    val pairs = for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val brute = pairs.sum / (pos.size * neg.size)
+    val r = auc(pos, neg)
+    val engine = r.getAs[Long]("u1_x2").toDouble / (2.0 * pos.size * neg.size)
+    assert(math.abs(engine - brute) < 1e-12, s"engine $engine brute $brute")
+  }
+
   test("asymmetric sizes and null handling") {
     // nulls are ignored, not counted in n
     val a = Seq[java.lang.Double](1.0, null, 3.0, null, 5.0)

@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (`graft_q_window_pct`, `graft_q_token_budget`,
   *    `graft_q_equi_bins`, `graft_q_skyline`, `graft_q_pagerank`,
   *    `graft_q_anomaly_mad`, `graft_q_ks_drift`,
-  *    `graft_q_chi2_independence`) run their checkpoint jobs at view
+  *    `graft_q_chi2_independence`, `graft_q_drift_timeline`) run their checkpoint jobs at view
   *    CONSTRUCTION — i.e. during [[registerReferenced]], before the
   *    user's statement executes — so referencing one of those pays
   *    its materialization cost up front;

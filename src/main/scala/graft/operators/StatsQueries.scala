@@ -732,6 +732,84 @@ object StatsQueries {
         .orderBy("token")
     },
 
+    // ---- drift timeline: day-over-day JSD of the event-type mix ----
+    // The monitoring query behind a "did today's traffic mix shift?"
+    // dashboard: Jensen–Shannon divergence between each day's
+    // event-type distribution and the previous day's, one row per
+    // day. Scale shape: the corpus collapses to a (#days × #types)
+    // grid in ONE aggregation; everything after — dense grid from two
+    // broadcast dims (zero cells included), the day-vs-prev join, the
+    // per-day term sums — runs on that collapsed grid. Terms from
+    // exact integers; per-day sums accumulate in DECIMAL(30,15) (see
+    // q_js_divergence for why not (38,18)); ln(2) pinned to the same
+    // double literal on both engines.
+    sql(
+      "q_drift_timeline",
+      """WITH c AS (SELECT CAST(ts AS DATE) AS d, event_type AS et,
+        |                  count(*) AS c FROM events GROUP BY 1, 2),
+        |t AS (SELECT d, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY d),
+        |grid AS (SELECT dd.d, ty.et
+        |         FROM (SELECT DISTINCT d FROM c) dd
+        |         CROSS JOIN (SELECT DISTINCT et FROM c) ty),
+        |j AS (SELECT g.d, g.et,
+        |             coalesce(ca.c, 0) AS c1, coalesce(cb.c, 0) AS c2
+        |      FROM grid g
+        |      LEFT JOIN c ca ON ca.d = g.d AND ca.et = g.et
+        |      LEFT JOIN c cb ON cb.d = g.d - 1 AND cb.et = g.et),
+        |jt AS (SELECT j.d, j.c1, j.c2, ta.n AS n1, tb.n AS n2
+        |       FROM j JOIN t ta ON ta.d = j.d
+        |       JOIN t tb ON tb.d = j.d - 1),
+        |terms AS (SELECT d, n1, n2,
+        |    CASE WHEN c1 > 0 THEN CAST((c1 / CAST(n1 AS DOUBLE))
+        |         * ln((c1 / CAST(n1 AS DOUBLE))
+        |              / ((c1 / CAST(n1 AS DOUBLE) + c2 / CAST(n2 AS DOUBLE))
+        |                 / CAST(2 AS DOUBLE))) AS DECIMAL(30,15))
+        |         ELSE CAST(0 AS DECIMAL(30,15)) END AS pa,
+        |    CASE WHEN c2 > 0 THEN CAST((c2 / CAST(n2 AS DOUBLE))
+        |         * ln((c2 / CAST(n2 AS DOUBLE))
+        |              / ((c1 / CAST(n1 AS DOUBLE) + c2 / CAST(n2 AS DOUBLE))
+        |                 / CAST(2 AS DOUBLE))) AS DECIMAL(30,15))
+        |         ELSE CAST(0 AS DECIMAL(30,15)) END AS pb
+        |    FROM jt)
+        |SELECT d, max(n1) AS n_day, max(n2) AS n_prev,
+        |       round(CAST(sum(pa + pb) AS DOUBLE) / CAST(2 AS DOUBLE)
+        |             / CAST(0.6931471805599453 AS DOUBLE), 6) AS jsd_bits
+        |FROM terms GROUP BY d ORDER BY d""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .select(col("ts").cast("date").as("d"), col("event_type").as("et"))
+        .groupBy("d", "et").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // grid feeds 4 consumers (days/types/ca/cb)
+      val tt = c.groupBy("d").agg(sum("c").as("n"))
+      val days = c.select("d").distinct()
+      val types = c.select("et").distinct()
+      val grid = days.crossJoin(broadcast(types))
+      val ca = c.select(col("d").as("ad"), col("et").as("aet"), col("c").as("c1"))
+      val cb = c.select(col("d").as("bd"), col("et").as("bet"), col("c").as("c2"))
+      val j = grid
+        .join(ca, col("d") === col("ad") && col("et") === col("aet"), "left")
+        .join(cb, date_sub(col("d"), 1) === col("bd") && col("et") === col("bet"), "left")
+        .na.fill(0L, Seq("c1", "c2"))
+        .select(col("d"), col("c1"), col("c2"))
+      val ta = tt.select(col("d").as("tad"), col("n").as("n1"))
+      val tb = tt.select(col("d").as("tbd"), col("n").as("n2"))
+      val jt = j.join(ta, col("d") === col("tad"))
+        .join(tb, date_sub(col("d"), 1) === col("tbd"))
+      val p = col("c1") / col("n1").cast("double")
+      val q = col("c2") / col("n2").cast("double")
+      val m = (p + q) / lit(2.0)
+      val dec = "decimal(30,15)"
+      jt.select(col("d"), col("n1"), col("n2"),
+          when(col("c1") > 0, (p * log(p / m)).cast(dec))
+            .otherwise(lit(0).cast(dec)).as("pa"),
+          when(col("c2") > 0, (q * log(q / m)).cast(dec))
+            .otherwise(lit(0).cast(dec)).as("pb"))
+        .groupBy("d")
+        .agg(max(col("n1")).as("n_day"), max(col("n2")).as("n_prev"),
+          round(sum(col("pa") + col("pb")).cast("double") / lit(2.0)
+            / lit(0.6931471805599453), 6).as("jsd_bits"))
+        .orderBy("d")
+    },
+
     // ---- ranking quality: Mann–Whitney U / AUC ----
     // "Does `value` rank purchases above views?" — exactly the AUC of
     // `value` as a classifier score, which equals U1/(n1·n2) from the

@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ks_drift",          // 1-row broadcast sample-totals scalar riding the plan
     "q_auc_mannwhitney",   // 1-row broadcast rank-totals scalar riding the plan
     "q_js_divergence",     // 1-row broadcast token-totals scalar riding the plan
+    "q_drift_timeline",    // #days × #types grid from two broadcast dim aggs
     "q_chi2_independence", // #langs × #sources grid from two broadcast dim aggs
     "q_knn_ivf",           // k-row broadcast centroid table for the probe rank
     "q_knn_pq",            // same coarse-probe shape as q_knn_ivf

@@ -92,7 +92,7 @@ object ScaleCheck {
     "q_merge_upsert", "q_runs_islands", "q_equi_bins", "q_skyline",
     "q_pagerank", "q_anomaly_mad", "q_ewma", "q_bpe_pairs",
     "q_cooccur_pmi", "q_cohort_retention", "q_ks_drift",
-    "q_chi2_independence",
+    "q_chi2_independence", "q_drift_timeline",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -852,6 +852,54 @@ object StatsQueries {
         col("value"))
     },
 
+    // ---- sliced ranking quality: per-day AUC ----
+    // The slice-wise eval shape ("is the score good on EVERY day /
+    // segment, not just overall?"): q_auc_mannwhitney's exact
+    // rank-sum arithmetic, but ranks come from an ordinary
+    // PARTITIONED window (partition = slice) instead of GlobalPrefix —
+    // each slice's distinct values sort within its own partition, so
+    // the whole computation is one shuffle on the slice key and scales
+    // with slices × values. Slices missing either class are dropped
+    // (AUC undefined), exactly like the oracle's HAVING.
+    sql(
+      "q_auc_sliced",
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d, value AS v,
+        |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |           FROM events
+        |           WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |u AS (SELECT d, v, CAST(sum(pos) AS BIGINT) AS c1,
+        |             CAST(count(*) AS BIGINT) AS c FROM s GROUP BY d, v),
+        |r AS (SELECT d, c1, c,
+        |             CAST(sum(c) OVER (PARTITION BY d ORDER BY v) AS BIGINT) - c AS prev
+        |      FROM u),
+        |g AS (SELECT d, CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c - c1) AS BIGINT) AS n2,
+        |             CAST(sum(c1 * (2 * prev + c + 1)) AS BIGINT) AS r1_x2
+        |      FROM r GROUP BY d
+        |      HAVING sum(c1) > 0 AND sum(c - c1) > 0)
+        |SELECT d, n1, n2,
+        |       round((r1_x2 - n1 * (n1 + 1))
+        |             / CAST(2 * n1 * n2 AS DOUBLE), 6) AS auc
+        |FROM g ORDER BY d""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+        .select(col("ts").cast("date").as("d"), col("value").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val u = ev.groupBy("d", "v")
+        .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
+      val w = Window.partitionBy("d").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val r = u.withColumn("prev", sum(col("c")).over(w) - col("c"))
+      r.groupBy("d")
+        .agg(sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"),
+          sum(col("c1") * (lit(2L) * col("prev") + col("c") + 1L)).as("r1_x2"))
+        .where(col("n1") > 0 && col("n2") > 0)
+        .select(col("d"), col("n1"), col("n2"),
+          round((col("r1_x2") - col("n1") * (col("n1") + 1L))
+            / (lit(2L) * col("n1") * col("n2")).cast("double"), 6).as("auc"))
+        .orderBy("d")
+    },
+
     // ---- distribution drift: two-sample Kolmogorov–Smirnov ----
     // Training-data QA: is the `value` distribution of one event slice
     // drifting from another (snapshot-to-snapshot / source-to-source)?

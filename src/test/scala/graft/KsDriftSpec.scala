@@ -72,6 +72,33 @@ class KsDriftSpec extends SparkSpec {
     assert(math.abs(engine - brute) < 1e-12, s"engine $engine brute $brute")
   }
 
+  test("randomized brute-force parity: 12 seeded cases, tie-heavy domains") {
+    // Fixed seed: deterministic cases, zero flake. Values drawn from a
+    // SMALL integer domain (then /4) so within- and cross-sample ties
+    // are dense — the hard regime for rank/CDF bookkeeping.
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 12).foreach { i =>
+      val a = Seq.fill(3 + rnd.nextInt(40))(rnd.nextInt(12) / 4.0)
+      val b = Seq.fill(3 + rnd.nextInt(40))(rnd.nextInt(12) / 4.0)
+      // KS vs brute-force CDF sweep
+      val pts = (a ++ b).distinct.sorted
+      val bruteD = pts.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.size -
+          b.count(_ <= x).toDouble / b.size)
+      }.max
+      val kr = ks(a, b)
+      val engineD = kr.getAs[Long]("ks_num").toDouble / (a.size.toLong * b.size)
+      assert(math.abs(engineD - bruteD) < 1e-12, s"case $i KS: $engineD vs $bruteD")
+      // AUC vs brute-force pair counting
+      val pairs = for (p <- a; n <- b) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+      val bruteAuc = pairs.sum / (a.size * b.size)
+      val ar = auc(a, b)
+      val engineAuc = ar.getAs[Long]("u1_x2").toDouble / (2.0 * a.size * b.size)
+      assert(math.abs(engineAuc - bruteAuc) < 1e-12, s"case $i AUC: $engineAuc vs $bruteAuc")
+    }
+  }
+
   test("asymmetric sizes and null handling") {
     // nulls are ignored, not counted in n
     val a = Seq[java.lang.Double](1.0, null, 3.0, null, 5.0)

@@ -26,10 +26,17 @@ object ScaleCheck {
   val Replicas = 10
   val Stride = 100000000L // key shift per replica, above any base key
 
-  private def shiftKeys(df: DataFrame, r: Int, keys: String*): DataFrame =
-    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
-
-  def buildReplica(spark: SparkSession, base: String, out: String): Unit = {
+  /** Second-level replication (100× = 10× of the 10× corpus) needs a
+    * stride ABOVE the first level's whole key range (base + 9·Stride),
+    * or replica keys collide (base + r1·S + r2·S = base + r3·S) and
+    * duplicate primary keys corrupt every join's fan-out. It also
+    * needs a disjoint permutation-salt range, or a second-level
+    * replica permuted with salt r would exactly reproduce a
+    * first-level replica's text when fed the same token multiset. */
+  def buildReplica(spark: SparkSession, base: String, out: String,
+      stride: Long = Stride, saltBase: Int = 0): Unit = {
+    def shiftKeys(df: DataFrame, r: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * stride)))
     if (Files.exists(Paths.get(out, "_DONE"))) return
     def write(name: String, mk: Int => DataFrame): Unit = {
       val full = (0 until Replicas).map(mk).reduce(_ unionByName _)
@@ -60,7 +67,7 @@ object ScaleCheck {
         val permuted = array_join(
           transform(
             array_sort(transform(words,
-              (w, i) => struct(xxhash64(w, i, lit(r)).as("h"), w.as("w")))),
+              (w, i) => struct(xxhash64(w, i, lit(saltBase + r)).as("h"), w.as("w")))),
             s => s.getField("w")),
           " ")
         d.withColumn("text", permuted)
@@ -73,7 +80,7 @@ object ScaleCheck {
       else d.withColumn("embedding",
         transform(col("embedding"), (x, i) =>
           (x * (lit(1.0) +
-            (pmod(xxhash64(col("vec_id"), i, lit(r)), lit(1000)) / 10000.0 - 0.05)))
+            (pmod(xxhash64(col("vec_id"), i, lit(saltBase + r)), lit(1000)) / 10000.0 - 0.05)))
             .cast("float")))
     })
     Files.createFile(Paths.get(out, "_DONE"))
@@ -109,12 +116,19 @@ object ScaleCheck {
     val pos = args.filterNot(_.startsWith("--"))
     val base = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (pos.length > 1) pos(1) else "target/sfx10"
+    // second-level replication (e.g. 100× = 10× of target/sfx10):
+    //   --stride=1000000000 --salt=100  (see buildReplica scaladoc)
+    def longArg(name: String, dflt: Long): Long = args.collectFirst {
+      case a if a.startsWith(s"--$name=") => a.stripPrefix(s"--$name=").toLong }
+      .getOrElse(dflt)
+    val stride = longArg("stride", Stride)
+    val salt = longArg("salt", 0L).toInt
     val spark = Sessions.build("graft-scalecheck")
     spark.sparkContext.setLogLevel("WARN")
 
-    println(s"[scale] building $out from $base (${Replicas}x) ...")
+    println(s"[scale] building $out from $base (${Replicas}x, stride=$stride, salt=$salt) ...")
     val tb = System.nanoTime()
-    buildReplica(spark, base, out)
+    buildReplica(spark, base, out, stride, salt)
     println(f"[scale] corpus ready in ${(System.nanoTime() - tb) / 1e9}%.1f s")
     if (buildOnly) { spark.stop(); return }
 

@@ -33,9 +33,16 @@ object GlobalPrefix {
   private def twoPass(df: DataFrame, sortCols: Seq[Column], value: Column,
       out: String, frameEnd: Long, aggFn: Column => Column,
       combine: (Column, Column) => Column): (DataFrame, DataFrame) = {
+    // SERIALIZED storage: the deserialized default holds the stamped
+    // rows as Java objects — at the 100× ScaleCheck corpus (60M
+    // lineitem rows vs an 8g driver heap) that meant heavy spill + GC
+    // and q_equi_bins measured 21.6× for 10× data; serialized blocks
+    // are ~5× smaller and spill as compact bytes (measured 21.6× →
+    // ~8×, see NOTES 100× checkpoint).
     val stamped = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wLoc = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, frameEnd)
     val local = stamped.withColumn("__lc", aggFn(value).over(wLoc))

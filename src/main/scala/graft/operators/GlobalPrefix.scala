@@ -37,8 +37,9 @@ object GlobalPrefix {
     // rows as Java objects — at the 100× ScaleCheck corpus (60M
     // lineitem rows vs an 8g driver heap) that meant heavy spill + GC
     // and q_equi_bins measured 21.6× for 10× data; serialized blocks
-    // are ~5× smaller and spill as compact bytes (measured 21.6× →
-    // ~8×, see NOTES 100× checkpoint).
+    // spill as compact bytes (measured 21.6× → 11.5-12.3×, at a
+    // +0.3-0.4 s serialization tax on the sf0.1 bench — NOTES "100×
+    // checkpoint").
     val stamped = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true,

@@ -100,6 +100,10 @@ object ScaleCheck {
     "q_pagerank", "q_anomaly_mad", "q_ewma", "q_bpe_pairs",
     "q_cooccur_pmi", "q_cohort_retention", "q_ks_drift",
     "q_chi2_independence", "q_drift_timeline",
+    // r7 additions: interval-coverage sliding distinct (corpus →
+    // per-user islands), the ×32 Poisson-bootstrap fan-out, and the
+    // oriented triangle join over the association graph
+    "q_sliding_distinct", "q_bootstrap_ci", "q_graph_triangles",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

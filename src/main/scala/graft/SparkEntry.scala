@@ -21,6 +21,7 @@ object SparkEntry {
       operators.TemporalQueries.defs ++
       operators.TpchQueries.defs ++
       operators.GraphQueries.defs ++
+      operators.SeriesQueries.defs ++
       llm.DedupQueries.defs ++
       llm.DedupClusterQueries.defs ++
       llm.SimilarityQueries.defs ++

@@ -1,54 +1,176 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Scalable global prefix aggregates over a total order — the shared
   * two-pass pattern behind `q_window_pct`, `q_token_budget`,
-  * `q_equi_bins`, and `q_skyline`.
+  * `q_equi_bins`, `q_skyline`, and the KS/Mann-Whitney rank statistics.
   *
   * A naive `Window.orderBy(...)` with no partition key sends the whole
   * table through ONE task (Spark warns about exactly this). Instead:
-  * range-partition on the sort key so partition order equals sort
-  * order, compute the prefix aggregate pid-locally, then lift to
-  * global with a (#partitions)-row offset table joined back by pid.
-  * Two passes, all-parallel, no single-task stage at any scale.
+  * assign each row a bucket id that is monotone in the sort order,
+  * compute the prefix aggregate bucket-locally, then lift to global
+  * with a (#buckets)-row offset table joined back by bucket id. Two
+  * passes, all-parallel, no single-task stage at any scale.
   *
-  * The pid-stamped rows are localCheckpointed because they fan out to
-  * two consumers (the local window and the per-pid totals) and
-  * correctness requires both to observe the SAME
-  * `spark_partition_id()` assignment — without it, AQE re-planning or
-  * a partial recompute after executor loss could re-sample the range
-  * partitioner between consumers (round-4 advice). This invariant
-  * lives ONLY here, in the shared core.
+  * Bucket assignment is a PURE PROJECTION: boundaries come from a
+  * bounded deterministic sample (hash-ordered `LIMIT`, one
+  * TakeOrderedAndProject job, collected once on the driver — the same
+  * sanctioned bounded-collect shape as `PqIndex`), and a row's bucket
+  * is the count of boundaries at or below its key. Because the id is a
+  * deterministic function of the ROW — not of `spark_partition_id()`
+  * under a range exchange — AQE re-planning or partial recompute after
+  * executor loss cannot disagree between the two consumers, and the
+  * corpus-sized `localCheckpoint` the old range-exchange design needed
+  * for pid stability disappears entirely. (That checkpoint was the
+  * dominant cost at the 100× ScaleCheck decade: 60M stamped lineitem
+  * rows written to driver-local storage before the window could run —
+  * NOTES "100× checkpoint". Sample quality affects only balance, never
+  * correctness: ties all land in one bucket, and the within-bucket
+  * window re-sorts by the full key.)
   */
 object GlobalPrefix {
+
+  /** How many boundary-sample rows to collect per target bucket.
+    * 64 keys/bucket bounds the expected bucket-size imbalance to a few
+    * percent (standard sample-sort analysis) at a driver cost of
+    * `buckets·64` tiny rows — same order as `RangePartitioner`'s own
+    * reservoir sample, but deterministic. */
+  private val SampleKeysPerBucket = 64
+
+  /** A sort column decomposed to (value expression, ascending?).
+    * Spark's defaults are asc⇒NULLS FIRST, desc⇒NULLS LAST; the
+    * boundary predicates below encode exactly those, so explicit
+    * NULLS overrides (asc_nulls_last / desc_nulls_first) are rejected
+    * rather than silently mis-bucketed. */
+  private def parseOrder(c: Column): (Column, Boolean) = {
+    val (child, asc, defaultNulls) = Bridge.parseSortOrder(c)
+    require(defaultNulls,
+      s"GlobalPrefix supports default null ordering only, got: $c")
+    (child, asc)
+  }
+
+  /** `boundary <' key` under the column's sort direction with Spark's
+    * default null placement. Built in Scala when the boundary value is
+    * null so no untyped `lit(null)` ever reaches analysis. */
+  private def boundaryLess(b: Any, key: Column, asc: Boolean): Column =
+    if (b == null) { if (asc) key.isNotNull else lit(false) }
+    else if (asc) key.isNotNull && lit(b) < key
+    else key.isNull || lit(b) > key
+
+  /** `boundary ≤' key` on ONE component (the fused form — a boundary's
+    * last compared component needs less-or-equal, and fusing it keeps
+    * the generated code to a single comparison). */
+  private def boundaryLessEq(b: Any, key: Column, asc: Boolean): Column =
+    if (b == null) { if (asc) lit(true) else key.isNull }
+    else if (asc) lit(b) <= key  // null key ⇒ null ⇒ false: nulls-first bucket 0
+    else key.isNull || lit(b) >= key
+
+  /** Lexicographic `boundary ≤' key` over the boundary's components
+    * (boundaries may be TRUNCATED to a separating prefix — see
+    * [[sampleBoundaries]] — so compare only `bs.length` columns). */
+  private def boundaryLE(bs: Seq[Any], order: Seq[(Column, Boolean)]): Column = {
+    def rec(i: Int): Column = {
+      val (k, asc) = order(i)
+      if (i == bs.length - 1) boundaryLessEq(bs(i), k, asc)
+      else boundaryLess(bs(i), k, asc) ||
+        ((k <=> lit(bs(i))) && rec(i + 1))
+    }
+    rec(0)
+  }
+
+  /** Driver-side ordering matching the Spark sort order (directions +
+    * default null placement) for ranking the collected sample. */
+  private def rowOrdering(dirs: Seq[Boolean]): Ordering[Row] =
+    (x: Row, y: Row) => {
+      var i = 0
+      var c = 0
+      while (c == 0 && i < dirs.length) {
+        val (a, b, asc) = (x.get(i), y.get(i), dirs(i))
+        c =
+          if (a == null && b == null) 0
+          else if (a == null) { if (asc) -1 else 1 }  // asc: nulls first
+          else if (b == null) { if (asc) 1 else -1 }
+          else {
+            val v = a.asInstanceOf[Comparable[Any]].compareTo(b)
+            if (asc) v else -v
+          }
+        i += 1
+      }
+      c
+    }
+
+  /** Up to `buckets-1` strictly increasing (in sort order) boundary
+    * tuples from a deterministic bounded sample of the key columns. */
+  private def sampleBoundaries(df: DataFrame, order: Seq[(Column, Boolean)],
+      buckets: Int): Seq[Seq[Any]] = {
+    val keyCols = order.zipWithIndex.map { case ((c, _), i) => c.as(s"__k$i") }
+    val keyed = df.select(keyCols: _*)
+    // Hash-ordered limit ⇒ TakeOrderedAndProject: a uniform-ish,
+    // run-deterministic sample in one bounded job over the pruned key
+    // projection (no random(), so resume/retry can't see a different
+    // bucketing).
+    val sample = keyed
+      .orderBy(xxhash64(keyed.columns.map(col).toSeq :+ lit(2027L): _*))
+      .limit(buckets * SampleKeysPerBucket)
+      .collect()
+    if (sample.isEmpty) return Nil
+    val sorted = sample.sorted(rowOrdering(order.map(_._2)))
+    val picks = (1 until buckets)
+      .map(i => sorted((i.toLong * sorted.length / buckets).toInt).toSeq)
+    // adjacent duplicates collapse: equal boundaries would create
+    // permanently-empty buckets and a non-strict bucket order
+    val dd = picks.foldLeft(Vector.empty[Seq[Any]]) { (acc, b) =>
+      if (acc.nonEmpty && acc.last == b) acc else acc :+ b
+    }
+    // Truncate each boundary to its FIRST component when that alone
+    // separates it from both neighbors (true whenever the primary sort
+    // key is near-unique — every production call site). The predicate
+    // chain then degenerates to one comparison per boundary; the full
+    // lexicographic form (31 boundaries × multi-column compares) Janino
+    // compiles into one method too large for the JIT, and the whole
+    // projection drops to bytecode interpretation — measured 26 s for a
+    // 6M-row stamp vs sub-second truncated. Monotonicity survives
+    // mixing truncated and full boundaries: adjacent first components
+    // around a truncated boundary are strictly increasing, so the
+    // predicate sets stay nested (P_{j+1} ⇒ P_j) and the bucket id
+    // stays monotone in the sort order.
+    dd.zipWithIndex.map { case (b, i) =>
+      val sepPrev = i == 0 || dd(i - 1).head != b.head
+      val sepNext = i == dd.length - 1 || dd(i + 1).head != b.head
+      if (sepPrev && sepNext) Seq(b.head) else b
+    }
+  }
 
   /** Shared two-pass core. Parameterized by the aggregate (sum/max),
     * the local frame end (0 = inclusive of the current row, -1 =
     * exclusive), and how a row's local prefix combines with the
-    * preceding partitions' offset. Returns (result, per-pid totals).
+    * preceding buckets' offset. Returns (result, per-bucket totals).
     */
   private def twoPass(df: DataFrame, sortCols: Seq[Column], value: Column,
       out: String, frameEnd: Long, aggFn: Column => Column,
       combine: (Column, Column) => Column): (DataFrame, DataFrame) = {
-    // SERIALIZED storage: the deserialized default holds the stamped
-    // rows as Java objects — at the 100× ScaleCheck corpus (60M
-    // lineitem rows vs an 8g driver heap) that meant heavy spill + GC
-    // and q_equi_bins measured 21.6× for 10× data; serialized blocks
-    // spill as compact bytes (measured 21.6× → 11.5-12.3×, at a
-    // +0.3-0.4 s serialization tax on the sf0.1 bench — NOTES "100×
-    // checkpoint").
-    val stamped = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val order = sortCols.map(parseOrder)
+    val buckets = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bounds = sampleBoundaries(df, order, buckets)
+    // bucket id = #boundaries ≤' key — a monotone pure projection; the
+    // chain is buckets-1 codegen'd comparisons per row (tiny vs the
+    // exchange it feeds)
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(boundaryLE(b, order), 1).otherwise(0)
+    }
+    val stamped = df.withColumn("__pid", bucketCol)
     val wLoc = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, frameEnd)
     val local = stamped.withColumn("__lc", aggFn(value).over(wLoc))
+    // second consumer recomputes the scan + stamp projection (cheap,
+    // map-side partial agg) instead of reading a materialized corpus —
+    // determinism of __pid makes the fork safe without a checkpoint
     val perPid = stamped.groupBy("__pid").agg(aggFn(value).as("__t"))
-    // #partitions rows — the one intentionally tiny global window.
+    // #buckets rows — the one intentionally tiny global window.
     val wPid = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = perPid
@@ -69,7 +191,7 @@ object GlobalPrefix {
     runningTotalWithGrand(df, sortCols, value, out)._1
 
   /** As [[runningTotal]], and also returns the 1-row grand total
-    * (column `__grand`) derived from the per-partition totals — so a
+    * (column `__grand`) derived from the per-bucket totals — so a
     * caller needing "share of total" math doesn't pay a second
     * corpus-sized aggregation.
     */
@@ -77,7 +199,7 @@ object GlobalPrefix {
       value: Column, out: String): (DataFrame, DataFrame) = {
     val (result, perPid) = twoPass(df, sortCols, value, out,
       frameEnd = 0, aggFn = sum,
-      // first partition has no predecessors: empty sum is 0
+      // first bucket has no predecessors: empty sum is 0
       combine = (lc, off) => lc + coalesce(off, lit(0L)))
     (result, perPid.agg(sum(col("__t")).as("__grand")))
   }

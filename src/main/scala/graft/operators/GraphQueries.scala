@@ -108,6 +108,104 @@ object GraphQueries {
         if (iter < 5) pr = pr.localCheckpoint()
       }
       pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    },
+
+    // ---- triangle counting with degree-ordered orientation ----
+    // Per-node triangle participation over the word-association graph
+    // (top-50-df vocabulary, edge iff observed co-occurrence exceeds
+    // the independence expectation: cab·N > ca·cb, exact integer
+    // arithmetic). Triangle counting is THE local-clustering audit for
+    // dedup/similarity pair graphs; the naive 3-way edge self-join is
+    // O(Σ deg(v)²) over hub nodes. Orientation by the (degree, name)
+    // total order — each undirected edge stored once, low endpoint →
+    // high — bounds wedge generation to O(m^{3/2}) regardless of hubs
+    // (every src enumerates only HIGHER-degree neighbors), the
+    // standard Latapy/Schank-Wagner bound, expressed here as two
+    // equi-joins Catalyst can shuffle on src / (dst,dst). The corpus
+    // collapse (doc-keyed self-join over a broadcast vocabulary)
+    // reuses q_cooccur_pmi's bounded-fan-out derivation; on this
+    // synthetic near-random corpus the association graph is dense, but
+    // the operator's cost model is driven by the orientation, not the
+    // corpus.
+    sql(
+      "q_graph_triangles",
+      """WITH ex AS (SELECT DISTINCT doc_id, word FROM
+        |            (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents)),
+        |dfq AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+        |voc AS (SELECT word, c FROM dfq ORDER BY c DESC, word LIMIT 50),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM ex),
+        |ev AS (SELECT ex.doc_id, ex.word, voc.c FROM ex
+        |       JOIN voc ON ex.word = voc.word),
+        |pairs AS (SELECT a.word AS wa, b.word AS wb,
+        |                 max(a.c) AS ca, max(b.c) AS cb, count(*) AS cab
+        |          FROM ev a JOIN ev b
+        |            ON a.doc_id = b.doc_id AND a.word < b.word
+        |          GROUP BY a.word, b.word),
+        |e AS (SELECT wa, wb FROM pairs, n WHERE cab * nd > ca * cb),
+        |deg AS (SELECT w, count(*) AS dg FROM
+        |        (SELECT wa AS w FROM e UNION ALL SELECT wb AS w FROM e)
+        |        GROUP BY w),
+        |o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.wa < e.wb)
+        |               THEN e.wa ELSE e.wb END AS src,
+        |             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.wa < e.wb)
+        |               THEN e.wb ELSE e.wa END AS dst,
+        |             CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.wa < e.wb)
+        |               THEN db.dg ELSE da.dg END AS dd
+        |      FROM e JOIN deg da ON da.w = e.wa JOIN deg db ON db.w = e.wb),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |        FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |          AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+        |        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT word, CAST(count(*) AS BIGINT) AS tri FROM
+        |  (SELECT a AS word FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri)
+        |GROUP BY word ORDER BY tri DESC, word""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct()
+      val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
+      val voc = dfq.orderBy(desc("c"), col("word")).limit(50)
+      val nd = ex.agg(countDistinct(col("doc_id")).as("nd"))
+      val ev = ex.join(broadcast(voc), "word")
+      val a = ev.select(col("doc_id"), col("word").as("wa"), col("c").as("ca"))
+      val b = ev.select(col("doc_id").as("doc_b"), col("word").as("wb"),
+        col("c").as("cb"))
+      val pairs = a
+        .join(b, col("doc_id") === col("doc_b") && col("wa") < col("wb"))
+        .groupBy("wa", "wb")
+        .agg(max("ca").as("ca"), max("cb").as("cb"), count(lit(1)).as("cab"))
+      // association edge: integer lift test, no floating point
+      val e = pairs.crossJoin(broadcast(nd))
+        .where(col("cab") * col("nd") > col("ca") * col("cb"))
+        .select("wa", "wb")
+        .localCheckpoint() // consumed 3× below (degree + both endpoints)
+      val deg = e.select(col("wa").as("w"))
+        .unionAll(e.select(col("wb").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("dg"))
+      val ed = e
+        .join(broadcast(deg.select(col("w").as("wa"), col("dg").as("da"))), "wa")
+        .join(broadcast(deg.select(col("w").as("wb"), col("dg").as("db"))), "wb")
+      val aLow = col("da") < col("db") ||
+        (col("da") === col("db") && col("wa") < col("wb"))
+      val o = ed.select(
+        when(aLow, col("wa")).otherwise(col("wb")).as("src"),
+        when(aLow, col("wb")).otherwise(col("wa")).as("dst"),
+        when(aLow, col("db")).otherwise(col("da")).as("dd"))
+      val e1 = o.select(col("src"), col("dst").as("b"), col("dd").as("dd1"))
+      val e2 = o.select(col("src"), col("dst").as("c"), col("dd").as("dd2"))
+      val wedges = e1.join(e2,
+        Seq("src"),
+        "inner")
+        .where(col("dd1") < col("dd2")
+          || (col("dd1") === col("dd2") && col("b") < col("c")))
+      val closing = o.select(col("src").as("b"), col("dst").as("c"))
+      val tri = wedges.join(closing, Seq("b", "c"))
+        .select(col("src").as("a"), col("b"), col("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("tri"))
+        .orderBy(desc("tri"), col("word"))
     }
   )
 }

@@ -1,0 +1,373 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / resampled-statistics operators over the `events` and
+  * `orders` streams: trailing-window distinct counting, series
+  * autocorrelation, and Poisson-bootstrap confidence intervals — the
+  * monitoring / metric-evaluation shapes a training-data platform runs
+  * daily over its telemetry.
+  *
+  * Scale designs (the whole point of each entry):
+  *  - sliding distinct: the naive form re-counts a 7-day window per
+  *    day (O(days·window) passes, or a giant range join). Instead the
+  *    corpus collapses ONCE to distinct (user, day), merges each
+  *    user's activity into coverage intervals (a per-user window over
+  *    its own activity days), and turns interval endpoints into ±1
+  *    diff events — the trailing-distinct series is then a prefix sum
+  *    over the tiny calendar grid. One corpus shuffle total.
+  *  - autocorrelation: corpus → #days rows in one aggregation; all
+  *    seven lag joins run on the collapsed frame. Cross-sums
+  *    accumulate in DECIMAL (order-independent — the money-sum idiom,
+  *    NOTES r6) so the Pearson arithmetic is bit-identical to the
+  *    oracle's regardless of merge order.
+  *  - bootstrap: the classic resample-the-dataset bootstrap cannot
+  *    scale (R copies of the corpus through a sampler with shared
+  *    state); the Poisson bootstrap (per-row independent Poisson(1)
+  *    weights — Chamandy et al., "Estimating Uncertainty for Massive
+  *    Data Streams", Google 2012) needs ONE pass: each row carries 32
+  *    deterministic hash-seeded weights and partial aggregation
+  *    collapses everything map-side to 32 replicate rows.
+  */
+object SeriesQueries {
+
+  import QueryDef.sql
+  import graft.functions.TextFunctions.h32Salted
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Day number since 1970-01-01 (timezone-pinned UTC session). */
+  private def dayNum(ts: Column): Column =
+    datediff(to_date(ts), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+
+  /** Inverse-CDF Poisson(1) from a uniform — cumulative probabilities
+    * as pinned double literals so Spark and DuckDB walk the identical
+    * ladder (P(k) = e⁻¹/k!, capped at 8: P(X>8) < 1e-9). */
+  private val PoissonCum = Seq(
+    0.36787944117144233, 0.73575888234288466, 0.91969860292860582,
+    0.98101184312384621, 0.99634015317265631, 0.99940581518241833,
+    0.99991675885071200, 0.99998975080332538)
+
+  private def poissonW(u: Column): Column =
+    PoissonCum.zipWithIndex.foldRight(lit(8): Column) { case ((c, k), els) =>
+      when(u < lit(c), k).otherwise(els)
+    }
+
+  private val poissonCaseSql: String =
+    PoissonCum.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- trailing 7-day distinct users per day (rolling MAU shape) ----
+    // Sliding-window COUNT(DISTINCT) has no algebraic decomposition —
+    // the standard rewrite is interval coverage: a user counts on day
+    // d iff d lies in one of their merged [activity, activity+6]
+    // intervals; merged intervals per user never overlap, so the
+    // per-day count is the prefix sum of interval-endpoint ±1 deltas.
+    sql(
+      "q_sliding_distinct",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |g AS (SELECT unnest(generate_series((SELECT min(d) FROM a),
+        |                                    (SELECT max(d) FROM a))) AS d)
+        |SELECT g.d AS d, count(DISTINCT a.user_id) AS users
+        |FROM g LEFT JOIN a ON a.d BETWEEN g.d - 6 AND g.d
+        |GROUP BY g.d ORDER BY d""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "events")
+        .select(col("user_id"), dayNum(col("ts")).as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      // new coverage island when the gap from the previous activity
+      // day exceeds the window length (prev interval ends at prev+6)
+      val isl = a
+        .withColumn("brk",
+          when(col("d") - lag("d", 1).over(w) > 6
+            || lag("d", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("isl", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val iv = isl.groupBy("user_id", "isl")
+        .agg(min("d").as("s"), max("d").as("e"))
+      val deltas = iv
+        .select(explode(array(
+          struct(col("s").as("d"), lit(1L).as("x")),
+          struct((col("e") + 7).as("d"), lit(-1L).as("x")))).as("z"))
+        .select(col("z.d").as("d"), col("z.x").as("x"))
+        .groupBy("d").agg(sum("x").as("net"))
+      // calendar grid: tiny (#days) — from a 1-row min/max aggregate
+      val grid = a.agg(min("d").as("lo"), max("d").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      grid.join(deltas, Seq("d"), "left")
+        .withColumn("users",
+          sum(coalesce(col("net"), lit(0L))).over(
+            // the one intentionally tiny global window (#days rows)
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("d"), col("users"))
+        .orderBy("d")
+    },
+
+    // ---- autocorrelation of daily revenue at lags 1..7 ----
+    // Weekly seasonality / drift fingerprint of a metric series. The
+    // corpus collapses to #days rows first; the per-lag Pearson sums
+    // run DECIMAL-exact so both engines agree bit-for-bit.
+    sql(
+      "q_autocorr",
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(1, 7)) AS k),
+        |p AS (SELECT l.k AS k, a.rev AS x, b.rev AS y,
+        |             CAST(a.rev AS DECIMAL(19,4)) AS xw,
+        |             CAST(b.rev AS DECIMAL(19,4)) AS yw
+        |      FROM daily a CROSS JOIN lags l
+        |      JOIN daily b ON b.d = a.d + l.k),
+        |m AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*yw) AS sxy, sum(x*xw) AS sx2, sum(y*yw) AS sy2
+        |      FROM p GROUP BY k)
+        |SELECT k, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |              * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  ELSE NULL END AS acf
+        |FROM m ORDER BY k""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(dayNum(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("rev"))
+      val x = daily
+        .withColumn("k", explode(sequence(lit(1L), lit(7L))))
+        .select(col("k"), col("d"), col("rev").as("x"))
+      val y = daily.select(col("d").as("d2"), col("rev").as("y"))
+      // Asymmetric product widths, deliberately: (15,4)×(19,4).
+      // DuckDB multiplies in the WIDEST OPERAND's physical type — two
+      // (15,4)s run in int64 and overflow at ~1e19 scaled units, so one
+      // side must be ≥ DECIMAL(19) to force int128. Spark caps
+      // p1+p2+1 at 38 by TRUNCATING scale — two (19,4)s become (38,7)
+      // and drop a digit DuckDB keeps. 15+19+1 = 35 ≤ 38 satisfies
+      // both engines exactly (the q_js_divergence precision-cap
+      // pitfall, NOTES r7).
+      val wide = (c: Column) => c.cast("decimal(19,4)")
+      val m = x.join(y, col("d2") === col("d") + col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * wide(col("y"))).as("sxy"),
+          sum(col("x") * wide(col("x"))).as("sx2"),
+          sum(col("y") * wide(col("y"))).as("sy2"))
+      val (n, sx, sy, sxy, sx2, sy2) =
+        (col("n").cast("double"), col("sx").cast("double"),
+          col("sy").cast("double"), col("sxy").cast("double"),
+          col("sx2").cast("double"), col("sy2").cast("double"))
+      val den = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+      m.select(col("k"), col("n").as("n_pairs"),
+          when(den > 0, round((n * sxy - sx * sy) / sqrt(den), 6))
+            .otherwise(lit(null).cast("double")).as("acf"))
+        .orderBy("k")
+    },
+
+    // ---- Poisson-bootstrap CI of the purchase-value mean ----
+    // R=32 replicates in ONE corpus pass: per (row, r) a deterministic
+    // md5-uniform feeds the pinned Poisson(1) inverse-CDF ladder; the
+    // ×32 generator fan-out collapses map-side (partial aggregation)
+    // to 32 (Σw·x, Σw) rows. Weighted sums ride DECIMAL so replicate
+    // means are merge-order-exact; the final CI math is scalar double
+    // over 32 values.
+    sql(
+      "q_bootstrap_ci",
+      s"""WITH base AS (
+         |  SELECT event_id, CAST(value AS DECIMAL(15,4)) AS xd
+         |  FROM events WHERE event_type = 'purchase'),
+         |tot AS (SELECT count(*) AS n, sum(xd) AS sx FROM base),
+         |rep AS (SELECT r, xd, $poissonCaseSql AS w FROM (
+         |  SELECT b.xd, r.r AS r,
+         |    (('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+         |        CAST(b.event_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+         |      + 0.5) / 1000000.0 AS u
+         |  FROM base b CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) r) s),
+         |means AS (SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+         |    CAST(sum(CAST(w AS DECIMAL(2,0)) * xd) AS DOUBLE)
+         |      / CAST(sum(w) AS BIGINT) AS m
+         |  FROM rep GROUP BY r),
+         |se AS (SELECT sum(m) AS sm, sum(m*m) AS sm2 FROM means)
+         |SELECT r, n_eff, round(m, 6) AS boot_mean,
+         |  round(CAST((SELECT sx FROM tot) AS DOUBLE)
+         |        / (SELECT n FROM tot), 6) AS point_mean,
+         |  round(sqrt(((SELECT sm2 FROM se)
+         |              - (SELECT sm FROM se) * (SELECT sm FROM se) / 32.0)
+         |             / 31.0), 4) AS se_boot,
+         |  round(CAST((SELECT sx FROM tot) AS DOUBLE) / (SELECT n FROM tot)
+         |        - 1.96 * sqrt(((SELECT sm2 FROM se)
+         |                       - (SELECT sm FROM se) * (SELECT sm FROM se) / 32.0)
+         |                      / 31.0), 4) AS lo95,
+         |  round(CAST((SELECT sx FROM tot) AS DOUBLE) / (SELECT n FROM tot)
+         |        + 1.96 * sqrt(((SELECT sm2 FROM se)
+         |                       - (SELECT sm FROM se) * (SELECT sm FROM se) / 32.0)
+         |                      / 31.0), 4) AS hi95
+         |FROM means ORDER BY r""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("value").cast("decimal(15,4)").as("xd"))
+      // 1-row eager totals: ride the final projection (see ksTest)
+      val tot = base.agg(count(lit(1)).as("n"), sum("xd").as("sx"))
+        .localCheckpoint()
+      val rep = base
+        .withColumn("r", explode(sequence(lit(0), lit(31))))
+        .withColumn("u",
+          (h32Salted(col("r"), col("event_id").cast("string")) % 1000000L
+            + 0.5) / 1000000.0)
+        .withColumn("w", poissonW(col("u")))
+      val means = rep.groupBy("r")
+        .agg(sum("w").as("n_eff"),
+          sum(col("w").cast("decimal(2,0)") * col("xd")).as("swx"))
+        .select(col("r").cast("long").as("r"), col("n_eff"),
+          (col("swx").cast("double") / col("n_eff")).as("m"))
+      val se = means.agg(sum("m").as("sm"), sum(col("m") * col("m")).as("sm2"))
+      val seBoot = sqrt((col("sm2") - col("sm") * col("sm") / 32.0) / 31.0)
+      val pointMean = col("sx").cast("double") / col("n")
+      means.crossJoin(broadcast(se)).crossJoin(broadcast(tot))
+        .select(col("r"), col("n_eff"), round(col("m"), 6).as("boot_mean"),
+          round(pointMean, 6).as("point_mean"),
+          round(seBoot, 4).as("se_boot"),
+          round(pointMean - lit(1.96) * seBoot, 4).as("lo95"),
+          round(pointMean + lit(1.96) * seBoot, 4).as("hi95"))
+        .orderBy("r")
+    },
+
+    // ---- CUPED variance-reduced A/B readout ----
+    // Deng et al. 2013: adjust the experiment metric by a pre-period
+    // covariate — Ŷ_cv = Ȳ_v − θ·(X̄_v − X̄), θ = cov(X,Y)/var(X) —
+    // cutting metric variance by the pre/post correlation ρ². Shape:
+    // the corpus collapses to one row PER USER (x = pre-period spend,
+    // y = experiment-period spend, variant = hash split), then
+    // everything is moments — per-variant means plus one pooled
+    // (Σx, Σy, Σxy, Σx²) row. No per-row adjusted pass exists at all:
+    // the adjusted mean is pure algebra over the aggregates. DECIMAL
+    // cross-sums with the q_autocorr (15,4)×(19,4) width pairing.
+    sql(
+      "q_cuped",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                  THEN CAST(value AS DECIMAL(15,4))
+        |                  ELSE CAST(0 AS DECIMAL(15,4)) END) AS DECIMAL(15,4)) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |                  THEN CAST(value AS DECIMAL(15,4))
+        |                  ELSE CAST(0 AS DECIMAL(15,4)) END) AS DECIMAL(15,4)) AS y,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |pool AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |                sum(x * CAST(y AS DECIMAL(19,4))) AS sxy,
+        |                sum(x * CAST(x AS DECIMAL(19,4))) AS sx2,
+        |                sum(y * CAST(y AS DECIMAL(19,4))) AS sy2
+        |         FROM u),
+        |th AS (SELECT
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM pool)
+        |SELECT variant, count(*) AS n,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_y,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*)
+        |        - (SELECT theta FROM th)
+        |          * (CAST(sum(x) AS DOUBLE) / count(*)
+        |             - (SELECT xbar FROM th)), 6) AS mean_y_cuped,
+        |  round((SELECT theta FROM th), 6) AS theta,
+        |  round((SELECT rho2 FROM th), 6) AS rho2
+        |FROM u GROUP BY variant ORDER BY variant""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val zero = lit(0).cast("decimal(15,4)")
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") < cut, col("value").cast("decimal(15,4)"))
+            .otherwise(zero)).cast("decimal(15,4)").as("x"),
+          sum(when(col("ts") >= cut, col("value").cast("decimal(15,4)"))
+            .otherwise(zero)).cast("decimal(15,4)").as("y"))
+        .withColumn("variant", h32(col("user_id").cast("string")) % 2)
+      val wide = (c: Column) => c.cast("decimal(19,4)")
+      // 1-row pooled moments: eager so the scalar rides both the theta
+      // computation and the final projection without re-aggregating
+      val pool = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * wide(col("y"))).as("sxy"),
+          sum(col("x") * wide(col("x"))).as("sx2"),
+          sum(col("y") * wide(col("y"))).as("sy2"))
+        .localCheckpoint()
+      val (n, sx, sy, sxy, sx2, sy2) =
+        (col("n").cast("double"), col("sx").cast("double"),
+          col("sy").cast("double"), col("sxy").cast("double"),
+          col("sx2").cast("double"), col("sy2").cast("double"))
+      val covNum = n * sxy - sx * sy
+      val theta = covNum / (n * sx2 - sx * sx)
+      val rho2 = covNum * covNum /
+        ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+      val xbar = sx / n
+      u.groupBy("variant")
+        .agg(count(lit(1)).as("n_v"), sum("x").as("vx"), sum("y").as("vy"))
+        .crossJoin(broadcast(pool))
+        .select(col("variant"), col("n_v").as("n"),
+          round(col("vy").cast("double") / col("n_v"), 6).as("mean_y"),
+          round(col("vy").cast("double") / col("n_v")
+            - theta * (col("vx").cast("double") / col("n_v") - xbar), 6)
+            .as("mean_y_cuped"),
+          round(theta, 6).as("theta"),
+          round(rho2, 6).as("rho2"))
+        .orderBy("variant")
+    },
+
+    // ---- sample-ratio-mismatch check ----
+    // The first A/B hygiene gate: a 50/50 hash split whose observed
+    // counts fail a df=1 chi-squared test means the assignment or
+    // logging pipeline is dropping one arm — every downstream readout
+    // is invalid. One distinct-user aggregation; the statistic
+    // simplifies to (nA−nB)²/(nA+nB), exact integers until one final
+    // double division.
+    sql(
+      "q_srm_check",
+      """WITH v AS (SELECT DISTINCT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+        |  FROM events),
+        |c AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |      FROM v)
+        |SELECT na, nb,
+        |  round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 6) AS chi2,
+        |  CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb) > 3.841 AS srm
+        |FROM c""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .withColumn("variant", h32(col("user_id").cast("string")) % 2)
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"))
+        .select(col("na"), col("nb"),
+          round(((col("na") - col("nb")) * (col("na") - col("nb")))
+            .cast("double") / (col("na") + col("nb")), 6).as("chi2"),
+          (((col("na") - col("nb")) * (col("na") - col("nb")))
+            .cast("double") / (col("na") + col("nb")) > 3.841).as("srm"))
+    }
+  )
+}

@@ -13,6 +13,26 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Decompose a possibly-sort-ordered Column (Spark 4 backs Column
+    * with a ColumnNode, so `.desc` wraps an
+    * `org.apache.spark.sql.internal.SortOrder` node — NOT the catalyst
+    * SortOrder, which `expression(c)` only surfaces lazily inside an
+    * unevaluable ColumnNodeExpression). Returns
+    * (value column, ascending?, default null ordering?); a plain
+    * column parses as (itself, true, true). */
+  def parseSortOrder(c: Column): (Column, Boolean, Boolean) = {
+    import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder}
+    c.node match {
+      case so: NodeSortOrder =>
+        val asc = so.sortDirection == NodeSortOrder.Ascending
+        val defaultNulls =
+          if (asc) so.nullOrdering == NodeSortOrder.NullsFirst
+          else so.nullOrdering == NodeSortOrder.NullsLast
+        (new Column(so.child), asc, defaultNulls)
+      case _ => (c, true, true)
+    }
+  }
+
   /** `AbstractDataType` went private[sql] in Spark 4; expressions
     * outside the sql package need the alias to declare
     * `ExpectsInputTypes.inputTypes`. */

@@ -73,4 +73,41 @@ class GlobalPrefixSpec extends SparkSpec {
       .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 10L), (2L, 30L), (3L, 60L)))
   }
+
+  test("heavy ties across sampled boundaries stay in one bucket (mixed-dir key)") {
+    // 2000 rows over only 7 distinct primary keys: every sampled
+    // boundary lands ON a duplicated value, so correctness requires
+    // the tiebreaker column to disambiguate — exactly the shape that
+    // would expose a non-monotone bucket assignment.
+    val df = (1 to 2000).map(i => (i % 7L, i.toLong, (i % 13).toLong))
+      .toDF("g", "id", "v")
+    val order = Seq(col("g").desc, col("id"))
+    val got = GlobalPrefix.runningTotal(df, order, col("v"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("string sort keys bucket correctly") {
+    val df = (1 to 500).map(i => (f"doc_${(i * 7919) % 501}%04d", 1L))
+      .toDF("k", "v")
+    val got = GlobalPrefix.runningTotal(df, Seq(col("k")), col("v"), "rk")
+      .select("k", "rk").as[(String, Long)].collect().sortBy(_._1)
+    val want = df.withColumn("rk",
+        sum(col("v")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "rk").as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("non-default null ordering is rejected, not silently mis-bucketed") {
+    val df = Seq((1L, 1L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      GlobalPrefix.runningTotal(df, Seq(col("k").asc_nulls_last), col("v"), "c")
+    }
+    assert(e.getMessage.contains("null ordering"))
+  }
 }

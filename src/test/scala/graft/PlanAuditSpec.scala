@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_tpch_q15",          // 1-row broadcast max-revenue scalar riding the plan
     "q_tpch_q22",          // 1-row broadcast avg-acctbal scalar riding the plan
     "q_tpch_q11",          // 1-row broadcast value-threshold scalar riding the plan
+    "q_bootstrap_ci",      // two 1-row broadcast scalars (totals + se) riding the plan
+    "q_cuped",             // 1-row broadcast pooled-moments scalar riding the plan
+    "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -104,6 +104,7 @@ object ScaleCheck {
     // per-user islands), the ×32 Poisson-bootstrap fan-out, and the
     // oriented triangle join over the association graph
     "q_sliding_distinct", "q_bootstrap_ci", "q_graph_triangles",
+    "q_lorenz_gini",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

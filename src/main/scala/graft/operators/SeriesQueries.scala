@@ -368,6 +368,183 @@ object SeriesQueries {
             .cast("double") / (col("na") + col("nb")), 6).as("chi2"),
           (((col("na") - col("nb")) * (col("na") - col("nb")))
             .cast("double") / (col("na") + col("nb")) > 3.841).as("srm"))
+    },
+
+    // ---- calibration curve + expected calibration error ----
+    // Reliability diagram for a scored binary outcome: decile bins of
+    // the score, per-bin mean score vs observed positive rate, ECE =
+    // Σ (n_b/N)·|rate−mean_score|. The score is a deterministic
+    // md5-uniform "model" (exact rational (k+0.5)/1000 ⇒ DECIMAL(5,4)
+    // sums are order-exact); the label is event_type='purchase'. One
+    // corpus aggregation to 10 bins; ECE rides a 1-row broadcast.
+    sql(
+      "q_calibration",
+      """WITH s AS (SELECT
+        |    (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |     + 0.5) / 1000.0 AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |b AS (SELECT CAST(floor(p * 10) AS BIGINT) AS bin,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(p AS DECIMAL(5,4))) AS DECIMAL(18,4)) AS sp,
+        |             CAST(sum(y) AS BIGINT) AS pos
+        |      FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |               sum(CAST(n AS DOUBLE) / (SELECT sum(n) FROM b)
+        |                   * abs(CAST(pos AS DOUBLE) / n
+        |                         - CAST(sp AS DOUBLE) / n)) AS ece
+        |        FROM b)
+        |SELECT bin, n, round(CAST(sp AS DOUBLE) / n, 6) AS mean_score,
+        |       round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+        |       round((SELECT ece FROM tot), 6) AS ece
+        |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val sc = t(s, dir, "events")
+        .select(((h32(col("event_id").cast("string")) % 1000 + 0.5) / 1000.0).as("p"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val b = sc.groupBy(floor(col("p") * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast("decimal(5,4)")).cast("decimal(18,4)").as("sp"),
+          sum("y").as("pos"))
+      // 1-row ECE over the 10-bin frame; eager so it rides the final
+      // projection without re-aggregating the corpus
+      val nn = b.agg(sum("n").as("nn")).localCheckpoint()
+      val tot = b.crossJoin(broadcast(nn))
+        .agg(sum(col("n").cast("double") / col("nn")
+          * abs(col("pos").cast("double") / col("n")
+            - col("sp").cast("double") / col("n"))).as("ece"))
+        .localCheckpoint()
+      b.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"),
+          round(col("sp").cast("double") / col("n"), 6).as("mean_score"),
+          round(col("pos").cast("double") / col("n"), 6).as("pos_rate"),
+          round(col("ece"), 6).as("ece"))
+        .orderBy("bin")
+    },
+
+    // ---- population stability index (binned drift) ----
+    // The credit-risk / model-monitoring drift standard, complementing
+    // KS (max CDF gap) and JSD (distribution divergence): decile bin
+    // edges fitted on the REFERENCE period (exact interpolated
+    // percentiles — Spark `percentile` and DuckDB `quantile_cont`
+    // share the interpolation formula, the q_rolling_median parity),
+    // then PSI = Σ (pc−pr)·ln(pc/pr) over the 10 bins with pinned
+    // +0.5/+5 Laplace smoothing so an empty current bin cannot produce
+    // ±∞. Two slice aggregations to 10 rows each; the 9-edge bin
+    // assignment is a tiny array HOF over a broadcast literal.
+    sql(
+      "q_psi",
+      """WITH ref AS (SELECT value FROM events
+        |            WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |cur AS (SELECT value FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |e AS (SELECT quantile_cont(value,
+        |        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM ref),
+        |rb AS (SELECT len(list_filter((SELECT edges FROM e), x -> value >= x)) AS bin,
+        |              count(*) AS c FROM ref GROUP BY 1),
+        |cb AS (SELECT len(list_filter((SELECT edges FROM e), x -> value >= x)) AS bin,
+        |              count(*) AS c FROM cur GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |j AS (SELECT g.bin AS bin,
+        |             CAST(coalesce(rb.c, 0) AS BIGINT) AS ref_n,
+        |             CAST(coalesce(cb.c, 0) AS BIGINT) AS cur_n,
+        |             CAST((SELECT sum(c) FROM rb) AS BIGINT) AS rn,
+        |             CAST((SELECT sum(c) FROM cb) AS BIGINT) AS cn
+        |      FROM g LEFT JOIN rb ON rb.bin = g.bin
+        |             LEFT JOIN cb ON cb.bin = g.bin),
+        |terms AS (SELECT bin, ref_n, cur_n,
+        |    ((cur_n + 0.5) / (cn + 5.0) - (ref_n + 0.5) / (rn + 5.0))
+        |    * ln(((cur_n + 0.5) / (cn + 5.0)) / ((ref_n + 0.5) / (rn + 5.0))) AS term
+        |  FROM j)
+        |SELECT bin, ref_n, cur_n, round(term, 6) AS psi_term,
+        |       round((SELECT sum(term) FROM terms), 6) AS psi
+        |FROM terms ORDER BY bin""".stripMargin) { (s, dir) =>
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val ev = t(s, dir, "events")
+      val ref = ev.where(col("ts") < cut).select("value")
+      val cur = ev.where(col("ts") >= cut).select("value")
+      // 9 interpolated decile edges of the reference — 1-row broadcast
+      val edges = ref.agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("edges")).localCheckpoint()
+      def binned(df: org.apache.spark.sql.DataFrame, out: String) =
+        df.crossJoin(broadcast(edges))
+          .select(size(filter(col("edges"),
+            x => col("value") >= x)).cast("long").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as(out))
+      val rb = binned(ref, "ref_n")
+      val cb = binned(cur, "cur_n")
+      val g = edges.select(explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val j = g.join(rb, Seq("bin"), "left").join(cb, Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+          coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      val tots = j.agg(sum("ref_n").as("rn"), sum("cur_n").as("cn"))
+        .localCheckpoint()
+      val pr = (col("ref_n") + 0.5) / (col("rn") + 5.0)
+      val pc = (col("cur_n") + 0.5) / (col("cn") + 5.0)
+      val terms = j.crossJoin(broadcast(tots))
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          ((pc - pr) * log(pc / pr)).as("term"))
+      val psi = terms.agg(sum("term").as("psi")).localCheckpoint()
+      terms.crossJoin(broadcast(psi))
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          round(col("term"), 6).as("psi_term"), round(col("psi"), 6).as("psi"))
+        .orderBy("bin")
+    },
+
+    // ---- Lorenz curve deciles + Gini coefficient ----
+    // Concentration audit (revenue here; token-count concentration
+    // over documents is the same query): how unequal is the corpus?
+    // Needs a GLOBAL rank over order value — the GlobalPrefix
+    // two-pass (sampled-boundary buckets, no materialization), never
+    // a one-task window. Gini from the closed form
+    // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with i·xᵢ in exact DECIMAL
+    // — BIGINT rank cast to DECIMAL(19,0) so DuckDB multiplies in
+    // int128 while Spark's 19+15+1 = 35 ≤ 38 keeps the scale intact
+    // (the q_autocorr width pairing).
+    sql(
+      "q_lorenz_gini",
+      """WITH o AS (SELECT o_orderkey,
+        |                  CAST(o_totalprice AS DECIMAL(15,4)) AS x FROM orders),
+        |r AS (SELECT x,
+        |             CAST(row_number() OVER (ORDER BY x, o_orderkey) AS DECIMAL(19,0)) AS i
+        |      FROM o),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |             sum(i * x) AS six FROM r),
+        |d AS (SELECT CAST(floor((CAST(i AS DOUBLE) - 1) * 10
+        |                        / (SELECT n FROM t)) AS BIGINT) AS decile,
+        |             CAST(count(*) AS BIGINT) AS n_d, sum(x) AS rev
+        |      FROM r GROUP BY 1)
+        |SELECT decile, n_d,
+        |       round(CAST(rev AS DOUBLE) / (SELECT CAST(sx AS DOUBLE) FROM t), 6)
+        |         AS rev_share,
+        |       round((2.0 * (SELECT CAST(six AS DOUBLE) FROM t)
+        |              - ((SELECT n FROM t) + 1.0)
+        |                * (SELECT CAST(sx AS DOUBLE) FROM t))
+        |             / (CAST((SELECT n FROM t) AS DOUBLE)
+        |                * (SELECT CAST(sx AS DOUBLE) FROM t)), 6) AS gini
+        |FROM d ORDER BY decile""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(15,4)").as("x"))
+      val ranked = GlobalPrefix.runningTotal(
+        o, Seq(col("x"), col("o_orderkey")), lit(1L), "rk")
+      val r = ranked.select(col("x"), col("rk").cast("decimal(19,0)").as("i"))
+      val tot = r.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six")).localCheckpoint()
+      val d = r.crossJoin(broadcast(tot))
+        .groupBy(floor((col("i").cast("double") - 1) * 10 / col("n"))
+          .cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_d"), sum("x").as("rev"))
+      val gini = (lit(2.0) * col("six").cast("double")
+        - (col("n") + lit(1.0)) * col("sx").cast("double")) /
+        (col("n").cast("double") * col("sx").cast("double"))
+      d.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_d"),
+          round(col("rev").cast("double") / col("sx").cast("double"), 6)
+            .as("rev_share"),
+          round(gini, 6).as("gini"))
+        .orderBy("decile")
     }
   )
 }

@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_tpch_q11",          // 1-row broadcast value-threshold scalar riding the plan
     "q_bootstrap_ci",      // two 1-row broadcast scalars (totals + se) riding the plan
     "q_cuped",             // 1-row broadcast pooled-moments scalar riding the plan
+    "q_calibration",       // 1-row broadcast N + ECE scalars riding the plan
+    "q_psi",               // 1-row broadcast edges/totals/psi scalars riding the plan
+    "q_lorenz_gini",       // 1-row broadcast n/Σx/Σix moments riding the plan
     "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints

@@ -82,6 +82,33 @@ object GlobalPrefix {
     rec(0)
   }
 
+  /** Unsigned lexicographic byte comparison — Spark's BinaryType
+    * ordering, and (over UTF-8 bytes) its UTF8String ordering. */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** One value pair under SPARK's ordering, not Java's: strings
+    * compare by UTF-8 bytes (UTF8String semantics — Java's UTF-16
+    * compareTo disagrees beyond the BMP: U+E000.. sorts after a
+    * surrogate-pair emoji in UTF-16 but before it in UTF-8, which
+    * would break the bucket-monotonicity invariant), binary by
+    * unsigned bytes, everything else via Comparable. */
+  private def cmpVal(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      cmpBytes(x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x: Array[Byte], y: Array[Byte]) => cmpBytes(x, y)
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
   /** Driver-side ordering matching the Spark sort order (directions +
     * default null placement) for ranking the collected sample. */
   private def rowOrdering(dirs: Seq[Boolean]): Ordering[Row] =
@@ -94,10 +121,7 @@ object GlobalPrefix {
           if (a == null && b == null) 0
           else if (a == null) { if (asc) -1 else 1 }  // asc: nulls first
           else if (b == null) { if (asc) 1 else -1 }
-          else {
-            val v = a.asInstanceOf[Comparable[Any]].compareTo(b)
-            if (asc) v else -v
-          }
+          else { val v = cmpVal(a, b); if (asc) v else -v }
         i += 1
       }
       c
@@ -138,11 +162,29 @@ object GlobalPrefix {
     // around a truncated boundary are strictly increasing, so the
     // predicate sets stay nested (P_{j+1} ⇒ P_j) and the bucket id
     // stays monotone in the sort order.
-    dd.zipWithIndex.map { case (b, i) =>
-      val sepPrev = i == 0 || dd(i - 1).head != b.head
-      val sepNext = i == dd.length - 1 || dd(i + 1).head != b.head
-      if (sepPrev && sepNext) Seq(b.head) else b
+    def truncate(ds: Vector[Seq[Any]]): Vector[Seq[Any]] =
+      ds.zipWithIndex.map { case (b, i) =>
+        val sepPrev = i == 0 || ds(i - 1).head != b.head
+        val sepNext = i == ds.length - 1 || ds(i + 1).head != b.head
+        if (sepPrev && sepNext) Seq(b.head) else b
+      }
+    // JIT-size budget: heavily-TIED primary keys defeat truncation
+    // (adjacent boundaries share heads and stay multi-column), and at
+    // a large shuffle width (e.g. the stock 200) the rebuilt chain
+    // would cross the same JIT method limit the truncation exists to
+    // avoid. Cap total comparison units at 64 by halving the boundary
+    // list until it fits — fewer, larger buckets: correctness and
+    // codegen health over parallelism (a key set tied enough to
+    // trigger this has little window parallelism to lose). Dropping
+    // boundaries keeps heads non-decreasing, so re-truncating after a
+    // halve stays sound.
+    var cur = dd
+    var out = truncate(cur)
+    while (out.map(_.length).sum > 64 && cur.length > 1) {
+      cur = cur.grouped(2).map(_.head).toVector
+      out = truncate(cur)
     }
+    out
   }
 
   /** Shared two-pass core. Parameterized by the aggregate (sum/max),
@@ -184,7 +226,12 @@ object GlobalPrefix {
 
   /** Adds `out` = running sum of `value` over the total order given by
     * `sortCols` (inclusive of the current row). `sortCols` must be a
-    * unique ordering for the result to be well-defined.
+    * unique ordering for the result to be well-defined, and `df` must
+    * be DETERMINISTIC under recomputation (every registered query is):
+    * the two consumers recompute it independently — a nondeterministic
+    * frame (unordered limit, sample) could show them different rows.
+    * The old range-exchange design froze the input with a corpus-sized
+    * localCheckpoint; determinism is the price of not materializing.
     */
   def runningTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
       out: String): DataFrame =

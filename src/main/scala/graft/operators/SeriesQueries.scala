@@ -91,16 +91,23 @@ object SeriesQueries {
             || lag("d", 1).over(w).isNull, 1).otherwise(0))
         .withColumn("isl", sum("brk").over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
+      // iv is tiny (#user-islands) and feeds BOTH the deltas and the
+      // calendar-grid bounds — checkpoint it so the corpus distinct +
+      // window pipeline runs exactly once (the "one corpus shuffle
+      // total" claim in the header, enforced)
       val iv = isl.groupBy("user_id", "isl")
         .agg(min("d").as("s"), max("d").as("e"))
+        .localCheckpoint()
       val deltas = iv
         .select(explode(array(
           struct(col("s").as("d"), lit(1L).as("x")),
           struct((col("e") + 7).as("d"), lit(-1L).as("x")))).as("z"))
         .select(col("z.d").as("d"), col("z.x").as("x"))
         .groupBy("d").agg(sum("x").as("net"))
-      // calendar grid: tiny (#days) — from a 1-row min/max aggregate
-      val grid = a.agg(min("d").as("lo"), max("d").as("hi"))
+      // calendar grid: tiny (#days) — bounds from the checkpointed
+      // islands (min start = first activity day, max e = last), not a
+      // second pass over the corpus distinct
+      val grid = iv.agg(min("s").as("lo"), max("e").as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("d"))
       grid.join(deltas, Seq("d"), "left")
         .withColumn("users",
@@ -143,10 +150,13 @@ object SeriesQueries {
         |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  ELSE NULL END AS acf
         |FROM m ORDER BY k""".stripMargin) { (s, dir) =>
+      // #days rows, consumed by both the x and the lagged-y branch —
+      // checkpoint so the corpus aggregation runs once
       val daily = t(s, dir, "orders")
         .groupBy(dayNum(col("o_orderdate")).as("d"))
         .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
           .cast("decimal(15,4)").as("rev"))
+        .localCheckpoint()
       val x = daily
         .withColumn("k", explode(sequence(lit(1L), lit(7L))))
         .select(col("k"), col("d"), col("rev").as("x"))
@@ -228,11 +238,15 @@ object SeriesQueries {
           (h32Salted(col("r"), col("event_id").cast("string")) % 1000000L
             + 0.5) / 1000000.0)
         .withColumn("w", poissonW(col("u")))
+      // 32 rows materialized once: the se aggregate AND the final
+      // projection both consume them — without the checkpoint the
+      // x32-explode corpus aggregation runs twice
       val means = rep.groupBy("r")
         .agg(sum("w").as("n_eff"),
           sum(col("w").cast("decimal(2,0)") * col("xd")).as("swx"))
         .select(col("r").cast("long").as("r"), col("n_eff"),
           (col("swx").cast("double") / col("n_eff")).as("m"))
+        .localCheckpoint()
       val se = means.agg(sum("m").as("sm"), sum(col("m") * col("m")).as("sm2"))
       val seBoot = sqrt((col("sm2") - col("sm") * col("sm") / 32.0) / 31.0)
       val pointMean = col("sx").cast("double") / col("n")
@@ -308,6 +322,9 @@ object SeriesQueries {
           sum(when(col("ts") >= cut, col("value").cast("decimal(15,4)"))
             .otherwise(zero)).cast("decimal(15,4)").as("y"))
         .withColumn("variant", h32(col("user_id").cast("string")) % 2)
+        // #users rows feeding the pooled moments AND the per-variant
+        // aggregation — one corpus pass, not two
+        .localCheckpoint()
       val wide = (c: Column) => c.cast("decimal(19,4)")
       // 1-row pooled moments: eager so the scalar rides both the theta
       // computation and the final projection without re-aggregating
@@ -402,18 +419,19 @@ object SeriesQueries {
       val sc = t(s, dir, "events")
         .select(((h32(col("event_id").cast("string")) % 1000 + 0.5) / 1000.0).as("p"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      // 10 bin rows materialized once — N, ECE, and the final output
+      // all derive from this frame; checkpointing the DERIVED scalars
+      // instead would re-run the corpus aggregation per consumer
       val b = sc.groupBy(floor(col("p") * 10).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
           sum(col("p").cast("decimal(5,4)")).cast("decimal(18,4)").as("sp"),
           sum("y").as("pos"))
-      // 1-row ECE over the 10-bin frame; eager so it rides the final
-      // projection without re-aggregating the corpus
-      val nn = b.agg(sum("n").as("nn")).localCheckpoint()
+        .localCheckpoint()
+      val nn = b.agg(sum("n").as("nn"))
       val tot = b.crossJoin(broadcast(nn))
         .agg(sum(col("n").cast("double") / col("nn")
           * abs(col("pos").cast("double") / col("n")
             - col("sp").cast("double") / col("n"))).as("ece"))
-        .localCheckpoint()
       b.crossJoin(broadcast(tot))
         .select(col("bin"), col("n"),
           round(col("sp").cast("double") / col("n"), 6).as("mean_score"),
@@ -475,18 +493,21 @@ object SeriesQueries {
       val rb = binned(ref, "ref_n")
       val cb = binned(cur, "cur_n")
       val g = edges.select(explode(sequence(lit(0L), lit(9L))).as("bin"))
+      // 10 grid rows materialized once — totals, the PSI sum, and the
+      // final select all read them; without this, each slice scan
+      // would re-run per consumer
       val j = g.join(rb, Seq("bin"), "left").join(cb, Seq("bin"), "left")
         .select(col("bin"),
           coalesce(col("ref_n"), lit(0L)).as("ref_n"),
           coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-      val tots = j.agg(sum("ref_n").as("rn"), sum("cur_n").as("cn"))
         .localCheckpoint()
+      val tots = j.agg(sum("ref_n").as("rn"), sum("cur_n").as("cn"))
       val pr = (col("ref_n") + 0.5) / (col("rn") + 5.0)
       val pc = (col("cur_n") + 0.5) / (col("cn") + 5.0)
       val terms = j.crossJoin(broadcast(tots))
         .select(col("bin"), col("ref_n"), col("cur_n"),
           ((pc - pr) * log(pc / pr)).as("term"))
-      val psi = terms.agg(sum("term").as("psi")).localCheckpoint()
+      val psi = terms.agg(sum("term").as("psi"))
       terms.crossJoin(broadcast(psi))
         .select(col("bin"), col("ref_n"), col("cur_n"),
           round(col("term"), 6).as("psi_term"), round(col("psi"), 6).as("psi"))

@@ -83,10 +83,10 @@ object DriftStream {
               m.updated(e.typ, m.getOrElse(e.typ, 0L) + 1L)
             }
             state.update(WindowState(merged))
-            // fire when the watermark passes window end (the timeout
-            // timestamp must stay ahead of the current watermark)
-            state.setTimeoutTimestamp(
-              math.max(endMs, state.getCurrentWatermarkMs() + 1))
+            // fire when the watermark passes window end (this branch
+            // is only reachable with endMs > current watermark, so the
+            // timestamp is always legally ahead of it)
+            state.setTimeoutTimestamp(endMs)
             Iterator.empty
           }
       }

@@ -103,6 +103,51 @@ class GlobalPrefixSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("string keys beyond the BMP bucket by Spark's UTF-8 order, not Java's UTF-16") {
+    // U+E000 (private use, 3-byte UTF-8 EE 80 80) vs U+1F600 (emoji,
+    // 4-byte F0 9F 98 80): Java's UTF-16 compareTo puts E000 AFTER the
+    // surrogate pair, Spark's UTF8String comparison puts it BEFORE —
+    // a driver-side sample sorted with Java ordering would pick
+    // boundaries that are DECREASING under Spark's order and silently
+    // mis-rank every row between them.
+    val df = (1 to 600).map { i =>
+      val k = (i % 3) match {
+        case 0 => s"_${"%04d".format(i)}"
+        case 1 => s"😀_${"%04d".format(i)}" // 😀
+        case _ => s"a_${"%04d".format(i)}"
+      }
+      (k, 1L)
+    }.toDF("k", "v")
+    val got = GlobalPrefix.runningTotal(df, Seq(col("k")), col("v"), "rk")
+      .select("k", "rk").as[(String, Long)].collect().sortBy(_._1)
+    val want = df.withColumn("rk",
+        sum(col("v")).over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "rk").as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("wide shuffle width with heavy ties stays correct under the chain-size budget") {
+    // At shuffle.partitions=200 with a 7-value primary key, untruncated
+    // boundaries would rebuild the over-JIT-limit comparison chain; the
+    // budget halves the boundary list instead. Correctness must be
+    // unaffected (fewer, larger buckets only).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "200")
+      val df = (1 to 3000).map(i => (i % 7L, i.toLong, (i % 11).toLong))
+        .toDF("g", "id", "v")
+      val order = Seq(col("g"), col("id"))
+      val got = GlobalPrefix.runningTotal(df, order, col("v"), "cum")
+        .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+      val want = df.withColumn("cum",
+          sum(col("v")).over(Window.orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("non-default null ordering is rejected, not silently mis-bucketed") {
     val df = Seq((1L, 1L)).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {

@@ -103,6 +103,30 @@ object DedupClusterQueries {
       componentLabels(s, dir).orderBy("doc_id")
     },
 
+    // ---- dedup-cluster size distribution ----
+    // The dedup AUDIT readout: how many near-dup groups exist at each
+    // size, and how much of the pair-graph mass sits in the largest
+    // ones? A sudden fat tail here is the canary for an LSH banding
+    // misconfiguration (band collisions gluing unrelated docs) or a
+    // template-heavy crawl — operators watch this distribution before
+    // trusting a dedup run. Everything after componentLabels runs on
+    // the tiny (#docs-in-graph) label frame: two nested aggregations.
+    sql(
+      "q_dedup_cluster_stats",
+      s"""WITH RECURSIVE
+         |$componentsSqlCtes,
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+         |SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sz * count(*) AS BIGINT) AS docs
+         |FROM sizes GROUP BY sz ORDER BY size""".stripMargin) { (s, dir) =>
+      componentLabels(s, dir)
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_groups"))
+        .select(col("size"), col("n_groups"),
+          (col("size") * col("n_groups")).as("docs"))
+        .orderBy("size")
+    },
+
     // ---- leakage-safe train/val/test split: bucket by DEDUP GROUP,
     //      not by doc ----
     // A per-doc hash split (q_split_assign) leaks: near-duplicate

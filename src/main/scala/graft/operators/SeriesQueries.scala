@@ -61,6 +61,45 @@ object SeriesQueries {
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
       .mkString("CASE ", " ", " ELSE 8 END")
 
+  /** Exact trailing-7-day distinct users per calendar day via the
+    * interval-coverage rewrite (one corpus shuffle — see
+    * q_sliding_distinct's scaladoc; shared with the sketch twin's
+    * verification path). Returns (d, users). */
+  private def slidingDistinctExact(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = ev.select(col("user_id"), dayNum(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    // new coverage island when the gap from the previous activity
+    // day exceeds the window length (prev interval ends at prev+6)
+    val isl = a
+      .withColumn("brk",
+        when(col("d") - lag("d", 1).over(w) > 6
+          || lag("d", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    // iv is tiny (#user-islands) and feeds BOTH the deltas and the
+    // calendar-grid bounds — checkpoint it so the corpus distinct +
+    // window pipeline runs exactly once
+    val iv = isl.groupBy("user_id", "isl")
+      .agg(min("d").as("s"), max("d").as("e"))
+      .localCheckpoint()
+    val deltas = iv
+      .select(explode(array(
+        struct(col("s").as("d"), lit(1L).as("x")),
+        struct((col("e") + 7).as("d"), lit(-1L).as("x")))).as("z"))
+      .select(col("z.d").as("d"), col("z.x").as("x"))
+      .groupBy("d").agg(sum("x").as("net"))
+    // calendar grid: tiny (#days) — bounds from the checkpointed islands
+    val grid = iv.agg(min("s").as("lo"), max("e").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    grid.join(deltas, Seq("d"), "left")
+      .withColumn("users",
+        sum(coalesce(col("net"), lit(0L))).over(
+          // the one intentionally tiny global window (#days rows)
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("d"), col("users"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- trailing 7-day distinct users per day (rolling MAU shape) ----
@@ -79,42 +118,42 @@ object SeriesQueries {
         |SELECT g.d AS d, count(DISTINCT a.user_id) AS users
         |FROM g LEFT JOIN a ON a.d BETWEEN g.d - 6 AND g.d
         |GROUP BY g.d ORDER BY d""".stripMargin) { (s, dir) =>
-      val a = t(s, dir, "events")
+      slidingDistinctExact(t(s, dir, "events")).orderBy("d")
+    },
+
+    // ---- sketch twin: trailing distinct via mergeable per-day HLLs ----
+    // The 100-TB rolling-MAU form: the exact interval rewrite still
+    // carries per-user state; the sketch form collapses the corpus to
+    // ONE HLL per day (mergeable, partial-agg friendly), then each
+    // trailing window is a union of 7 tiny sketches — recomputable for
+    // any window length from the same daily sketches, which is why
+    // production metric stores materialize exactly this. Oracle gate =
+    // the q_approx_distinct pattern: exact counts hash-matched, the
+    // sketch estimate value-bounded by an est_ok flag the oracle pins
+    // TRUE (3σ of HLL lgK=12 RSE, floored at 5 for tiny counts).
+    sql(
+      "q_sliding_distinct_approx",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |g AS (SELECT unnest(generate_series((SELECT min(d) FROM a),
+        |                                    (SELECT max(d) FROM a))) AS d)
+        |SELECT g.d AS d, count(DISTINCT a.user_id) AS users, TRUE AS est_ok
+        |FROM g LEFT JOIN a ON a.d BETWEEN g.d - 6 AND g.d
+        |GROUP BY g.d ORDER BY d""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val daily = ev
         .select(col("user_id"), dayNum(col("ts")).as("d"))
-        .distinct()
-      val w = Window.partitionBy("user_id").orderBy("d")
-      // new coverage island when the gap from the previous activity
-      // day exceeds the window length (prev interval ends at prev+6)
-      val isl = a
-        .withColumn("brk",
-          when(col("d") - lag("d", 1).over(w) > 6
-            || lag("d", 1).over(w).isNull, 1).otherwise(0))
-        .withColumn("isl", sum("brk").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-      // iv is tiny (#user-islands) and feeds BOTH the deltas and the
-      // calendar-grid bounds — checkpoint it so the corpus distinct +
-      // window pipeline runs exactly once (the "one corpus shuffle
-      // total" claim in the header, enforced)
-      val iv = isl.groupBy("user_id", "isl")
-        .agg(min("d").as("s"), max("d").as("e"))
-        .localCheckpoint()
-      val deltas = iv
-        .select(explode(array(
-          struct(col("s").as("d"), lit(1L).as("x")),
-          struct((col("e") + 7).as("d"), lit(-1L).as("x")))).as("z"))
-        .select(col("z.d").as("d"), col("z.x").as("x"))
-        .groupBy("d").agg(sum("x").as("net"))
-      // calendar grid: tiny (#days) — bounds from the checkpointed
-      // islands (min start = first activity day, max e = last), not a
-      // second pass over the corpus distinct
-      val grid = iv.agg(min("s").as("lo"), max("e").as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
-      grid.join(deltas, Seq("d"), "left")
-        .withColumn("users",
-          sum(coalesce(col("net"), lit(0L))).over(
-            // the one intentionally tiny global window (#days rows)
-            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
-        .select(col("d"), col("users"))
+        .groupBy("d").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daily
+        .withColumn("td", explode(sequence(col("d"), col("d") + 6)))
+        .groupBy("td")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      slidingDistinctExact(ev)
+        .join(est, col("d") === col("td")) // inner: est covers [lo, hi+6]
+        .select(col("d"), col("users"),
+          (abs(col("est") - col("users")) <=
+            greatest(lit(5.0), lit(3 * 0.0163) * col("users"))).as("est_ok"))
         .orderBy("d")
     },
 
@@ -385,6 +424,39 @@ object SeriesQueries {
             .cast("double") / (col("na") + col("nb")), 6).as("chi2"),
           (((col("na") - col("nb")) * (col("na") - col("nb")))
             .cast("double") / (col("na") + col("nb")) > 3.841).as("srm"))
+    },
+
+    // ---- join-key skew audit ----
+    // The pre-join hygiene check at scale: per-key fanout quantiles of
+    // the fact table's join key. A max/p50 ratio in the hundreds means
+    // the plain shuffle join will straggle on one task — the signal to
+    // reach for the salted join (q_join_salted) or AQE skew split.
+    // Corpus collapses to one row per key in a single partial-agg
+    // shuffle; the quantile pass runs on the collapsed frame (exact
+    // interpolated percentiles — the q_psi parity).
+    sql(
+      "q_skew_audit",
+      """WITH k AS (SELECT l_orderkey, count(*) AS c
+        |          FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(max(c) AS BIGINT) AS max_fan,
+        |       round(quantile_cont(c, 0.5), 4) AS p50,
+        |       round(quantile_cont(c, 0.9), 4) AS p90,
+        |       round(quantile_cont(c, 0.99), 4) AS p99,
+        |       round(CAST(max(c) AS DOUBLE) / quantile_cont(c, 0.5), 4) AS skew_ratio
+        |FROM k""".stripMargin) { (s, dir) =>
+      val k = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      k.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_fan"),
+          expr("percentile(c, 0.5)").as("q50"),
+          expr("percentile(c, 0.9)").as("q90"),
+          expr("percentile(c, 0.99)").as("q99"))
+        .select(col("n_keys"), col("n_rows"), col("max_fan"),
+          round(col("q50"), 4).as("p50"), round(col("q90"), 4).as("p90"),
+          round(col("q99"), 4).as("p99"),
+          round(col("max_fan").cast("double") / col("q50"), 4).as("skew_ratio"))
     },
 
     // ---- calibration curve + expected calibration error ----

@@ -36,6 +36,32 @@ object GraphQueries {
        |      LEFT JOIN r${k - 1} rp ON rp.node = en.src
        |      GROUP BY u.node)""".stripMargin
 
+  /** Shared damped-PageRank iteration: K rounds of join+aggregate on
+    * node id over normalized edge probabilities `en(src,dst,p)`, rank
+    * floor 0.15/nn from the 1-row broadcast `n(nn)`. Rounds 1..K-1
+    * localCheckpoint (iterative lineage — NOTES pitfalls); the LAST
+    * round stays un-checkpointed so the returned plan exposes one full
+    * iteration body to PlanAuditSpec. */
+  private def pagerankIterate(en: DataFrame, nodes: DataFrame,
+      n: DataFrame, rounds: Int): DataFrame = {
+    var pr: DataFrame = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
+    for (iter <- 1 to rounds) {
+      val contrib = en
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("pr")).as("in_mass"))
+      pr = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          (lit(0.15) / col("nn")
+            + lit(0.85) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+      if (iter < rounds) pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     sql(
@@ -88,26 +114,68 @@ object GraphQueries {
       val n = nation.agg((count(lit(1)) * 1.0).as("nn"))
       val nodes = nation.select(col("n_nationkey").as("node"))
 
-      var pr: DataFrame = nodes.crossJoin(broadcast(n))
-        .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
-      for (iter <- 1 to 5) {
-        val contrib = en
-          .join(pr.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("p") * col("pr")).as("in_mass"))
-        pr = nodes
-          .join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(n))
-          .select(col("node"),
-            (lit(0.15) / col("nn")
-              + lit(0.85) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        // The LAST round stays un-checkpointed so the returned plan
-        // exposes one full iteration body (join + agg + broadcast nn)
-        // to PlanAuditSpec — a checkpointed final frame would reduce
-        // the audited plan to a bare RDD scan.
-        if (iter < 5) pr = pr.localCheckpoint()
-      }
-      pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+      pagerankIterate(en, nodes, n, rounds = 5)
+        .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    },
+
+    // ---- TextRank keyword extraction ----
+    // Mihalcea & Tarau 2004: rank words by damped PageRank over the
+    // word co-occurrence graph — the unsupervised keyword extractor.
+    // Same iteration core as q_pagerank (shared pagerankIterate), but
+    // the graph is the top-50-df co-occurrence graph with edge weight
+    // = co-occurrence count, symmetrized (TextRank's graph is
+    // undirected: each edge contributes both directions before the
+    // out-weight normalization). The corpus collapses to ≤V(V−1)/2
+    // weighted pairs first; every iteration runs on the tiny graph.
+    // A vocab word with no co-occurrence edges keeps the damping
+    // floor 0.15/|V| (the left-join coalesce), matching the oracle.
+    sql(
+      "q_textrank",
+      s"""WITH ex AS (SELECT DISTINCT doc_id, word FROM
+         |            (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |             FROM documents)),
+         |dfq AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+         |voc AS (SELECT word, c FROM dfq ORDER BY c DESC, word LIMIT 50),
+         |ev AS (SELECT ex.doc_id, ex.word FROM ex
+         |       JOIN voc ON ex.word = voc.word),
+         |pairs AS (SELECT a.word AS wa, b.word AS wb, count(*) AS cab
+         |          FROM ev a JOIN ev b
+         |            ON a.doc_id = b.doc_id AND a.word < b.word
+         |          GROUP BY a.word, b.word),
+         |e AS (SELECT wa AS src, wb AS dst, CAST(cab AS DOUBLE) AS w FROM pairs
+         |      UNION ALL SELECT wb, wa, CAST(cab AS DOUBLE) FROM pairs),
+         |outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY src),
+         |en AS (SELECT e.src, e.dst, e.w / o.tw AS p
+         |       FROM e JOIN outw o ON e.src = o.src),
+         |n AS (SELECT count(*) * 1.0 AS nn FROM voc),
+         |r0 AS (SELECT word AS node, 1.0 / (SELECT nn FROM n) AS pr FROM voc),
+         |${(1 to 5).map(oracleIter).mkString(",\n")}
+         |SELECT node AS word, round(pr, 6) AS rank
+         |FROM r5 ORDER BY rank DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .distinct()
+      val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
+      val voc = dfq.orderBy(desc("c"), col("word")).limit(50)
+        .localCheckpoint() // feeds ev join, node list, AND the 1-row count
+      val ev = ex.join(broadcast(voc.select("word")), "word")
+      val a = ev.select(col("doc_id"), col("word").as("wa"))
+      val b = ev.select(col("doc_id").as("doc_b"), col("word").as("wb"))
+      val pairs = a
+        .join(b, col("doc_id") === col("doc_b") && col("wa") < col("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).cast("double").as("w"))
+      val e = pairs.select(col("wa").as("src"), col("wb").as("dst"), col("w"))
+        .unionByName(pairs.select(col("wb").as("src"), col("wa").as("dst"), col("w")))
+      val outw = e.groupBy("src").agg(sum("w").as("tw"))
+      val en = e.join(outw, "src")
+        .select(col("src"), col("dst"), (col("w") / col("tw")).as("p"))
+        .localCheckpoint()
+      val n = voc.agg((count(lit(1)) * 1.0).as("nn"))
+      val nodes = voc.select(col("word").as("node"))
+      pagerankIterate(en, nodes, n, rounds = 5)
+        .select(col("node").as("word"), round(col("pr"), 6).as("rank"))
+        .orderBy(desc("rank"), col("word")).limit(20)
     },
 
     // ---- triangle counting with degree-ordered orientation ----

@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_psi",               // 1-row broadcast edges/totals/psi scalars riding the plan
     "q_lorenz_gini",       // 1-row broadcast n/Σx/Σix moments riding the plan
     "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
+    "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

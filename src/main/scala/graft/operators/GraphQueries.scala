@@ -62,6 +62,48 @@ object GraphQueries {
     pr
   }
 
+  /** Shared corpus collapse for the word-association queries
+    * (q_textrank, q_graph_triangles): distinct (doc, word) presence,
+    * the top-50-df vocabulary (checkpointed — it feeds the presence
+    * join plus the node list and 1-row counts), and the co-occurrence
+    * pair counts with both endpoints' document frequencies. One
+    * derivation, so tokenization / vocab tie-breaks / the doc-keyed
+    * self-join can never drift between the twin graph queries. */
+  private def cooccurParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.TextFunctions.tokens
+    val ex = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .distinct()
+    val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
+    val voc = dfq.orderBy(desc("c"), col("word")).limit(50).localCheckpoint()
+    val ev = ex.join(broadcast(voc), "word")
+    val a = ev.select(col("doc_id"), col("word").as("wa"), col("c").as("ca"))
+    val b = ev.select(col("doc_id").as("doc_b"), col("word").as("wb"),
+      col("c").as("cb"))
+    val pairs = a
+      .join(b, col("doc_id") === col("doc_b") && col("wa") < col("wb"))
+      .groupBy("wa", "wb")
+      .agg(max("ca").as("ca"), max("cb").as("cb"), count(lit(1)).as("cab"))
+    (ex, voc, pairs)
+  }
+
+  /** The matching oracle CTE text (ex/dfq/voc/ev/pairs) — shared
+    * verbatim by both graph oracles. */
+  private val cooccurSqlCtes =
+    """ex AS (SELECT DISTINCT doc_id, word FROM
+      |            (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |             FROM documents)),
+      |dfq AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+      |voc AS (SELECT word, c FROM dfq ORDER BY c DESC, word LIMIT 50),
+      |ev AS (SELECT ex.doc_id, ex.word, voc.c FROM ex
+      |       JOIN voc ON ex.word = voc.word),
+      |pairs AS (SELECT a.word AS wa, b.word AS wb,
+      |                 max(a.c) AS ca, max(b.c) AS cb, count(*) AS cab
+      |          FROM ev a JOIN ev b
+      |            ON a.doc_id = b.doc_id AND a.word < b.word
+      |          GROUP BY a.word, b.word)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     sql(
@@ -131,17 +173,7 @@ object GraphQueries {
     // floor 0.15/|V| (the left-join coalesce), matching the oracle.
     sql(
       "q_textrank",
-      s"""WITH ex AS (SELECT DISTINCT doc_id, word FROM
-         |            (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |             FROM documents)),
-         |dfq AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
-         |voc AS (SELECT word, c FROM dfq ORDER BY c DESC, word LIMIT 50),
-         |ev AS (SELECT ex.doc_id, ex.word FROM ex
-         |       JOIN voc ON ex.word = voc.word),
-         |pairs AS (SELECT a.word AS wa, b.word AS wb, count(*) AS cab
-         |          FROM ev a JOIN ev b
-         |            ON a.doc_id = b.doc_id AND a.word < b.word
-         |          GROUP BY a.word, b.word),
+      s"""WITH $cooccurSqlCtes,
          |e AS (SELECT wa AS src, wb AS dst, CAST(cab AS DOUBLE) AS w FROM pairs
          |      UNION ALL SELECT wb, wa, CAST(cab AS DOUBLE) FROM pairs),
          |outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY src),
@@ -152,21 +184,10 @@ object GraphQueries {
          |${(1 to 5).map(oracleIter).mkString(",\n")}
          |SELECT node AS word, round(pr, 6) AS rank
          |FROM r5 ORDER BY rank DESC, word LIMIT 20""".stripMargin) { (s, dir) =>
-      import graft.functions.TextFunctions.tokens
-      val ex = t(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .distinct()
-      val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
-      val voc = dfq.orderBy(desc("c"), col("word")).limit(50)
-        .localCheckpoint() // feeds ev join, node list, AND the 1-row count
-      val ev = ex.join(broadcast(voc.select("word")), "word")
-      val a = ev.select(col("doc_id"), col("word").as("wa"))
-      val b = ev.select(col("doc_id").as("doc_b"), col("word").as("wb"))
-      val pairs = a
-        .join(b, col("doc_id") === col("doc_b") && col("wa") < col("wb"))
-        .groupBy("wa", "wb").agg(count(lit(1)).cast("double").as("w"))
-      val e = pairs.select(col("wa").as("src"), col("wb").as("dst"), col("w"))
-        .unionByName(pairs.select(col("wb").as("src"), col("wa").as("dst"), col("w")))
+      val (_, voc, pairs) = cooccurParts(s, dir)
+      val pw = pairs.select(col("wa"), col("wb"), col("cab").cast("double").as("w"))
+      val e = pw.select(col("wa").as("src"), col("wb").as("dst"), col("w"))
+        .unionByName(pw.select(col("wb").as("src"), col("wa").as("dst"), col("w")))
       val outw = e.groupBy("src").agg(sum("w").as("tw"))
       val en = e.join(outw, "src")
         .select(col("src"), col("dst"), (col("w") / col("tw")).as("p"))
@@ -197,19 +218,8 @@ object GraphQueries {
     // corpus.
     sql(
       "q_graph_triangles",
-      """WITH ex AS (SELECT DISTINCT doc_id, word FROM
-        |            (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |             FROM documents)),
-        |dfq AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
-        |voc AS (SELECT word, c FROM dfq ORDER BY c DESC, word LIMIT 50),
+      s"""WITH $cooccurSqlCtes,
         |n AS (SELECT count(DISTINCT doc_id) AS nd FROM ex),
-        |ev AS (SELECT ex.doc_id, ex.word, voc.c FROM ex
-        |       JOIN voc ON ex.word = voc.word),
-        |pairs AS (SELECT a.word AS wa, b.word AS wb,
-        |                 max(a.c) AS ca, max(b.c) AS cb, count(*) AS cab
-        |          FROM ev a JOIN ev b
-        |            ON a.doc_id = b.doc_id AND a.word < b.word
-        |          GROUP BY a.word, b.word),
         |e AS (SELECT wa, wb FROM pairs, n WHERE cab * nd > ca * cb),
         |deg AS (SELECT w, count(*) AS dg FROM
         |        (SELECT wa AS w FROM e UNION ALL SELECT wb AS w FROM e)
@@ -229,21 +239,8 @@ object GraphQueries {
         |  (SELECT a AS word FROM tri UNION ALL SELECT b FROM tri
         |   UNION ALL SELECT c FROM tri)
         |GROUP BY word ORDER BY tri DESC, word""".stripMargin) { (s, dir) =>
-      import graft.functions.TextFunctions.tokens
-      val ex = t(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .distinct()
-      val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
-      val voc = dfq.orderBy(desc("c"), col("word")).limit(50)
+      val (ex, _, pairs) = cooccurParts(s, dir)
       val nd = ex.agg(countDistinct(col("doc_id")).as("nd"))
-      val ev = ex.join(broadcast(voc), "word")
-      val a = ev.select(col("doc_id"), col("word").as("wa"), col("c").as("ca"))
-      val b = ev.select(col("doc_id").as("doc_b"), col("word").as("wb"),
-        col("c").as("cb"))
-      val pairs = a
-        .join(b, col("doc_id") === col("doc_b") && col("wa") < col("wb"))
-        .groupBy("wa", "wb")
-        .agg(max("ca").as("ca"), max("cb").as("cb"), count(lit(1)).as("cab"))
       // association edge: integer lift test, no floating point
       val e = pairs.crossJoin(broadcast(nd))
         .where(col("cab") * col("nd") > col("ca") * col("cb"))

@@ -149,10 +149,14 @@ object SeriesQueries {
         .withColumn("td", explode(sequence(col("d"), col("d") + 6)))
         .groupBy("td")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      // LEFT join: a calendar day whose whole trailing window is
+      // activity-free has NO daily sketches to union (est row absent)
+      // but must still report users=0 — an inner join would silently
+      // drop zero days on gapped data (review find, r7)
       slidingDistinctExact(ev)
-        .join(est, col("d") === col("td")) // inner: est covers [lo, hi+6]
+        .join(est, col("d") === col("td"), "left")
         .select(col("d"), col("users"),
-          (abs(col("est") - col("users")) <=
+          (abs(coalesce(col("est"), lit(0.0)) - col("users")) <=
             greatest(lit(5.0), lit(3 * 0.0163) * col("users"))).as("est_ok"))
         .orderBy("d")
     },

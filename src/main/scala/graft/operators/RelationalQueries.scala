@@ -336,6 +336,66 @@ object RelationalQueries {
             .when(col("u_id").isNull, lit("keep"))
             .otherwise(lit("update")).as("action"))
         .orderBy("doc_id")
+    },
+
+    // ---- bloom-filter pre-filtered join ----
+    // THE shuffle-reduction pattern when the selective side is too big
+    // to broadcast but still filters most of the fact: aggregate a
+    // bloom filter over the build side's join keys (a few MB at any
+    // row count), broadcast the 1-row filter, and drop non-matching
+    // fact rows BEFORE the shuffle. False positives survive the
+    // pre-filter but the real equi-join removes them, so the result is
+    // value-IDENTICAL to the plain join — which is exactly what the
+    // oracle checks (its SQL is the plain join; the bloom is invisible
+    // to semantics). Spark's own InjectRuntimeFilter does this
+    // opportunistically; this operator is the explicit form for when
+    // the planner can't see the selectivity (e.g. the build side is a
+    // separately-produced key list). Uses the same internal
+    // BloomFilterAggregate/BloomFilterMightContain expressions the
+    // runtime filter uses, composed via the Bridge — hashed through
+    // xxhash64 like the planner's own filters.
+    sql(
+      "q_join_bloom",
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.graftbridge.Bridge
+      val sel = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      // ~1/5 of orders: plausibly past the broadcast threshold at real
+      // scale, selective enough that the pre-filter pays for itself
+      val bfAgg = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("o_orderkey"))),
+        Literal(1000000L), Literal(8388608L)).toAggregateExpression())
+      // might_contain requires its filter to be a CONSTANT (or scalar
+      // subquery) — collect the 1-row ~1 MB filter and embed it as a
+      // literal, the broadcast-variable pattern (bounded by numBits,
+      // never by build-side row count; the sanctioned bounded collect)
+      val bfBytes = sel.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val probed = li
+        .where(Bridge.column(BloomFilterMightContain(
+          Bridge.expression(lit(bfBytes)),
+          Bridge.expression(xxhash64(col("l_orderkey"))))))
+      probed.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(count(lit(1)).as("n_lines"),
+          // round the exact DECIMAL sum, then cast (the q_tpch_q1
+          // idiom): rounding a DOUBLE sum flips on half-cent-boundary
+          // groups — this query's group set hits one at BOTH SFs
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+        .orderBy("l_orderkey")
     }
   )
 }

@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TpchQueries.defs ++
       operators.GraphQueries.defs ++
       operators.SeriesQueries.defs ++
+      operators.AuditQueries.defs ++
       llm.DedupQueries.defs ++
       llm.DedupClusterQueries.defs ++
       llm.SimilarityQueries.defs ++

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Data-quality / privacy audit operators — the release gates a
+  * training-data platform runs before a corpus (or an aggregate
+  * readout over it) leaves the pipeline:
+  *
+  *  - Benford first-digit conformance: fabricated or clipped numeric
+  *    columns drift from the log-curve; one corpus aggregation to 9
+  *    rows, chi-squared against pinned expected frequencies.
+  *  - k-anonymity: quasi-identifier group-size distribution plus the
+  *    suppression rate at k=5 — the re-identification risk screen.
+  *    One hash-partitioned groupBy; everything after runs on the
+  *    #groups frame.
+  *  - ε-differentially-private counts: Laplace(Δf/ε) noise on released
+  *    aggregates via the inverse-CDF transform. The uniform is a
+  *    deterministic md5 draw (the repo's seeded-randomness convention,
+  *    cf. q_weighted_sample/q_bootstrap_ci) so the release is
+  *    reproducible AND cross-engine checkable; a production deployment
+  *    would swap the salt for a secret per-release nonce — the plan
+  *    shape (pure projection over the aggregate) is identical.
+  *
+  * All three collapse the corpus in ONE partial-agg shuffle and do
+  * their statistics on bounded frames — nothing here grows with rows
+  * at 100 TB except the first aggregation.
+  */
+object AuditQueries {
+
+  import QueryDef.sql
+  import graft.functions.TextFunctions.h32
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Benford expected first-digit probabilities log10(1+1/d), d=1..9,
+    * pinned as literals so neither engine's log10 is in the loop. */
+  private val BenfordP = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  private val benfordCaseSql: String =
+    BenfordP.zipWithIndex
+      .map { case (p, i) => s"WHEN g.d = ${i + 1} THEN $p" }
+      .mkString("CASE ", " ", " END")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Benford first-digit audit of order totals ----
+    // First significant digit via DECIMAL→string (deterministic
+    // rendering on both engines — no log10 boundary exposure at exact
+    // powers of ten). Per-digit chi² terms are scalar doubles from
+    // exact integers; the total accumulates in DECIMAL(38,18) so the
+    // merge order can't move the rounded statistic (the
+    // q_chi2_independence idiom).
+    sql(
+      "q_benford",
+      s"""WITH dg AS (SELECT CAST(regexp_extract(
+         |      CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+         |      '([1-9])', 1) AS BIGINT) AS d
+         |  FROM orders WHERE o_totalprice > 0),
+         |o AS (SELECT d, CAST(count(*) AS BIGINT) AS obs FROM dg GROUP BY d),
+         |g AS (SELECT unnest(generate_series(1, 9)) AS d),
+         |j AS (SELECT g.d AS d, CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+         |             CAST($benfordCaseSql AS DOUBLE) AS p
+         |      FROM g LEFT JOIN o ON o.d = g.d),
+         |n0 AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM j),
+         |terms AS (SELECT d, obs, p, (SELECT n FROM n0) * p AS exp_n,
+         |    (obs - (SELECT n FROM n0) * p) * (obs - (SELECT n FROM n0) * p)
+         |      / ((SELECT n FROM n0) * p) AS term
+         |  FROM j),
+         |tot AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS chi2
+         |        FROM terms)
+         |SELECT d AS digit, obs, round(exp_n, 4) AS exp_n,
+         |       round(term, 6) AS chi2_term,
+         |       round((SELECT chi2 FROM tot), 6) AS chi2
+         |FROM terms ORDER BY digit""".stripMargin) { (s, dir) =>
+      val dg = t(s, dir, "orders")
+        .where(col("o_totalprice") > 0)
+        .select(regexp_extract(
+          col("o_totalprice").cast("decimal(15,2)").cast("string"),
+          "([1-9])", 1).cast("long").as("d"))
+      val o = dg.groupBy("d").agg(count(lit(1)).as("obs"))
+      // dense 1..9 grid: a digit with zero observations must still
+      // contribute its full expected count to the statistic
+      val g = o.sparkSession.range(1, 10).select(col("id").as("d"))
+      val p = BenfordP.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (els, (pd, i)) => when(col("d") === (i + 1), pd).otherwise(els)
+      }
+      // 9 rows materialized once — N, the chi² total, and the final
+      // projection all read this frame
+      val j = g.join(o, Seq("d"), "left")
+        .select(col("d"), coalesce(col("obs"), lit(0L)).as("obs"), p.as("p"))
+        .localCheckpoint()
+      val n0 = j.agg(sum("obs").as("n"))
+      val terms = j.crossJoin(broadcast(n0))
+        .withColumn("exp_n", col("n") * col("p"))
+        .withColumn("term",
+          (col("obs") - col("exp_n")) * (col("obs") - col("exp_n")) / col("exp_n"))
+      val tot = terms.agg(
+        sum(col("term").cast("decimal(38,18)")).cast("double").as("chi2"))
+      terms.crossJoin(broadcast(tot))
+        .select(col("d").as("digit"), col("obs"),
+          round(col("exp_n"), 4).as("exp_n"),
+          round(col("term"), 6).as("chi2_term"),
+          round(col("chi2"), 6).as("chi2"))
+        .orderBy("digit")
+    },
+
+    // ---- k-anonymity audit over customer quasi-identifiers ----
+    // QID = (nation, market segment, account-balance band): the
+    // group-size histogram plus the k=5 suppression rate — how many
+    // rows sit in groups small enough to re-identify. The corpus
+    // collapses to #QID-groups in one shuffle; the histogram and
+    // totals run on that frame.
+    sql(
+      "q_kanonymity",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |                  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+        |                  CAST(count(*) AS BIGINT) AS k
+        |           FROM customer GROUP BY 1, 2, 3),
+        |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+        |             CAST(sum(k) AS BIGINT) AS n_rows
+        |      FROM g GROUP BY k),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nr,
+        |               CAST(sum(CASE WHEN k < 5 THEN n_rows ELSE 0 END) AS BIGINT) AS rr
+        |        FROM h)
+        |SELECT k, n_groups, n_rows, k < 5 AS risky,
+        |       round(CAST((SELECT rr FROM tot) AS DOUBLE)
+        |             / (SELECT nr FROM tot), 6) AS suppression_rate
+        |FROM h ORDER BY k""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("k"))
+      // #distinct-group-sizes rows (tiny) feeding totals + output
+      val h = g.groupBy("k")
+        .agg(count(lit(1)).as("n_groups"), sum("k").as("n_rows"))
+        .localCheckpoint()
+      val tot = h.agg(sum("n_rows").as("nr"),
+        sum(when(col("k") < 5, col("n_rows")).otherwise(0L)).as("rr"))
+      h.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_groups"), col("n_rows"),
+          (col("k") < 5).as("risky"),
+          round(col("rr").cast("double") / col("nr"), 6).as("suppression_rate"))
+        .orderBy("k")
+    },
+
+    // ---- ε-DP released counts (Laplace mechanism) ----
+    // Count queries have sensitivity Δf = 1; ε = 0.5 ⇒ scale b = 2.
+    // Inverse-CDF Laplace from a (0,1) uniform:
+    // noise = −b·sign(u−½)·ln(1−2|u−½|). The uniform is an md5 draw
+    // keyed on the released cell (deterministic, cross-engine) — the
+    // +0.5/10⁶ offset keeps u strictly inside (0,1) so the log never
+    // sees 0.
+    sql(
+      "q_dp_noise",
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |u AS (SELECT event_type, cnt,
+        |        (('0x' || substr(md5(event_type || ':dp'), 1, 8))::BIGINT
+        |           % 1000000 + 0.5) / 1000000.0 AS u
+        |      FROM c)
+        |SELECT event_type,
+        |  round(cnt + -2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4)
+        |    AS noisy_count,
+        |  CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM u ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val u = ((h32(concat(col("event_type"), lit(":dp"))) % 1000000L + 0.5)
+        / 1000000.0)
+      c.withColumn("u", u)
+        .select(col("event_type"),
+          round(col("cnt") + lit(-2.0) * signum(col("u") - 0.5)
+            * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 4)
+            .as("noisy_count"),
+          lit(0.5).as("epsilon"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -642,6 +642,200 @@ object SeriesQueries {
             .as("rev_share"),
           round(gini, 6).as("gini"))
         .orderBy("decile")
+    },
+
+    // ---- CUSUM changepoint detection over daily revenue ----
+    // Page's CUSUM: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)), mirrored
+    // for S⁻, alarm when either exceeds h = 4σ (k = σ/2, the standard
+    // tuning). The max(0,·) recurrence is NOT a plain running sum, but
+    // it unrolls exactly: S⁺_t = C_t − min(0, min_{j≤t} C_j) with
+    // C = cumsum(x − μ − k) — two ordered windows over the collapsed
+    // #days frame, no sequential fold. Running doubles accumulate in
+    // frame order (ORDER BY-defined) so both engines walk the same
+    // sequence; μ/σ come from DECIMAL moments (merge-order-exact).
+    sql(
+      "q_changepoint_cusum",
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS sx,
+        |             sum(rev * CAST(rev AS DECIMAL(19,4))) AS sx2 FROM daily),
+        |s AS (SELECT CAST(sx AS DOUBLE) / n AS mu,
+        |             sqrt((n * CAST(sx2 AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) * (n - 1))) AS sigma FROM m),
+        |c AS (SELECT d, CAST(rev AS DOUBLE) AS x,
+        |        sum(CAST(rev AS DOUBLE) - (SELECT mu FROM s)
+        |            - 0.5 * (SELECT sigma FROM s))
+        |          OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cp,
+        |        sum((SELECT mu FROM s) - 0.5 * (SELECT sigma FROM s)
+        |            - CAST(rev AS DOUBLE))
+        |          OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cm
+        |      FROM daily),
+        |r AS (SELECT d, x,
+        |        cp - least(0, min(cp) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)) AS sp,
+        |        cm - least(0, min(cm) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)) AS sm
+        |      FROM c)
+        |SELECT d, round(x, 2) AS rev, round(sp, 6) AS cusum_pos,
+        |       round(sm, 6) AS cusum_neg,
+        |       sp > 4 * (SELECT sigma FROM s)
+        |         OR sm > 4 * (SELECT sigma FROM s) AS alarm
+        |FROM r ORDER BY d""".stripMargin) { (s, dir) =>
+      // corpus → #days rows once; the moments AND the window pass both
+      // read this frame
+      val daily = t(s, dir, "events")
+        .groupBy(dayNum(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("rev"))
+        .localCheckpoint()
+      val wide = col("rev") * col("rev").cast("decimal(19,4)")
+      val m = daily.agg(count(lit(1)).as("n"), sum("rev").as("sx"),
+          sum(wide).as("sx2"))
+        .select(
+          (col("sx").cast("double") / col("n")).as("mu"),
+          sqrt((col("n") * col("sx2").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1))).as("sigma"))
+        .localCheckpoint()
+      // the one intentionally tiny global window (#days rows)
+      val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+      val x = col("rev").cast("double")
+      val c = daily.crossJoin(broadcast(m))
+        .withColumn("cp", sum(x - col("mu") - lit(0.5) * col("sigma")).over(w))
+        .withColumn("cm", sum(col("mu") - lit(0.5) * col("sigma") - x).over(w))
+        .withColumn("sp", col("cp") - least(lit(0), min("cp").over(w)))
+        .withColumn("sm", col("cm") - least(lit(0), min("cm").over(w)))
+      c.select(col("d"), round(x, 2).as("rev"),
+          round(col("sp"), 6).as("cusum_pos"),
+          round(col("sm"), 6).as("cusum_neg"),
+          (col("sp") > lit(4) * col("sigma")
+            || col("sm") > lit(4) * col("sigma")).as("alarm"))
+        .orderBy("d")
+    },
+
+    // ---- Mann-Kendall trend test on daily revenue ----
+    // The nonparametric monotone-trend standard: S = Σ_{i<j}
+    // sign(x_j − x_i), Var(S) with the tie correction, z with the
+    // ±1 continuity correction. The corpus collapses FIRST to the
+    // calendar-bounded #days frame (~2.4k rows at any corpus size), so
+    // the O(D²) pair join is bounded by the calendar, not the data —
+    // 2.9M sign evaluations over a broadcast side, independent of
+    // corpus rows. (A multi-decade calendar would switch to the
+    // O(D log D) inversion-count form; at D ≤ 10⁴ the pair join is
+    // cheaper than its shuffle.) Exact integers until Var's /18.
+    sql(
+      "q_mann_kendall",
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+        |                           WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |      FROM daily a JOIN daily b ON b.d > a.d),
+        |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+        |         FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        |               FROM daily GROUP BY rev HAVING count(*) > 1) z),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |v AS (SELECT (n * (n - 1) * (2 * n + 5) - (SELECT tt FROM ties)) / 18.0 AS var_s
+        |      FROM n0),
+        |zz AS (SELECT CASE WHEN (SELECT s FROM p) > 0
+        |                   THEN ((SELECT s FROM p) - 1) / sqrt((SELECT var_s FROM v))
+        |                   WHEN (SELECT s FROM p) < 0
+        |                   THEN ((SELECT s FROM p) + 1) / sqrt((SELECT var_s FROM v))
+        |                   ELSE 0.0 END AS z)
+        |SELECT (SELECT n FROM n0) AS n_days, (SELECT s FROM p) AS s,
+        |       round((SELECT var_s FROM v), 4) AS var_s,
+        |       round((SELECT z FROM zz), 6) AS z,
+        |       CASE WHEN (SELECT z FROM zz) > 1.959964 THEN 'increasing'
+        |            WHEN (SELECT z FROM zz) < -1.959964 THEN 'decreasing'
+        |            ELSE 'no_trend' END AS trend""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(dayNum(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("rev"))
+        .localCheckpoint()
+      val b = daily.select(col("d").as("d2"), col("rev").as("rev2"))
+      // calendar-bounded pair join: the broadcast side is #days rows
+      val p = daily.join(broadcast(b), col("d2") > col("d"))
+        .agg(sum(when(col("rev2") > col("rev"), 1L)
+          .when(col("rev2") < col("rev"), -1L)
+          .otherwise(0L)).as("s"))
+      val ties = daily.groupBy("rev").agg(count(lit(1)).as("tc"))
+        .where(col("tc") > 1)
+        .agg(coalesce(
+          sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5)),
+          lit(0L)).as("tt"))
+      val n0 = daily.agg(count(lit(1)).as("n"))
+      val joined = p.crossJoin(broadcast(ties)).crossJoin(broadcast(n0))
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt"))
+            / lit(18.0))
+        .withColumn("z",
+          when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+            .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+      joined.select(col("n").as("n_days"), col("s"),
+        round(col("var_s"), 4).as("var_s"), round(col("z"), 6).as("z"),
+        when(col("z") > 1.959964, "increasing")
+          .when(col("z") < -1.959964, "decreasing")
+          .otherwise("no_trend").as("trend"))
+    },
+
+    // ---- additive seasonal decomposition (day-of-week) ----
+    // The monitoring-series split: trend = 7-day centered moving
+    // average, seasonal = day-of-week mean minus grand mean, residual
+    // = observed − trend − seasonal (the anomaly input — a residual
+    // spike is a real deviation, not a weekend effect). Every
+    // component derives from exact DECIMAL sums divided once into
+    // doubles, so per-row outputs are bit-identical cross-engine. DOW
+    // comes from day-number arithmetic ((d+3) mod 7, 0 = Monday) —
+    // no engine dayofweek() convention involved.
+    sql(
+      "q_seasonal_dow",
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT d, rev, (d + 3) % 7 AS dow,
+        |         CAST(sum(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |                             AND 3 FOLLOWING) AS DOUBLE)
+        |           / count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |                            AND 3 FOLLOWING) AS trend
+        |       FROM daily),
+        |g AS (SELECT CAST(sum(rev) AS DOUBLE) / count(*) AS gmean FROM daily),
+        |dm AS (SELECT (d + 3) % 7 AS dow,
+        |              CAST(sum(rev) AS DOUBLE) / count(*) AS dmean
+        |       FROM daily GROUP BY 1)
+        |SELECT t.d AS d, t.dow AS dow, round(CAST(t.rev AS DOUBLE), 2) AS rev,
+        |       round(t.trend, 6) AS trend,
+        |       round(dm.dmean - (SELECT gmean FROM g), 6) AS seasonal,
+        |       round(CAST(t.rev AS DOUBLE) - t.trend
+        |             - (dm.dmean - (SELECT gmean FROM g)), 6) AS resid
+        |FROM tr t JOIN dm ON dm.dow = t.dow ORDER BY d""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(dayNum(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("rev"))
+        .localCheckpoint()
+      // the one intentionally tiny global window (#days rows)
+      val w = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("dow", (col("d") + 3) % 7)
+        .withColumn("trend",
+          sum("rev").over(w).cast("double") / count(lit(1)).over(w))
+      val g = daily.agg(
+        (sum("rev").cast("double") / count(lit(1))).as("gmean"))
+      val dm = daily.groupBy(((col("d") + 3) % 7).as("dow"))
+        .agg((sum("rev").cast("double") / count(lit(1))).as("dmean"))
+      tr.join(dm, Seq("dow")).crossJoin(broadcast(g))
+        .select(col("d"), col("dow"),
+          round(col("rev").cast("double"), 2).as("rev"),
+          round(col("trend"), 6).as("trend"),
+          round(col("dmean") - col("gmean"), 6).as("seasonal"),
+          round(col("rev").cast("double") - col("trend")
+            - (col("dmean") - col("gmean")), 6).as("resid"))
+        .orderBy("d")
     }
   )
 }

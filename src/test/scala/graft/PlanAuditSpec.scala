@@ -47,6 +47,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_calibration",       // 1-row broadcast N + ECE scalars riding the plan
     "q_psi",               // 1-row broadcast edges/totals/psi scalars riding the plan
     "q_lorenz_gini",       // 1-row broadcast n/Σx/Σix moments riding the plan
+    "q_changepoint_cusum", // 1-row broadcast μ/σ moments riding the window pass
+    "q_mann_kendall",      // calendar-bounded (#days ≤ ~2.4k) broadcast pair join
+                           // + 1-row S/ties/n scalars — bounded by calendar², not corpus
+    "q_seasonal_dow",      // 1-row broadcast grand-mean scalar riding the plan
+    "q_benford",           // 1-row broadcast N + chi² scalars riding the 9-row grid
+    "q_kanonymity",        // 1-row broadcast suppression totals riding the histogram
     "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration

@@ -1,0 +1,169 @@
+package graft
+
+/** Independent in-memory verification for the series/audit operators
+  * whose DuckDB oracle shares the relational rewrite (the
+  * SkylineSpec/GraphSpec/AuditStatsSpec convention): recompute each
+  * statistic from collected raw rows with plain Scala arithmetic — the
+  * textbook sequential definition, not the windowed/pair-join rewrite
+  * — and compare at sf0.001.
+  */
+class SeriesAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Daily sums of a timestamp/value pair, keyed by epoch day. */
+  private def dailySeries(table: String, tsCol: String, vCol: String): Seq[(Long, Double)] =
+    Tables(spark, sf, table)
+      .select(org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col(tsCol)),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("d"),
+        org.apache.spark.sql.functions.col(vCol).cast("decimal(18,6)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2.asInstanceOf[java.math.BigDecimal])
+        .reduce(_ add _).doubleValue)
+      .toSeq.sortBy(_._1)
+
+  test("q_changepoint_cusum matches the direct max(0,·) recurrence") {
+    val daily = dailySeries("events", "ts", "value")
+    val xs = daily.map(_._2)
+    val n = xs.length
+    val mu = xs.sum / n
+    val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    val k = 0.5 * sigma
+    // the textbook sequential recurrence — NOT the cumsum-minus-runmin
+    // rewrite the query (and oracle) use
+    var (sp, sm) = (0.0, 0.0)
+    val expected = xs.map { x =>
+      sp = math.max(0.0, sp + (x - mu - k))
+      sm = math.max(0.0, sm + (mu - k - x))
+      (sp, sm)
+    }
+    val got = SparkEntry.queries("q_changepoint_cusum")(spark, sf)
+      .orderBy("d").collect()
+    assert(got.length == n)
+    got.zip(expected).foreach { case (r, (esp, esm)) =>
+      assert(math.abs(r.getAs[Double]("cusum_pos") - esp) < 1e-4,
+        s"day ${r.getAs[Long]("d")}: ${r.getAs[Double]("cusum_pos")} vs $esp")
+      assert(math.abs(r.getAs[Double]("cusum_neg") - esm) < 1e-4)
+    }
+  }
+
+  test("q_mann_kendall matches the brute-force pair statistic") {
+    // recomputed over BigDecimal day sums so ties are exact, matching
+    // the engine's DECIMAL collapse
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("o_orderdate")),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("d"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("decimal(15,4)").as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    val n = daily.length
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val c = daily(j)._2.compareTo(daily(i)._2)
+      s += (if (c > 0) 1 else if (c < 0) -1 else 0)
+    }
+    val ties = daily.groupBy(_._2).values.map(_.size.toLong).filter(_ > 1)
+    val tt = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - tt) / 18.0
+    val z =
+      if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS)
+      else 0.0
+
+    val r = SparkEntry.queries("q_mann_kendall")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("s") == s)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5,
+      s"engine ${r.getAs[Double]("z")} vs independent $z")
+  }
+
+  test("q_seasonal_dow components reconstruct and match a direct moving average") {
+    val daily = dailySeries("events", "ts", "value")
+    val trend = daily.indices.map { i =>
+      val lo = math.max(0, i - 3)
+      val hi = math.min(daily.length - 1, i + 3)
+      (lo to hi).map(daily(_)._2).sum / (hi - lo + 1)
+    }
+    val got = SparkEntry.queries("q_seasonal_dow")(spark, sf)
+      .orderBy("d").collect()
+    assert(got.length == daily.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getAs[Double]("trend") - trend(i)) < 1e-4)
+      // decomposition identity: rev = trend + seasonal + resid
+      val back = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(back - daily(i)._2) < 1e-4)
+      assert(r.getAs[Long]("dow") == (daily(i)._1 + 3) % 7)
+    }
+  }
+
+  test("q_benford chi2 matches an in-memory first-digit computation") {
+    val prices = Tables(spark, sf, "orders")
+      .select("o_totalprice").collect().map(_.getDouble(0)).filter(_ > 0)
+    val digits = prices.map(p =>
+      new java.math.BigDecimal(p)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .toPlainString.dropWhile(c => !('1' to '9').contains(c)).head.asDigit)
+    val n = digits.length.toDouble
+    val chi2 = (1 to 9).map { d =>
+      val p = math.log10(1 + 1.0 / d)
+      val obs = digits.count(_ == d).toDouble
+      (obs - n * p) * (obs - n * p) / (n * p)
+    }.sum
+    val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[Long]("obs")).sum == digits.length.toLong)
+    assert(math.abs(rows.head.getAs[Double]("chi2") - chi2) < 1e-3,
+      s"engine ${rows.head.getAs[Double]("chi2")} vs independent $chi2")
+  }
+
+  test("q_kanonymity suppression rate matches an in-memory group count") {
+    val rows = Tables(spark, sf, "customer")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 2000).toLong))
+    val groups = rows.groupBy(identity).view.mapValues(_.length).toMap
+    val risky = groups.values.filter(_ < 5).sum.toDouble
+    val rate = risky / rows.length
+    val got = SparkEntry.queries("q_kanonymity")(spark, sf).collect()
+    assert(got.map(r => r.getAs[Long]("n_rows")).sum == rows.length.toLong)
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("suppression_rate") - rate) < 1e-5)
+      assert(r.getAs[Boolean]("risky") == (r.getAs[Long]("k") < 5))
+    }
+  }
+
+  test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val counts = Tables(spark, sf, "events")
+      .select("event_type").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_dp_noise")(spark, sf).collect()
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val u = (h32(et + ":dp") % 1000000L + 0.5) / 1000000.0
+      val noise = -2.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val expected = BigDecimal(counts(et) + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("noisy_count") - expected) < 1e-9,
+        s"$et: ${r.getAs[Double]("noisy_count")} vs $expected")
+      assert(r.getAs[Double]("epsilon") == 0.5)
+    }
+  }
+}

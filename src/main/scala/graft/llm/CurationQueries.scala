@@ -468,6 +468,77 @@ object CurationQueries {
           round(-log(col("u")) / (col("n_chars") / 1000.0), 6).as("sk"))
         .orderBy(col("sk"), col("doc_id"))
         .limit(20)
+    },
+
+    // ---- DSIR importance weights (Xie et al. 2023, "Data Selection
+    // via Importance Resampling") ----
+    // Rank raw-corpus docs by how target-like they are: two hashed
+    // unigram bag-of-words models (target = a curated source subset,
+    // raw = everything), per-doc weight = Σ_tokens ln(p_t/p_r) with
+    // add-1 smoothing over the V=4096 hash buckets. The per-token
+    // term is ln of an exact-integer ratio ((c_t+1)(N_r+V) over
+    // (c_r+1)(N_t+V)) so both engines feed ln identical doubles;
+    // per-doc sums accumulate in DECIMAL (merge-order-exact).
+    // Scale: one token-explode shuffle collapses to ≤V=4096 LM rows
+    // per model (broadcast back), totals are 1-row broadcasts, the
+    // per-doc weight is a map-side partial agg, and top-k is
+    // TakeOrderedAndProject — nothing but the first aggregation
+    // touches corpus-sized data twice.
+    sql(
+      "q_dsir_weights",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM toks
+        |       WHERE source IN ('src1','src2','src3') GROUP BY b),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY b),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+        |       WHERE source IN ('src1','src2','src3')),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |terms AS (
+        |  SELECT t.doc_id, t.source,
+        |    ln(CAST((coalesce(ct.c, 0) + 1) * ((SELECT n FROM nr) + 4096) AS DOUBLE)
+        |       / ((cr.c + 1) * ((SELECT n FROM nt) + 4096))) AS term
+        |  FROM toks t JOIN cr ON cr.b = t.b LEFT JOIN ct ON ct.b = t.b),
+        |w AS (SELECT doc_id, any_value(source) AS source,
+        |             CAST(count(*) AS BIGINT) AS n_tokens,
+        |             CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS wt
+        |      FROM terms GROUP BY doc_id)
+        |SELECT doc_id, source, n_tokens, round(wt, 6) AS weight
+        |FROM w ORDER BY wt DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val target = Seq("src1", "src2", "src3")
+      // one explode; bucket ids materialized once (the toks frame
+      // feeds both LM counts, both totals, and the term join)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"),
+          (h32(col("tok")) % 4096).as("b"))
+        .localCheckpoint()
+      val isTarget = col("source").isInCollection(target)
+      val ct = toks.where(isTarget).groupBy("b").agg(count(lit(1)).as("c_t"))
+      val cr = toks.groupBy("b").agg(count(lit(1)).as("c_r"))
+      val tots = toks.agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_r"))
+      // LM tables are ≤4096 rows: broadcast them back over the corpus
+      val terms = toks
+        .join(broadcast(cr), Seq("b"))
+        .join(broadcast(ct), Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("doc_id"), col("source"),
+          log(((coalesce(col("c_t"), lit(0L)) + 1) * (col("n_r") + 4096))
+            .cast("double")
+            / ((col("c_r") + 1) * (col("n_t") + 4096))).as("term"))
+      terms.groupBy("doc_id")
+        .agg(first("source").as("source"), count(lit(1)).as("n_tokens"),
+          sum(col("term").cast("decimal(38,18)")).cast("double").as("wt"))
+        .orderBy(col("wt").desc, col("doc_id"))  // TakeOrderedAndProject top-k
+        .limit(20)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(col("wt"), 6).as("weight"))
     }
   )
 }

@@ -836,6 +836,65 @@ object SeriesQueries {
           round(col("rev").cast("double") - col("trend")
             - (col("dmean") - col("gmean")), 6).as("resid"))
         .orderBy("d")
+    },
+
+    // ---- concurrent open intervals (sweep line) ----
+    // How many orders are open on each calendar day (open =
+    // [orderdate, orderdate + priority-dependent fulfilment window))
+    // — the capacity-planning shape. The naive form range-joins every
+    // interval against the calendar grid (O(intervals·span)); the
+    // sweep-line rewrite emits one +1 at start / −1 at end per
+    // interval, collapses to per-day nets in ONE corpus shuffle, and
+    // prefix-sums the calendar-bounded grid. Peak days come from a
+    // 1-row broadcast max.
+    sql(
+      "q_open_intervals",
+      """WITH o AS (SELECT date_diff('day', DATE '1970-01-01',
+        |                            CAST(o_orderdate AS DATE)) AS d0,
+        |                  CASE WHEN o_orderpriority = '1-URGENT' THEN 7
+        |                       WHEN o_orderpriority = '2-HIGH' THEN 14
+        |                       ELSE 21 END AS dur
+        |           FROM orders),
+        |dd AS (SELECT d, sum(x) AS net FROM (
+        |         SELECT d0 AS d, 1 AS x FROM o
+        |         UNION ALL SELECT d0 + dur AS d, -1 AS x FROM o) u
+        |       GROUP BY d),
+        |g AS (SELECT unnest(generate_series((SELECT min(d) FROM dd),
+        |                                    (SELECT max(d) FROM dd))) AS d),
+        |r AS (SELECT g.d AS d,
+        |        CAST(sum(coalesce(dd.net, 0))
+        |             OVER (ORDER BY g.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_n
+        |      FROM g LEFT JOIN dd ON dd.d = g.d),
+        |mx AS (SELECT max(open_n) AS mo FROM r)
+        |SELECT d, open_n, open_n = (SELECT mo FROM mx) AS is_peak
+        |FROM r ORDER BY d""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(dayNum(col("o_orderdate")).as("d0"),
+          when(col("o_orderpriority") === "1-URGENT", 7L)
+            .when(col("o_orderpriority") === "2-HIGH", 14L)
+            .otherwise(21L).as("dur"))
+      // ±1 endpoint deltas → per-day nets: the one corpus shuffle;
+      // calendar-bounded (~#days rows) from here on
+      val dd = o
+        .select(explode(array(
+          struct(col("d0").as("d"), lit(1L).as("x")),
+          struct((col("d0") + col("dur")).as("d"), lit(-1L).as("x")))).as("z"))
+        .select(col("z.d").as("d"), col("z.x").as("x"))
+        .groupBy("d").agg(sum("x").as("net"))
+        .localCheckpoint()
+      val grid = dd.agg(min("d").as("lo"), max("d").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      // the one intentionally tiny global window (#days rows)
+      val r = grid.join(dd, Seq("d"), "left")
+        .withColumn("open_n",
+          sum(coalesce(col("net"), lit(0L))).over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("d"), col("open_n"))
+        .localCheckpoint()
+      val mx = r.agg(max("open_n").as("mo"))
+      r.crossJoin(broadcast(mx))
+        .select(col("d"), col("open_n"), (col("open_n") === col("mo")).as("is_peak"))
+        .orderBy("d")
     }
   )
 }

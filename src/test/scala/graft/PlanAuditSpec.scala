@@ -52,6 +52,8 @@ class PlanAuditSpec extends SparkSpec {
                            // + 1-row S/ties/n scalars — bounded by calendar², not corpus
     "q_seasonal_dow",      // 1-row broadcast grand-mean scalar riding the plan
     "q_benford",           // 1-row broadcast N + chi² scalars riding the 9-row grid
+    "q_open_intervals",    // 1-row broadcast peak-max scalar riding the grid
+    "q_dsir_weights",      // 1-row broadcast token-totals scalar riding the plan
     "q_kanonymity",        // 1-row broadcast suppression totals riding the histogram
     "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body

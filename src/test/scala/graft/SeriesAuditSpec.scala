@@ -144,6 +144,66 @@ class SeriesAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_open_intervals matches a brute-force per-day interval count") {
+    val intervals = Tables(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("o_orderdate")),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("d0"),
+        org.apache.spark.sql.functions.col("o_orderpriority"))
+      .collect()
+      .map { r =>
+        val dur = r.getString(1) match {
+          case "1-URGENT" => 7L; case "2-HIGH" => 14L; case _ => 21L
+        }
+        (r.getLong(0), r.getLong(0) + dur)
+      }
+    val got = SparkEntry.queries("q_open_intervals")(spark, sf)
+      .orderBy("d").collect()
+    // brute force: for each output day, count intervals with s ≤ d < e
+    val expected = got.map(_.getAs[Long]("d"))
+      .map(d => intervals.count(iv => iv._1 <= d && d < iv._2).toLong)
+    assert(got.map(_.getAs[Long]("open_n")).toSeq == expected.toSeq)
+    val mx = expected.max
+    got.foreach(r =>
+      assert(r.getAs[Boolean]("is_peak") == (r.getAs[Long]("open_n") == mx)))
+  }
+
+  test("q_dsir_weights matches an in-memory two-model importance computation") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val target = Set("src1", "src2", "src3")
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, src, text) =>
+      text.split(" ", -1).map(t => (id, src, h32(t) % 4096))
+    }
+    val cr = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = toks.filter(t => target(t._2)).groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    val nr = toks.length.toLong
+    val nt = toks.count(t => target(t._2)).toLong
+    val weights = toks.groupBy(_._1).view.mapValues { ts =>
+      ts.map { case (_, _, b) =>
+        math.log(((ct.getOrElse(b, 0L) + 1) * (nr + 4096)).toDouble /
+          ((cr(b) + 1) * (nt + 4096)))
+      }.sum
+    }.toMap
+    val top = weights.toSeq.sortBy { case (id, w) => (-w, id) }.take(20)
+    val got = SparkEntry.queries("q_dsir_weights")(spark, sf).collect()
+    assert(got.length == 20)
+    got.zip(top).foreach { case (r, (id, w)) =>
+      assert(r.getAs[Long]("doc_id") == id,
+        s"rank order: got ${r.getAs[Long]("doc_id")} expected $id")
+      assert(math.abs(r.getAs[Double]("weight") - w) < 1e-4)
+    }
+  }
+
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -422,6 +422,103 @@ object TextAnalysisQueries {
         .select(col("n1"), col("n2"), col("vocab"),
           round(col("jsd_dec").cast("double") / lit(2.0)
             / lit(0.6931471805599453), 6).as("jsd_bits"))
+    },
+
+    // ---- Zipf rank-frequency fit (vocabulary health) ----
+    // Least-squares slope of ln(freq) vs ln(rank) over the top-500
+    // vocabulary: natural corpora sit near slope −1; template spam or
+    // truncated vocabularies bend the curve. The corpus collapses to
+    // the vocab in one shuffle; top-k by (freq, word) is
+    // TakeOrderedAndProject; ranks come from one window over the ≤500
+    // surviving rows; regression moments accumulate in DECIMAL so
+    // merge order can't move the rounded fit.
+    sql(
+      "q_zipf_fit",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM f
+        |      ORDER BY c DESC, w LIMIT 500),
+        |l AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |             CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |             CAST(sum(CAST(x*y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |             CAST(sum(CAST(x*x AS DECIMAL(38,18))) AS DOUBLE) AS sx2,
+        |             CAST(sum(CAST(y*y AS DECIMAL(38,18))) AS DOUBLE) AS sy2
+        |      FROM l)
+        |SELECT n, round((n*sxy - sx*sy) / (n*sx2 - sx*sx), 6) AS slope,
+        |       round((sy - (n*sxy - sx*sy) / (n*sx2 - sx*sx) * sx) / n, 6)
+        |         AS intercept,
+        |       round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |             / ((n*sx2 - sx*sx) * (n*sy2 - sy*sy)), 6) AS r2
+        |FROM m""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val top = f.orderBy(col("c").desc, col("w")).limit(500)
+      // ranks over the ≤500-row survivor frame (tiny global window)
+      val rkw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))
+      val r = top.withColumn("rk", row_number().over(rkw))
+      val l = r.select(log(col("rk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val m = l.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sx2"), dsum(col("y") * col("y")).as("sy2"))
+      val (n, sx, sy, sxy, sx2, sy2) =
+        (col("n"), col("sx"), col("sy"), col("sxy"), col("sx2"), col("sy2"))
+      val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      m.select(n.as("n"), round(slope, 6).as("slope"),
+        round((sy - slope * sx) / n, 6).as("intercept"),
+        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6).as("r2"))
+    },
+
+    // ---- corpus diversity indices per language ----
+    // Shannon entropy, Gini–Simpson index, and the effective source
+    // count (exp H) of each language's source mix — the curation
+    // audit for "is this slice dominated by one crawl?". One corpus
+    // aggregation to the #langs×#sources grid; per-cell entropy terms
+    // are doubles from exact integer ratios, accumulated in DECIMAL.
+    sql(
+      "q_corpus_diversity",
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS k FROM c GROUP BY lang),
+        |e AS (SELECT c.lang AS lang,
+        |        CAST(sum(CAST(CAST(c.c AS DOUBLE) / t.n
+        |                      * ln(CAST(c.c AS DOUBLE) / t.n)
+        |                      AS DECIMAL(38,18))) AS DOUBLE) AS negh,
+        |        CAST(sum(CAST(CAST(c.c AS DOUBLE) / t.n
+        |                      * (CAST(c.c AS DOUBLE) / t.n)
+        |                      AS DECIMAL(38,18))) AS DOUBLE) AS simp
+        |      FROM c JOIN t ON t.lang = c.lang GROUP BY c.lang)
+        |SELECT e.lang AS lang, t.n AS n_docs, t.k AS n_sources,
+        |       round(-e.negh, 6) AS shannon,
+        |       round(1.0 - e.simp, 6) AS simpson,
+        |       round(exp(-e.negh), 6) AS eff_sources
+        |FROM e JOIN t ON t.lang = e.lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      // #langs×#sources grid (~100 rows) feeds totals and terms
+      val c = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tt = c.groupBy("lang")
+        .agg(sum("c").as("n"), count(lit(1)).as("k"))
+      val p = col("c").cast("double") / col("n")
+      val e = c.join(tt, Seq("lang"))
+        .groupBy("lang")
+        .agg(
+          sum((p * log(p)).cast("decimal(38,18)")).cast("double").as("negh"),
+          sum((p * p).cast("decimal(38,18)")).cast("double").as("simp"))
+      e.join(tt, Seq("lang"))
+        .select(col("lang"), col("n").as("n_docs"), col("k").as("n_sources"),
+          round(-col("negh"), 6).as("shannon"),
+          round(lit(1.0) - col("simp"), 6).as("simpson"),
+          round(exp(-col("negh")), 6).as("eff_sources"))
+        .orderBy("lang")
     }
   )
 }

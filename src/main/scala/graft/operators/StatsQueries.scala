@@ -998,6 +998,66 @@ object StatsQueries {
         .select(((col("nl") - 1) * (col("ns") - 1)).cast("bigint").as("dof"),
           round(col("chi2_dec").cast("double"), 4).as("chi2"),
           col("n").cast("bigint").as("n"))
+    },
+
+    // ---- association rules (market-basket pair mining) ----
+    // Support/confidence/lift for part pairs co-bought in one order —
+    // the retail twin of the text PMI query. Candidate pairs come
+    // from a SELF EQUI-JOIN on the basket key with p2 > p1 as a
+    // residual: fan-out is Σ basket² per order, bounded by the
+    // per-order line cap (TPC-H ≤ 7), never corpus-quadratic. Item
+    // supports are a #parts-row aggregate hash-joined back; the
+    // basket total rides a 1-row broadcast; all stats are exact-int
+    // ratios divided once. Top-25 by (lift, p1, p2) total order via
+    // TakeOrderedAndProject.
+    sql(
+      "q_assoc_rules",
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n0 AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+        |sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+        |                 CAST(count(*) AS BIGINT) AS n_both
+        |          FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey
+        |                           AND c.l_partkey > a.l_partkey
+        |          GROUP BY 1, 2)
+        |SELECT p.p1, p.p2, p.n_both, s1.s AS s1, s2.s AS s2,
+        |  round(CAST(p.n_both AS DOUBLE) / (SELECT n FROM n0), 6) AS support,
+        |  round(CAST(p.n_both AS DOUBLE) / s1.s, 6) AS confidence,
+        |  round(CAST(p.n_both AS DOUBLE) * (SELECT n FROM n0)
+        |        / (CAST(s1.s AS DOUBLE) * s2.s), 6) AS lift
+        |FROM pairs p JOIN sup s1 ON s1.l_partkey = p.p1
+        |             JOIN sup s2 ON s2.l_partkey = p.p2
+        |WHERE p.n_both >= 2
+        |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin) { (s, dir) =>
+      // distinct baskets feed the pair join, the supports, AND the
+      // total — materialize the corpus collapse once
+      val b = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint()
+      val n0 = b.agg(countDistinct("l_orderkey").as("n"))
+      val sup = b.groupBy("l_partkey").agg(count(lit(1)).as("s"))
+      val b2 = b.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+      val pairs = b
+        .join(b2, col("ok2") === col("l_orderkey")
+          && col("p2") > col("l_partkey"))
+        .groupBy(col("l_partkey").as("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .where(col("n_both") >= 2)
+      // mirror the oracle's operation order exactly: both·n and s1·s2
+      // are exact small-int double products, one division each
+      val lift = (col("n_both").cast("double") * col("n")) /
+        (col("s1").cast("double") * col("s2"))
+      pairs
+        .join(sup.select(col("l_partkey").as("p1"), col("s").as("s1")), Seq("p1"))
+        .join(sup.select(col("l_partkey").as("p2"), col("s").as("s2")), Seq("p2"))
+        .crossJoin(broadcast(n0))
+        .withColumn("lift_raw", lift)
+        .orderBy(col("lift_raw").desc, col("p1"), col("p2"))
+        .limit(25)
+        .select(col("p1"), col("p2"), col("n_both"), col("s1"), col("s2"),
+          round(col("n_both").cast("double") / col("n"), 6).as("support"),
+          round(col("n_both").cast("double") / col("s1"), 6).as("confidence"),
+          round(col("lift_raw"), 6).as("lift"))
     }
   )
 }

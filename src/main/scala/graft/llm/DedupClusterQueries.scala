@@ -177,6 +177,42 @@ object DedupClusterQueries {
         .groupBy("source", "split").agg(count(lit(1)).as("n_groups"))
       nDocs.join(broadcast(nGroups), Seq("source", "split"))
         .orderBy("source", "split")
+    },
+
+    // ---- near-duplication rate per source ----
+    // The crawl-hygiene audit: which sources ship template spam? A
+    // doc is "near-dup" when its LSH component has size > 1; rate =
+    // near-dup docs / docs per source. The component labels are the
+    // shared min-label-propagation core (cached/plan-identical across
+    // the dedup sweep); everything else is one left join + a per-source
+    // aggregation.
+    sql(
+      "q_dup_rate_by_source",
+      s"""WITH RECURSIVE
+         |$componentsSqlCtes,
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+         |dup AS (SELECT c.id AS doc_id FROM comp c
+         |        JOIN sizes z ON z.component = c.component WHERE z.sz > 1)
+         |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_neardup,
+         |       round(CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END)
+         |                  AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY source""".stripMargin) { (s, dir) =>
+      val labels = componentLabels(s, dir)
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("sz"))
+      val dup = labels.join(sizes, Seq("component"))
+        .where(col("sz") > 1)
+        .select(col("doc_id").as("dup_id"))
+      Tables(s, dir, "documents").select("doc_id", "source")
+        .join(broadcast(dup), col("doc_id") === col("dup_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_id").isNull, 0L).otherwise(1L)).as("n_neardup"))
+        .select(col("source"), col("n_docs"), col("n_neardup"),
+          round(col("n_neardup").cast("double") / col("n_docs"), 6).as("dup_rate"))
+        .orderBy("source")
     }
   )
 }

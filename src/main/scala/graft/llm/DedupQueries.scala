@@ -75,6 +75,51 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // ---- asymmetric containment on the LSH candidate pairs ----
+    // Jaccard misses INCLUSION: a boilerplate page embedded inside a
+    // longer doc has low symmetric similarity but containment
+    // |A∩B|/|A| ≈ 1 — the signal for sub-document duplication and
+    // quotation. Exact shingle-set intersection runs ONLY on the
+    // band-verified pair set (bounded by the banding, never all
+    // pairs); ratios are exact-integer divisions.
+    sql(
+      "q_minhash_containment",
+      s"""WITH ${MinhashPipeline.pairsSqlCte}
+         |SELECT p.da, p.db,
+         |  CAST(len(list_intersect(x.sgl, y.sgl)) AS BIGINT) AS n_common,
+         |  round(CAST(len(list_intersect(x.sgl, y.sgl)) AS DOUBLE)
+         |        / len(x.sgl), 4) AS c_a,
+         |  round(CAST(len(list_intersect(x.sgl, y.sgl)) AS DOUBLE)
+         |        / len(y.sgl), 4) AS c_b,
+         |  round(CAST(len(list_intersect(x.sgl, y.sgl)) AS DOUBLE)
+         |        / (len(x.sgl) + len(y.sgl)
+         |           - len(list_intersect(x.sgl, y.sgl))), 4) AS jaccard_exact
+         |FROM pairs p JOIN sh x ON x.doc_id = p.da
+         |             JOIN sh y ON y.doc_id = p.db
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 3)
+        .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))
+      val x = sh.select(col("doc_id").as("xid"), col("sgl").as("sgla"))
+      val y = sh.select(col("doc_id").as("yid"), col("sgl").as("sglb"))
+      val inter = size(array_intersect(col("sgla"), col("sglb")))
+      MinhashPipeline.pairs(s, dir)
+        .join(x, col("da") === col("xid"))
+        .join(y, col("db") === col("yid"))
+        // materialize the intersection size once; without this the
+        // array_intersect HOF re-evaluates per consuming expression
+        .withColumn("n_common", inter.cast("long"))
+        .select(col("da"), col("db"), col("n_common"),
+          round(col("n_common").cast("double") / size(col("sgla")), 4).as("c_a"),
+          round(col("n_common").cast("double") / size(col("sglb")), 4).as("c_b"),
+          round(col("n_common").cast("double")
+            / (size(col("sgla")) + size(col("sglb")) - col("n_common")), 4)
+            .as("jaccard_exact"))
+        .orderBy("da", "db")
+    },
+
     // ---- exact n-gram Jaccard on a sampled query set, candidates
     //      via inverted shingle index (no cross product) ----
     sql(

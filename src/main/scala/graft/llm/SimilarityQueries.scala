@@ -396,6 +396,62 @@ object SimilarityQueries {
           round(col("mix_weight"), 6).as("mix_weight"),
           round(least(lit(1.0), col("mean_n") / col("n_vecs")), 4).as("keep_rate"))
         .orderBy("bkt")
+    },
+
+    // ---- per-label embedding centroids + drift vs global ----
+    // The embedding-space health readout: each label's centroid norm
+    // and its cosine to the global centroid — a label whose centroid
+    // swings away from the corpus mean signals a clustering/labeling
+    // drift. ONE corpus pass: posexplode to (label, dim) cells with
+    // DECIMAL element sums (exact), then the global centroid derives
+    // from the SAME per-label sums by exact decimal addition — no
+    // second corpus aggregation, and bit-equality with a direct global
+    // mean is algebraic, not numeric luck. Everything after runs on
+    // #labels×64 rows.
+    sql(
+      "q_embed_centroids",
+      """WITH x AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+        |           FROM embeddings, range(1, 65) t(i)
+        |           WHERE i <= len(embedding)),
+        |cl0 AS (SELECT label, i, sum(CAST(v AS DECIMAL(38,18))) AS sdec,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM x GROUP BY label, i),
+        |cl AS (SELECT label, i, CAST(sdec AS DOUBLE) / n AS c, n FROM cl0),
+        |cg AS (SELECT i, CAST(sum(sdec) AS DOUBLE) / sum(n) AS g
+        |       FROM cl0 GROUP BY i),
+        |m AS (SELECT cl.label AS label, max(cl.n) AS n_vecs,
+        |        CAST(sum(CAST(cl.c * cg.g AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+        |        CAST(sum(CAST(cl.c * cl.c AS DECIMAL(38,18))) AS DOUBLE) AS nc,
+        |        CAST(sum(CAST(cg.g * cg.g AS DECIMAL(38,18))) AS DOUBLE) AS ng
+        |      FROM cl JOIN cg ON cg.i = cl.i GROUP BY cl.label)
+        |SELECT label, n_vecs, round(sqrt(nc), 6) AS centroid_norm,
+        |       round(dot / (sqrt(nc) * sqrt(ng)), 6) AS cos_to_global
+        |FROM m ORDER BY label""".stripMargin) { (s, dir) =>
+      val x = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v0")))
+        .select(col("label"), (col("p") + 1).as("i"),
+          col("v0").cast("double").as("v"))
+      // per-(label, dim) exact sums — the one corpus aggregation;
+      // the global centroid re-derives from these by decimal addition
+      val cl0 = x.groupBy("label", "i")
+        .agg(sum(col("v").cast("decimal(38,18)")).as("sdec"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      val cl = cl0.select(col("label"), col("i"),
+        (col("sdec").cast("double") / col("n")).as("c"), col("n"))
+      val cg = cl0.groupBy("i")
+        .agg((sum("sdec").cast("double") / sum("n")).as("g"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val m = cl.join(cg, Seq("i"))
+        .groupBy("label")
+        .agg(max("n").as("n_vecs"), dsum(col("c") * col("g")).as("dot"),
+          dsum(col("c") * col("c")).as("nc"), dsum(col("g") * col("g")).as("ng"))
+      m.select(col("label"), col("n_vecs"),
+          round(sqrt(col("nc")), 6).as("centroid_norm"),
+          round(col("dot") / (sqrt(col("nc")) * sqrt(col("ng"))), 6)
+            .as("cos_to_global"))
+        .orderBy("label")
     }
   )
 }

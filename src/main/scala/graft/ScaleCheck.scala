@@ -105,6 +105,11 @@ object ScaleCheck {
     // oriented triangle join over the association graph
     "q_sliding_distinct", "q_bootstrap_ci", "q_graph_triangles",
     "q_lorenz_gini",
+    // r7 second batch: the token-explode DSIR LM build, the basket
+    // pair mining, the LSH-pair exact-containment join, and the
+    // per-source dup-rate ride on componentLabels
+    "q_dsir_weights", "q_assoc_rules", "q_minhash_containment",
+    "q_dup_rate_by_source", "q_open_intervals",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -895,6 +895,81 @@ object SeriesQueries {
       r.crossJoin(broadcast(mx))
         .select(col("d"), col("open_n"), (col("open_n") === col("mo")).as("is_peak"))
         .orderBy("d")
+    },
+
+    // ---- inter-arrival time distribution ----
+    // The empirical basis for choosing a sessionization gap: per-user
+    // gaps between consecutive events, summarized as mean + exact
+    // interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, the q_rolling_median parity). One keyed window
+    // over the per-user exchange; gap seconds are exact-integer µs
+    // diffs divided once; the mean accumulates in DECIMAL.
+    sql(
+      "q_interarrival",
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) AS pus
+        |           FROM events),
+        |d AS (SELECT (us - pus) / 1000000.0 AS gap_s FROM g WHERE pus IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(CAST(sum(CAST(gap_s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+        |    AS mean_s,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+        |  round(quantile_cont(gap_s, 0.99), 4) AS p99_s
+        |FROM d""".stripMargin) { (s, dir) =>
+      // ordering by us ≡ by ts (unix_micros is monotone), same tiebreak
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val d = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("pus", lag("us", 1).over(w))
+        .where(col("pus").isNotNull)
+        .select(((col("us") - col("pus")) / 1000000.0).as("gap_s"))
+      d.agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_s").cast("decimal(18,6)")).as("sdec"),
+          expr("percentile(gap_s, 0.5)").as("q50"),
+          expr("percentile(gap_s, 0.9)").as("q90"),
+          expr("percentile(gap_s, 0.99)").as("q99"))
+        .select(col("n_gaps"),
+          round(col("sdec").cast("double") / col("n_gaps"), 4).as("mean_s"),
+          round(col("q50"), 4).as("p50_s"), round(col("q90"), 4).as("p90_s"),
+          round(col("q99"), 4).as("p99_s"))
+    },
+
+    // ---- Poisson burst detection over hourly counts ----
+    // The monitoring alarm: hours whose event count exceeds the
+    // homogeneous-Poisson baseline by 3σ (σ = √μ). The corpus
+    // collapses to hourly counts in one shuffle; the baseline divides
+    // the exact total by the DENSE hour span (absent hours count as
+    // zero load, not missing data); only bursts are emitted.
+    sql(
+      "q_burst_detect",
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+        |                  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |b AS (SELECT CAST(min(hr) AS TIMESTAMP) AS lo,
+        |             CAST(max(hr) AS TIMESTAMP) AS hi,
+        |             CAST(sum(c) AS BIGINT) AS tot FROM h),
+        |m AS (SELECT CAST(tot AS DOUBLE)
+        |             / (date_diff('hour', lo, hi) + 1) AS mu FROM b)
+        |SELECT hr, c,
+        |       round((c - (SELECT mu FROM m)) / sqrt((SELECT mu FROM m)), 4) AS z
+        |FROM h WHERE c > (SELECT mu FROM m) + 3 * sqrt((SELECT mu FROM m))
+        |ORDER BY hr""".stripMargin) { (s, dir) =>
+      // hourly counts feed the baseline AND the filter — materialize
+      // the corpus collapse once
+      val h = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val m = h.agg(min("hr").as("lo"), max("hr").as("hi"), sum("c").as("tot"))
+        .select((col("tot").cast("double") /
+          ((unix_micros(col("hi")) - unix_micros(col("lo"))) / 3600000000L + 1))
+          .as("mu"))
+      h.crossJoin(broadcast(m))
+        .where(col("c") > col("mu") + lit(3) * sqrt(col("mu")))
+        .select(col("hr"), col("c"),
+          round((col("c") - col("mu")) / sqrt(col("mu")), 4).as("z"))
+        .orderBy("hr")
     }
   )
 }

@@ -1070,6 +1070,91 @@ object StatsQueries {
           round(col("n_both").cast("double") / col("n"), 6).as("support"),
           round(col("n_both").cast("double") / col("s1"), 6).as("confidence"),
           round(col("lift_raw"), 6).as("lift"))
+    },
+
+    // ---- Kaplan–Meier time-to-conversion survival curve ----
+    // Survival analysis over the event stream: time from a user's
+    // first event to their first purchase, right-censored at corpus
+    // end for users who never convert. S(t) = Π_{u≤t} (1 − d_u/n_u);
+    // the product runs as exp(Σ ln) over the ordered ≤#days frame
+    // (ln terms are exact-rational inputs, frame-order accumulation —
+    // deterministic on both engines), with an explicit absorbing-zero
+    // guard for the step where the whole remaining risk set converts
+    // (ln(0) would throw under ANSI). Corpus collapses to one row per
+    // user, then to one row per distinct duration; censoring counts
+    // ride the same frame.
+    sql(
+      "q_survival_km",
+      """WITH u AS (SELECT user_id, min(ts) AS first_ts,
+        |             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts,
+        |             max(ts) AS last_ts
+        |           FROM events GROUP BY 1),
+        |e AS (SELECT CAST(max(last_ts) AS TIMESTAMP) AS endt FROM u),
+        |s AS (SELECT user_id,
+        |        CASE WHEN conv_ts IS NOT NULL
+        |             THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+        |                                 CAST(conv_ts AS DATE)) AS BIGINT)
+        |             ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+        |                                 CAST((SELECT endt FROM e) AS DATE)) AS BIGINT)
+        |             END AS dur,
+        |        CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS died
+        |      FROM u),
+        |t AS (SELECT dur, CAST(sum(died) AS BIGINT) AS d,
+        |             CAST(count(*) AS BIGINT) AS ev FROM s GROUP BY dur),
+        |r AS (SELECT dur, d,
+        |        CAST((SELECT count(*) FROM s) AS BIGINT)
+        |          - CAST(coalesce(sum(ev) OVER (ORDER BY dur
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS n_risk
+        |      FROM t),
+        |k AS (SELECT dur, d, n_risk,
+        |        CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+        |                  OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+        |             ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+        |                  THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |                OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) END AS surv
+        |      FROM r)
+        |SELECT dur AS t_days, n_risk, d AS n_events, round(surv, 6) AS survival
+        |FROM k WHERE d > 0 ORDER BY t_days""".stripMargin) { (s, dir) =>
+      // one row per user — feeds the censor horizon AND the durations
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min("ts").as("first_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("conv_ts"),
+          max("ts").as("last_ts"))
+        .localCheckpoint()
+      val e = u.agg(max("last_ts").as("endt"))
+      val sdf = u.crossJoin(broadcast(e))
+        .select(
+          when(col("conv_ts").isNotNull,
+            datediff(to_date(col("conv_ts")), to_date(col("first_ts"))))
+            .otherwise(datediff(to_date(col("endt")), to_date(col("first_ts"))))
+            .cast("long").as("dur"),
+          when(col("conv_ts").isNotNull, 1L).otherwise(0L).as("died"))
+      val tt = sdf.groupBy("dur")
+        .agg(sum("died").as("d"), count(lit(1)).as("ev"))
+        .localCheckpoint()
+      val n0 = tt.agg(sum("ev").as("total"))
+      // the one intentionally tiny global window (≤ #days rows)
+      val wAll = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = tt.crossJoin(broadcast(n0))
+        .withColumn("n_risk",
+          col("total") - coalesce(sum("ev").over(wPrev), lit(0L)))
+      val k = r
+        .withColumn("hit_zero",
+          max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wAll))
+        .withColumn("surv",
+          when(col("hit_zero") === 1, lit(0.0))
+            .otherwise(exp(sum(
+              when(col("d") > 0 && col("d") < col("n_risk"),
+                log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+                .otherwise(lit(0.0))).over(wAll))))
+      k.where(col("d") > 0)
+        .select(col("dur").as("t_days"), col("n_risk"),
+          col("d").as("n_events"), round(col("surv"), 6).as("survival"))
+        .orderBy("t_days")
     }
   )
 }

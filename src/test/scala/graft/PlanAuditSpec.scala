@@ -56,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dsir_weights",      // 1-row broadcast token-totals scalar riding the plan
     "q_kanonymity",        // 1-row broadcast suppression totals riding the histogram
     "q_assoc_rules",       // 1-row broadcast basket-total scalar riding the plan
+    "q_burst_detect",      // 1-row broadcast Poisson-baseline scalar riding the plan
+    "q_survival_km",       // 1-row broadcast censor-horizon + total scalars
     "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration

@@ -204,6 +204,90 @@ class SeriesAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_survival_km matches the direct sequential product-limit estimate") {
+    val rows = Tables(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    def day(t: java.sql.Timestamp): Long =
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+    val byUser = rows.groupBy(_._1)
+    val endDay = day(rows.map(_._3).maxBy(_.getTime))
+    val durations = byUser.values.map { es =>
+      val first = day(es.map(_._3).minBy(_.getTime))
+      val convs = es.filter(_._2 == "purchase").map(_._3)
+      if (convs.nonEmpty) (day(convs.minBy(_.getTime)) - first, true)
+      else (endDay - first, false)
+    }.toSeq
+    // textbook product-limit walk over distinct times
+    var atRisk = durations.size.toLong
+    var surv = 1.0
+    val expected = durations.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (t, group) =>
+        val d = group.count(_._2).toLong
+        val out = if (d > 0) {
+          val risk = atRisk
+          surv *= (1.0 - d.toDouble / risk)
+          Some((t, risk, d, surv))
+        } else None
+        atRisk -= group.size
+        out
+    }
+    val got = SparkEntry.queries("q_survival_km")(spark, sf)
+      .orderBy("t_days").collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (t, risk, d, sv)) =>
+      assert(r.getAs[Long]("t_days") == t)
+      assert(r.getAs[Long]("n_risk") == risk)
+      assert(r.getAs[Long]("n_events") == d)
+      assert(math.abs(r.getAs[Double]("survival") - sv) < 1e-5,
+        s"t=$t: ${r.getAs[Double]("survival")} vs $sv")
+    }
+  }
+
+  test("q_burst_detect flags exactly the hours above the Poisson 3-sigma line") {
+    val hours = Tables(spark, sf, "events")
+      .select("ts").collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L)
+    val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val span = counts.keys.max - counts.keys.min + 1
+    val mu = hours.length.toDouble / span
+    val expected = counts.filter { case (_, c) => c > mu + 3 * math.sqrt(mu) }
+    val got = SparkEntry.queries("q_burst_detect")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val h = r.getAs[java.sql.Timestamp]("hr").getTime / 3600000L
+      val c = expected(h)
+      assert(r.getAs[Long]("c") == c)
+      assert(math.abs(r.getAs[Double]("z") - (c - mu) / math.sqrt(mu)) < 1e-3)
+    }
+  }
+
+  test("q_interarrival matches in-memory gap percentiles") {
+    val evs = Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    // epoch µs: getTime's millis component duplicates the top of
+    // getNanos — take whole seconds from getTime, fraction from nanos
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val gaps = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (us(e._3), e._2)).toSeq
+      sorted.zip(sorted.tail).map { case (a, b) => (us(b._3) - us(a._3)) / 1e6 }
+    }.toSeq.sorted
+    def pct(p: Double): Double = {
+      val idx = p * (gaps.length - 1)
+      val lo = idx.toInt
+      if (lo == gaps.length - 1) gaps(lo)
+      else gaps(lo) + (idx - lo) * (gaps(lo + 1) - gaps(lo))
+    }
+    val r = SparkEntry.queries("q_interarrival")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_gaps") == gaps.length.toLong)
+    assert(math.abs(r.getAs[Double]("mean_s") - gaps.sum / gaps.length) < 1e-3)
+    assert(math.abs(r.getAs[Double]("p50_s") - pct(0.5)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("p90_s") - pct(0.9)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("p99_s") - pct(0.99)) < 1e-3)
+  }
+
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -273,6 +273,48 @@ abstract class StreamingSpecBase extends SparkSpec
     } finally query.stop()
   }
 
+  test("streaming session_window matches the batch sessionization on the same rows") {
+    // the built-in session-window path (q_session_window's batch shape
+    // run as a stream): gap-merged sessions finalize when the
+    // watermark passes, and the session bounds/counts equal the batch
+    // aggregation over the identical rows
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window($"ts", "1 minute"), $"uid")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("s"), $"session_window.end".as("e"),
+        $"uid", $"n")
+    val query = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // u1: two events 30s apart (one session), then a 5-min gap (new
+      // session); u2: one event — arrival split across batches
+      val rows = Seq(
+        (t("2024-01-01 00:00:05"), 1L), (t("2024-01-01 00:00:35"), 1L),
+        (t("2024-01-01 00:05:40"), 1L), (t("2024-01-01 00:00:20"), 2L))
+      input.addData(rows.take(2)); query.processAllAvailable()
+      input.addData(rows.drop(2)); query.processAllAvailable()
+      input.addData((t("2024-01-01 00:20:00"), 9L)); query.processAllAvailable()
+      input.addData((t("2024-01-01 00:30:00"), 9L)); query.processAllAvailable()
+      val got = spark.table("sess_out").collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+        .toSet
+      // batch expectation over the same rows via the same builder
+      val exp = rows.toDF("ts", "uid")
+        .groupBy(session_window($"ts", "1 minute"), $"uid")
+        .agg(count(lit(1)).as("n"))
+        .select($"uid", $"session_window.start", $"session_window.end", $"n")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(exp.subsetOf(got), s"missing sessions: ${exp.diff(got)}")
+      assert(exp.size == 3) // two u1 sessions + one u2 session
+    } finally query.stop()
+  }
+
   test("transformWithState (Spark 4 API, RocksDB store) matches fMGWS semantics") {
     implicit val sqlCtx = spark.sqlContext
     withProvider(

@@ -56,6 +56,64 @@ object SeriesQueries {
       when(u < lit(c), k).otherwise(els)
     }
 
+  /** Exact quantile_cont(0.5) of `df(c)` as a 1-row frame (n, med) —
+    * sketch-guided exact selection, never a one-task buffer of the
+    * full value set (a plain exact `percentile` over 2.9M doubles
+    * measured 9.4 s; this is TWO cheap agg passes):
+    *
+    *  1. exact count + approx_percentile at q = 0.499/0.501
+    *     (accuracy 10⁴). The GK sketch's rank error is
+    *     DETERMINISTICALLY ≤ n/accuracy = 0.0001·n, an order under
+    *     the 0.001·n band half-width, so the true middle ranks ALWAYS
+    *     lie inside [blo, bhi] — a guaranteed bracket, not a
+    *     probabilistic one.
+    *  2. group values with out-of-band rows collapsed to ±∞ sentinel
+    *     groups (map-side combine shrinks everything to the ~0.2%
+    *     distinct in-band values + 2 sentinels), cumulate rank spans
+    *     on that tiny frame — the −∞ group doubles as the exact
+    *     below-band count — and read the two middle ranks off the
+    *     spans with quantile_cont's interpolation.
+    *
+    * The sketch only NARROWS the search; every rank and value in the
+    * answer is exact, and run-to-run sketch variation cannot move the
+    * output. (Column./ is DOUBLE division — (n−1)/2 at even n is a
+    * half-integer and a rank equality would never match; floor it.)
+    */
+  private def exactMedian(df: org.apache.spark.sql.DataFrame, c: String)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = df
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile($c, array(0.499, 0.501), 10000)").as("band"))
+      .select(col("n"), element_at(col("band"), 1).as("blo"),
+        element_at(col("band"), 2).as("bhi"))
+      .localCheckpoint()
+    val k1 = floor((col("n") - 1) / 2).cast("long") + 1 // 1-based lower middle
+    // second (and last) pass: below-band rows collapse to a −∞
+    // sentinel group and above-band to +∞ — NO filter on the value
+    // column (a filter's inferred isnotnull constraint can inline the
+    // caller's value expression into an upstream join condition, cf.
+    // q_theil_sen's ANSI divide-by-zero), and the sentinels sort
+    // before/after every real value so the rank-span window below
+    // needs no separate below-count
+    val grouped = df.crossJoin(broadcast(stats))
+      .groupBy(when(col(c) < col("blo"), lit(Double.NegativeInfinity))
+        .when(col(c) > col("bhi"), lit(Double.PositiveInfinity))
+        .otherwise(col(c)).as("v"))
+      .agg(count(lit(1)).as("cv"))
+    // tiny global window over the distinct in-band values (+2 sentinels)
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    grouped.crossJoin(broadcast(stats))
+      .withColumn("before", coalesce(sum("cv").over(wv), lit(0L)))
+      .agg(first("n").as("n"),
+        max(when(col("before") < k1 && col("before") + col("cv") >= k1,
+          col("v"))).as("v1"),
+        max(when(col("before") < k1 + 1 && col("before") + col("cv") >= k1 + 1,
+          col("v"))).as("v2"))
+      .select(col("n"),
+        (col("v1") + (((col("n") - 1) % 2) / lit(2.0))
+          * (coalesce(col("v2"), col("v1")) - col("v1"))).as("med"))
+  }
+
   private val poissonCaseSql: String =
     PoissonCum.zipWithIndex
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
@@ -934,6 +992,54 @@ object SeriesQueries {
           round(col("sdec").cast("double") / col("n_gaps"), 4).as("mean_s"),
           round(col("q50"), 4).as("p50_s"), round(col("q90"), 4).as("p90_s"),
           round(col("q99"), 4).as("p99_s"))
+    },
+
+    // ---- Theil–Sen robust trend (the Mann-Kendall companion) ----
+    // Median of all pairwise slopes over the daily series — immune to
+    // outlier days that wreck least squares. Same calendar-bounded
+    // pair frame as q_mann_kendall (#days² pairs regardless of corpus
+    // size); slopes are exact DECIMAL differences divided once; the
+    // median is the exact interpolated percentile (quantile_cont
+    // parity). Intercept = median(y − m·x) over the #days frame. At a
+    // multi-decade calendar the exact percentile over D² slopes would
+    // swap for approx_percentile; at D ≤ ~2.4k it is 2.9M doubles in
+    // one aggregation.
+    sql(
+      "q_theil_sen",
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |sl AS (SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d) AS m
+        |       FROM daily a JOIN daily b ON b.d > a.d),
+        |ms AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |              quantile_cont(m, 0.5) AS slope FROM sl),
+        |ic AS (SELECT quantile_cont(CAST(rev AS DOUBLE)
+        |                            - (SELECT slope FROM ms) * d, 0.5) AS icpt
+        |       FROM daily)
+        |SELECT (SELECT n_pairs FROM ms) AS n_pairs,
+        |       round((SELECT slope FROM ms), 6) AS slope_per_day,
+        |       round((SELECT icpt FROM ic), 4) AS intercept""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(dayNum(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("rev"))
+        .localCheckpoint()
+      val b = daily.select(col("d").as("d2"), col("rev").as("rev2"))
+      // exactMedian reads the pair set twice; re-deriving this cheap
+      // broadcast join twice beats materializing 2.9M rows
+      val sl = daily.join(broadcast(b), col("d2") > col("d"))
+        .select(((col("rev2") - col("rev")).cast("double")
+          / (col("d2") - col("d"))).as("m"))
+      val ms = exactMedian(sl, "m")
+        .select(col("n").as("n_pairs"), col("med").as("slope"))
+        .localCheckpoint()
+      val ic2 = daily.crossJoin(broadcast(ms))
+        .withColumn("rev_d", col("rev").cast("double"))
+        .agg(expr("percentile(rev_d - slope * d, 0.5)").as("icpt"))
+      ic2.crossJoin(broadcast(ms))
+        .select(col("n_pairs"), round(col("slope"), 6).as("slope_per_day"),
+          round(col("icpt"), 4).as("intercept"))
     },
 
     // ---- Poisson burst detection over hourly counts ----

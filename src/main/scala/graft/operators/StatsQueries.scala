@@ -1072,6 +1072,48 @@ object StatsQueries {
           round(col("lift_raw"), 6).as("lift"))
     },
 
+    // ---- winsorized robust aggregation ----
+    // Clip the metric at its global [p1, p99] before aggregating —
+    // the standard defense against a single corrupt row dragging a
+    // mean (heavy-tailed `value` here). Bounds are exact interpolated
+    // percentiles on a 1-row broadcast; clipping is per-row codegen;
+    // raw and winsorized means accumulate in DECIMAL so the rounded
+    // comparison is merge-order-exact.
+    sql(
+      "q_winsorize",
+      """WITH p AS (SELECT quantile_cont(value, 0.01) AS lo,
+        |                  quantile_cont(value, 0.99) AS hi FROM events),
+        |w AS (SELECT event_type, value,
+        |        least(greatest(value, (SELECT lo FROM p)), (SELECT hi FROM p)) AS wv
+        |      FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+        |    AS raw_mean,
+        |  round(CAST(sum(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+        |    AS wins_mean,
+        |  CAST(sum(CASE WHEN wv <> value THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  round((SELECT lo FROM p), 4) AS p01,
+        |  round((SELECT hi FROM p), 4) AS p99
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val p = ev.agg(expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi")).localCheckpoint()
+      val w = ev.crossJoin(broadcast(p))
+        .withColumn("wv", least(greatest(col("value"), col("lo")), col("hi")))
+      w.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sr"),
+          sum(col("wv").cast("decimal(18,6)")).as("sw"),
+          sum(when(col("wv") =!= col("value"), 1L).otherwise(0L)).as("n_clipped"),
+          first("lo").as("lo"), first("hi").as("hi"))
+        .select(col("event_type"), col("n"),
+          round(col("sr").cast("double") / col("n"), 4).as("raw_mean"),
+          round(col("sw").cast("double") / col("n"), 4).as("wins_mean"),
+          col("n_clipped"),
+          round(col("lo"), 4).as("p01"), round(col("hi"), 4).as("p99"))
+        .orderBy("event_type")
+    },
+
     // ---- Kaplan–Meier time-to-conversion survival curve ----
     // Survival analysis over the event stream: time from a user's
     // first event to their first purchase, right-censored at corpus

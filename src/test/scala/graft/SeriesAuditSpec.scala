@@ -288,6 +288,61 @@ class SeriesAuditSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p99_s") - pct(0.99)) < 1e-3)
   }
 
+  test("q_theil_sen matches the in-memory median-of-slopes (exact selection check)") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("o_orderdate")),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("d"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("decimal(15,4)").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2) / (daily(j)._1 - daily(i)._1)).sorted
+    def med(xs: Seq[Double]): Double = {
+      val idx = 0.5 * (xs.length - 1)
+      val lo = idx.toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (idx - lo) * (xs(lo + 1) - xs(lo))
+    }
+    val icepts = daily.map { case (d, rev) => rev - med(slopes) * d }.sorted
+    val r = SparkEntry.queries("q_theil_sen")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope_per_day") - med(slopes)) < 1e-4,
+      s"engine ${r.getAs[Double]("slope_per_day")} vs independent ${med(slopes)}")
+    assert(math.abs(r.getAs[Double]("intercept") - med(icepts.toIndexedSeq)) < 1e-2)
+  }
+
+  test("q_winsorize matches in-memory clipped means") {
+    val rows = Tables(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sorted = rows.map(_._2).sorted
+    def pct(p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = idx.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (idx - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val (p01, p99) = (pct(0.01), pct(0.99))
+    val got = SparkEntry.queries("q_winsorize")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n")).sum == rows.length.toLong)
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = rows.filter(_._1 == et).map(_._2)
+      val ws = vs.map(v => math.min(math.max(v, p01), p99))
+      assert(math.abs(r.getAs[Double]("raw_mean") - vs.sum / vs.length) < 1e-3)
+      assert(math.abs(r.getAs[Double]("wins_mean") - ws.sum / ws.length) < 1e-3)
+      assert(r.getAs[Long]("n_clipped") == vs.count(v => v < p01 || v > p99).toLong)
+      assert(math.abs(r.getAs[Double]("p01") - p01) < 1e-3)
+      assert(math.abs(r.getAs[Double]("p99") - p99) < 1e-3)
+    }
+  }
+
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -110,6 +110,10 @@ object ScaleCheck {
     // per-source dup-rate ride on componentLabels
     "q_dsir_weights", "q_assoc_rules", "q_minhash_containment",
     "q_dup_rate_by_source", "q_open_intervals",
+    // r7 third batch: the calendar-pair trend tests, the sketch-guided
+    // median, per-user window/collapse shapes, and the clip pass
+    "q_mann_kendall", "q_theil_sen", "q_interarrival", "q_survival_km",
+    "q_winsorize", "q_embed_centroids",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -1042,6 +1042,69 @@ object SeriesQueries {
           round(col("icpt"), 4).as("intercept"))
     },
 
+    // ---- Holt linear (double exponential) smoothing + 1-step forecast ----
+    // The trend-aware EWMA: level l' = α·x + (1−α)(l+b), trend
+    // b' = β(l'−l) + (1−β)b — the capacity-forecast shape. The
+    // recurrence is inherently sequential, but it runs on the
+    // CALENDAR-BOUNDED daily collapse (the corpus shuffles once into
+    // #days rows), so the single-task fold is over ≤ a few thousand
+    // rows at any corpus size — same contract as the other tiny
+    // global windows here. α/β pinned; per-step arithmetic mirrors
+    // the oracle's recursive CTE operation-for-operation.
+    sql(
+      "q_holt_linear",
+      """WITH RECURSIVE daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(15,4))
+        |              AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |arr AS (SELECT list(x ORDER BY d) AS xs, list(d ORDER BY d) AS ds
+        |        FROM daily),
+        |h(i, l, b) AS (
+        |  SELECT 1, (SELECT xs[1] FROM arr),
+        |         (SELECT xs[2] FROM arr) - (SELECT xs[1] FROM arr)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |         0.5 * (SELECT xs[i+1] FROM arr) + 0.5 * (l + b),
+        |         0.3 * ((0.5 * (SELECT xs[i+1] FROM arr) + 0.5 * (l + b)) - l)
+        |           + 0.7 * b
+        |  FROM h WHERE i < (SELECT len(xs) FROM arr))
+        |SELECT (SELECT ds[i] FROM arr) AS d, (SELECT xs[i] FROM arr) AS x,
+        |       round(l, 6) AS level, round(b, 6) AS trend,
+        |       round(l + b, 6) AS forecast_next
+        |FROM h ORDER BY d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (alpha, beta) = (0.5, 0.3)
+      val daily = t(s, dir, "events")
+        .groupBy(dayNum(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").cast("double").as("x"))
+      daily.as[(Long, Double)]
+        .coalesce(1) // calendar-bounded frame; the fold is sequential
+        .sortWithinPartitions("d")
+        .mapPartitions { it =>
+          val buf = it.toIndexedSeq
+          if (buf.isEmpty) Iterator.empty
+          else {
+            var l = buf(0)._2
+            var b = if (buf.length > 1) buf(1)._2 - buf(0)._2 else 0.0
+            buf.iterator.zipWithIndex.map { case ((d, x), i) =>
+              if (i > 0) {
+                val l2 = alpha * x + (1 - alpha) * (l + b)
+                b = beta * (l2 - l) + (1 - beta) * b
+                l = l2
+              }
+              (d, x, l, b)
+            }
+          }
+        }
+        .toDF("d", "x", "level", "trend")
+        .select(col("d"), col("x"), round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("level") + col("trend"), 6).as("forecast_next"))
+        .orderBy("d")
+    },
+
     // ---- Poisson burst detection over hourly counts ----
     // The monitoring alarm: hours whose event count exceeds the
     // homogeneous-Poisson baseline by 3σ (σ = √μ). The corpus

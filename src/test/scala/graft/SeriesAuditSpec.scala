@@ -343,6 +343,35 @@ class SeriesAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_holt_linear matches the direct sequential recurrence") {
+    // the query rounds day sums to DECIMAL(15,4) before the double
+    // conversion — mirror that here or x comparisons drift at 5e-5
+    val daily = dailySeries("events", "ts", "value")
+      .map { case (d, v) => (d, BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val xs = daily.map(_._2)
+    var l = xs(0)
+    var b = if (xs.length > 1) xs(1) - xs(0) else 0.0
+    val expected = xs.zipWithIndex.map { case (x, i) =>
+      if (i > 0) {
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l2 - l) + 0.7 * b
+        l = l2
+      }
+      (l, b)
+    }
+    val got = SparkEntry.queries("q_holt_linear")(spark, sf)
+      .orderBy("d").collect()
+    assert(got.length == daily.length)
+    got.zip(expected).zip(daily).foreach { case ((r, (el, eb)), (d, x)) =>
+      assert(r.getAs[Long]("d") == d)
+      assert(math.abs(r.getAs[Double]("x") - x) < 1e-6)
+      assert(math.abs(r.getAs[Double]("level") - el) < 1e-4)
+      assert(math.abs(r.getAs[Double]("trend") - eb) < 1e-4)
+      assert(math.abs(r.getAs[Double]("forecast_next") - (el + eb)) < 1e-3)
+    }
+  }
+
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -43,6 +43,17 @@ object SeriesQueries {
   private def dayNum(ts: Column): Column =
     datediff(to_date(ts), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
 
+  /** Calendar collapse shared by the daily-series operators: one
+    * corpus aggregation to (d, rev DECIMAL(15,4)) — exact sums so
+    * downstream moments are merge-order-independent — checkpointed
+    * because every consumer reads it at least twice. */
+  private def dailyDecimal(df: org.apache.spark.sql.DataFrame,
+      tsCol: String, vCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(dayNum(col(tsCol)).as("d"))
+      .agg(sum(col(vCol).cast("decimal(18,6)"))
+        .cast("decimal(15,4)").as("rev"))
+      .localCheckpoint()
+
   /** Inverse-CDF Poisson(1) from a uniform — cumulative probabilities
     * as pinned double literals so Spark and DuckDB walk the identical
     * ladder (P(k) = e⁻¹/k!, capped at 8: P(X>8) < 1e-9). */
@@ -253,11 +264,7 @@ object SeriesQueries {
         |FROM m ORDER BY k""".stripMargin) { (s, dir) =>
       // #days rows, consumed by both the x and the lagged-y branch —
       // checkpoint so the corpus aggregation runs once
-      val daily = t(s, dir, "orders")
-        .groupBy(dayNum(col("o_orderdate")).as("d"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
-          .cast("decimal(15,4)").as("rev"))
-        .localCheckpoint()
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate", "o_totalprice")
       val x = daily
         .withColumn("k", explode(sequence(lit(1L), lit(7L))))
         .select(col("k"), col("d"), col("rev").as("x"))
@@ -742,11 +749,7 @@ object SeriesQueries {
         |FROM r ORDER BY d""".stripMargin) { (s, dir) =>
       // corpus → #days rows once; the moments AND the window pass both
       // read this frame
-      val daily = t(s, dir, "events")
-        .groupBy(dayNum(col("ts")).as("d"))
-        .agg(sum(col("value").cast("decimal(18,6)"))
-          .cast("decimal(15,4)").as("rev"))
-        .localCheckpoint()
+      val daily = dailyDecimal(t(s, dir, "events"), "ts", "value")
       val wide = col("rev") * col("rev").cast("decimal(19,4)")
       val m = daily.agg(count(lit(1)).as("n"), sum("rev").as("sx"),
           sum(wide).as("sx2"))
@@ -808,11 +811,7 @@ object SeriesQueries {
         |       CASE WHEN (SELECT z FROM zz) > 1.959964 THEN 'increasing'
         |            WHEN (SELECT z FROM zz) < -1.959964 THEN 'decreasing'
         |            ELSE 'no_trend' END AS trend""".stripMargin) { (s, dir) =>
-      val daily = t(s, dir, "orders")
-        .groupBy(dayNum(col("o_orderdate")).as("d"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
-          .cast("decimal(15,4)").as("rev"))
-        .localCheckpoint()
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate", "o_totalprice")
       val b = daily.select(col("d").as("d2"), col("rev").as("rev2"))
       // calendar-bounded pair join: the broadcast side is #days rows
       val p = daily.join(broadcast(b), col("d2") > col("d"))
@@ -871,11 +870,7 @@ object SeriesQueries {
         |       round(CAST(t.rev AS DOUBLE) - t.trend
         |             - (dm.dmean - (SELECT gmean FROM g)), 6) AS resid
         |FROM tr t JOIN dm ON dm.dow = t.dow ORDER BY d""".stripMargin) { (s, dir) =>
-      val daily = t(s, dir, "events")
-        .groupBy(dayNum(col("ts")).as("d"))
-        .agg(sum(col("value").cast("decimal(18,6)"))
-          .cast("decimal(15,4)").as("rev"))
-        .localCheckpoint()
+      val daily = dailyDecimal(t(s, dir, "events"), "ts", "value")
       // the one intentionally tiny global window (#days rows)
       val w = Window.orderBy("d").rowsBetween(-3, 3)
       val tr = daily
@@ -1020,11 +1015,7 @@ object SeriesQueries {
         |SELECT (SELECT n_pairs FROM ms) AS n_pairs,
         |       round((SELECT slope FROM ms), 6) AS slope_per_day,
         |       round((SELECT icpt FROM ic), 4) AS intercept""".stripMargin) { (s, dir) =>
-      val daily = t(s, dir, "orders")
-        .groupBy(dayNum(col("o_orderdate")).as("d"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
-          .cast("decimal(15,4)").as("rev"))
-        .localCheckpoint()
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate", "o_totalprice")
       val b = daily.select(col("d").as("d2"), col("rev").as("rev2"))
       // exactMedian reads the pair set twice; re-deriving this cheap
       // broadcast join twice beats materializing 2.9M rows
@@ -1075,10 +1066,8 @@ object SeriesQueries {
         |FROM h ORDER BY d""".stripMargin) { (s, dir) =>
       import s.implicits._
       val (alpha, beta) = (0.5, 0.3)
-      val daily = t(s, dir, "events")
-        .groupBy(dayNum(col("ts")).as("d"))
-        .agg(sum(col("value").cast("decimal(18,6)"))
-          .cast("decimal(15,4)").cast("double").as("x"))
+      val daily = dailyDecimal(t(s, dir, "events"), "ts", "value")
+        .select(col("d"), col("rev").cast("double").as("x"))
       daily.as[(Long, Double)]
         .coalesce(1) // calendar-bounded frame; the fold is sequential
         .sortWithinPartitions("d")

@@ -499,8 +499,10 @@ object CurationQueries {
         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
         |terms AS (
         |  SELECT t.doc_id, t.source,
-        |    ln(CAST((coalesce(ct.c, 0) + 1) * ((SELECT n FROM nr) + 4096) AS DOUBLE)
-        |       / ((cr.c + 1) * ((SELECT n FROM nt) + 4096))) AS term
+        |    ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+        |       * CAST((SELECT n FROM nr) + 4096 AS DOUBLE)
+        |       / (CAST(cr.c + 1 AS DOUBLE)
+        |          * CAST((SELECT n FROM nt) + 4096 AS DOUBLE))) AS term
         |  FROM toks t JOIN cr ON cr.b = t.b LEFT JOIN ct ON ct.b = t.b),
         |w AS (SELECT doc_id, any_value(source) AS source,
         |             CAST(count(*) AS BIGINT) AS n_tokens,
@@ -528,10 +530,15 @@ object CurationQueries {
         .join(broadcast(cr), Seq("b"))
         .join(broadcast(ct), Seq("b"), "left")
         .crossJoin(broadcast(tots))
+        // factors cast to double BEFORE multiplying: a BIGINT product
+        // (c+1)·(N+V) overflows at ~6e11 total tokens — doubles carry
+        // the ratio exactly as far as ln cares at any corpus size
+        // (review find, r7)
         .select(col("doc_id"), col("source"),
-          log(((coalesce(col("c_t"), lit(0L)) + 1) * (col("n_r") + 4096))
-            .cast("double")
-            / ((col("c_r") + 1) * (col("n_t") + 4096))).as("term"))
+          log((coalesce(col("c_t"), lit(0L)) + 1).cast("double")
+            * (col("n_r") + 4096).cast("double")
+            / ((col("c_r") + 1).cast("double")
+              * (col("n_t") + 4096).cast("double"))).as("term"))
       terms.groupBy("doc_id")
         .agg(first("source").as("source"), count(lit(1)).as("n_tokens"),
           sum(col("term").cast("decimal(38,18)")).cast("double").as("wt"))

@@ -190,9 +190,7 @@ object DedupClusterQueries {
       "q_dup_rate_by_source",
       s"""WITH RECURSIVE
          |$componentsSqlCtes,
-         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
-         |dup AS (SELECT c.id AS doc_id FROM comp c
-         |        JOIN sizes z ON z.component = c.component WHERE z.sz > 1)
+         |dup AS (SELECT id AS doc_id FROM comp)
          |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
          |         AS n_neardup,
@@ -200,10 +198,10 @@ object DedupClusterQueries {
          |                  AS DOUBLE) / count(*), 6) AS dup_rate
          |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY source""".stripMargin) { (s, dir) =>
-      val labels = componentLabels(s, dir)
-      val sizes = labels.groupBy("component").agg(count(lit(1)).as("sz"))
-      val dup = labels.join(sizes, Seq("component"))
-        .where(col("sz") > 1)
+      // every node in the pair graph has ≥1 partner, so every
+      // component has size ≥ 2 — a size>1 filter would be dead logic
+      // and an extra shuffle (review find, r7)
+      val dup = componentLabels(s, dir)
         .select(col("doc_id").as("dup_id"))
       Tables(s, dir, "documents").select("doc_id", "source")
         .join(broadcast(dup), col("doc_id") === col("dup_id"), "left")

@@ -410,9 +410,10 @@ object SimilarityQueries {
     // #labels×64 rows.
     sql(
       "q_embed_centroids",
-      """WITH x AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
-        |           FROM embeddings, range(1, 65) t(i)
-        |           WHERE i <= len(embedding)),
+      """WITH ex AS (SELECT label, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS i
+        |            FROM embeddings),
+        |x AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v FROM ex),
         |cl0 AS (SELECT label, i, sum(CAST(v AS DECIMAL(38,18))) AS sdec,
         |               CAST(count(*) AS BIGINT) AS n
         |        FROM x GROUP BY label, i),

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated quantiles (quantile_cont semantics) of one
+  * numeric column, as a 1-row frame `(n, <name per q>)` — WITHOUT the
+  * one-task full-value-set buffer of Spark's exact `percentile`
+  * (which measured 9.4 s over 2.9M doubles and OOMs at 100-TB row
+  * counts). Sketch-guided exact selection, two agg passes:
+  *
+  *  1. exact count + approx_percentile at q ± 0.001 per requested
+  *     quantile (accuracy 10⁴). The GK sketch's rank error is
+  *     DETERMINISTICALLY ≤ n/accuracy = 0.0001·n, an order under the
+  *     band half-width, so for large n each band is a guaranteed
+  *     bracket of its quantile's two interpolation ranks.
+  *  2. group values with out-of-band rows collapsed monotonically —
+  *     below the first band to −∞, above the last to +∞, between
+  *     bands to the gap midpoint (strictly between, so it can never
+  *     collide with an in-band value). Map-side combine shrinks the
+  *     pass to the ~0.2%·#qs distinct in-band values + sentinels;
+  *     rank spans cumulate on that tiny frame and each quantile reads
+  *     its two ranks off the spans with quantile_cont's interpolation
+  *     (pos = q·(n−1), the formula Spark `percentile` and DuckDB
+  *     `quantile_cont` share).
+  *
+  * The sketch only NARROWS the search: every rank and value in the
+  * answer is exact, and run-to-run sketch variation cannot move the
+  * output. For SMALL n the GK rank tolerance (min 1 rank) can exceed
+  * a band's width and a needed rank lands in a sentinel group — the
+  * result goes null/non-finite, which is DETECTED on the collected
+  * 1-row result and answered by a plain exact-percentile fallback
+  * (correct at any n, and cheap exactly when it triggers). The happy
+  * path embeds the collected values as literals so callers re-reading
+  * the frame never re-run the passes. (Bounded driver collect: one
+  * row — the PqIndex/fixpoint-probe convention.)
+  *
+  * Column./ is DOUBLE division — rank arithmetic floors explicitly,
+  * since (n−1)/2 at even n is a half-integer and a rank equality
+  * would silently select nothing.
+  */
+object ExactQuantiles {
+
+  private val BandHalfWidth = 0.001
+
+  def apply(df: DataFrame, c: String, qs: Seq[Double], names: Seq[String])
+      : DataFrame = {
+    require(qs.nonEmpty && qs.size == names.size, "one name per quantile")
+    require(qs == qs.sorted && qs.forall(q => q >= 0.0 && q <= 1.0))
+    require(qs.iterator.sliding(2).withPartial(false)
+      .forall(p => p(1) - p(0) > 2 * BandHalfWidth),
+      s"quantiles must be > ${2 * BandHalfWidth} apart (disjoint bands)")
+    val spark = df.sparkSession
+
+    val bandQs = qs.flatMap(q => Seq(math.max(0.0, q - BandHalfWidth),
+      math.min(1.0, q + BandHalfWidth)))
+    val stats = df
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile($c, array(${bandQs.mkString(", ")}), 10000)")
+          .as("band"))
+      .select(col("n") +: qs.indices.flatMap(i => Seq(
+        element_at(col("band"), 2 * i + 1).as(s"blo$i"),
+        element_at(col("band"), 2 * i + 2).as(s"bhi$i"))): _*)
+      .localCheckpoint()
+
+    // monotone out-of-band collapse (order-preserving, collision-free)
+    val v = col(c)
+    var key: Column = when(v < col("blo0"), lit(Double.NegativeInfinity))
+    for (i <- qs.indices) {
+      key = key.when(v <= col(s"bhi$i"), v)
+      if (i + 1 < qs.size)
+        key = key.when(v < col(s"blo${i + 1}"),
+          (col(s"bhi$i") + col(s"blo${i + 1}")) / 2)
+    }
+    val grouped = df.crossJoin(broadcast(stats))
+      .groupBy(key.otherwise(lit(Double.PositiveInfinity)).as("v"))
+      .agg(count(lit(1)).as("cv"))
+
+    // tiny global window over the distinct in-band values + sentinels
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    def k1(i: Int): Column =
+      floor(lit(qs(i)) * (col("n") - 1)).cast("long") + 1 // 1-based lower rank
+    val spanAggs = qs.indices.flatMap { i =>
+      Seq(
+        max(when(col("before") < k1(i) && col("before") + col("cv") >= k1(i),
+          col("v"))).as(s"v1_$i"),
+        max(when(col("before") < k1(i) + 1
+          && col("before") + col("cv") >= k1(i) + 1, col("v"))).as(s"v2_$i"))
+    }
+    val sel = grouped.crossJoin(broadcast(stats))
+      .withColumn("before", coalesce(sum("cv").over(wv), lit(0L)))
+      .agg(first("n").as("n"), spanAggs: _*)
+    val res = sel.select(col("n") +: qs.indices.map { i =>
+      val idx = lit(qs(i)) * (col("n") - 1)
+      val f = idx - floor(idx)
+      when(f === 0.0, col(s"v1_$i"))
+        .otherwise(col(s"v1_$i") + f * (col(s"v2_$i") - col(s"v1_$i")))
+        .as(names(i))
+    }: _*)
+
+    val row = res.collect()(0)
+    // empty input: the span aggregation has no rows, so first("n")
+    // is null — treat as n = 0
+    val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val bracketHeld = n == 0 || names.indices.forall { i =>
+      !row.isNullAt(i + 1) && java.lang.Double.isFinite(row.getDouble(i + 1))
+    }
+    if (bracketHeld)
+      spark.range(1).select(lit(n).as("n") +: names.zipWithIndex.map {
+        case (nm, i) =>
+          (if (n == 0) lit(null).cast("double")
+           else lit(row.getDouble(i + 1))).as(nm)
+      }: _*)
+    else
+      // small-n bracket miss: the one-task exact percentile is correct
+      // at any n and cheap precisely when this path triggers
+      df.agg(count(lit(1)).as("n"),
+        qs.zip(names).map { case (q, nm) =>
+          expr(s"percentile($c, $q)").as(nm)
+        }: _*)
+  }
+}

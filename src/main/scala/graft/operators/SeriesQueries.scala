@@ -67,64 +67,6 @@ object SeriesQueries {
       when(u < lit(c), k).otherwise(els)
     }
 
-  /** Exact quantile_cont(0.5) of `df(c)` as a 1-row frame (n, med) —
-    * sketch-guided exact selection, never a one-task buffer of the
-    * full value set (a plain exact `percentile` over 2.9M doubles
-    * measured 9.4 s; this is TWO cheap agg passes):
-    *
-    *  1. exact count + approx_percentile at q = 0.499/0.501
-    *     (accuracy 10⁴). The GK sketch's rank error is
-    *     DETERMINISTICALLY ≤ n/accuracy = 0.0001·n, an order under
-    *     the 0.001·n band half-width, so the true middle ranks ALWAYS
-    *     lie inside [blo, bhi] — a guaranteed bracket, not a
-    *     probabilistic one.
-    *  2. group values with out-of-band rows collapsed to ±∞ sentinel
-    *     groups (map-side combine shrinks everything to the ~0.2%
-    *     distinct in-band values + 2 sentinels), cumulate rank spans
-    *     on that tiny frame — the −∞ group doubles as the exact
-    *     below-band count — and read the two middle ranks off the
-    *     spans with quantile_cont's interpolation.
-    *
-    * The sketch only NARROWS the search; every rank and value in the
-    * answer is exact, and run-to-run sketch variation cannot move the
-    * output. (Column./ is DOUBLE division — (n−1)/2 at even n is a
-    * half-integer and a rank equality would never match; floor it.)
-    */
-  private def exactMedian(df: org.apache.spark.sql.DataFrame, c: String)
-      : org.apache.spark.sql.DataFrame = {
-    val stats = df
-      .agg(count(lit(1)).as("n"),
-        expr(s"approx_percentile($c, array(0.499, 0.501), 10000)").as("band"))
-      .select(col("n"), element_at(col("band"), 1).as("blo"),
-        element_at(col("band"), 2).as("bhi"))
-      .localCheckpoint()
-    val k1 = floor((col("n") - 1) / 2).cast("long") + 1 // 1-based lower middle
-    // second (and last) pass: below-band rows collapse to a −∞
-    // sentinel group and above-band to +∞ — NO filter on the value
-    // column (a filter's inferred isnotnull constraint can inline the
-    // caller's value expression into an upstream join condition, cf.
-    // q_theil_sen's ANSI divide-by-zero), and the sentinels sort
-    // before/after every real value so the rank-span window below
-    // needs no separate below-count
-    val grouped = df.crossJoin(broadcast(stats))
-      .groupBy(when(col(c) < col("blo"), lit(Double.NegativeInfinity))
-        .when(col(c) > col("bhi"), lit(Double.PositiveInfinity))
-        .otherwise(col(c)).as("v"))
-      .agg(count(lit(1)).as("cv"))
-    // tiny global window over the distinct in-band values (+2 sentinels)
-    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    grouped.crossJoin(broadcast(stats))
-      .withColumn("before", coalesce(sum("cv").over(wv), lit(0L)))
-      .agg(first("n").as("n"),
-        max(when(col("before") < k1 && col("before") + col("cv") >= k1,
-          col("v"))).as("v1"),
-        max(when(col("before") < k1 + 1 && col("before") + col("cv") >= k1 + 1,
-          col("v"))).as("v2"))
-      .select(col("n"),
-        (col("v1") + (((col("n") - 1) % 2) / lit(2.0))
-          * (coalesce(col("v2"), col("v1")) - col("v1"))).as("med"))
-  }
-
   private val poissonCaseSql: String =
     PoissonCum.zipWithIndex
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
@@ -973,16 +915,22 @@ object SeriesQueries {
         |FROM d""".stripMargin) { (s, dir) =>
       // ordering by us ≡ by ts (unix_micros is monotone), same tiebreak
       val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      // checkpoint the gap set: the quantile core and the mean agg
+      // together read it three times
       val d = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
         .withColumn("pus", lag("us", 1).over(w))
         .where(col("pus").isNotNull)
         .select(((col("us") - col("pus")) / 1000000.0).as("gap_s"))
+        .localCheckpoint()
+      // exact interpolated percentiles via the sketch-guided selection
+      // core — a plain exact percentile() buffers the corpus-sized gap
+      // set (one row per event) in ONE task (review find, r7)
+      val qn = ExactQuantiles(d, "gap_s", Seq(0.5, 0.9, 0.99),
+        Seq("q50", "q90", "q99"))
       d.agg(count(lit(1)).as("n_gaps"),
-          sum(col("gap_s").cast("decimal(18,6)")).as("sdec"),
-          expr("percentile(gap_s, 0.5)").as("q50"),
-          expr("percentile(gap_s, 0.9)").as("q90"),
-          expr("percentile(gap_s, 0.99)").as("q99"))
+          sum(col("gap_s").cast("decimal(18,6)")).as("sdec"))
+        .crossJoin(broadcast(qn))
         .select(col("n_gaps"),
           round(col("sdec").cast("double") / col("n_gaps"), 4).as("mean_s"),
           round(col("q50"), 4).as("p50_s"), round(col("q90"), 4).as("p90_s"),
@@ -1017,12 +965,12 @@ object SeriesQueries {
         |       round((SELECT icpt FROM ic), 4) AS intercept""".stripMargin) { (s, dir) =>
       val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate", "o_totalprice")
       val b = daily.select(col("d").as("d2"), col("rev").as("rev2"))
-      // exactMedian reads the pair set twice; re-deriving this cheap
-      // broadcast join twice beats materializing 2.9M rows
+      // ExactQuantiles reads the pair set twice; re-deriving this
+      // cheap broadcast join twice beats materializing 2.9M rows
       val sl = daily.join(broadcast(b), col("d2") > col("d"))
         .select(((col("rev2") - col("rev")).cast("double")
           / (col("d2") - col("d"))).as("m"))
-      val ms = exactMedian(sl, "m")
+      val ms = ExactQuantiles(sl, "m", Seq(0.5), Seq("med"))
         .select(col("n").as("n_pairs"), col("med").as("slope"))
         .localCheckpoint()
       val ic2 = daily.crossJoin(broadcast(ms))
@@ -1074,16 +1022,22 @@ object SeriesQueries {
         .mapPartitions { it =>
           val buf = it.toIndexedSeq
           if (buf.isEmpty) Iterator.empty
+          // single-day series: the oracle's b₁ = xs[2] − xs[1] is NULL
+          // (no second day) — mirror it or the engines diverge on the
+          // degenerate-but-legal input (review find, r7)
+          else if (buf.length == 1)
+            Iterator.single((buf(0)._1, buf(0)._2, buf(0)._2,
+              Option.empty[Double]))
           else {
             var l = buf(0)._2
-            var b = if (buf.length > 1) buf(1)._2 - buf(0)._2 else 0.0
+            var b = buf(1)._2 - buf(0)._2
             buf.iterator.zipWithIndex.map { case ((d, x), i) =>
               if (i > 0) {
                 val l2 = alpha * x + (1 - alpha) * (l + b)
                 b = beta * (l2 - l) + (1 - beta) * b
                 l = l2
               }
-              (d, x, l, b)
+              (d, x, l, Some(b))
             }
           }
         }

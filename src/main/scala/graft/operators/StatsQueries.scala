@@ -1063,8 +1063,12 @@ object StatsQueries {
         .join(sup.select(col("p").as("p1"), col("s").as("s1")), Seq("p1"))
         .join(sup.select(col("p").as("p2"), col("s").as("s2")), Seq("p2"))
         .crossJoin(broadcast(n0))
+        // round BEFORE ordering: DuckDB's ORDER BY lift binds to the
+        // round(...,6) OUTPUT alias, so raw lifts that collide at 6
+        // decimals are ties there — ordering by the raw double would
+        // pick different LIMIT-boundary rows (review find, r7)
         .withColumn("lift_raw", lift)
-        .orderBy(col("lift_raw").desc, col("p1"), col("p2"))
+        .orderBy(round(col("lift_raw"), 6).desc, col("p1"), col("p2"))
         .limit(25)
         .select(col("p1"), col("p2"), col("n_both"), col("s1"), col("s2"),
           round(col("n_both").cast("double") / col("n"), 6).as("support"),
@@ -1096,8 +1100,11 @@ object StatsQueries {
         |  round((SELECT hi FROM p), 4) AS p99
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
-      val p = ev.agg(expr("percentile(value, 0.01)").as("lo"),
-        expr("percentile(value, 0.99)").as("hi")).localCheckpoint()
+      // exact p1/p99 via the sketch-guided selection core — a plain
+      // exact percentile() buffers every value in one task (review
+      // find, r7; ExactQuantiles scaladoc has the contract)
+      val p = ExactQuantiles(ev, "value", Seq(0.01, 0.99), Seq("lo", "hi"))
+        .select("lo", "hi")
       val w = ev.crossJoin(broadcast(p))
         .withColumn("wv", least(greatest(col("value"), col("lo")), col("hi")))
       w.groupBy("event_type")

@@ -117,4 +117,33 @@ class ScaleBehaviorSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(2000))
     assert(pruned.count() == docs.where($"lang" === "en").count())
   }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the incremental daily-load primitive at 100 TB: re-running one
+    // day's batch must rewrite THAT day's directory and leave every
+    // other partition byte-identical — static overwrite mode would
+    // drop the whole table first
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val othersBefore = spark.read.parquet(dir)
+      .where($"lang" =!= "en").count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // "corrected" re-run of just the en partition, halved
+      val enFix = docs.where($"lang" === "en")
+        .where($"doc_id" % 2 === 0)
+      enFix.write.partitionBy("lang").mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.where($"lang" === "en").count() == enFix.count(),
+        "touched partition must hold exactly the re-run's rows")
+      assert(back.where($"lang" =!= "en").count() == othersBefore,
+        "untouched partitions must survive the overwrite")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

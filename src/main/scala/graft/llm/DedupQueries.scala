@@ -75,6 +75,48 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // ---- per-document n-gram novelty ----
+    // The curation complement of dedup: what fraction of a doc's
+    // distinct 3-gram shingles appears NOWHERE else in the corpus?
+    // Boilerplate-heavy docs score near 0, original content near 1 —
+    // the novelty signal data-mixing recipes weight by. One shingle
+    // explode, one document-frequency aggregation (bounded by shingle
+    // cardinality, hash-partitioned), one join back — all standard
+    // shuffles; df == 1 is the strictest df cutoff, so the frame is
+    // the same shape the df-capped dedup family already scales.
+    sql(
+      "q_ngram_novelty",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sgl
+        |       FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, unnest(sgl) AS s FROM sh),
+        |df AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM ex GROUP BY s)
+        |SELECT ex.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  round(CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS novel_frac
+        |FROM ex JOIN df ON df.s = ex.s
+        |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.{shingles, tokens}
+      // (doc, shingle) pairs feed the df aggregation AND the join
+      // probe — materialize the explode once
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("words"), 3)).as("s"))
+        .localCheckpoint()
+      val df = ex.groupBy("s").agg(count(lit(1)).as("d"))
+      ex.join(df, Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("novel"))
+        .select(col("doc_id"), col("n_shingles"),
+          round(col("novel").cast("double") / col("n_shingles"), 4)
+            .as("novel_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- asymmetric containment on the LSH candidate pairs ----
     // Jaccard misses INCLUSION: a boilerplate page embedded inside a
     // longer doc has low symmetric similarity but containment

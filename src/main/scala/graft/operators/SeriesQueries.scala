@@ -981,6 +981,48 @@ object SeriesQueries {
           round(col("icpt"), 4).as("intercept"))
     },
 
+    // ---- exponential time-decay aggregation ----
+    // The metric-store "current value" shape: every observation
+    // weighted e^(−λ·age) against the corpus horizon (λ = 0.1/day ⇒
+    // ~7-day half-life), so recent activity dominates without a hard
+    // window cliff. One pass: the horizon rides a 1-row broadcast,
+    // per-row weights are codegen'd exp over exact-integer µs ages,
+    // and the weighted sums accumulate in DECIMAL so merge order
+    // can't move the rounded output. The decayed sum is mergeable
+    // across time (old_sum·e^(−λΔ) + new) — the same property that
+    // makes it incremental-update-friendly at 100 TB.
+    sql(
+      "q_decay_agg",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |t AS (SELECT event_type, value,
+        |        exp(-0.1 * (epoch_us((SELECT m FROM mx)) - epoch_us(ts))
+        |            / 86400000000.0) AS w
+        |      FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(w * value AS DECIMAL(38,18))) AS DOUBLE), 4)
+        |    AS decayed_sum,
+        |  round(CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 4) AS eff_n,
+        |  round(CAST(sum(CAST(w * value AS DECIMAL(38,18))) AS DOUBLE)
+        |        / CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 6)
+        |    AS decayed_mean
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val mx = ev.agg(max("ts").as("m")).localCheckpoint()
+      val w = exp(lit(-0.1) * (unix_micros(col("m")) - unix_micros(col("ts")))
+        / 86400000000.0)
+      ev.crossJoin(broadcast(mx))
+        .select(col("event_type"), (w * col("value")).as("wv"), w.as("w"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("wv").cast("decimal(38,18)")).cast("double").as("swv"),
+          sum(col("w").cast("decimal(38,18)")).cast("double").as("sw"))
+        .select(col("event_type"), col("n"),
+          round(col("swv"), 4).as("decayed_sum"),
+          round(col("sw"), 4).as("eff_n"),
+          round(col("swv") / col("sw"), 6).as("decayed_mean"))
+        .orderBy("event_type")
+    },
+
     // ---- Holt linear (double exponential) smoothing + 1-step forecast ----
     // The trend-aware EWMA: level l' = α·x + (1−α)(l+b), trend
     // b' = β(l'−l) + (1−β)b — the capacity-forecast shape. The

@@ -453,6 +453,85 @@ object SimilarityQueries {
           round(col("dot") / (sqrt(col("nc")) * sqrt(col("ng"))), 6)
             .as("cos_to_global"))
         .orderBy("label")
+    },
+
+    // ---- embedding effective dimension (collapse detection) ----
+    // Participation ratio of the covariance spectrum WITHOUT an
+    // eigensolve: (Σλ)²/Σλ² = trace(C)²/‖C‖²_F, because for symmetric
+    // C the squared Frobenius norm IS the sum of squared eigenvalues.
+    // An embedding model collapsing to a few directions shows
+    // eff_dim ≪ dim long before downstream retrieval degrades — the
+    // embedding-space health gauge next to q_embed_centroids' drift.
+    // Shape: the d×d Gram accumulates from a join-free DOUBLE
+    // posexplode (per-row fan-out d², collapsed map-side to ≤d²
+    // cells); means ride the same exploded frame; everything after is
+    // arithmetic on the 4096-cell grid.
+    sql(
+      "q_embed_effdim",
+      """WITH ex AS (SELECT vec_id, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS i
+        |            FROM embeddings),
+        |x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ex),
+        |n0 AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+        |mu AS (SELECT i, sum(v) / (SELECT n FROM n0) AS m
+        |       FROM x GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |        sum(a.v * b.v) / (SELECT n FROM n0) AS exy
+        |      FROM x a JOIN x b ON b.vec_id = a.vec_id
+        |      GROUP BY a.i, b.i),
+        |c AS (SELECT p.i, p.j, p.exy - ma.m * mb.m AS cij
+        |      FROM p JOIN mu ma ON ma.i = p.i JOIN mu mb ON mb.i = p.j),
+        |s AS (SELECT sum(CASE WHEN i = j THEN cij ELSE 0.0 END) AS tr,
+        |             sum(cij * cij) AS frob2
+        |      FROM c)
+        |SELECT (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS dim,
+        |       (SELECT n FROM n0) AS n_vecs,
+        |       round(tr, 6) AS cov_trace, round(frob2, 6) AS cov_frob2,
+        |       round(tr * tr / frob2, 4) AS eff_dim
+        |FROM s""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      // ONE corpus read: (vec row) → d rows carrying the array, then
+      // a second posexplode fans each to d² (vi·vj) cells — no
+      // self-join, no second scan; partial agg collapses map-side
+      val x1 = emb.select(col("vec_id"), col("embedding"),
+        posexplode(col("embedding")).as(Seq("pi", "vi")))
+      val cells = x1.select(col("vec_id"), col("pi"),
+          col("vi").cast("double").as("vi"),
+          posexplode(col("embedding")).as(Seq("pj", "vj")))
+        .select(col("pi"), col("pj"), col("vi"),
+          col("vj").cast("double").as("vj"))
+      val n0 = emb.agg(count(lit(1)).as("n")).localCheckpoint()
+      // Gram sums accumulate in DOUBLE deliberately, unlike the
+      // money/ratio queries: float products are continuous with no
+      // systematic rounding-boundary alignment, the summation error
+      // (~1e-14 relative) sits eight orders under the round(6)
+      // output grain, and the DECIMAL path costs a per-cell
+      // conversion on the d²-fanned corpus (12.9 s vs ~2 s measured)
+      val p = cells.groupBy("pi", "pj")
+        .agg(sum(col("vi") * col("vj")).as("sxy"))
+      val mu = emb
+        .select(posexplode(col("embedding")).as(Seq("pi", "vi")))
+        .groupBy("pi")
+        .agg(sum(col("vi").cast("double")).as("sv"))
+      // 4096-cell grid + d-row means, all broadcast-sized from here
+      val c = p
+        .join(broadcast(mu.select(col("pi").as("mi"), col("sv").as("svi"))),
+          col("pi") === col("mi"))
+        .join(broadcast(mu.select(col("pi").as("mj"), col("sv").as("svj"))),
+          col("pj") === col("mj"))
+        .crossJoin(broadcast(n0))
+        .select(col("pi"), col("pj"),
+          (col("sxy") / col("n")
+            - (col("svi") / col("n")) * (col("svj") / col("n"))).as("cij"))
+      val sAgg = c.agg(
+        sum(when(col("pi") === col("pj"), col("cij")).otherwise(lit(0.0))).as("tr"),
+        sum(col("cij") * col("cij")).as("frob2"))
+      val dim = emb.agg(max(size(col("embedding"))).cast("long").as("dim"))
+      sAgg.crossJoin(broadcast(n0)).crossJoin(broadcast(dim))
+        .select(col("dim"), col("n").as("n_vecs"),
+          round(col("tr"), 6).as("cov_trace"),
+          round(col("frob2"), 6).as("cov_frob2"),
+          round(col("tr") * col("tr") / col("frob2"), 4).as("eff_dim"))
     }
   )
 }

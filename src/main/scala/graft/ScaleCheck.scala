@@ -114,6 +114,9 @@ object ScaleCheck {
     // median, per-user window/collapse shapes, and the clip pass
     "q_mann_kendall", "q_theil_sen", "q_interarrival", "q_survival_km",
     "q_winsorize", "q_embed_centroids",
+    // r7 fourth batch: the d²-fanout Gram, the shingle-df novelty
+    // join, and the decay-weighted corpus pass
+    "q_embed_effdim", "q_ngram_novelty", "q_decay_agg",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

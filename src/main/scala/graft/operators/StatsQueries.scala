@@ -1076,6 +1076,78 @@ object StatsQueries {
           round(col("lift_raw"), 6).as("lift"))
     },
 
+    // ---- delta-method ratio-metric readout (A/B suite) ----
+    // Revenue-per-event is a RATIO of per-user sums, so its variance
+    // is NOT the t-test's: Var(X̄/Ȳ) ≈ (σx² + r²σy² − 2rσxy)/(μy²·n)
+    // by the delta method — the standard correction every experiment
+    // platform applies to ratio metrics (per-user correlation between
+    // numerator and denominator is exactly what the naive SE misses).
+    // One corpus collapse to per-user (x, y), one moments row per
+    // variant; cross-moments ride the mixed-width DECIMAL pairing.
+    sql(
+      "q_delta_method",
+      """WITH u AS (SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+        |      AS variant,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(value AS DECIMAL(15,4))
+        |                  ELSE CAST(0 AS DECIMAL(15,4)) END)
+        |         AS DECIMAL(15,4)) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        sum(x * CAST(x AS DECIMAL(19,4))) AS sxx,
+        |        sum(x * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM u GROUP BY variant)
+        |SELECT variant, n,
+        |  round(CAST(sx AS DOUBLE) / sy, 6) AS ratio,
+        |  round(sqrt(greatest(0.0,
+        |      (CAST(sxx AS DOUBLE) / n
+        |       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+        |        / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |      + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+        |        * (CAST(syy AS DOUBLE) / n
+        |           - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |        / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |      - 2 * (CAST(sx AS DOUBLE) / sy)
+        |        * (CAST(sxy AS DOUBLE) / n
+        |           - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |        / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))) / n), 6)
+        |    AS se_delta
+        |FROM m ORDER BY variant""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val zero = lit(0).cast("decimal(15,4)")
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(15,4)")).otherwise(zero))
+            .cast("decimal(15,4)").as("x"),
+          count(lit(1)).as("y"))
+        .withColumn("variant", h32(col("user_id").cast("string")) % 2)
+      val m = u.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x").cast("decimal(19,4)")).as("sxx"),
+          sum(col("x") * col("y").cast("decimal(19,0)")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val (n, sx, sy, sxx, sxy, syy) =
+        (col("n"), col("sx").cast("double"), col("sy").cast("double"),
+          col("sxx").cast("double"), col("sxy").cast("double"),
+          col("syy").cast("double"))
+      val r = sx / sy
+      val my2 = (sy / n) * (sy / n)
+      val varDelta =
+        (sxx / n - (sx / n) * (sx / n)) / my2 +
+          r * r * (syy / n - (sy / n) * (sy / n)) / my2 -
+          lit(2) * r * (sxy / n - (sx / n) * (sy / n)) / my2
+      m.select(col("variant"), col("n"),
+          round(r, 6).as("ratio"),
+          round(sqrt(greatest(lit(0.0), varDelta) / n), 6).as("se_delta"))
+        .orderBy("variant")
+    },
+
     // ---- winsorized robust aggregation ----
     // Clip the metric at its global [p1, p99] before aggregating —
     // the standard defense against a single corrupt row dragging a

@@ -372,6 +372,41 @@ class SeriesAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_delta_method matches an in-memory per-user ratio variance") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val rows = Tables(spark, sf, "events")
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val perUser = rows.groupBy(_._1).map { case (uid, es) =>
+      val x = es.filter(_._2 == "purchase")
+        .map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      (h32(uid.toString) % 2, x, es.length.toDouble)
+    }.toSeq
+    val got = SparkEntry.queries("q_delta_method")(spark, sf).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val v = r.getAs[Long]("variant")
+      val us = perUser.filter(_._1 == v)
+      val n = us.length.toDouble
+      val (mx, my) = (us.map(_._2).sum / n, us.map(_._3).sum / n)
+      val ratio = us.map(_._2).sum / us.map(_._3).sum
+      val varX = us.map(u => u._2 * u._2).sum / n - mx * mx
+      val varY = us.map(u => u._3 * u._3).sum / n - my * my
+      val covXY = us.map(u => u._2 * u._3).sum / n - mx * my
+      val se = math.sqrt(math.max(0.0,
+        (varX + ratio * ratio * varY - 2 * ratio * covXY) / (my * my)) / n)
+      assert(r.getAs[Long]("n") == us.length.toLong)
+      assert(math.abs(r.getAs[Double]("ratio") - ratio) < 1e-5)
+      assert(math.abs(r.getAs[Double]("se_delta") - se) < 1e-5,
+        s"variant $v: ${r.getAs[Double]("se_delta")} vs $se")
+    }
+  }
+
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

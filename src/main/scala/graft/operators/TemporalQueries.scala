@@ -176,6 +176,64 @@ object TemporalQueries {
           && col("t_click") > col("t_view"), 1)).as("n_full_funnel"))
     },
 
+    // ---- time-windowed funnel: each step within 24 h of the prior ----
+    // The conversion-window variant of q_funnel: a click only counts
+    // within 24 h of the user's first view, a purchase within 24 h of
+    // that qualifying click — the attribution-window semantics every
+    // marketing funnel actually uses (the unbounded funnel overcounts
+    // conversions that happen weeks later). Three per-user min
+    // aggregations chained by semi-ish joins on the per-user frames;
+    // the corpus collapses at step one and every later step joins
+    // #users-sized frames.
+    sql(
+      "q_funnel_windowed",
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id AS user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |        AND e.ts <= v.first_view + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id AS user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |        AND e.ts <= c.first_click + INTERVAL 24 HOUR
+        |      GROUP BY e.user_id)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_24h,
+        |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_24h,
+        |       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |             / (SELECT count(*) FROM v), 4) AS view_to_click,
+        |       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |             / greatest((SELECT count(*) FROM c), 1), 4)
+        |         AS click_to_purchase""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dayUs = 24L * 3600 * 1000000
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v.select(col("user_id").as("vu"), col("first_view")),
+          col("user_id") === col("vu")
+            && col("ts") > col("first_view")
+            && unix_micros(col("ts")) <= unix_micros(col("first_view")) + dayUs)
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c.select(col("user_id").as("cu"), col("first_click")),
+          col("user_id") === col("cu")
+            && col("ts") > col("first_click")
+            && unix_micros(col("ts")) <= unix_micros(col("first_click")) + dayUs)
+        .groupBy("user_id").agg(min("ts").as("first_purchase"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click_24h"))
+      val np = p.agg(count(lit(1)).as("n_purchase_24h"))
+      nv.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
+        .select(col("n_view"), col("n_click_24h"), col("n_purchase_24h"),
+          round(col("n_click_24h").cast("double") / col("n_view"), 4)
+            .as("view_to_click"),
+          round(col("n_purchase_24h").cast("double")
+            / greatest(col("n_click_24h"), lit(1L)), 4).as("click_to_purchase"))
+    },
+
     // ---- fixed-width value histogram per event type ----
     sql(
       "q_histogram",

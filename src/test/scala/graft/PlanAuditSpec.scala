@@ -62,6 +62,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_interarrival",      // 1-row broadcast exact-quantile scalars riding the plan
     "q_decay_agg",         // 1-row broadcast corpus-horizon scalar riding the plan
     "q_embed_effdim",      // 1-row broadcast n/dim scalars riding the 4096-cell grid
+    "q_funnel_windowed",   // three 1-row broadcast step counts riding the plan
     "q_survival_km",       // 1-row broadcast censor-horizon + total scalars
     "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body

@@ -256,8 +256,14 @@ object Bench {
     // report: complete JSON → bench_full.json (committed per round),
     // stdout gets ONE COMPACT line (slowest-20 query map, counts,
     // truncated errors, headline latencies) that parses from the tail.
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) must NOT clobber the
+    // committed full-surface artifact with a partial map — they write
+    // a scratch file instead (review find, r7: a 1-query dev run
+    // overwrote the 198-query round artifact).
+    val fullOut =
+      if (only.isEmpty) "bench_full.json" else "bench_subset.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullJson + "\n")
+      java.nio.file.Paths.get(fullOut), fullJson + "\n")
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val topQs = ok.sortBy { case (_, rs) => -rs.min }.take(20)
       .map { case (k, rs) => "\"" + k + "\":" + r3(rs.min) }
@@ -272,7 +278,7 @@ object Bench {
       val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
       "\"" + k + "\":\"" + jesc(safe) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"bench_full.json","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"$fullOut","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99}}""")
     spark.stop()
   }
 }

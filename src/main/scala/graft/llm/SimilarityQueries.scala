@@ -490,9 +490,17 @@ object SimilarityQueries {
         |       round(tr * tr / frob2, 4) AS eff_dim
         |FROM s""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      // ONE corpus read: (vec row) → d rows carrying the array, then
-      // a second posexplode fans each to d² (vi·vj) cells — no
-      // self-join, no second scan; partial agg collapses map-side
+      // TWO corpus reads total: (1) the Gram pass — each vec row
+      // fans to d rows carrying the array, a second posexplode fans
+      // to d² (vi·vj) cells, no self-join; per-(i,j) partial agg
+      // collapses map-side, and the per-dim sums ride the SAME
+      // aggregation (Σvi is identical in every (i, j) group, so the
+      // j = 0 slice of the grid IS the mean vector — no separate
+      // mean scan); (2) one count/dim agg. n counts DISTINCT
+      // non-empty vec rows, matching the oracle's exploded-frame
+      // count exactly (a NULL or empty embedding contributes nothing
+      // to the sums on either engine and must not inflate the
+      // divisor — review find, r7).
       val x1 = emb.select(col("vec_id"), col("embedding"),
         posexplode(col("embedding")).as(Seq("pi", "vi")))
       val cells = x1.select(col("vec_id"), col("pi"),
@@ -500,7 +508,12 @@ object SimilarityQueries {
           posexplode(col("embedding")).as(Seq("pj", "vj")))
         .select(col("pi"), col("pj"), col("vi"),
           col("vj").cast("double").as("vj"))
-      val n0 = emb.agg(count(lit(1)).as("n")).localCheckpoint()
+      val stats = emb.agg(
+        countDistinct(when(col("embedding").isNotNull
+          && size(col("embedding")) > 0, col("vec_id"))).as("n"),
+        max(size(col("embedding"))).cast("long").as("dim"))
+        .localCheckpoint()
+      val n0 = stats.select("n")
       // Gram sums accumulate in DOUBLE deliberately, unlike the
       // money/ratio queries: float products are continuous with no
       // systematic rounding-boundary alignment, the summation error
@@ -508,11 +521,11 @@ object SimilarityQueries {
       // output grain, and the DECIMAL path costs a per-cell
       // conversion on the d²-fanned corpus (12.9 s vs ~2 s measured)
       val p = cells.groupBy("pi", "pj")
-        .agg(sum(col("vi") * col("vj")).as("sxy"))
-      val mu = emb
-        .select(posexplode(col("embedding")).as(Seq("pi", "vi")))
-        .groupBy("pi")
-        .agg(sum(col("vi").cast("double")).as("sv"))
+        .agg(sum(col("vi") * col("vj")).as("sxy"),
+          sum(col("vi")).as("svi_g"))
+        .localCheckpoint()
+      val mu = p.where(col("pj") === 0)
+        .select(col("pi"), col("svi_g").as("sv"))
       // 4096-cell grid + d-row means, all broadcast-sized from here
       val c = p
         .join(broadcast(mu.select(col("pi").as("mi"), col("sv").as("svi"))),
@@ -526,8 +539,7 @@ object SimilarityQueries {
       val sAgg = c.agg(
         sum(when(col("pi") === col("pj"), col("cij")).otherwise(lit(0.0))).as("tr"),
         sum(col("cij") * col("cij")).as("frob2"))
-      val dim = emb.agg(max(size(col("embedding"))).cast("long").as("dim"))
-      sAgg.crossJoin(broadcast(n0)).crossJoin(broadcast(dim))
+      sAgg.crossJoin(broadcast(stats))
         .select(col("dim"), col("n").as("n_vecs"),
           round(col("tr"), 6).as("cov_trace"),
           round(col("frob2"), 6).as("cov_frob2"),

@@ -209,14 +209,19 @@ object TemporalQueries {
         |         AS click_to_purchase""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
       val dayUs = 24L * 3600 * 1000000
+      // v feeds the click join AND the view count; c feeds the
+      // purchase join AND the click count — materialize each per-user
+      // frame once (review find, r7)
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("first_view"))
+        .localCheckpoint()
       val c = ev.where(col("event_type") === "click")
         .join(v.select(col("user_id").as("vu"), col("first_view")),
           col("user_id") === col("vu")
             && col("ts") > col("first_view")
             && unix_micros(col("ts")) <= unix_micros(col("first_view")) + dayUs)
         .groupBy("user_id").agg(min("ts").as("first_click"))
+        .localCheckpoint()
       val p = ev.where(col("event_type") === "purchase")
         .join(c.select(col("user_id").as("cu"), col("first_click")),
           col("user_id") === col("cu")

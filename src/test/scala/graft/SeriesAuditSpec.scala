@@ -11,6 +11,15 @@ class SeriesAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** First 32 md5 bits of s as an unsigned long — the repo's portable
+    * h32 convention, recomputed independently for parity checks. */
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+
   /** Daily sums of a timestamp/value pair, keyed by epoch day. */
   private def dailySeries(table: String, tsCol: String, vCol: String): Seq[(Long, Double)] =
     Tables(spark, sf, table)
@@ -171,11 +180,6 @@ class SeriesAuditSpec extends SparkSpec {
   }
 
   test("q_dsir_weights matches an in-memory two-model importance computation") {
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      java.lang.Long.parseLong(
-        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
-    }
     val target = Set("src1", "src2", "src3")
     val docs = Tables(spark, sf, "documents")
       .select("doc_id", "source", "text").collect()
@@ -373,11 +377,6 @@ class SeriesAuditSpec extends SparkSpec {
   }
 
   test("q_delta_method matches an in-memory per-user ratio variance") {
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      java.lang.Long.parseLong(
-        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
-    }
     val rows = Tables(spark, sf, "events")
       .select("user_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
@@ -408,11 +407,6 @@ class SeriesAuditSpec extends SparkSpec {
   }
 
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      java.lang.Long.parseLong(
-        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
-    }
     val counts = Tables(spark, sf, "events")
       .select("event_type").collect().map(_.getString(0))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap

@@ -1090,6 +1090,87 @@ object SeriesQueries {
         .orderBy("d")
     },
 
+    // ---- Holt–Winters additive (level + trend + DOW seasonality) ----
+    // The third rung of the forecasting ladder (EWMA → Holt → HW):
+    // l' = α(x − s_dow) + (1−α)(l+b), b' = β(l'−l) + (1−β)b,
+    // s'_dow = γ(x − l') + (1−γ)s_dow over a 7-slot seasonal state
+    // (additive, zero-initialized — the pinned convention both
+    // engines share). Same calendar-bounded contract as q_holt_linear:
+    // the recurrence folds on the ≤#days daily collapse; the oracle's
+    // recursive CTE carries the seasonal LIST and is mirrored
+    // operation-for-operation (DuckDB traps found on the way: lambdas
+    // reject subqueries — feed the step through an indexed join — and
+    // bare 0.4 literals type as DECIMAL(2,1) inside lambdas, casting
+    // the whole seasonal list — pin ::DOUBLE).
+    sql(
+      "q_holt_winters",
+      """WITH RECURSIVE daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(15,4))
+        |              AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY d) AS i, d, x,
+        |               CAST((d + 3) % 7 AS INT) + 1 AS slot
+        |        FROM daily),
+        |h(i, l, b, sl) AS (
+        |  SELECT 1, (SELECT x FROM idx WHERE i = 1),
+        |         (SELECT x FROM idx WHERE i = 2) - (SELECT x FROM idx WHERE i = 1),
+        |         list_transform(range(1, 8), z -> 0.0::DOUBLE)
+        |  UNION ALL
+        |  SELECT t.i, t.lnew,
+        |         0.3::DOUBLE * (t.lnew - t.l) + 0.7::DOUBLE * t.b,
+        |         list_transform(t.sl, (v, ix) -> CASE WHEN ix = t.slot
+        |           THEN 0.4::DOUBLE * (t.x - t.lnew) + 0.6::DOUBLE * v ELSE v END)
+        |  FROM (SELECT n.i, n.x, n.slot, h.l, h.b, h.sl,
+        |               0.5::DOUBLE * (n.x - h.sl[n.slot])
+        |                 + 0.5::DOUBLE * (h.l + h.b) AS lnew
+        |        FROM h JOIN idx n ON n.i = h.i + 1) t)
+        |SELECT n2.d AS d, n2.x AS x, round(h.l, 6) AS level,
+        |       round(h.b, 6) AS trend,
+        |       round(h.l + h.b
+        |             + h.sl[CAST((n2.d + 1 + 3) % 7 AS INT) + 1], 6)
+        |         AS forecast_next
+        |FROM h JOIN idx n2 ON n2.i = h.i ORDER BY d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (alpha, beta, gamma) = (0.5, 0.3, 0.4)
+      val daily = dailyDecimal(t(s, dir, "events"), "ts", "value")
+        .select(col("d"), col("rev").cast("double").as("x"))
+      daily.as[(Long, Double)]
+        .coalesce(1) // calendar-bounded frame; the fold is sequential
+        .sortWithinPartitions("d")
+        .mapPartitions { it =>
+          val buf = it.toIndexedSeq
+          if (buf.isEmpty) Iterator.empty
+          else if (buf.length == 1)
+            // single-day: the oracle's b₁ = x₂ − x₁ is NULL (q_holt
+            // parity convention)
+            Iterator.single((buf(0)._1, buf(0)._2, buf(0)._2,
+              Option.empty[Double], Option.empty[Double]))
+          else {
+            val sl = Array.fill(7)(0.0)
+            var l = buf(0)._2
+            var b = buf(1)._2 - buf(0)._2
+            buf.iterator.zipWithIndex.map { case ((d, x), i) =>
+              if (i > 0) {
+                val slot = ((d + 3) % 7).toInt
+                val sOld = sl(slot)
+                val lnew = alpha * (x - sOld) + (1 - alpha) * (l + b)
+                b = beta * (lnew - l) + (1 - beta) * b
+                sl(slot) = gamma * (x - lnew) + (1 - gamma) * sOld
+                l = lnew
+              }
+              val nextSlot = ((d + 1 + 3) % 7).toInt
+              (d, x, l, Some(b), Some(l + b + sl(nextSlot)))
+            }
+          }
+        }
+        .toDF("d", "x", "level", "trend", "fc")
+        .select(col("d"), col("x"), round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("fc"), 6).as("forecast_next"))
+        .orderBy("d")
+    },
+
     // ---- Poisson burst detection over hourly counts ----
     // The monitoring alarm: hours whose event count exceeds the
     // homogeneous-Poisson baseline by 3σ (σ = √μ). The corpus

@@ -406,6 +406,34 @@ class SeriesAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_holt_winters matches the direct sequential triple-smoothing recurrence") {
+    val daily = dailySeries("events", "ts", "value")
+      .map { case (d, v) => (d, BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val sl = Array.fill(7)(0.0)
+    var l = daily(0)._2
+    var b = daily(1)._2 - daily(0)._2
+    val expected = daily.zipWithIndex.map { case ((d, x), i) =>
+      if (i > 0) {
+        val slot = ((d + 3) % 7).toInt
+        val sOld = sl(slot)
+        val lnew = 0.5 * (x - sOld) + 0.5 * (l + b)
+        b = 0.3 * (lnew - l) + 0.7 * b
+        sl(slot) = 0.4 * (x - lnew) + 0.6 * sOld
+        l = lnew
+      }
+      (l, b, l + b + sl(((d + 1 + 3) % 7).toInt))
+    }
+    val got = SparkEntry.queries("q_holt_winters")(spark, sf)
+      .orderBy("d").collect()
+    assert(got.length == daily.length)
+    got.zip(expected).foreach { case (r, (el, eb, ef)) =>
+      assert(math.abs(r.getAs[Double]("level") - el) < 1e-4)
+      assert(math.abs(r.getAs[Double]("trend") - eb) < 1e-4)
+      assert(math.abs(r.getAs[Double]("forecast_next") - ef) < 1e-3)
+    }
+  }
+
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
     val counts = Tables(spark, sf, "events")
       .select("event_type").collect().map(_.getString(0))

@@ -117,6 +117,10 @@ object ScaleCheck {
     // r7 fourth batch: the d²-fanout Gram, the shingle-df novelty
     // join, and the decay-weighted corpus pass
     "q_embed_effdim", "q_ngram_novelty", "q_decay_agg",
+    // r7 fifth batch: the iterative peel over the co-purchase graph,
+    // the three-ranking token pass, the word-level complexity explode,
+    // and the forward twin of the union-style as-of
+    "q_kcore", "q_rrf_fusion", "q_lexical_complexity", "q_asof_forward",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -519,6 +519,70 @@ object TextAnalysisQueries {
           round(lit(1.0) - col("simp"), 6).as("simpson"),
           round(exp(-col("negh")), 6).as("eff_sources"))
         .orderBy("lang")
+    },
+
+    // ---- lexical complexity audit (readability-style heuristics) ----
+    // Per-language word-level complexity profile: average word length,
+    // syllables-per-word (vowel-group count — the standard cheap
+    // syllable proxy), share of "complex" ≥3-syllable words, and a
+    // Gunning-Fog-style score with words-per-document standing in for
+    // sentence length (the corpus has no sentence punctuation). The
+    // readability family is a stock quality-filter signal for training
+    // corpora. ONE token-explode aggregation carries every per-word
+    // metric as an exact integer sum; the doc counts come from a
+    // #langs-row aggregate joined on lang; the only doubles are the
+    // final divisions. Syllable counting is two regexp_replace passes
+    // (collapse vowel groups to a marker, strip the rest, take the
+    // length) — array-free, codegen'd, and the DuckDB twin carries the
+    // explicit 'g' flag (DuckDB regexp_replace is first-match-only by
+    // default; Spark's is global).
+    sql(
+      "q_lexical_complexity",
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(sum(length(word)) AS BIGINT) AS sum_len,
+        |        CAST(sum(length(regexp_replace(regexp_replace(word,
+        |          '[aeiou]+', 'V', 'g'), '[^V]', '', 'g'))) AS BIGINT) AS sum_syl,
+        |        CAST(sum(CASE WHEN length(regexp_replace(regexp_replace(word,
+        |          '[aeiou]+', 'V', 'g'), '[^V]', '', 'g')) >= 3
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_complex
+        |      FROM w GROUP BY lang),
+        |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM documents GROUP BY lang)
+        |SELECT m.lang, d.n_docs, m.n_words,
+        |  round(CAST(sum_len AS DOUBLE) / n_words, 6) AS avg_word_len,
+        |  round(CAST(sum_syl AS DOUBLE) / n_words, 6) AS syl_per_word,
+        |  round(CAST(n_complex AS DOUBLE) * 100 / n_words, 6) AS pct_complex,
+        |  round(CAST(4 AS DOUBLE) / 10
+        |        * (CAST(n_words AS DOUBLE) / n_docs
+        |           + CAST(n_complex AS DOUBLE) * 100 / n_words), 6) AS fog
+        |FROM m JOIN d ON d.lang = m.lang ORDER BY m.lang""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val syl = length(regexp_replace(
+        regexp_replace(col("word"), "[aeiou]+", "V"), "[^V]", ""))
+      val m = t(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("sum_len"),
+          sum(syl.cast("long")).as("sum_syl"),
+          sum(when(syl >= 3, 1L).otherwise(0L)).as("n_complex"))
+      val d = t(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      m.join(broadcast(d), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          round(col("sum_len").cast("double") / col("n_words"), 6)
+            .as("avg_word_len"),
+          round(col("sum_syl").cast("double") / col("n_words"), 6)
+            .as("syl_per_word"),
+          round(col("n_complex").cast("double") * 100 / col("n_words"), 6)
+            .as("pct_complex"),
+          round((lit(4).cast("double") / 10)
+            * (col("n_words").cast("double") / col("n_docs")
+              + col("n_complex").cast("double") * 100 / col("n_words")), 6)
+            .as("fog"))
+        .orderBy("lang")
     }
   )
 }

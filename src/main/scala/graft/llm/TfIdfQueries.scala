@@ -118,6 +118,73 @@ object TfIdfQueries {
         .agg(round(sum(col("s")), 6).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(15)
+    },
+
+    // ---- reciprocal rank fusion ----
+    // RRF (Cormack et al. 2009) — the standard way to merge rankings
+    // from heterogeneous retrieval/curation signals without score
+    // calibration: score(d) = Σ_r 1/(60 + rank_r(d)). Fused here over
+    // three per-language document rankings (chars, whitespace tokens,
+    // distinct vocabulary), top-5 per language. The rankings PARTITION
+    // BY lang — per-slice windows, no global sort (a corpus-wide RRF
+    // would rank through GlobalPrefix instead). All three signals and
+    // the distinct-vocab count derive from ONE token pass + the base
+    // table; each 1/(60+r) term is an exact small rational summed in
+    // a fixed-order projection, so the fused score is bit-identical
+    // on both engines and the top-5 cut cannot flip. Ties (distinct
+    // rank triples CAN sum to equal scores — permutations) break by
+    // doc_id on both sides.
+    sql(
+      "q_rrf_fusion",
+      """WITH base AS (SELECT doc_id, lang, n_chars,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents),
+        |dt AS (SELECT doc_id, CAST(count(DISTINCT word) AS BIGINT) AS n_dis
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents) GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.lang, b.n_chars, b.n_tok, dt.n_dis
+        |      FROM base b JOIN dt ON dt.doc_id = b.doc_id),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id) AS r1,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_tok DESC, doc_id) AS r2,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_dis DESC, doc_id) AS r3
+        |      FROM j),
+        |f AS (SELECT doc_id, lang, r1, r2, r3,
+        |        CAST(1 AS DOUBLE) / (60 + r1) + CAST(1 AS DOUBLE) / (60 + r2)
+        |        + CAST(1 AS DOUBLE) / (60 + r3) AS rrf
+        |      FROM r)
+        |SELECT lang, doc_id, r1, r2, r3, round(rrf, 6) AS rrf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY rrf DESC, doc_id) AS rk FROM f)
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      val w = wordsByDoc(s, dir)
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.functions.TextFunctions.tokens(col("text"))
+            .as("words"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("words")).cast("long").as("n_tok"))
+      val dt = postings(w).select("doc_id", "word").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dis"))
+      val j = base.join(dt, Seq("doc_id"))
+      def rk(sig: String) = row_number().over(
+        Window.partitionBy("lang").orderBy(desc(sig), col("doc_id")))
+        .cast("long")
+      val r = j.select(col("doc_id"), col("lang"),
+        rk("n_chars").as("r1"), rk("n_tok").as("r2"), rk("n_dis").as("r3"))
+      val f = r.withColumn("rrf",
+        lit(1).cast("double") / (lit(60) + col("r1"))
+          + lit(1).cast("double") / (lit(60) + col("r2"))
+          + lit(1).cast("double") / (lit(60) + col("r3")))
+      f.withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("rrf"), col("doc_id"))))
+        .where(col("rk") <= 5)
+        .select(col("lang"), col("doc_id"), col("r1"), col("r2"), col("r3"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("lang", "doc_id")
     }
   )
 }

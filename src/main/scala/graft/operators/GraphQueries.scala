@@ -271,6 +271,69 @@ object GraphQueries {
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("tri"))
         .orderBy(desc("tri"), col("word"))
+    },
+
+    // ---- k-core decomposition (iterative peeling) ----
+    // The cohesion audit for candidate-pair graphs: nodes surviving
+    // repeated removal of low-degree vertices form the k-core — on a
+    // dedup/LSH pair graph a large dense core means template spam, on
+    // a co-purchase graph it is the stable product community. Graph =
+    // the co-purchase part graph (shared basketPairCounts core, one
+    // corpus shuffle); k = ceil(p75 of initial degree) so the
+    // threshold adapts to corpus density (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, the established parity). Six peeling rounds,
+    // unrolled identically in the oracle: each round is two
+    // broadcast-hash semi-joins of the (tiny) survivor set against the
+    // directed edge list plus one degree aggregation partitioned on
+    // node id — the edge list is never re-shuffled, so a 1e9-edge
+    // graph runs the same plan with bigger hash joins. Survivor sets
+    // localCheckpoint per round (iterative-lineage pitfall).
+    sql(
+      "q_kcore",
+      s"""WITH ${graft.operators.StatsQueries.basketPairsSqlCtes},
+        |ed AS (SELECT p1 AS src, p2 AS dst FROM pairs
+        |       UNION ALL SELECT p2, p1 FROM pairs),
+        |d0 AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY src),
+        |kv AS (SELECT CAST(ceil(quantile_cont(dg, 0.75)) AS BIGINT) AS k FROM d0),
+        |s0 AS (SELECT src FROM d0 WHERE dg >= (SELECT k FROM kv)),
+        |${(1 to 6).map(i =>
+          s"""s$i AS (SELECT e.src FROM ed e
+             |       JOIN s${i - 1} a ON a.src = e.src
+             |       JOIN s${i - 1} b2 ON b2.src = e.dst
+             |       GROUP BY e.src
+             |       HAVING count(*) >= (SELECT k FROM kv))""".stripMargin)
+          .mkString(",\n")}
+        |SELECT e.src AS part, CAST(count(*) AS BIGINT) AS deg_core,
+        |       (SELECT k FROM kv) AS k
+        |FROM ed e JOIN s6 a ON a.src = e.src JOIN s6 b2 ON b2.src = e.dst
+        |GROUP BY e.src ORDER BY part""".stripMargin) { (s, dir) =>
+      val (_, pairs) = graft.operators.StatsQueries.basketPairCounts(s, dir)
+      // directed edge list, materialized once — every peeling round
+      // re-reads this, not the fact table
+      val ed = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint()
+      val d0 = ed.groupBy("src").agg(count(lit(1)).as("dg"))
+      val kv = d0.agg(ceil(expr("percentile(dg, 0.75)")).cast("long").as("k"))
+        .localCheckpoint() // 1-row threshold, read every round
+      var surv = d0.crossJoin(broadcast(kv))
+        .where(col("dg") >= col("k")).select("src")
+      for (_ <- 1 to 6) {
+        surv = ed
+          .join(broadcast(surv), "src")
+          .join(broadcast(surv.select(col("src").as("dst"))), "dst")
+          .groupBy("src").agg(count(lit(1)).as("dg"))
+          .crossJoin(broadcast(kv))
+          .where(col("dg") >= col("k")).select("src")
+          .localCheckpoint()
+      }
+      ed.join(broadcast(surv), "src")
+        .join(broadcast(surv.select(col("src").as("dst"))), "dst")
+        .groupBy(col("src").as("part"))
+        .agg(count(lit(1)).as("deg_core"))
+        .crossJoin(broadcast(kv))
+        .select(col("part"), col("deg_core"), col("k"))
+        .orderBy("part")
     }
   )
 }

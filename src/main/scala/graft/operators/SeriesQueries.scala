@@ -72,19 +72,29 @@ object SeriesQueries {
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
       .mkString("CASE ", " ", " ELSE 8 END")
 
-  /** Exact trailing-7-day distinct users per calendar day via the
-    * interval-coverage rewrite (one corpus shuffle — see
+  /** Exact trailing-`windowDays` distinct users per calendar day via
+    * the interval-coverage rewrite (one corpus shuffle — see
     * q_sliding_distinct's scaladoc; shared with the sketch twin's
-    * verification path). Returns (d, users). */
-  private def slidingDistinctExact(ev: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val a = ev.select(col("user_id"), dayNum(col("ts")).as("d")).distinct()
+    * verification path and the DAU/MAU stickiness ratio). Returns
+    * (d, users). */
+  private def slidingDistinctExact(ev: org.apache.spark.sql.DataFrame,
+      windowDays: Int = 7): org.apache.spark.sql.DataFrame =
+    slidingDistinctFromDaily(
+      ev.select(col("user_id"), dayNum(col("ts")).as("d")).distinct(),
+      windowDays)
+
+  /** Same, off a pre-collapsed distinct (user_id, d) frame — so a
+    * caller that also needs the daily frame (q_stickiness) pays for
+    * the corpus collapse once. */
+  private def slidingDistinctFromDaily(a: org.apache.spark.sql.DataFrame,
+      windowDays: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("d")
     // new coverage island when the gap from the previous activity
-    // day exceeds the window length (prev interval ends at prev+6)
+    // day exceeds the window length (prev interval ends at
+    // prev + windowDays − 1)
     val isl = a
       .withColumn("brk",
-        when(col("d") - lag("d", 1).over(w) > 6
+        when(col("d") - lag("d", 1).over(w) > windowDays - 1
           || lag("d", 1).over(w).isNull, 1).otherwise(0))
       .withColumn("isl", sum("brk").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -97,7 +107,7 @@ object SeriesQueries {
     val deltas = iv
       .select(explode(array(
         struct(col("s").as("d"), lit(1L).as("x")),
-        struct((col("e") + 7).as("d"), lit(-1L).as("x")))).as("z"))
+        struct((col("e") + windowDays).as("d"), lit(-1L).as("x")))).as("z"))
       .select(col("z.d").as("d"), col("z.x").as("x"))
       .groupBy("d").agg(sum("x").as("net"))
     // calendar grid: tiny (#days) — bounds from the checkpointed islands
@@ -1205,6 +1215,414 @@ object SeriesQueries {
         .select(col("hr"), col("c"),
           round((col("c") - col("mu")) / sqrt(col("mu")), 4).as("z"))
         .orderBy("hr")
+    },
+
+    // ---- lagged cross-correlation ----
+    // CCF between two daily series (purchase revenue leading view
+    // counts by 0..7 days) — the lead-indicator screen run before any
+    // causal claim about one metric driving another. The corpus
+    // collapses ONCE to the #days frame carrying BOTH metrics (a
+    // conditional-sum groupBy, the q_drift_timeline shape); all eight
+    // lag alignments are equi-joins of that tiny frame against itself
+    // on d+lag, so the corpus is read once at any scale. Pearson
+    // cross-moments accumulate in DECIMAL with the (15,4)×(19,4)
+    // product pairing — bit-identical on both engines regardless of
+    // merge order — and go double only for the final r.
+    sql(
+      "q_xcorr_lagged",
+      """WITH dd AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(value AS DECIMAL(15,4))
+        |                  ELSE CAST(0 AS DECIMAL(15,4)) END)
+        |         AS DECIMAL(15,4)) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag_d FROM range(0, 8)),
+        |p AS (SELECT l.lag_d, a.x, b.y
+        |      FROM dd a JOIN l ON TRUE JOIN dd b ON b.d = a.d + l.lag_d),
+        |m AS (SELECT lag_d, count(*) AS n,
+        |        sum(x) AS sx, sum(CAST(y AS DECIMAL(15,4))) AS sy,
+        |        sum(x * CAST(y AS DECIMAL(19,4))) AS sxy,
+        |        sum(x * CAST(x AS DECIMAL(19,4))) AS sx2,
+        |        sum(CAST(y AS DECIMAL(15,4)) * CAST(y AS DECIMAL(19,4))) AS sy2
+        |      FROM p GROUP BY lag_d)
+        |SELECT lag_d, CAST(n AS BIGINT) AS n_days,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        |FROM m ORDER BY lag_d""".stripMargin) { (s, dir) =>
+      val zero = lit(0).cast("decimal(15,4)")
+      val dd = t(s, dir, "events")
+        .groupBy(dayNum(col("ts")).as("d"))
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(15,4)")).otherwise(zero))
+            .cast("decimal(15,4)").as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+        .localCheckpoint() // #days rows, read by both join sides
+      val lags = dd.sparkSession.range(0, 8).select(col("id").as("lag_d"))
+      val a = dd.select(col("d"), col("x")).crossJoin(broadcast(lags))
+      val b = dd.select(col("d").as("db"), col("y"))
+      val d15 = (c: Column) => c.cast("decimal(15,4)")
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val m = a.join(b, col("db") === col("d") + col("lag_d"))
+        .groupBy("lag_d")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(d15(col("y"))).as("sy"),
+          sum(col("x") * d19(col("y"))).as("sxy"),
+          sum(col("x") * d19(col("x"))).as("sx2"),
+          sum(d15(col("y")) * d19(col("y"))).as("sy2"))
+      val dbl = (n: String) => col(n).cast("double")
+      m.select(col("lag_d"), col("n").as("n_days"),
+          round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / sqrt((dbl("n") * dbl("sx2") - dbl("sx") * dbl("sx"))
+              * (dbl("n") * dbl("sy2") - dbl("sy") * dbl("sy"))), 6).as("r"))
+        .orderBy("lag_d")
+    },
+
+    // ---- A/B test power analysis (required sample size) ----
+    // The pre-experiment sizing table: per relative MDE, the per-arm n
+    // for a two-sample z-test at α=0.05 / power 0.80 — n =
+    // 2σ²(z_{α/2}+z_β)²/δ² with δ = μ·mde. μ and σ² come from ONE
+    // corpus moments pass (exact DECIMAL sums, the q_cuped pairing);
+    // the 4-row MDE ladder is a literal frame crossJoined against the
+    // 1-row broadcast moments. z constants are pinned 17-digit
+    // literals so both engines square the identical double.
+    sql(
+      "q_power_analysis",
+      """WITH m AS (SELECT count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(15,4))) AS sx,
+        |    sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(19,4))) AS sxx
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+        |  FROM m),
+        |l AS (SELECT * FROM (VALUES (1), (2), (5), (10)) AS t(mde_pct))
+        |SELECT l.mde_pct,
+        |  round(v.mu * l.mde_pct / 100, 6) AS delta,
+        |  CAST(ceil(2 * v.var
+        |    * (1.9599639845400545 + 0.8416212335729143)
+        |    * (1.9599639845400545 + 0.8416212335729143)
+        |    / ((v.mu * l.mde_pct / 100) * (v.mu * l.mde_pct / 100)))
+        |    AS BIGINT) AS n_per_arm
+        |FROM l, v ORDER BY l.mde_pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val d15 = (c: Column) => c.cast("decimal(15,4)")
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val m = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n"), sum(d15(col("value"))).as("sx"),
+          sum(d15(col("value")) * d19(col("value"))).as("sxx"))
+      val nD = col("n").cast("double")
+      val v = m.select(
+        (col("sx").cast("double") / nD).as("mu"),
+        ((nD * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (nD * (nD - 1))).as("var"))
+      val z = lit(1.9599639845400545 + 0.8416212335729143)
+      val delta = col("mu") * col("mde_pct") / 100
+      Seq(1, 2, 5, 10).toDF("mde_pct")
+        .crossJoin(broadcast(v))
+        .select(col("mde_pct"),
+          round(delta, 6).as("delta"),
+          ceil(lit(2) * col("var") * z * z / (delta * delta))
+            .cast("long").as("n_per_arm"))
+        .orderBy("mde_pct")
+    },
+
+    // ---- forecast backtest (naive vs moving-average, MAE/RMSE/MAPE) ----
+    // One-step-ahead backtest over the daily revenue series: the lag-1
+    // naive forecast vs the trailing-7-observation mean, each scored
+    // with MAE/RMSE/MAPE on the days where it is defined (naive needs
+    // one prior activity day; MA needs a full 7 — standard warmup
+    // exclusion). The model-selection sanity check run before any
+    // smoother ships. The corpus collapses ONCE to the #days DECIMAL
+    // frame; forecasts are two ordered windows over it; per-day error
+    // terms go double then accumulate in DECIMAL(38,18) (the chi²
+    // idiom) so the three metrics are merge-order-independent. MA is
+    // sum/count with an explicit double division — windowed avg()
+    // types differ between engines (Spark widens DECIMAL, DuckDB
+    // returns DOUBLE), so neither engine's avg is used.
+    sql(
+      "q_forecast_eval",
+      """WITH dd AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |f AS (SELECT d, rev,
+        |    lag(rev) OVER (ORDER BY d) AS naive_fc,
+        |    CAST(sum(rev) OVER (ORDER BY d
+        |         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+        |      / count(rev) OVER (ORDER BY d
+        |         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ma_fc,
+        |    count(rev) OVER (ORDER BY d
+        |         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ma_n
+        |  FROM dd),
+        |e AS (SELECT 'naive' AS model,
+        |        CAST(rev AS DOUBLE) - CAST(naive_fc AS DOUBLE) AS err,
+        |        CAST(rev AS DOUBLE) AS actual
+        |      FROM f WHERE naive_fc IS NOT NULL
+        |      UNION ALL
+        |      SELECT 'ma7',
+        |        CAST(rev AS DOUBLE) - ma_fc,
+        |        CAST(rev AS DOUBLE)
+        |      FROM f WHERE ma_n = 7)
+        |SELECT model, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(CAST(sum(CAST(abs(err) AS DECIMAL(38,18))) AS DOUBLE)
+        |        / count(*), 6) AS mae,
+        |  round(sqrt(CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE)
+        |        / count(*)), 6) AS rmse,
+        |  round(CAST(sum(CAST(abs(err) / actual AS DECIMAL(38,18))) AS DOUBLE)
+        |        * 100 / count(*), 6) AS mape
+        |FROM e GROUP BY model ORDER BY model""".stripMargin) { (s, dir) =>
+      // purchase-active days only: MAPE divides by the actual, and a
+      // zero-revenue day would blow it up on both engines
+      val dd = dailyDecimal(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        "ts", "value")
+      val wOrd = Window.orderBy("d") // #days rows — intentionally tiny
+      val wMa = wOrd.rowsBetween(-7, -1)
+      val f = dd
+        .withColumn("naive_fc", lag("rev", 1).over(wOrd))
+        .withColumn("ma_sum", sum("rev").over(wMa))
+        .withColumn("ma_n", count("rev").over(wMa))
+        .withColumn("ma_fc", col("ma_sum").cast("double") / col("ma_n"))
+        .localCheckpoint() // feeds both model branches
+      val naive = f.where(col("naive_fc").isNotNull)
+        .select(lit("naive").as("model"),
+          (col("rev").cast("double") - col("naive_fc").cast("double")).as("err"),
+          col("rev").cast("double").as("actual"))
+      val ma = f.where(col("ma_n") === 7)
+        .select(lit("ma7").as("model"),
+          (col("rev").cast("double") - col("ma_fc")).as("err"),
+          col("rev").cast("double").as("actual"))
+      naive.unionByName(ma)
+        .groupBy("model")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("err")).cast("decimal(38,18)")).as("sae"),
+          sum((col("err") * col("err")).cast("decimal(38,18)")).as("sse"),
+          sum((abs(col("err")) / col("actual")).cast("decimal(38,18)")).as("sape"))
+        .select(col("model"), col("n_days"),
+          round(col("sae").cast("double") / col("n_days"), 6).as("mae"),
+          round(sqrt(col("sse").cast("double") / col("n_days")), 6).as("rmse"),
+          round(col("sape").cast("double") * 100 / col("n_days"), 6).as("mape"))
+        .orderBy("model")
+    },
+
+    // ---- DAU/MAU stickiness ratio ----
+    // The engagement-intensity ratio product dashboards lead with:
+    // daily actives over trailing-28-day actives, per calendar day.
+    // Both counts derive from ONE corpus collapse to distinct
+    // (user, day): DAU is a groupBy of that frame; MAU is the shared
+    // interval-coverage rewrite (slidingDistinctFromDaily, windowDays
+    // = 28) — never a days×28 range join, one corpus shuffle total.
+    // Gap days (grid rows with no activity) report DAU 0 against a
+    // nonzero trailing MAU, exactly like the naive definition.
+    sql(
+      "q_stickiness",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |g AS (SELECT unnest(generate_series((SELECT min(d) FROM a),
+        |                                    (SELECT max(d) FROM a))) AS d),
+        |mau AS (SELECT g.d AS d, count(DISTINCT a.user_id) AS mau
+        |        FROM g LEFT JOIN a ON a.d BETWEEN g.d - 27 AND g.d
+        |        GROUP BY g.d),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY d)
+        |SELECT m.d AS d, coalesce(dau.dau, 0) AS dau, m.mau AS mau,
+        |  round(CAST(coalesce(dau.dau, 0) AS DOUBLE) / m.mau, 6) AS stickiness
+        |FROM mau m LEFT JOIN dau ON dau.d = m.d
+        |ORDER BY m.d""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "events")
+        .select(col("user_id"), dayNum(col("ts")).as("d"))
+        .distinct()
+        .localCheckpoint() // feeds BOTH the daily counts and the MAU rewrite
+      val mau = slidingDistinctFromDaily(a, 28)
+        .withColumnRenamed("users", "mau")
+      val dau = a.groupBy("d").agg(count(lit(1)).as("dau"))
+      mau.join(dau, Seq("d"), "left")
+        .select(col("d"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
+          round(coalesce(col("dau"), lit(0L)).cast("double") / col("mau"), 6)
+            .as("stickiness"))
+        .orderBy("d")
+    },
+
+    // ---- growth accounting (new / retained / resurrected / churned) ----
+    // The standard weekly user-lifecycle ledger: every active user-week
+    // is NEW (first activity), RETAINED (also active the prior week) or
+    // RESURRECTED (returning after a gap); CHURNED counts users active
+    // in w−1 but not w, attributed to w. The corpus collapses ONCE to
+    // distinct (user, week); classification is lag/lead over each
+    // user's own activity weeks (per-user windows — partitioned, never
+    // global); weekly counts aggregate the classified frame. Weeks are
+    // day-number div 7 so no engine week-of-year convention is
+    // involved. Churn needs the corpus horizon (a user's last activity
+    // week cannot churn INTO a week past the data) — a 1-row broadcast.
+    sql(
+      "q_growth_accounting",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+        |  FROM events),
+        |mx AS (SELECT max(w) AS maxw FROM a),
+        |c AS (SELECT user_id, w,
+        |    lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+        |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+        |  FROM a),
+        |act AS (SELECT w,
+        |    CAST(sum(CASE WHEN pw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_u,
+        |    CAST(sum(CASE WHEN pw = w - 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |    CAST(sum(CASE WHEN pw IS NOT NULL AND pw < w - 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM c GROUP BY w),
+        |ch AS (SELECT w + 1 AS w, CAST(count(*) AS BIGINT) AS churned
+        |  FROM c WHERE (nw IS NULL OR nw > w + 1)
+        |    AND w + 1 <= (SELECT maxw FROM mx)
+        |  GROUP BY w + 1)
+        |SELECT coalesce(act.w, ch.w) AS w,
+        |  coalesce(new_u, 0) AS new_u, coalesce(retained, 0) AS retained,
+        |  coalesce(resurrected, 0) AS resurrected,
+        |  coalesce(churned, 0) AS churned
+        |FROM act FULL JOIN ch ON ch.w = act.w
+        |ORDER BY w""".stripMargin) { (s, dir) =>
+      val act0 = t(s, dir, "events")
+        .select(col("user_id"),
+          dayNum(col("ts")).as("d"))
+        .select(col("user_id"), expr("d div 7").as("w"))
+        .distinct()
+      val wUser = Window.partitionBy("user_id").orderBy("w")
+      // classified frame feeds BOTH weekly aggregations — materialize
+      // the corpus distinct + window pipeline once
+      val c = act0
+        .withColumn("pw", lag("w", 1).over(wUser))
+        .withColumn("nw", lead("w", 1).over(wUser))
+        .localCheckpoint()
+      val mx = c.agg(max("w").as("maxw"))
+      val act = c.groupBy("w")
+        .agg(sum(when(col("pw").isNull, 1L).otherwise(0L)).as("new_u"),
+          sum(when(col("pw") === col("w") - 1, 1L).otherwise(0L)).as("retained"),
+          sum(when(col("pw").isNotNull && col("pw") < col("w") - 1, 1L)
+            .otherwise(0L)).as("resurrected"))
+      val ch = c.crossJoin(broadcast(mx))
+        .where((col("nw").isNull || col("nw") > col("w") + 1)
+          && col("w") + 1 <= col("maxw"))
+        .groupBy((col("w") + 1).as("w"))
+        .agg(count(lit(1)).as("churned"))
+      act.join(ch, Seq("w"), "full")
+        .select(col("w"),
+          coalesce(col("new_u"), lit(0L)).as("new_u"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+          coalesce(col("churned"), lit(0L)).as("churned"))
+        .orderBy("w")
+    },
+
+    // ---- decile lift / gains table ----
+    // The model-targeting readout beside q_calibration and q_auc: rank
+    // the population by score decile (highest first), report per-decile
+    // response rate, lift vs the base rate, and cumulative capture of
+    // all positives. Because the md5-uniform score is an exact integer
+    // in [0,1000), deciles are integer division — no ranking pass at
+    // all; the corpus collapses to 10 rows in ONE aggregation and the
+    // cumulative sweep is a tiny ordered window over those 10 rows.
+    // Every ratio is exact-integer until one double division.
+    sql(
+      "q_decile_lift",
+      """WITH s AS (SELECT
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000 AS k,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT k // 100 AS decile, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS pos
+        |      FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |               CAST(sum(pos) AS BIGINT) AS pp FROM g),
+        |r AS (SELECT decile, n, pos,
+        |        sum(pos) OVER (ORDER BY decile DESC
+        |          ROWS UNBOUNDED PRECEDING) AS cum_pos
+        |      FROM g)
+        |SELECT decile, n, pos,
+        |  round(CAST(pos AS DOUBLE) / n, 6) AS rate,
+        |  round(CAST(pos AS DOUBLE) * (SELECT nn FROM tot)
+        |        / (CAST(n AS DOUBLE) * (SELECT pp FROM tot)), 6) AS lift,
+        |  round(CAST(cum_pos AS DOUBLE) / (SELECT pp FROM tot), 6) AS cum_capture
+        |FROM r ORDER BY decile DESC""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val g = t(s, dir, "events")
+        .select((h32(col("event_id").cast("string")) % 1000).as("k"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy(expr("k div 100").as("decile"))
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .localCheckpoint() // 10 rows feeding totals + window + output
+      val tot = g.agg(sum("n").as("nn"), sum("pos").as("pp"))
+      // the one intentionally tiny global window (10 rows)
+      val wCum = Window.orderBy(desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.withColumn("cum_pos", sum("pos").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("pos"),
+          round(col("pos").cast("double") / col("n"), 6).as("rate"),
+          round(col("pos").cast("double") * col("nn")
+            / (col("n").cast("double") * col("pp")), 6).as("lift"),
+          round(col("cum_pos").cast("double") / col("pp"), 6).as("cum_capture"))
+        .orderBy(desc("decile"))
+    },
+
+    // ---- confusion matrix + precision/recall/F1 ----
+    // Per-day classifier eval readout (the slice-wise companion of
+    // q_calibration / q_auc_sliced): the deterministic md5-uniform
+    // score thresholded at 0.5 against the purchase label, confusion
+    // cells from ONE conditional-sum corpus aggregation, and the
+    // derived metrics as exact-integer ratios divided once. F1 uses
+    // the 2tp/(2tp+fp+fn) form — algebraically equal to the harmonic
+    // mean but with a single division, so there is no intermediate
+    // precision/recall rounding to drift between engines.
+    sql(
+      "q_eval_prf",
+      """WITH s AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |              % 1000 >= 500 THEN 1 ELSE 0 END AS pred,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |c AS (SELECT d,
+        |    CAST(sum(pred * y) AS BIGINT) AS tp,
+        |    CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+        |    CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+        |    CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+        |  FROM s GROUP BY d)
+        |SELECT d, tp, fp, fn, tn,
+        |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS acc,
+        |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+        |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
+        |  round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+        |FROM c ORDER BY d""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val sc = t(s, dir, "events")
+        .select(dayNum(col("ts")).as("d"),
+          when(h32(col("event_id").cast("string")) % 1000 >= 500, 1L)
+            .otherwise(0L).as("pred"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      sc.groupBy("d")
+        .agg(sum(col("pred") * col("y")).as("tp"),
+          sum(col("pred") * (lit(1) - col("y"))).as("fp"),
+          sum((lit(1) - col("pred")) * col("y")).as("fn"),
+          sum((lit(1) - col("pred")) * (lit(1) - col("y"))).as("tn"))
+        .select(col("d"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round((col("tp") + col("tn")).cast("double")
+            / (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("acc"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("prec"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("rec"),
+          round((lit(2) * col("tp")).cast("double")
+            / (lit(2) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+        .orderBy("d")
     }
   )
 }

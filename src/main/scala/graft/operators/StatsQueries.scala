@@ -169,6 +169,44 @@ object StatsQueries {
         s.conf.get("spark.sql.shuffle.partitions").toInt * 2, col("da0"))
   }
 
+  /** Co-purchase pair-mining core shared by q_assoc_rules and
+    * GraphQueries.q_kcore: ONE corpus shuffle collects each order's
+    * distinct sorted part basket (checkpointed — it feeds pair
+    * generation plus supports/totals), then i<j pairs come from a
+    * codegen'd array transform — fan-out Σ basket²/2 bounded by the
+    * per-order line cap, never corpus-quadratic, and no second corpus
+    * exchange. Returns (baskets(l_orderkey, ps), pairs(p1, p2,
+    * n_both)) — UNFILTERED pair counts; consumers apply their own
+    * support thresholds. */
+  def basketPairCounts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val baskets = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint()
+    val pairArr = flatten(transform(sequence(lit(0), size(col("ps")) - 2),
+      i => transform(sequence(i + 1, size(col("ps")) - 1),
+        j => struct(element_at(col("ps"), i + 1).as("p1"),
+          element_at(col("ps"), j + 1).as("p2")))))
+    val pairs = baskets
+      .where(size(col("ps")) >= 2)
+      .select(explode(pairArr).as("z"))
+      .select(col("z.p1").as("p1"), col("z.p2").as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_both"))
+    (baskets, pairs)
+  }
+
+  /** The matching oracle CTE text (b = distinct order/part, pairs =
+    * p1<p2 pair counts) — shared verbatim by the co-purchase oracles
+    * so the pair derivation can never drift between them. */
+  val basketPairsSqlCtes: String =
+    """b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+      |                 CAST(count(*) AS BIGINT) AS n_both
+      |          FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey
+      |                           AND c.l_partkey > a.l_partkey
+      |          GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- statistical aggregates (sample variance family + bool aggs) ----
@@ -1012,14 +1050,9 @@ object StatsQueries {
     // TakeOrderedAndProject.
     sql(
       "q_assoc_rules",
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH $basketPairsSqlCtes,
         |n0 AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
-        |sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
-        |pairs AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
-        |                 CAST(count(*) AS BIGINT) AS n_both
-        |          FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey
-        |                           AND c.l_partkey > a.l_partkey
-        |          GROUP BY 1, 2)
+        |sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1)
         |SELECT p.p1, p.p2, p.n_both, s1.s AS s1, s2.s AS s2,
         |  round(CAST(p.n_both AS DOUBLE) / (SELECT n FROM n0), 6) AS support,
         |  round(CAST(p.n_both AS DOUBLE) / s1.s, 6) AS confidence,
@@ -1029,32 +1062,17 @@ object StatsQueries {
         |             JOIN sup s2 ON s2.l_partkey = p.p2
         |WHERE p.n_both >= 2
         |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin) { (s, dir) =>
-      // ONE corpus shuffle: collect each order's distinct part set
-      // (collect_set dedups, sort_array pins p1 < p2 order); pair
-      // generation is a codegen'd i<j array transform on the basket —
-      // fan-out Σ basket²/2, no self-join, no second corpus exchange.
-      // Supports and the basket total derive from the SAME collapsed
-      // frame. (The first cut self-joined the distinct pair list:
-      // 3 corpus shuffles, 8.4× at the 10× corpus; this shape is one.)
-      val baskets = t(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .localCheckpoint()
+      // Pair derivation = the shared basketPairCounts core (one corpus
+      // shuffle, codegen'd i<j array transform — see its scaladoc; the
+      // first cut self-joined the distinct pair list: 3 corpus
+      // shuffles, 8.4× at the 10× corpus). Supports and the basket
+      // total derive from the SAME collapsed basket frame.
+      val (baskets, rawPairs) = basketPairCounts(s, dir)
       val n0 = baskets.agg(count(lit(1)).as("n"))
       val sup = baskets
         .select(explode(col("ps")).as("p"))
         .groupBy("p").agg(count(lit(1)).as("s"))
-      val pairArr = flatten(transform(sequence(lit(0), size(col("ps")) - 2),
-        i => transform(sequence(i + 1, size(col("ps")) - 1),
-          j => struct(element_at(col("ps"), i + 1).as("p1"),
-            element_at(col("ps"), j + 1).as("p2")))))
-      val pairs = baskets
-        .where(size(col("ps")) >= 2)
-        .select(explode(pairArr).as("z"))
-        .select(col("z.p1").as("p1"), col("z.p2").as("p2"))
-        .groupBy("p1", "p2")
-        .agg(count(lit(1)).as("n_both"))
-        .where(col("n_both") >= 2)
+      val pairs = rawPairs.where(col("n_both") >= 2)
       // mirror the oracle's operation order exactly: both·n and s1·s2
       // are exact small-int double products, one division each
       val lift = (col("n_both").cast("double") * col("n")) /
@@ -1276,6 +1294,98 @@ object StatsQueries {
         .select(col("dur").as("t_days"), col("n_risk"),
           col("d").as("n_events"), round(col("surv"), 6).as("survival"))
         .orderBy("t_days")
+    },
+
+    // ---- multivariate OLS via normal equations ----
+    // Two-feature linear regression (extendedprice ~ quantity +
+    // discount, per returnflag) solved in closed form from sufficient
+    // statistics: ONE corpus aggregation collapses each group to its
+    // 10 exact DECIMAL moments (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2²,
+    // Σx1y, Σx2y, Σy²); the 2×2 centered normal system solves by
+    // Cramer's rule in a per-group projection. This is THE scalable
+    // regression shape — at 100 TB the moment vector is still 10
+    // numbers per group and the solve is free; no per-row second pass,
+    // no gradient iterations. Cross-products use the (15,4)×(19,4)
+    // decimal pairing (q_autocorr parity note: DuckDB widens to the
+    // widest operand's physical type, Spark truncates scale past
+    // p=38 — 15+19+1=35 is exact on both engines), so the double
+    // arithmetic on both sides starts from bit-identical moments.
+    sql(
+      "q_ols_multi",
+      """WITH m AS (SELECT l_returnflag AS rf, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))) AS s1,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))) AS s2,
+        |    sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_quantity AS DECIMAL(19,4))) AS s11,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_discount AS DECIMAL(19,4))) AS s12,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))
+        |        * CAST(l_discount AS DECIMAL(19,4))) AS s22,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS s1y,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS s2y,
+        |    sum(CAST(l_extendedprice AS DECIMAL(15,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT rf, n,
+        |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a11,
+        |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a12,
+        |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a22,
+        |    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1,
+        |    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syc,
+        |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+        |    CAST(sy AS DOUBLE) AS dy
+        |  FROM m),
+        |b AS (SELECT rf, n, d1, d2, dy, b1, b2, syc,
+        |    (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+        |    (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS beta2
+        |  FROM c)
+        |SELECT rf, CAST(n AS BIGINT) AS n,
+        |  round((dy - beta1 * d1 - beta2 * d2) / CAST(n AS DOUBLE), 6) AS beta0,
+        |  round(beta1, 6) AS beta1, round(beta2, 6) AS beta2,
+        |  round((beta1 * b1 + beta2 * b2) / syc, 6) AS r2
+        |FROM b ORDER BY rf""".stripMargin) { (s, dir) =>
+      val d15 = (c: Column) => c.cast("decimal(15,4)")
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val lin = t(s, dir, "lineitem")
+      val x1 = col("l_quantity"); val x2 = col("l_discount")
+      val y = col("l_extendedprice")
+      val m = lin.groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(d15(x1)).as("s1"), sum(d15(x2)).as("s2"), sum(d15(y)).as("sy"),
+          sum(d15(x1) * d19(x1)).as("s11"), sum(d15(x1) * d19(x2)).as("s12"),
+          sum(d15(x2) * d19(x2)).as("s22"), sum(d15(x1) * d19(y)).as("s1y"),
+          sum(d15(x2) * d19(y)).as("s2y"), sum(d15(y) * d19(y)).as("syy"))
+      val dbl = (n: String) => col(n).cast("double")
+      val nD = dbl("n")
+      val a11 = nD * dbl("s11") - dbl("s1") * dbl("s1")
+      val a12 = nD * dbl("s12") - dbl("s1") * dbl("s2")
+      val a22 = nD * dbl("s22") - dbl("s2") * dbl("s2")
+      val b1 = nD * dbl("s1y") - dbl("s1") * dbl("sy")
+      val b2 = nD * dbl("s2y") - dbl("s2") * dbl("sy")
+      val syc = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      val det = a11 * a22 - a12 * a12
+      val c0 = m.select(col("rf"), col("n"), dbl("s1").as("d1"),
+        dbl("s2").as("d2"), dbl("sy").as("dy"), b1.as("b1"), b2.as("b2"),
+        syc.as("syc"),
+        ((b1 * a22 - b2 * a12) / det).as("beta1"),
+        ((a11 * b2 - a12 * b1) / det).as("beta2"))
+      c0.select(col("rf"), col("n"),
+          round((col("dy") - col("beta1") * col("d1")
+            - col("beta2") * col("d2")) / col("n").cast("double"), 6).as("beta0"),
+          round(col("beta1"), 6).as("beta1"), round(col("beta2"), 6).as("beta2"),
+          round((col("beta1") * col("b1") + col("beta2") * col("b2"))
+            / col("syc"), 6).as("r2"))
+        .orderBy("rf")
     }
   )
 }

@@ -232,6 +232,54 @@ object WindowQueries {
           col("asof.event_id").as("asof_event"),
           round(col("asof.value"), 2).as("asof_value"))
         .orderBy("o_orderkey")
+    },
+
+    // ---- forward as-of join: for each order of a user, the EARLIEST
+    //      event of that user at-or-after the order date ----
+    // The mirror of q_asof_join (same union-style one-shuffle rewrite,
+    // same 65×-fan-out range-join trap avoided); forward as-of is the
+    // "next reading after the probe" lookup — next sensor sample after
+    // a command, next price tick after an order. Probes sort BEFORE
+    // events at an equal timestamp (is_probe DESC tiebreak) so the ≥
+    // stays inclusive, and the carried struct comes from
+    // first(ignoreNulls) over the FOLLOWING frame, agreeing with the
+    // oracle's ts ASC, event_id ASC rn=1 pick.
+    sql(
+      "q_asof_forward",
+      """SELECT o_orderkey, user_id, event_id AS next_event, round(v, 2) AS next_value
+        |FROM (
+        |  SELECT o.o_orderkey, o.o_custkey AS user_id, e.event_id, e.value AS v,
+        |         row_number() OVER (PARTITION BY o.o_orderkey
+        |                            ORDER BY e.ts, e.event_id) AS rn
+        |  FROM orders o JOIN events e
+        |    ON e.user_id = o.o_custkey
+        |   AND e.ts >= o.o_orderdate + INTERVAL 9000 DAY)
+        |WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"),
+        (col("o_orderdate") + expr("INTERVAL 9000 DAY")).as("ts"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("o_orderkey"),
+        lit(1).as("is_probe"))
+      val e = t(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(0).as("is_probe"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), desc("is_probe"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.unionByName(o)
+        .withColumn("ev",
+          when(col("is_probe") === 0, struct(col("event_id"), col("value"))))
+        .withColumn("nxt", first(col("ev"), ignoreNulls = true).over(w))
+        .where(col("is_probe") === 1 && col("nxt").isNotNull)
+        .select(
+          col("o_orderkey"), col("user_id"),
+          col("nxt.event_id").as("next_event"),
+          round(col("nxt.value"), 2).as("next_value"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -57,4 +57,48 @@ class GraphSpec extends SparkSpec {
     val total = got.values.sum
     assert(total > 0.5 && total <= 1.0 + slack, s"total rank mass $total")
   }
+
+  test("q_kcore equals an in-memory peel run to convergence at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def read(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+
+    // distinct co-purchase pairs, straight from the raw tables
+    val baskets = read("lineitem").select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val edges = baskets.flatMap(ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // the same adaptive threshold: ceil of the interpolated p75 of
+    // initial degrees (the percentile/quantile_cont formula)
+    val degs = adj.values.map(_.size.toDouble).toSeq.sorted
+    val rank = 0.75 * (degs.length - 1)
+    val (lo, hi) = (degs(rank.toInt), degs(math.ceil(rank).toInt))
+    val k = math.ceil(lo + (rank - rank.toInt) * (hi - lo)).toLong
+
+    // peel to FIXPOINT (not 6 rounds) — proves the query's fixed
+    // unroll reaches the true k-core on this corpus
+    var surv = adj.filter(_._2.size >= k).keySet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = surv.filter(v => adj(v).count(surv) >= k)
+      changed = next != surv
+      surv = next
+      rounds += 1
+    }
+    assert(rounds <= 7, s"peeling needed $rounds rounds; the query unrolls 6")
+
+    val got = SparkEntry.queries("q_kcore")(spark, dir)
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        ((r.getAs[Long]("deg_core"), r.getAs[Long]("k")))).toMap
+    assert(got.keySet == surv, s"core size ${got.size} vs in-memory ${surv.size}")
+    got.foreach { case (v, (dg, kGot)) =>
+      assert(kGot == k, s"threshold $kGot vs $k")
+      assert(dg == adj(v).count(surv), s"node $v residual degree")
+    }
+  }
 }

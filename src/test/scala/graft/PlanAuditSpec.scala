@@ -65,6 +65,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_funnel_windowed",   // three 1-row broadcast step counts riding the plan
     "q_survival_km",       // 1-row broadcast censor-horizon + total scalars
     "q_graph_triangles",   // 1-row broadcast doc-count scalar in the lift test
+    "q_kcore",             // 1-row broadcast degree-threshold scalar per peel round
+    "q_xcorr_lagged",      // 8-row broadcast lag list × the #days frame
+    "q_growth_accounting", // 1-row broadcast corpus-horizon scalar for churn
+    "q_decile_lift",       // 1-row broadcast N/P totals riding the 10-row grid
+    "q_power_analysis",    // 1-row broadcast μ/σ² moments × the 4-row MDE ladder
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints

@@ -434,6 +434,195 @@ class SeriesAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_xcorr_lagged matches in-memory Pearson correlations per lag") {
+    val rows = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("d"), org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value").cast("decimal(15,4)").as("v"))
+      .collect()
+    val byDay = rows.groupBy(_.getLong(0))
+    val x = byDay.view.mapValues(rs => rs
+      .filter(_.getString(1) == "purchase")
+      .map(r => BigDecimal(r.getDecimal(2))).sum.toDouble).toMap
+    val y = byDay.view.mapValues(rs =>
+      rs.count(_.getString(1) == "view").toDouble).toMap
+    def pearson(ps: Seq[(Double, Double)]): Double = {
+      val n = ps.length
+      val (sx, sy) = (ps.map(_._1).sum, ps.map(_._2).sum)
+      val sxy = ps.map(p => p._1 * p._2).sum
+      val sx2 = ps.map(p => p._1 * p._1).sum
+      val sy2 = ps.map(p => p._2 * p._2).sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    }
+    val got = SparkEntry.queries("q_xcorr_lagged")(spark, sf).collect()
+    assert(got.length == 8)
+    got.foreach { r =>
+      val lag = r.getAs[Long]("lag_d")
+      val ps = x.keys.toSeq.sorted.flatMap(d =>
+        y.get(d + lag).map(yv => (x(d), yv)))
+      assert(r.getAs[Long]("n_days") == ps.length)
+      assert(math.abs(r.getAs[Double]("r") - pearson(ps)) < 1e-6,
+        s"lag $lag: ${r.getAs[Double]("r")} vs ${pearson(ps)}")
+    }
+  }
+
+  test("q_ols_multi matches an in-memory normal-equations solve per group") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val got = SparkEntry.queries("q_ols_multi")(spark, sf).collect()
+    assert(got.length == rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val rf = r.getAs[String]("rf")
+      val g = rows.filter(_._1 == rf)
+      val n = g.length.toDouble
+      val (s1, s2, sy) = (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+      val s11 = g.map(t => t._2 * t._2).sum
+      val s12 = g.map(t => t._2 * t._3).sum
+      val s22 = g.map(t => t._3 * t._3).sum
+      val s1y = g.map(t => t._2 * t._4).sum
+      val s2y = g.map(t => t._3 * t._4).sum
+      val syy = g.map(t => t._4 * t._4).sum
+      val (a11, a12, a22) =
+        (n * s11 - s1 * s1, n * s12 - s1 * s2, n * s22 - s2 * s2)
+      val (b1, b2) = (n * s1y - s1 * sy, n * s2y - s2 * sy)
+      val det = a11 * a22 - a12 * a12
+      val beta1 = (b1 * a22 - b2 * a12) / det
+      val beta2 = (a11 * b2 - a12 * b1) / det
+      val beta0 = (sy - beta1 * s1 - beta2 * s2) / n
+      val r2 = (beta1 * b1 + beta2 * b2) / (n * syy - sy * sy)
+      assert(math.abs(r.getAs[Double]("beta0") - beta0) < 1e-3, s"$rf beta0")
+      assert(math.abs(r.getAs[Double]("beta1") - beta1) < 1e-4, s"$rf beta1")
+      assert(math.abs(r.getAs[Double]("beta2") - beta2) < 1e-2, s"$rf beta2")
+      assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-6, s"$rf r2")
+    }
+  }
+
+  test("q_growth_accounting matches in-memory lifecycle classification") {
+    val uw = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 7)).distinct
+    val byUser = uw.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val maxW = uw.map(_._2).max
+    val weeks = uw.map(_._2).distinct
+    def cnt(f: (Set[Long], Long) => Boolean, w: Long) =
+      byUser.values.count(ws => f(ws, w)).toLong
+    val got = SparkEntry.queries("q_growth_accounting")(spark, sf)
+      .collect().map(r => r.getAs[Long]("w") ->
+        ((r.getAs[Long]("new_u"), r.getAs[Long]("retained"),
+          r.getAs[Long]("resurrected"), r.getAs[Long]("churned")))).toMap
+    // every activity week AND every week the query emitted (gap weeks
+    // can appear as churn-only rows), all within the corpus horizon
+    val allW = (weeks ++ got.keys).distinct.filter(_ <= maxW)
+    allW.foreach { w =>
+      val nw = cnt((ws, w) => ws.contains(w) && ws.min == w, w)
+      val ret = cnt((ws, w) => ws.contains(w) && ws.contains(w - 1), w)
+      val res = cnt((ws, w) =>
+        ws.contains(w) && !ws.contains(w - 1) && ws.min < w, w)
+      val chu = cnt((ws, w) => ws.contains(w - 1) && !ws.contains(w), w)
+      val g = got.getOrElse(w, (0L, 0L, 0L, 0L))
+      assert(g == ((nw, ret, res, chu)), s"week $w: $g vs ${(nw, ret, res, chu)}")
+    }
+    assert(!got.keys.exists(_ > maxW), "churn attributed past the horizon")
+  }
+
+  test("q_forecast_eval matches a direct sequential backtest walk") {
+    val rev = Tables(spark, sf, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").as("d"),
+        org.apache.spark.sql.functions.col("value").cast("decimal(18,6)").as("v"))
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => BigDecimal(r.getDecimal(1))).sum
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toSeq.sortBy(_._1).map(_._2)
+    def metrics(pairs: Seq[(Double, Double)]): (Long, Double, Double, Double) = {
+      val n = pairs.length
+      val errs = pairs.map { case (a, f) => a - f }
+      (n.toLong, errs.map(math.abs).sum / n,
+        math.sqrt(errs.map(e => e * e).sum / n),
+        pairs.zip(errs).map { case ((a, _), e) => math.abs(e) / a }.sum * 100 / n)
+    }
+    val naive = metrics((1 until rev.length).map(i => (rev(i), rev(i - 1))))
+    val ma = metrics((7 until rev.length).map(i =>
+      (rev(i), rev.slice(i - 7, i).sum / 7)))
+    val got = SparkEntry.queries("q_forecast_eval")(spark, sf)
+      .collect().map(r => r.getAs[String]("model") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("mae"),
+          r.getAs[Double]("rmse"), r.getAs[Double]("mape")))).toMap
+    for ((name, exp) <- Seq("naive" -> naive, "ma7" -> ma)) {
+      val g = got(name)
+      assert(g._1 == exp._1, s"$name n_days")
+      assert(math.abs(g._2 - exp._2) < 1e-3, s"$name mae ${g._2} vs ${exp._2}")
+      assert(math.abs(g._3 - exp._3) < 1e-3, s"$name rmse")
+      assert(math.abs(g._4 - exp._4) < 1e-4, s"$name mape")
+    }
+  }
+
+  test("q_eval_prf matches in-memory confusion counts") {
+    val rows = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("d"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (r.getLong(1), h32(r.getLong(0).toString) % 1000 >= 500,
+        r.getString(2) == "purchase"))
+    val got = SparkEntry.queries("q_eval_prf")(spark, sf).collect()
+    assert(got.length == rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val d = r.getAs[Long]("d")
+      val g = rows.filter(_._1 == d)
+      val tp = g.count(t => t._2 && t._3).toLong
+      val fp = g.count(t => t._2 && !t._3).toLong
+      val fn = g.count(t => !t._2 && t._3).toLong
+      val tn = g.count(t => !t._2 && !t._3).toLong
+      assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((tp, fp, fn, tn)), s"day $d")
+      assert(math.abs(r.getAs[Double]("f1")
+        - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6)
+    }
+  }
+
+  test("q_decile_lift matches in-memory decile aggregation") {
+    val rows = Tables(spark, sf, "events")
+      .select("event_id", "event_type").collect()
+      .map(r => (h32(r.getLong(0).toString) % 1000 / 100,
+        r.getString(1) == "purchase"))
+    val nn = rows.length.toDouble
+    val pp = rows.count(_._2).toDouble
+    val got = SparkEntry.queries("q_decile_lift")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.desc("decile")).collect()
+    assert(got.length == 10)
+    var cum = 0L
+    got.foreach { r =>
+      val dec = r.getAs[Long]("decile")
+      val g = rows.filter(_._1 == dec)
+      val pos = g.count(_._2).toLong
+      cum += pos
+      assert(r.getAs[Long]("n") == g.length && r.getAs[Long]("pos") == pos)
+      assert(math.abs(r.getAs[Double]("lift") - pos * nn / (g.length * pp)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("cum_capture") - cum / pp) < 1e-6)
+    }
+  }
+
   test("q_dp_noise equals count plus the Laplace draw from the same md5 seed") {
     val counts = Tables(spark, sf, "events")
       .select("event_type").collect().map(_.getString(0))

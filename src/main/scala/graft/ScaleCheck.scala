@@ -121,6 +121,10 @@ object ScaleCheck {
     // the three-ranking token pass, the word-level complexity explode,
     // and the forward twin of the union-style as-of
     "q_kcore", "q_rrf_fusion", "q_lexical_complexity", "q_asof_forward",
+    // r7 sixth batch: the inverted-index fuzzy join, the LSH-pair
+    // threshold sweep, and the growth-accounting user windows
+    "q_fuzzy_join_token", "q_lsh_pr_curve", "q_growth_accounting",
+    "q_stickiness",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

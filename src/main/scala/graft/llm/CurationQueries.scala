@@ -546,6 +546,51 @@ object CurationQueries {
         .limit(20)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           round(col("wt"), 6).as("weight"))
+    },
+
+    // ---- logistic quality classifier (fasttext-style model APPLY) ----
+    // The other half of quality filtering: q_quality_filter is the
+    // hand-rule gate; production pipelines ALSO apply a trained linear
+    // classifier over cheap text features (the CCNet/fasttext quality
+    // model pattern). This operator is the APPLY step: features from
+    // one codegen'd projection (chars/token, stopword ratio, distinct
+    // ratio, log-length), score = σ(w·x) with the weight vector pinned
+    // as literals (a trained model would broadcast its weights —
+    // identical plan), keep = score ≥ 0.5. Zero shuffles: the whole
+    // thing is per-row column math, the same cost as a filter at
+    // 100 TB. Weights chosen so the corpus splits non-trivially.
+    sql(
+      "q_quality_logistic",
+      s"""WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words
+         |           FROM documents),
+         |f AS (SELECT doc_id,
+         |        n_chars / len(words) AS cpt,
+         |        len(list_filter(words, x -> list_contains(${sqlList(stopEn)}, x)))
+         |          / len(words) AS stopr,
+         |        len(list_distinct(words)) / len(words) AS uniqr,
+         |        ln(1 + len(words)) AS loglen
+         |      FROM w)
+         |SELECT doc_id,
+         |  round(1 / (1 + exp(-(-6.0 + 0.2 * cpt + 4.0 * stopr + 5.0 * uniqr
+         |                       + 0.3 * loglen))), 6) AS score,
+         |  1 / (1 + exp(-(-6.0 + 0.2 * cpt + 4.0 * stopr + 5.0 * uniqr
+         |                 + 0.3 * loglen))) >= 0.5 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = col("words")
+      val f = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("words"))
+        .select(col("doc_id"),
+          (col("n_chars") / size(words)).as("cpt"),
+          (stopwordCount(words, stopEn) / size(words).cast("double")).as("stopr"),
+          (size(array_distinct(words)) / size(words).cast("double")).as("uniqr"),
+          log(lit(1) + size(words)).as("loglen"))
+      val z = lit(-6.0) + lit(0.2) * col("cpt") + lit(4.0) * col("stopr") +
+        lit(5.0) * col("uniqr") + lit(0.3) * col("loglen")
+      val score = lit(1) / (lit(1) + exp(-z))
+      f.select(col("doc_id"),
+          round(score, 6).as("score"),
+          (score >= 0.5).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -162,6 +162,137 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // ---- fuzzy join via idf-weighted token overlap ----
+    // Entity matching ACROSS datasets (the dedup family is WITHIN one
+    // corpus): every probe document (doc_id % 50 = 0 stands in for the
+    // incoming batch) is matched to its best target-corpus document by
+    // idf-weighted overlap of distinct tokens — the classic
+    // record-linkage blocking+scoring join. Candidates come from the
+    // df-capped inverted token index (df ≤ 50, the q_dedup_ngram
+    // bound), so candidate volume is Σdf² over capped tokens — never
+    // probes × targets. Scores accumulate per-term ln(N/df) in
+    // DECIMAL(38,18) (order-independent — a double sum's merge order
+    // could flip the top-1 pick at the rounding boundary) and the
+    // top-1 is picked per probe by the ROUNDED score (the assoc_rules
+    // lesson), tiebreak on match_id. n_shared counts the df-capped
+    // shared tokens — hub tokens carry no signal and no cost.
+    sql(
+      "q_fuzzy_join_token",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        |           FROM documents),
+        |ex AS (SELECT doc_id, unnest(words) AS tk FROM w),
+        |tg AS (SELECT * FROM ex WHERE doc_id % 50 <> 0),
+        |pr AS (SELECT * FROM ex WHERE doc_id % 50 = 0),
+        |nt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tg),
+        |df AS (SELECT tk, CAST(count(*) AS BIGINT) AS d FROM tg
+        |       GROUP BY tk HAVING count(*) <= 50),
+        |cand AS (SELECT pr.doc_id AS probe_id, tg.doc_id AS match_id,
+        |           CAST(count(*) AS BIGINT) AS n_shared,
+        |           CAST(sum(CAST(ln(CAST((SELECT n FROM nt) AS DOUBLE) / df.d)
+        |                         AS DECIMAL(38,18))) AS DOUBLE) AS score
+        |         FROM pr JOIN df ON df.tk = pr.tk JOIN tg ON tg.tk = pr.tk
+        |         GROUP BY 1, 2),
+        |r AS (SELECT probe_id, match_id, n_shared, round(score, 6) AS score,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(score, 6) DESC, match_id) AS rn
+        |      FROM cand)
+        |SELECT probe_id, match_id, n_shared, score
+        |FROM r WHERE rn = 1 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      import org.apache.spark.sql.expressions.Window
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tk"))
+        .localCheckpoint() // feeds targets, probes, df, and N
+      val tg = ex.where(col("doc_id") % 50 =!= 0)
+      val pr = ex.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("probe_id"), col("tk"))
+      val nt = tg.agg(countDistinct(col("doc_id")).as("n"))
+      val df = tg.groupBy("tk").agg(count(lit(1)).as("d"))
+        .where(col("d") <= 50)
+      val cand = pr
+        .join(df, Seq("tk"))
+        .join(tg.select(col("doc_id").as("match_id"), col("tk")), Seq("tk"))
+        .crossJoin(broadcast(nt)) // 1-row target-corpus count
+        .groupBy("probe_id", "match_id")
+        .agg(count(lit(1)).as("n_shared"),
+          sum(log(col("n").cast("double") / col("d")).cast("decimal(38,18)"))
+            .cast("double").as("score"))
+      val rk = Window.partitionBy("probe_id")
+        .orderBy(round(col("score"), 6).desc, col("match_id"))
+      cand.withColumn("rn", row_number().over(rk))
+        .where(col("rn") === 1)
+        .select(col("probe_id"), col("match_id"), col("n_shared"),
+          round(col("score"), 6).as("score"))
+        .orderBy("probe_id")
+    },
+
+    // ---- LSH precision curve (threshold calibration audit) ----
+    // Before a dedup run ships with "drop pairs above τ", this is the
+    // table that picks τ: for each candidate threshold, how many LSH
+    // candidate pairs the SKETCH flags, what fraction of those the
+    // EXACT shingle Jaccard confirms (precision), and the sketch's
+    // mean absolute error on the flagged set. Ground truth runs only
+    // on the band-verified candidate pairs (bounded by the banding —
+    // recall beyond the candidate set needs labeled truth, which LSH
+    // theory bounds analytically instead). One pair frame materialized
+    // once, a 5-row threshold ladder broadcast over it; error sums
+    // DECIMAL-accumulated. Thresholds with zero flagged pairs drop
+    // (HAVING, mirrored) so no division guards are needed.
+    sql(
+      "q_lsh_pr_curve",
+      s"""WITH ${MinhashPipeline.pairsSqlCte},
+         |ev AS (SELECT p.est_jaccard AS est,
+         |         CAST(len(list_intersect(x.sgl, y.sgl)) AS DOUBLE)
+         |           / (len(x.sgl) + len(y.sgl)
+         |              - len(list_intersect(x.sgl, y.sgl))) AS exact
+         |       FROM pairs p JOIN sh x ON x.doc_id = p.da
+         |                    JOIN sh y ON y.doc_id = p.db),
+         |th AS (SELECT CAST(t AS DOUBLE) / 10 AS t
+         |       FROM (VALUES (5), (6), (7), (8), (9)) AS v(t))
+         |SELECT th.t AS threshold,
+         |  CAST(count(*) AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN ev.exact >= th.t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_confirmed,
+         |  round(CAST(sum(CASE WHEN ev.exact >= th.t THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS precision_at_t,
+         |  round(CAST(sum(CAST(abs(ev.est - ev.exact) AS DECIMAL(38,18)))
+         |             AS DOUBLE) / count(*), 6) AS mean_abs_err
+         |FROM ev JOIN th ON ev.est >= th.t
+         |GROUP BY th.t HAVING count(*) > 0
+         |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 3)
+        .select(col("doc_id"), shingles(col("words"), 3).as("sgl"))
+      val inter = size(array_intersect(col("sgla"), col("sglb")))
+      val ev = MinhashPipeline.pairs(s, dir)
+        .join(sh.select(col("doc_id").as("xid"), col("sgl").as("sgla")),
+          col("da") === col("xid"))
+        .join(sh.select(col("doc_id").as("yid"), col("sgl").as("sglb")),
+          col("db") === col("yid"))
+        .withColumn("ni", inter.cast("long")) // HOF evaluated once
+        .select(col("est_jaccard").as("est"),
+          (col("ni").cast("double")
+            / (size(col("sgla")) + size(col("sglb")) - col("ni"))).as("exact"))
+        .localCheckpoint() // bounded by the banding; read by all 5 thresholds
+      val th = s.range(5, 10).select((col("id").cast("double") / 10).as("t"))
+      ev.join(broadcast(th), col("est") >= col("t"))
+        .groupBy(col("t").as("threshold"))
+        .agg(count(lit(1)).as("n_flagged"),
+          sum(when(col("exact") >= col("t"), 1L).otherwise(0L))
+            .as("n_confirmed"),
+          sum(abs(col("est") - col("exact")).cast("decimal(38,18)")).as("sae"))
+        .where(col("n_flagged") > 0)
+        .select(col("threshold"), col("n_flagged"), col("n_confirmed"),
+          round(col("n_confirmed").cast("double") / col("n_flagged"), 6)
+            .as("precision_at_t"),
+          round(col("sae").cast("double") / col("n_flagged"), 6)
+            .as("mean_abs_err"))
+        .orderBy("threshold")
+    },
+
     // ---- exact n-gram Jaccard on a sampled query set, candidates
     //      via inverted shingle index (no cross product) ----
     sql(

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality / privacy audit operators — the release gates a
@@ -33,6 +33,10 @@ object AuditQueries {
   import graft.functions.TextFunctions.h32
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Day number since 1970-01-01 (UTC-pinned session). */
+  private def dayNum(ts: Column): Column =
+    datediff(to_date(ts), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
 
   /** Benford expected first-digit probabilities log10(1+1/d), d=1..9,
     * pinned as literals so neither engine's log10 is in the loop. */
@@ -179,6 +183,121 @@ object AuditQueries {
             .as("noisy_count"),
           lit(0.5).as("epsilon"))
         .orderBy("event_type")
+    },
+
+    // ---- data-quality constraint suite (Deequ-style checks) ----
+    // The expectation gate a pipeline runs before publishing a table:
+    // uniqueness (PK duplicate count), referential integrity (orphan
+    // facts via anti join), completeness (null counts), and range/
+    // domain violations — one row per named check with the violation
+    // count and a pass flag. Per-table checks FUSE into one
+    // conditional-sum aggregation per table (one corpus pass each, not
+    // one per check); the FK check is a broadcast-able anti join. All
+    // counts exact integers; thresholds are zero-violation.
+    sql(
+      "q_dq_checks",
+      """WITH ev AS (SELECT
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
+        |    CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','error','signup')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS bad_type
+        |  FROM events),
+        |li AS (SELECT
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+        |  FROM lineitem),
+        |pk AS (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |         AS dup_pk FROM orders),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_orderkey = l.l_orderkey)),
+        |r AS (
+        |  SELECT 'events_value_not_null' AS check_name, null_value AS violations FROM ev
+        |  UNION ALL SELECT 'events_props_not_null', null_props FROM ev
+        |  UNION ALL SELECT 'events_value_nonnegative', neg_value FROM ev
+        |  UNION ALL SELECT 'events_type_in_domain', bad_type FROM ev
+        |  UNION ALL SELECT 'lineitem_quantity_positive', bad_qty FROM li
+        |  UNION ALL SELECT 'lineitem_discount_in_range', bad_disc FROM li
+        |  UNION ALL SELECT 'orders_pk_unique', dup_pk FROM pk
+        |  UNION ALL SELECT 'lineitem_fk_orders', orphans FROM fk)
+        |SELECT check_name, violations, violations = 0 AS pass
+        |FROM r ORDER BY check_name""".stripMargin) { (s, dir) =>
+      val okTypes = Seq("view", "click", "purchase", "error", "signup")
+      val ev = t(s, dir, "events").agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"),
+        sum(when(!col("event_type").isin(okTypes: _*), 1L).otherwise(0L))
+          .as("bad_type"))
+      val li = t(s, dir, "lineitem").agg(
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+          .otherwise(0L)).as("bad_disc"))
+      val pk = t(s, dir, "orders").agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_pk"))
+      val fk = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      def row(name: String, from: DataFrame, c: String) =
+        from.select(lit(name).as("check_name"), col(c).as("violations"))
+      row("events_value_not_null", ev, "null_value")
+        .unionByName(row("events_props_not_null", ev, "null_props"))
+        .unionByName(row("events_value_nonnegative", ev, "neg_value"))
+        .unionByName(row("events_type_in_domain", ev, "bad_type"))
+        .unionByName(row("lineitem_quantity_positive", li, "bad_qty"))
+        .unionByName(row("lineitem_discount_in_range", li, "bad_disc"))
+        .unionByName(row("orders_pk_unique", pk, "dup_pk"))
+        .unionByName(row("lineitem_fk_orders", fk, "orphans"))
+        .select(col("check_name"), col("violations"),
+          (col("violations") === 0).as("pass"))
+        .orderBy("check_name")
+    },
+
+    // ---- l-diversity audit ----
+    // k-anonymity's blind spot: a group can be large (k-safe) yet
+    // carry only ONE sensitive value, so membership still reveals it.
+    // Over a released (day, hour, value-band) aggregation of the event
+    // log, l = distinct sensitive values (event_type) per QID group;
+    // the histogram of l plus the share of ROWS in groups failing
+    // l ≥ 3. One corpus collapse to QID groups (single-distinct
+    // aggregate), then the tiny histogram math.
+    sql(
+      "q_ldiversity",
+      """WITH g AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS hr,
+        |    CAST(floor(value / 50) AS BIGINT) AS vband,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |h AS (SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+        |             CAST(sum(n) AS BIGINT) AS n_rows
+        |      FROM g GROUP BY l),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nr,
+        |          CAST(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT) AS rr
+        |        FROM h)
+        |SELECT l, n_groups, n_rows, l < 3 AS risky,
+        |       round(CAST((SELECT rr FROM tot) AS DOUBLE)
+        |             / (SELECT nr FROM tot), 6) AS exposure_rate
+        |FROM h ORDER BY l""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "events")
+        .groupBy(dayNum(col("ts")).as("d"),
+          hour(col("ts")).cast("long").as("hr"),
+          floor(col("value") / 50).cast("long").as("vband"))
+        .agg(countDistinct(col("event_type")).as("l"), count(lit(1)).as("n"))
+      val h = g.groupBy("l")
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"))
+        .localCheckpoint() // tiny histogram feeding totals + output
+      val tot = h.agg(sum("n_rows").as("nr"),
+        sum(when(col("l") < 3, col("n_rows")).otherwise(0L)).as("rr"))
+      h.crossJoin(broadcast(tot))
+        .select(col("l"), col("n_groups"), col("n_rows"),
+          (col("l") < 3).as("risky"),
+          round(col("rr").cast("double") / col("nr"), 6).as("exposure_rate"))
+        .orderBy("l")
     }
   )
 }

@@ -70,6 +70,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_growth_accounting", // 1-row broadcast corpus-horizon scalar for churn
     "q_decile_lift",       // 1-row broadcast N/P totals riding the 10-row grid
     "q_power_analysis",    // 1-row broadcast μ/σ² moments × the 4-row MDE ladder
+    "q_lsh_pr_curve",      // 5-row broadcast threshold ladder × the pair frame
+    "q_fuzzy_join_token",  // 1-row broadcast target-corpus count riding the plan
+    "q_ldiversity",        // 1-row broadcast exposure totals riding the histogram
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints

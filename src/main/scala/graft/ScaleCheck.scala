@@ -125,6 +125,9 @@ object ScaleCheck {
     // threshold sweep, and the growth-accounting user windows
     "q_fuzzy_join_token", "q_lsh_pr_curve", "q_growth_accounting",
     "q_stickiness",
+    // r7 seventh batch: the basket-core recommender, the user-type
+    // overlap collapse, and the d²-fanout Gram power iteration
+    "q_item_cf", "q_audience_overlap", "q_embed_top_eigen",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -544,6 +544,99 @@ object SimilarityQueries {
           round(col("tr"), 6).as("cov_trace"),
           round(col("frob2"), 6).as("cov_frob2"),
           round(col("tr") * col("tr") / col("frob2"), 4).as("eff_dim"))
+    },
+
+    // ---- dominant direction via power iteration ----
+    // The eigensolve q_embed_effdim deliberately avoids, as its own
+    // operator: the top eigenvalue/eigenvector of the embedding
+    // second-moment matrix G = Σvvᵀ/n — the "is one direction eating
+    // the space?" collapse diagnostic (λ₁ vs trace), and the direction
+    // to project out for whitening. The corpus is read ONCE to build
+    // the d×d Gram (the effdim double-posexplode, no self-join); the
+    // five unrolled power-iteration rounds then run entirely on the
+    // d²-cell frame — a 1e9-vector corpus changes only the Gram pass.
+    // Matvec and norm sums accumulate in DECIMAL(38,18) (the frames
+    // are tiny, so order-independence costs nothing here, unlike the
+    // Gram pass — see the effdim note) and the iteration is started
+    // from the deterministic 1/√d vector, so both engines walk the
+    // identical float sequence. Output: λ₁ (Rayleigh quotient) + the
+    // top-8 squared loadings (sign-free, so no eigenvector sign
+    // ambiguity exists in the result).
+    sql(
+      "q_embed_top_eigen",
+      s"""WITH ex AS (SELECT vec_id, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS i
+        |            FROM embeddings),
+        |x AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v FROM ex),
+        |n0 AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+        |g AS (SELECT a.i AS i, b.i AS j,
+        |        sum(a.v * b.v) / (SELECT n FROM n0) AS gij
+        |      FROM x a JOIN x b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+        |dims AS (SELECT DISTINCT i FROM x),
+        |d0 AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dims),
+        |w0 AS (SELECT i, CAST(1 AS DOUBLE) / sqrt((SELECT d FROM d0)) AS w
+        |       FROM dims),
+        |${(1 to 5).map(k =>
+          s"""mv$k AS (SELECT g.i,
+             |    CAST(sum(CAST(g.gij * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+             |  FROM g JOIN w${k - 1} w ON w.i = g.j GROUP BY g.i),
+             |nr$k AS (SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18)))
+             |                          AS DOUBLE)) AS z FROM mv$k),
+             |w$k AS (SELECT i, m / (SELECT z FROM nr$k) AS w FROM mv$k)"""
+            .stripMargin).mkString(",\n")},
+        |mv6 AS (SELECT g.i,
+        |    CAST(sum(CAST(g.gij * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+        |  FROM g JOIN w5 w ON w.i = g.j GROUP BY g.i),
+        |ray AS (SELECT CAST(sum(CAST(w.w * mv.m AS DECIMAL(38,18))) AS DOUBLE)
+        |          AS lam
+        |        FROM w5 w JOIN mv6 mv ON mv.i = w.i)
+        |SELECT w.i AS dim, round(w.w * w.w, 6) AS loading2,
+        |       round((SELECT lam FROM ray), 4) AS top_eigen
+        |FROM w5 w
+        |ORDER BY round(w.w * w.w, 6) DESC, dim LIMIT 8""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cells = emb.select(col("vec_id"), col("embedding"),
+          posexplode(col("embedding")).as(Seq("pi", "vi")))
+        .select(col("vec_id"), col("pi"), col("vi").cast("double").as("vi"),
+          posexplode(col("embedding")).as(Seq("pj", "vj")))
+        .select(col("pi"), col("pj"), col("vi"),
+          col("vj").cast("double").as("vj"))
+      val n0 = emb.agg(
+        countDistinct(when(col("embedding").isNotNull
+          && size(col("embedding")) > 0, col("vec_id"))).as("n"))
+      // one corpus pass → the d² Gram frame; every iteration reads
+      // THIS, not the embeddings (Gram sums double — effdim note)
+      val g = cells.groupBy("pi", "pj")
+        .agg(sum(col("vi") * col("vj")).as("sxy"))
+        .crossJoin(broadcast(n0))
+        .select(col("pi"), col("pj"), (col("sxy") / col("n")).as("gij"))
+        .localCheckpoint()
+      val dims = g.select(col("pi")).distinct()
+      val d0 = dims.agg(count(lit(1)).as("d"))
+      val dec = (c: Column) => c.cast("decimal(38,18)")
+      var w = dims.crossJoin(broadcast(d0))
+        .select(col("pi").as("i"), (lit(1.0) / sqrt(col("d"))).as("w"))
+        .localCheckpoint()
+      def matvec(wf: org.apache.spark.sql.DataFrame) = g
+        .join(broadcast(wf.select(col("i").as("pj"), col("w"))), Seq("pj"))
+        .groupBy(col("pi").as("i"))
+        .agg(sum(dec(col("gij") * col("w"))).cast("double").as("m"))
+      for (_ <- 1 to 5) {
+        val mv = matvec(w).localCheckpoint()
+        val nrm = mv.agg(sqrt(sum(dec(col("m") * col("m"))).cast("double")).as("z"))
+        w = mv.crossJoin(broadcast(nrm))
+          .select(col("i"), (col("m") / col("z")).as("w"))
+          .localCheckpoint()
+      }
+      val mv6 = matvec(w).localCheckpoint()
+      val ray = w.join(mv6, Seq("i"))
+        .agg(sum(dec(col("w") * col("m"))).cast("double").as("lam"))
+      w.crossJoin(broadcast(ray))
+        .select(col("i").cast("long").as("dim"),
+          round(col("w") * col("w"), 6).as("loading2"),
+          round(col("lam"), 4).as("top_eigen"))
+        .orderBy(desc("loading2"), col("dim"))
+        .limit(8)
     }
   )
 }

@@ -1094,6 +1094,168 @@ object StatsQueries {
           round(col("lift_raw"), 6).as("lift"))
     },
 
+    // ---- one-way ANOVA (between-group variance test) ----
+    // Does the metric differ across segments at all? The F-test run
+    // before any pairwise comparison (the k-group generalization of
+    // q_ab_ttest): SSB/SSW from per-group exact DECIMAL moments —
+    // ONE corpus aggregation to k rows, the partition math on that
+    // frame with per-group terms DECIMAL-accumulated (k-row sums must
+    // be merge-order-exact too), doubles only in the final F. Also
+    // reports η² = SSB/SST, the effect size.
+    sql(
+      "q_anova_oneway",
+      """WITH g AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(15,4))) AS sx,
+        |    sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(19,4))) AS sxx
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sx) AS s,
+        |               CAST(count(*) AS BIGINT) AS k,
+        |               sum(CAST(sxx AS DECIMAL(38,8))) AS sxx_t,
+        |               sum(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |                        / n AS DECIMAL(38,10))) AS sb
+        |        FROM g)
+        |SELECT k, nn AS n,
+        |  round(CAST(sb AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn, 4) AS ssb,
+        |  round(CAST(sxx_t AS DOUBLE) - CAST(sb AS DOUBLE), 4) AS ssw,
+        |  k - 1 AS df1, nn - k AS df2,
+        |  round((CAST(sb AS DOUBLE)
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn) / (k - 1)
+        |        / ((CAST(sxx_t AS DOUBLE) - CAST(sb AS DOUBLE)) / (nn - k)), 6)
+        |    AS f_stat,
+        |  round((CAST(sb AS DOUBLE)
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn)
+        |        / (CAST(sxx_t AS DOUBLE)
+        |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn), 6) AS eta2
+        |FROM tot""".stripMargin) { (s, dir) =>
+      val d15 = (c: Column) => c.cast("decimal(15,4)")
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val g = t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d15(col("value"))).as("sx"),
+          sum(d15(col("value")) * d19(col("value"))).as("sxx"))
+      val tot = g.agg(sum("n").as("nn"), sum("sx").as("s"),
+        count(lit(1)).as("k"),
+        sum(col("sxx").cast("decimal(38,8)")).as("sxx_t"),
+        sum((col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          .cast("decimal(38,10)")).as("sb"))
+      val (sb, sD, sxxT) = (col("sb").cast("double"),
+        col("s").cast("double"), col("sxx_t").cast("double"))
+      val ssb = sb - sD * sD / col("nn")
+      val ssw = sxxT - sb
+      val sst = sxxT - sD * sD / col("nn")
+      tot.select(col("k"), col("nn").as("n"),
+        round(ssb, 4).as("ssb"), round(ssw, 4).as("ssw"),
+        (col("k") - 1).as("df1"), (col("nn") - col("k")).as("df2"),
+        round(ssb / (col("k") - 1) / (ssw / (col("nn") - col("k"))), 6)
+          .as("f_stat"),
+        round(ssb / sst, 6).as("eta2"))
+    },
+
+    // ---- audience overlap matrix (segment co-membership) ----
+    // For every pair of behavior segments (users who did event type X
+    // vs type Y): exact audience sizes, intersection, Jaccard, and the
+    // overlap coefficient — the audience-dedup readout an ads/growth
+    // stack runs before merging segments. The corpus collapses ONCE to
+    // distinct (user, type); pair intersections come from the same
+    // sorted-set i<j array transform as the basket miner (≤ T(T−1)/2
+    // pairs per user at T=5 types), so there is ONE corpus shuffle and
+    // the pair math runs on a 10-row frame. All ratios exact-integer
+    // until one double division.
+    sql(
+      "q_audience_overlap",
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s
+        |        FROM b GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS ta, c.event_type AS tb,
+        |                 CAST(count(*) AS BIGINT) AS n_both
+        |          FROM b a JOIN b c ON c.user_id = a.user_id
+        |                           AND c.event_type > a.event_type
+        |          GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, s1.s AS n_a, s2.s AS n_b, p.n_both,
+        |  round(CAST(p.n_both AS DOUBLE) / (s1.s + s2.s - p.n_both), 6)
+        |    AS jaccard,
+        |  round(CAST(p.n_both AS DOUBLE) / least(s1.s, s2.s), 6)
+        |    AS overlap_coef
+        |FROM pairs p JOIN sup s1 ON s1.event_type = p.ta
+        |             JOIN sup s2 ON s2.event_type = p.tb
+        |ORDER BY ta, tb""".stripMargin) { (s, dir) =>
+      val baskets = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .localCheckpoint() // feeds supports AND pair generation
+      val sup = baskets.select(explode(col("ts")).as("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("s"))
+      val pairArr = flatten(transform(sequence(lit(0), size(col("ts")) - 2),
+        i => transform(sequence(i + 1, size(col("ts")) - 1),
+          j => struct(element_at(col("ts"), i + 1).as("ta"),
+            element_at(col("ts"), j + 1).as("tb")))))
+      val pairs = baskets
+        .where(size(col("ts")) >= 2)
+        .select(explode(pairArr).as("z"))
+        .select(col("z.ta").as("ta"), col("z.tb").as("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sup.select(col("event_type").as("ta"),
+          col("s").as("n_a"))), Seq("ta"))
+        .join(broadcast(sup.select(col("event_type").as("tb"),
+          col("s").as("n_b"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_both").cast("double")
+            / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"),
+          round(col("n_both").cast("double")
+            / least(col("n_a"), col("n_b")), 6).as("overlap_coef"))
+        .orderBy("ta", "tb")
+    },
+
+    // ---- item-item collaborative filtering (cosine neighbors) ----
+    // The recommender primitive one step past q_assoc_rules' lift:
+    // cosine similarity of parts' order-membership vectors, which for
+    // 0/1 baskets collapses to n_both/√(s_i·s_j) — so the WHOLE
+    // computation rides the shared basketPairCounts core (one corpus
+    // shuffle) plus a #parts support aggregate broadcast back. Top-3
+    // neighbors per item from the symmetrized pair list via a
+    // partitioned window; ranking uses the ROUNDED cosine (tiebreak
+    // neighbor id) so a last-ulp sqrt difference can never flip the
+    // cut.
+    sql(
+      "q_item_cf",
+      s"""WITH $basketPairsSqlCtes,
+        |sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+        |e AS (SELECT p1 AS src, p2 AS dst, n_both FROM pairs WHERE n_both >= 2
+        |      UNION ALL
+        |      SELECT p2, p1, n_both FROM pairs WHERE n_both >= 2),
+        |sc AS (SELECT e.src, e.dst, e.n_both,
+        |         round(CAST(e.n_both AS DOUBLE)
+        |               / sqrt(CAST(s1.s AS DOUBLE) * s2.s), 6) AS cosine
+        |       FROM e JOIN sup s1 ON s1.l_partkey = e.src
+        |              JOIN sup s2 ON s2.l_partkey = e.dst)
+        |SELECT src, dst, n_both, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src
+        |             ORDER BY cosine DESC, dst) AS rn
+        |  FROM sc)
+        |WHERE rn <= 3 ORDER BY src, cosine DESC, dst""".stripMargin) { (s, dir) =>
+      val (baskets, rawPairs) = basketPairCounts(s, dir)
+      val sup = baskets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("s"))
+      val p2 = rawPairs.where(col("n_both") >= 2)
+      val e = p2.select(col("p1").as("src"), col("p2").as("dst"), col("n_both"))
+        .unionByName(
+          p2.select(col("p2").as("src"), col("p1").as("dst"), col("n_both")))
+      val sc = e
+        .join(sup.select(col("p").as("src"), col("s").as("s1")), Seq("src"))
+        .join(sup.select(col("p").as("dst"), col("s").as("s2")), Seq("dst"))
+        .select(col("src"), col("dst"), col("n_both"),
+          round(col("n_both").cast("double")
+            / sqrt(col("s1").cast("double") * col("s2")), 6).as("cosine"))
+      val rk = Window.partitionBy("src").orderBy(desc("cosine"), col("dst"))
+      sc.withColumn("rn", row_number().over(rk))
+        .where(col("rn") <= 3)
+        .select(col("src"), col("dst"), col("n_both"), col("cosine"))
+        .orderBy(col("src"), desc("cosine"), col("dst"))
+    },
+
     // ---- delta-method ratio-metric readout (A/B suite) ----
     // Revenue-per-event is a RATIO of per-user sums, so its variance
     // is NOT the t-test's: Var(X̄/Ȳ) ≈ (σx² + r²σy² − 2rσxy)/(μy²·n)

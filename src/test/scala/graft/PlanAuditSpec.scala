@@ -73,6 +73,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_lsh_pr_curve",      // 5-row broadcast threshold ladder × the pair frame
     "q_fuzzy_join_token",  // 1-row broadcast target-corpus count riding the plan
     "q_ldiversity",        // 1-row broadcast exposure totals riding the histogram
+    "q_embed_top_eigen",   // 1-row broadcast n/d/norm/Rayleigh scalars per round
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints

@@ -34,9 +34,8 @@ object AuditQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Day number since 1970-01-01 (UTC-pinned session). */
   private def dayNum(ts: Column): Column =
-    datediff(to_date(ts), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+    graft.functions.TimeFunctions.dayNum(ts)
 
   /** Benford expected first-digit probabilities log10(1+1/d), d=1..9,
     * pinned as literals so neither engine's log10 is in the loop. */

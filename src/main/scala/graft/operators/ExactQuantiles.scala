@@ -44,19 +44,29 @@ object ExactQuantiles {
 
   private val BandHalfWidth = 0.001
 
-  def apply(df: DataFrame, c: String, qs: Seq[Double], names: Seq[String])
+  def apply(df0: DataFrame, c: String, qs: Seq[Double], names: Seq[String])
       : DataFrame = {
     require(qs.nonEmpty && qs.size == names.size, "one name per quantile")
     require(qs == qs.sorted && qs.forall(q => q >= 0.0 && q <= 1.0))
     require(qs.iterator.sliding(2).withPartial(false)
       .forall(p => p(1) - p(0) > 2 * BandHalfWidth),
       s"quantiles must be > ${2 * BandHalfWidth} apart (disjoint bands)")
+    // quantile_cont semantics IGNORE nulls. Handled WITHOUT a filter:
+    // n = count(c) skips null rows (so no rank shifts — the review
+    // find: an inflated n shifted every rank into the finite
+    // gap-midpoint groups, dodging the fallback detection), and a null
+    // value falls through every `when` into the +∞ sentinel group,
+    // past all selectable ranks. A where(isNotNull) would be a filter
+    // on a derived column — InferFiltersFromConstraints inlines those
+    // into upstream join conditions ahead of range predicates (the
+    // q_theil_sen ANSI DIVIDE_BY_ZERO trap, NOTES pitfalls).
+    val df = df0
     val spark = df.sparkSession
 
     val bandQs = qs.flatMap(q => Seq(math.max(0.0, q - BandHalfWidth),
       math.min(1.0, q + BandHalfWidth)))
     val stats = df
-      .agg(count(lit(1)).as("n"),
+      .agg(count(col(c)).as("n"),
         expr(s"approx_percentile($c, array(${bandQs.mkString(", ")}), 10000)")
           .as("band"))
       .select(col("n") +: qs.indices.flatMap(i => Seq(
@@ -115,7 +125,7 @@ object ExactQuantiles {
     else
       // small-n bracket miss: the one-task exact percentile is correct
       // at any n and cheap precisely when this path triggers
-      df.agg(count(lit(1)).as("n"),
+      df.agg(count(col(c)).as("n"),
         qs.zip(names).map { case (q, nm) =>
           expr(s"percentile($c, $q)").as(nm)
         }: _*)

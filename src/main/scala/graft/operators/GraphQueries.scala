@@ -72,9 +72,14 @@ object GraphQueries {
   private def cooccurParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.tokens
+    // the corpus-scale tokenize+explode+distinct feeds 2-3 consumers
+    // (df agg, presence join, triangles' doc count) — materialize it
+    // once, like every other multi-consumer explode in the repo
+    // (review find, r7)
     val ex = t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .distinct()
+      .localCheckpoint()
     val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
     val voc = dfq.orderBy(desc("c"), col("word")).limit(50).localCheckpoint()
     val ev = ex.join(broadcast(voc), "word")

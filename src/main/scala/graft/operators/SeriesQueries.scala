@@ -39,9 +39,9 @@ object SeriesQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
-  /** Day number since 1970-01-01 (timezone-pinned UTC session). */
+  /** Day number since 1970-01-01 — the shared TimeFunctions convention. */
   private def dayNum(ts: Column): Column =
-    datediff(to_date(ts), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+    graft.functions.TimeFunctions.dayNum(ts)
 
   /** Calendar collapse shared by the daily-series operators: one
     * corpus aggregation to (d, rev DECIMAL(15,4)) — exact sums so

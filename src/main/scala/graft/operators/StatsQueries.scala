@@ -68,10 +68,13 @@ object StatsQueries {
     * (n1, n2, u1_x2, auc, z_approx) where auc = P(pos score > neg
     * score) + ½P(tie) — the ROC AUC of `v` as a classifier score.
     * Tie-corrected rank sums in exact integer arithmetic (2·R1 =
-    * Σ c1·(2·prev + c + 1) clears the average-rank half; Σ(c³−c)
-    * feeds the z tie correction); the double math happens once on the
-    * 1-row result. Nulls ignored. BIGINT headroom 2·R1 ≤ 2N² holds
-    * through ~2e9 pooled rows. */
+    * Σ c1·(2·prev + c + 1) clears the average-rank half); the Σ(c³−c)
+    * tie term accumulates in DOUBLE — c³ would overflow BIGINT at a
+    * ~2.1M-row tie block, and the term only feeds the double sigma
+    * (terms stay exact integers in double through c ≈ 2e5·tie blocks,
+    * so the oracle hash is unaffected at any testable scale). Nulls
+    * ignored. Rank-sum BIGINT headroom 2·R1 ≤ 2N² holds through ~2e9
+    * pooled rows. */
   def mannWhitney(pos: DataFrame, neg: DataFrame, v: Column): DataFrame = {
     val tagged = pos.select(v.as("v"), lit(1L).as("pos"))
       .where(col("v").isNotNull)
@@ -80,8 +83,13 @@ object StatsQueries {
     val u = tagged.groupBy("v")
       .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
     // 1-row eager totals: ride the plan twice (see ksTest)
+    // tie term in DOUBLE: c³ overflows BIGINT at a ~2.1M-row tie block
+    // (far below the 2·R1 ≤ 2N² rank-sum headroom); the term only ever
+    // feeds the double sigma, and both engines cube the identical
+    // doubles (review find, r7)
     val tot = u.agg(sum("c1").as("n1"), sum(col("c") - col("c1")).as("n2"),
-      sum(col("c") * col("c") * col("c") - col("c")).as("tie_term"))
+      sum(col("c").cast("double") * col("c") * col("c") - col("c"))
+        .as("tie_term"))
       .localCheckpoint()
     val ranked = GlobalPrefix.runningTotal(u, Seq(col("v")), col("c"), "incl")
       .withColumn("prev", col("incl") - col("c"))
@@ -178,18 +186,24 @@ object StatsQueries {
     * exchange. Returns (baskets(l_orderkey, ps), pairs(p1, p2,
     * n_both)) — UNFILTERED pair counts; consumers apply their own
     * support thresholds. */
+  /** All i<j element pairs of a sorted array, as a struct array — the
+    * codegen'd pair-mining inner transform shared by basketPairCounts
+    * and q_audience_overlap (one copy of the 1-based element_at index
+    * arithmetic — review find, r7). */
+  def ijPairs(arr: Column, aName: String, bName: String): Column =
+    flatten(transform(sequence(lit(0), size(arr) - 2),
+      i => transform(sequence(i + 1, size(arr) - 1),
+        j => struct(element_at(arr, i + 1).as(aName),
+          element_at(arr, j + 1).as(bName)))))
+
   def basketPairCounts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val baskets = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .localCheckpoint()
-    val pairArr = flatten(transform(sequence(lit(0), size(col("ps")) - 2),
-      i => transform(sequence(i + 1, size(col("ps")) - 1),
-        j => struct(element_at(col("ps"), i + 1).as("p1"),
-          element_at(col("ps"), j + 1).as("p2")))))
     val pairs = baskets
       .where(size(col("ps")) >= 2)
-      .select(explode(pairArr).as("z"))
+      .select(explode(ijPairs(col("ps"), "p1", "p2")).as("z"))
       .select(col("z.p1").as("p1"), col("z.p2").as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_both"))
@@ -871,7 +885,7 @@ object StatsQueries {
         |             CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c AS prev FROM u),
         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
         |             CAST(sum(c - c1) AS BIGINT) AS n2,
-        |             CAST(sum(c * c * c - c) AS BIGINT) AS tie_term FROM u),
+        |             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term FROM u),
         |rs AS (SELECT CAST(sum(c1 * (2 * prev + c + 1)) AS BIGINT) AS r1_x2 FROM r)
         |SELECT t.n1, t.n2, rs.r1_x2 - t.n1 * (t.n1 + 1) AS u1_x2,
         |       round((rs.r1_x2 - t.n1 * (t.n1 + 1))
@@ -1186,13 +1200,9 @@ object StatsQueries {
         .localCheckpoint() // feeds supports AND pair generation
       val sup = baskets.select(explode(col("ts")).as("event_type"))
         .groupBy("event_type").agg(count(lit(1)).as("s"))
-      val pairArr = flatten(transform(sequence(lit(0), size(col("ts")) - 2),
-        i => transform(sequence(i + 1, size(col("ts")) - 1),
-          j => struct(element_at(col("ts"), i + 1).as("ta"),
-            element_at(col("ts"), j + 1).as("tb")))))
       val pairs = baskets
         .where(size(col("ts")) >= 2)
-        .select(explode(pairArr).as("z"))
+        .select(explode(ijPairs(col("ts"), "ta", "tb")).as("z"))
         .select(col("z.ta").as("ta"), col("z.tb").as("tb"))
         .groupBy("ta", "tb")
         .agg(count(lit(1)).as("n_both"))

@@ -54,6 +54,26 @@ class ExactQuantilesSpec extends SparkSpec {
     check(vs, Seq(0.01, 0.99))
   }
 
+  test("null rows are ignored (quantile_cont semantics), not ranked") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vals = Seq.fill(3000)(rnd.nextDouble() * 100)
+    // half the rows null: n must count only non-null values and every
+    // quantile must equal the nulls-excluded exact percentile (the
+    // pre-fix behavior inflated n, shifted every rank, and the finite
+    // gap-midpoint groups could absorb the shift undetected)
+    val df = (vals.map(Option(_)) ++ Seq.fill(3000)(Option.empty[Double]))
+      .toDF("x")
+    val got = ExactQuantiles(df, "x", Seq(0.25, 0.75), Seq("p25", "p75"))
+      .collect()(0)
+    val exp = vals.toDF("x").agg(
+      expr("percentile(x, 0.25)").as("p25"),
+      expr("percentile(x, 0.75)").as("p75")).collect()(0)
+    assert(got.getLong(0) == 3000L, s"n must exclude nulls: ${got.getLong(0)}")
+    assert(math.abs(got.getDouble(1) - exp.getDouble(0)) < 1e-9)
+    assert(math.abs(got.getDouble(2) - exp.getDouble(1)) < 1e-9)
+  }
+
   test("empty input yields n=0 and null quantiles") {
     import spark.implicits._
     val out = ExactQuantiles(Seq.empty[Double].toDF("x"), "x",

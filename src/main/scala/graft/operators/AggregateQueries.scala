@@ -421,6 +421,128 @@ object AggregateQueries {
           round(max(col("pmax")), 2).as("q_max"),
           round(sum(col("ps")) / sum(col("pn")), 6).as("q_avg"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- Count-Min sketch build + point-query audit ----
+    // The third sketch class after HLL (distinct) and Misra-Gries
+    // (heavy hitters): CMS answers point frequency queries from d×w
+    // counters — THE mergeable shape for per-key counts when the key
+    // space is too wide to materialize. Build: each token increments
+    // one bucket per hash row (d=4 portable salted h32 rows, w=1024),
+    // ONE aggregation whose map-side combine collapses the ×4 fan-out
+    // before the shuffle; the sketch is 4096 counters at ANY corpus
+    // size and unions by addition. Audit: the top-15 exact words'
+    // estimates (min over rows of their buckets) against exact counts
+    // — CMS guarantees est ≥ exact (never undercounts) and bounds the
+    // overcount by collision mass; the flag column makes the guarantee
+    // a value-checked oracle row, not a comment.
+    sql(
+      "q_countmin",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |rows_ AS (SELECT CAST(range AS BIGINT) AS r FROM range(0, 4)),
+        |cells AS (SELECT r.r,
+        |            ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.w), 1, 8))::BIGINT
+        |              % 1024 AS b,
+        |            CAST(count(*) AS BIGINT) AS c
+        |          FROM tok t JOIN rows_ r ON TRUE GROUP BY 1, 2),
+        |exact AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+        |          GROUP BY w ORDER BY n DESC, w LIMIT 15),
+        |est AS (SELECT e.w, e.n, min(c.c) AS est
+        |        FROM exact e
+        |        JOIN rows_ r ON TRUE
+        |        JOIN cells c ON c.r = r.r
+        |          AND c.b = ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || e.w), 1, 8))::BIGINT
+        |                    % 1024
+        |        GROUP BY e.w, e.n)
+        |SELECT w, n AS exact_n, est, est >= n AS no_undercount,
+        |       CAST(est - n AS BIGINT) AS overcount
+        |FROM est ORDER BY exact_n DESC, w""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.{h32Salted, tokens}
+      val tok = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .localCheckpoint() // feeds the sketch build AND the exact top-k
+      val rows = s.range(0, 4).select(col("id").as("r"))
+      // sketch build: one agg, ×4 row fan-out collapsed map-side
+      val cells = tok.crossJoin(broadcast(rows))
+        .groupBy(col("r"), (h32Salted(col("r"), col("w")) % 1024).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // the 4096-counter sketch, probed 4× below
+      val exact = tok.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w")).limit(15)
+      val probed = exact.crossJoin(broadcast(rows.withColumnRenamed("r", "pr")))
+        .withColumn("pb", h32Salted(col("pr"), col("w")) % 1024)
+        .join(cells, col("r") === col("pr") && col("b") === col("pb"))
+        .groupBy("w", "n").agg(min(col("c")).as("est"))
+      probed.select(col("w"), col("n").as("exact_n"), col("est"),
+          (col("est") >= col("n")).as("no_undercount"),
+          (col("est") - col("n")).cast("long").as("overcount"))
+        .orderBy(desc("exact_n"), col("w"))
+    },
+
+    // ---- Bloom-filter false-positive-rate audit ----
+    // The membership sketch measured, not assumed: build an m=16384-
+    // bit / k=4 Bloom filter over the distinct user keys RELATIONALLY
+    // (set bits = distinct hash positions — a Bloom filter IS a
+    // distinct aggregation), probe a provably-disjoint shifted key
+    // set, and report the observed false-positive rate against the
+    // (1−e^(−kn/m))^k theory line. This is the sizing table read
+    // before wiring a bloom join or a BloomDedupStream horizon; the
+    // probe side proves the k-of-k semantics end-to-end. Theory term
+    // raised by explicit multiplies, not pow() (glibc vs Math.pow
+    // last-ulp divergence — the chi² non-choice).
+    sql(
+      "q_bloom_fpr",
+      """WITH u AS (SELECT DISTINCT user_id AS key FROM events),
+        |rows_ AS (SELECT CAST(range AS BIGINT) AS r FROM range(0, 4)),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+        |                        || CAST(u.key AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16384 AS b
+        |  FROM u JOIN rows_ r ON TRUE),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |bs AS (SELECT CAST(count(*) AS BIGINT) AS set_bits FROM bits),
+        |ph AS (SELECT u.key + 10000000 AS pkey, r.r,
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+        |                        || CAST(u.key + 10000000 AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16384 AS b
+        |  FROM u JOIN rows_ r ON TRUE),
+        |hits AS (SELECT pkey, CAST(count(*) AS BIGINT) AS inb
+        |         FROM ph JOIN bits ON bits.b = ph.b GROUP BY pkey),
+        |fp AS (SELECT CAST(sum(CASE WHEN inb = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_fp FROM hits),
+        |th AS (SELECT 1 - exp(-CAST(4 AS DOUBLE) * (SELECT n FROM nn) / 16384)
+        |         AS t1)
+        |SELECT (SELECT n FROM nn) AS n_keys,
+        |  CAST(16384 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+        |  (SELECT set_bits FROM bs) AS set_bits,
+        |  (SELECT n_fp FROM fp) AS n_false_pos,
+        |  round(CAST((SELECT n_fp FROM fp) AS DOUBLE)
+        |        / (SELECT n FROM nn), 6) AS observed_fpr,
+        |  round((SELECT t1 * t1 * t1 * t1 FROM th), 6) AS theoretical_fpr
+        |FROM nn LIMIT 1""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32Salted
+      val u = t(s, dir, "events").select(col("user_id").as("key")).distinct()
+        .localCheckpoint() // feeds insert positions, count, and probes
+      val rows = s.range(0, 4).select(col("id").as("r"))
+      val bits = u.crossJoin(broadcast(rows))
+        .select((h32Salted(col("r"), col("key").cast("string")) % 16384).as("b"))
+        .distinct()
+        .localCheckpoint() // the filter itself (≤ m rows), probed below
+      val nn = u.agg(count(lit(1)).as("n")).localCheckpoint()
+      val bs = bits.agg(count(lit(1)).as("set_bits"))
+      val ph = u.crossJoin(broadcast(rows))
+        .select((col("key") + 10000000L).as("pkey"), col("r"))
+        .withColumn("b", h32Salted(col("r"), col("pkey").cast("string")) % 16384)
+      val hits = ph.join(bits, Seq("b")).groupBy("pkey")
+        .agg(count(lit(1)).as("inb"))
+      val fp = hits.agg(sum(when(col("inb") === 4, 1L).otherwise(0L)).as("n_fp"))
+      val t1 = lit(1.0) - exp(lit(-4.0).cast("double") * col("n") / 16384)
+      nn.crossJoin(broadcast(bs)).crossJoin(broadcast(fp))
+        .select(col("n").as("n_keys"),
+          lit(16384L).as("m_bits"), lit(4L).as("k_hashes"),
+          col("set_bits"), col("n_fp").as("n_false_pos"),
+          round(col("n_fp").cast("double") / col("n"), 6).as("observed_fpr"),
+          round(t1 * t1 * t1 * t1, 6).as("theoretical_fpr"))
     }
   )
 }

@@ -1108,6 +1108,47 @@ object StatsQueries {
           round(col("lift_raw"), 6).as("lift"))
     },
 
+    // ---- weighted quantiles (revenue-weighted order size) ----
+    // "What quantity does the TYPICAL DOLLAR buy?" — the
+    // weight-by-importance quantile family ExactQuantiles' unweighted
+    // core can't express: the weighted p-quantile is the smallest
+    // value whose cumulative weight reaches p·W. The corpus collapses
+    // FIRST to the distinct value domain (≤ 50 quantities) with exact
+    // DECIMAL weight sums, so the running-weight window is a
+    // ~50-row frame at any corpus size. The p·W comparisons are
+    // integer-scaled (4·cum ≥ W, 2·cum ≥ W, 4·cum ≥ 3·W) — exact
+    // decimal multiplies, no fractional threshold to round.
+    sql(
+      "q_weighted_median",
+      """WITH g AS (SELECT l_quantity AS q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS w
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT q, w, sum(w) OVER (ORDER BY q) AS cum FROM g),
+        |tot AS (SELECT CAST(sum(w) AS DECIMAL(38,2)) AS tw FROM g)
+        |SELECT
+        |  min(CASE WHEN 4 * cum >= (SELECT tw FROM tot) THEN q END) AS p25_w,
+        |  min(CASE WHEN 2 * cum >= (SELECT tw FROM tot) THEN q END) AS p50_w,
+        |  min(CASE WHEN 4 * cum >= 3 * (SELECT tw FROM tot) THEN q END) AS p75_w,
+        |  (SELECT tw FROM tot) AS total_weight
+        |FROM c""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity").as("q"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("decimal(18,2)").as("w"))
+        .localCheckpoint() // ≤ 50 rows: feeds the window AND the total
+      // the one intentionally tiny global window (value-domain rows)
+      val cum = g.withColumn("cum",
+        sum("w").over(Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = g.agg(sum("w").cast("decimal(38,2)").as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") * 4 >= col("tw"), col("q"))).as("p25_w"),
+          min(when(col("cum") * 2 >= col("tw"), col("q"))).as("p50_w"),
+          min(when(col("cum") * 4 >= col("tw") * 3, col("q"))).as("p75_w"),
+          first(col("tw")).as("total_weight"))
+    },
+
     // ---- one-way ANOVA (between-group variance test) ----
     // Does the metric differ across segments at all? The F-test run
     // before any pairwise comparison (the k-group generalization of

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -635,6 +635,69 @@ object TemporalQueries {
         .groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("r_q", "f_q", "m_q")
+    },
+
+    // ---- price/volume bridge (period-over-period driver decomposition) ----
+    // The BI "why did revenue move" waterfall: Δrevenue between two
+    // periods split into a price effect (p₁−p₀)·q₁ and a volume effect
+    // p₀·(q₁−q₀) per segment — algebraically exact (the two terms
+    // telescope to p₁q₁−p₀q₀), with the float residual reported as its
+    // own column so the decomposition is self-auditing. ONE corpus
+    // aggregation collapses both periods to (segment, period) DECIMAL
+    // revenue/quantity sums via conditional sums; all bridge math runs
+    // on the #segments frame. Average price is the only double.
+    sql(
+      "q_price_volume_bridge",
+      """WITH g AS (SELECT l_returnflag AS rf,
+        |    CAST(sum(CASE WHEN date_part('year', l_shipdate) = 1997
+        |             THEN CAST(l_extendedprice AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS r0,
+        |    CAST(sum(CASE WHEN date_part('year', l_shipdate) = 1998
+        |             THEN CAST(l_extendedprice AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS r1,
+        |    CAST(sum(CASE WHEN date_part('year', l_shipdate) = 1997
+        |             THEN CAST(l_quantity AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS q0,
+        |    CAST(sum(CASE WHEN date_part('year', l_shipdate) = 1998
+        |             THEN CAST(l_quantity AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS q1
+        |  FROM lineitem
+        |  WHERE date_part('year', l_shipdate) IN (1997, 1998)
+        |  GROUP BY 1)
+        |SELECT rf, r0, r1,
+        |  round(CAST(r1 AS DOUBLE) - CAST(r0 AS DOUBLE), 2) AS delta,
+        |  round((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |         - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+        |        * CAST(q1 AS DOUBLE), 2) AS price_effect,
+        |  round(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+        |        * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)), 2) AS volume_effect,
+        |  round(CAST(r1 AS DOUBLE) - CAST(r0 AS DOUBLE)
+        |        - (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |           - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) * CAST(q1 AS DOUBLE)
+        |        - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+        |          * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)), 6) AS residual
+        |FROM g ORDER BY rf""".stripMargin) { (s, dir) =>
+      val zero = lit(0).cast("decimal(18,6)")
+      def period(y: Int, c: Column) =
+        sum(when(year(col("l_shipdate")) === y, c.cast("decimal(18,6)"))
+          .otherwise(zero)).cast("decimal(18,2)")
+      val g = t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")).isin(1997, 1998))
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(period(1997, col("l_extendedprice")).as("r0"),
+          period(1998, col("l_extendedprice")).as("r1"),
+          period(1997, col("l_quantity")).as("q0"),
+          period(1998, col("l_quantity")).as("q1"))
+      val (r0, r1, q0, q1) = (col("r0").cast("double"), col("r1").cast("double"),
+        col("q0").cast("double"), col("q1").cast("double"))
+      val pe = (r1 / q1 - r0 / q0) * q1
+      val ve = r0 / q0 * (q1 - q0)
+      g.select(col("rf"), col("r0"), col("r1"),
+          round(r1 - r0, 2).as("delta"),
+          round(pe, 2).as("price_effect"),
+          round(ve, 2).as("volume_effect"),
+          round(r1 - r0 - pe - ve, 6).as("residual"))
+        .orderBy("rf")
     }
   )
 }

@@ -96,6 +96,30 @@ object IncrMvStream {
     }
   }
 
+  /** Retention janitor: drop published `v=<id>` directories older than
+    * the `keepLast` most recent, never touching the pointer's current
+    * version. Old versions exist only to keep in-flight readers valid
+    * (a reader that resolved `_LATEST` just before a publish still
+    * reads a complete directory) — after a retention window they are
+    * dead weight, exactly like expired table-format snapshots. Returns
+    * the dropped version ids. */
+  def vacuum(spark: SparkSession, mv: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val fs = FileSystem.get(new java.net.URI(mv), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(mv)
+    if (!fs.exists(root)) return Nil
+    val versions = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong)
+        .toOption.map(_ -> st.getPath))
+      .sortBy(_._1)
+    val current = readLatest(spark, mv)
+    val drop = versions.dropRight(keepLast)
+      .filterNot { case (v, _) => current.contains(v) }
+    drop.foreach { case (_, p) => fs.delete(p, true) }
+    drop.map(_._1)
+  }
+
   /** Start continuous maintenance of the MV at `mv` from `ds`. */
   def start(ds: Dataset[Purchase], mv: String, checkpoint: String): StreamingQuery =
     ds.writeStream

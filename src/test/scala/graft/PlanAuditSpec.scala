@@ -74,6 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_fuzzy_join_token",  // 1-row broadcast target-corpus count riding the plan
     "q_ldiversity",        // 1-row broadcast exposure totals riding the histogram
     "q_embed_top_eigen",   // 1-row broadcast n/d/norm/Rayleigh scalars per round
+    "q_countmin",          // 4-row broadcast hash-row ladder × tokens/top-k
+    "q_bloom_fpr",         // 4-row hash ladder + 1-row count/fp scalars
+    "q_weighted_median",   // 1-row broadcast total-weight scalar on the 50-row frame
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints

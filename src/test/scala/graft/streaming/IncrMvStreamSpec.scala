@@ -64,6 +64,14 @@ class IncrMvStreamSpec extends SparkSpec {
     // a FRESH id with the same rows IS applied (that's an append)
     IncrMvStream.applyBatch(b3.toDF(), mv, batchId = 99L)
     assert(readMvMap(mv) == batchExpected(b1 ++ b2 ++ b3 ++ b3))
+
+    // retention vacuum: keeps the newest versions (always including
+    // the published pointer) and the MV still reads identically
+    val before2 = readMvMap(mv)
+    val dropped = IncrMvStream.vacuum(spark, mv, keepLast = 1)
+    assert(dropped.nonEmpty, "expected old versions to be vacuumed")
+    assert(!dropped.contains(99L), "vacuum removed the current version")
+    assert(readMvMap(mv) == before2, "vacuum changed the readable MV")
   }
 
   test("empty MV reads as an empty frame with the MV schema") {

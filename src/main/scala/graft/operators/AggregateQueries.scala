@@ -423,6 +423,41 @@ object AggregateQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- deterministic per-group mode ----
+    // Engine mode() functions return an ARBITRARY value on frequency
+    // ties (Spark's is explicitly non-deterministic), which makes the
+    // raw function un-oracle-able and flaky in production reruns. The
+    // deterministic rewrite — most frequent value, ties broken by
+    // smallest value — is one count aggregation + a row_number over
+    // the (group, #distinct-values) frame, the standard production
+    // form. Reported with its frequency and share.
+    sql(
+      "q_mode_per_group",
+      """WITH c AS (SELECT l_returnflag AS rf, l_quantity AS q,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT rf, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY rf)
+        |SELECT c.rf, c.q AS mode_value, c.cnt AS mode_n,
+        |       round(CAST(c.cnt AS DOUBLE) / t.n, 6) AS share
+        |FROM (SELECT *, row_number() OVER (PARTITION BY rf
+        |        ORDER BY cnt DESC, q) AS rn FROM c) c
+        |JOIN tot t ON t.rf = c.rf
+        |WHERE c.rn = 1 ORDER BY c.rf""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // (group × value-domain) rows: ranked + totaled
+      val tot = c.groupBy("rf").agg(sum("cnt").as("n"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("rf").orderBy(desc("cnt"), col("q"))
+      c.withColumn("rn", row_number().over(rk))
+        .where(col("rn") === 1)
+        .join(broadcast(tot), Seq("rf"))
+        .select(col("rf"), col("q").as("mode_value"), col("cnt").as("mode_n"),
+          round(col("cnt").cast("double") / col("n"), 6).as("share"))
+        .orderBy("rf")
+    },
+
     // ---- Count-Min sketch build + point-query audit ----
     // The third sketch class after HLL (distinct) and Misra-Gries
     // (heavy hitters): CMS answers point frequency queries from d×w

@@ -396,6 +396,122 @@ object RelationalQueries {
           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
         .orderBy("l_orderkey")
+    },
+
+    // ---- join-cardinality estimation (optimizer-stats audit) ----
+    // Predict a join's output size BEFORE running it: |A ⋈ B| =
+    // Σ_k cA(k)·cB(k) over the key histograms — two per-side
+    // aggregations plus a #keys-sized join, orders of magnitude
+    // cheaper than the join it sizes (the check run before committing
+    // a cluster to a fact-fact join; q_skew_audit's companion). The
+    // per-key products accumulate in DECIMAL (order-exact), the top-10
+    // contributing keys are reported with their share, and the actual
+    // join count is computed alongside — Σ cA·cB is EXACT, so
+    // predicted = actual is a value-checked oracle column, not a
+    // claim.
+    sql(
+      "q_join_cardinality_est",
+      """WITH a AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ca
+        |           FROM events GROUP BY 1),
+        |b AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |      FROM orders GROUP BY 1),
+        |p AS (SELECT a.k, a.ca, b.cb,
+        |             CAST(a.ca AS DECIMAL(19,0)) * b.cb AS pairs
+        |      FROM a JOIN b ON b.k = a.k),
+        |tot AS (SELECT CAST(sum(pairs) AS DECIMAL(38,0)) AS predicted FROM p),
+        |act AS (SELECT CAST(count(*) AS BIGINT) AS actual
+        |        FROM events e JOIN orders o ON o.o_custkey = e.user_id)
+        |SELECT k, ca, cb, CAST(pairs AS BIGINT) AS pairs,
+        |  round(CAST(pairs AS DOUBLE)
+        |        / CAST((SELECT predicted FROM tot) AS DOUBLE), 6) AS share,
+        |  CAST((SELECT predicted FROM tot) AS BIGINT) AS predicted_total,
+        |  (SELECT actual FROM act) AS actual_total,
+        |  (SELECT predicted FROM tot) = (SELECT actual FROM act) AS exact_match
+        |FROM p ORDER BY pairs DESC, k LIMIT 10""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "events")
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ca"))
+      val b = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cb"))
+      val p = a.join(b, Seq("k"))
+        .withColumn("pairs", col("ca").cast("decimal(19,0)") * col("cb"))
+        .localCheckpoint() // #keys rows: feeds totals + top-k
+      val tot = p.agg(sum("pairs").cast("decimal(38,0)").as("predicted"))
+      val act = t(s, dir, "events").select(col("user_id"))
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("o_custkey") === col("user_id"))
+        .agg(count(lit(1)).as("actual"))
+      p.crossJoin(broadcast(tot)).crossJoin(broadcast(act))
+        .select(col("k"), col("ca"), col("cb"),
+          col("pairs").cast("long").as("pairs"),
+          round(col("pairs").cast("double")
+            / col("predicted").cast("double"), 6).as("share"),
+          col("predicted").cast("long").as("predicted_total"),
+          col("actual").as("actual_total"),
+          (col("predicted") === col("actual")).as("exact_match"))
+        .orderBy(desc("pairs"), col("k"))
+        .limit(10)
+    },
+
+    // ---- right-to-be-forgotten purge simulation ----
+    // The GDPR/CCPA deletion ledger: given a deterministic purge set
+    // (5% of users by hash — production passes the real request list),
+    // the rows each table loses, including the CASCADE through the
+    // order→lineitem FK chain (lineitem has no user column — its purge
+    // rides a semi join on the purged orders). Anti/semi joins +
+    // conditional counts only — the same plan a real purge's DELETE
+    // predicate would drive, so the ledger doubles as the purge's
+    // pre-flight row-count audit.
+    sql(
+      "q_user_purge",
+      """WITH purge AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 20 = 0),
+        |ev AS (SELECT CAST(count(*) AS BIGINT) AS before,
+        |         CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS purged
+        |       FROM events e LEFT JOIN purge p ON p.user_id = e.user_id),
+        |oo AS (SELECT CAST(count(*) AS BIGINT) AS before,
+        |         CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS purged
+        |       FROM orders o LEFT JOIN purge p ON p.user_id = o.o_custkey),
+        |li AS (SELECT CAST(count(*) AS BIGINT) AS before,
+        |         CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS purged
+        |       FROM lineitem l
+        |       JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |       LEFT JOIN purge p ON p.user_id = o.o_custkey),
+        |r AS (SELECT 'events' AS tbl, before, purged FROM ev
+        |      UNION ALL SELECT 'orders', before, purged FROM oo
+        |      UNION ALL SELECT 'lineitem', before, purged FROM li)
+        |SELECT tbl, before AS rows_before, purged AS rows_purged,
+        |       before - purged AS rows_after
+        |FROM r ORDER BY tbl""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val purge = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .where(h32(col("user_id").cast("string")) % 20 === 0)
+        .localCheckpoint() // the request list: probed by all 3 ledgers
+      def ledger(df: DataFrame, key: org.apache.spark.sql.Column) =
+        df.join(broadcast(purge.select(col("user_id").as("pu"))),
+            key === col("pu"), "left")
+          .agg(count(lit(1)).as("before"),
+            sum(when(col("pu").isNotNull, 1L).otherwise(0L)).as("purged"))
+      val ev = ledger(t(s, dir, "events"), col("user_id"))
+      val oo = ledger(t(s, dir, "orders"), col("o_custkey"))
+      val li = ledger(
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("o_orderkey") === col("l_orderkey")),
+        col("o_custkey"))
+      ev.select(lit("events").as("tbl"), col("before"), col("purged"))
+        .unionByName(oo.select(lit("orders").as("tbl"), col("before"),
+          col("purged")))
+        .unionByName(li.select(lit("lineitem").as("tbl"), col("before"),
+          col("purged")))
+        .select(col("tbl"), col("before").as("rows_before"),
+          col("purged").as("rows_purged"),
+          (col("before") - col("purged")).as("rows_after"))
+        .orderBy("tbl")
     }
   )
 }

@@ -1285,6 +1285,52 @@ object SeriesQueries {
         .orderBy("lag_d")
     },
 
+    // ---- SLO error-budget burn (SRE readout) ----
+    // The availability ledger over the event stream: per day, the
+    // error rate against a 99% SLO, the burn rate (rate / budget — 1×
+    // means the budget exactly lasts the window), and the cumulative
+    // fraction of the period's error budget consumed. ONE corpus
+    // aggregation to #days rows; the cumulative sweep and the
+    // period-budget scalar run on that frame. Exact integer counts
+    // divided once; the budget denominator (1% of period traffic)
+    // rides a 1-row broadcast.
+    sql(
+      "q_slo_burn",
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS errs
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM d),
+        |c AS (SELECT d, n, errs,
+        |        CAST(sum(errs) OVER (ORDER BY d) AS BIGINT) AS cum_errs
+        |      FROM d)
+        |SELECT d, n, errs,
+        |  round(CAST(errs AS DOUBLE) / n, 6) AS err_rate,
+        |  round(CAST(errs AS DOUBLE) / n / CAST(0.01 AS DOUBLE), 6) AS burn_rate,
+        |  round(CAST(cum_errs AS DOUBLE)
+        |        / (CAST(0.01 AS DOUBLE) * (SELECT tn FROM tot)), 6)
+        |    AS budget_consumed
+        |FROM c ORDER BY d""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(dayNum(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+        .localCheckpoint() // #days rows: feeds total + window + output
+      val tot = d.agg(sum("n").as("tn"))
+      // the one intentionally tiny global window (#days rows)
+      val wCum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+      d.withColumn("cum_errs", sum("errs").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("d"), col("n"), col("errs"),
+          round(col("errs").cast("double") / col("n"), 6).as("err_rate"),
+          round(col("errs").cast("double") / col("n") / 0.01, 6).as("burn_rate"),
+          round(col("cum_errs").cast("double") / (lit(0.01) * col("tn")), 6)
+            .as("budget_consumed"))
+        .orderBy("d")
+    },
+
     // ---- A/B test power analysis (required sample size) ----
     // The pre-experiment sizing table: per relative MDE, the per-arm n
     // for a two-sample z-test at α=0.05 / power 0.80 — n =

@@ -1108,6 +1108,62 @@ object StatsQueries {
           round(col("lift_raw"), 6).as("lift"))
     },
 
+    // ---- pairwise correlation matrix (EDA screen) ----
+    // Pearson r for every pair of lineitem's numeric measures from ONE
+    // corpus aggregation carrying all 4 sums + 10 cross-products as
+    // exact DECIMAL moments (the q_ols_multi (15,4)×(19,4) pairing);
+    // the 6 output rows are pure projections of that 1-row frame. The
+    // first-look collinearity screen before any modeling — and the
+    // moment layout is exactly what a 100-TB feature-stats job
+    // materializes once and reuses for every downstream pair.
+    {
+      val cm = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val momentsSql = cm.zipWithIndex.map { case (c, i) =>
+        s"sum(CAST($c AS DECIMAL(15,4))) AS s$i" }.mkString(",\n        |    ") +
+        ",\n        |    " +
+        (for (i <- cm.indices; j <- i until cm.size) yield
+          s"sum(CAST(${cm(i)} AS DECIMAL(15,4)) * CAST(${cm(j)} AS DECIMAL(19,4))) AS p${i}_$j")
+          .mkString(",\n        |    ")
+      def rSql(i: Int, j: Int) =
+        s"""round((CAST(n AS DOUBLE) * CAST(p${i}_$j AS DOUBLE)
+           |         - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))
+           |        / sqrt((CAST(n AS DOUBLE) * CAST(p${i}_$i AS DOUBLE)
+           |                - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE))
+           |               * (CAST(n AS DOUBLE) * CAST(p${j}_$j AS DOUBLE)
+           |                  - CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE))), 6)"""
+          .stripMargin
+      val rowsSql = (for (i <- cm.indices; j <- (i + 1) until cm.size) yield
+        s"SELECT '${cm(i)}' AS col_a, '${cm(j)}' AS col_b,\n        |  ${rSql(i, j)} AS r FROM m")
+        .mkString("\n        |UNION ALL ")
+      sql(
+        "q_corr_matrix",
+        s"""WITH m AS (SELECT count(*) AS n,
+          |    $momentsSql
+          |  FROM lineitem)
+          |SELECT col_a, col_b, r FROM ($rowsSql)
+          |ORDER BY col_a, col_b""".stripMargin) { (s, dir) =>
+        val d15 = (c: Column) => c.cast("decimal(15,4)")
+        val d19 = (c: Column) => c.cast("decimal(19,4)")
+        val aggs = cm.zipWithIndex.map { case (c, i) =>
+          sum(d15(col(c))).as(s"s$i") } ++
+          (for (i <- cm.indices; j <- i until cm.size) yield
+            sum(d15(col(cm(i))) * d19(col(cm(j)))).as(s"p${i}_$j"))
+        val m = t(s, dir, "lineitem")
+          .agg(count(lit(1)).as("n"), aggs: _*)
+          .localCheckpoint() // 1 row, projected 6× below
+        val dbl = (nm: String) => col(nm).cast("double")
+        def rCol(i: Int, j: Int) =
+          round((dbl("n") * dbl(s"p${i}_$j") - dbl(s"s$i") * dbl(s"s$j"))
+            / sqrt((dbl("n") * dbl(s"p${i}_$i") - dbl(s"s$i") * dbl(s"s$i"))
+              * (dbl("n") * dbl(s"p${j}_$j") - dbl(s"s$j") * dbl(s"s$j"))), 6)
+        (for (i <- cm.indices; j <- (i + 1) until cm.size) yield
+          m.select(lit(cm(i)).as("col_a"), lit(cm(j)).as("col_b"),
+            rCol(i, j).as("r")))
+          .reduce(_ unionByName _)
+          .orderBy("col_a", "col_b")
+      }
+    },
+
     // ---- weighted quantiles (revenue-weighted order size) ----
     // "What quantity does the TYPICAL DOLLAR buy?" — the
     // weight-by-importance quantile family ExactQuantiles' unweighted

@@ -128,6 +128,10 @@ object ScaleCheck {
     // r7 seventh batch: the basket-core recommender, the user-type
     // overlap collapse, and the d²-fanout Gram power iteration
     "q_item_cf", "q_audience_overlap", "q_embed_top_eigen",
+    // r7 eighth batch: the ×4-fanout CMS build, the key-histogram join
+    // sizing (runs the real join as its own check), and the
+    // three-table purge ledger
+    "q_countmin", "q_join_cardinality_est", "q_user_purge",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

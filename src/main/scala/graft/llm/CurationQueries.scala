@@ -548,6 +548,55 @@ object CurationQueries {
           round(col("wt"), 6).as("weight"))
     },
 
+    // ---- class-balanced downsampling ----
+    // The imbalanced-training prep step: downsample every class to the
+    // minority class's size with DETERMINISTIC per-row hash gates —
+    // keep iff h32(event_id) % 10⁶ < floor(min_n·10⁶ / class_n), an
+    // exact integer threshold per class, so membership is reproducible
+    // across reruns/backfills with zero coordination (the
+    // q_split_assign convention) and the achieved rate concentrates
+    // tightly around min_n/class_n. Class counts ride a #classes-row
+    // broadcast; one corpus pass counts, one filters — no shuffle of
+    // the data itself.
+    sql(
+      "q_class_balance_sample",
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |mn AS (SELECT min(n) AS min_n FROM c),
+        |th AS (SELECT event_type, n,
+        |         CAST(min_n * 1000000 // n AS BIGINT) AS thr
+        |       FROM c, mn),
+        |k AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS kept
+        |      FROM events e JOIN th ON th.event_type = e.event_type
+        |      WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+        |            % 1000000 < th.thr
+        |      GROUP BY e.event_type)
+        |SELECT th.event_type, th.n AS n_before, th.thr AS threshold,
+        |       coalesce(k.kept, 0) AS n_after,
+        |       round(CAST(coalesce(k.kept, 0) AS DOUBLE) / th.n, 6) AS rate
+        |FROM th LEFT JOIN k ON k.event_type = th.event_type
+        |ORDER BY th.event_type""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val c = t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // #classes rows: feeds min + thresholds
+      val mn = c.agg(min("n").as("min_n"))
+      val th = c.crossJoin(broadcast(mn))
+        .select(col("event_type"), col("n"),
+          expr("min_n * 1000000 div n").as("thr"))
+      val k = t(s, dir, "events")
+        .join(broadcast(th), Seq("event_type"))
+        .where(h32(col("event_id").cast("string")) % 1000000 < col("thr"))
+        .groupBy("event_type").agg(count(lit(1)).as("kept"))
+      th.join(k, Seq("event_type"), "left")
+        .select(col("event_type"), col("n").as("n_before"),
+          col("thr").as("threshold"),
+          coalesce(col("kept"), lit(0L)).as("n_after"),
+          round(coalesce(col("kept"), lit(0L)).cast("double") / col("n"), 6)
+            .as("rate"))
+        .orderBy("event_type")
+    },
+
     // ---- logistic quality classifier (fasttext-style model APPLY) ----
     // The other half of quality filtering: q_quality_filter is the
     // hand-rule gate; production pipelines ALSO apply a trained linear

@@ -547,6 +547,93 @@ object TemporalQueries {
         .orderBy("touch")
     },
 
+    // ---- linear multi-touch attribution ----
+    // The fractional complement of q_attribution's last-touch: every
+    // preceding touch of the converting user shares the credit equally,
+    // so a purchase with nv views and nc clicks credits nv/(nv+nc) to
+    // the view channel (no touches → 'none'). Same single per-user
+    // window exchange — two running conditional counts instead of one
+    // last_value — then ONE aggregation computes every channel's
+    // credit/revenue as conditional sums (no explode). Per-row
+    // fractions are exact rationals both engines compute identically;
+    // the corpus-proportional sums accumulate in DECIMAL(38,18).
+    sql(
+      "q_attribution_linear",
+      """WITH o AS (SELECT user_id, event_type, value,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT) AS nv,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT) AS nc
+        |  FROM events),
+        |p AS (SELECT coalesce(nv, 0) AS nv, coalesce(nc, 0) AS nc, value
+        |      FROM o WHERE event_type = 'purchase'),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN nv + nc > 0 THEN
+        |      CAST(CAST(nv AS DOUBLE) / (nv + nc) AS DECIMAL(38,18))
+        |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DECIMAL(38,18)) AS cv,
+        |    CAST(sum(CASE WHEN nv + nc > 0 THEN
+        |      CAST(value * (CAST(nv AS DOUBLE) / (nv + nc)) AS DECIMAL(38,18))
+        |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DECIMAL(38,18)) AS rv,
+        |    CAST(sum(CASE WHEN nv + nc > 0 THEN
+        |      CAST(CAST(nc AS DOUBLE) / (nv + nc) AS DECIMAL(38,18))
+        |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DECIMAL(38,18)) AS cc,
+        |    CAST(sum(CASE WHEN nv + nc > 0 THEN
+        |      CAST(value * (CAST(nc AS DOUBLE) / (nv + nc)) AS DECIMAL(38,18))
+        |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DECIMAL(38,18)) AS rc,
+        |    CAST(sum(CASE WHEN nv + nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+        |    CAST(sum(CASE WHEN nv + nc = 0
+        |      THEN CAST(value AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS rn
+        |  FROM p),
+        |r AS (SELECT 'click' AS touch, CAST(cc AS DOUBLE) AS credit,
+        |             CAST(rc AS DOUBLE) AS revenue FROM m
+        |      UNION ALL SELECT 'none', CAST(cn AS DOUBLE), CAST(rn AS DOUBLE) FROM m
+        |      UNION ALL SELECT 'view', CAST(cv AS DOUBLE), CAST(rv AS DOUBLE) FROM m)
+        |SELECT touch, round(credit, 4) AS credit, round(revenue, 2) AS revenue
+        |FROM r ORDER BY touch""".stripMargin) { (s, dir) =>
+      val wPrev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val o = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+        .withColumn("nv", coalesce(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(wPrev),
+          lit(0L)))
+        .withColumn("nc", coalesce(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(wPrev),
+          lit(0L)))
+        .where(col("event_type") === "purchase")
+      val dz = lit(0).cast("decimal(38,18)")
+      val nt = col("nv") + col("nc")
+      def frac(c: Column) = c.cast("double") / nt
+      val m = o.agg(
+        sum(when(nt > 0, frac(col("nv")).cast("decimal(38,18)"))
+          .otherwise(dz)).cast("decimal(38,18)").as("cv"),
+        sum(when(nt > 0, (col("value") * frac(col("nv"))).cast("decimal(38,18)"))
+          .otherwise(dz)).cast("decimal(38,18)").as("rv"),
+        sum(when(nt > 0, frac(col("nc")).cast("decimal(38,18)"))
+          .otherwise(dz)).cast("decimal(38,18)").as("cc"),
+        sum(when(nt > 0, (col("value") * frac(col("nc"))).cast("decimal(38,18)"))
+          .otherwise(dz)).cast("decimal(38,18)").as("rc"),
+        sum(when(nt === 0, 1L).otherwise(0L)).as("cn"),
+        sum(when(nt === 0, col("value").cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("decimal(18,6)").as("rn"))
+        .localCheckpoint() // 1 row, projected 3× below
+      def row(name: String, cr: Column, rev: Column) =
+        m.select(lit(name).as("touch"), cr.cast("double").as("credit"),
+          rev.cast("double").as("revenue"))
+      row("click", col("cc"), col("rc"))
+        .unionByName(row("none", col("cn"), col("rn")))
+        .unionByName(row("view", col("cv"), col("rv")))
+        .select(col("touch"), round(col("credit"), 4).as("credit"),
+          round(col("revenue"), 2).as("revenue"))
+        .orderBy("touch")
+    },
+
     // ---- rolling exact median (5-row frame) per key — the robust
     // running-statistic for noisy telemetry. Spark's exact
     // `percentile` runs as a WINDOW aggregate over the rows frame and

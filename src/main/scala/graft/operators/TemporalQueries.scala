@@ -465,6 +465,117 @@ object TemporalQueries {
         .orderBy("prev", "next")
     },
 
+    // ---- journey predictability (conditional path entropy) ----
+    // How deterministic is the user journey from each state? Shannon
+    // entropy of the next-event distribution per current state, plus
+    // the transition-weighted conditional entropy H(next|cur) — the
+    // one-number "are journeys patterned or random" readout over the
+    // same #states² transition frame q_markov_transitions builds (one
+    // per-user window exchange, all entropy math on the tiny matrix).
+    // Terms are exact-rational −p·log2(p) doubles accumulated in
+    // DECIMAL so neither engine's merge order moves the sums.
+    sql(
+      "q_path_entropy",
+      """WITH o AS (SELECT user_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                                        ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM o WHERE prev IS NOT NULL GROUP BY prev, next),
+        |tot AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS t FROM c GROUP BY prev),
+        |h AS (SELECT c.prev, tot.t,
+        |        CAST(sum(CAST(-(CAST(c.cnt AS DOUBLE) / tot.t)
+        |                      * log2(CAST(c.cnt AS DOUBLE) / tot.t)
+        |                      AS DECIMAL(38,18))) AS DOUBLE) AS h_bits
+        |      FROM c JOIN tot ON tot.prev = c.prev
+        |      GROUP BY c.prev, tot.t),
+        |g AS (SELECT CAST(sum(t) AS BIGINT) AS gt FROM h),
+        |cond AS (SELECT CAST(sum(CAST(CAST(t AS DOUBLE) * h_bits
+        |                              AS DECIMAL(38,18))) AS DOUBLE)
+        |                / (SELECT gt FROM g) AS hc FROM h)
+        |SELECT prev AS state, t AS n_out, round(h_bits, 6) AS h_bits,
+        |       round((SELECT hc FROM cond), 6) AS h_conditional
+        |FROM h ORDER BY state""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = c.groupBy("prev").agg(sum(col("cnt")).as("t"))
+      val p = col("cnt").cast("double") / col("t")
+      val h = c.join(broadcast(tot), "prev")
+        .groupBy(col("prev"), col("t"))
+        .agg(sum((-p * log2(p)).cast("decimal(38,18)"))
+          .cast("double").as("h_bits"))
+        .localCheckpoint() // #states rows: totals + weighted sum + output
+      val g = h.agg(sum("t").as("gt"))
+      val cond = h.agg(sum((col("t").cast("double") * col("h_bits"))
+          .cast("decimal(38,18)")).cast("double").as("num"))
+        .crossJoin(broadcast(g))
+        .select((col("num") / col("gt")).as("hc"))
+      h.crossJoin(broadcast(cond))
+        .select(col("prev").as("state"), col("t").as("n_out"),
+          round(col("h_bits"), 6).as("h_bits"),
+          round(col("hc"), 6).as("h_conditional"))
+        .orderBy("state")
+    },
+
+    // ---- segment-wise uplift readout ----
+    // Treatment-vs-control conversion uplift per day-of-week segment:
+    // the heterogeneity view a flat A/B readout hides (an experiment
+    // can be net-neutral while winning weekdays and losing weekends).
+    // Variant = the standard md5 hash split; conversion = purchase
+    // share of events; per segment: rates, uplift, pooled two-
+    // proportion SE and z. ONE conditional-sum corpus aggregation to
+    // #dow×2 cells; everything else is projections of the 7-row
+    // frame. DOW from day-number arithmetic (no engine dayofweek
+    // convention — the q_seasonal_dow trick).
+    sql(
+      "q_uplift_segments",
+      """WITH s AS (SELECT
+        |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT dow,
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS c1
+        |  FROM s GROUP BY dow)
+        |SELECT dow, n0, c0, n1, c1,
+        |  round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+        |  round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treat,
+        |  round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6) AS uplift,
+        |  round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        |        / sqrt(CAST(c1 AS DOUBLE) / n1 * (1 - CAST(c1 AS DOUBLE) / n1) / n1
+        |               + CAST(c0 AS DOUBLE) / n0
+        |                 * (1 - CAST(c0 AS DOUBLE) / n0) / n0), 4) AS z
+        |FROM g ORDER BY dow""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      import graft.functions.TimeFunctions.dayNum
+      val sc = t(s, dir, "events")
+        .select(((dayNum(col("ts")) + 4) % 7).as("dow"),
+          (h32(col("user_id").cast("string")) % 2).as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val g = sc.groupBy("dow")
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("v") === 0, col("y")).otherwise(0L)).as("c0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("v") === 1, col("y")).otherwise(0L)).as("c1"))
+      val (r0, r1) = (col("c0").cast("double") / col("n0"),
+        col("c1").cast("double") / col("n1"))
+      g.select(col("dow"), col("n0"), col("c0"), col("n1"), col("c1"),
+          round(r0, 6).as("rate_control"), round(r1, 6).as("rate_treat"),
+          round(r1 - r0, 6).as("uplift"),
+          round((r1 - r0)
+            / sqrt(r1 * (lit(1) - r1) / col("n1")
+              + r0 * (lit(1) - r0) / col("n0")), 4).as("z"))
+        .orderBy("dow")
+    },
+
     // ---- ranking evaluation: NDCG@10 per user, treating value-desc
     // order as the predicted ranking and purchase/signup events as
     // relevant. DCG needs one per-user window (rank positions); IDCG

@@ -80,6 +80,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_join_cardinality_est", // 1-row broadcast predicted/actual scalars
     "q_slo_burn",          // 1-row broadcast period-budget scalar on #days rows
     "q_class_balance_sample", // 1-row broadcast min-class scalar on #classes rows
+    "q_path_entropy",      // 1-row broadcast conditional-entropy scalar
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints

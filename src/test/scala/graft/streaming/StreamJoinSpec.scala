@@ -12,7 +12,23 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * one row per key when duplicates arrive within the watermark
   * horizon (across micro-batches included).
   */
-class StreamJoinSpec extends SparkSpec {
+abstract class StreamJoinSpecBase extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  /** State-store provider profile (see StreamingSpecBase). */
+  protected def stateStoreProvider: Option[String]
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    stateStoreProvider.foreach(p => spark.conf.set(ProviderKey, p))
+  }
+
+  override protected def afterAll(): Unit = {
+    stateStoreProvider.foreach(_ => spark.conf.unset(ProviderKey))
+    super.afterAll()
+  }
 
   import StreamJoins.{Purchase, View}
 
@@ -120,4 +136,17 @@ class StreamJoinSpec extends SparkSpec {
         s"got $got")
     } finally q.stop()
   }
+}
+
+/** Default-provider profile (HDFS-backed in-memory state store). */
+class StreamJoinSpec extends StreamJoinSpecBase {
+  protected def stateStoreProvider: Option[String] = None
+}
+
+/** RocksDB profile: stream-stream join buffers are the state that
+  * actually gets BIG in production — re-run the whole contract under
+  * the on-disk store the 100-TB deployment would use. */
+class StreamJoinRocksDbSpec extends StreamJoinSpecBase {
+  protected def stateStoreProvider: Option[String] = Some(
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }

@@ -313,11 +313,17 @@ object GraphQueries {
         |FROM ed e JOIN s6 a ON a.src = e.src JOIN s6 b2 ON b2.src = e.dst
         |GROUP BY e.src ORDER BY part""".stripMargin) { (s, dir) =>
       val (_, pairs) = graft.operators.StatsQueries.basketPairCounts(s, dir)
-      // directed edge list, materialized once — every peeling round
-      // re-reads this, not the fact table
-      val ed = pairs.select(col("p1").as("src"), col("p2").as("dst"))
-        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
-        .localCheckpoint()
+      // materialize the UNDIRECTED pair list once, SERIALIZED and
+      // disk-spillable — every peeling round re-reads it, not the
+      // fact table. Checkpointing the 2× directed list deserialized
+      // (the first cut) starved the pair aggregation itself at the
+      // 100× decade (~180M cached rows → AGGREGATE_OUT_OF_MEMORY);
+      // the directed view is a cheap per-read map over half the rows.
+      val pairsCk = pairs.select(col("p1"), col("p2"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val ed = pairsCk.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(pairsCk.select(col("p2").as("src"), col("p1").as("dst")))
       val d0 = ed.groupBy("src").agg(count(lit(1)).as("dg"))
       val kv = d0.agg(ceil(expr("percentile(dg, 0.75)")).cast("long").as("k"))
         .localCheckpoint() // 1-row threshold, read every round

@@ -197,10 +197,16 @@ object StatsQueries {
           element_at(arr, j + 1).as(bName)))))
 
   def basketPairCounts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // serialized, disk-spillable checkpoint: per-order ARRAY rows
+    // cached deserialized cost ~10× their serialized size in object
+    // headers, and at the 100× decade that cache starved downstream
+    // aggregations (the q_kcore OOM) — serialized costs one decode per
+    // read of a frame that is read 2-3 times
     val baskets = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val pairs = baskets
       .where(size(col("ps")) >= 2)
       .select(explode(ijPairs(col("ps"), "p1", "p2")).as("z"))

@@ -465,6 +465,64 @@ object TemporalQueries {
         .orderBy("prev", "next")
     },
 
+    // ---- cohort LTV curves (cumulative revenue per user by age) ----
+    // The monetary twin of q_cohort_retention: for each signup cohort
+    // (first-seen week, ANY event type), weekly purchase revenue and
+    // the running revenue-per-cohort-user — the curve whose asymptote
+    // is LTV and whose slope ranks acquisition cohorts. One corpus
+    // pass assigns cohorts (per-user min), one collapses purchases to
+    // (cohort, age) DECIMAL sums; the cumulative window runs on the
+    // #cohorts×#ages frame partitioned by cohort. Weeks are
+    // date_trunc-based to share q_cohort_retention's convention.
+    sql(
+      "q_cohort_ltv",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  CAST(date_trunc('week', ts) AS DATE) AS wk
+        |           FROM events),
+        |fs AS (SELECT user_id, min(wk) AS cohort FROM d GROUP BY user_id),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM fs GROUP BY cohort),
+        |rev AS (SELECT fs.cohort,
+        |          CAST((CAST(date_trunc('week', e.ts) AS DATE) - fs.cohort) / 7
+        |               AS BIGINT) AS age_weeks,
+        |          CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS rev
+        |        FROM events e JOIN fs ON fs.user_id = e.user_id
+        |        WHERE e.event_type = 'purchase'
+        |        GROUP BY 1, 2),
+        |c AS (SELECT rev.cohort, rev.age_weeks, rev.rev, cs.cohort_size,
+        |        sum(rev.rev) OVER (PARTITION BY rev.cohort
+        |                           ORDER BY rev.age_weeks) AS cum_rev
+        |      FROM rev JOIN cs ON cs.cohort = rev.cohort)
+        |SELECT cohort, age_weeks, cohort_size,
+        |       CAST(rev AS DOUBLE) AS rev,
+        |       round(CAST(cum_rev AS DOUBLE) / cohort_size, 4) AS cum_ltv
+        |FROM c ORDER BY cohort, age_weeks""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val fs = d.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+        .localCheckpoint() // per-user cohorts: join target + sizes
+      val cs = fs.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      val rev = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .join(fs, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort"))
+            / 7).cast("long").as("age_weeks"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,2)").as("rev"))
+      val wCum = Window.partitionBy("cohort").orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.join(broadcast(cs), Seq("cohort"))
+        .withColumn("cum_rev", sum("rev").over(wCum))
+        .select(col("cohort"), col("age_weeks"), col("cohort_size"),
+          col("rev").cast("double").as("rev"),
+          round(col("cum_rev").cast("double") / col("cohort_size"), 4)
+            .as("cum_ltv"))
+        .orderBy("cohort", "age_weeks")
+    },
+
     // ---- journey predictability (conditional path entropy) ----
     // How deterministic is the user journey from each state? Shannon
     // entropy of the next-event distribution per current state, plus

@@ -551,8 +551,9 @@ object CurationQueries {
     // ---- class-balanced downsampling ----
     // The imbalanced-training prep step: downsample every class to the
     // minority class's size with DETERMINISTIC per-row hash gates —
-    // keep iff h32(event_id) % 10⁶ < floor(min_n·10⁶ / class_n), an
-    // exact integer threshold per class, so membership is reproducible
+    // keep iff h32(event_id) % 10⁶ < ceil(min_n·10⁶ / class_n) — the
+    // integer-CEIL threshold (floor zeroes out any class more than
+    // 10⁶× the minority instead of sampling it; review find, r7) — so membership is reproducible
     // across reruns/backfills with zero coordination (the
     // q_split_assign convention) and the achieved rate concentrates
     // tightly around min_n/class_n. Class counts ride a #classes-row
@@ -564,7 +565,7 @@ object CurationQueries {
         |           FROM events GROUP BY 1),
         |mn AS (SELECT min(n) AS min_n FROM c),
         |th AS (SELECT event_type, n,
-        |         CAST(min_n * 1000000 // n AS BIGINT) AS thr
+        |         CAST((min_n * 1000000 + n - 1) // n AS BIGINT) AS thr
         |       FROM c, mn),
         |k AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS kept
         |      FROM events e JOIN th ON th.event_type = e.event_type
@@ -583,7 +584,7 @@ object CurationQueries {
       val mn = c.agg(min("n").as("min_n"))
       val th = c.crossJoin(broadcast(mn))
         .select(col("event_type"), col("n"),
-          expr("min_n * 1000000 div n").as("thr"))
+          expr("(min_n * 1000000 + n - 1) div n").as("thr"))
       val k = t(s, dir, "events")
         .join(broadcast(th), Seq("event_type"))
         .where(h32(col("event_id").cast("string")) % 1000000 < col("thr"))

@@ -493,9 +493,14 @@ object AggregateQueries {
         |       CAST(est - n AS BIGINT) AS overcount
         |FROM est ORDER BY exact_n DESC, w""".stripMargin) { (s, dir) =>
       import graft.functions.TextFunctions.{h32Salted, tokens}
+      // serialized checkpoint: the exploded token frame is corpus-
+      // proportional — the deserialized default starved third-decade
+      // aggregations in the basket family (same lesson, NOTES r7)
       val tok = t(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("w"))
-        .localCheckpoint() // feeds the sketch build AND the exact top-k
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // feeds the sketch build AND the exact top-k
       val rows = s.range(0, 4).select(col("id").as("r"))
       // sketch build: one agg, ×4 row fan-out collapsed map-side
       val cells = tok.crossJoin(broadcast(rows))
@@ -545,12 +550,15 @@ object AggregateQueries {
         |         FROM ph JOIN bits ON bits.b = ph.b GROUP BY pkey),
         |fp AS (SELECT CAST(sum(CASE WHEN inb = 4 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_fp FROM hits),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM u a JOIN u b ON b.key = a.key + 10000000),
         |th AS (SELECT 1 - exp(-CAST(4 AS DOUBLE) * (SELECT n FROM nn) / 16384)
         |         AS t1)
         |SELECT (SELECT n FROM nn) AS n_keys,
         |  CAST(16384 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
         |  (SELECT set_bits FROM bs) AS set_bits,
         |  (SELECT n_fp FROM fp) AS n_false_pos,
+        |  (SELECT n_overlap FROM ov) AS probe_overlap,
         |  round(CAST((SELECT n_fp FROM fp) AS DOUBLE)
         |        / (SELECT n FROM nn), 6) AS observed_fpr,
         |  round((SELECT t1 * t1 * t1 * t1 FROM th), 6) AS theoretical_fpr
@@ -571,11 +579,18 @@ object AggregateQueries {
       val hits = ph.join(bits, Seq("b")).groupBy("pkey")
         .agg(count(lit(1)).as("inb"))
       val fp = hits.agg(sum(when(col("inb") === 4, 1L).otherwise(0L)).as("n_fp"))
+      // probe-disjointness as a value-checked column, not a comment:
+      // any member key colliding with a shifted probe key would count
+      // real members as "false" positives (review find, r7)
+      val ov = u.join(u.select((col("key") + 10000000L).as("key")), Seq("key"))
+        .agg(count(lit(1)).as("probe_overlap"))
       val t1 = lit(1.0) - exp(lit(-4.0).cast("double") * col("n") / 16384)
       nn.crossJoin(broadcast(bs)).crossJoin(broadcast(fp))
+        .crossJoin(broadcast(ov))
         .select(col("n").as("n_keys"),
           lit(16384L).as("m_bits"), lit(4L).as("k_hashes"),
           col("set_bits"), col("n_fp").as("n_false_pos"),
+          col("probe_overlap"),
           round(col("n_fp").cast("double") / col("n"), 6).as("observed_fpr"),
           round(t1 * t1 * t1 * t1, 6).as("theoretical_fpr"))
     }

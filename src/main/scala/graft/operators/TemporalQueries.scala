@@ -585,8 +585,11 @@ object TemporalQueries {
     // the heterogeneity view a flat A/B readout hides (an experiment
     // can be net-neutral while winning weekdays and losing weekends).
     // Variant = the standard md5 hash split; conversion = purchase
-    // share of events; per segment: rates, uplift, pooled two-
-    // proportion SE and z. ONE conditional-sum corpus aggregation to
+    // share of events; per segment: rates, uplift, and z from the
+    // UNPOOLED (Welch-style) two-proportion SE √(p₁q₁/n₁ + p₀q₀/n₀)
+    // — the form that stays valid when the rates genuinely differ,
+    // which is the case uplift analysis exists to detect. ONE
+    // conditional-sum corpus aggregation to
     // #dow×2 cells; everything else is projections of the 7-row
     // frame. DOW from day-number arithmetic (no engine dayofweek
     // convention — the q_seasonal_dow trick).

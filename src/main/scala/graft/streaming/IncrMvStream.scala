@@ -116,8 +116,9 @@ object IncrMvStream {
     val current = readLatest(spark, mv)
     val drop = versions.dropRight(keepLast)
       .filterNot { case (v, _) => current.contains(v) }
-    drop.foreach { case (_, p) => fs.delete(p, true) }
-    drop.map(_._1)
+    // report only versions that actually went away — a false delete
+    // (permissions, concurrent removal) must not be audited as dropped
+    drop.collect { case (v, p) if fs.delete(p, true) => v }
   }
 
   /** Start continuous maintenance of the MV at `mv` from `ds`. */

@@ -12,23 +12,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * one row per key when duplicates arrive within the watermark
   * horizon (across micro-batches included).
   */
-abstract class StreamJoinSpecBase extends SparkSpec
-    with org.scalatest.BeforeAndAfterAll {
-
-  /** State-store provider profile (see StreamingSpecBase). */
-  protected def stateStoreProvider: Option[String]
-
-  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-
-  override protected def beforeAll(): Unit = {
-    super.beforeAll()
-    stateStoreProvider.foreach(p => spark.conf.set(ProviderKey, p))
-  }
-
-  override protected def afterAll(): Unit = {
-    stateStoreProvider.foreach(_ => spark.conf.unset(ProviderKey))
-    super.afterAll()
-  }
+abstract class StreamJoinSpecBase extends SparkSpec with StateStoreProfile {
 
   import StreamJoins.{Purchase, View}
 
@@ -147,6 +131,5 @@ class StreamJoinSpec extends StreamJoinSpecBase {
   * actually gets BIG in production — re-run the whole contract under
   * the on-disk store the 100-TB deployment would use. */
 class StreamJoinRocksDbSpec extends StreamJoinSpecBase {
-  protected def stateStoreProvider: Option[String] = Some(
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  protected def stateStoreProvider: Option[String] = Some(RocksDbProvider)
 }

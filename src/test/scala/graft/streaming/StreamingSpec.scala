@@ -17,36 +17,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * scaladocs promise (state larger than executor heap spills to
   * RocksDB's on-disk LSM instead of OOMing the JVM).
   */
-abstract class StreamingSpecBase extends SparkSpec
-    with org.scalatest.BeforeAndAfterAll {
-
-  /** State-store provider class this profile runs under; None = the
-    * session default (HDFSBackedStateStoreProvider). */
-  protected def stateStoreProvider: Option[String]
-
-  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-
-  override protected def beforeAll(): Unit = {
-    super.beforeAll()
-    stateStoreProvider.foreach(p => spark.conf.set(ProviderKey, p))
-  }
-
-  override protected def afterAll(): Unit = {
-    stateStoreProvider.foreach(_ => spark.conf.unset(ProviderKey))
-    super.afterAll()
-  }
-
-  /** Pin a provider for one query, restoring the suite's profile after
-    * — a bare unset would silently drop the RocksDB profile for the
-    * rest of the suite. */
-  protected def withProvider[T](p: String)(body: => T): T = {
-    val prev = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey, p)
-    try body finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
-    }
-  }
+abstract class StreamingSpecBase extends SparkSpec with StateStoreProfile {
 
   import spark.implicits._
 
@@ -532,6 +503,5 @@ class StreamingSpec extends StreamingSpecBase {
   * 100-TB deployment would run (keyed state spills to an on-disk LSM
   * instead of living in executor heap). */
 class StreamingRocksDbSpec extends StreamingSpecBase {
-  protected def stateStoreProvider: Option[String] = Some(
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  protected def stateStoreProvider: Option[String] = Some(RocksDbProvider)
 }

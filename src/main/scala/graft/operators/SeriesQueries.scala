@@ -661,6 +661,142 @@ object SeriesQueries {
         .orderBy("decile")
     },
 
+    // ---- Pareto 80/20 concentration readout ----
+    // The scalar companions of q_lorenz_gini's curve: what fraction of
+    // users carries 80% of purchase revenue, and what share the top 1%
+    // takes. One corpus collapse to per-user revenue, then TWO bounded
+    // GlobalPrefix passes over the same (x, user) order (rank and
+    // cumulative revenue — the sampled-boundary core, no one-task
+    // window); the 80% line is the integer-scaled exact compare
+    // 5·cum > total, so no fractional threshold ever rounds. "Top
+    // set" = users strictly above the 20% cumulative-from-bottom
+    // line (boundary user excluded — deterministic, mirrored).
+    sql(
+      "q_pareto_8020",
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT user_id, x,
+        |        CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS rk,
+        |        sum(x) OVER (ORDER BY x, user_id) AS cumx
+        |      FROM u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS DECIMAL(38,4)) AS sx FROM u),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN 5 * cumx > (SELECT sx FROM t)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+        |    CAST(sum(CASE WHEN rk > (SELECT n FROM t)
+        |                           - CAST(ceil(CAST((SELECT n FROM t) AS DOUBLE)
+        |                                       / 100) AS BIGINT)
+        |             THEN x ELSE CAST(0 AS DECIMAL(15,4)) END)
+        |         AS DECIMAL(38,4)) AS top1_rev
+        |  FROM r)
+        |SELECT (SELECT n FROM t) AS n_users,
+        |  CAST((SELECT sx FROM t) AS DOUBLE) AS total_rev,
+        |  n_top80,
+        |  round(CAST(n_top80 AS DOUBLE) / (SELECT n FROM t), 6) AS frac_users_80,
+        |  round(CAST(top1_rev AS DOUBLE)
+        |        / CAST((SELECT sx FROM t) AS DOUBLE), 6) AS top1pct_share
+        |FROM m""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("x"))
+      val keys = Seq(col("x"), col("user_id"))
+      val r = GlobalPrefix.runningTotal(
+        GlobalPrefix.runningTotal(u, keys, lit(1L), "rk"),
+        keys, col("x"), "cumx")
+        .localCheckpoint() // #users rows: feeds totals + both metrics
+      val tot = r.agg(count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,4)").as("sx")).localCheckpoint()
+      val m = r.crossJoin(broadcast(tot))
+        .agg(
+          sum(when(col("cumx") * 5 > col("sx"), 1L).otherwise(0L)).as("n_top80"),
+          sum(when(col("rk") > col("n")
+            - ceil(col("n").cast("double") / 100).cast("long"), col("x"))
+            .otherwise(lit(0).cast("decimal(15,4)")))
+            .cast("decimal(38,4)").as("top1_rev"))
+      m.crossJoin(broadcast(tot))
+        .select(col("n").as("n_users"),
+          col("sx").cast("double").as("total_rev"),
+          col("n_top80"),
+          round(col("n_top80").cast("double") / col("n"), 6).as("frac_users_80"),
+          round(col("top1_rev").cast("double") / col("sx").cast("double"), 6)
+            .as("top1pct_share"))
+    },
+
+    // ---- decision-stump split finder (Gini impurity scan) ----
+    // One level of a decision tree, trained relationally: bin the
+    // feature (fixed-width, capped), scan every bin edge as a split,
+    // and score each by weighted Gini impurity of the two sides — the
+    // feature-screening / single-rule-baseline primitive. The corpus
+    // collapses to 20 bin rows in ONE aggregation; the cumulative scan
+    // and impurity math run entirely on that frame; the best split is
+    // flagged against the broadcast minimum of the ROUNDED score so a
+    // last-ulp double cannot move the flag. Splits leaving an empty
+    // side drop on both engines.
+    sql(
+      "q_stump_split",
+      """WITH s AS (SELECT least(CAST(floor(value / 20) AS BIGINT), 19) AS b,
+        |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |           FROM events),
+        |g AS (SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |      FROM s GROUP BY b),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |             CAST(sum(pos) AS BIGINT) AS pp FROM g),
+        |c AS (SELECT b, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS nl,
+        |             CAST(sum(pos) OVER (ORDER BY b) AS BIGINT) AS pl
+        |      FROM g),
+        |sp AS (SELECT b, nl, pl,
+        |         (SELECT nn FROM t) - nl AS nr, (SELECT pp FROM t) - pl AS pr
+        |       FROM c WHERE nl > 0 AND (SELECT nn FROM t) - nl > 0),
+        |sc AS (SELECT b, nl, pl,
+        |         CAST(nl AS DOUBLE) / (SELECT nn FROM t)
+        |           * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+        |              - (CAST(nl - pl AS DOUBLE) / nl)
+        |                * (CAST(nl - pl AS DOUBLE) / nl))
+        |         + CAST(nr AS DOUBLE) / (SELECT nn FROM t)
+        |           * (1 - (CAST(pr AS DOUBLE) / nr) * (CAST(pr AS DOUBLE) / nr)
+        |              - (CAST(nr - pr AS DOUBLE) / nr)
+        |                * (CAST(nr - pr AS DOUBLE) / nr)) AS gini
+        |       FROM sp),
+        |mn AS (SELECT min(round(gini, 6)) AS mg FROM sc)
+        |SELECT CAST((b + 1) * 20 AS DOUBLE) AS split_at, nl, pl,
+        |       round(gini, 6) AS gini_split,
+        |       round(gini, 6) = (SELECT mg FROM mn) AS is_best
+        |FROM sc ORDER BY split_at""".stripMargin) { (s, dir) =>
+      val sc0 = t(s, dir, "events")
+        .select(least(floor(col("value") / 20).cast("long"), lit(19L)).as("b"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val g = sc0.groupBy("b")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .localCheckpoint() // 20 rows: totals + cumulative scan
+      val tot = g.agg(sum("n").as("nn"), sum("pos").as("pp"))
+      // the one intentionally tiny global window (≤ 20 rows)
+      val wCum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+      val c = g.select(col("b"),
+        sum("n").over(wCum).as("nl"), sum("pos").over(wCum).as("pl"))
+      val sp = c.crossJoin(broadcast(tot))
+        .where(col("nl") > 0 && col("nn") - col("nl") > 0)
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("pr", col("pp") - col("pl"))
+      def gini(p: Column, q: Column) =
+        lit(1) - (p.cast("double") / q) * (p.cast("double") / q) -
+          ((q - p).cast("double") / q) * ((q - p).cast("double") / q)
+      val scored = sp.withColumn("gini",
+        col("nl").cast("double") / col("nn") * gini(col("pl"), col("nl"))
+          + col("nr").cast("double") / col("nn") * gini(col("pr"), col("nr")))
+        .localCheckpoint() // ≤ 19 rows: min + output
+      val mn = scored.agg(min(round(col("gini"), 6)).as("mg"))
+      scored.crossJoin(broadcast(mn))
+        .select(((col("b") + 1) * 20).cast("double").as("split_at"),
+          col("nl"), col("pl"),
+          round(col("gini"), 6).as("gini_split"),
+          (round(col("gini"), 6) === col("mg")).as("is_best"))
+        .orderBy("split_at")
+    },
+
     // ---- CUSUM changepoint detection over daily revenue ----
     // Page's CUSUM: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)), mirrored
     // for S⁻, alarm when either exceeds h = 4σ (k = σ/2, the standard

@@ -81,6 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_slo_burn",          // 1-row broadcast period-budget scalar on #days rows
     "q_class_balance_sample", // 1-row broadcast min-class scalar on #classes rows
     "q_path_entropy",      // 1-row broadcast conditional-entropy scalar
+    "q_pareto_8020",       // 1-row broadcast n/total scalars on the user frame
+    "q_stump_split",       // 1-row broadcast totals/min-gini on the 20-bin frame
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints

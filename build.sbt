@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON metric from the tail
+// of captured output. Forked-run output must reach stdout RAW (no
+// "[info] " logger prefix) and sbt must not append a "[success] Total
+// time" line after it — otherwise the tail's last line isn't JSON and
+// the round artifact records parsed: null (r7 ADVICE #3).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

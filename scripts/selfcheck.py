@@ -7,6 +7,7 @@ Usage: python3 scripts/selfcheck.py [sfDir] [outDir] [--skip-verify] [--only=q_a
 """
 import json
 import math
+import struct
 import subprocess
 import sys
 from pathlib import Path
@@ -38,10 +39,15 @@ def run_verify():
 
 
 def norm(v):
+    # Bitwise float identity, matching the driver's hash gate exactly:
+    # -0.0 != +0.0 (distinct bit patterns) and NaN == NaN (one canonical
+    # NaN encoding). Python's == would treat -0.0 == 0.0 and NaN != NaN,
+    # both of which diverge from a byte-level hash — this blind spot let
+    # the q_price_volume_bridge -0.0 mismatch pass selfcheck in r7.
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return b"NaN"
+        return struct.pack(">d", v)
     return v
 
 
@@ -79,10 +85,7 @@ def compare(name, sql, con):
         return f"ROWCOUNT MISMATCH ours={len(ours_rows)} oracle={len(o_rows)}"
     for i, (a, b) in enumerate(zip(ours_rows, o_rows)):
         for c, (x, y) in enumerate(zip(a, b)):
-            x, y = norm(x), norm(y)
-            if x != y:
-                if isinstance(x, float) and isinstance(y, float) and abs(x - y) < 1e-9:
-                    continue  # still report? exact hash would fail
+            if norm(x) != norm(y):
                 return (f"VALUE MISMATCH row {i} col {o_cols[c]}: ours={x!r} oracle={y!r}")
     return None
 

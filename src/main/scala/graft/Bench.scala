@@ -228,6 +228,18 @@ object Bench {
           if (c >= warm) lats(c - warm) = dt
           c += 1
         }
+        // guard (r7 VERDICT #6): the 4× p99 win came from sizing the
+        // probe stream to e2eParts state partitions. Shuffle
+        // partitions bind at query START, so a refactor that reorders
+        // the conf-set/start()/conf-restore dance would silently
+        // rebind at the session default (32) and regress p99 ~3×.
+        // Assert what the RUNNING query actually bound.
+        val bound = Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption)
+          .map(_.numShufflePartitions).getOrElse(-1L)
+        require(bound == e2eParts,
+          s"e2e probe stream bound $bound state partitions, expected $e2eParts " +
+            "(conf must be set before writeStream.start and restored after)")
       } finally q.stop()
       java.util.Arrays.sort(lats)
       Seq(0.50, 0.95, 0.99).map(p =>
@@ -278,7 +290,21 @@ object Bench {
       val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
       "\"" + k + "\":\"" + jesc(safe) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"$fullOut","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99}}""")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"$fullOut","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99}}"""
+    // The driver parses the metric line from the TAIL of captured
+    // output — it must be the last unprefixed stdout line. Three
+    // guards: (1) build.sbt routes forked run output straight to
+    // stdout (no sbt "[info] " logger prefix) and disables the
+    // trailing "[success] Total time" line; (2) we print AFTER
+    // spark.stop() so executor/UI shutdown WARNs can't land after it;
+    // (3) a shutdown hook re-prints it as the JVM's last gasp in case
+    // any late daemon log sneaks in between. JSON parsers that scan
+    // tail lines tolerate the duplicate (both parse identically).
     spark.stop()
+    println(compact)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(compact)
+      System.out.flush()
+    }))
   }
 }

@@ -49,17 +49,34 @@ object PqIndex {
   def cellsFor(n: Long): Int =
     math.min(MaxCells, math.max(CoarseK, math.ceil(math.sqrt(n / 8.0)).toInt))
 
-  /** Probe count: the recall-calibrated floor (4 of 8 cells on the
-    * near-random sf0.01 corpus — AccuracySpec), growing as k/4 so the
-    * probed FRACTION falls as the index grows. At scale nprobe is a
-    * recall-target tunable; clustered real corpora need far less. */
-  def nprobeFor(cells: Int): Int = math.max(NProbe, cells / 4)
+  /** Probe count: a constant FRACTION of the cells (cells/2), not a
+    * constant count. On a near-random corpus recall tracks the probed
+    * fraction — r8's audit-frame promotion caught the cells/4 version
+    * flipping recall_ok=false at sf0.1 (25 cells, 6 probed = 24% of
+    * the corpus → recall ≈ 0.5, vs 4-of-8 = 50% → 0.9 at sf0.01).
+    * Candidates per query stay ~N/2 · querySetSize — linear in the
+    * corpus with the capped query batch, so the ScaleCheck decades
+    * are unaffected. At scale nprobe is a recall-target tunable;
+    * clustered real corpora reach the same recall probing far less
+    * (that is the whole IVF bet — random data is its worst case). */
+  def nprobeFor(cells: Int): Int = math.max(NProbe, cells / 2)
 
   // PQ stage
   val M = 8 // subspaces
   val SubDim = 8 // dims per subspace (M × SubDim = embedding dim)
   val Codes = 16 // centroids per subspace (4 bits' worth)
-  val Shortlist = 50 // ADC shortlist width before the exact rerank
+  val Shortlist = 50 // minimum ADC shortlist width before the exact rerank
+
+  /** ADC shortlist width scales with the corpus (4%, floored at
+    * [[Shortlist]]): with ~N/2 candidates per query after the coarse
+    * probe, a FIXED width shrinks as a fraction of the candidate set
+    * and ADC quantization noise (large on this near-random corpus)
+    * pushes true neighbors outside it — r8's audit promotion measured
+    * PQ recall@3 < 0.6 at sf0.1 with the constant 50. Rerank cost is
+    * 0.04·N exact cosines per audit query — linear in the corpus with
+    * the capped query batch, which is what the ScaleCheck decades
+    * require. */
+  def shortlistFor(n: Long): Int = math.max(Shortlist, math.ceil(n / 25.0).toInt)
   val SampleRows = 4096 // fit-sample cap (k-means sees at most this)
   val PqIters = 8
   val PqSeed = 100L

@@ -23,12 +23,219 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  import QueryDef.{rowsOnly, sql}
+  import QueryDef.sql
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Promote an ANN core from rows-only to full hash-match (r7 VERDICT
+    * ask #5): the registered output is an oracle-EXACT audit frame —
+    * one row per audit query with its brute-force best cosine (DuckDB
+    * recomputes both columns bit-identically) — plus a Spark-computed
+    * `recall_ok` bound flag the oracle pins TRUE, so a silent recall
+    * regression flips the flag and fails the driver's hash gate (the
+    * same bound-flag design that promoted q_approx_distinct).
+    *
+    * The ground-truth batch is CAPPED (vec_id % 25 == 0 && < 1000 —
+    * the full query set at sf ≤ 0.01, 40 queries at sf0.1): recall
+    * estimation needs a bounded sample, and an uncapped brute-force
+    * audit would scale with queries × corpus — the exact quadratic
+    * shape the ScaleCheck 100× decade exists to reject. The capped
+    * audit is queries-constant, so it stays linear in the corpus.
+    * The floor compare is integer math (hits·den ≥ total·num), not
+    * `recall >= 0.8` — 60·0.8 in binary is 48.0000…003, which would
+    * fail an exactly-at-floor run.
+    */
+  private def annRecallAudit(s: SparkSession, dir: String,
+      ann: org.apache.spark.sql.DataFrame, floorNum: Int, floorDen: Int) = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") % 25 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+    val pairs = q.join(c, col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    // ground-truth top-3: same rank rule as q_knn_bruteforce /
+    // AccuracySpec (round-6 sim desc, cid tie-break)
+    val w = Window.partitionBy(col("qid")).orderBy(desc("rsim"), col("cid"))
+    val gt3 = pairs.withColumn("rsim", round(col("sim"), 6))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("qid"), col("cid"))
+    val flag = gt3
+      .join(ann.select(col("qid"), col("cid")).withColumn("hit", lit(1)),
+        Seq("qid", "cid"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))) * floorDen >=
+        count(lit(1)) * floorNum).as("recall_ok"))
+    // best_sim = round(max raw cosine): max is fold-order-free, and
+    // the per-pair cosine fold already hash-matches DuckDB's
+    // list_dot_product (q_knn_bruteforce)
+    pairs.groupBy("qid").agg(round(max(col("sim")), 6).as("best_sim"))
+      .crossJoin(broadcast(flag))
+      .select(col("qid"), col("best_sim"), col("recall_ok"))
+      .orderBy("qid")
+  }
+
+  /** Oracle twin of [[annRecallAudit]]'s exact columns; the flag is
+    * pinned TRUE — the engine side computes it from ground truth.
+    * (lazy: `cosineSql` is declared below — a strict val here would
+    * interpolate null during object init.) */
+  private lazy val annAuditSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, max($cosineSql) AS ms
+       |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000
+       |      GROUP BY 1)
+       |SELECT qid, round(ms, 6) AS best_sim, true AS recall_ok
+       |FROM p ORDER BY qid""".stripMargin
+
   private val cosineSql =
     "list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v))"
+
+  /** IVF ANN core: top-3 neighbors per query (qid, cid, sim).
+    * Registered through the recall-audit wrapper below;
+    * AccuracySpec pins its recall@3 against brute force directly. */
+  def ivfTop3(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("vn", l2Normalize(col("v")))
+      .cache() // feeds the count, the fit sample + both join sides
+    // index geometry from the corpus size (cells ~ √(N/8), probes
+    // k/4 — PqIndex scaladoc; the count is one job on the cache,
+    // the same N any index build must know)
+    val cells = PqIndex.cellsFor(e.count())
+    val NProbe = PqIndex.nprobeFor(cells)
+    // driver-side Lloyd over a bounded hash-ordered sample (see
+    // PqIndex scaladoc for why this beats an in-query MLlib fit);
+    // assignment is a pure codegen'd argmin projection
+    val coarse = PqIndex.fitCoarse(e, cells)
+    val assigned = e.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
+    // squared norms computed ONCE PER ROW on each side — the naive
+    // per-pair cosine recomputes both self-dots per candidate pair,
+    // tripling the hot join's arithmetic (same values either way:
+    // dot(a,a) is dot(a,a) wherever it's evaluated). The probe rank
+    // itself runs THIN — (qid, qvn) only — and the 130-double query
+    // payload joins back on qid after the k-way cross join + window
+    // discard nprobe/k of the rows, instead of riding through them.
+    // FIXED-SIZE query batch over a GROWING index — the production
+    // ANN shape. Without the id cap the query set scales with the
+    // corpus (vec_id % 25 ⇒ N/25 queries) and, since recall on this
+    // near-random corpus forces probing a constant corpus fraction
+    // (nprobe = cells/4 ⇒ ~N/4 candidates/query), the benchmark's
+    // TOTAL work went quadratic — the 100× ScaleCheck caught it at
+    // 58× for 10× data. ScaleCheck replica key-shifts are multiples
+    // of 25, so base ids keep their residue and the cap selects the
+    // same ORIGINAL vectors at every replication level; sf ≤ 0.1
+    // corpora (ids < 50k) are unaffected, as is AccuracySpec.
+    val qset = assigned.where(col("vec_id") % 25 === 0 && col("vec_id") < 50000)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"),
+        dot(col("v"), col("v")).as("qn2"))
+    val probes = PqIndex.probeCells(
+        qset.select(col("qid"), col("qvn")), "qid", "qvn", coarse, NProbe)
+      .select(col("qid").as("pqid"), col("ccell"))
+      .join(broadcast(qset.select(col("qid"), col("qv"), col("qn2"))),
+        col("pqid") === col("qid"))
+      .select(col("qid"), col("qv"), col("qn2"), col("ccell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),
+      dot(col("v"), col("v")).as("cn2"), col("cell").as("cc"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
+    probes.join(c, col("ccell") === col("cc") && col("cid") =!= col("qid"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("qid", "cid", "sim")
+      .orderBy(col("qid"), desc("sim"), col("cid"))
+  }
+
+  /** IVF-PQ ANN core: top-3 per query after ADC shortlist + exact
+    * rerank (qid, cid, sim, adc_dist). Registered through the
+    * recall-audit wrapper; AccuracySpec pins recall@3 >= 0.6. */
+  def pqTop3(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import PqIndex.{M, SubDim}
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("vn", l2Normalize(col("v")))
+    val subCols = (0 until M).map(m =>
+      slice(col("vn"), m * SubDim + 1, SubDim).as(s"sub$m"))
+    val sub = e.select(Seq(col("vec_id"), col("v"), col("vn")) ++ subCols: _*)
+      .cache() // feeds the count, fit samples, encode pass, query side
+    // same corpus-sized geometry as q_knn_ivf (cells ~ √(N/8));
+    // shortlist scales with the corpus (PqIndex.shortlistFor scaladoc)
+    val n = sub.count()
+    val cells = PqIndex.cellsFor(n)
+    val NProbe = PqIndex.nprobeFor(cells)
+    val Shortlist = PqIndex.shortlistFor(n)
+    // coarse quantizer: same spherical cells as q_knn_ivf; PQ
+    // codebooks per subspace — all driver-side Lloyd over ONE
+    // bounded hash-ordered sample job (PqIndex scaladoc), so the
+    // query pays no per-fit Spark-job overhead
+    val (coarse, books) = PqIndex.fitAll(sub, cells)
+    // encode: each corpus vector → cell + M small codes, all pure
+    // codegen'd argmin projections. MATERIALIZED: the encode feeds
+    // the candidate join, and CollapseProject would otherwise inline
+    // the 128-dot argmin chains past the join and re-evaluate them
+    // once per candidate PAIR instead of once per corpus row
+    // (measured 5× the whole query's cost at the 10× corpus; at
+    // cluster scale this is the persisted PQ-codes table an IVF-PQ
+    // index stores anyway)
+    val enc = books.zipWithIndex.foldLeft(
+        sub.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
+          .select(Seq(col("vec_id"), col("cell")) ++ (0 until M).map(m => col(s"sub$m")): _*)) {
+      case (df, (book, m)) =>
+        df.withColumn(s"code$m", PqIndex.nearestCentroid(col(s"sub$m"), book))
+    }.cache()
+    // query set probes its top-nprobe cells via the k-row broadcast.
+    // Fixed-size batch via the id cap — same rationale and same
+    // replication-invariance argument as q_knn_ivf above.
+    val queries = sub.where(col("vec_id") % 25 === 0 && col("vec_id") < 50000)
+      .select(Seq(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn")) ++
+        (0 until M).map(m => col(s"sub$m").as(s"qsub$m")): _*)
+    val probes = PqIndex.probeCells(
+        queries.select(col("qid"), col("qvn")), "qid", "qvn", coarse, NProbe)
+      .select(col("qid").as("pqid"), col("ccell"))
+    // per-(query, subspace, code) ADC distance table: melt query
+    // subvectors, equi-join the M×Codes broadcast codebook table
+    val pcents = books.zipWithIndex.flatMap { case (book, m) =>
+      PqIndex.centroidRows(book).map { case (k, c) => (m, k, c) }
+    }.toDF("cm", "ccode", "cbvec")
+    val melted = (0 until M).map(m =>
+        queries.select(col("qid"), lit(m).as("qm"), col(s"qsub$m").as("qsub")))
+      .reduce(_ unionByName _)
+    val sq = graft.functions.VectorFunctions.sqL2(col("qsub"), col("cbvec"))
+    val dtab = melted.join(broadcast(pcents), col("qm") === col("cm"))
+      .select(col("qid").as("dqid"), col("qm").as("dm"), col("ccode").as("dcode"),
+        sq.as("d"))
+    // candidates = probed-cell equi-join; melt their codes and look
+    // up. Everything bounded-by-the-query-set broadcasts (probes,
+    // the ADC table, the shortlist) — the corpus-sized encode
+    // streams through map-side joins and is never shuffled.
+    val cand = enc
+      .select(col("vec_id").as("cid"), col("cell").as("ccid"),
+        array((0 until M).map(m => col(s"code$m")): _*).as("codes"))
+      .join(broadcast(probes), col("ccid") === col("ccell"))
+      .where(col("cid") =!= col("pqid"))
+      .select(col("pqid").as("qid"), col("cid"), col("codes"))
+    val scored = cand
+      .select(col("qid"), col("cid"), posexplode(col("codes")))
+      .join(broadcast(dtab), col("qid") === col("dqid") && col("pos") === col("dm")
+        && col("col") === col("dcode"))
+      .groupBy("qid", "cid").agg(sum(col("d")).as("adc"))
+    // wide ADC shortlist, exact-cosine rerank to top-3
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    val shortlist = scored.withColumn("arn", row_number().over(wAdc))
+      .where(col("arn") <= Shortlist)
+      .join(broadcast(queries.select(col("qid").as("q2"), col("qv"))),
+        col("qid") === col("q2"))
+    val wSim = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
+    sub.select(col("vec_id").as("c2"), col("v").as("cv")) // cached — no re-scan
+      .join(broadcast(shortlist), col("c2") === col("cid"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wSim))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("sim"), round(col("adc"), 6).as("adc_dist"))
+      .orderBy(col("qid"), desc("sim"), col("cid"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -128,60 +335,12 @@ object SimilarityQueries {
     //      ones. Training is a driver-side
     //      seeded Lloyd on a bounded sample; assignment is a pure
     //      codegen'd argmin projection (PqIndex scaladoc). k-means
-    //      internals stay engine-specific → rows-only oracle check;
-    //      the recall spec is the value-level gate. ----
-    rowsOnly("q_knn_ivf") { (s, dir) =>
-      import s.implicits._
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("vn", l2Normalize(col("v")))
-        .cache() // feeds the count, the fit sample + both join sides
-      // index geometry from the corpus size (cells ~ √(N/8), probes
-      // k/4 — PqIndex scaladoc; the count is one job on the cache,
-      // the same N any index build must know)
-      val cells = PqIndex.cellsFor(e.count())
-      val NProbe = PqIndex.nprobeFor(cells)
-      // driver-side Lloyd over a bounded hash-ordered sample (see
-      // PqIndex scaladoc for why this beats an in-query MLlib fit);
-      // assignment is a pure codegen'd argmin projection
-      val coarse = PqIndex.fitCoarse(e, cells)
-      val assigned = e.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
-      // squared norms computed ONCE PER ROW on each side — the naive
-      // per-pair cosine recomputes both self-dots per candidate pair,
-      // tripling the hot join's arithmetic (same values either way:
-      // dot(a,a) is dot(a,a) wherever it's evaluated). The probe rank
-      // itself runs THIN — (qid, qvn) only — and the 130-double query
-      // payload joins back on qid after the k-way cross join + window
-      // discard nprobe/k of the rows, instead of riding through them.
-      // FIXED-SIZE query batch over a GROWING index — the production
-      // ANN shape. Without the id cap the query set scales with the
-      // corpus (vec_id % 25 ⇒ N/25 queries) and, since recall on this
-      // near-random corpus forces probing a constant corpus fraction
-      // (nprobe = cells/4 ⇒ ~N/4 candidates/query), the benchmark's
-      // TOTAL work went quadratic — the 100× ScaleCheck caught it at
-      // 58× for 10× data. ScaleCheck replica key-shifts are multiples
-      // of 25, so base ids keep their residue and the cap selects the
-      // same ORIGINAL vectors at every replication level; sf ≤ 0.1
-      // corpora (ids < 50k) are unaffected, as is AccuracySpec.
-      val qset = assigned.where(col("vec_id") % 25 === 0 && col("vec_id") < 50000)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn"),
-          dot(col("v"), col("v")).as("qn2"))
-      val probes = PqIndex.probeCells(
-          qset.select(col("qid"), col("qvn")), "qid", "qvn", coarse, NProbe)
-        .select(col("qid").as("pqid"), col("ccell"))
-        .join(broadcast(qset.select(col("qid"), col("qv"), col("qn2"))),
-          col("pqid") === col("qid"))
-        .select(col("qid"), col("qv"), col("qn2"), col("ccell"))
-      val c = assigned.select(col("vec_id").as("cid"), col("v").as("cv"),
-        dot(col("v"), col("v")).as("cn2"), col("cell").as("cc"))
-      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
-      probes.join(c, col("ccell") === col("cc") && col("cid") =!= col("qid"))
-        .withColumn("sim",
-          round(dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")), 6))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-        .select("qid", "cid", "sim")
-        .orderBy(col("qid"), desc("sim"), col("cid"))
+    //      internals stay engine-specific, so the REGISTERED output
+    //      is the annRecallAudit frame (oracle-exact best_sim rows +
+    //      pinned recall_ok bound flag) — full hash-match; the core's
+    //      raw top-3 is still pinned by AccuracySpec. ----
+    sql("q_knn_ivf", annAuditSql) { (s, dir) =>
+      annRecallAudit(s, dir, ivfTop3(s, dir), 4, 5) // floor 0.8
     },
 
     // ---- IVF-PQ ANN: the SAME normalized k-means coarse index as
@@ -199,94 +358,15 @@ object SimilarityQueries {
     //      Parameters are recall-calibrated in AccuracySpec (≥ 0.6
     //      against brute-force ground truth; ADC quantization noise
     //      on this near-random corpus is what the wide shortlist
-    //      absorbs). k-means codebooks are engine-private →
-    //      rows-only oracle check; the recall spec is the value gate.
+    //      absorbs). k-means codebooks are engine-private, so the
+    //      REGISTERED output is the annRecallAudit frame (full
+    //      hash-match); the core's raw top-3 stays AccuracySpec-pinned.
     //      (Round 3's version used an 8-bit sign-LSH coarse index:
     //      256 buckets over a 500-vector corpus left ~2 candidates
     //      per query — recall 0.02. The shared IVF cells fix the
     //      candidate starvation; the recall spec now pins it.) ----
-    rowsOnly("q_knn_pq") { (s, dir) =>
-      import s.implicits._
-      import PqIndex.{M, Shortlist, SubDim}
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("vn", l2Normalize(col("v")))
-      val subCols = (0 until M).map(m =>
-        slice(col("vn"), m * SubDim + 1, SubDim).as(s"sub$m"))
-      val sub = e.select(Seq(col("vec_id"), col("v"), col("vn")) ++ subCols: _*)
-        .cache() // feeds the count, fit samples, encode pass, query side
-      // same corpus-sized geometry as q_knn_ivf (cells ~ √(N/8))
-      val cells = PqIndex.cellsFor(sub.count())
-      val NProbe = PqIndex.nprobeFor(cells)
-      // coarse quantizer: same spherical cells as q_knn_ivf; PQ
-      // codebooks per subspace — all driver-side Lloyd over ONE
-      // bounded hash-ordered sample job (PqIndex scaladoc), so the
-      // query pays no per-fit Spark-job overhead
-      val (coarse, books) = PqIndex.fitAll(sub, cells)
-      // encode: each corpus vector → cell + M small codes, all pure
-      // codegen'd argmin projections. MATERIALIZED: the encode feeds
-      // the candidate join, and CollapseProject would otherwise inline
-      // the 128-dot argmin chains past the join and re-evaluate them
-      // once per candidate PAIR instead of once per corpus row
-      // (measured 5× the whole query's cost at the 10× corpus; at
-      // cluster scale this is the persisted PQ-codes table an IVF-PQ
-      // index stores anyway)
-      val enc = books.zipWithIndex.foldLeft(
-          sub.withColumn("cell", PqIndex.nearestCentroid(col("vn"), coarse))
-            .select(Seq(col("vec_id"), col("cell")) ++ (0 until M).map(m => col(s"sub$m")): _*)) {
-        case (df, (book, m)) =>
-          df.withColumn(s"code$m", PqIndex.nearestCentroid(col(s"sub$m"), book))
-      }.cache()
-      // query set probes its top-nprobe cells via the k-row broadcast.
-      // Fixed-size batch via the id cap — same rationale and same
-      // replication-invariance argument as q_knn_ivf above.
-      val queries = sub.where(col("vec_id") % 25 === 0 && col("vec_id") < 50000)
-        .select(Seq(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qvn")) ++
-          (0 until M).map(m => col(s"sub$m").as(s"qsub$m")): _*)
-      val probes = PqIndex.probeCells(
-          queries.select(col("qid"), col("qvn")), "qid", "qvn", coarse, NProbe)
-        .select(col("qid").as("pqid"), col("ccell"))
-      // per-(query, subspace, code) ADC distance table: melt query
-      // subvectors, equi-join the M×Codes broadcast codebook table
-      val pcents = books.zipWithIndex.flatMap { case (book, m) =>
-        PqIndex.centroidRows(book).map { case (k, c) => (m, k, c) }
-      }.toDF("cm", "ccode", "cbvec")
-      val melted = (0 until M).map(m =>
-          queries.select(col("qid"), lit(m).as("qm"), col(s"qsub$m").as("qsub")))
-        .reduce(_ unionByName _)
-      val sq = graft.functions.VectorFunctions.sqL2(col("qsub"), col("cbvec"))
-      val dtab = melted.join(broadcast(pcents), col("qm") === col("cm"))
-        .select(col("qid").as("dqid"), col("qm").as("dm"), col("ccode").as("dcode"),
-          sq.as("d"))
-      // candidates = probed-cell equi-join; melt their codes and look
-      // up. Everything bounded-by-the-query-set broadcasts (probes,
-      // the ADC table, the shortlist) — the corpus-sized encode
-      // streams through map-side joins and is never shuffled.
-      val cand = enc
-        .select(col("vec_id").as("cid"), col("cell").as("ccid"),
-          array((0 until M).map(m => col(s"code$m")): _*).as("codes"))
-        .join(broadcast(probes), col("ccid") === col("ccell"))
-        .where(col("cid") =!= col("pqid"))
-        .select(col("pqid").as("qid"), col("cid"), col("codes"))
-      val scored = cand
-        .select(col("qid"), col("cid"), posexplode(col("codes")))
-        .join(broadcast(dtab), col("qid") === col("dqid") && col("pos") === col("dm")
-          && col("col") === col("dcode"))
-        .groupBy("qid", "cid").agg(sum(col("d")).as("adc"))
-      // wide ADC shortlist, exact-cosine rerank to top-3
-      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
-      val shortlist = scored.withColumn("arn", row_number().over(wAdc))
-        .where(col("arn") <= Shortlist)
-        .join(broadcast(queries.select(col("qid").as("q2"), col("qv"))),
-          col("qid") === col("q2"))
-      val wSim = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cid"))
-      sub.select(col("vec_id").as("c2"), col("v").as("cv")) // cached — no re-scan
-        .join(broadcast(shortlist), col("c2") === col("cid"))
-        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-        .withColumn("rn", row_number().over(wSim))
-        .where(col("rn") <= 3)
-        .select(col("qid"), col("cid"), col("sim"), round(col("adc"), 6).as("adc_dist"))
-        .orderBy(col("qid"), desc("sim"), col("cid"))
+    sql("q_knn_pq", annAuditSql) { (s, dir) =>
+      annRecallAudit(s, dir, pqTop3(s, dir), 3, 5) // floor 0.6
     },
 
     // ---- int8 symmetric quantization: the storage path for vectors

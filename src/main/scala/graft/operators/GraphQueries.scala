@@ -76,10 +76,15 @@ object GraphQueries {
     // (df agg, presence join, triangles' doc count) — materialize it
     // once, like every other multi-consumer explode in the repo
     // (review find, r7)
+    // serialized storage: this frame is corpus-proportional, and the
+    // deserialized default is the exact pattern that starved
+    // third-decade aggregations (AGGREGATE_OUT_OF_MEMORY — same fix
+    // as q_countmin/basketPairCounts/q_kcore, NOTES r7)
     val ex = t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dfq = ex.groupBy("word").agg(count(lit(1)).as("c"))
     val voc = dfq.orderBy(desc("c"), col("word")).limit(50).localCheckpoint()
     val ev = ex.join(broadcast(voc), "word")

@@ -934,7 +934,7 @@ object TemporalQueries {
         |        - (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
         |           - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) * CAST(q1 AS DOUBLE)
         |        - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
-        |          * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)), 6) AS residual
+        |          * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE)), 6) + 0.0 AS residual
         |FROM g ORDER BY rf""".stripMargin) { (s, dir) =>
       val zero = lit(0).cast("decimal(18,6)")
       def period(y: Int, c: Column) =
@@ -955,7 +955,11 @@ object TemporalQueries {
           round(r1 - r0, 2).as("delta"),
           round(pe, 2).as("price_effect"),
           round(ve, 2).as("volume_effect"),
-          round(r1 - r0 - pe - ve, 6).as("residual"))
+          // `+ 0.0` on BOTH engines: IEEE −0.0 + 0.0 = +0.0, so the
+          // self-audit residual hashes identically whether the engine's
+          // round() preserves the sign of zero (DuckDB) or not (Spark's
+          // BigDecimal path) — numerically equal, now bit-equal too.
+          (round(r1 - r0 - pe - ve, 6) + lit(0.0)).as("residual"))
         .orderBy("rf")
     }
   )

@@ -41,17 +41,40 @@ object IncrMvStream {
 
   private def latestPath(mv: String) = new Path(mv, "_LATEST")
 
-  /** The published version id, if any. */
+  /** The published version id, if any.
+    *
+    * The pointer file is authoritative when present. When it is
+    * ABSENT but committed `v=<id>` directories exist, resolve to the
+    * max committed version instead of "no MV": on filesystems where
+    * rename-onto-existing fails (HDFS), publish goes through a
+    * delete+rename window, and a crash between the two would
+    * otherwise lose the pointer permanently — the next applyBatch
+    * would then merge its delta against an EMPTY view and silently
+    * discard all accumulated state (and the replayed-batchId guard
+    * with it). "Committed" = the directory carries Spark's _SUCCESS
+    * marker, so a half-written version from a mid-write crash can
+    * never be resolved as current. */
   def readLatest(spark: SparkSession, mv: String): Option[Long] = {
     val fs = FileSystem.get(new java.net.URI(mv), spark.sparkContext.hadoopConfiguration)
     val p = latestPath(mv)
-    if (!fs.exists(p)) None
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8).trim.toLong)
       finally in.close()
-    }
+    } else committedVersions(fs, mv).map(_._1).maxOption
+  }
+
+  /** Committed `v=<id>` directories (those with a _SUCCESS marker),
+    * unsorted. */
+  private def committedVersions(fs: FileSystem, mv: String): Seq[(Long, Path)] = {
+    val root = new Path(mv)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong)
+        .toOption.map(_ -> st.getPath))
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
   }
 
   /** The current MV contents (empty frame with the MV schema before
@@ -83,7 +106,12 @@ object IncrMvStream {
           .cast("decimal(18,6)").as("total"))
     merged.write.mode("overwrite").parquet(s"$mv/v=$batchId")
     // publish: temp file + atomic rename, so a reader sees the old
-    // version or the new one, never a torn pointer
+    // version or the new one, never a torn pointer. Where
+    // rename-onto-existing fails (HDFS) we fall back to
+    // delete+rename; the window that opens (and a crash inside it)
+    // is covered by readLatest's max-committed-version fallback —
+    // a missing pointer resolves to the newest _SUCCESS-marked
+    // version, never to an empty MV.
     val fs = FileSystem.get(new java.net.URI(mv), spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(mv, s"._LATEST.$batchId.tmp")
     val out = fs.create(tmp, true)

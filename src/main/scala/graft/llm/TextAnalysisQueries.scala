@@ -127,6 +127,79 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    //      SIGMOD'03 — the MOSS local document fingerprinting) ----
+    // Position-aware near-dup/plagiarism fingerprints with a
+    // GUARANTEE the md5-canonical fingerprint lacks: any shared
+    // substring of ≥ w+k−1 words produces at least one shared
+    // (fingerprint, offset-invariant) selection, because every
+    // w-window of k-gram hashes selects its rightmost minimum and
+    // matching text spans have matching windows. k = 3 (the corpus
+    // shingle convention), w = 4. Relationally: positional k-gram
+    // hashes via two lead() columns (one window pass, no HOF
+    // re-execution), the per-window min/count in a second ROWS
+    // BETWEEN 3 PRECEDING pass, and the rightmost-attaining position
+    // by an equi-join on (doc, h = window-min) restricted to the
+    // 4-position band — fanout ≤ w, never corpus-quadratic. All
+    // per-doc work: partitions by doc_id, no cross-doc shuffle until
+    // the final distinct. Hashes are the portable 32-bit md5 prefix
+    // (q_doc_fingerprint's fp32), so the oracle checks VALUES. The
+    // 10% doc sample bounds output size only — selection is per-doc,
+    // so the sample changes no kept row.
+    sql(
+      "q_winnowing",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE doc_id % 10 = 0),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |             ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 8))::BIGINT AS h
+        |      FROM w, unnest(range(1, greatest(len(words) - 1, 1))) AS t(i)
+        |      WHERE len(words) >= 3),
+        |m AS (SELECT doc_id, pos, h,
+        |             min(h) OVER win AS wmin,
+        |             count(*) OVER win AS wn
+        |      FROM g
+        |      WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+        |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+        |sel AS (SELECT m.doc_id, m.pos AS wend, m.wmin AS fp, max(g2.pos) AS pos
+        |        FROM m JOIN g g2 ON g2.doc_id = m.doc_id AND g2.h = m.wmin
+        |                 AND g2.pos BETWEEN m.pos - 3 AND m.pos
+        |        WHERE m.wn = 4
+        |        GROUP BY 1, 2, 3)
+        |SELECT doc_id, pos, fp FROM sel GROUP BY 1, 2, 3
+        |ORDER BY doc_id, pos, fp""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      // positional k-grams: posexplode + two lead()s in ONE window
+      // pass (ShinglesArray dedupes, so it can't carry positions)
+      val g = t(s, dir, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("w0"))
+        .withColumn("w1", lead("w0", 1).over(wd))
+        .withColumn("w2", lead("w0", 2).over(wd))
+        .where(col("w2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          h32(concat_ws(" ", col("w0"), col("w1"), col("w2"))).as("h"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // feeds the window-min pass AND the rightmost-position join
+      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+      val m = g
+        .withColumn("wmin", min("h").over(win))
+        .withColumn("wn", count(lit(1)).over(win))
+        .where(col("wn") === 4)
+        .select(col("doc_id"), col("pos").as("wend"), col("wmin"))
+      // (doc, h) as explicit EQUI keys — with doc_id alone the join
+      // would fan out len² per doc before the band filter
+      val g2 = g.select(col("doc_id").as("gdoc"), col("pos").as("gpos"), col("h"))
+      m.join(g2, col("gdoc") === col("doc_id") && col("h") === col("wmin")
+          && col("gpos").between(col("wend") - 3, col("wend")))
+        .groupBy(col("doc_id"), col("wend"), col("wmin").as("fp"))
+        .agg(max(col("gpos")).as("pos"))
+        .select(col("doc_id"), col("pos"), col("fp")).distinct()
+        .orderBy("doc_id", "pos", "fp")
+    },
+
     // ---- LM-perplexity quality scoring (CCNet-style) ----
     // Corpus-trained add-k bigram LM scores each document in
     // bits-per-token; high-perplexity docs are the classic "remove
@@ -309,6 +382,122 @@ object TextAnalysisQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("pair"))
         .limit(20)
+    },
+
+    // ---- BPE trainer merge rounds (Sennrich et al., ACL'16) ----
+    // q_bpe_pairs above computes ONE round's pair statistic; this is
+    // the actual trainer loop, unrolled 3 rounds: argmax pair →
+    // greedy leftmost non-overlapping merge → recount, exactly the
+    // reference algorithm (train on the WORD-COUNT DICTIONARY, not
+    // the raw corpus — the corpus collapses to (word, cnt) in one
+    // aggregation and every subsequent round runs on the vocabulary-
+    // sized symbol table, which is the whole reason BPE training
+    // scales). Greedy overlap semantics ("aaaa" merges positions 1-2
+    // and 3-4, not 2-3) fall out of the runs-islands trick: matching
+    // positions in one word form consecutive runs (pos − rn
+    // constant), and keeping odd in-run ranks IS leftmost
+    // non-overlapping. Ties on the argmax break (count desc, s1,
+    // s2) — deterministic on both engines. Each round's symbol table
+    // is checkpointed: the lineage would otherwise double per round.
+    // Output = the 3 learned merge rules with their counts; a wrong
+    // merge anywhere cascades into every later round, so 3 rows pin
+    // the full pipeline.
+    {
+      def roundSql(r: Int): String = {
+        val p = r - 1
+        s"""p$r AS (SELECT word, cnt, pos, sym,
+           |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |         FROM s$p),
+           |pc$r AS (SELECT sym AS s1, nxt AS s2, CAST(sum(cnt) AS BIGINT) AS c
+           |          FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |b$r AS (SELECT s1, s2, c FROM pc$r ORDER BY c DESC, s1, s2 LIMIT 1),
+           |mt$r AS (SELECT p.word, p.pos,
+           |            row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+           |          FROM p$r p, b$r b WHERE p.sym = b.s1 AND p.nxt = b.s2),
+           |kp$r AS (SELECT word, pos FROM
+           |           (SELECT word, pos,
+           |              row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS ri
+           |            FROM mt$r)
+           |          WHERE ri % 2 = 1),
+           |s$r AS (SELECT word, cnt,
+           |           CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+           |           sym FROM (
+           |             SELECT p.word, p.cnt, p.pos,
+           |               CASE WHEN k.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+           |             FROM p$r p
+           |             LEFT JOIN kp$r k ON k.word = p.word AND k.pos = p.pos
+           |             LEFT JOIN kp$r d ON d.word = p.word AND d.pos = p.pos - 1
+           |             WHERE d.pos IS NULL))""".stripMargin
+      }
+      sql(
+        "q_bpe_merge",
+        s"""WITH wd AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
+           |        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |        WHERE word <> '' GROUP BY 1),
+           |s0 AS (SELECT word, cnt, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
+           |       FROM wd, unnest(range(1, len(word) + 1)) AS t(i)
+           |       UNION ALL SELECT word, cnt, len(word) + 1, '</w>' FROM wd),
+           |${Seq(1, 2, 3).map(roundSql).mkString(",\n")}
+           |SELECT * FROM (
+           |SELECT 1 AS round, s1, s2, c FROM b1
+           |UNION ALL SELECT 2, s1, s2, c FROM b2
+           |UNION ALL SELECT 3, s1, s2, c FROM b3) ORDER BY round""".stripMargin) { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        // empty tokens (split artifacts of doubled spaces) are
+        // excluded on BOTH sides: Spark's sequence(1, 0) would emit a
+        // DESCENDING [1, 0] position array for the empty word while
+        // the oracle's range(1, 1) emits nothing — a latent engine
+        // divergence plus duplicate positions under the per-word
+        // windows (review find, r8)
+        val wd = t(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("word"))
+          .where(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        val s0 = wd
+          .select(col("word"), col("cnt"),
+            posexplode(transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1)))))
+          .select(col("word"), col("cnt"),
+            (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+          .unionByName(wd.select(col("word"), col("cnt"),
+            (length(col("word")) + 1).cast("long").as("pos"), lit("</w>").as("sym")))
+        val worder = Window.partitionBy("word").orderBy("pos")
+        var seq0 = s0.localCheckpoint(true, ser)
+        val rules = (1 to 3).map { r =>
+          val p = seq0.withColumn("nxt", lead("sym", 1).over(worder))
+            .localCheckpoint(true, ser) // feeds counts, match, rebuild
+          val pc = p.where(col("nxt").isNotNull)
+            .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+            .agg(sum("cnt").cast("long").as("c"))
+          val b = pc.orderBy(desc("c"), col("s1"), col("s2")).limit(1)
+            .localCheckpoint() // 1 row, consumed by the rule AND the match join
+          val mt = p.join(broadcast(b),
+              col("sym") === col("s1") && col("nxt") === col("s2"))
+            .select(col("word"), col("pos"))
+            .withColumn("rn", row_number().over(worder))
+          val kp = mt.withColumn("ri", row_number().over(
+              Window.partitionBy(col("word"), col("pos") - col("rn")).orderBy("pos")))
+            .where(col("ri") % 2 === 1).select(col("word"), col("pos"))
+          val merged = p
+            .join(kp.withColumn("k", lit(1)), Seq("word", "pos"), "left")
+            .join(kp.select(col("word"), (col("pos") + 1).as("pos"), lit(1).as("d")),
+              Seq("word", "pos"), "left")
+            .where(col("d").isNull)
+            .select(col("word"), col("cnt"), col("pos"),
+              when(col("k").isNotNull, concat(col("sym"), col("nxt")))
+                .otherwise(col("sym")).as("sym"))
+          // the last round's rebuilt table has no consumer — skip its
+          // eager materialization (the oracle's unused s3 CTE is free
+          // because SQL is lazy; review find, r8)
+          if (r < 3) seq0 = merged
+            .withColumn("pos2", row_number().over(worder).cast("long"))
+            .select(col("word"), col("cnt"), col("pos2").as("pos"), col("sym"))
+            .localCheckpoint(true, ser)
+          b.select(lit(r).as("round"), col("s1"), col("s2"), col("c"))
+        }
+        rules.reduce(_ unionByName _).orderBy("round")
+      }
     },
 
     // ---- word co-occurrence PMI (collocation mining / embedding

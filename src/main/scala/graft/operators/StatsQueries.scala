@@ -373,6 +373,107 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // ---- mSPRT sequential A/B monitor (Johari/Pekelis/Walsh,
+    //      "Peeking at A/B Tests", KDD'17 — always-valid p-values) ----
+    // The t-test above is only valid at ONE pre-registered look; a
+    // dashboard that is watched daily needs a sequential test. The
+    // mixture SPRT with a normal prior (τ² = 0.1) admits a closed
+    // form: Λ_n = √(Vₙ/(Vₙ+τ²))·exp(θ̂²τ²/(2Vₙ(Vₙ+τ²))) with
+    // Vₙ = s²(1/n_a + 1/n_b), and the always-valid p is the running
+    // min of 1/Λ — i.e. 1/(running max Λ). Relationally: per-day
+    // per-variant partials (count + DECIMAL sum/sum-of-squares —
+    // mergeable, so at 100 TB the daily partials are the stored
+    // table and each new day is one tiny merge), cumulative windows
+    // per variant, the scalar formula on the ~days-sized frame, and
+    // one more running-max window. Every float derives from exact
+    // DECIMAL cumulative sums, so both engines evaluate the same
+    // expression on the same inputs; the reject flag compares the
+    // ROUNDED p (no raw-float threshold to disagree on).
+    sql(
+      "q_msprt",
+      """WITH v AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                  CAST(json_extract_string(props, '$.k') AS INT) % 2 AS variant,
+        |                  CAST(value AS DECIMAL(18,6)) AS x
+        |           FROM events),
+        |d AS (SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS DECIMAL(38,6)) AS s,
+        |             CAST(sum(x * x) AS DECIMAL(38,12)) AS ss
+        |      FROM v GROUP BY 1, 2),
+        |c AS (SELECT day, variant,
+        |             CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |             CAST(sum(s) OVER w AS DECIMAL(38,6)) AS cs,
+        |             CAST(sum(ss) OVER w AS DECIMAL(38,12)) AS css
+        |      FROM d
+        |      WINDOW w AS (PARTITION BY variant ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (SELECT a.day, a.cn AS n_a, b.cn AS n_b,
+        |             CAST(b.cs AS DOUBLE) / b.cn - CAST(a.cs AS DOUBLE) / a.cn AS theta,
+        |             (CAST(a.css AS DOUBLE) - CAST(a.cs AS DOUBLE) * CAST(a.cs AS DOUBLE) / a.cn
+        |              + CAST(b.css AS DOUBLE) - CAST(b.cs AS DOUBLE) * CAST(b.cs AS DOUBLE) / b.cn)
+        |             / (a.cn + b.cn - 2) AS s2
+        |      FROM c a JOIN c b ON a.day = b.day AND a.variant = 0 AND b.variant = 1
+        |      WHERE a.cn >= 2 AND b.cn >= 2),
+        |l AS (SELECT day, n_a, n_b, theta,
+        |             s2 * (1.0 / n_a + 1.0 / n_b) AS vn
+        |      FROM j),
+        |lam AS (SELECT day, n_a, n_b, theta,
+        |               sqrt(vn / (vn + 0.1))
+        |                 * exp(theta * theta * 0.1 / (2 * vn * (vn + 0.1))) AS lambda
+        |        FROM l),
+        |p AS (SELECT day, n_a, n_b, theta, lambda,
+        |             least(1.0, 1.0 / max(lambda) OVER (ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_av
+        |      FROM lam)
+        |SELECT day, n_a, n_b, round(theta, 6) AS theta,
+        |       round(lambda, 6) AS lambda,
+        |       round(p_av, 6) AS p_always_valid,
+        |       round(p_av, 6) <= 0.05 AS reject_h0
+        |FROM p ORDER BY day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tau2 = lit(0.1)
+      val v = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2).as("variant"),
+          col("value").cast("decimal(18,6)").as("x"))
+      val d = v.groupBy("day", "variant")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,6)").as("s"),
+          sum(col("x") * col("x")).cast("decimal(38,12)").as("ss"))
+      val wc = Window.partitionBy("variant").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = d.select(col("day"), col("variant"),
+        sum("n").over(wc).as("cn"),
+        sum("s").over(wc).cast("decimal(38,6)").as("cs"),
+        sum("ss").over(wc).cast("decimal(38,12)").as("css"))
+      val a = c.where(col("variant") === 0).select(col("day"),
+        col("cn").as("n_a"), col("cs").as("cs_a"), col("css").as("css_a"))
+      val b = c.where(col("variant") === 1).select(col("day").as("day_b"),
+        col("cn").as("n_b"), col("cs").as("cs_b"), col("css").as("css_b"))
+      def dd(c: Column) = c.cast("double")
+      val j = a.join(b, col("day") === col("day_b"))
+        .where(col("n_a") >= 2 && col("n_b") >= 2)
+        .select(col("day"), col("n_a"), col("n_b"),
+          (dd(col("cs_b")) / col("n_b") - dd(col("cs_a")) / col("n_a")).as("theta"),
+          ((dd(col("css_a")) - dd(col("cs_a")) * dd(col("cs_a")) / col("n_a")
+            + dd(col("css_b")) - dd(col("cs_b")) * dd(col("cs_b")) / col("n_b"))
+            / (col("n_a") + col("n_b") - 2)).as("s2"))
+      val l = j.withColumn("vn",
+        col("s2") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      val lam = l.select(col("day"), col("n_a"), col("n_b"), col("theta"),
+        (sqrt(col("vn") / (col("vn") + tau2))
+          * exp(col("theta") * col("theta") * tau2
+            / (lit(2) * col("vn") * (col("vn") + tau2)))).as("lambda"))
+      val wp = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lam.withColumn("p_av", least(lit(1.0), lit(1.0) / max("lambda").over(wp)))
+        .select(col("day"), col("n_a"), col("n_b"),
+          round(col("theta"), 6).as("theta"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("p_av"), 6).as("p_always_valid"),
+          (round(col("p_av"), 6) <= 0.05).as("reject_h0"))
+        .orderBy("day")
+    },
+
     // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
     sql(
       "q_pivot",
@@ -1168,6 +1269,64 @@ object StatsQueries {
           .reduce(_ unionByName _)
           .orderBy("col_a", "col_b")
       }
+    },
+
+    // ---- grouped simple regression (per-segment OLS line) ----
+    // The per-SEGMENT companion to q_corr_matrix/q_ols_multi: slope,
+    // intercept and R² of extendedprice on quantity per returnflag —
+    // the "price per unit by segment" trend a feature-stats job emits
+    // for every (segment, x, y) triple. Same exact-moment design as
+    // the corr matrix (DECIMAL(15,4) × DECIMAL(19,4) products —
+    // precision 34 ≤ 38, order-independent sums), but GROUPED: one
+    // hash-partitioned aggregation to k rows, closed-form line math
+    // on that frame. At 100 TB this is one shuffle of 6 decimals per
+    // group — the grouped moments are also the incremental-update
+    // state (mergeable), so daily maintenance is a partials merge,
+    // not a rescan.
+    sql(
+      "q_ols_by_group",
+      """WITH m AS (SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+        |                  sum(CAST(l_quantity AS DECIMAL(15,4))) AS sx,
+        |                  sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS sy,
+        |                  sum(CAST(l_quantity AS DECIMAL(15,4))
+        |                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+        |                  sum(CAST(l_quantity AS DECIMAL(15,4))
+        |                      * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+        |                  sum(CAST(l_extendedprice AS DECIMAL(15,4))
+        |                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+        |           FROM lineitem GROUP BY 1)
+        |SELECT rf, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE)
+        |           * ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |              / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+        |        / n, 6) AS intercept,
+        |  round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+        |        / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM m ORDER BY rf""".stripMargin) { (s, dir) =>
+      val d15 = (c: Column) => c.cast("decimal(15,4)")
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(d15(x)).as("sx"), sum(d15(y)).as("sy"),
+          sum(d15(x) * d19(y)).as("sxy"),
+          sum(d15(x) * d19(x)).as("sxx"),
+          sum(d15(y) * d19(y)).as("syy"))
+      def dbl(nm: String) = col(nm).cast("double")
+      val sxxN = col("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+      val sxyN = col("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+      val syyN = col("n") * dbl("syy") - dbl("sy") * dbl("sy")
+      val slope = sxyN / sxxN
+      m.select(col("rf"), col("n"),
+          round(slope, 6).as("slope"),
+          round((dbl("sy") - dbl("sx") * slope) / col("n"), 6).as("intercept"),
+          round(pow(sxyN, 2) / (sxxN * syyN), 6).as("r2"))
+        .orderBy("rf")
     },
 
     // ---- weighted quantiles (revenue-weighted order size) ----

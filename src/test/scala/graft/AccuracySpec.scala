@@ -312,4 +312,107 @@ class AccuracySpec extends SparkSpec {
     assert(naiveCrossing > 0,
       "corpus has no cross-split near-dup pairs under per-doc hashing — property check is vacuous")
   }
+
+  test("q_dedup_prefix_filter finds EXACTLY the Jaccard >= 0.5 pairs (prefix filter is lossless)") {
+    import graft.functions.TextFunctions.tokens
+    // Unlike LSH/SNM, prefix filtering carries an exactness proof
+    // (two sets with J >= τ must share a prefix element), so the spec
+    // asserts set EQUALITY against the all-pairs scan, not a recall
+    // floor. Integer predicate 3·ni >= na+nb and the 5-gram shingle
+    // space mirror the query.
+    val sgl = Tables(spark, sf, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+      .where(size(col("words")) >= 5)
+      .select(col("doc_id"), graft.expressions.ShinglesArray(col("words"), 5).as("sgl"))
+    val a = sgl.select(col("doc_id").as("da"), col("sgl").as("sa"))
+    val b = sgl.select(col("doc_id").as("db"), col("sgl").as("sb"))
+    val truth = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("ni"),
+        size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
+      .where(col("ni") * 3 >= col("na") + col("nb"))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val found = SparkEntry.queries("q_dedup_prefix_filter")(spark, sf)
+      .select(col("da").cast("long"), col("db").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "vacuous corpus: no J >= 0.5 pairs to find")
+    assert(found == truth,
+      s"prefix filter not exact: missed ${(truth -- found).take(5)}, extra ${(found -- truth).take(5)}")
+  }
+
+  test("q_winnowing matches a from-scratch reference implementation per doc") {
+    import graft.functions.TextFunctions.tokens
+    // Straight-line Scala winnowing (k=3, w=4, rightmost-min rule)
+    // over a sample of the query's own doc population; the query's
+    // rows for those docs must match EXACTLY — pinning the hash, the
+    // window arithmetic, the tie rule, and the dedupe all at once.
+    def h32ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def winnow(words: Array[String]): Set[(Long, Long)] = {
+      if (words.length < 3) return Set.empty
+      val hs = (0 to words.length - 3)
+        .map(i => h32ref(s"${words(i)} ${words(i + 1)} ${words(i + 2)}")).toArray
+      (3 until hs.length).flatMap { end =>
+        val win = (end - 3) to end
+        val mn = win.map(hs).min
+        val pos = win.filter(p => hs(p) == mn).max
+        Some((pos + 1).toLong -> hs(pos)) // 1-based positions
+      }.toSet
+    }
+    val docs = Tables(spark, sf, "documents")
+      .where(col("doc_id") % 10 === 0 && col("doc_id") < 300)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .as[(Long, Array[String])].collect().toMap
+    assert(docs.nonEmpty)
+    val expected = docs.flatMap { case (id, w) =>
+      winnow(w).map { case (p, h) => (id, p, h) } }.toSet
+    val got = SparkEntry.queries("q_winnowing")(spark, sf)
+      .where(col("doc_id") < 300)
+      .select(col("doc_id").cast("long"), col("pos").cast("long"), col("fp").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"winnowing mismatch: missing ${(expected -- got).take(5)}, extra ${(got -- expected).take(5)}")
+  }
+
+  test("q_bpe_merge rules match a from-scratch BPE trainer on the word dictionary") {
+    import graft.functions.TextFunctions.tokens
+    // Reference trainer: the textbook Sennrich loop over the word-
+    // count dict — count adjacent pairs weighted by word count, take
+    // the (count desc, pair asc) argmax, merge greedily left-to-right
+    // (non-overlapping), three rounds. Pins the relational version's
+    // runs-islands overlap semantics and tie rule exactly.
+    val wordCounts = Tables(spark, sf, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    var dict: Seq[(List[String], Long)] =
+      wordCounts.toSeq.map { case (w, c) => (w.map(_.toString).toList :+ "</w>") -> c }
+    val expected = (1 to 3).map { r =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      dict.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pairCounts(p) = pairCounts.getOrElse(p, 0L) + c)
+      }
+      val (bp, bc) = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      dict = dict.map { case (syms, c) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && (syms(i), syms(i + 1)) == bp) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toList, c)
+      }
+      (r, bp._1, bp._2, bc)
+    }
+    val got = SparkEntry.queries("q_bpe_merge")(spark, sf)
+      .select(col("round").cast("int"), col("s1"), col("s2"), col("c").cast("long"))
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected, s"BPE rules: got $got, expected $expected")
+  }
 }

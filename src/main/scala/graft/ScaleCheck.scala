@@ -142,6 +142,7 @@ object ScaleCheck {
     // the grouped moment regression
     "q_dedup_prefix_filter", "q_winnowing", "q_msprt", "q_ols_by_group",
     "q_bpe_merge", "q_multimodal_ahash_neardup",
+    "q_conformal_interval", "q_blocking_quality",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -65,6 +65,77 @@ object DedupQueries {
       .orderBy("da", "db")
   }
 
+  /** Exact prefix-filter pair core (PPJoin-style, τ = 0.5 over 5-gram
+    * shingles hashed to 60-bit digests): (da, db, ni, na, nb) for
+    * every candidate pair that shares a prefix shingle — the τ
+    * predicate (3·ni ≥ na+nb) is left to the caller so audits can
+    * see the raw intersection counts. Shared by
+    * q_dedup_prefix_filter and the q_blocking_quality audit. */
+  def prefixFilterPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+      .where(size(col("words")) >= 5)
+      .select(col("doc_id"),
+        explode(graft.expressions.ShinglesArray(col("words"), 5)).as("tk0"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tk0")), 1, 15), 16, 10).cast("long").as("tk"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dfq = ex.groupBy("tk").agg(count(lit(1)).as("d"))
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rk = ex.join(dfq, "tk")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("d"), col("tk"))))
+    val pf = rk.join(sz, "doc_id")
+      .where(col("rn") <= floor(col("n") / 2) + 1)
+      .select(col("doc_id"), col("tk"))
+    val cand = pf.select(col("doc_id").as("da"), col("tk"))
+      .join(pf.select(col("doc_id").as("db"), col("tk")), "tk")
+      .where(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val inter = cand
+      .join(ex.select(col("doc_id").as("da"), col("tk")), Seq("da"))
+      .join(ex.select(col("doc_id").as("db"), col("tk")), Seq("db", "tk"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+  }
+
+  /** Oracle twin of [[prefixFilterPairs]]: CTE chain ending in
+    * `<p>pairs(da, db, ni, na, nb)`; every CTE name carries the `p`
+    * prefix so the chain composes with other CTE chains (the
+    * blocking audit stacks it after the minhash band CTEs). */
+  def prefixPairsSqlCte(p: String): String =
+    s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |${p}sh AS (SELECT doc_id,
+       |              list_distinct(list_transform(range(1, greatest(len(words) - 3, 1)),
+       |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+       |                                 words[i+3] || ' ' || words[i+4])) AS sgl
+       |       FROM ${p}w WHERE len(words) >= 5),
+       |-- (continuation lines above keep '||' at LINE END: this chain
+       |-- is embedded into callers' stripMargin strings, and a line
+       |-- starting with '||' would lose one pipe to the outer strip)
+       |${p}ex AS (SELECT doc_id, ('0x' || substr(md5(tk0), 1, 15))::BIGINT AS tk
+       |       FROM (SELECT doc_id, unnest(sgl) AS tk0 FROM ${p}sh)),
+       |${p}df AS (SELECT tk, CAST(count(*) AS BIGINT) AS d FROM ${p}ex GROUP BY tk),
+       |${p}sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ${p}ex GROUP BY doc_id),
+       |${p}rk AS (SELECT e.doc_id, e.tk,
+       |              row_number() OVER (PARTITION BY e.doc_id ORDER BY d.d, e.tk) AS rn
+       |       FROM ${p}ex e JOIN ${p}df d USING (tk)),
+       |${p}pf AS (SELECT r.doc_id, r.tk FROM ${p}rk r JOIN ${p}sz USING (doc_id)
+       |       WHERE rn <= n // 2 + 1),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM ${p}pf a JOIN ${p}pf b ON a.tk = b.tk AND a.doc_id < b.doc_id),
+       |${p}inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
+       |          FROM ${p}cand c JOIN ${p}ex x ON x.doc_id = c.da
+       |                      JOIN ${p}ex y ON y.doc_id = c.db AND y.tk = x.tk
+       |          GROUP BY 1, 2),
+       |${p}pairs AS (SELECT i.da, i.db, i.ni, sa.n AS na, sb.n AS nb
+       |          FROM ${p}inter i JOIN ${p}sz sa ON sa.doc_id = i.da
+       |                           JOIN ${p}sz sb ON sb.doc_id = i.db)""".stripMargin
+
   /** Oracle twin of [[bandedHammingPairs]]: the CTE tail + final
     * SELECT, appended after a CTE `src`(doc_id, h0, h1). */
   private def bandedHammingSql(src: String): String =
@@ -433,76 +504,77 @@ object DedupQueries {
     // df, sizes, the rank pass, and both intersection sides.
     sql(
       "q_dedup_prefix_filter",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT doc_id,
-        |              list_distinct(list_transform(range(1, greatest(len(words) - 3, 1)),
-        |                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-        |                                 || ' ' || words[i+3] || ' ' || words[i+4])) AS sgl
-        |       FROM w WHERE len(words) >= 5),
-        |ex AS (SELECT doc_id, ('0x' || substr(md5(tk0), 1, 15))::BIGINT AS tk
-        |       FROM (SELECT doc_id, unnest(sgl) AS tk0 FROM sh)),
-        |df AS (SELECT tk, CAST(count(*) AS BIGINT) AS d FROM ex GROUP BY tk),
-        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
-        |rk AS (SELECT ex.doc_id, ex.tk,
-        |              row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.d, ex.tk) AS rn
-        |       FROM ex JOIN df USING (tk)),
-        |pf AS (SELECT rk.doc_id, rk.tk FROM rk JOIN sz USING (doc_id)
-        |       WHERE rn <= n // 2 + 1),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |         FROM pf a JOIN pf b ON a.tk = b.tk AND a.doc_id < b.doc_id),
-        |inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
-        |          FROM cand c JOIN ex x ON x.doc_id = c.da
-        |                      JOIN ex y ON y.doc_id = c.db AND y.tk = x.tk
-        |          GROUP BY 1, 2)
+      s"""WITH ${prefixPairsSqlCte("")}
         |SELECT da, db, ni,
-        |       round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jaccard
-        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |WHERE 3 * ni >= sa.n + sb.n
+        |       round(CAST(ni AS DOUBLE) / (na + nb - ni), 4) AS jaccard
+        |FROM pairs
+        |WHERE 3 * ni >= na + nb
         |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      // shingles collapse to a portable 60-bit md5-prefix digest
-      // BEFORE any shuffle — df/rank/join machinery then moves 8-byte
-      // longs instead of ~60-byte shingle strings (the exact-dedup
-      // "shuffle never carries text" convention; the string version
-      // measured 16× at the 100× decade purely from spilling text
-      // through three shuffles — candidates were already linear).
-      // 60 bits, not 64: '0x…'::BIGINT must not overflow the signed
-      // oracle cast. Collision odds at 26M distinct shingles are
-      // ~3e-4 per corpus — and both engines hash identically, so
-      // parity holds regardless.
-      val ex = t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("words"))
-        .where(size(col("words")) >= 5)
-        .select(col("doc_id"),
-          explode(graft.expressions.ShinglesArray(col("words"), 5)).as("tk0"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("tk0")), 1, 15), 16, 10).cast("long").as("tk"))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val dfq = ex.groupBy("tk").agg(count(lit(1)).as("d"))
-      val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val rk = ex.join(dfq, "tk")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("d"), col("tk"))))
-      val pf = rk.join(sz, "doc_id")
-        .where(col("rn") <= floor(col("n") / 2) + 1)
-        .select(col("doc_id"), col("tk"))
-      val cand = pf.select(col("doc_id").as("da"), col("tk"))
-        .join(pf.select(col("doc_id").as("db"), col("tk")), "tk")
-        .where(col("da") < col("db"))
-        .select("da", "db").distinct()
-      val inter = cand
-        .join(ex.select(col("doc_id").as("da"), col("tk")), Seq("da"))
-        .join(ex.select(col("doc_id").as("db"), col("tk")), Seq("db", "tk"))
-        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-      inter
-        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      prefixFilterPairs(s, dir)
         .where(col("ni") * 3 >= col("na") + col("nb"))
         .select(col("da"), col("db"), col("ni"),
           round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 4)
             .as("jaccard"))
         .orderBy("da", "db")
+    },
+
+    // ---- blocking-scheme quality audit (record-linkage reduction
+    //      ratio + pair completeness — Christen's blocking metrics) ----
+    // Before a dedup run trusts its LSH banding, this is the table
+    // that says whether the BLOCKING (not the verifier — that is
+    // q_lsh_pr_curve's precision side) is any good: of all strong
+    // near-dup pairs an EXACT lossless method finds (the 5-gram τ=0.5
+    // prefix-filter set — computable at scale, unlike all-pairs
+    // truth), what fraction does the minhash band candidate set
+    // contain (pair completeness), and what fraction of the n·(n−1)/2
+    // comparison space did banding eliminate (reduction ratio)?
+    // Everything is exact integer counts riding 1-row broadcast
+    // aggregates; the heavy inputs are the two already-scale-proven
+    // pair cores, reused verbatim.
+    sql(
+      "q_blocking_quality",
+      s"""WITH ${MinhashPipeline.bandsSqlCte},
+         |bcand AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+         |         FROM bands a JOIN bands c ON a.sig = c.sig AND a.b = c.b
+         |                                  AND a.doc_id < c.doc_id),
+         |${prefixPairsSqlCte("t")},
+         |truth AS (SELECT da, db FROM tpairs WHERE 3 * ni >= na + nb),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM mh),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM bcand),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+         |       FROM truth JOIN bcand USING (da, db))
+         |SELECT n_docs, n_docs * (n_docs - 1) / 2 AS n_pairs_possible,
+         |       n_candidates, n_truth, n_caught,
+         |       round(CAST(n_caught AS DOUBLE) / n_truth, 4) AS completeness,
+         |       round(1.0 - CAST(n_candidates AS DOUBLE)
+         |             / (n_docs * (n_docs - 1) / 2), 6) AS reduction_ratio
+         |FROM nd, nc, nt, ng""".stripMargin) { (s, dir) =>
+      val bands = MinhashPipeline.bandSignatures(s, dir)
+      val a = bands.select(col("doc_id").as("da"), col("b").as("ba"), col("sig").as("siga"))
+      val c = bands.select(col("doc_id").as("db"), col("b").as("bb"), col("sig").as("sigb"))
+      val bcand = a.join(c, a("siga") === c("sigb") && a("ba") === c("bb")
+          && a("da") < c("db"))
+        .select("da", "db").distinct()
+        .cache() // feeds its own count AND the completeness semi-join
+      val truth = prefixFilterPairs(s, dir)
+        .where(col("ni") * 3 >= col("na") + col("nb"))
+        .select("da", "db")
+        .cache() // same: counted once, semi-joined once
+      val nd = MinhashPipeline.signatures(s, dir)
+        .agg(count(lit(1)).as("n_docs"))
+      val nc = bcand.agg(count(lit(1)).as("n_candidates"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val ng = truth.join(bcand, Seq("da", "db"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      val possible = col("n_docs") * (col("n_docs") - 1) / 2
+      nd.crossJoin(broadcast(nc)).crossJoin(broadcast(nt)).crossJoin(broadcast(ng))
+        .select(col("n_docs"), possible.as("n_pairs_possible"),
+          col("n_candidates"), col("n_truth"), col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_truth"), 4)
+            .as("completeness"),
+          round(lit(1.0) - col("n_candidates").cast("double") / possible, 6)
+            .as("reduction_ratio"))
     },
 
     // ---- SimHash (64-bit as two portable 32-bit halves), FULL-corpus

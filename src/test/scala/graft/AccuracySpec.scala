@@ -415,4 +415,20 @@ class AccuracySpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(got == expected, s"BPE rules: got $got, expected $expected")
   }
+
+  test("q_conformal_interval holds the finite-sample coverage guarantee per type") {
+    // Split conformal guarantees E[coverage] >= 1 - alpha (= 0.9)
+    // marginally; the oracle pins the exact VALUES, this pins the
+    // SEMANTICS — a wrong rank formula (off-by-one, floor-vs-ceil)
+    // shifts empirical coverage visibly outside the sampling band
+    // around 0.9 while still hash-matching a same-wrong oracle.
+    val rows = SparkEntry.queries("q_conformal_interval")(spark, sf)
+      .select(col("event_type"), col("coverage"), col("n_test"))
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, cov, n) =>
+      assert(cov >= 0.85 && cov <= 0.97,
+        s"$t: empirical coverage $cov (n_test=$n) outside the 0.9 guarantee band")
+    }
+  }
 }

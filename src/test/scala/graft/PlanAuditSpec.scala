@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_pareto_8020",       // 1-row broadcast n/total scalars on the user frame
     "q_stump_split",       // 1-row broadcast totals/min-gini on the 20-bin frame
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
+    "q_blocking_quality",  // four 1-row broadcast count scalars crossJoined
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -142,7 +142,11 @@ object ScaleCheck {
     // the grouped moment regression
     "q_dedup_prefix_filter", "q_winnowing", "q_msprt", "q_ols_by_group",
     "q_bpe_merge", "q_multimodal_ahash_neardup",
-    "q_conformal_interval", "q_blocking_quality",
+    "q_conformal_interval", "q_blocking_quality", "q_bpe_apply",
+    // r8 fourth batch: the corpus-pass Lloyd rounds (broadcast-literal
+    // centroids, map-side-combined recompute) and the KN-smoothed LM
+    // (LM-sized assembly, one corpus-sized scoring join)
+    "q_kmeans_lloyd", "q_kneser_ney",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -717,6 +717,107 @@ object SimilarityQueries {
           round(col("lam"), 4).as("top_eigen"))
         .orderBy(desc("loading2"), col("dim"))
         .limit(8)
+    },
+
+    // ---- distributed Lloyd k-means (full-corpus, 2 rounds) ----
+    // The cluster-scale complement to PqIndex's driver-side Lloyd
+    // (which fits on a bounded SAMPLE): here every round touches the
+    // whole corpus, exactly the MLlib KMeans execution shape — the k
+    // centroids are collected to the driver (k×d doubles, trivially
+    // broadcastable) and re-enter the plan as LITERAL arrays, so
+    // assignment is a pure codegen'd projection (k sequential-fold
+    // dot products per row, argmin via array_min over (dist, id)
+    // structs — NO join, NO shuffle); the recompute is one groupBy of
+    // the corpus×d exploded cells that map-side combines into ≤ k×d
+    // partial cells, so the shuffle is partitions×k×d rows regardless
+    // of corpus size. Cross-engine parity pins every float op: seeds
+    // are the k smallest md5(vec_id) rows (TakeOrdered, no global
+    // window), distances compose |v|²−2·v·c+|c|² from three
+    // list_dot_product-parity folds rounded to 6, centroid means and
+    // the inertia accumulate as DECIMAL (order-free), and ties break
+    // on cluster id. An empty cluster simply drops out of the next
+    // round on both engines.
+    {
+      val K = 8
+      def roundSql(r: Int): String = {
+        val p = r - 1
+        s"""d$r AS (SELECT e.vec_id, e.v, c.cluster,
+           |          round(list_dot_product(e.v, e.v)
+           |                - 2e0 * list_dot_product(e.v, c.c)
+           |                + list_dot_product(c.c, c.c), 6) AS dist
+           |        FROM e CROSS JOIN c$p c),
+           |a$r AS (SELECT vec_id, v, cluster, dist FROM
+           |          (SELECT *, row_number() OVER
+           |             (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |           FROM d$r) WHERE rn = 1),
+           |x$r AS (SELECT cluster, i,
+           |          CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE)
+           |            / count(*) AS cx
+           |        FROM a$r, unnest(generate_series(1, len(v))) AS t(i)
+           |        GROUP BY 1, 2),
+           |c$r AS (SELECT cluster, list(cx ORDER BY i) AS c FROM x$r GROUP BY 1)"""
+          .stripMargin
+      }
+      sql(
+        "q_kmeans_lloyd",
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |c0 AS (SELECT cluster, c FROM
+           |         (SELECT row_number() OVER
+           |            (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+           |            v AS c FROM e) WHERE cluster < $K),
+           |${Seq(1, 2).map(roundSql).mkString(",\n")},
+           |d3 AS (SELECT e.vec_id, e.v, c.cluster,
+           |          round(list_dot_product(e.v, e.v)
+           |                - 2e0 * list_dot_product(e.v, c.c)
+           |                + list_dot_product(c.c, c.c), 6) AS dist
+           |       FROM e CROSS JOIN c2 c),
+           |a3 AS (SELECT vec_id, cluster, dist FROM
+           |         (SELECT *, row_number() OVER
+           |            (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |          FROM d3) WHERE rn = 1)
+           |SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+           |       CAST(sum(vec_id) AS BIGINT) AS vec_id_sum,
+           |       round(CAST(sum(CAST(dist AS DECIMAL(38,12))) AS DOUBLE), 4) AS inertia
+           |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .cache() // seed scan + one full pass per round
+        def assign(cents: Array[(Int, Seq[Double])]) = {
+          val ds = cents.sortBy(_._1).map { case (j, c) =>
+            val lc = typedLit(c)
+            struct(
+              round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), lc)
+                + dot(lc, lc), 6).as("d"),
+              lit(j).as("j"))
+          }
+          e.withColumn("best", array_min(array(ds.toIndexedSeq: _*)))
+            .select(col("vec_id"), col("v"),
+              col("best.j").as("cluster"), col("best.d").as("dist"))
+        }
+        def recompute(a: org.apache.spark.sql.DataFrame): Array[(Int, Seq[Double])] = a
+          .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
+          .groupBy(col("cluster"), (col("p") + 1).as("i"))
+          .agg(sum(col("x").cast("decimal(38,18)")).as("sx"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("i"),
+            (col("sx").cast("double") / col("n")).as("cx"))
+          .groupBy("cluster")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+            x => x.getField("cx")).as("c"))
+          .collect()
+          .map(r => (r.getAs[Int]("cluster"), r.getSeq[Double](1)))
+        val seeds = e.withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy("h", "vec_id").limit(K)
+          .select(col("v")).collect() // TakeOrdered: k rows, sorted
+        var cents = seeds.zipWithIndex.map { case (r, j) => (j, r.getSeq[Double](0)) }
+        for (_ <- 1 to 2) cents = recompute(assign(cents))
+        assign(cents)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum("vec_id").as("vec_id_sum"),
+            round(sum(col("dist").cast("decimal(38,12)")).cast("double"), 4)
+              .as("inertia"))
+          .orderBy("cluster")
+      }
     }
   )
 }

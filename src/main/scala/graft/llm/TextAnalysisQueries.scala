@@ -19,6 +19,111 @@ object TextAnalysisQueries {
 
 
 
+  /** One BPE merge round as DuckDB CTEs (consumes s{r-1}, defines
+    * p/pc/b/mt/kp/s for round r) — shared by the trainer and apply
+    * oracles. */
+  private def bpeRoundSql(r: Int): String = {
+        val p = r - 1
+        s"""p$r AS (SELECT word, cnt, pos, sym,
+           |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |         FROM s$p),
+           |pc$r AS (SELECT sym AS s1, nxt AS s2, CAST(sum(cnt) AS BIGINT) AS c
+           |          FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |b$r AS (SELECT s1, s2, c FROM pc$r ORDER BY c DESC, s1, s2 LIMIT 1),
+           |mt$r AS (SELECT p.word, p.pos,
+           |            row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+           |          FROM p$r p, b$r b WHERE p.sym = b.s1 AND p.nxt = b.s2),
+           |kp$r AS (SELECT word, pos FROM
+           |           (SELECT word, pos,
+           |              row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS ri
+           |            FROM mt$r)
+           |          WHERE ri % 2 = 1),
+           |s$r AS (SELECT word, cnt,
+           |           CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+           |           sym FROM (
+           |             SELECT p.word, p.cnt, p.pos,
+           |               CASE WHEN k.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+           |             FROM p$r p
+           |             LEFT JOIN kp$r k ON k.word = p.word AND k.pos = p.pos
+           |             LEFT JOIN kp$r d ON d.word = p.word AND d.pos = p.pos - 1
+           |             WHERE d.pos IS NULL))""".stripMargin
+  }
+
+  /** BPE base CTEs (word dict + char symbol table s0); raw-margin
+    * text for interpolation into a caller's stripMargin string. */
+  private val bpeBaseSql: String =
+    s"""wd AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
+           |        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |        WHERE word <> '' GROUP BY 1),
+           |s0 AS (SELECT word, cnt, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
+           |       FROM wd, unnest(range(1, len(word) + 1)) AS t(i)
+           |       UNION ALL SELECT word, cnt, len(word) + 1, '</w>' FROM wd)"""
+
+  /** Shared BPE trainer (3 rounds on the word-count dictionary):
+    * (per-round 1-row merge-rule frames, LAZY final symbol table) —
+    * the final table is not materialized here; q_bpe_merge never
+    * executes it, q_bpe_apply does. */
+  def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
+    var lastMerged: org.apache.spark.sql.DataFrame = null
+        import org.apache.spark.sql.expressions.Window
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // empty tokens (split artifacts of doubled spaces) are
+    // excluded on BOTH sides: Spark's sequence(1, 0) would emit a
+    // DESCENDING [1, 0] position array for the empty word while
+    // the oracle's range(1, 1) emits nothing — a latent engine
+    // divergence plus duplicate positions under the per-word
+    // windows (review find, r8)
+    val wd = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val s0 = wd
+      .select(col("word"), col("cnt"),
+        posexplode(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))))
+      .select(col("word"), col("cnt"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+      .unionByName(wd.select(col("word"), col("cnt"),
+        (length(col("word")) + 1).cast("long").as("pos"), lit("</w>").as("sym")))
+    val worder = Window.partitionBy("word").orderBy("pos")
+    var seq0 = s0.localCheckpoint(true, ser)
+    val rules = (1 to 3).map { r =>
+      val p = seq0.withColumn("nxt", lead("sym", 1).over(worder))
+        .localCheckpoint(true, ser) // feeds counts, match, rebuild
+      val pc = p.where(col("nxt").isNotNull)
+        .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+        .agg(sum("cnt").cast("long").as("c"))
+      val b = pc.orderBy(desc("c"), col("s1"), col("s2")).limit(1)
+        .localCheckpoint() // 1 row, consumed by the rule AND the match join
+      val mt = p.join(broadcast(b),
+          col("sym") === col("s1") && col("nxt") === col("s2"))
+        .select(col("word"), col("pos"))
+        .withColumn("rn", row_number().over(worder))
+      val kp = mt.withColumn("ri", row_number().over(
+          Window.partitionBy(col("word"), col("pos") - col("rn")).orderBy("pos")))
+        .where(col("ri") % 2 === 1).select(col("word"), col("pos"))
+      val merged = p
+        .join(kp.withColumn("k", lit(1)), Seq("word", "pos"), "left")
+        .join(kp.select(col("word"), (col("pos") + 1).as("pos"), lit(1).as("d")),
+          Seq("word", "pos"), "left")
+        .where(col("d").isNull)
+        .select(col("word"), col("cnt"), col("pos"),
+          when(col("k").isNotNull, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+      val rebuilt = merged
+        .withColumn("pos2", row_number().over(worder).cast("long"))
+        .select(col("word"), col("cnt"), col("pos2").as("pos"), col("sym"))
+      // intermediate rounds checkpoint (they feed the next round's
+      // windows); the LAST round stays lazy — q_bpe_merge never runs
+      // it, q_bpe_apply does (review find, r8)
+      if (r < 3) seq0 = rebuilt.localCheckpoint(true, ser)
+      else lastMerged = rebuilt
+      b.select(lit(r).as("round"), col("s1"), col("s2"), col("c"))
+    }
+    (rules, lastMerged)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting: whitespace + regex (BPE-ish subword bound) ----
@@ -268,6 +373,79 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // ---- interpolated Kneser–Ney bigram scoring (KenLM-style) ----
+    // The production corpus-quality scorer (CCNet filters on a KenLM
+    // n-gram model) uses Kneser–Ney smoothing, not add-k: absolute
+    // discount D on the bigram count plus the backed-off CONTINUATION
+    // probability (how many distinct contexts a word follows — "San
+    // Francisco" makes "Francisco" frequent but poorly-continuing).
+    // Same plan shape as q_perplexity_bigram: the three smoothing
+    // statistics (context tokens c1, distinct continuations fw,
+    // distinct preceding contexts bw) are all one-pass aggregates of
+    // the DISTINCT-bigram table, so the LM assembly is LM-sized; the
+    // corpus-sized bigram stream pays exactly one shuffle join against
+    // the assembled LM. Per-doc bits accumulate as DECIMAL(38,12) —
+    // order-free exact addition, no float merge-order exposure (the
+    // stricter convention vs q_perplexity_bigram's avg; at 1000
+    // executors the combiner tree order is nondeterministic). Double
+    // literals are pinned `e0` in the oracle so DuckDB doesn't
+    // silently run the probability in DECIMAL arithmetic.
+    sql(
+      "q_kneser_ney",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, words[g] AS w1, words[g + 1] AS w2
+        |       FROM w, unnest(range(1, len(words))) AS t(g)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |               CAST(count(*) AS BIGINT) AS fw FROM bi GROUP BY 1),
+        |bwt AS (SELECT w2, CAST(count(*) AS BIGINT) AS bw FROM bi GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bi),
+        |lm AS (SELECT w1, w2,
+        |         -log2((c2 - 0.75e0) / c1 + 0.75e0 * fw / c1 * (bw / CAST(t AS DOUBLE))) AS bits
+        |       FROM bi JOIN uni USING (w1) JOIN bwt USING (w2) CROSS JOIN tt)
+        |SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |       round(CAST(sum(CAST(bits AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS kn_bits_per_token,
+        |       round(pow(2, CAST(sum(CAST(bits AS DECIMAL(38,12))) AS DOUBLE) / count(*)), 4) AS kn_ppl
+        |FROM bg JOIN lm USING (w1, w2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val words = col("words")
+      // bg feeds the LM build and the scoring probe (perplexity
+      // convention: materialize the corpus-sized tokenize once)
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .where(size(words) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(words, lit(1), size(words) - 1),
+            slice(words, lit(2), size(words) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .cache()
+      val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint() // feeds uni, bwt, tt and the LM assembly
+      val uni = bi.groupBy("w1")
+        .agg(sum("c2").cast("long").as("c1"), count(lit(1)).as("fw"))
+      val bwt = bi.groupBy("w2").agg(count(lit(1)).as("bw"))
+      val tt = bi.agg(count(lit(1)).as("t"))
+      // expression composition pinned to the oracle's exact double ops:
+      // (c2-D)/c1 + D*fw/c1 * (bw/t), left-associated
+      val lm = bi.join(uni, Seq("w1")).join(bwt, Seq("w2"))
+        .crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"),
+          (-log2((col("c2") - lit(0.75)) / col("c1")
+            + lit(0.75) * col("fw") / col("c1")
+              * (col("bw") / col("t").cast("double")))).as("bits"))
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          sum(col("bits").cast("decimal(38,12)")).as("sb"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sb").cast("double") / col("n"), 4).as("kn_bits_per_token"),
+          round(pow(lit(2.0), col("sb").cast("double") / col("n")), 4).as("kn_ppl"))
+        .orderBy("doc_id")
+    },
+
     // ---- Unicode NFC normalization: native expression vs DuckDB ----
     // Composed vs decomposed strings (é vs e+U+0301) must dedup/join
     // identically, so normalization runs before any fingerprint. Spark
@@ -402,102 +580,54 @@ object TextAnalysisQueries {
     // Output = the 3 learned merge rules with their counts; a wrong
     // merge anywhere cascades into every later round, so 3 rows pin
     // the full pipeline.
-    {
-      def roundSql(r: Int): String = {
-        val p = r - 1
-        s"""p$r AS (SELECT word, cnt, pos, sym,
-           |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-           |         FROM s$p),
-           |pc$r AS (SELECT sym AS s1, nxt AS s2, CAST(sum(cnt) AS BIGINT) AS c
-           |          FROM p$r WHERE nxt IS NOT NULL GROUP BY 1, 2),
-           |b$r AS (SELECT s1, s2, c FROM pc$r ORDER BY c DESC, s1, s2 LIMIT 1),
-           |mt$r AS (SELECT p.word, p.pos,
-           |            row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
-           |          FROM p$r p, b$r b WHERE p.sym = b.s1 AND p.nxt = b.s2),
-           |kp$r AS (SELECT word, pos FROM
-           |           (SELECT word, pos,
-           |              row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS ri
-           |            FROM mt$r)
-           |          WHERE ri % 2 = 1),
-           |s$r AS (SELECT word, cnt,
-           |           CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
-           |           sym FROM (
-           |             SELECT p.word, p.cnt, p.pos,
-           |               CASE WHEN k.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
-           |             FROM p$r p
-           |             LEFT JOIN kp$r k ON k.word = p.word AND k.pos = p.pos
-           |             LEFT JOIN kp$r d ON d.word = p.word AND d.pos = p.pos - 1
-           |             WHERE d.pos IS NULL))""".stripMargin
-      }
-      sql(
-        "q_bpe_merge",
-        s"""WITH wd AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
-           |        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           |        WHERE word <> '' GROUP BY 1),
-           |s0 AS (SELECT word, cnt, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
-           |       FROM wd, unnest(range(1, len(word) + 1)) AS t(i)
-           |       UNION ALL SELECT word, cnt, len(word) + 1, '</w>' FROM wd),
-           |${Seq(1, 2, 3).map(roundSql).mkString(",\n")}
-           |SELECT * FROM (
-           |SELECT 1 AS round, s1, s2, c FROM b1
-           |UNION ALL SELECT 2, s1, s2, c FROM b2
-           |UNION ALL SELECT 3, s1, s2, c FROM b3) ORDER BY round""".stripMargin) { (s, dir) =>
-        import org.apache.spark.sql.expressions.Window
-        val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-        // empty tokens (split artifacts of doubled spaces) are
-        // excluded on BOTH sides: Spark's sequence(1, 0) would emit a
-        // DESCENDING [1, 0] position array for the empty word while
-        // the oracle's range(1, 1) emits nothing — a latent engine
-        // divergence plus duplicate positions under the per-word
-        // windows (review find, r8)
-        val wd = t(s, dir, "documents")
-          .select(explode(tokens(col("text"))).as("word"))
-          .where(col("word") =!= "")
-          .groupBy("word").agg(count(lit(1)).as("cnt"))
-        val s0 = wd
-          .select(col("word"), col("cnt"),
-            posexplode(transform(sequence(lit(1), length(col("word"))),
-              i => col("word").substr(i, lit(1)))))
-          .select(col("word"), col("cnt"),
-            (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
-          .unionByName(wd.select(col("word"), col("cnt"),
-            (length(col("word")) + 1).cast("long").as("pos"), lit("</w>").as("sym")))
-        val worder = Window.partitionBy("word").orderBy("pos")
-        var seq0 = s0.localCheckpoint(true, ser)
-        val rules = (1 to 3).map { r =>
-          val p = seq0.withColumn("nxt", lead("sym", 1).over(worder))
-            .localCheckpoint(true, ser) // feeds counts, match, rebuild
-          val pc = p.where(col("nxt").isNotNull)
-            .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
-            .agg(sum("cnt").cast("long").as("c"))
-          val b = pc.orderBy(desc("c"), col("s1"), col("s2")).limit(1)
-            .localCheckpoint() // 1 row, consumed by the rule AND the match join
-          val mt = p.join(broadcast(b),
-              col("sym") === col("s1") && col("nxt") === col("s2"))
-            .select(col("word"), col("pos"))
-            .withColumn("rn", row_number().over(worder))
-          val kp = mt.withColumn("ri", row_number().over(
-              Window.partitionBy(col("word"), col("pos") - col("rn")).orderBy("pos")))
-            .where(col("ri") % 2 === 1).select(col("word"), col("pos"))
-          val merged = p
-            .join(kp.withColumn("k", lit(1)), Seq("word", "pos"), "left")
-            .join(kp.select(col("word"), (col("pos") + 1).as("pos"), lit(1).as("d")),
-              Seq("word", "pos"), "left")
-            .where(col("d").isNull)
-            .select(col("word"), col("cnt"), col("pos"),
-              when(col("k").isNotNull, concat(col("sym"), col("nxt")))
-                .otherwise(col("sym")).as("sym"))
-          // the last round's rebuilt table has no consumer — skip its
-          // eager materialization (the oracle's unused s3 CTE is free
-          // because SQL is lazy; review find, r8)
-          if (r < 3) seq0 = merged
-            .withColumn("pos2", row_number().over(worder).cast("long"))
-            .select(col("word"), col("cnt"), col("pos2").as("pos"), col("sym"))
-            .localCheckpoint(true, ser)
-          b.select(lit(r).as("round"), col("s1"), col("s2"), col("c"))
-        }
-        rules.reduce(_ unionByName _).orderBy("round")
-      }
+    sql(
+      "q_bpe_merge",
+      s"""WITH $bpeBaseSql,
+         |${Seq(1, 2, 3).map(bpeRoundSql).mkString(",\n")}
+         |SELECT * FROM (
+         |SELECT 1 AS round, s1, s2, c FROM b1
+         |UNION ALL SELECT 2, s1, s2, c FROM b2
+         |UNION ALL SELECT 3, s1, s2, c FROM b3) ORDER BY round""".stripMargin) { (s, dir) =>
+      bpeTrain(s, dir)._1.reduce(_ unionByName _).orderBy("round")
+    },
+
+    // ---- BPE apply (encode with the learned merges) ----
+    // The trainer's other half: score the corpus with the 3 learned
+    // rules. KEY INSIGHT that makes this scale: applying word-level
+    // BPE to a corpus never touches the corpus text — the final
+    // symbol table already says how many tokens each DICTIONARY word
+    // encodes to, so apply = one corpus tokenize + an equi-join to
+    // the (vocabulary-sized, broadcastable) per-word token counts.
+    // Output is the per-doc token accounting a packing/budget stage
+    // consumes (n_bpe_tokens counts the </w> marker per word, the
+    // standard convention). 10% doc sample bounds output rows only.
+    sql(
+      "q_bpe_apply",
+      s"""WITH $bpeBaseSql,
+         |${Seq(1, 2, 3).map(bpeRoundSql).mkString(",\n")},
+         |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s3 GROUP BY 1),
+         |dx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(sum(n_sym) AS DOUBLE) / count(*), 4) AS tokens_per_word
+         |FROM dx JOIN wt USING (word)
+         |WHERE word <> ''
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val wt = bpeTrain(s, dir)._2
+        .groupBy("word").agg(count(lit(1)).as("n_sym"))
+      t(s, dir, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .where(col("word") =!= "")
+        .join(wt, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_sym").cast("long").as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
+            .as("tokens_per_word"))
+        .orderBy("doc_id")
     },
 
     // ---- word co-occurrence PMI (collocation mining / embedding

@@ -431,4 +431,81 @@ class AccuracySpec extends SparkSpec {
         s"$t: empirical coverage $cov (n_test=$n) outside the 0.9 guarantee band")
     }
   }
+
+  test("q_kmeans_lloyd improves on the seed assignment (Lloyd monotonicity)") {
+    // Lloyd's invariant: each assign+recompute round can only lower
+    // total within-cluster squared distance. The oracle pins exact
+    // values; this pins the SEMANTICS against a from-scratch driver
+    // recomputation of the SEED-assignment inertia — a bug that
+    // scrambled the recompute or argmin (while hash-matching a
+    // same-wrong oracle) would not beat the k seed embeddings as
+    // centroids.
+    import graft.functions.VectorFunctions.asDouble
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val seeds = vecs
+      .sortBy { case (id, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+      .take(8).map(_._2)
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val seedInertia = vecs.map { case (_, v) => seeds.map(sq(v, _)).min }.sum
+    val out = SparkEntry.queries("q_kmeans_lloyd")(spark, sf)
+      .select(col("n_vecs"), col("inertia")).as[(Long, Double)].collect()
+    assert(out.map(_._1).sum === vecs.length.toLong,
+      "every vector must land in exactly one cluster")
+    val finalInertia = out.map(_._2).sum
+    assert(finalInertia <= seedInertia + 1e-6,
+      s"2 Lloyd rounds ($finalInertia) must not exceed seed-assignment inertia ($seedInertia)")
+  }
+
+  test("q_kneser_ney bits match a from-scratch scorer and probabilities are proper") {
+    // Independent driver-side recomputation of the interpolated KN
+    // model from the raw text (plain Scala maps, no shared DataFrame
+    // code), plus the distribution identity that pins the smoothing
+    // algebra: for every context w1, summing P(w2|w1) over the FULL
+    // vocabulary of continuations gives exactly 1 — discount mass
+    // D*fw/c1 exactly re-enters through the continuation distribution
+    // (sum over w2 of N1+(.,w2) = |distinct bigrams| = T). A swapped
+    // statistic (fw/bw), a wrong denominator, or a dropped max() all
+    // break one of the two checks.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val bigrams = docs.flatMap { case (d, txt) =>
+      val w = txt.split(" ", -1)
+      w.sliding(2).collect { case Array(a, b) => (d, a, b) }
+    }
+    val c2 = bigrams.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val fw = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val bw = c2.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val T = c2.size.toDouble
+    val D = 0.75
+    def p(w1: String, w2: String): Double =
+      (c2((w1, w2)) - D) / c1(w1) + D * fw(w1) / c1(w1) * (bw(w2) / T)
+    // distribution identity over the full continuation vocabulary
+    val vocabW2 = bw.keys.toSeq
+    c1.keys.take(50).foreach { w1 =>
+      val full = vocabW2.map { w2 =>
+        c2.get((w1, w2)).map(c => (c - D) / c1(w1)).getOrElse(0.0) +
+          D * fw(w1) / c1(w1) * (bw(w2) / T)
+      }.sum
+      assert(math.abs(full - 1.0) < 1e-9, s"sum_w2 P(w2|'$w1') = $full, expected 1")
+    }
+    // per-doc bits vs the registered query
+    val expected = bigrams.groupBy(_._1).map { case (d, bs) =>
+      d -> bs.map { case (_, a, b) => -math.log(p(a, b)) / math.log(2.0) }
+    }
+    val got = SparkEntry.queries("q_kneser_ney")(spark, sf)
+      .select(col("doc_id"), col("kn_bits_per_token")).as[(Long, Double)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (d, bits) =>
+      val ref = expected(d).sum / expected(d).length
+      assert(math.abs(bits - ref) < 1e-4, s"doc $d: engine $bits vs reference $ref")
+    }
+  }
 }

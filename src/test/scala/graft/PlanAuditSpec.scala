@@ -85,6 +85,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_stump_split",       // 1-row broadcast totals/min-gini on the 20-bin frame
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_blocking_quality",  // four 1-row broadcast count scalars crossJoined
+    "q_kneser_ney",        // 1-row broadcast bigram-type total riding the LM build
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

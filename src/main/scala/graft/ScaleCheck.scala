@@ -147,6 +147,17 @@ object ScaleCheck {
     // centroids, map-side-combined recompute) and the KN-smoothed LM
     // (LM-sized assembly, one corpus-sized scoring join)
     "q_kmeans_lloyd", "q_kneser_ney",
+    // r8 fifth batch: the Pregel-as-joins community rounds on the
+    // basket-pair core, the per-step corpus gradient aggregations,
+    // and the leave-fold-out scoring join
+    "q_label_propagation", "q_logistic_train", "q_crossval_rmse",
+    // r8 sixth batch: the entropy feature screen, the wedge-bounded
+    // Adamic–Adar join, the per-user lag exchange feeding the
+    // states²-sized power iteration, the (class × token) NB train +
+    // corpus scoring join, the two-window rank↔reference alignment,
+    // and the RAKE phrase-islands explode
+    "q_info_gain", "q_link_prediction", "q_markov_stationary",
+    "q_naive_bayes", "q_quantile_normalize", "q_rake_keyphrases",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

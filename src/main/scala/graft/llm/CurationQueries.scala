@@ -3,6 +3,7 @@ package graft.llm
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators beyond scoring (SURVEY.md §2.2 north-star
@@ -641,6 +642,227 @@ object CurationQueries {
           round(score, 6).as("score"),
           (score >= 0.5).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- logistic quality classifier (distributed model TRAIN) ----
+    // The training half of q_quality_logistic's apply: full-batch
+    // gradient descent on σ(w·x) for a lang='en' target from the same
+    // parity-proven features (distinct-token ratio, chars/token), 3
+    // unrolled steps from w=0, η=0.1 (0.5 overshoots on the unscaled
+    // chars/token feature — loss RISES step 2; the monotone-descent
+    // spec caught it; 0.1 descends monotonically at every SF). The scale shape is the one
+    // every distributed GLM trainer (MLlib LBFGS/SGD included) uses:
+    // per-step cost is ONE corpus aggregation of per-row gradient
+    // terms that map-side combines to a single row, and the weights
+    // re-enter the next step as a 1-row broadcast riding the plan —
+    // no driver round-trip in-plan, no per-row state. Gradient and
+    // loss sums accumulate as DECIMAL(38,18) (order-free: a combiner
+    // tree on 1000 executors sums in nondeterministic order, and the
+    // ulp noise would feed FORWARD through 3 steps); per-step loss is
+    // reported pre-update, weights post-update, so the 3 rows pin the
+    // whole trajectory.
+    {
+      def stepSql(r: Int): String = {
+        val p = r - 1
+        s"""g$r AS (SELECT a, b, c,
+           |    CAST(sum(CAST((1 / (1 + exp(-(a + b * x1 + c * x2))) - y)
+           |                  AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g0,
+           |    CAST(sum(CAST(((1 / (1 + exp(-(a + b * x1 + c * x2))) - y) * x1)
+           |                  AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g1,
+           |    CAST(sum(CAST(((1 / (1 + exp(-(a + b * x1 + c * x2))) - y) * x2)
+           |                  AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g2,
+           |    CAST(sum(CAST(-(y * ln(1 / (1 + exp(-(a + b * x1 + c * x2))))
+           |                    + (1 - y) * ln(1 - 1 / (1 + exp(-(a + b * x1 + c * x2)))))
+           |                  AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS loss
+           |  FROM f CROSS JOIN w$p GROUP BY a, b, c),
+           |w$r AS (SELECT a - 0.1e0 * g0 AS a, b - 0.1e0 * g1 AS b,
+           |               c - 0.1e0 * g2 AS c, loss FROM g$r)""".stripMargin
+      }
+      sql(
+        "q_logistic_train",
+        s"""WITH d AS (SELECT lang, n_chars, string_split(text, ' ') AS words
+           |           FROM documents),
+           |f AS (SELECT CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y,
+           |        len(list_distinct(words)) / len(words) AS x1,
+           |        n_chars / len(words) AS x2
+           |      FROM d),
+           |w0 AS (SELECT 0e0 AS a, 0e0 AS b, 0e0 AS c),
+           |${Seq(1, 2, 3).map(stepSql).mkString(",\n")}
+           |SELECT * FROM (
+           |SELECT 1 AS step, round(a, 8) AS w0, round(b, 8) AS w1,
+           |       round(c, 8) AS w2, round(loss, 6) AS loss_before FROM w1
+           |UNION ALL SELECT 2, round(a, 8), round(b, 8), round(c, 8),
+           |       round(loss, 6) FROM w2
+           |UNION ALL SELECT 3, round(a, 8), round(b, 8), round(c, 8),
+           |       round(loss, 6) FROM w3) ORDER BY step""".stripMargin) { (s, dir) =>
+        val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val words = col("words")
+        val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,18)")
+        // featurize ONCE, serialized + spillable: every step re-reads
+        // this 3-double frame, never the text
+        val f = t(s, dir, "documents")
+          .select(col("lang"), col("n_chars"), tokens(col("text")).as("words"))
+          .select(
+            when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+            (size(array_distinct(words)) / size(words).cast("double")).as("x1"),
+            (col("n_chars") / size(words)).as("x2"))
+          .localCheckpoint(true, ser)
+        var w = f.sparkSession.range(1)
+          .select(lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("c"))
+          .localCheckpoint()
+        val steps = (1 to 3).map { r =>
+          val z = col("a") + col("b") * col("x1") + col("c") * col("x2")
+          val sig = lit(1) / (lit(1) + exp(-z))
+          val n = count(lit(1))
+          val g = f.crossJoin(broadcast(w))
+            .groupBy("a", "b", "c")
+            .agg(
+              (sum(dec(sig - col("y"))).cast("double") / n).as("g0"),
+              (sum(dec((sig - col("y")) * col("x1"))).cast("double") / n).as("g1"),
+              (sum(dec((sig - col("y")) * col("x2"))).cast("double") / n).as("g2"),
+              (sum(dec(-(col("y") * log(sig)
+                + (lit(1) - col("y")) * log(lit(1) - sig)))).cast("double") / n)
+                .as("loss"))
+          w = g.select(
+              (col("a") - lit(0.1) * col("g0")).as("a"),
+              (col("b") - lit(0.1) * col("g1")).as("b"),
+              (col("c") - lit(0.1) * col("g2")).as("c"),
+              col("loss"))
+            .localCheckpoint() // 1 row: next step's broadcast + output
+          w.select(lit(r).as("step"), round(col("a"), 8).as("w0"),
+            round(col("b"), 8).as("w1"), round(col("c"), 8).as("w2"),
+            round(col("loss"), 6).as("loss_before"))
+        }
+        steps.reduce(_ unionByName _).orderBy("step")
+      }
+    },
+
+    // ---- quantile normalization across sources (batch effects) ----
+    // The batch-effect-removal op (microarray QN, applied here to
+    // per-source document-length distributions): rank within each
+    // source, average the value at each rank ACROSS sources, remap
+    // every row to its rank's cross-source mean — afterwards every
+    // source has the IDENTICAL distribution, which the output proves:
+    // mean/min/max_norm agree across all 20 sources while mean_raw
+    // differs. Equal-depth contract: ranks beyond the smallest
+    // source's depth are dropped identically on both engines (the
+    // classic QN equal-n assumption made explicit). Scale shape: the
+    // rank window is hash-partitioned BY SOURCE (no global sort); the
+    // reference distribution is depth-sized (corpus/#sources) and
+    // keyed by rank, so the remap is a rank-keyed shuffle join; the
+    // audit means accumulate as DECIMAL (order-free). At 100 TB the
+    // per-source sort is the honest cost of EXACT QN — the relaxation
+    // is the same sampled-boundary two-pass GlobalPrefix uses, with
+    // sketch quantiles replacing exact ranks.
+    sql(
+      "q_quantile_normalize",
+      """WITH r AS (SELECT source, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY n_chars, doc_id) AS rk
+        |           FROM documents),
+        |gs AS (SELECT source, CAST(count(*) AS BIGINT) AS ng FROM r GROUP BY 1),
+        |mn AS (SELECT min(ng) AS depth FROM gs),
+        |k AS (SELECT source, n_chars, rk FROM r
+        |      WHERE rk <= (SELECT depth FROM mn)),
+        |ref AS (SELECT rk,
+        |          CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS ref_val
+        |        FROM k GROUP BY 1),
+        |nx AS (SELECT k.source, k.n_chars, ref.ref_val
+        |       FROM k JOIN ref USING (rk))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS mean_raw,
+        |  round(CAST(sum(CAST(ref_val AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_norm,
+        |  round(min(ref_val), 6) AS min_norm,
+        |  round(max(ref_val), 6) AS max_norm
+        |FROM nx GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val r = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), row_number().over(w).as("rk"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val mn = r.groupBy("source").agg(count(lit(1)).as("ng"))
+        .agg(min("ng").as("depth"))
+      val k = r.crossJoin(broadcast(mn)).where(col("rk") <= col("depth"))
+        .select("source", "n_chars", "rk")
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val ref = k.groupBy("rk")
+        .agg((sum(col("n_chars").cast("decimal(18,4)")).cast("double")
+          / count(lit(1))).as("ref_val"))
+      k.join(ref, Seq("rk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("n_chars").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 6).as("mean_raw"),
+          round(sum(col("ref_val").cast("decimal(38,12)")).cast("double")
+            / count(lit(1)), 6).as("mean_norm"),
+          round(min("ref_val"), 6).as("min_norm"),
+          round(max("ref_val"), 6).as("max_norm"))
+        .orderBy("source")
+    },
+
+    // ---- empirical-Bayes rate shrinkage (beta-binomial) ----
+    // The small-sample stabilizer every per-source quality dashboard
+    // needs: a source's raw lang='en' rate k/n is noisy when n is
+    // small, so shrink it toward the corpus prior with a
+    // method-of-moments Beta(α, β) fit (Efron–Morris / the classic
+    // CTR-smoothing recipe): m and v from the per-source rate
+    // distribution, α = m(m(1−m)/v − 1), β = (1−m)(m(1−m)/v − 1),
+    // posterior mean (k+α)/(n+α+β). Scale shape: ONE corpus pass
+    // collapses to the #sources frame; prior moments come from that
+    // tiny frame with double→DECIMAL(38,18) cast-then-sum (combiner-
+    // order-free — a 1000-executor tree must not ulp-shift the
+    // prior); α/β ride back as a 1-row broadcast. The degenerate
+    // v = 0 / overdispersed m(1−m) ≤ v cases fall back to α = β = 1
+    // (uniform prior) identically on both engines. shrink_frac =
+    // (α+β)/(n+α+β) exposes exactly how much each source was pulled.
+    sql(
+      "q_eb_shrinkage",
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |           FROM documents GROUP BY 1),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+        |         CAST(sum(CAST(CAST(k AS DOUBLE) / n AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+        |         CAST(sum(CAST((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)
+        |                       AS DECIMAL(38,18))) AS DOUBLE) AS sr2
+        |       FROM s),
+        |pm AS (SELECT sr / ns AS m,
+        |              (sr2 - sr * sr / ns) / (ns - 1) AS v FROM mo),
+        |ab AS (SELECT CASE WHEN v > 0 AND m * (1 - m) > v
+        |                THEN m * (m * (1 - m) / v - 1) ELSE 1e0 END AS a,
+        |              CASE WHEN v > 0 AND m * (1 - m) > v
+        |                THEN (1 - m) * (m * (1 - m) / v - 1) ELSE 1e0 END AS b
+        |       FROM pm)
+        |SELECT source, n, k,
+        |       round(CAST(k AS DOUBLE) / n, 6) AS rate_raw,
+        |       round((k + a) / (n + a + b), 6) AS rate_smoothed,
+        |       round((a + b) / (n + a + b), 6) AS shrink_frac
+        |FROM s CROSS JOIN ab ORDER BY source""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+        .localCheckpoint() // #sources rows: feeds the prior AND the output
+      val rate = col("k").cast("double") / col("n")
+      val mo = src.agg(count(lit(1)).as("ns"),
+        sum(rate.cast("decimal(38,18)")).cast("double").as("sr"),
+        sum((rate * rate).cast("decimal(38,18)")).cast("double").as("sr2"))
+      val pm = mo.select((col("sr") / col("ns")).as("m"),
+        ((col("sr2") - col("sr") * col("sr") / col("ns")) / (col("ns") - 1))
+          .as("v"))
+      val fit = col("v") > 0 && col("m") * (lit(1) - col("m")) > col("v")
+      val gm = col("m") * (lit(1) - col("m")) / col("v") - 1
+      val ab = pm.select(
+        when(fit, col("m") * gm).otherwise(lit(1.0)).as("a"),
+        when(fit, (lit(1) - col("m")) * gm).otherwise(lit(1.0)).as("b"))
+      src.crossJoin(broadcast(ab))
+        .select(col("source"), col("n"), col("k"),
+          round(rate, 6).as("rate_raw"),
+          round((col("k") + col("a")) / (col("n") + col("a") + col("b")), 6)
+            .as("rate_smoothed"),
+          round((col("a") + col("b")) / (col("n") + col("a") + col("b")), 6)
+            .as("shrink_frac"))
+        .orderBy("source")
     }
   )
 }

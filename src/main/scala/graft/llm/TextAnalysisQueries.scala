@@ -3,6 +3,7 @@ package graft.llm
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation (SURVEY.md §2.2
@@ -902,6 +903,166 @@ object TextAnalysisQueries {
               + col("n_complex").cast("double") * 100 / col("n_words")), 6)
             .as("fog"))
         .orderBy("lang")
+    },
+
+    // ---- multinomial Naive Bayes: train + apply + confusion ----
+    // The probabilistic-classifier complement to q_quality_logistic /
+    // q_logistic_train: a Laplace-smoothed (α=1) multinomial NB
+    // language classifier trained on the corpus's own token counts and
+    // applied back to it, reporting the actual × predicted confusion
+    // matrix. The scale decomposition is the one every distributed NB
+    // (MLlib's included) uses: the MODEL is LM-sized — per-(lang, tok)
+    // counts, per-lang token totals, the context vocabulary — all
+    // one-pass aggregates; scoring is ONE corpus-sized token stream
+    // fanned out by the 5-row broadcast lang table and LEFT-joined
+    // against the model (unseen (lang, tok) pairs take the smoothing
+    // floor via coalesce — they must score, not drop). Per-(doc, lang)
+    // log-likelihoods accumulate as DECIMAL(38,12) (combiner-order-
+    // free); the per-doc argmax is a hash-partitioned window with the
+    // deterministic (score desc, lang asc) tie rule. Resubstitution
+    // scoring is the point: the confusion matrix doubles as a
+    // train-quality audit the oracle can value-match.
+    sql(
+      "q_naive_bayes",
+      """WITH d AS (SELECT doc_id, lang AS actual,
+        |             unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |cnt AS (SELECT actual AS lang, tok, CAST(count(*) AS BIGINT) AS c
+        |        FROM d GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM cnt GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz FROM cnt),
+        |pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM documents GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents),
+        |sc AS (SELECT d.doc_id, d.actual, nl.lang,
+        |         sum(CAST(ln((COALESCE(cnt.c, 0) + 1)
+        |                     / CAST(nl.n_l + (SELECT vsz FROM v) AS DOUBLE))
+        |             AS DECIMAL(38,12))) AS s
+        |       FROM d CROSS JOIN nl
+        |         LEFT JOIN cnt ON cnt.tok = d.tok AND cnt.lang = nl.lang
+        |       GROUP BY 1, 2, 3),
+        |tot AS (SELECT sc.doc_id, sc.actual, sc.lang,
+        |          CAST(s AS DOUBLE)
+        |            + ln(pri.n_docs / CAST((SELECT total_docs FROM nd) AS DOUBLE)) AS score
+        |        FROM sc JOIN pri ON pri.lang = sc.lang),
+        |pred AS (SELECT doc_id, actual, lang AS predicted,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, lang) AS rn
+        |         FROM tot)
+        |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      // the corpus-sized token stream feeds the model build AND the
+      // scoring pass — materialize once, serialized + spillable
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("actual"),
+          explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true, ser)
+      val cnt = d.groupBy(col("actual").as("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true, ser) // model: feeds n_l, V, and scoring
+      val nl = cnt.groupBy("lang").agg(sum("c").cast("long").as("n_l"))
+      val v = cnt.select("tok").distinct().agg(count(lit(1)).as("vsz"))
+      val pri = t(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("total_docs"))
+      val sc0 = d
+        .crossJoin(broadcast(nl)) // 5 langs: constant fan-out
+        .join(cnt, Seq("tok", "lang"), "left")
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id", "actual", "lang")
+        .agg(sum(log((coalesce(col("c"), lit(0L)) + 1)
+            / (col("n_l") + col("vsz")).cast("double"))
+          .cast("decimal(38,12)")).as("s"))
+      val scored = sc0.join(broadcast(pri), Seq("lang"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("actual"), col("lang"),
+          (col("s").cast("double")
+            + log(col("n_docs") / col("total_docs").cast("double"))).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lang"))
+      scored.select(col("actual"), col("lang").as("predicted"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
+    },
+
+    // ---- RAKE keyphrase extraction (top corpus keyphrases) ----
+    // Rapid Automatic Keyword Extraction (Rose et al. 2010): phrases
+    // are maximal stopword-free token runs (the runs-islands trick:
+    // island id = pos − dense position among kept tokens, one
+    // per-doc window); each word scores deg/freq where freq counts
+    // occurrences and deg sums the lengths of phrases containing it;
+    // a phrase scores the sum of its words' scores. Scale shape: two
+    // doc-partitioned windows (no global sort), word stats collapse
+    // to a vocabulary-sized table whose join back is the only
+    // corpus-sized shuffle, per-phrase scores accumulate as
+    // DECIMAL(38,12) (identical word multiset ⇒ bit-identical sum, so
+    // duplicate phrase texts agree exactly and min() is a no-op
+    // collapse), and the corpus-wide top-15 is a TakeOrdered with a
+    // (score, phrase) total tie rule. Stopword list = the
+    // TextFunctions.stopEn seven, shared verbatim with the oracle.
+    sql(
+      "q_rake_keyphrases",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, g AS pos, toks[g] AS w
+        |       FROM w, unnest(range(1, len(toks) + 1)) AS t(g)),
+        |nz AS (SELECT doc_id, pos, w,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |       FROM tk
+        |       WHERE w NOT IN ('the', 'a', 'of', 'to', 'and', 'is', 'in')),
+        |ph AS (SELECT doc_id, isl, w,
+        |         CAST(count(*) OVER (PARTITION BY doc_id, isl) AS BIGINT) AS plen
+        |       FROM nz),
+        |wst AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |          CAST(sum(plen) AS BIGINT) AS deg
+        |        FROM ph GROUP BY 1),
+        |sc AS (SELECT ph.doc_id, ph.isl,
+        |         CAST(sum(CAST(CAST(wst.deg AS DOUBLE) / wst.freq
+        |                       AS DECIMAL(38,12))) AS DOUBLE) AS score
+        |       FROM ph JOIN wst USING (w) GROUP BY 1, 2),
+        |tx AS (SELECT doc_id, isl, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |         CAST(count(*) AS BIGINT) AS plen
+        |       FROM nz GROUP BY 1, 2),
+        |ag AS (SELECT tx.phrase, tx.plen, CAST(count(*) AS BIGINT) AS n_occur,
+        |         min(sc.score) AS score
+        |       FROM tx JOIN sc ON sc.doc_id = tx.doc_id AND sc.isl = tx.isl
+        |       GROUP BY 1, 2)
+        |SELECT phrase, plen AS n_words, n_occur, round(score, 6) AS rake_score
+        |FROM ag ORDER BY round(score, 6) DESC, phrase LIMIT 15""".stripMargin) {
+      (s, dir) =>
+      val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      val nz = tk.where(!col("w").isInCollection(stopEn))
+        .withColumn("isl", col("pos") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .localCheckpoint(true, ser) // feeds word stats AND phrase texts
+      val ph = nz.withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "isl")).cast("long"))
+      val wst = ph.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("deg"))
+      val sc0 = ph.join(wst, "w")
+        .groupBy("doc_id", "isl")
+        .agg(sum((col("deg").cast("double") / col("freq"))
+          .cast("decimal(38,12)")).cast("double").as("score"))
+      val tx = nz.groupBy("doc_id", "isl")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+      tx.join(sc0, Seq("doc_id", "isl"))
+        .groupBy("phrase", "plen")
+        .agg(count(lit(1)).as("n_occur"), min("score").as("score"))
+        .select(col("phrase"), col("plen").as("n_words"), col("n_occur"),
+          round(col("score"), 6).as("rake_score"))
+        .orderBy(col("rake_score").desc, col("phrase"))
+        .limit(15)
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation — PageRank over the trade graph
@@ -350,6 +351,324 @@ object GraphQueries {
         .crossJoin(broadcast(kv))
         .select(col("part"), col("deg_core"), col("k"))
         .orderBy("part")
+    },
+
+    // ---- weighted label propagation (community detection) ----
+    // The community-structure complement to q_kcore's density audit:
+    // synchronous LPA (Raghavan et al. 2007) on the co-purchase part
+    // graph — every node starts as its own community, then 3 rounds
+    // of "adopt the label with the highest incident edge weight"
+    // (ties → smallest label, the determinism rule that makes LPA
+    // oracle-checkable at all; async/random-order LPA is not). Each
+    // round is the textbook Pregel-as-joins shape: one equi-join of
+    // the label frame against the directed edge list (labels arrive
+    // partitioned on node id, edges on dst — at cluster scale the
+    // edge list is bucketed by dst once and never re-shuffles) plus
+    // one (node, label) weight aggregation and a per-node window
+    // argmax. Label frames localCheckpoint per round (iterative-
+    // lineage pitfall). Output: per-community size + member-id
+    // checksum, which pins every node's final label without emitting
+    // node-level rows.
+    {
+      def roundSql(r: Int): String = {
+        val p = r - 1
+        s"""n$r AS (SELECT e.src AS node, l.lab, CAST(sum(e.w) AS BIGINT) AS wt
+           |        FROM ed e JOIN l$p l ON l.node = e.dst GROUP BY 1, 2),
+           |l$r AS (SELECT node, lab FROM
+           |          (SELECT node, lab, row_number() OVER
+           |             (PARTITION BY node ORDER BY wt DESC, lab) AS rn
+           |           FROM n$r) WHERE rn = 1)""".stripMargin
+      }
+      sql(
+        "q_label_propagation",
+        s"""WITH ${graft.operators.StatsQueries.basketPairsSqlCtes},
+           |ed AS (SELECT p1 AS src, p2 AS dst, n_both AS w FROM pairs
+           |       UNION ALL SELECT p2, p1, n_both FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+           |${Seq(1, 2, 3).map(roundSql).mkString(",\n")}
+           |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(sum(node) AS BIGINT) AS member_sum
+           |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+        val (_, pairs) = graft.operators.StatsQueries.basketPairCounts(s, dir)
+        // undirected pair list once, serialized + spillable (the
+        // q_kcore convention); the directed view is a per-read map
+        val pairsCk = pairs.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val ed = pairsCk
+          .select(col("p1").as("src"), col("p2").as("dst"), col("n_both").as("w"))
+          .unionByName(pairsCk
+            .select(col("p2").as("src"), col("p1").as("dst"), col("n_both").as("w")))
+        var labels = ed.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lab"))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          // label table is node-keyed (parts = a dimension), so it
+          // BROADCASTS and the edge list never re-shuffles; the
+          // argmax is a hash-agg struct-max — (wt desc, lab asc) ≡
+          // max(wt, -lab) — not a per-node sort window (measured 3×
+          // on the sf0.1 pair graph, and the window's sort shuffle
+          // would dominate at 100 TB)
+          labels = ed
+            .join(broadcast(labels.select(col("node").as("dst"), col("lab"))),
+              "dst")
+            .groupBy(col("src").as("node"), col("lab"))
+            .agg(sum("w").cast("long").as("wt"))
+            .groupBy("node")
+            .agg(max(struct(col("wt"), (-col("lab")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("lab"))
+            .localCheckpoint()
+        }
+        labels.groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_members"), sum("node").as("member_sum"))
+          .orderBy("community")
+      }
+    },
+
+    // ---- link prediction: Adamic–Adar over the co-purchase graph ----
+    // The recommender complement to q_item_cf: score NON-edges by
+    // Σ_v 1/ln(deg(v)) over shared neighbors v (Adamic–Adar'03) and
+    // emit the top-20 predicted links. Candidate pairs come from the
+    // two-hop wedge join (both endpoints neighbors of the same v), so
+    // raw volume is Σ_v deg(v)² — quadratic in hub degree, and on the
+    // co-purchase graph EVERY node is a hub (mean degree ~90 at
+    // sf0.001, ~120 at sf0.1: an absolute degree cap either empties
+    // the candidate set or blows up with scale — the first cut used
+    // deg ≤ 30 and returned 0 rows at every SF, caught by the
+    // GraphSpec non-emptiness gate). The scale-robust bound is
+    // ADJACENCY TRUNCATION, the production-recommender convention
+    // (deterministic top-k by edge weight, the non-sampled analog of
+    // GraphSAGE neighbor sampling): wedges form only between each
+    // center's 10 STRONGEST neighbors (n_both desc, id — a
+    // hash-partitioned per-node window, no global sort), so candidate
+    // volume is exactly ≤ 45·|V| at any scale, and the wedges kept
+    // are the highest-evidence ones. Scores still use FULL degrees;
+    // existing edges leave via an anti-join on the (p1 < p2)-
+    // normalized pair key; per-pair scores accumulate as
+    // DECIMAL(38,12); the top-20 is a TakeOrdered (no global sort)
+    // with the (score desc, a, b) total tie rule.
+    {
+      sql(
+        "q_link_prediction",
+        s"""WITH ${graft.operators.StatsQueries.basketPairsSqlCtes},
+           |ed AS (SELECT p1 AS src, p2 AS dst, n_both AS w FROM pairs
+           |       UNION ALL SELECT p2, p1, n_both FROM pairs),
+           |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+           |        FROM ed GROUP BY 1),
+           |tk AS (SELECT src, dst FROM
+           |         (SELECT src, dst, row_number() OVER
+           |            (PARTITION BY src ORDER BY w DESC, dst) AS rn
+           |          FROM ed) WHERE rn <= 10),
+           |cand AS (SELECT t1.dst AS a, t2.dst AS b, deg.d
+           |         FROM tk t1 JOIN tk t2 ON t2.src = t1.src
+           |                                AND t1.dst < t2.dst
+           |                    JOIN deg ON deg.node = t1.src),
+           |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+           |         CAST(sum(CAST(1e0 / ln(d) AS DECIMAL(38,12))) AS DOUBLE) AS aa
+           |       FROM cand GROUP BY 1, 2),
+           |ne AS (SELECT sc.a, sc.b, sc.n_common, sc.aa
+           |       FROM sc LEFT JOIN pairs ON pairs.p1 = sc.a AND pairs.p2 = sc.b
+           |       WHERE pairs.p1 IS NULL)
+           |SELECT a AS part_a, b AS part_b, n_common,
+           |       round(aa, 6) AS aa_score
+           |FROM ne ORDER BY round(aa, 6) DESC, a, b LIMIT 20""".stripMargin) {
+        (s, dir) =>
+        val (_, pairs0) = graft.operators.StatsQueries.basketPairCounts(s, dir)
+        val pairs = pairs0.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val ed = pairs
+          .select(col("p1").as("src"), col("p2").as("dst"), col("n_both").as("w"))
+          .unionByName(pairs
+            .select(col("p2").as("src"), col("p1").as("dst"), col("n_both").as("w")))
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        val wN = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+        val tk = ed.select(col("src"), col("dst"),
+            row_number().over(wN).as("rn"))
+          .where(col("rn") <= 10)
+          .drop("rn")
+        val t1 = tk.select(col("src").as("node"), col("dst").as("a"))
+        val t2 = tk.select(col("src").as("node"), col("dst").as("b"))
+        val cand = t1.join(t2, "node")
+          .where(col("a") < col("b"))
+          .join(deg, "node")
+        val sc = cand.groupBy("a", "b")
+          .agg(count(lit(1)).as("n_common"),
+            sum((lit(1.0) / log(col("d").cast("double")))
+              .cast("decimal(38,12)")).cast("double").as("aa"))
+        sc.join(pairs,
+            sc("a") === pairs("p1") && sc("b") === pairs("p2"), "left_anti")
+          .select(col("a").as("part_a"), col("b").as("part_b"),
+            col("n_common"), round(col("aa"), 6).as("aa_score"))
+          .orderBy(col("aa_score").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      }
+    },
+
+    // ---- HITS hubs & authorities (bipartite purchase graph) ----
+    // Kleinberg'99 on the customer→part purchase graph: authority(p)
+    // = Σ_{c→p} hub(c), hub(c) = Σ_{c→p} auth(p), L2-normalized each
+    // half-step, 2 full rounds from hub ≡ 1 then a final authority
+    // pass — the "which items do the broadest strong buyers converge
+    // on" ranking PageRank's single-score random walk can't express
+    // on a bipartite graph. Scale shape mirrors q_pagerank: the edge
+    // build (orders ⋈ lineitem collapsed to DISTINCT (cust, part)) is
+    // the only corpus-sized work and at cluster scale is bucketed
+    // once on each side; every iteration is one equi-join + one
+    // keyed aggregation, both dimension-partitioned; score frames are
+    // dimension-sized and localCheckpoint per round (iterative
+    // lineage). Round-1 authorities are exact INTEGER degrees (hub ≡
+    // 1), so the first norm is exact; later per-node sums accumulate
+    // as DECIMAL(38,12) casts (combiner-order-free — the established
+    // double→decimal convention) and each L2 norm rides the plan as
+    // a 1-row broadcast. Top-15 authorities, (score desc, part) ties.
+    {
+      // one full HITS round: authorities from `hubIn`, normalize,
+      // hubs from the normalized authorities, normalize
+      def sqlRound(r: Int, hubIn: String): String =
+        s"""a$r AS (SELECT eh.p AS node,
+           |  CAST(sum(CAST(h.s AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |  FROM eh JOIN $hubIn h ON h.node = eh.c GROUP BY 1),
+           |na$r AS (SELECT sqrt(CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE)) AS z
+           |         FROM a$r),
+           |an$r AS (SELECT node, s / (SELECT z FROM na$r) AS s FROM a$r),
+           |h$r AS (SELECT eh.c AS node,
+           |  CAST(sum(CAST(a.s AS DECIMAL(38,12))) AS DOUBLE) AS s0
+           |  FROM eh JOIN an$r a ON a.node = eh.p GROUP BY 1),
+           |nh$r AS (SELECT sqrt(CAST(sum(CAST(s0 * s0 AS DECIMAL(38,12))) AS DOUBLE)) AS z
+           |         FROM h$r),
+           |hn$r AS (SELECT node, s0 / (SELECT z FROM nh$r) AS s FROM h$r)""".stripMargin
+      sql(
+        "q_hits",
+        s"""WITH eh AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+           |h0 AS (SELECT DISTINCT c AS node, 1e0 AS s FROM eh),
+           |${sqlRound(1, "h0")},
+           |${sqlRound(2, "hn1")},
+           |af AS (SELECT eh.p AS node,
+           |  CAST(sum(CAST(h.s AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |  FROM eh JOIN hn2 h ON h.node = eh.c GROUP BY 1),
+           |naf AS (SELECT sqrt(CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE)) AS z
+           |        FROM af),
+           |dg AS (SELECT p AS node, CAST(count(*) AS BIGINT) AS n_buyers
+           |       FROM eh GROUP BY 1)
+           |SELECT af.node AS part, dg.n_buyers,
+           |       round(af.s / (SELECT z FROM naf), 6) AS authority
+           |FROM af JOIN dg ON dg.node = af.node
+           |ORDER BY authority DESC, part LIMIT 15""".stripMargin) { (s, dir) =>
+        val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val eh = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(true, ser)
+        def l2(df: DataFrame): DataFrame =
+          df.agg(sqrt(sum((col("s") * col("s")).cast("decimal(38,12)"))
+            .cast("double")).as("z"))
+        var hub = eh.select(col("c").as("node")).distinct()
+          .select(col("node"), lit(1.0).as("s"))
+          .localCheckpoint()
+        var auth: DataFrame = null
+        for (_ <- 1 to 2) {
+          val a = eh.join(hub.select(col("node").as("c"), col("s")), "c")
+            .groupBy(col("p").as("node"))
+            .agg(sum(col("s").cast("decimal(38,12)")).cast("double").as("s"))
+          auth = a.crossJoin(broadcast(l2(a)))
+            .select(col("node"), (col("s") / col("z")).as("s"))
+            .localCheckpoint()
+          val h = eh.join(auth.select(col("node").as("p"), col("s")), "p")
+            .groupBy(col("c").as("node"))
+            .agg(sum(col("s").cast("decimal(38,12)")).cast("double").as("s"))
+          hub = h.crossJoin(broadcast(l2(h)))
+            .select(col("node"), (col("s") / col("z")).as("s"))
+            .localCheckpoint()
+        }
+        val af = eh.join(hub.select(col("node").as("c"), col("s")), "c")
+          .groupBy(col("p").as("node"))
+          .agg(sum(col("s").cast("decimal(38,12)")).cast("double").as("s"))
+        val deg = eh.groupBy(col("p").as("node")).agg(count(lit(1)).as("n_buyers"))
+        af.crossJoin(broadcast(l2(af)))
+          .join(deg, "node")
+          .select(col("node").as("part"), col("n_buyers"),
+            round(col("s") / col("z"), 6).as("authority"))
+          .orderBy(col("authority").desc, col("part"))
+          .limit(15)
+      }
+    },
+
+    // ---- multi-source BFS hop distances (reachability profile) ----
+    // The frontier-expansion twin of the label/rank iterations: hop
+    // distance from the 5 highest-degree parts (degree desc, id — a
+    // deterministic seed set) over the co-purchase graph, 3 rounds of
+    // min-hop propagation, reported as the hop histogram with a
+    // membership checksum per hop plus the unreached remainder — the
+    // "how many hops does influence travel" diagnostic a crawl
+    // scheduler or blast-radius analysis reads. Each round is one
+    // equi-join of the (node, hop) frontier frame against the edge
+    // list + one min() aggregation — the same Pregel-as-joins shape
+    // as LPA, and the min() makes rounds idempotent-monotone (a node
+    // keeps its smallest hop), so the 3-round unroll is exactly
+    // checkable. Edge list serialized-checkpointed once; frontier
+    // frames are node-sized, localCheckpoint per round. All counts
+    // exact integers — no float anywhere.
+    {
+      def bfsRound(r: Int): String = {
+        val p = r - 1
+        s"""d$r AS (SELECT node, min(hop) AS hop FROM (
+           |  SELECT node, hop FROM d$p
+           |  UNION ALL
+           |  SELECT e.dst, d.hop + 1 FROM d$p d JOIN ed e ON e.src = d.node)
+           |GROUP BY node)""".stripMargin
+      }
+      sql(
+        "q_bfs_hops",
+        s"""WITH ${graft.operators.StatsQueries.basketPairsSqlCtes},
+           |ed AS (SELECT p1 AS src, p2 AS dst FROM pairs
+           |       UNION ALL SELECT p2, p1 FROM pairs),
+           |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+           |        FROM ed GROUP BY 1),
+           |d0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM
+           |         (SELECT node FROM deg ORDER BY d DESC, node LIMIT 5)),
+           |${Seq(1, 2, 3).map(bfsRound).mkString(",\n")},
+           |hist AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           |                CAST(sum(node) AS BIGINT) AS node_sum
+           |         FROM d3 GROUP BY 1),
+           |unreached AS (SELECT CAST(-1 AS BIGINT) AS hop,
+           |                CAST(count(*) AS BIGINT) AS n_nodes,
+           |                CAST(coalesce(sum(deg.node), 0) AS BIGINT) AS node_sum
+           |              FROM deg LEFT JOIN d3 ON d3.node = deg.node
+           |              WHERE d3.node IS NULL)
+           |SELECT * FROM hist UNION ALL SELECT * FROM unreached
+           |ORDER BY hop""".stripMargin) { (s, dir) =>
+        val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        val (_, pairs0) = graft.operators.StatsQueries.basketPairCounts(s, dir)
+        val pairs = pairs0.localCheckpoint(true, ser)
+        val ed = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+          .localCheckpoint(true, ser)
+        val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+          .localCheckpoint()
+        var dist = deg.orderBy(col("d").desc, col("node")).limit(5)
+          .select(col("node"), lit(0L).as("hop"))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          dist = dist
+            .unionByName(dist.select(col("node").as("src"), col("hop"))
+              .join(ed, "src")
+              .select(col("dst").as("node"), (col("hop") + 1).as("hop")))
+            .groupBy("node")
+            .agg(min("hop").as("hop"))
+            .localCheckpoint()
+        }
+        val hist = dist.groupBy("hop")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
+        val unreached = deg.join(dist, Seq("node"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"),
+            coalesce(sum("node"), lit(0L)).cast("long").as("node_sum"))
+          .select(lit(-1L).as("hop"), col("n_nodes"), col("node_sum"))
+        hist.unionByName(unreached).orderBy("hop")
+      }
     }
   )
 }

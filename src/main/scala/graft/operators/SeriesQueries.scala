@@ -797,6 +797,85 @@ object SeriesQueries {
         .orderBy("split_at")
     },
 
+    // ---- information-gain feature ranking (entropy screening) ----
+    // The mutual-information complement to q_stump_split's Gini scan:
+    // rank candidate features by IG = H(y) − H(y|feature) against the
+    // purchase label — the feature-selection pass a training pipeline
+    // runs before fitting anything. Three bucketed features melt into
+    // one (feature, bucket, y) stream via a 3-element explode, so the
+    // whole screen is ONE corpus-proportional hash aggregation down to
+    // ≤ 3×24 bucket rows; every entropy term is computed on that tiny
+    // frame from exact integer counts, and per-feature bucket terms
+    // accumulate as DECIMAL(38,12) (combiner-order-free — the KN/
+    // perplexity convention) before the final rounding. H(y) rides a
+    // 1-row broadcast. Empty/pure buckets contribute exactly 0 on both
+    // engines via the CASE guard.
+    sql(
+      "q_info_gain",
+      """WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |             least(CAST(floor(value / 50) AS BIGINT), 9) AS vbin,
+        |             CAST(hour(ts) AS BIGINT) AS hr,
+        |             user_id % 10 AS ub
+        |           FROM events),
+        |m AS (SELECT 'value_bin' AS feature, vbin AS v, y FROM e
+        |      UNION ALL SELECT 'hour', hr, y FROM e
+        |      UNION ALL SELECT 'user_bucket', ub, y FROM e),
+        |g AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS pos
+        |      FROM m GROUP BY 1, 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS pp
+        |      FROM e),
+        |ce AS (SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
+        |         CAST(sum(CAST((CAST(n AS DOUBLE) / (SELECT nn FROM t)) *
+        |           (CASE WHEN pos = 0 OR pos = n THEN 0e0
+        |                 ELSE -(CAST(pos AS DOUBLE) / n) * log2(CAST(pos AS DOUBLE) / n)
+        |                      - (CAST(n - pos AS DOUBLE) / n) * log2(CAST(n - pos AS DOUBLE) / n)
+        |            END) AS DECIMAL(38,12))) AS DOUBLE) AS hcond
+        |       FROM g GROUP BY 1),
+        |hy AS (SELECT CASE WHEN pp = 0 OR pp = nn THEN 0e0
+        |              ELSE -(CAST(pp AS DOUBLE) / nn) * log2(CAST(pp AS DOUBLE) / nn)
+        |                   - (CAST(nn - pp AS DOUBLE) / nn) * log2(CAST(nn - pp AS DOUBLE) / nn)
+        |              END AS h FROM t)
+        |SELECT feature, n_buckets,
+        |       round((SELECT h FROM hy) - hcond, 6) AS info_gain,
+        |       CAST(row_number() OVER (ORDER BY round((SELECT h FROM hy) - hcond, 6) DESC,
+        |                               feature) AS BIGINT) AS rank
+        |FROM ce ORDER BY feature""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          least(floor(col("value") / 50).cast("long"), lit(9L)).as("vbin"),
+          hour(col("ts")).cast("long").as("hr"),
+          (col("user_id") % 10).as("ub"))
+      val m = e.select(col("y"),
+          explode(array(
+            struct(lit("value_bin").as("feature"), col("vbin").as("v")),
+            struct(lit("hour").as("feature"), col("hr").as("v")),
+            struct(lit("user_bucket").as("feature"), col("ub").as("v")))).as("f"))
+        .select(col("f.feature").as("feature"), col("f.v").as("v"), col("y"))
+      val g = m.groupBy("feature", "v")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val tot = e.agg(count(lit(1)).as("nn"), sum("y").as("pp"))
+      def h2(p: Column, q: Column) = // binary entropy of p/q, guarded
+        when(p === 0 || p === q, lit(0.0))
+          .otherwise(-(p.cast("double") / q) * log2(p.cast("double") / q)
+            - ((q - p).cast("double") / q) * log2((q - p).cast("double") / q))
+      val ce = g.crossJoin(broadcast(tot))
+        .groupBy("feature")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(((col("n").cast("double") / col("nn")) * h2(col("pos"), col("n")))
+            .cast("decimal(38,12)")).cast("double").as("hcond"),
+          first(col("nn")).as("nn"), first(col("pp")).as("pp"))
+      val scored = ce
+        .select(col("feature"), col("n_buckets"),
+          round(h2(col("pp"), col("nn")) - col("hcond"), 6).as("info_gain"))
+      // ≤ 3 rows: the rank window is intentionally tiny
+      val w = Window.orderBy(col("info_gain").desc, col("feature"))
+      scored.select(col("feature"), col("n_buckets"), col("info_gain"),
+          row_number().over(w).cast("long").as("rank"))
+        .orderBy("feature")
+    },
+
     // ---- CUSUM changepoint detection over daily revenue ----
     // Page's CUSUM: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)), mirrored
     // for S⁻, alarm when either exceeds h = 4σ (k = σ/2, the standard

@@ -547,6 +547,133 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // ---- k-fold cross-validation (leave-fold-out evaluation) ----
+    // The model-selection primitive conformal's single split doesn't
+    // give: 5 deterministic md5 folds, the per-type mean predictor
+    // trained on the OTHER four folds, per-fold held-out RMSE. The
+    // scale trick is that leave-fold-out training needs NO 5x rescan:
+    // per-(type, fold) partial DECIMAL sums from ONE corpus pass give
+    // every fold's out-of-fold mean by subtraction (total - fold) —
+    // the mergeable-moments pattern (q_corr_matrix, q_ols_by_group)
+    // applied to CV. Scoring re-joins the corpus against the
+    // (type x fold)-sized prediction table (broadcastable at any
+    // corpus size); squared residuals accumulate as DECIMAL(38,12) so
+    // the per-fold RMSE is combiner-order-free. The degenerate
+    // one-fold-owns-a-type case (n == nf) drops out of the prediction
+    // table identically on both engines.
+    sql(
+      "q_crossval_rmse",
+      """WITH e AS (SELECT event_type, value,
+        |             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
+        |           FROM events),
+        |pf AS (SELECT event_type, fold, sum(CAST(value AS DECIMAL(18,6))) AS sf,
+        |              CAST(count(*) AS BIGINT) AS nf
+        |       FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(sf) AS s, CAST(sum(nf) AS BIGINT) AS n
+        |        FROM pf GROUP BY 1),
+        |mu AS (SELECT pf.event_type, pf.fold,
+        |         CAST(tot.s - pf.sf AS DOUBLE) / (tot.n - pf.nf) AS pred
+        |       FROM pf JOIN tot USING (event_type) WHERE tot.n > pf.nf),
+        |r AS (SELECT e.fold, CAST(count(*) AS BIGINT) AS n_test,
+        |        CAST(sum(CAST((e.value - mu.pred) * (e.value - mu.pred)
+        |                      AS DECIMAL(38,12))) AS DOUBLE) AS sse
+        |      FROM e JOIN mu ON mu.event_type = e.event_type AND mu.fold = e.fold
+        |      GROUP BY 1)
+        |SELECT fold, n_test, round(sqrt(sse / n_test), 6) AS rmse
+        |FROM r ORDER BY fold""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (graft.functions.TextFunctions.h32(col("event_id").cast("string")) % 5)
+            .as("fold"))
+      val pf = e.groupBy("event_type", "fold")
+        .agg(sum(col("value").cast("decimal(18,6)")).as("sf"),
+          count(lit(1)).as("nf"))
+        .localCheckpoint() // (type x 5) rows: feeds totals AND the LOO means
+      val tot = pf.groupBy("event_type")
+        .agg(sum("sf").as("s"), sum("nf").cast("long").as("n"))
+      val mu = pf.join(tot, "event_type")
+        .where(col("n") > col("nf"))
+        .select(col("event_type"), col("fold"),
+          ((col("s") - col("sf")).cast("double") / (col("n") - col("nf")))
+            .as("pred"))
+      e.join(broadcast(mu), Seq("event_type", "fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_test"),
+          sum(((col("value") - col("pred")) * (col("value") - col("pred")))
+            .cast("decimal(38,12)")).cast("double").as("sse"))
+        .select(col("fold"), col("n_test"),
+          round(sqrt(col("sse") / col("n_test")), 6).as("rmse"))
+        .orderBy("fold")
+    },
+
+    // ---- Spearman rank correlation per segment (tie-corrected) ----
+    // The monotone-association complement to q_corr_matrix's Pearson:
+    // per-event-type Spearman between value and minute-of-day,
+    // exact under ties via fractional (average) ranks. The exactness
+    // trick: DOUBLED ranks — 2·rank + ties − 1 — are INTEGERS equal
+    // to twice the average rank, and Pearson is affine-invariant, so
+    // every moment (Σr, Σr², Σrxry) is exact integer arithmetic
+    // accumulated as DECIMAL(38,0) (a 100×-decade per-type n of ~2M
+    // pushes Σrxry past BIGINT) and both engines produce
+    // bit-identical rho with no float summation anywhere before the
+    // final closed-form division. Scale shape: two rank windows
+    // hash-partitioned BY TYPE (no global sort — the per-partition
+    // sort is the honest cost of exact ranks; the sketch relaxation
+    // is GlobalPrefix), then one aggregation to #types rows.
+    sql(
+      "q_spearman_by_type",
+      """WITH e AS (SELECT event_type, value,
+        |             CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS mnt
+        |           FROM events),
+        |r AS (SELECT event_type,
+        |        2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |          + count(*) OVER (PARTITION BY event_type, value) - 1 AS rx,
+        |        2 * rank() OVER (PARTITION BY event_type ORDER BY mnt)
+        |          + count(*) OVER (PARTITION BY event_type, mnt) - 1 AS ry
+        |      FROM e),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+        |        sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+        |        sum(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+        |        sum(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+        |        sum(CAST(ry * ry AS DECIMAL(38,0))) AS syy
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |         6) AS spearman_rho
+        |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mnt"))
+      val wx = Window.partitionBy("event_type").orderBy("value")
+      val wxT = Window.partitionBy("event_type", "value")
+      val wy = Window.partitionBy("event_type").orderBy("mnt")
+      val wyT = Window.partitionBy("event_type", "mnt")
+      val r = e.select(col("event_type"),
+        (lit(2) * rank().over(wx) + count(lit(1)).over(wxT) - 1)
+          .cast("long").as("rx"),
+        (lit(2) * rank().over(wy) + count(lit(1)).over(wyT) - 1)
+          .cast("long").as("ry"))
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val m = r.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("rx"))).as("sx"), sum(d38(col("ry"))).as("sy"),
+          sum(d38(col("rx") * col("ry"))).as("sxy"),
+          sum(d38(col("rx") * col("rx"))).as("sxx"),
+          sum(d38(col("ry") * col("ry"))).as("syy"))
+      m.select(col("event_type"), col("n"),
+          round((col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("spearman_rho"))
+        .orderBy("event_type")
+    },
+
     // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
     sql(
       "q_pivot",

@@ -465,6 +465,94 @@ object TemporalQueries {
         .orderBy("prev", "next")
     },
 
+    // ---- Markov stationary distribution (power iteration) ----
+    // Where q_markov_transitions ESTIMATES the chain, this solves it:
+    // π = πP by 5 unrolled power-iteration rounds from the uniform
+    // vector, the long-run state occupancy a session simulator or
+    // capacity planner reads off. The corpus pays exactly one pass —
+    // the same per-user lag() exchange as q_markov_transitions — and
+    // every iteration runs on the #states² transition frame (25 rows
+    // here): a broadcast join + k-row aggregation per round, nothing
+    // corpus-sized ever re-enters. Per-state mass sums accumulate as
+    // DECIMAL(38,18) (k doubles summed in engine-specific order
+    // otherwise); the final vector is re-normalized so dangling-state
+    // mass leak cannot silently skew the output (this corpus has
+    // none — the renormalization is a no-op proven by the check
+    // column). Output pairs π against the empirical state share:
+    // their gap is the mixing diagnostic.
+    {
+      def roundSql(r: Int): String = {
+        val p = r - 1
+        s"""pi$r AS (SELECT cm.next AS state,
+           |  CAST(sum(CAST(pi.p * cm.pr AS DECIMAL(38,18))) AS DOUBLE) AS p
+           |  FROM pi$p pi JOIN cm ON cm.prev = pi.state GROUP BY 1)""".stripMargin
+      }
+      sql(
+        "q_markov_stationary",
+        s"""WITH o AS (SELECT user_id, event_type,
+           |             lag(event_type) OVER (PARTITION BY user_id
+           |                                   ORDER BY ts, event_id) AS prev
+           |           FROM events),
+           |c AS (SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS t FROM c GROUP BY 1),
+           |cm AS (SELECT c.prev, c.next, CAST(c.cnt AS DOUBLE) / tot.t AS pr
+           |       FROM c JOIN tot ON tot.prev = c.prev),
+           |k AS (SELECT CAST(count(DISTINCT prev) AS BIGINT) AS k FROM cm),
+           |pi0 AS (SELECT prev AS state, 1e0 / (SELECT k FROM k) AS p
+           |        FROM (SELECT DISTINCT prev FROM cm)),
+           |${Seq(1, 2, 3, 4, 5).map(roundSql).mkString(",\n")},
+           |z AS (SELECT CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS z
+           |      FROM pi5),
+           |emp AS (SELECT event_type AS state, CAST(count(*) AS BIGINT) AS n
+           |        FROM events GROUP BY 1),
+           |en AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM emp)
+           |SELECT pi5.state,
+           |       round(pi5.p / (SELECT z FROM z), 6) AS p_stationary,
+           |       round(CAST(emp.n AS DOUBLE) / (SELECT nn FROM en), 6) AS p_empirical,
+           |       round((SELECT z FROM z), 6) AS mass_check
+           |FROM pi5 JOIN emp ON emp.state = pi5.state
+           |ORDER BY pi5.state""".stripMargin) { (s, dir) =>
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val o = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNotNull)
+        val c = o.groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = c.groupBy("prev").agg(sum(col("cnt")).cast("long").as("t"))
+        // k² transition frame: every round below runs on THIS, the
+        // corpus never re-enters
+        val cm = c.join(tot, "prev")
+          .select(col("prev"), col("next"),
+            (col("cnt").cast("double") / col("t")).as("pr"))
+          .localCheckpoint()
+        val k = cm.select("prev").distinct().agg(count(lit(1)).as("k"))
+        var pi = cm.select("prev").distinct()
+          .crossJoin(broadcast(k))
+          .select(col("prev").as("state"), (lit(1.0) / col("k")).as("p"))
+          .localCheckpoint()
+        for (_ <- 1 to 5) {
+          pi = cm.join(broadcast(pi), cm("prev") === pi("state"))
+            .groupBy(col("next").as("state2"))
+            .agg(sum((col("p") * col("pr")).cast("decimal(38,18)"))
+              .cast("double").as("p"))
+            .select(col("state2").as("state"), col("p"))
+            .localCheckpoint()
+        }
+        val z = pi.agg(sum(col("p").cast("decimal(38,18)")).cast("double").as("z"))
+        val emp = t(s, dir, "events")
+          .groupBy(col("event_type").as("state")).agg(count(lit(1)).as("n"))
+        val en = emp.agg(sum("n").cast("long").as("nn"))
+        pi.join(emp, "state").crossJoin(broadcast(z)).crossJoin(broadcast(en))
+          .select(col("state"),
+            round(col("p") / col("z"), 6).as("p_stationary"),
+            round(col("n").cast("double") / col("nn"), 6).as("p_empirical"),
+            round(col("z"), 6).as("mass_check"))
+          .orderBy("state")
+      }
+    },
+
     // ---- cohort LTV curves (cumulative revenue per user by age) ----
     // The monetary twin of q_cohort_retention: for each signup cohort
     // (first-seen week, ANY event type), weekly purchase revenue and

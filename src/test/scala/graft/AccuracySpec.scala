@@ -508,4 +508,230 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(bits - ref) < 1e-4, s"doc $d: engine $bits vs reference $ref")
     }
   }
+
+  test("q_logistic_train starts at ln(2) loss and descends monotonically") {
+    // Two invariants a same-wrong oracle cannot fake: with w = 0 every
+    // prediction is sigma(0) = 0.5, so the step-1 pre-update loss is
+    // exactly ln 2 regardless of data; and full-batch GD at this
+    // learning rate on a convex loss must be non-increasing across
+    // the reported trajectory.
+    val rows = SparkEntry.queries("q_logistic_train")(spark, sf)
+      .select(col("step"), col("loss_before")).as[(Int, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(math.abs(rows.head._2 - math.log(2.0)) < 1e-6,
+      s"step-1 loss ${rows.head._2} != ln 2")
+    rows.sliding(2).foreach { case Array((s1, l1), (s2, l2)) =>
+      assert(l2 <= l1 + 1e-9, s"loss rose from step $s1 ($l1) to step $s2 ($l2)")
+    }
+  }
+
+  test("q_crossval_rmse matches a from-scratch leave-fold-out evaluation") {
+    // Plain-Scala recomputation: md5-fold every event, train the
+    // per-type mean on the other four folds by direct summation (no
+    // subtraction trick), score the held-out fold. Catches a wrong
+    // fold hash, a leaked test row, or a swapped numerator that
+    // same-shape SQL on both engines would hide.
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id").cast("string"), col("event_type"), col("value"))
+      .as[(String, String, Double)].collect()
+    def fold(id: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 5
+    }
+    val tagged = ev.map { case (id, t, v) => (fold(id), t, v) }
+    val expected = (0L until 5L).map { f =>
+      val train = tagged.filter(_._1 != f).groupBy(_._2)
+        .map { case (t, rs) => t -> rs.map(_._3).sum / rs.length }
+      val test = tagged.filter(r => r._1 == f && train.contains(r._2))
+      val sse = test.map { case (_, t, v) => math.pow(v - train(t), 2) }.sum
+      f -> ((test.length.toLong, math.sqrt(sse / test.length)))
+    }.toMap
+    val got = SparkEntry.queries("q_crossval_rmse")(spark, sf)
+      .select(col("fold"), col("n_test"), col("rmse"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 5)
+    got.foreach { case (f, n, rmse) =>
+      val (en, ermse) = expected(f)
+      assert(n === en, s"fold $f: n_test $n vs $en")
+      assert(math.abs(rmse - ermse) < 1e-4, s"fold $f: rmse $rmse vs $ermse")
+    }
+  }
+
+  test("q_info_gain matches a from-scratch entropy computation") {
+    // Textbook IG recomputed in plain Scala from the raw events —
+    // catches a swapped conditional-entropy weight or a bucket-edge
+    // drift that same-shape SQL on both engines would hide.
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("long"), col("user_id"))
+      .as[(String, Double, Long, Long)].collect()
+    def h(pos: Long, n: Long): Double =
+      if (pos == 0 || pos == n) 0.0
+      else {
+        val p = pos.toDouble / n
+        -p * (math.log(p) / math.log(2)) -
+          (1 - p) * (math.log(1 - p) / math.log(2))
+      }
+    val rows = ev.map { case (t, v, hr, u) =>
+      (if (t == "purchase") 1L else 0L,
+        math.min(math.floor(v / 50).toLong, 9L), hr, u % 10)
+    }
+    val n = rows.length.toLong
+    val hy = h(rows.map(_._1).sum, n)
+    def ig(key: ((Long, Long, Long, Long)) => Long): Double =
+      hy - rows.groupBy(key).values.map { g =>
+        (g.length.toDouble / n) * h(g.map(_._1).sum, g.length.toLong)
+      }.sum
+    val expected = Map(
+      "value_bin" -> ig(_._2), "hour" -> ig(_._3), "user_bucket" -> ig(_._4))
+    val got = SparkEntry.queries("q_info_gain")(spark, sf)
+      .select(col("feature"), col("info_gain"), col("rank"))
+      .as[(String, Double, Long)].collect()
+    assert(got.length === 3)
+    got.foreach { case (f, v, _) =>
+      assert(math.abs(v - expected(f)) < 1e-5, s"$f: $v vs ${expected(f)}")
+    }
+    // the rank column must agree with the recomputed ordering
+    val byRank = got.sortBy(_._3).map(_._1).toSeq
+    val expOrder = expected.toSeq.sortBy { case (f, v) =>
+      (-math.rint(v * 1e6) / 1e6, f) }.map(_._1)
+    assert(byRank === expOrder)
+  }
+
+  test("q_naive_bayes matches a from-scratch NB classifier and beats the prior") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val toks = docs.map { case (id, l, t) => (id, l, t.split(" ", -1).toSeq) }
+    val cnt = new scala.collection.mutable.HashMap[(String, String), Long]()
+    toks.foreach { case (_, l, ws) =>
+      ws.foreach(w => cnt((l, w)) = cnt.getOrElse((l, w), 0L) + 1) }
+    val nl = cnt.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val vsz = cnt.keys.map(_._2).toSet.size.toLong
+    val priors = docs.groupBy(_._2).map { case (l, ds) => l -> ds.length.toLong }
+    val langs = priors.keys.toSeq.sorted
+    val total = docs.length.toLong
+    val expected = toks.map { case (_, actual, ws) =>
+      // same accumulation discipline as the engine: per-token log
+      // probs summed as BigDecimal(38,12)-truncated values
+      val best = langs.map { l =>
+        val s = ws.map { w =>
+          BigDecimal(math.log((cnt.getOrElse((l, w), 0L) + 1).toDouble
+            / (nl(l) + vsz))).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (s.toDouble + math.log(priors(l).toDouble / total), l)
+      }.minBy { case (sc, l) => (-sc, l) }._2
+      (actual, best)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = SparkEntry.queries("q_naive_bayes")(spark, sf)
+      .select(col("actual"), col("predicted"), col("n_docs"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, p, c) => (a, p) -> c }.toMap
+    assert(got === expected)
+    // resubstitution accuracy must beat the majority-class prior
+    val correct = got.collect { case ((a, p), c) if a == p => c }.sum
+    val majority = priors.values.max
+    assert(correct > majority,
+      s"NB resubstitution $correct/$total no better than prior $majority")
+  }
+
+  test("q_quantile_normalize equalizes every source's distribution") {
+    // The QN invariant IS the test: after remapping, every source's
+    // normalized mean/min/max are identical (equal-depth contract),
+    // and the shared mean equals the cross-source mean of rank means.
+    val out = SparkEntry.queries("q_quantile_normalize")(spark, sf)
+      .select(col("source"), col("n"), col("mean_raw"), col("mean_norm"),
+        col("min_norm"), col("max_norm"))
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(out.length > 1)
+    assert(out.map(_._2).distinct.length === 1, "unequal depths kept")
+    assert(out.map(_._4).distinct.length === 1, "mean_norm differs by source")
+    assert(out.map(_._5).distinct.length === 1, "min_norm differs by source")
+    assert(out.map(_._6).distinct.length === 1, "max_norm differs by source")
+    // raw means must NOT all collapse to one value (else the test is vacuous)
+    assert(out.map(_._3).distinct.length > 1, "raw means already equal")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .as[(String, Long, Long)].collect()
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.sortBy(d => (d._2, d._3)).map(_._2) }
+    val depth = bySrc.values.map(_.length).min
+    val refMean = (0 until depth).map { rk =>
+      bySrc.values.map(_(rk).toDouble).sum / bySrc.size }
+    val expectedMean = refMean.sum / depth
+    assert(math.abs(out.head._4 - expectedMean) < 1e-4,
+      s"mean_norm ${out.head._4} vs recomputed $expectedMean")
+  }
+
+  test("q_markov_stationary matches an in-memory power iteration") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val o = es.sortBy(e => (e._3.getTime, e._4)).map(_._2)
+      o.zip(o.drop(1))
+    }.toSeq
+    val cnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outTot = cnt.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val pr = cnt.map { case ((p, nx), c) => (p, nx) -> c.toDouble / outTot(p) }
+    val states = outTot.keys.toSeq.sorted
+    var pi = states.map(_ -> 1.0 / states.size).toMap
+    for (_ <- 1 to 5) {
+      pi = pr.groupBy(_._1._2).map { case (nx, m) =>
+        nx -> m.map { case ((p, _), t) =>
+          BigDecimal(pi(p) * t).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }
+    }
+    val z = pi.values.map(BigDecimal(_).setScale(18,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val got = SparkEntry.queries("q_markov_stationary")(spark, sf)
+      .select(col("state"), col("p_stationary"), col("mass_check"))
+      .as[(String, Double, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq === states)
+    got.foreach { case (st, p, mc) =>
+      assert(math.abs(p - pi(st) / z) < 1e-5, s"$st: $p vs ${pi(st) / z}")
+      assert(math.abs(mc - 1.0) < 1e-3, s"mass leaked: $mc")
+    }
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("q_rake_keyphrases matches a from-scratch RAKE extraction") {
+    val stop = graft.functions.TextFunctions.stopEn.toSet
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // phrases: maximal stopword-free runs, in order
+    val phrases = docs.flatMap { case (_, text) =>
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      text.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) { out += cur.toSeq; cur = cur.take(0) } }
+        else cur += w
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def wscore(w: String) = deg(w).toDouble / freq(w)
+    val scored = phrases.map(p => (p.mkString(" "), p.length.toLong,
+      p.map(w => BigDecimal(wscore(w)).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    val agg = scored.groupBy(s => (s._1, s._2)).map { case ((t, l), os) =>
+      (t, l, os.length.toLong, os.head._3) }.toSeq
+    val expected = agg
+      .sortBy { case (t, _, _, s) => (-math.rint(s * 1e6) / 1e6, t) }.take(15)
+    val got = SparkEntry.queries("q_rake_keyphrases")(spark, sf)
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("rake_score"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length === 15)
+    got.zip(expected).foreach { case ((p, nw, no, sc), (ep, enw, eno, esc)) =>
+      assert(p === ep, s"phrase $p vs $ep")
+      assert(nw === enw && no === eno, s"$p: ($nw,$no) vs ($enw,$eno)")
+      assert(math.abs(sc - esc) < 1e-5, s"$p: $sc vs $esc")
+    }
+  }
 }

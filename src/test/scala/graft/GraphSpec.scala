@@ -101,4 +101,84 @@ class GraphSpec extends SparkSpec {
       assert(dg == adj(v).count(surv), s"node $v residual degree")
     }
   }
+
+  test("q_label_propagation equals an in-memory synchronous LPA at sf0.001") {
+    // The oracle unrolls the same recurrence, so this recomputes the
+    // 3 synchronous rounds from the raw tables with plain collections
+    // — weighted argmax adoption, smallest-label ties — and requires
+    // the exact community histogram.
+    val dir = "/root/testdata/sf0.001"
+    val baskets = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val w = baskets.flatMap(ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = w.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val byNode = edges.groupBy(_._1)
+    var lab = byNode.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = byNode.map { case (v, es) =>
+        val wt = es.groupMapReduce(e => lab(e._2))(_._3)(_ + _)
+        v -> wt.toSeq.minBy { case (l, s) => (-s, l) }._1
+      }
+    }
+    val expected = lab.groupBy(_._2).map { case (c, m) =>
+      c -> ((m.size.toLong, m.keys.sum))
+    }
+    val got = SparkEntry.queries("q_label_propagation")(spark, dir)
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("member_sum")))).toMap
+    assert(got == expected,
+      s"${got.size} communities vs in-memory ${expected.size}")
+  }
+
+  test("q_link_prediction equals an in-memory Adamic-Adar at sf0.001") {
+    // From-scratch wedge enumeration with the same top-10-strongest-
+    // neighbor truncation: catches a wrong degree table, a missed
+    // anti-join (an existing edge predicted), a wrong truncation
+    // order, or a wedge outside the kept adjacency leaking through.
+    val dir = "/root/testdata/sf0.001"
+    val baskets = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val w = baskets.flatMap(ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairSet = w.keySet
+    val adjW = w.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val deg = adjW.view.mapValues(_.size.toLong).toMap
+    val scores = new scala.collection.mutable.HashMap[(Long, Long), (Long, Double)]()
+    adjW.foreach { case (v, nsw) =>
+      val ns = nsw.sortBy { case (dst, wt) => (-wt, dst) }.take(10).map(_._1)
+      val term = 1.0 / math.log(deg(v).toDouble)
+      for (i <- ns.indices; j <- ns.indices if ns(i) < ns(j)) {
+        val k = if (ns(i) < ns(j)) (ns(i), ns(j)) else (ns(j), ns(i))
+        val (c, s0) = scores.getOrElse(k, (0L, 0.0))
+        scores(k) = (c + 1, s0 + term)
+      }
+    }
+    val expected = scores.filter { case (k, _) => !pairSet.contains(k) }
+    val got = SparkEntry.queries("q_link_prediction")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("aa_score"))))
+    assert(got.nonEmpty)
+    // every emitted pair: correct wedge count, score within rounding,
+    // and genuinely a non-edge
+    got.foreach { case (k, (n, s)) =>
+      assert(!pairSet.contains(k), s"predicted existing edge $k")
+      val (en, es) = expected(k)
+      assert(n == en, s"$k: n_common $n vs $en")
+      assert(math.abs(s - es) < 1e-5, s"$k: score $s vs $es")
+    }
+    // and the emitted list IS the global top-k: no unemitted candidate
+    // scores strictly above the last emitted score
+    val floor = got.map(_._2._2).min
+    val above = expected.count { case (_, (_, es)) =>
+      math.rint(es * 1e6) / 1e6 > floor }
+    assert(above <= got.length, s"$above candidates above emitted floor $floor")
+  }
 }

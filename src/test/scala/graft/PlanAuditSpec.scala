@@ -86,6 +86,16 @@ class PlanAuditSpec extends SparkSpec {
     "q_textrank",          // 1-row broadcast node-count scalar in the iteration body
     "q_blocking_quality",  // four 1-row broadcast count scalars crossJoined
     "q_kneser_ney",        // 1-row broadcast bigram-type total riding the LM build
+    "q_logistic_train",    // 1-row broadcast weight vector riding each GD step
+    "q_info_gain",         // 1-row broadcast corpus totals (nn/pp) riding the
+                           // ≤ 3×24 bucket frame and the H(y) term
+    "q_markov_stationary", // 1-row broadcast π-mass renormalizer riding the
+                           // #states² frame each power-iteration round
+    "q_naive_bayes",       // 5-row broadcast lang fan-out + 1-row vocab/doc-count
+                           // smoothing scalars riding the scoring stream
+    "q_hits",              // 1-row broadcast L2-norm scalar per half-step
+    "q_eb_shrinkage",      // 1-row broadcast Beta(α,β) prior riding the
+                           // #sources frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -158,6 +158,10 @@ object ScaleCheck {
     // and the RAKE phrase-islands explode
     "q_info_gain", "q_link_prediction", "q_markov_stationary",
     "q_naive_bayes", "q_quantile_normalize", "q_rake_keyphrases",
+    // r8 seventh batch: the bipartite HITS edge build + per-round
+    // dimension joins, the 3-round frontier expansion, the per-type
+    // doubled-rank windows, and the one-pass EB prior collapse
+    "q_hits", "q_bfs_hops", "q_spearman_by_type", "q_eb_shrinkage",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -734,4 +734,76 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(sc - esc) < 1e-5, s"$p: $sc vs $esc")
     }
   }
+
+  test("q_spearman_by_type matches a from-scratch tie-corrected Spearman") {
+    // Recompute fractional (average) ranks and Pearson-on-ranks in
+    // plain collections: catches a wrong tie correction, a swapped
+    // axis, or a rank window partitioned on the wrong key. The engine
+    // is exact integer arithmetic; the replica is double, so 1e-9.
+    val rows = Tables(spark, sf, "events")
+      .select(col("event_type"), col("value"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("mnt"))
+      .as[(String, Double, Long)].collect()
+    def fracRanks[T](xs: Seq[T])(implicit o: Ordering[T]): Seq[Double] = {
+      val sorted = xs.sorted
+      val first = sorted.zipWithIndex.groupBy(_._1)
+        .view.mapValues(g => (g.map(_._2).min + 1, g.length)).toMap
+      xs.map { v => val (r, t) = first(v); r + (t - 1) / 2.0 }
+    }
+    val expected = rows.groupBy(_._1).map { case (tpe, es) =>
+      val rx = fracRanks(es.toSeq.map(_._2))
+      val ry = fracRanks(es.toSeq.map(_._3))
+      val n = es.length.toDouble
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (rx.map(a => a * a).sum, ry.map(b => b * b).sum)
+      tpe -> (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val got = SparkEntry.queries("q_spearman_by_type")(spark, sf)
+      .select(col("event_type"), col("spearman_rho"))
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (tpe, rho) =>
+      assert(math.abs(rho) <= 1.0, s"$tpe: |rho| > 1: $rho")
+      assert(math.abs(rho - expected(tpe)) < 1e-6,
+        s"$tpe: $rho vs ${expected(tpe)}")
+    }
+  }
+
+  test("q_eb_shrinkage matches a from-scratch beta-binomial posterior") {
+    // Recompute the method-of-moments Beta prior and posterior means
+    // in plain doubles; additionally pin the shrinkage DIRECTION —
+    // every smoothed rate must sit between the raw rate and the prior
+    // mean (the whole point of the estimator).
+    val src = Tables(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+      .as[(String, Long, Long)].collect()
+    val rates = src.map { case (_, n, k) => k.toDouble / n }
+    val ns = rates.length
+    val m = rates.sum / ns
+    val v = (rates.map(r => r * r).sum - rates.sum * rates.sum / ns) / (ns - 1)
+    val (a, b) =
+      if (v > 0 && m * (1 - m) > v) {
+        val g = m * (1 - m) / v - 1
+        (m * g, (1 - m) * g)
+      } else (1.0, 1.0)
+    val got = SparkEntry.queries("q_eb_shrinkage")(spark, sf)
+      .select(col("source"), col("n"), col("k"),
+        col("rate_raw"), col("rate_smoothed"), col("shrink_frac"))
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == src.length)
+    got.foreach { case (s0, n, k, raw, sm, sf0) =>
+      val eSm = (k + a) / (n + a + b)
+      assert(math.abs(sm - eSm) < 1e-6, s"$s0: $sm vs $eSm")
+      assert(math.abs(sf0 - (a + b) / (n + a + b)) < 1e-6, s"$s0 shrink_frac")
+      // direction: smoothed between raw and the prior mean (tolerance
+      // for the 6dp rounding of both endpoints)
+      val lo = math.min(raw, m) - 1e-6
+      val hi = math.max(raw, m) + 1e-6
+      assert(sm >= lo && sm <= hi, s"$s0: $sm outside [$lo, $hi]")
+    }
+  }
 }

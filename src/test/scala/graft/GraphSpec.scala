@@ -181,4 +181,79 @@ class GraphSpec extends SparkSpec {
       math.rint(es * 1e6) / 1e6 > floor }
     assert(above <= got.length, s"$above candidates above emitted floor $floor")
   }
+
+  test("q_hits equals an in-memory HITS run at sf0.001") {
+    // From-scratch Kleinberg iteration on the bipartite customer→part
+    // edge set: catches a missed normalization, a transposed
+    // half-step, or a wrong edge build. The engine accumulates sums
+    // as DECIMAL; this replica uses plain doubles, so scores agree to
+    // 1e-6, not bitwise.
+    val dir = "/root/testdata/sf0.001"
+    def read(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val orderCust = read("orders").select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val edges = read("lineitem").select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => orderCust.get(r.getAs[Number](0).longValue)
+        .map(c => (c, r.getAs[Number](1).longValue)))
+      .distinct
+    val byC = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byP = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def l2(m: Map[Long, Double]) = {
+      val z = math.sqrt(m.values.map(v => v * v).sum)
+      m.view.mapValues(_ / z).toMap
+    }
+    var hub = byC.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 2) {
+      val auth = l2(byP.map { case (p, cs) => p -> cs.map(hub).sum })
+      hub = l2(byC.map { case (c, ps) => c -> ps.map(auth).sum })
+    }
+    val af = l2(byP.map { case (p, cs) => p -> cs.map(hub).sum })
+    val expTop = af.toSeq
+      .sortBy { case (p, s) => (-math.rint(s * 1e6) / 1e6, p) }.take(15)
+    val got = SparkEntry.queries("q_hits")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("n_buyers"),
+        r.getAs[Double]("authority")))
+    assert(got.length == 15)
+    got.zip(expTop).foreach { case ((p, nb, s), (ep, es)) =>
+      assert(p == ep, s"rank order: part $p vs expected $ep")
+      assert(nb == byP(p).length.toLong, s"part $p n_buyers")
+      assert(math.abs(s - es) < 1e-6, s"part $p authority $s vs $es")
+    }
+  }
+
+  test("q_bfs_hops equals an in-memory multi-source BFS at sf0.001") {
+    // Same basket-pair graph, same deterministic 5-source seed rule
+    // (degree desc, id), 3 min-hop rounds replayed in plain
+    // collections; the histogram plus per-hop membership checksum
+    // must match exactly — all integers, no tolerance.
+    val dir = "/root/testdata/sf0.001"
+    val baskets = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairSet = baskets.flatMap(ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .toSet
+    val adj = pairSet.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val seeds = deg.toSeq.sortBy { case (v, d) => (-d, v) }.take(5).map(_._1)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = dist.toSeq.flatMap { case (v, h) =>
+        (v, h) +: adj(v).map(_ -> (h + 1)) }
+      dist = next.groupMapReduce(_._1)(_._2)(math.min)
+    }
+    val hist = dist.groupBy(_._2).map { case (h, m) =>
+      h -> ((m.size.toLong, m.keys.sum)) }
+    val unreachedNodes = deg.keySet -- dist.keySet
+    val expected = hist ++ (
+      if (unreachedNodes.nonEmpty)
+        Map(-1L -> ((unreachedNodes.size.toLong, unreachedNodes.sum)))
+      else Map(-1L -> ((0L, 0L))))
+    val got = SparkEntry.queries("q_bfs_hops")(spark, dir).collect()
+      .map(r => r.getAs[Long]("hop") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("node_sum")))).toMap
+    assert(got == expected, s"got $got vs $expected")
+  }
 }

@@ -162,6 +162,11 @@ object ScaleCheck {
     // dimension joins, the 3-round frontier expansion, the per-type
     // doubled-rank windows, and the one-pass EB prior collapse
     "q_hits", "q_bfs_hops", "q_spearman_by_type", "q_eb_shrinkage",
+    // r8 eighth batch: the calendar-pair concordance join, the 2×2
+    // corpus collapse, the one-pass λ-ladder moments, the per-user
+    // change windows, and the two-pass vocabulary-growth checkpoint
+    "q_kendall_tau", "q_did_estimator", "q_ridge_path", "q_scd2_build",
+    "q_heaps_law",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -1063,6 +1063,123 @@ object TextAnalysisQueries {
           round(col("score"), 6).as("rake_score"))
         .orderBy(col("rake_score").desc, col("phrase"))
         .limit(15)
+    },
+
+    // ---- Heaps' law vocabulary-growth fit (V = K·N^β) ----
+    // The corpus-scaling diagnostic that tells a pipeline how
+    // vocabulary (and so tokenizer/index size) grows with ingested
+    // tokens: evaluate cumulative (tokens N, distinct vocabulary V)
+    // at 20 doc-id checkpoints and fit ln V = ln K + β·ln N by OLS.
+    // The vocabulary UNIT is the word TRIGRAM: this synthetic corpus
+    // has only ~31 word types (unigram vocabulary saturates in the
+    // first checkpoint — β ≡ 0, caught by the replica spec's
+    // 0 < β < 1 gate), while trigram types keep appearing through
+    // all 20 bins, which is the regime the diagnostic exists for.
+    // The cumulative-distinct trap at scale: a naive running-distinct
+    // needs an ordered scan of the corpus. Instead each trigram's
+    // FIRST doc (one min() aggregation) turns "V at checkpoint b"
+    // into a plain count of first-appearances ≤ b — two corpus passes
+    // total (trigram explode → min-doc; per-doc trigram counts → bin
+    // sums), then everything else lives on the 20-row checkpoint
+    // frame: the cumulative windows, the DECIMAL(38,18)-accumulated
+    // log moments (exact BIGINT counts → bit-identical ln() on both
+    // engines), and the closed-form fit riding back as a 1-row
+    // broadcast. Bins are equal-width doc-id ranges from broadcast
+    // min/max — exact integer arithmetic (floor()ed: DuckDB CAST
+    // rounds where Spark truncates), no percentile estimation.
+    {
+      sql(
+        "q_heaps_law",
+        """WITH bd AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+          |dc AS (SELECT doc_id,
+          |         CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS c
+          |       FROM documents),
+          |db AS (SELECT least(CAST(floor((dc.doc_id - bd.mn) * 20
+          |                         / (bd.mx - bd.mn + 1)) AS BIGINT), 19) AS bin,
+          |              dc.c
+          |       FROM dc CROSS JOIN bd),
+          |tb AS (SELECT bin, sum(c) AS toks FROM db GROUP BY 1),
+          |ft AS (SELECT tok, min(doc_id) AS fd FROM (
+          |         SELECT doc_id,
+          |           unnest(list_transform(range(1, len(w) - 1),
+          |             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tok
+          |         FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |               FROM documents)) GROUP BY 1),
+          |fb AS (SELECT least(CAST(floor((ft.fd - bd.mn) * 20
+          |                         / (bd.mx - bd.mn + 1)) AS BIGINT), 19) AS bin,
+          |               CAST(count(*) AS BIGINT) AS newv
+          |        FROM ft CROSS JOIN bd GROUP BY 1),
+          |cum AS (SELECT tb.bin,
+          |          CAST(sum(tb.toks) OVER (ORDER BY tb.bin
+          |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+          |          CAST(sum(coalesce(fb.newv, 0)) OVER (ORDER BY tb.bin
+          |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_cum
+          |        FROM tb LEFT JOIN fb ON fb.bin = tb.bin),
+          |mo AS (SELECT CAST(count(*) AS BIGINT) AS np,
+          |         CAST(sum(CAST(ln(n_cum) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+          |         CAST(sum(CAST(ln(v_cum) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+          |         CAST(sum(CAST(ln(n_cum) * ln(v_cum) AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+          |         CAST(sum(CAST(ln(n_cum) * ln(n_cum) AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+          |       FROM cum),
+          |fit AS (SELECT (np * sxy - sx * sy) / (np * sxx - sx * sx) AS beta,
+          |               sx, sy, np FROM mo)
+          |SELECT cum.bin, cum.n_cum AS tokens_cum, cum.v_cum AS vocab_cum,
+          |       round(fit.beta, 6) AS heaps_beta,
+          |       round(exp((fit.sy - fit.beta * fit.sx) / fit.np), 6) AS heaps_k
+          |FROM cum CROSS JOIN fit ORDER BY cum.bin""".stripMargin) { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val bd = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        def binOf(d: Column) =
+          least(floor((d - col("mn")) * 20 / (col("mx") - col("mn") + 1))
+            .cast("long"), lit(19L))
+        val tb = docs
+          .select(col("doc_id"),
+            greatest(size(tokens(col("text"))) - 2, lit(0))
+              .cast("long").as("c"))
+          .crossJoin(broadcast(bd))
+          .groupBy(binOf(col("doc_id")).as("bin"))
+          .agg(sum("c").as("toks"))
+        // word trigrams; sequence(1, n) DESCENDS when n < 1, so the
+        // short-doc case must be guarded to an empty array explicitly
+        val w3 = col("w")
+        val tris = when(size(w3) >= 3,
+          transform(sequence(lit(1), size(w3) - 2),
+            i => concat_ws(" ", element_at(w3, i),
+              element_at(w3, i + 1), element_at(w3, i + 2))))
+          .otherwise(array())
+        val ft = docs
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), explode(tris).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("fd"))
+        val fb = ft.crossJoin(broadcast(bd))
+          .groupBy(binOf(col("fd")).as("bin"))
+          .agg(count(lit(1)).as("newv"))
+        // the one intentionally tiny global window (20 checkpoint rows)
+        val wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        val cum = tb.join(fb, Seq("bin"), "left")
+          .select(col("bin"),
+            sum("toks").over(wc).cast("long").as("n_cum"),
+            sum(coalesce(col("newv"), lit(0L))).over(wc).cast("long").as("v_cum"))
+          .localCheckpoint() // 20 rows: feeds the fit AND the output
+        val d18 = (c: Column) => c.cast("decimal(38,18)")
+        val lx = log(col("n_cum")); val ly = log(col("v_cum"))
+        val mo = cum.agg(count(lit(1)).as("np"),
+          sum(d18(lx)).cast("double").as("sx"),
+          sum(d18(ly)).cast("double").as("sy"),
+          sum(d18(lx * ly)).cast("double").as("sxy"),
+          sum(d18(lx * lx)).cast("double").as("sxx"))
+        val fit = mo.select(
+          ((col("np") * col("sxy") - col("sx") * col("sy"))
+            / (col("np") * col("sxx") - col("sx") * col("sx"))).as("beta"),
+          col("sx"), col("sy"), col("np"))
+        cum.crossJoin(broadcast(fit))
+          .select(col("bin"), col("n_cum").as("tokens_cum"),
+            col("v_cum").as("vocab_cum"),
+            round(col("beta"), 6).as("heaps_beta"),
+            round(exp((col("sy") - col("beta") * col("sx")) / col("np")), 6)
+              .as("heaps_k"))
+          .orderBy("bin")
+      }
     }
   )
 }

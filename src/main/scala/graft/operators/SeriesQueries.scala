@@ -876,6 +876,69 @@ object SeriesQueries {
         .orderBy("feature")
     },
 
+    // ---- Kendall's τ-b between two daily series (concordance) ----
+    // The rank-concordance complement to q_spearman_by_type and the
+    // two-series sibling of q_mann_kendall's trend-vs-time S: τ-b
+    // between daily revenue and daily event count, tie-corrected —
+    // (C − D)/√((n₀−T₁)(n₀−T₂)). The corpus collapses to the #days
+    // frame in ONE pass (revenue as an exact DECIMAL sum, so tie
+    // comparisons are exact, not float-fuzzy); all pair work runs on
+    // the calendar-bounded broadcast self-join (≤ days²/2 pairs —
+    // the q_mann_kendall convention, bounded by calendar, not
+    // corpus); C/D/tie counts are exact integers, the only doubles
+    // are the final closed form.
+    sql(
+      "q_kendall_tau",
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |             sum(CAST(value AS DECIMAL(18,6))) AS rev,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT CASE WHEN (a.rev < b.rev AND a.cnt < b.cnt)
+        |               OR (a.rev > b.rev AND a.cnt > b.cnt) THEN 1 ELSE 0 END AS c,
+        |             CASE WHEN (a.rev < b.rev AND a.cnt > b.cnt)
+        |               OR (a.rev > b.rev AND a.cnt < b.cnt) THEN 1 ELSE 0 END AS dd,
+        |             CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tx,
+        |             CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS ty
+        |      FROM d a JOIN d b ON a.day < b.day),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |             CAST(sum(c) AS BIGINT) AS conc,
+        |             CAST(sum(dd) AS BIGINT) AS disc,
+        |             CAST(sum(tx) AS BIGINT) AS t1,
+        |             CAST(sum(ty) AS BIGINT) AS t2
+        |      FROM p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+        |       n0 AS n_pairs, conc AS concordant, disc AS discordant,
+        |       round((conc - disc) / (sqrt(CAST(n0 - t1 AS DOUBLE))
+        |         * sqrt(CAST(n0 - t2 AS DOUBLE))), 6) AS tau_b
+        |FROM m""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("cnt"))
+        .localCheckpoint() // #days rows: feeds the pair join AND n_days
+      val a = d.select(col("day").as("da"), col("rev").as("ra"), col("cnt").as("ca"))
+      val b = d.select(col("day").as("db"), col("rev").as("rb"), col("cnt").as("cb"))
+      val p = a.join(broadcast(b), col("da") < col("db"))
+        .select(
+          when((col("ra") < col("rb") && col("ca") < col("cb"))
+            || (col("ra") > col("rb") && col("ca") > col("cb")), 1L)
+            .otherwise(0L).as("c"),
+          when((col("ra") < col("rb") && col("ca") > col("cb"))
+            || (col("ra") > col("rb") && col("ca") < col("cb")), 1L)
+            .otherwise(0L).as("dd"),
+          when(col("ra") === col("rb"), 1L).otherwise(0L).as("tx"),
+          when(col("ca") === col("cb"), 1L).otherwise(0L).as("ty"))
+      val m = p.agg(count(lit(1)).as("n0"), sum("c").as("conc"),
+        sum("dd").as("disc"), sum("tx").as("t1"), sum("ty").as("t2"))
+      val nd = d.agg(count(lit(1)).as("n_days"))
+      m.crossJoin(broadcast(nd))
+        .select(col("n_days"), col("n0").as("n_pairs"),
+          col("conc").as("concordant"), col("disc").as("discordant"),
+          round((col("conc") - col("disc"))
+            / (sqrt((col("n0") - col("t1")).cast("double"))
+              * sqrt((col("n0") - col("t2")).cast("double"))), 6).as("tau_b"))
+    },
+
     // ---- CUSUM changepoint detection over daily revenue ----
     // Page's CUSUM: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)), mirrored
     // for S⁻, alarm when either exceeds h = 4σ (k = σ/2, the standard

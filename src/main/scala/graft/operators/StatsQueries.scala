@@ -674,6 +674,92 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // ---- difference-in-differences (2×2 panel estimator) ----
+    // The panel-causal complement to q_cuped/q_uplift_segments:
+    // DiD = (μ_treat,post − μ_treat,pre) − (μ_ctrl,post − μ_ctrl,pre)
+    // with the delta-method SE √(Σ_g s²_g/n_g) over the four
+    // independent cells. Treatment is the deterministic user_id
+    // parity split (the q_ab_ttest convention); the pre/post boundary
+    // is the corpus's own midpoint DATE (exact integer day arithmetic
+    // from min/max, riding as a 1-row broadcast — no wall-clock, no
+    // config). ONE corpus pass collapses everything to 12 conditional
+    // DECIMAL moments in a single row: at 100 TB the estimator is
+    // still one map-side-combined aggregation. Squares use the
+    // (18,6)×(19,6) pairing (exact at p=38, the q_autocorr
+    // convention).
+    sql(
+      "q_did_estimator",
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+        |    CAST(floor((date_diff('day', min(CAST(ts AS DATE)),
+        |                          max(CAST(ts AS DATE))) + 1) / 2.0) AS BIGINT) AS half
+        |  FROM events),
+        |e AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr,
+        |        CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) >= b.half
+        |             THEN 1 ELSE 0 END AS post,
+        |        CAST(value AS DECIMAL(18,6)) AS v
+        |      FROM events CROSS JOIN bounds b),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN tr = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+        |    sum(CASE WHEN tr = 1 AND post = 1 THEN v END) AS s_tp,
+        |    sum(CASE WHEN tr = 1 AND post = 1 THEN v * CAST(v AS DECIMAL(19,6)) END) AS q_tp,
+        |    CAST(sum(CASE WHEN tr = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+        |    sum(CASE WHEN tr = 1 AND post = 0 THEN v END) AS s_tr,
+        |    sum(CASE WHEN tr = 1 AND post = 0 THEN v * CAST(v AS DECIMAL(19,6)) END) AS q_tr,
+        |    CAST(sum(CASE WHEN tr = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+        |    sum(CASE WHEN tr = 0 AND post = 1 THEN v END) AS s_cp,
+        |    sum(CASE WHEN tr = 0 AND post = 1 THEN v * CAST(v AS DECIMAL(19,6)) END) AS q_cp,
+        |    CAST(sum(CASE WHEN tr = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cr,
+        |    sum(CASE WHEN tr = 0 AND post = 0 THEN v END) AS s_cr,
+        |    sum(CASE WHEN tr = 0 AND post = 0 THEN v * CAST(v AS DECIMAL(19,6)) END) AS q_cr
+        |  FROM e)
+        |SELECT n_tp, n_tr, n_cp, n_cr,
+        |  round(CAST(s_tp AS DOUBLE) / n_tp, 6) AS mean_treat_post,
+        |  round(CAST(s_tr AS DOUBLE) / n_tr, 6) AS mean_treat_pre,
+        |  round(CAST(s_cp AS DOUBLE) / n_cp, 6) AS mean_ctrl_post,
+        |  round(CAST(s_cr AS DOUBLE) / n_cr, 6) AS mean_ctrl_pre,
+        |  round((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tr AS DOUBLE) / n_tr)
+        |    - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_cr AS DOUBLE) / n_cr), 6) AS did,
+        |  round(sqrt(
+        |      (CAST(q_tp AS DOUBLE) - CAST(s_tp AS DOUBLE) * CAST(s_tp AS DOUBLE) / n_tp) / (n_tp - 1) / n_tp
+        |    + (CAST(q_tr AS DOUBLE) - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE) / n_tr) / (n_tr - 1) / n_tr
+        |    + (CAST(q_cp AS DOUBLE) - CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE) / n_cp) / (n_cp - 1) / n_cp
+        |    + (CAST(q_cr AS DOUBLE) - CAST(s_cr AS DOUBLE) * CAST(s_cr AS DOUBLE) / n_cr) / (n_cr - 1) / n_cr), 6) AS se
+        |FROM m""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min(to_date(col("ts"))).as("mn"),
+        floor((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          / 2.0).cast("long").as("half"))
+      val e = ev.crossJoin(broadcast(bounds))
+        .select(
+          when(col("user_id") % 2 === 1, 1).otherwise(0).as("tr"),
+          when(datediff(to_date(col("ts")), col("mn")) >= col("half"), 1)
+            .otherwise(0).as("post"),
+          col("value").cast("decimal(18,6)").as("v"))
+      def cell(trV: Int, postV: Int, tag: String) = {
+        val c = col("tr") === trV && col("post") === postV
+        Seq(sum(when(c, 1L).otherwise(0L)).as(s"n_$tag"),
+          sum(when(c, col("v"))).as(s"s_$tag"),
+          sum(when(c, col("v") * col("v").cast("decimal(19,6)"))).as(s"q_$tag"))
+      }
+      val aggs = cell(1, 1, "tp") ++ cell(1, 0, "tr") ++
+        cell(0, 1, "cp") ++ cell(0, 0, "cr")
+      val m = e.agg(aggs.head, aggs.tail: _*)
+      def mean(tag: String) =
+        col(s"s_$tag").cast("double") / col(s"n_$tag")
+      def varOverN(tag: String) =
+        (col(s"q_$tag").cast("double")
+          - col(s"s_$tag").cast("double") * col(s"s_$tag").cast("double")
+            / col(s"n_$tag")) / (col(s"n_$tag") - 1) / col(s"n_$tag")
+      m.select(col("n_tp"), col("n_tr"), col("n_cp"), col("n_cr"),
+        round(mean("tp"), 6).as("mean_treat_post"),
+        round(mean("tr"), 6).as("mean_treat_pre"),
+        round(mean("cp"), 6).as("mean_ctrl_post"),
+        round(mean("cr"), 6).as("mean_ctrl_pre"),
+        round((mean("tp") - mean("tr")) - (mean("cp") - mean("cr")), 6).as("did"),
+        round(sqrt(varOverN("tp") + varOverN("tr")
+          + varOverN("cp") + varOverN("cr")), 6).as("se"))
+    },
+
     // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
     sql(
       "q_pivot",
@@ -2020,6 +2106,125 @@ object StatsQueries {
           round((col("beta1") * col("b1") + col("beta2") * col("b2"))
             / col("syc"), 6).as("r2"))
         .orderBy("rf")
+    },
+
+    // ---- ridge regularization path (standardized closed form) ----
+    // q_ols_multi with an L2 penalty on the STANDARDIZED system: the
+    // centered moments are reduced to correlations (r12, r1y, r2y),
+    // ridge adds λ to the unit diagonal — [1+λ, r; r, 1+λ]·β* = rhs,
+    // solved by Cramer — and standardized coefficients map back
+    // through √(Syy/Sxx). Standardizing makes λ ∈ {0, 0.5, 2}
+    // meaningful at EVERY corpus size (the raw centered system grows
+    // like n², so a raw-scale λ would silently stop regularizing at
+    // 100×); λ = 0 reproduces OLS exactly, pinning the path's anchor
+    // against q_ols_multi's already-verified solve. Same one-pass
+    // DECIMAL moment collapse — the λ ladder is a 3-row broadcast
+    // fan-out over the 1-row moment frame, so the whole path costs
+    // ONE corpus aggregation regardless of how many λs ride it.
+    sql(
+      "q_ridge_path",
+      """WITH m AS (SELECT count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))) AS s1,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))) AS s2,
+        |    sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_quantity AS DECIMAL(19,4))) AS s11,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_discount AS DECIMAL(19,4))) AS s12,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))
+        |        * CAST(l_discount AS DECIMAL(19,4))) AS s22,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS s1y,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS s2y,
+        |    sum(CAST(l_extendedprice AS DECIMAL(15,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+        |  FROM lineitem),
+        |c AS (SELECT CAST(n AS BIGINT) AS n,
+        |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a11,
+        |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a12,
+        |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a22,
+        |    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1,
+        |    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syc,
+        |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+        |    CAST(sy AS DOUBLE) AS dy
+        |  FROM m),
+        |r AS (SELECT n, d1, d2, dy, a11, a22, syc,
+        |    a12 / (sqrt(a11) * sqrt(a22)) AS r12,
+        |    b1 / (sqrt(a11) * sqrt(syc)) AS r1y,
+        |    b2 / (sqrt(a22) * sqrt(syc)) AS r2y
+        |  FROM c),
+        |lam(lambda) AS (VALUES (0e0), (0.5e0), (2e0)),
+        |sol AS (SELECT lambda, n, d1, d2, dy, a11, a22, syc,
+        |    ((1 + lambda) * r1y - r12 * r2y)
+        |      / ((1 + lambda) * (1 + lambda) - r12 * r12) AS bs1,
+        |    ((1 + lambda) * r2y - r12 * r1y)
+        |      / ((1 + lambda) * (1 + lambda) - r12 * r12) AS bs2
+        |  FROM r CROSS JOIN lam)
+        |SELECT lambda, round(bs1, 6) AS beta1_std, round(bs2, 6) AS beta2_std,
+        |  round(bs1 * (sqrt(syc) / sqrt(a11)), 6) AS beta1,
+        |  round(bs2 * (sqrt(syc) / sqrt(a22)), 6) AS beta2,
+        |  round((dy - (bs1 * (sqrt(syc) / sqrt(a11))) * d1
+        |            - (bs2 * (sqrt(syc) / sqrt(a22))) * d2) / CAST(n AS DOUBLE), 6) AS beta0
+        |FROM sol ORDER BY lambda""".stripMargin) { (s, dir) =>
+      val d15 = (c: Column) => c.cast("decimal(15,4)")
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val x1 = col("l_quantity"); val x2 = col("l_discount")
+      val y = col("l_extendedprice")
+      val m = t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          sum(d15(x1)).as("s1"), sum(d15(x2)).as("s2"), sum(d15(y)).as("sy"),
+          sum(d15(x1) * d19(x1)).as("s11"), sum(d15(x1) * d19(x2)).as("s12"),
+          sum(d15(x2) * d19(x2)).as("s22"), sum(d15(x1) * d19(y)).as("s1y"),
+          sum(d15(x2) * d19(y)).as("s2y"), sum(d15(y) * d19(y)).as("syy"))
+      val dbl = (nm: String) => col(nm).cast("double")
+      val nD = dbl("n")
+      val c0 = m.select(col("n").cast("long").as("n"),
+        (nD * dbl("s11") - dbl("s1") * dbl("s1")).as("a11"),
+        (nD * dbl("s12") - dbl("s1") * dbl("s2")).as("a12"),
+        (nD * dbl("s22") - dbl("s2") * dbl("s2")).as("a22"),
+        (nD * dbl("s1y") - dbl("s1") * dbl("sy")).as("b1"),
+        (nD * dbl("s2y") - dbl("s2") * dbl("sy")).as("b2"),
+        (nD * dbl("syy") - dbl("sy") * dbl("sy")).as("syc"),
+        dbl("s1").as("d1"), dbl("s2").as("d2"), dbl("sy").as("dy"))
+      val r = c0.select(col("n"), col("d1"), col("d2"), col("dy"),
+        col("a11"), col("a22"), col("syc"),
+        (col("a12") / (sqrt(col("a11")) * sqrt(col("a22")))).as("r12"),
+        (col("b1") / (sqrt(col("a11")) * sqrt(col("syc")))).as("r1y"),
+        (col("b2") / (sqrt(col("a22")) * sqrt(col("syc")))).as("r2y"))
+      val lam = s.range(1).select(
+        explode(array(lit(0.0), lit(0.5), lit(2.0))).as("lambda"))
+      // NB: operator must end the line — a leading `-` on the
+      // continuation line parses as a separate unary-minus statement
+      // and silently drops the r12² term (caught by the oracle gate:
+      // λ=0 stopped reproducing OLS)
+      val det = (lit(1) + col("lambda")) * (lit(1) + col("lambda")) -
+        col("r12") * col("r12")
+      val sol = broadcast(r).crossJoin(lam)
+        .select(col("lambda"), col("n"), col("d1"), col("d2"), col("dy"),
+          col("a11"), col("a22"), col("syc"),
+          (((lit(1) + col("lambda")) * col("r1y") - col("r12") * col("r2y"))
+            / det).as("bs1"),
+          (((lit(1) + col("lambda")) * col("r2y") - col("r12") * col("r1y"))
+            / det).as("bs2"))
+      val sc1 = sqrt(col("syc")) / sqrt(col("a11"))
+      val sc2 = sqrt(col("syc")) / sqrt(col("a22"))
+      sol.select(col("lambda"),
+          round(col("bs1"), 6).as("beta1_std"),
+          round(col("bs2"), 6).as("beta2_std"),
+          round(col("bs1") * sc1, 6).as("beta1"),
+          round(col("bs2") * sc2, 6).as("beta2"),
+          round((col("dy") - col("bs1") * sc1 * col("d1")
+            - col("bs2") * sc2 * col("d2")) / col("n").cast("double"), 6)
+            .as("beta0"))
+        .orderBy("lambda")
     }
   )
 }

@@ -301,6 +301,60 @@ object TemporalQueries {
         .orderBy("user_id", "valid_from_us")
     },
 
+    // ---- SCD type-2 dimension build (versioned current-flag) ----
+    // The warehouse op q_runs_islands' gaps-and-islands core exists
+    // to serve: fold each user's event stream into a type-2 slowly-
+    // changing dimension — one row per ATTRIBUTE CHANGE carrying
+    // effective_from / effective_to (= next version's start, NULL
+    // while current), is_current, and a per-user version number; the
+    // merge-ready shape every dimensional model loads. Change rows
+    // are detected with lag() over the (ts, event_id)-total order
+    // (IS DISTINCT FROM so a NULL attribute can't fake a change),
+    // effective_to with lead() over the SURVIVING change rows only —
+    // two hash-partitioned per-user windows, no global sort, and the
+    // output is corpus-proportional in the number of CHANGES, not
+    // events (the compression is the point of SCD2). Timestamps
+    // surface as unix micros (the q_runs_islands parity convention —
+    // NTZ vs TIMESTAMPTZ hashing differs across engines; integers
+    // don't).
+    sql(
+      "q_scd2_build",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |             lag(event_type) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events WHERE user_id % 10 = 3),
+        |chg AS (SELECT user_id, event_type, ts, event_id FROM o
+        |        WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type,
+        |        epoch_us(ts) AS eff_from_us,
+        |        epoch_us(lead(ts) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id)) AS eff_to_us,
+        |        CAST(row_number() OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        |      FROM chg)
+        |SELECT user_id, version, event_type, eff_from_us,
+        |       coalesce(eff_to_us, -1) AS eff_to_us,
+        |       CAST(eff_to_us IS NULL AS BOOLEAN) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chg = t(s, dir, "events")
+        .where(col("user_id") % 10 === 3)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .where(!(col("prev") <=> col("event_type")))
+      chg
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("eff_from_us"),
+          unix_micros(lead(col("ts"), 1).over(wc)).as("eff_to_us"),
+          row_number().over(wc).cast("long").as("version"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("eff_from_us"),
+          coalesce(col("eff_to_us"), lit(-1L)).as("eff_to_us"),
+          col("eff_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+
     // ---- exponential smoothing (EWMA α=0.3) per key — the canonical
     // inherently-SEQUENTIAL recurrence (s = αx + (1−α)s_prev), which no
     // window frame can express. Implemented with the secondary-sort

@@ -806,4 +806,184 @@ class AccuracySpec extends SparkSpec {
       assert(sm >= lo && sm <= hi, s"$s0: $sm outside [$lo, $hi]")
     }
   }
+
+  test("q_kendall_tau matches a from-scratch pair enumeration") {
+    // Exact integer C/D/tie counts from an in-memory day-pair loop
+    // (revenue compared as exact BigDecimal, mirroring the engine's
+    // DECIMAL sums): catches a swapped concordance sign, a missing
+    // tie correction, or a float-fuzzed equality.
+    val days = Tables(spark, sf, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .select(col("day").cast("long"), col("rev"), col("cnt"))
+      .as[(Long, java.math.BigDecimal, Long)].collect()
+    var (conc, disc, t1, t2, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- days.indices; j <- days.indices if days(i)._1 < days(j)._1) {
+      val cr = days(i)._2.compareTo(days(j)._2)
+      val cc = days(i)._3.compare(days(j)._3)
+      n0 += 1
+      if (cr != 0 && cc != 0) { if (cr == cc) conc += 1 else disc += 1 }
+      if (cr == 0) t1 += 1
+      if (cc == 0) t2 += 1
+    }
+    val eTau = (conc - disc) /
+      (math.sqrt((n0 - t1).toDouble) * math.sqrt((n0 - t2).toDouble))
+    val r = SparkEntry.queries("q_kendall_tau")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_days") == days.length.toLong)
+    assert(r.getAs[Long]("n_pairs") == n0)
+    assert(r.getAs[Long]("concordant") == conc)
+    assert(r.getAs[Long]("discordant") == disc)
+    assert(math.abs(r.getAs[Double]("tau_b") - eTau) < 1e-6)
+  }
+
+  test("q_did_estimator matches a from-scratch 2x2 computation") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val dates = ev.map(_._2).distinct.sorted
+    import java.time.LocalDate
+    val mn = LocalDate.parse(dates.head)
+    val half = math.floor(
+      (java.time.temporal.ChronoUnit.DAYS.between(mn,
+        LocalDate.parse(dates.last)) + 1) / 2.0).toLong
+    def cellOf(u: Long, d: String) =
+      (if (u % 2 == 1) 1 else 0,
+        if (java.time.temporal.ChronoUnit.DAYS.between(mn,
+          LocalDate.parse(d)) >= half) 1 else 0)
+    val cells = ev.groupBy { case (u, d, _) => cellOf(u, d) }
+      .view.mapValues { rows =>
+        // mirror the engine's DECIMAL(18,6) per-row quantization
+        val vs = rows.map(r => BigDecimal(r._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP))
+        val n = vs.length
+        val m = (vs.sum / n).toDouble
+        val s2 = (vs.map(v => v * v.setScale(6)).sum.toDouble
+          - vs.sum.toDouble * vs.sum.toDouble / n) / (n - 1)
+        (n.toLong, m, s2)
+      }.toMap
+    val r = SparkEntry.queries("q_did_estimator")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_tp") == cells((1, 1))._1)
+    assert(r.getAs[Long]("n_cr") == cells((0, 0))._1)
+    val eDid = (cells((1, 1))._2 - cells((1, 0))._2) -
+      (cells((0, 1))._2 - cells((0, 0))._2)
+    assert(math.abs(r.getAs[Double]("did") - eDid) < 1e-5,
+      s"did ${r.getAs[Double]("did")} vs $eDid")
+    val eSe = math.sqrt(Seq((1, 1), (1, 0), (0, 1), (0, 0))
+      .map { k => val (n, _, s2) = cells(k); s2 / n }.sum)
+    assert(math.abs(r.getAs[Double]("se") - eSe) < 1e-5)
+  }
+
+  test("q_ridge_path anchors to OLS at lambda=0 and shrinks monotonically") {
+    val rows = SparkEntry.queries("q_ridge_path")(spark, sf)
+      .orderBy("lambda").collect()
+    assert(rows.length == 3)
+    // λ=0 must reproduce the ungrouped OLS solve (independent
+    // from-scratch moments in plain doubles; 1e-3 because the
+    // replica's float summation order differs from DECIMAL)
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_quantity").cast("double"),
+        col("l_discount").cast("double"),
+        col("l_extendedprice").cast("double"))
+      .as[(Double, Double, Double)].collect()
+    val n = li.length.toDouble
+    val (s1, s2, sy) = (li.map(_._1).sum, li.map(_._2).sum, li.map(_._3).sum)
+    val s11 = li.map(r => r._1 * r._1).sum; val s12 = li.map(r => r._1 * r._2).sum
+    val s22 = li.map(r => r._2 * r._2).sum; val s1y = li.map(r => r._1 * r._3).sum
+    val s2y = li.map(r => r._2 * r._3).sum
+    val a11 = n * s11 - s1 * s1; val a12 = n * s12 - s1 * s2
+    val a22 = n * s22 - s2 * s2
+    val b1 = n * s1y - s1 * sy; val b2 = n * s2y - s2 * sy
+    val det = a11 * a22 - a12 * a12
+    val be1 = (b1 * a22 - b2 * a12) / det
+    val be2 = (a11 * b2 - a12 * b1) / det
+    val r0 = rows(0)
+    assert(r0.getAs[Double]("lambda") == 0.0)
+    assert(math.abs(r0.getAs[Double]("beta1") - be1) < 1e-3,
+      s"OLS anchor beta1: ${r0.getAs[Double]("beta1")} vs $be1")
+    assert(math.abs(r0.getAs[Double]("beta2") / be2 - 1.0) < 1e-6,
+      s"OLS anchor beta2: ${r0.getAs[Double]("beta2")} vs $be2")
+    // shrinkage: standardized |β| strictly decreasing in λ
+    val b1s = rows.map(_.getAs[Double]("beta1_std").abs)
+    val b2s = rows.map(_.getAs[Double]("beta2_std").abs)
+    assert(b1s(0) > b1s(1) && b1s(1) > b1s(2), s"beta1_std path ${b1s.toSeq}")
+    assert(b2s(0) > b2s(1) && b2s(1) > b2s(2), s"beta2_std path ${b2s.toSeq}")
+  }
+
+  test("q_scd2_build is a well-formed versioned dimension") {
+    // Structural SCD2 contract per user: versions are 1..k dense,
+    // exactly one current row, intervals chain (eff_to == next
+    // eff_from), and consecutive versions actually CHANGE type —
+    // plus a from-scratch change-count check against the raw stream.
+    val got = SparkEntry.queries("q_scd2_build")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("event_type"), r.getAs[Long]("eff_from_us"),
+        r.getAs[Long]("eff_to_us"), r.getAs[Boolean]("is_current")))
+      .groupBy(_._1)
+    val raw = Tables(spark, sf, "events")
+      .where(col("user_id") % 10 === 3)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._4))).toMap
+    assert(got.keySet == raw.keySet)
+    got.foreach { case (u, vsUnsorted) =>
+      val vs = vsUnsorted.sortBy(_._2)
+      assert(vs.map(_._2).toSeq == (1L to vs.length).toSeq, s"user $u versions")
+      assert(vs.count(_._6) == 1 && vs.last._6, s"user $u current flag")
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"user $u: interval chain broken")
+          assert(a._3 != b._3, s"user $u: no-op version")
+        case _ =>
+      }
+      assert(vs.last._5 == -1L, s"user $u: open interval sentinel")
+      // change count from the raw stream
+      val types = raw(u).map(_._2)
+      val changes = 1 + types.sliding(2).count {
+        case Array(a, b) => a != b; case _ => false }
+      assert(vs.length == changes, s"user $u: ${vs.length} vs $changes")
+    }
+  }
+
+  test("q_heaps_law matches a from-scratch vocabulary-growth fit") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mn = docs.map(_._1).min; val mx = docs.map(_._1).max
+    def binOf(d: Long) =
+      math.min(math.floor((d - mn) * 20.0 / (mx - mn + 1)).toLong, 19L)
+    def tris(tx: String): Seq[String] =
+      tx.split(" ", -1).toSeq.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+    val toksPerBin = docs.groupBy(d => binOf(d._1))
+      .view.mapValues(_.map(d =>
+        math.max(d._2.split(" ", -1).length - 2, 0).toLong).sum).toMap
+    val firstBin = docs.flatMap { case (id, tx) => tris(tx).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(v => binOf(v.map(_._2).min)).toMap
+    val newvPerBin = firstBin.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bins = toksPerBin.keySet.toSeq.sorted
+    var (nc, vc) = (0L, 0L)
+    val cum = bins.map { b =>
+      nc += toksPerBin(b); vc += newvPerBin.getOrElse(b, 0L); (b, nc, vc) }
+    val xs = cum.map(c => math.log(c._2.toDouble))
+    val ys = cum.map(c => math.log(c._3.toDouble))
+    val np = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val eBeta = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+    val eK = math.exp((sy - eBeta * sx) / np)
+    val got = SparkEntry.queries("q_heaps_law")(spark, sf)
+      .orderBy("bin").collect()
+    assert(got.length == cum.length)
+    got.zip(cum).foreach { case (r, (b, en, ev)) =>
+      assert(r.getAs[Long]("bin") == b)
+      assert(r.getAs[Long]("tokens_cum") == en, s"bin $b tokens")
+      assert(r.getAs[Long]("vocab_cum") == ev, s"bin $b vocab")
+      assert(math.abs(r.getAs[Double]("heaps_beta") - eBeta) < 1e-6)
+      assert(math.abs(r.getAs[Double]("heaps_k") - eK) < 1e-5)
+    }
+    // Heaps exponent sanity: sub-linear vocabulary growth
+    assert(eBeta > 0 && eBeta < 1, s"beta $eBeta")
+  }
 }

@@ -96,6 +96,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_hits",              // 1-row broadcast L2-norm scalar per half-step
     "q_eb_shrinkage",      // 1-row broadcast Beta(α,β) prior riding the
                            // #sources frame
+    "q_kendall_tau",       // calendar-bounded (#days²/2) broadcast pair join
+                           // + 1-row n_days scalar — the q_mann_kendall class
+    "q_did_estimator",     // 1-row broadcast midpoint-date boundary riding
+                           // the corpus pass
+    "q_ridge_path",        // 3-row λ ladder × the 1-row moment frame
+    "q_heaps_law",         // 1-row broadcast doc-id bounds + OLS fit riding
+                           // the 20-row checkpoint frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

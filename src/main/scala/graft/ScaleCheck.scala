@@ -167,6 +167,10 @@ object ScaleCheck {
     // change windows, and the two-pass vocabulary-growth checkpoint
     "q_kendall_tau", "q_did_estimator", "q_ridge_path", "q_scd2_build",
     "q_heaps_law",
+    // r8 ninth batch: the per-dimension mean explode + probe-bounded
+    // kernel blocks, the per-user pre/post collapse, and the
+    // three-format write/read round-trip
+    "q_embed_mmd", "q_propensity_ipw", "q_format_roundtrip",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

@@ -30,6 +30,7 @@ object SparkEntry {
       llm.CurationQueries.defs ++
       llm.TfIdfQueries.defs ++
       llm.MultimodalQueries.defs ++
+      sources.FormatQueries.defs ++
       streaming.VideoPipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

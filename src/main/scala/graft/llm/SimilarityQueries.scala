@@ -818,6 +818,110 @@ object SimilarityQueries {
               .as("inertia"))
           .orderBy("cluster")
       }
+    },
+
+    // ---- embedding two-sample drift: MMD (linear + RBF probe) ----
+    // The distribution test the embedding family was missing: is the
+    // label<5 half of the corpus distributed like the label≥5 half?
+    // Two estimators, two scale regimes. (1) LINEAR-kernel MMD² =
+    // ‖μ_A − μ_B‖² — EXACT at any corpus size: per-dimension means by
+    // the q_embed_centroids explode (DECIMAL(38,18) sums), then a
+    // d-row join. This is the honest 100-TB default. (2) RBF-kernel
+    // MMD² (unbiased U-statistic, bandwidth 2σ² = 2d — fixed, not the
+    // median heuristic, so both engines agree without a pair-median
+    // pass) on a DETERMINISTIC BOUNDED PROBE: the 256 lowest
+    // md5-ordered vec_ids per side, so the three pair blocks are
+    // ≤ 256² each — probe-constant, never corpus-quadratic (the
+    // ANN-audit capping convention). Kernel sums accumulate as
+    // DECIMAL(38,18); dot products are the codegen'd fold that
+    // already hash-matches list_dot_product (q_knn_bruteforce).
+    sql(
+      "q_embed_mmd",
+      """WITH e AS (SELECT vec_id, label < 5 AS is_a, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |ex AS (SELECT is_a, unnest(generate_series(1, len(v))) AS i, v FROM e),
+        |mu AS (SELECT is_a, i,
+        |         CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+        |       FROM ex GROUP BY 1, 2),
+        |lin AS (SELECT CAST(sum(CAST((a.m - b.m) * (a.m - b.m) AS DECIMAL(38,18)))
+        |                 AS DOUBLE) AS mmd2_linear
+        |        FROM mu a JOIN mu b ON a.i = b.i AND a.is_a AND NOT b.is_a),
+        |pr AS (SELECT vec_id, is_a, v,
+        |         row_number() OVER (PARTITION BY is_a ORDER BY
+        |           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+        |           vec_id) AS rn
+        |       FROM e),
+        |p AS (SELECT vec_id, is_a, v, list_dot_product(v, v) AS sq,
+        |             CAST(len(v) AS DOUBLE) AS d
+        |      FROM pr WHERE rn <= 256),
+        |kaa AS (SELECT CAST(sum(CAST(exp(-((a.sq + b.sq
+        |            - 2 * list_dot_product(a.v, b.v)) / (2 * a.d)))
+        |            AS DECIMAL(38,18))) AS DOUBLE) AS s,
+        |          CAST(count(*) AS BIGINT) AS np
+        |        FROM p a JOIN p b ON a.is_a AND b.is_a AND a.vec_id <> b.vec_id),
+        |kbb AS (SELECT CAST(sum(CAST(exp(-((a.sq + b.sq
+        |            - 2 * list_dot_product(a.v, b.v)) / (2 * a.d)))
+        |            AS DECIMAL(38,18))) AS DOUBLE) AS s,
+        |          CAST(count(*) AS BIGINT) AS np
+        |        FROM p a JOIN p b ON NOT a.is_a AND NOT b.is_a
+        |                         AND a.vec_id <> b.vec_id),
+        |kab AS (SELECT CAST(sum(CAST(exp(-((a.sq + b.sq
+        |            - 2 * list_dot_product(a.v, b.v)) / (2 * a.d)))
+        |            AS DECIMAL(38,18))) AS DOUBLE) AS s,
+        |          CAST(count(*) AS BIGINT) AS np
+        |        FROM p a JOIN p b ON a.is_a AND NOT b.is_a),
+        |cnt AS (SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |               CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |        FROM p)
+        |SELECT cnt.na AS n_probe_a, cnt.nb AS n_probe_b,
+        |       round(lin.mmd2_linear, 8) AS mmd2_linear,
+        |       round(kaa.s / kaa.np + kbb.s / kbb.np - 2 * (kab.s / kab.np), 8)
+        |         AS mmd2_rbf
+        |FROM lin CROSS JOIN kaa CROSS JOIN kbb CROSS JOIN kab CROSS JOIN cnt""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), (col("label") < 5).as("is_a"),
+          asDouble(col("embedding")).as("v"))
+      val ex = e.select(col("is_a"), posexplode(col("v")).as(Seq("p", "x")))
+      val mu = ex.groupBy(col("is_a"), (col("p") + 1).as("i"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double")
+          / count(lit(1))).as("m"))
+      val lin = mu.where(col("is_a")).select(col("i"), col("m").as("ma"))
+        .join(mu.where(!col("is_a")).select(col("i"), col("m").as("mb")), "i")
+        .agg(sum(((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .cast("decimal(38,18)")).cast("double").as("mmd2_linear"))
+      val wS = Window.partitionBy("is_a")
+        .orderBy(h32(col("vec_id").cast("string")), col("vec_id"))
+      val probe = e.withColumn("rn", row_number().over(wS))
+        .where(col("rn") <= 256)
+        .select(col("vec_id"), col("is_a"), col("v"),
+          dot(col("v"), col("v")).as("sq"),
+          size(col("v")).cast("double").as("d"))
+        .localCheckpoint() // bounded: ≤ 512 rows by construction
+      def kblock(cond: Column, aliasN: String) = {
+        val a = probe.select(col("vec_id").as("ia"), col("is_a").as("aa"),
+          col("v").as("va"), col("sq").as("sqa"), col("d"))
+        val b = probe.select(col("vec_id").as("ib"), col("is_a").as("ab"),
+          col("v").as("vb"), col("sq").as("sqb"))
+        a.join(broadcast(b), cond)
+          .agg(sum(exp(-((col("sqa") + col("sqb")
+              - lit(2) * dot(col("va"), col("vb"))) / (lit(2) * col("d"))))
+            .cast("decimal(38,18)")).cast("double").as(s"s_$aliasN"),
+            count(lit(1)).as(s"np_$aliasN"))
+      }
+      val kaa = kblock(col("aa") && col("ab") && col("ia") =!= col("ib"), "aa")
+      val kbb = kblock(!col("aa") && !col("ab") && col("ia") =!= col("ib"), "bb")
+      val kab = kblock(col("aa") && !col("ab"), "ab")
+      val cnt = probe.agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("nb"))
+      lin.crossJoin(broadcast(kaa)).crossJoin(broadcast(kbb))
+        .crossJoin(broadcast(kab)).crossJoin(broadcast(cnt))
+        .select(col("na").as("n_probe_a"), col("nb").as("n_probe_b"),
+          round(col("mmd2_linear"), 8).as("mmd2_linear"),
+          round(col("s_aa") / col("np_aa") + col("s_bb") / col("np_bb")
+            - lit(2) * (col("s_ab") / col("np_ab")), 8).as("mmd2_rbf"))
     }
   )
 }

@@ -760,6 +760,109 @@ object StatsQueries {
           + varOverN("cp") + varOverN("cr")), 6).as("se"))
     },
 
+    // ---- stratified propensity / IPW treatment-effect estimate ----
+    // The observational-causal complement to q_did_estimator: stratify
+    // users on a PRE-period covariate (pre-period spend, fixed-width
+    // strata — data-independent boundaries, so no quantile estimation
+    // and no cross-engine percentile drift), estimate the propensity
+    // p̂_s = share treated within each stratum, and report per-stratum
+    // arm means plus the stratum-size-weighted ATE (within a stratum
+    // the IPW weights 1/p̂, 1/(1−p̂) are constant, so the stratified
+    // IPW estimator reduces to exactly this — the reduction is the
+    // point: no per-row weight column survives to the output). ONE
+    // corpus pass collapses events to per-user (pre_total, post mean);
+    // one keyed aggregation collapses users to ≤ 5 stratum rows; the
+    // ATE rides back as a 1-row broadcast. Per-user post means are
+    // doubles, so stratum means DECIMAL(38,18)-accumulate the cast
+    // (combiner-order-free); stratum ids come from floor() on the
+    // exact-DECIMAL pre_total cast to double (same IEEE ops both
+    // engines). Degenerate one-arm strata are excluded from the ATE
+    // by the 0 < n_treat < n guard — identically on both sides.
+    sql(
+      "q_propensity_ipw",
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+        |    CAST(floor((date_diff('day', min(CAST(ts AS DATE)),
+        |                          max(CAST(ts AS DATE))) + 1) / 2.0) AS BIGINT) AS half
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(user_id % 2 AS BIGINT) AS tr,
+        |        sum(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) < b.half
+        |                 THEN CAST(value AS DECIMAL(18,6)) END) AS pre_total,
+        |        sum(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) >= b.half
+        |                 THEN CAST(value AS DECIMAL(18,6)) END) AS post_sum,
+        |        CAST(count(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) >= b.half
+        |                        THEN 1 END) AS BIGINT) AS post_n
+        |      FROM events CROSS JOIN bounds b GROUP BY 1, 2),
+        |y AS (SELECT user_id, tr,
+        |        greatest(least(CAST(floor(CAST(coalesce(pre_total, 0) AS DOUBLE)
+        |          / 400) AS BIGINT) - 2, 4), 0) AS stratum,
+        |        CAST(post_sum AS DOUBLE) / post_n AS yv
+        |      FROM u WHERE post_n > 0),
+        |st AS (SELECT stratum,
+        |         CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(sum(tr) AS BIGINT) AS n_treat,
+        |         CAST(sum(CASE WHEN tr = 1
+        |           THEN CAST(yv AS DECIMAL(38,18)) END) AS DOUBLE) AS syt,
+        |         CAST(sum(CASE WHEN tr = 0
+        |           THEN CAST(yv AS DECIMAL(38,18)) END) AS DOUBLE) AS syc
+        |       FROM y GROUP BY 1),
+        |sd AS (SELECT stratum, n_users, n_treat,
+        |         CAST(n_treat AS DOUBLE) / n_users AS p_treat,
+        |         syt / n_treat AS my_t,
+        |         syc / (n_users - n_treat) AS my_c
+        |       FROM st WHERE n_treat > 0 AND n_treat < n_users),
+        |ate AS (SELECT CAST(sum(CAST(n_users * (my_t - my_c) AS DECIMAL(38,18)))
+        |          AS DOUBLE) / sum(n_users) AS v
+        |        FROM sd)
+        |SELECT stratum, n_users, n_treat,
+        |       round(p_treat, 6) AS p_treat,
+        |       round(my_t, 6) AS mean_y_treated,
+        |       round(my_c, 6) AS mean_y_control,
+        |       round(my_t - my_c, 6) AS diff,
+        |       round((SELECT v FROM ate), 6) AS ate_stratified
+        |FROM sd ORDER BY stratum""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min(to_date(col("ts"))).as("mn"),
+        floor((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          / 2.0).cast("long").as("half"))
+      val isPost = datediff(to_date(col("ts")), col("mn")) >= col("half")
+      val u = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("tr"))
+        .agg(
+          sum(when(!isPost, col("value").cast("decimal(18,6)"))).as("pre_total"),
+          sum(when(isPost, col("value").cast("decimal(18,6)"))).as("post_sum"),
+          sum(when(isPost, 1L).otherwise(0L)).as("post_n"))
+      val y = u.where(col("post_n") > 0)
+        .select(col("tr"),
+          greatest(least(floor(coalesce(col("pre_total"), lit(0))
+            .cast("double") / 400).cast("long") - 2, lit(4L)), lit(0L))
+            .as("stratum"),
+          (col("post_sum").cast("double") / col("post_n")).as("yv"))
+      val st = y.groupBy("stratum")
+        .agg(count(lit(1)).as("n_users"),
+          sum("tr").cast("long").as("n_treat"),
+          sum(when(col("tr") === 1, col("yv").cast("decimal(38,18)")))
+            .cast("double").as("syt"),
+          sum(when(col("tr") === 0, col("yv").cast("decimal(38,18)")))
+            .cast("double").as("syc"))
+      val sd = st.where(col("n_treat") > 0 && col("n_treat") < col("n_users"))
+        .select(col("stratum"), col("n_users"), col("n_treat"),
+          (col("n_treat").cast("double") / col("n_users")).as("p_treat"),
+          (col("syt") / col("n_treat")).as("my_t"),
+          (col("syc") / (col("n_users") - col("n_treat"))).as("my_c"))
+        .localCheckpoint() // ≤ 5 stratum rows: feeds the ATE AND the output
+      val ate = sd.agg((sum((col("n_users") * (col("my_t") - col("my_c")))
+          .cast("decimal(38,18)")).cast("double") / sum("n_users")).as("v"))
+      sd.crossJoin(broadcast(ate))
+        .select(col("stratum"), col("n_users"), col("n_treat"),
+          round(col("p_treat"), 6).as("p_treat"),
+          round(col("my_t"), 6).as("mean_y_treated"),
+          round(col("my_c"), 6).as("mean_y_control"),
+          round(col("my_t") - col("my_c"), 6).as("diff"),
+          round(col("v"), 6).as("ate_stratified"))
+        .orderBy("stratum")
+    },
+
     // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
     sql(
       "q_pivot",

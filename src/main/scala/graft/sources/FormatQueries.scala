@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-format source/sink proof: the reference pipeline's sinks are
+  * Kafka / MP4 / S3 (all covered in `graft.streaming`); a Spark-native
+  * engine additionally owes its users the columnar/text format matrix.
+  * [[defs]] registers a ROUND-TRIP query — write a deterministic
+  * lineitem slice to ORC, JSON, and CSV, read each back through the
+  * same `spark.read` machinery a user would hit, and aggregate — whose
+  * oracle is the SAME aggregate computed from the original parquet:
+  * the query hash-matches iff every format round-trips values exactly.
+  *
+  * Determinism notes: numeric columns are quantized to DECIMAL before
+  * writing so the text formats (JSON/CSV) carry exact decimal strings,
+  * not shortest-double renderings; reads use EXPLICIT schemas (schema
+  * inference is both slow and type-lossy — the real-pipeline rule this
+  * query exists to document); the output directory is derived from the
+  * input path so concurrent runs against different scale factors can't
+  * clobber each other. Scale: the slice is 1/97th of lineitem and the
+  * round-trip is three bounded writes — the query exists to prove the
+  * I/O paths, not to benchmark them.
+  */
+object FormatQueries {
+
+  import QueryDef.sql
+
+  private val schema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("qty", DecimalType(15, 4)),
+    StructField("price", DecimalType(15, 4)),
+    StructField("l_returnflag", StringType)))
+
+  val defs: Seq[QueryDef] = Seq(
+    sql(
+      "q_format_roundtrip",
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(l_quantity AS DECIMAL(15,4)) AS qty,
+        |             CAST(l_extendedprice AS DECIMAL(15,4)) AS price,
+        |             l_returnflag
+        |           FROM lineitem WHERE l_orderkey % 97 = 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(sum(qty) AS DECIMAL(20,4)) AS sum_qty,
+        |             CAST(sum(price) AS DECIMAL(20,4)) AS sum_price,
+        |             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+        |             CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
+        |      FROM s)
+        |SELECT fmt, n_rows, sum_qty, sum_price, n_flags, key_sum
+        |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) t(fmt)
+        |ORDER BY fmt""".stripMargin) { (s, dir) =>
+      val slice = Tables(s, dir, "lineitem")
+        .where(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(15,4)").as("qty"),
+          col("l_extendedprice").cast("decimal(15,4)").as("price"),
+          col("l_returnflag"))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_fmt_rt_${math.abs(dir.hashCode)}").getAbsolutePath
+      slice.write.mode("overwrite").orc(s"$base/orc")
+      slice.write.mode("overwrite").json(s"$base/json")
+      slice.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      val back = Seq(
+        "csv" -> s.read.schema(schema).option("header", "true").csv(s"$base/csv"),
+        "json" -> s.read.schema(schema).json(s"$base/json"),
+        "orc" -> s.read.schema(schema).orc(s"$base/orc"))
+      back.map { case (fmt, df) =>
+        df.agg(count(lit(1)).as("n_rows"),
+            sum("qty").cast("decimal(20,4)").as("sum_qty"),
+            sum("price").cast("decimal(20,4)").as("sum_price"),
+            countDistinct("l_returnflag").as("n_flags"),
+            sum(col("l_orderkey") + col("l_linenumber")).cast("long")
+              .as("key_sum"))
+          .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_qty"),
+            col("sum_price"), col("n_flags"), col("key_sum"))
+      }.reduce(_ unionByName _)
+        .orderBy("fmt")
+    }
+  )
+}

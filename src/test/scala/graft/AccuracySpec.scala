@@ -986,4 +986,106 @@ class AccuracySpec extends SparkSpec {
     // Heaps exponent sanity: sub-linear vocabulary growth
     assert(eBeta > 0 && eBeta < 1, s"beta $eBeta")
   }
+
+  test("q_embed_mmd matches a from-scratch MMD computation") {
+    // Linear-kernel MMD from in-memory per-dimension means; RBF
+    // U-statistic from the same deterministic md5-ordered probe
+    // selection. Catches a wrong probe cap, a biased (diagonal-
+    // including) U-statistic, or a swapped kernel sign.
+    import graft.functions.TextFunctions
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"),
+        TextFunctions.h32(col("vec_id").cast("string")).as("h"))
+      .as[(Long, Int, Seq[Double], Long)].collect()
+    val (aAll, bAll) = rows.partition(_._2 < 5)
+    val d = rows.head._3.length
+    // linear: squared distance between the group mean vectors
+    def mean(g: Array[(Long, Int, Seq[Double], Long)]) =
+      (0 until d).map(i => g.map(_._3(i)).sum / g.length)
+    val (ma, mb) = (mean(aAll), mean(bAll))
+    val eLin = ma.zip(mb).map { case (x, y) => (x - y) * (x - y) }.sum
+    // probe: 256 lowest (h32, vec_id) per side
+    def probe(g: Array[(Long, Int, Seq[Double], Long)]) =
+      g.sortBy(r => (r._4, r._1)).take(256).map(r => (r._1, r._3))
+    val (pa, pb) = (probe(aAll), probe(bAll))
+    def k(x: Seq[Double], y: Seq[Double]) = {
+      val sq = x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+      math.exp(-sq / (2.0 * d))
+    }
+    def uStat(g: Array[(Long, Seq[Double])]) =
+      (for (a <- g; b <- g if a._1 != b._1) yield k(a._2, b._2)).sum /
+        (g.length.toLong * (g.length - 1))
+    val cross = (for (a <- pa; b <- pb) yield k(a._2, b._2)).sum /
+      (pa.length.toLong * pb.length)
+    val eRbf = uStat(pa) + uStat(pb) - 2 * cross
+    val r = SparkEntry.queries("q_embed_mmd")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_probe_a") == pa.length.toLong)
+    assert(r.getAs[Long]("n_probe_b") == pb.length.toLong)
+    assert(math.abs(r.getAs[Double]("mmd2_linear") - eLin) < 1e-6,
+      s"linear ${r.getAs[Double]("mmd2_linear")} vs $eLin")
+    assert(math.abs(r.getAs[Double]("mmd2_rbf") - eRbf) < 1e-6,
+      s"rbf ${r.getAs[Double]("mmd2_rbf")} vs $eRbf")
+  }
+
+  test("q_format_roundtrip rows agree across formats and with parquet") {
+    val got = SparkEntry.queries("q_format_roundtrip")(spark, sf).collect()
+    assert(got.map(_.getAs[String]("fmt")).toSeq == Seq("csv", "json", "orc"))
+    // every non-format column identical across the three formats
+    val bodies = got.map(r => (r.getAs[Long]("n_rows"),
+      r.getAs[java.math.BigDecimal]("sum_qty"),
+      r.getAs[java.math.BigDecimal]("sum_price"),
+      r.getAs[Long]("n_flags"), r.getAs[Long]("key_sum"))).distinct
+    assert(bodies.length == 1, s"formats disagree: ${bodies.toSeq}")
+    // and with the parquet original
+    val p = Tables(spark, sf, "lineitem")
+      .where(col("l_orderkey") % 97 === 0)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(15,4)")),
+        sum(col("l_orderkey") + col("l_linenumber")).cast("long"))
+      .collect()(0)
+    assert(bodies(0)._1 == p.getLong(0))
+    assert(bodies(0)._2.compareTo(p.getAs[java.math.BigDecimal](1)) == 0)
+    assert(bodies(0)._5 == p.getLong(2))
+  }
+
+  test("q_propensity_ipw matches a from-scratch stratified estimate") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string"), col("value"))
+      .as[(Long, String, Double)].collect()
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit.DAYS
+    val dates = ev.map(_._2).distinct.sorted
+    val mn = LocalDate.parse(dates.head)
+    val half = math.floor(
+      (DAYS.between(mn, LocalDate.parse(dates.last)) + 1) / 2.0).toLong
+    def post(dt: String) = DAYS.between(mn, LocalDate.parse(dt)) >= half
+    val users = ev.groupBy(_._1).flatMap { case (u, es) =>
+      // mirror the engine's DECIMAL(18,6) quantization
+      def q6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val pre = es.filter(e => !post(e._2)).map(e => q6(e._3)).sum
+      val ps = es.filter(e => post(e._2))
+      if (ps.isEmpty) None
+      else Some((u % 2, math.max(math.min(
+        math.floor(pre.toDouble / 400).toLong - 2, 4L), 0L),
+        ps.map(e => q6(e._3)).sum.toDouble / ps.length))
+    }.toSeq
+    val strata = users.groupBy(_._2).view.mapValues { g =>
+      val (t, c) = g.partition(_._1 == 1)
+      (g.size.toLong, t.size.toLong,
+        t.map(_._3).sum / t.size, c.map(_._3).sum / c.size)
+    }.toMap.filter { case (_, (n, nt, _, _)) => nt > 0 && nt < n }
+    val eAte = strata.values.map { case (n, _, mt, mc) => n * (mt - mc) }.sum /
+      strata.values.map(_._1).sum
+    val got = SparkEntry.queries("q_propensity_ipw")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("stratum")).toSet == strata.keySet)
+    got.foreach { r =>
+      val (n, nt, mt, mc) = strata(r.getAs[Long]("stratum"))
+      assert(r.getAs[Long]("n_users") == n)
+      assert(r.getAs[Long]("n_treat") == nt)
+      assert(math.abs(r.getAs[Double]("mean_y_treated") - mt) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mean_y_control") - mc) < 1e-5)
+      assert(math.abs(r.getAs[Double]("ate_stratified") - eAte) < 1e-5)
+    }
+  }
 }

@@ -103,6 +103,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_ridge_path",        // 3-row λ ladder × the 1-row moment frame
     "q_heaps_law",         // 1-row broadcast doc-id bounds + OLS fit riding
                            // the 20-row checkpoint frame
+    "q_embed_mmd",         // ≤256²-bounded probe pair blocks (md5-capped,
+                           // the ANN-audit class) + 1-row kernel-sum scalars
+    "q_propensity_ipw",    // 1-row broadcast midpoint boundary + ATE scalar
+                           // riding the ≤5-row stratum frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

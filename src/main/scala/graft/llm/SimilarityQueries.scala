@@ -922,6 +922,110 @@ object SimilarityQueries {
           round(col("mmd2_linear"), 8).as("mmd2_linear"),
           round(col("s_aa") / col("np_aa") + col("s_bb") / col("np_bb")
             - lit(2) * (col("s_ab") / col("np_ab")), 8).as("mmd2_rbf"))
+    },
+
+    // ---- external cluster validation: purity / NMI / ARI ----
+    // How good is a clustering against ground-truth labels? Scored on
+    // the deterministic sign-LSH 8-bit bucket assignment (the
+    // oracle-replicable quantizer q_knn_signlsh already hash-matches)
+    // vs the label column — the evaluation harness is the operator;
+    // swap in any other assignment column at no structural cost. ONE
+    // corpus pass collapses to the ≤ 256×#labels contingency frame;
+    // every metric is computed there: purity (per-cluster max over
+    // exact integer counts), NMI (mutual information over the
+    // contingency with DECIMAL(38,18)-accumulated p·ln terms, entropy
+    // normalization √(H(U)H(V))), and the adjusted Rand index (all
+    // pair-combination sums as exact DECIMAL(38,0) integers —
+    // n·(n−1) per cell, /2 deferred to one double op — so the
+    // permutation-model correction is float-free until the final
+    // closed form). Margins and the 1-row total ride as broadcasts.
+    sql(
+      "q_cluster_metrics",
+      """WITH e AS (SELECT list_sum(list_transform(range(0, 8),
+        |             i -> CASE WHEN embedding[i+1] > 0
+        |                       THEN (1::BIGINT << i) ELSE 0 END)) AS bkt,
+        |           label
+        |           FROM embeddings),
+        |ct AS (SELECT bkt, label, CAST(count(*) AS BIGINT) AS nij
+        |       FROM e GROUP BY 1, 2),
+        |am AS (SELECT bkt, CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY 1),
+        |bm AS (SELECT label, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS n_cells FROM ct),
+        |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS hits,
+        |               CAST(count(*) AS BIGINT) AS n_clusters
+        |        FROM (SELECT bkt, max(nij) AS mx FROM ct GROUP BY 1)),
+        |mi AS (SELECT CAST(sum(CAST((CAST(nij AS DOUBLE) / tot.n)
+        |           * ln((CAST(tot.n AS DOUBLE) * nij)
+        |                / (CAST(am.ai AS DOUBLE) * bm.bj))
+        |           AS DECIMAL(38,18))) AS DOUBLE) AS i
+        |       FROM ct JOIN am USING (bkt) JOIN bm USING (label) CROSS JOIN tot),
+        |hu AS (SELECT CAST(sum(CAST(-(CAST(ai AS DOUBLE) / tot.n)
+        |           * ln(CAST(ai AS DOUBLE) / tot.n) AS DECIMAL(38,18)))
+        |           AS DOUBLE) AS h
+        |       FROM am CROSS JOIN tot),
+        |hv AS (SELECT CAST(sum(CAST(-(CAST(bj AS DOUBLE) / tot.n)
+        |           * ln(CAST(bj AS DOUBLE) / tot.n) AS DECIMAL(38,18)))
+        |           AS DOUBLE) AS h
+        |       FROM bm CROSS JOIN tot),
+        |pc AS (SELECT
+        |    CAST(sum(CAST(nij * (nij - 1) AS DECIMAL(38,0))) AS DOUBLE) / 2 AS sij
+        |  FROM ct),
+        |pa AS (SELECT
+        |    CAST(sum(CAST(ai * (ai - 1) AS DECIMAL(38,0))) AS DOUBLE) / 2 AS sa
+        |  FROM am),
+        |pb AS (SELECT
+        |    CAST(sum(CAST(bj * (bj - 1) AS DECIMAL(38,0))) AS DOUBLE) / 2 AS sb
+        |  FROM bm)
+        |SELECT tot.n, pur.n_clusters, tot.n_cells,
+        |  round(CAST(pur.hits AS DOUBLE) / tot.n, 6) AS purity,
+        |  round(mi.i / (sqrt(hu.h) * sqrt(hv.h)), 6) AS nmi,
+        |  round((pc.sij - (pa.sa * pb.sb)
+        |           / ((CAST(tot.n AS DOUBLE) * (tot.n - 1)) / 2))
+        |        / ((pa.sa + pb.sb) / 2 - (pa.sa * pb.sb)
+        |           / ((CAST(tot.n AS DOUBLE) * (tot.n - 1)) / 2)), 6) AS ari
+        |FROM tot CROSS JOIN pur CROSS JOIN mi CROSS JOIN hu
+        |     CROSS JOIN hv CROSS JOIN pc CROSS JOIN pa CROSS JOIN pb""".stripMargin) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(signBucket(asDouble(col("embedding"))).as("bkt"), col("label"))
+      val ct = e.groupBy("bkt", "label").agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // contingency frame: feeds all three metrics
+      val am = ct.groupBy("bkt").agg(sum("nij").cast("long").as("ai"))
+      val bm = ct.groupBy("label").agg(sum("nij").cast("long").as("bj"))
+      val tot = ct.agg(sum("nij").cast("long").as("n"),
+        count(lit(1)).as("n_cells"))
+      val pur = ct.groupBy("bkt").agg(max("nij").as("mx"))
+        .agg(sum("mx").cast("long").as("hits"), count(lit(1)).as("n_clusters"))
+      val d18 = (c: Column) => c.cast("decimal(38,18)")
+      val mi = ct.join(am, "bkt").join(bm, "label").crossJoin(broadcast(tot))
+        .agg(sum(d18((col("nij").cast("double") / col("n"))
+            * log((col("n").cast("double") * col("nij"))
+              / (col("ai").cast("double") * col("bj")))))
+          .cast("double").as("i"))
+      def entropy(margin: org.apache.spark.sql.DataFrame, cnt: String) =
+        margin.crossJoin(broadcast(tot))
+          .agg(sum(d18(-(col(cnt).cast("double") / col("n"))
+              * log(col(cnt).cast("double") / col("n"))))
+            .cast("double").as("h"))
+      val hu = entropy(am, "ai"); val hv = entropy(bm, "bj")
+      def pairSum(df: org.apache.spark.sql.DataFrame, cnt: String, out: String) =
+        df.agg((sum((col(cnt) * (col(cnt) - 1)).cast("decimal(38,0)"))
+          .cast("double") / 2).as(out))
+      val pc = pairSum(ct, "nij", "sij")
+      val pa = pairSum(am, "ai", "sa"); val pb = pairSum(bm, "bj", "sb")
+      val nPairs = (col("n").cast("double") * (col("n") - 1)) / 2
+      tot.crossJoin(broadcast(pur)).crossJoin(broadcast(mi))
+        .crossJoin(broadcast(hu.select(col("h").as("hu"))))
+        .crossJoin(broadcast(hv.select(col("h").as("hv"))))
+        .crossJoin(broadcast(pc)).crossJoin(broadcast(pa))
+        .crossJoin(broadcast(pb))
+        .select(col("n"), col("n_clusters"), col("n_cells"),
+          round(col("hits").cast("double") / col("n"), 6).as("purity"),
+          round(col("i") / (sqrt(col("hu")) * sqrt(col("hv"))), 6).as("nmi"),
+          round((col("sij") - (col("sa") * col("sb")) / nPairs)
+            / ((col("sa") + col("sb")) / 2
+              - (col("sa") * col("sb")) / nPairs), 6).as("ari"))
     }
   )
 }

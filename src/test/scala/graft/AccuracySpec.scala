@@ -1088,4 +1088,39 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("ate_stratified") - eAte) < 1e-5)
     }
   }
+
+  test("q_cluster_metrics matches from-scratch purity/NMI/ARI") {
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val assign = rows.map { case (_, lab, v) =>
+      val bkt = (0 until 8).map(i => if (v(i) > 0) 1L << i else 0L).sum
+      (bkt, lab)
+    }
+    val n = assign.length.toDouble
+    val ct = assign.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val am = assign.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bm = assign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // .toSeq: mapping over the key SET would dedupe equal maxima
+    val purity = am.keys.toSeq.map(b =>
+      ct.filter(_._1._1 == b).values.max).sum / n
+    val i = ct.map { case ((b, l), nij) =>
+      (nij / n) * math.log(n * nij / (am(b).toDouble * bm(l))) }.sum
+    def h(m: Map[_, Long]) =
+      m.values.map(c => -(c / n) * math.log(c / n)).sum
+    val nmi = i / (math.sqrt(h(am)) * math.sqrt(h(bm)))
+    def c2(xs: Iterable[Long]) = xs.map(x => x * (x - 1) / 2.0).sum
+    val (sij, sa, sb) = (c2(ct.values), c2(am.values), c2(bm.values))
+    val nPairs = n * (n - 1) / 2
+    val ari = (sij - sa * sb / nPairs) / ((sa + sb) / 2 - sa * sb / nPairs)
+    val r = SparkEntry.queries("q_cluster_metrics")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n") == assign.length.toLong)
+    assert(r.getAs[Long]("n_clusters") == am.size.toLong)
+    assert(math.abs(r.getAs[Double]("purity") - purity) < 1e-6)
+    assert(math.abs(r.getAs[Double]("nmi") - nmi) < 1e-6, s"nmi vs $nmi")
+    assert(math.abs(r.getAs[Double]("ari") - ari) < 1e-6, s"ari vs $ari")
+    // sanity: all three live in their proper ranges
+    assert(purity > 0 && purity <= 1 && nmi >= 0 && nmi <= 1 && ari <= 1)
+  }
 }

@@ -107,6 +107,8 @@ class PlanAuditSpec extends SparkSpec {
                            // the ANN-audit class) + 1-row kernel-sum scalars
     "q_propensity_ipw",    // 1-row broadcast midpoint boundary + ATE scalar
                            // riding the ≤5-row stratum frame
+    "q_cluster_metrics",   // 1-row broadcast total/entropy/pair-sum scalars
+                           // riding the ≤256×#labels contingency frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

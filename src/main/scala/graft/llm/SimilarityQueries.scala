@@ -1026,6 +1026,86 @@ object SimilarityQueries {
           round((col("sij") - (col("sa") * col("sb")) / nPairs)
             / ((col("sa") + col("sb")) / 2
               - (col("sa") * col("sb")) / nPairs), 6).as("ari"))
+    },
+
+    // ---- internal cluster validation: centroid silhouette ----
+    // q_cluster_metrics' internal twin — no ground truth consumed,
+    // only geometry: per-label centroids (the label column stands in
+    // as the assignment under audit), each vector's a = distance to
+    // its OWN centroid and b = min distance to any OTHER, silhouette
+    // s = (b − a)/max(a, b), reported per label with the overall mean
+    // riding as a 1-row broadcast. This is the CENTROID silhouette
+    // (Rousseeuw's pairwise a/b is O(n²) — the centroid form is the
+    // standard any-scale relaxation): one k-row broadcast of ordered
+    // centroid arrays, a k-fan-out projection per vector (k dot
+    // products, never a corpus self-join), one keyed collapse.
+    // Distances use the algebraic |v|² − 2vc + |c|² rounded to 6dp —
+    // the q_kmeans_lloyd parity convention (the fold form drifts in
+    // the last ulps vs list_dot_product); per-label silhouette means
+    // DECIMAL(38,18)-accumulate. Zero-distance degenerate pairs guard
+    // through the 1e-300 floor identically on both engines.
+    sql(
+      "q_silhouette",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |ex AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+        |cl AS (SELECT label, i,
+        |         CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+        |       FROM ex GROUP BY 1, 2),
+        |ca AS (SELECT label AS clab, list(c ORDER BY i) AS carr FROM cl GROUP BY 1),
+        |p AS (SELECT e.vec_id, e.label, ca.clab,
+        |        round(list_dot_product(e.v, e.v)
+        |              - 2e0 * list_dot_product(e.v, ca.carr)
+        |              + list_dot_product(ca.carr, ca.carr), 6) AS d2
+        |      FROM e CROSS JOIN ca),
+        |sv0 AS (SELECT vec_id, label,
+        |          max(CASE WHEN clab = label THEN d2 END) AS a2,
+        |          min(CASE WHEN clab <> label THEN d2 END) AS b2
+        |        FROM p GROUP BY 1, 2),
+        |sv AS (SELECT label,
+        |         (sqrt(b2) - sqrt(a2))
+        |           / greatest(sqrt(a2), sqrt(b2), 1e-300) AS sil
+        |       FROM sv0),
+        |ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(CAST(sil AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS ms
+        |       FROM sv GROUP BY 1),
+        |ov AS (SELECT CAST(sum(CAST(sil AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS v
+        |       FROM sv)
+        |SELECT label, n_vecs, round(ms, 6) AS silhouette,
+        |       round((SELECT v FROM ov), 6) AS silhouette_overall
+        |FROM ag ORDER BY label""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val ex = e.select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+      val ca = ex.groupBy(col("label"), (col("p") + 1).as("i"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double")
+          / count(lit(1))).as("c"))
+        .groupBy(col("label").as("clab"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("carr"))
+      val p = e.crossJoin(broadcast(ca))
+        .select(col("vec_id"), col("label"), col("clab"),
+          round(dot(col("v"), col("v"))
+            - lit(2.0) * dot(col("v"), col("carr"))
+            + dot(col("carr"), col("carr")), 6).as("d2"))
+      val sv0 = p.groupBy("vec_id", "label")
+        .agg(max(when(col("clab") === col("label"), col("d2"))).as("a2"),
+          min(when(col("clab") =!= col("label"), col("d2"))).as("b2"))
+      val sv = sv0.select(col("label"),
+        ((sqrt(col("b2")) - sqrt(col("a2")))
+          / greatest(sqrt(col("a2")), sqrt(col("b2")), lit(1e-300))).as("sil"))
+        .localCheckpoint() // feeds the per-label means AND the overall
+      val ag = sv.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("sil").cast("decimal(38,18)")).cast("double")
+            / count(lit(1))).as("ms"))
+      val ov = sv.agg((sum(col("sil").cast("decimal(38,18)")).cast("double")
+        / count(lit(1))).as("v"))
+      ag.crossJoin(broadcast(ov))
+        .select(col("label"), col("n_vecs"),
+          round(col("ms"), 6).as("silhouette"),
+          round(col("v"), 6).as("silhouette_overall"))
+        .orderBy("label")
     }
   )
 }

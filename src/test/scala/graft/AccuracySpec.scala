@@ -1123,4 +1123,38 @@ class AccuracySpec extends SparkSpec {
     // sanity: all three live in their proper ranges
     assert(purity > 0 && purity <= 1 && nmi >= 0 && nmi <= 1 && ari <= 1)
   }
+
+  test("q_silhouette matches a from-scratch centroid silhouette") {
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val d = rows.head._3.length
+    val cents = rows.groupBy(_._2).view.mapValues { g =>
+      (0 until d).map(i => g.map(_._3(i)).sum / g.length)
+    }.toMap
+    def d2(v: Seq[Double], c: Seq[Double]) = {
+      val raw = v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      math.rint(raw * 1e6) / 1e6 // mirror the engine's 6dp rounding
+    }
+    val sils = rows.map { case (_, lab, v) =>
+      val a = math.sqrt(d2(v, cents(lab)))
+      val b = math.sqrt(cents.filter(_._1 != lab).values.map(d2(v, _)).min)
+      lab -> (b - a) / math.max(math.max(a, b), 1e-300)
+    }
+    val perLabel = sils.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum / g.length)).toMap
+    val eOverall = sils.map(_._2).sum / sils.length
+    val got = SparkEntry.queries("q_silhouette")(spark, sf).collect()
+    assert(got.map(_.getAs[Int]("label")).toSet == perLabel.keySet)
+    got.foreach { r =>
+      val (n, ms) = perLabel(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(math.abs(r.getAs[Double]("silhouette") - ms) < 1e-5,
+        s"label ${r.getAs[Int]("label")}: ${r.getAs[Double]("silhouette")} vs $ms")
+      assert(math.abs(r.getAs[Double]("silhouette_overall") - eOverall) < 1e-5)
+      assert(r.getAs[Double]("silhouette") >= -1
+        && r.getAs[Double]("silhouette") <= 1)
+    }
+  }
 }

@@ -109,6 +109,8 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the ≤5-row stratum frame
     "q_cluster_metrics",   // 1-row broadcast total/entropy/pair-sum scalars
                            // riding the ≤256×#labels contingency frame
+    "q_silhouette",        // k-row broadcast centroid fan-out + 1-row
+                           // overall-mean scalar
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -171,6 +171,9 @@ object ScaleCheck {
     // kernel blocks, the per-user pre/post collapse, and the
     // three-format write/read round-trip
     "q_embed_mmd", "q_propensity_ipw", "q_format_roundtrip",
+    // r8 tenth batch: the contingency collapse and the k-fan-out
+    // centroid distance projection
+    "q_cluster_metrics", "q_silhouette",
     // TPC-H composites with corpus-proportional shuffle surface: the
     // wide agg (q1), the 8-table star (q8), the profit star (q9), the
     // outer-join histogram (q13), the correlated-average join-back

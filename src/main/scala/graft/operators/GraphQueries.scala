@@ -402,15 +402,19 @@ object GraphQueries {
           .select(col("node"), col("node").as("lab"))
           .localCheckpoint()
         for (_ <- 1 to 3) {
-          // label table is node-keyed (parts = a dimension), so it
-          // BROADCASTS and the edge list never re-shuffles; the
-          // argmax is a hash-agg struct-max — (wt desc, lab asc) ≡
-          // max(wt, -lab) — not a per-node sort window (measured 3×
-          // on the sf0.1 pair graph, and the window's sort shuffle
-          // would dominate at 100 TB)
+          // label-frame join left ADAPTIVE (the q_pagerank
+          // convention): at bench scale AQE broadcasts the node-keyed
+          // frame; at the 100× decade the node count grows with the
+          // corpus and a FORCED broadcast of a 2M-row hash relation
+          // per round was the measured bottleneck (17.4× decade
+          // factor + the 8g-heap OOM) — the shuffle join is the
+          // honest Pregel exchange there. The argmax is a hash-agg
+          // struct-max — (wt desc, lab asc) ≡ max(wt, -lab) — not a
+          // per-node sort window (measured 3× on the sf0.1 pair
+          // graph, and the window's sort shuffle would dominate at
+          // 100 TB)
           labels = ed
-            .join(broadcast(labels.select(col("node").as("dst"), col("lab"))),
-              "dst")
+            .join(labels.select(col("node").as("dst"), col("lab")), "dst")
             .groupBy(col("src").as("node"), col("lab"))
             .agg(sum("w").cast("long").as("wt"))
             .groupBy("node")
@@ -483,10 +487,15 @@ object GraphQueries {
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
         val wN = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+        // serialized checkpoint: tk feeds BOTH sides of the wedge
+        // self-join — without it the 2|E|-row ranking window runs
+        // twice (measured at the 100× decade: the window dominates)
         val tk = ed.select(col("src"), col("dst"),
             row_number().over(wN).as("rn"))
           .where(col("rn") <= 10)
           .drop("rn")
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val t1 = tk.select(col("src").as("node"), col("dst").as("a"))
         val t2 = tk.select(col("src").as("node"), col("dst").as("b"))
         val cand = t1.join(t2, "node")

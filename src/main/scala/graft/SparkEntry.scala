@@ -23,6 +23,7 @@ object SparkEntry {
       operators.GraphQueries.defs ++
       operators.SeriesQueries.defs ++
       operators.AuditQueries.defs ++
+      operators.ScoreQueries.defs ++
       llm.DedupQueries.defs ++
       llm.DedupClusterQueries.defs ++
       llm.SimilarityQueries.defs ++

@@ -1106,6 +1106,100 @@ object SimilarityQueries {
           round(col("ms"), 6).as("silhouette"),
           round(col("v"), 6).as("silhouette_overall"))
         .orderBy("label")
+    },
+
+    // ---- kNN-distance anomaly score (distance to the 5th neighbor) ----
+    // The density-based outlier primitive (the distance leg of LOF):
+    // a vector whose 5th-nearest cosine neighbor is far sits in a
+    // sparse region of embedding space — the screen for corrupt /
+    // out-of-distribution embeddings before they pollute a training
+    // mix. Same CAPPED probe-set discipline as annRecallAudit
+    // (vec_id % 25, id < 1000): the audit is queries-constant so the
+    // probe×corpus product stays linear in the corpus; the scale path
+    // for scoring EVERY vector is the IVF cell structure (q_knn_ivf),
+    // not a wider brute force. Rank rule = round-6 sim desc, cid —
+    // the repo-wide ANN tie-break.
+    sql(
+      "q_knn_dist_outlier",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round($cosineSql, 6) AS s
+         |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |      WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000),
+         |r AS (SELECT qid, s,
+         |        row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+         |      FROM p)
+         |SELECT qid, round(1.0 - s, 6) AS knn_dist,
+         |       CAST(1.0 - s > 0.72 AS BOOLEAN) AS is_outlier
+         |FROM r WHERE rn = 5 ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.where(col("vec_id") % 25 === 0 && col("vec_id") < 1000)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"))
+      val w = Window.partitionBy("qid").orderBy(desc("s"), col("cid"))
+      q.join(c, col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          round(cosine(col("qv"), col("cv")), 6).as("s"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 5)
+        .select(col("qid"), round(lit(1.0) - col("s"), 6).as("knn_dist"),
+          (lit(1.0) - col("s") > 0.72).as("is_outlier"))
+        .orderBy("qid")
+    },
+
+    // ---- grid-density clustering cells (DBSCAN core/border/noise) ----
+    // The grid formulation of DBSCAN (cell width = ε): bucket the
+    // first two embedding coordinates into a fixed grid, classify
+    // each occupied cell as core (n ≥ minPts), border (a non-core
+    // cell 8-adjacent to a core) or noise. Everything after the ONE
+    // corpus aggregation runs on the #cells frame — the neighbor
+    // check is a 9-way offset explode + equi-join on cell keys, never
+    // a pairwise distance join; at 100 TB the cell frame is still
+    // tiny and the corpus is touched exactly once.
+    sql(
+      "q_dbscan_cells",
+      """WITH g AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT) AS cy,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        |core AS (SELECT cx, cy FROM g WHERE n >= 8),
+        |nb AS (SELECT DISTINCT g.cx, g.cy
+        |       FROM g
+        |       CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) x
+        |       CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) y
+        |       JOIN core c ON c.cx = g.cx + x.dx AND c.cy = g.cy + y.dy)
+        |SELECT g.cx, g.cy, g.n,
+        |  CASE WHEN g.n >= 8 THEN 'core'
+        |       WHEN nb.cx IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS cls
+        |FROM g LEFT JOIN nb ON nb.cx = g.cx AND nb.cy = g.cy
+        |ORDER BY g.cx, g.cy""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "embeddings")
+        .select(
+          floor(element_at(col("embedding"), 1).cast("double") / 0.1)
+            .cast("long").as("cx"),
+          floor(element_at(col("embedding"), 2).cast("double") / 0.1)
+            .cast("long").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // #cells rows: feeds core set + neighbor join
+      val core = g.where(col("n") >= 8).select(col("cx").as("kx"), col("cy").as("ky"))
+      val offs = Seq(-1L, 0L, 1L)
+      val nb = g.select(col("cx"), col("cy"),
+          explode(array(offs.flatMap(dx => offs.map(dy =>
+            struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)).as("o"))
+        .select(col("cx"), col("cy"),
+          (col("cx") + col("o.dx")).as("kx"), (col("cy") + col("o.dy")).as("ky"))
+        .join(broadcast(core), Seq("kx", "ky"))
+        .select("cx", "cy").distinct()
+        .withColumn("near_core", lit(1))
+      g.join(broadcast(nb), Seq("cx", "cy"), "left")
+        .select(col("cx"), col("cy"), col("n"),
+          when(col("n") >= 8, "core")
+            .when(col("near_core").isNotNull, "border")
+            .otherwise("noise").as("cls"))
+        .orderBy("cx", "cy")
     }
   )
 }

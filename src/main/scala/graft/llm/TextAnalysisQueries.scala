@@ -1180,6 +1180,116 @@ object TextAnalysisQueries {
               .as("heaps_k"))
           .orderBy("bin")
       }
+    },
+
+    // ---- readability indices (Flesch reading ease / FK grade) ----
+    // The curation-pipeline readability gate. Syllables ≈ vowel
+    // groups per word (floor 1) — the standard heuristic; the
+    // synthetic corpus carries no sentence punctuation, so sentence
+    // count is the documented fixed-15-words-per-sentence convention
+    // (the formula plumbing — per-word regexp count folded corpus-
+    // wide in one pass — is what transfers to a real corpus).
+    // Grouped by source so the output is a per-slice quality profile.
+    QueryDef.sql(
+      "q_readability",
+      """WITH w AS (SELECT doc_id, source,
+        |             list_filter(string_split(text, ' '),
+        |                         x -> length(x) > 0) AS words
+        |           FROM documents),
+        |d AS (SELECT source,
+        |        CAST(len(words) AS BIGINT) AS n_words,
+        |        CAST(list_sum(list_transform(words, x ->
+        |          greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+        |          AS BIGINT) AS n_syll,
+        |        CAST(list_sum(list_transform(words, x ->
+        |          CASE WHEN len(regexp_extract_all(x, '[aeiouy]+')) >= 3
+        |               THEN 1 ELSE 0 END)) AS BIGINT) AS n_poly
+        |      FROM w),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_words) AS BIGINT) AS words,
+        |             CAST(sum(n_syll) AS BIGINT) AS syll,
+        |             CAST(sum(n_poly) AS BIGINT) AS poly,
+        |             CAST(sum(CAST(ceil(n_words / 15.0) AS BIGINT)) AS BIGINT) AS sents
+        |      FROM d GROUP BY source)
+        |SELECT source, n_docs, words, syll,
+        |  round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+        |        - 84.6 * (CAST(syll AS DOUBLE) / words), 3) AS flesch_ease,
+        |  round(0.39 * (CAST(words AS DOUBLE) / sents)
+        |        + 11.8 * (CAST(syll AS DOUBLE) / words) - 15.59, 3) AS fk_grade,
+        |  round(CAST(poly AS DOUBLE) / words, 4) AS poly_ratio
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      val words = filter(split(col("text"), " "), x => length(x) > 0)
+      val syllOf = (x: Column) =>
+        greatest(lit(1), size(regexp_extract_all(x, lit("[aeiouy]+"), lit(0))))
+      val d = t(s, dir, "documents")
+        .select(col("source"), words.as("words"))
+        .select(col("source"),
+          size(col("words")).cast("long").as("n_words"),
+          aggregate(transform(col("words"), syllOf), lit(0L),
+            (a, x) => a + x).as("n_syll"),
+          aggregate(transform(col("words"), x =>
+            when(size(regexp_extract_all(x, lit("[aeiouy]+"), lit(0))) >= 3, 1L)
+              .otherwise(0L)), lit(0L), (a, x) => a + x).as("n_poly"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("words"), sum("n_syll").as("syll"),
+          sum("n_poly").as("poly"),
+          sum(ceil(col("n_words") / 15.0).cast("long")).as("sents"))
+        .select(col("source"), col("n_docs"), col("words"), col("syll"),
+          round(lit(206.835) - lit(1.015) * (col("words").cast("double") / col("sents"))
+            - lit(84.6) * (col("syll").cast("double") / col("words")), 3)
+            .as("flesch_ease"),
+          round(lit(0.39) * (col("words").cast("double") / col("sents"))
+            + lit(11.8) * (col("syll").cast("double") / col("words")) - lit(15.59), 3)
+            .as("fk_grade"),
+          round(col("poly").cast("double") / col("words"), 4).as("poly_ratio"))
+        .orderBy("source")
+    },
+
+    // ---- Good–Turing frequency spectrum (vocabulary smoothing) ----
+    // The count-of-counts table and the GT-smoothed count
+    // r* = (r+1)·N_{r+1}/N_r — the language-modeling estimate of how
+    // much probability mass the unseen vocabulary holds (P₀ = N₁/N).
+    // Corpus collapses ONCE to per-token counts, the spectrum is a
+    // second ≤max-count-row aggregation, and the (r+1) lookup is a
+    // lead() over the ordered spectrum with an explicit adjacency
+    // check (count gaps → no smoothed estimate, not a wrong one).
+    QueryDef.sql(
+      "q_good_turing",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tok
+        |      WHERE length(w) > 0 GROUP BY w),
+        |spec AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY r),
+        |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n FROM spec),
+        |l AS (SELECT r, n_r,
+        |        lead(r) OVER (ORDER BY r) AS r_next,
+        |        lead(n_r) OVER (ORDER BY r) AS n_next
+        |      FROM spec)
+        |SELECT r, n_r,
+        |  CASE WHEN r_next = r + 1
+        |       THEN round((r + 1.0) * n_next / n_r, 6) END AS r_star,
+        |  round(CAST(r AS DOUBLE) * n_r / (SELECT n FROM tot), 6) AS mass
+        |FROM l ORDER BY r""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("r"))
+      val spec = c.groupBy("r").agg(count(lit(1)).as("n_r"))
+        .localCheckpoint() // ≤ max-count rows: feeds total + spectrum
+      val tot = spec.agg(sum(col("r") * col("n_r")).as("n"))
+      // the one intentionally tiny global window (spectrum rows)
+      val wOrd = Window.orderBy("r")
+      val l = spec
+        .withColumn("r_next", lead("r", 1).over(wOrd))
+        .withColumn("n_next", lead("n_r", 1).over(wOrd))
+      l.crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          when(col("r_next") === col("r") + 1,
+            round((col("r") + lit(1.0)) * col("n_next") / col("n_r"), 6))
+            .as("r_star"),
+          round(col("r").cast("double") * col("n_r") / col("n"), 6).as("mass"))
+        .orderBy("r")
     }
   )
 }

@@ -297,6 +297,63 @@ object AuditQueries {
           (col("l") < 3).as("risky"),
           round(col("rr").cast("double") / col("nr"), 6).as("exposure_rate"))
         .orderBy("l")
+    },
+
+    // ---- order-independent table fingerprint (replication audit) ----
+    // Cross-cluster dataset equality without moving rows: each row
+    // canonicalizes to a stable string (DECIMAL-formatted numerics +
+    // epoch-µs timestamps — double→string formatting is NOT portable
+    // across engines, decimal strings are), hashes through h32, and
+    // the table fingerprint is the SUM of row hashes — commutative,
+    // so partition order, shuffle order and file layout can't change
+    // it, and a single flipped row flips the sum. One map-side pass
+    // per table, a 1-row result — the cheapest possible 100-TB
+    // "did the copy land intact" gate, and the per-table row counts
+    // ride along for the fast-path mismatch diagnosis.
+    sql(
+      "q_table_fingerprint",
+      """WITH li AS (SELECT ('0x' || substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
+        |      || '|' || CAST(l_suppkey AS VARCHAR)
+        |      || '|' || CAST(l_linenumber AS VARCHAR)
+        |      || '|' || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)
+        |      || '|' || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      || '|' || CAST(CAST(l_discount AS DECIMAL(12,2)) AS VARCHAR)
+        |      || '|' || l_returnflag || '|' || l_linestatus
+        |      || '|' || CAST(epoch_us(l_shipdate) AS VARCHAR)), 1, 8))::BIGINT AS h
+        |      FROM lineitem),
+        |od AS (SELECT ('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |      || '|' || o_orderstatus
+        |      || '|' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)
+        |      || '|' || o_orderpriority), 1, 8))::BIGINT AS h
+        |      FROM orders)
+        |SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(h) AS DECIMAL(38,0)) AS fingerprint FROM li
+        |UNION ALL
+        |SELECT 'orders', CAST(count(*) AS BIGINT),
+        |       CAST(sum(h) AS DECIMAL(38,0)) FROM od
+        |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      def dec(c: Column) = c.cast("decimal(12,2)").cast("string")
+      val li = t(s, dir, "lineitem").select(h32(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"), col("l_linenumber").cast("string"),
+        dec(col("l_quantity")), dec(col("l_extendedprice")),
+        dec(col("l_discount")), col("l_returnflag"), col("l_linestatus"),
+        unix_micros(col("l_shipdate")).cast("string"))).as("h"))
+      val od = t(s, dir, "orders").select(h32(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), dec(col("o_totalprice")),
+        unix_micros(col("o_orderdate")).cast("string"),
+        col("o_orderpriority"))).as("h"))
+      def fp(name: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as("fingerprint"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
+      fp("lineitem", li).unionByName(fp("orders", od)).orderBy("tbl")
     }
   )
 }

@@ -1,0 +1,371 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and feature-engineering operators — the scoring
+  * shapes an ML-platform team runs over event telemetry when a model
+  * ships: gains/lift tables, leakage-safe target encoding, pairwise
+  * mutual information for feature screening, cumulative-hazard
+  * survival, and per-key rolling trend slopes.
+  *
+  * Scale designs:
+  *  - gains table: the corpus collapses ONCE to a per-user
+  *    (score, outcome) frame; deciling and the cumulative-capture
+  *    windows run over that already-aggregated frame (#users rows,
+  *    not #events). At 100 TB the global ntile would be the next
+  *    bottleneck — the [[GlobalPrefix]] sampled-boundary rewrite is
+  *    the documented escape hatch (same pattern as q_decile_lift).
+  *  - target encoding: out-of-fold means need (total − own-fold) per
+  *    category — ONE groupBy(category, fold) shuffle, then the
+  *    per-category totals come from a window over the tiny
+  *    (categories × folds) frame. No second corpus pass, no join
+  *    back to the corpus (the encoder table broadcasts at apply
+  *    time).
+  *  - MI matrix: all three pairwise joints AND all marginals come
+  *    from ONE `groupingSets` pass (Spark 4 Dataset.groupingSets —
+  *    a single shuffle producing 7 grouping sets); the MI arithmetic
+  *    runs on the ≤|A|·|B| joint frames with broadcast marginal
+  *    lookups. The naive form is 3 joint + 3 marginal corpus scans.
+  *  - Nelson–Aalen: same one-row-per-user → one-row-per-duration
+  *    collapse as q_survival_km (StatsQueries.scala), then the
+  *    cumulative hazard is a prefix sum over the ≤#days frame. The
+  *    two estimators intentionally share their risk-set algebra so
+  *    KM vs NA differences are estimator differences, not plumbing.
+  *  - rolling slope: closed-form OLS over a 10-row window — window
+  *    sums accumulate in DECIMAL (exact, order-independent) so the
+  *    per-row slope is bit-identical across engines; x is the
+  *    in-window row index (exact small ints), never a wall-clock
+  *    float.
+  */
+object ScoreQueries {
+
+  import QueryDef.sql
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- gains / lift table (decile capture of a behavioral score) ----
+    // Score each user by first-half activity volume, observe whether
+    // they purchase in the second half, decile by score, and report
+    // the cumulative capture rate, lift, and the KS separation per
+    // decile — the table every targeting model ships with.
+    sql(
+      "q_gains_table",
+      """WITH b AS (SELECT epoch_us(min(ts))
+        |                  + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+        |           FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |        CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+        |                      AND epoch_us(ts) >= (SELECT mid FROM b)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT score, converted,
+        |             ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        |      FROM u),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(converted) AS BIGINT) AS conv
+        |      FROM d GROUP BY decile),
+        |c AS (SELECT decile, n, conv,
+        |        CAST(sum(conv) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv,
+        |        CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |        CAST(sum(conv) OVER () AS BIGINT) AS tot_conv,
+        |        CAST(sum(n) OVER () AS BIGINT) AS tot_n
+        |      FROM g)
+        |SELECT decile, n, conv,
+        |  round(CAST(cum_conv AS DOUBLE) / tot_conv, 4) AS capture,
+        |  round((CAST(cum_conv AS DOUBLE) / cum_n)
+        |        / (CAST(tot_conv AS DOUBLE) / tot_n), 4) AS lift,
+        |  round(CAST(cum_conv AS DOUBLE) / tot_conv
+        |        - CAST(cum_n - cum_conv AS DOUBLE) / (tot_n - tot_conv), 4) AS ks
+        |FROM c ORDER BY decile""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select((unix_micros(col("t0"))
+          + expr("(unix_micros(t1) - unix_micros(t0)) div 2")).as("mid_us"))
+      // one corpus pass → per-user frame; everything downstream is #users
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy("user_id", "mid_us")
+        .agg(
+          sum(when(unix_micros(col("ts")) < col("mid_us"), 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase" && col("value") > 150
+            && unix_micros(col("ts")) >= col("mid_us"), 1L).otherwise(0L))
+            .as("converted"))
+      val d = u.select(col("score"), col("converted"),
+        ntile(10).over(Window.orderBy(desc("score"), col("user_id")))
+          .cast("long").as("decile"))
+      val g = d.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+      val wCum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = g
+        .withColumn("cum_conv", sum("conv").over(wCum))
+        .withColumn("cum_n", sum("n").over(wCum))
+        .withColumn("tot_conv", sum("conv").over(wAll))
+        .withColumn("tot_n", sum("n").over(wAll))
+      c.select(col("decile"), col("n"), col("conv"),
+          round(col("cum_conv").cast("double") / col("tot_conv"), 4).as("capture"),
+          round((col("cum_conv").cast("double") / col("cum_n"))
+            / (col("tot_conv").cast("double") / col("tot_n")), 4).as("lift"),
+          round(col("cum_conv").cast("double") / col("tot_conv")
+            - (col("cum_n") - col("cum_conv")).cast("double")
+              / (col("tot_n") - col("tot_conv")), 4).as("ks"))
+        .orderBy("decile")
+    },
+
+    // ---- leakage-safe K-fold target encoding ----
+    // Encode c_nationkey by the out-of-fold mean of c_acctbal: each
+    // (category, fold) cell gets (Σ_total − Σ_fold)/(n_total − n_fold)
+    // so a row never sees its own fold's target — the standard
+    // high-cardinality categorical encoder, built leakage-safe.
+    // DECIMAL sums keep the subtraction exact across engines.
+    sql(
+      "q_target_encode",
+      """WITH f AS (SELECT c_nationkey AS cat, c_custkey % 5 AS fold,
+        |                  CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s
+        |           FROM customer GROUP BY 1, 2),
+        |w AS (SELECT cat, fold, n, s,
+        |        CAST(sum(n) OVER (PARTITION BY cat) AS BIGINT) AS n_tot,
+        |        CAST(sum(s) OVER (PARTITION BY cat) AS DECIMAL(38,6)) AS s_tot
+        |      FROM f)
+        |SELECT cat, fold, n,
+        |  round(CAST(s_tot - s AS DOUBLE) / (n_tot - n), 4) AS enc,
+        |  round(CAST(s_tot AS DOUBLE) / n_tot, 4) AS enc_naive
+        |FROM w WHERE n_tot > n
+        |ORDER BY cat, fold""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("cat"), (col("c_custkey") % 5).as("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").as("s"))
+      val wCat = Window.partitionBy("cat")
+      val w = f
+        .withColumn("n_tot", sum("n").over(wCat))
+        .withColumn("s_tot", sum("s").over(wCat).cast("decimal(38,6)"))
+      w.where(col("n_tot") > col("n"))
+        .select(col("cat"), col("fold"), col("n"),
+          round((col("s_tot") - col("s")).cast("double")
+            / (col("n_tot") - col("n")), 4).as("enc"),
+          round(col("s_tot").cast("double") / col("n_tot"), 4).as("enc_naive"))
+        .orderBy("cat", "fold")
+    },
+
+    // ---- pairwise mutual information (feature screening matrix) ----
+    // MI in bits between the three categorical views of an event
+    // (type, day-of-week, value bucket) — the feature-redundancy
+    // screen run before training. ONE Dataset.groupingSets pass
+    // (Spark 4) produces all three pairwise joints, all three
+    // marginals, and the grand total in a single shuffle; the MI sums
+    // then run over the tiny joint frames with broadcast marginals.
+    sql(
+      "q_mi_matrix",
+      """WITH e AS (SELECT event_type AS et,
+        |                  CAST(dayofweek(ts) AS BIGINT) AS dw,
+        |                  CASE WHEN value < 20 THEN 'lo'
+        |                       WHEN value < 70 THEN 'mid'
+        |                       ELSE 'hi' END AS vb
+        |           FROM events),
+        |g AS (SELECT et, dw, vb, CAST(count(*) AS BIGINT) AS c
+        |      FROM e GROUP BY GROUPING SETS ((et, dw), (et, vb), (dw, vb),
+        |                                     (et), (dw), (vb), ())),
+        |tot AS (SELECT c AS n FROM g
+        |        WHERE et IS NULL AND dw IS NULL AND vb IS NULL),
+        |met AS (SELECT et, c FROM g
+        |        WHERE et IS NOT NULL AND dw IS NULL AND vb IS NULL),
+        |mdw AS (SELECT dw, c FROM g
+        |        WHERE dw IS NOT NULL AND et IS NULL AND vb IS NULL),
+        |mvb AS (SELECT vb, c FROM g
+        |        WHERE vb IS NOT NULL AND et IS NULL AND dw IS NULL),
+        |p1 AS (SELECT 'et~dw' AS pair,
+        |         sum((CAST(j.c AS DOUBLE) / (SELECT n FROM tot))
+        |             * log2(CAST(j.c AS DOUBLE) * (SELECT n FROM tot)
+        |                    / (CAST(x.c AS DOUBLE) * y.c))) AS mi
+        |       FROM (SELECT et, dw, c FROM g
+        |             WHERE et IS NOT NULL AND dw IS NOT NULL AND vb IS NULL) j
+        |       JOIN met x ON j.et = x.et JOIN mdw y ON j.dw = y.dw),
+        |p2 AS (SELECT 'et~vb' AS pair,
+        |         sum((CAST(j.c AS DOUBLE) / (SELECT n FROM tot))
+        |             * log2(CAST(j.c AS DOUBLE) * (SELECT n FROM tot)
+        |                    / (CAST(x.c AS DOUBLE) * y.c))) AS mi
+        |       FROM (SELECT et, vb, c FROM g
+        |             WHERE et IS NOT NULL AND vb IS NOT NULL AND dw IS NULL) j
+        |       JOIN met x ON j.et = x.et JOIN mvb y ON j.vb = y.vb),
+        |p3 AS (SELECT 'dw~vb' AS pair,
+        |         sum((CAST(j.c AS DOUBLE) / (SELECT n FROM tot))
+        |             * log2(CAST(j.c AS DOUBLE) * (SELECT n FROM tot)
+        |                    / (CAST(x.c AS DOUBLE) * y.c))) AS mi
+        |       FROM (SELECT dw, vb, c FROM g
+        |             WHERE dw IS NOT NULL AND vb IS NOT NULL AND et IS NULL) j
+        |       JOIN mdw x ON j.dw = x.dw JOIN mvb y ON j.vb = y.vb)
+        |SELECT pair, round(mi, 6) AS mi_bits
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |      UNION ALL SELECT * FROM p3)
+        |ORDER BY pair""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(
+        col("event_type").as("et"),
+        dayofweek(col("ts")).cast("long").as("dw"),
+        when(col("value") < 20, "lo").when(col("value") < 70, "mid")
+          .otherwise("hi").as("vb"))
+      // ONE shuffle for joints + marginals + total (7 grouping sets)
+      val g = e.groupingSets(
+          Seq(Seq(col("et"), col("dw")), Seq(col("et"), col("vb")),
+            Seq(col("dw"), col("vb")), Seq(col("et")), Seq(col("dw")),
+            Seq(col("vb")), Seq()),
+          col("et"), col("dw"), col("vb"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // 7 consumers below, all tiny
+      val tot = g.where(col("et").isNull && col("dw").isNull && col("vb").isNull)
+        .select(col("c").as("n"))
+      def marg(k: String, others: Seq[String]) =
+        g.where(others.map(col(_).isNull).reduce(_ && _)
+          && col(k).isNotNull).select(col(k), col("c"))
+      val met = marg("et", Seq("dw", "vb"))
+      val mdw = marg("dw", Seq("et", "vb"))
+      val mvb = marg("vb", Seq("et", "dw"))
+      def pairMi(name: String, x: String, y: String, nullCol: String,
+          mx: org.apache.spark.sql.DataFrame, my: org.apache.spark.sql.DataFrame) = {
+        val j = g.where(col(x).isNotNull && col(y).isNotNull && col(nullCol).isNull)
+          .select(col(x), col(y), col("c"))
+        j.join(broadcast(mx.withColumnRenamed("c", "cx")), x)
+          .join(broadcast(my.withColumnRenamed("c", "cy")), y)
+          .crossJoin(broadcast(tot))
+          .agg(sum((col("c").cast("double") / col("n"))
+            * log2(col("c").cast("double") * col("n")
+              / (col("cx").cast("double") * col("cy")))).as("mi"))
+          .select(lit(name).as("pair"), col("mi"))
+      }
+      pairMi("et~dw", "et", "dw", "vb", met, mdw)
+        .unionByName(pairMi("et~vb", "et", "vb", "dw", met, mvb))
+        .unionByName(pairMi("dw~vb", "dw", "vb", "et", mdw, mvb))
+        .select(col("pair"), round(col("mi"), 6).as("mi_bits"))
+        .orderBy("pair")
+    },
+
+    // ---- Nelson–Aalen cumulative hazard (+ Fleming–Harrington S) ----
+    // The hazard-scale twin of q_survival_km (StatsQueries.scala):
+    // same time-to-conversion frame (first event → first purchase,
+    // right-censored at corpus end), but H(t) = Σ d/n_risk — additive,
+    // so its prefix sum needs no absorbing-zero guard — and the
+    // Fleming–Harrington survival exp(−H) rides the same window.
+    sql(
+      "q_nelson_aalen",
+      """WITH u AS (SELECT user_id, min(ts) AS first_ts,
+        |             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts,
+        |             max(ts) AS last_ts
+        |           FROM events GROUP BY 1),
+        |e AS (SELECT CAST(max(last_ts) AS TIMESTAMP) AS endt FROM u),
+        |s AS (SELECT user_id,
+        |        CASE WHEN conv_ts IS NOT NULL
+        |             THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+        |                                 CAST(conv_ts AS DATE)) AS BIGINT)
+        |             ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+        |                                 CAST((SELECT endt FROM e) AS DATE)) AS BIGINT)
+        |             END AS dur,
+        |        CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS died
+        |      FROM u),
+        |t AS (SELECT dur, CAST(sum(died) AS BIGINT) AS d,
+        |             CAST(count(*) AS BIGINT) AS ev FROM s GROUP BY dur),
+        |r AS (SELECT dur, d,
+        |        CAST((SELECT count(*) FROM s) AS BIGINT)
+        |          - CAST(coalesce(sum(ev) OVER (ORDER BY dur
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS n_risk
+        |      FROM t),
+        |k AS (SELECT dur, d, n_risk,
+        |        sum(CAST(d AS DOUBLE) / n_risk)
+        |          OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cumhaz
+        |      FROM r)
+        |SELECT dur AS t_days, n_risk, d AS n_events,
+        |       round(cumhaz, 6) AS cum_hazard,
+        |       round(exp(-cumhaz), 6) AS survival_fh
+        |FROM k WHERE d > 0 ORDER BY t_days""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min("ts").as("first_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("conv_ts"),
+          max("ts").as("last_ts"))
+        .localCheckpoint()
+      val e = u.agg(max("last_ts").as("endt"))
+      val sdf = u.crossJoin(broadcast(e))
+        .select(
+          when(col("conv_ts").isNotNull,
+            datediff(to_date(col("conv_ts")), to_date(col("first_ts"))))
+            .otherwise(datediff(to_date(col("endt")), to_date(col("first_ts"))))
+            .cast("long").as("dur"),
+          when(col("conv_ts").isNotNull, 1L).otherwise(0L).as("died"))
+      val tt = sdf.groupBy("dur")
+        .agg(sum("died").as("d"), count(lit(1)).as("ev"))
+        .localCheckpoint()
+      val n0 = tt.agg(sum("ev").as("total"))
+      val wAll = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = tt.crossJoin(broadcast(n0))
+        .withColumn("n_risk",
+          col("total") - coalesce(sum("ev").over(wPrev), lit(0L)))
+        .withColumn("cumhaz",
+          sum(col("d").cast("double") / col("n_risk")).over(wAll))
+      r.where(col("d") > 0)
+        .select(col("dur").as("t_days"), col("n_risk"),
+          col("d").as("n_events"),
+          round(col("cumhaz"), 6).as("cum_hazard"),
+          round(exp(-col("cumhaz")), 6).as("survival_fh"))
+        .orderBy("t_days")
+    },
+
+    // ---- rolling regression slope (per-key windowed trend) ----
+    // Per-user OLS slope of value over the last 10 events, closed
+    // form from window sums: x is the in-window row index (exact
+    // ints), y accumulates in DECIMAL — the per-row slope is then
+    // bit-identical across engines regardless of merge order. The
+    // per-row trend detector for noisy telemetry; one per-key
+    // shuffle+sort total.
+    // With in-window x = 0..9: Σx = 45, Σx² = 285, so the denominator
+    // is 10·285 − 45² = 825, and Σxy = Σ(rnⱼ·yⱼ) − (rnᵢ−9)·Σyⱼ shifts
+    // the raw rn-weighted sum into window coordinates.
+    sql(
+      "q_rolling_slope",
+      """WITH o AS (SELECT user_id, event_id,
+        |    CAST(value AS DECIMAL(18,6)) AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id % 20 = 0),
+        |w AS (SELECT user_id, event_id, rn,
+        |    CAST(sum(y) OVER (PARTITION BY user_id ORDER BY rn
+        |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS sy,
+        |    CAST(sum(y * rn) OVER (PARTITION BY user_id ORDER BY rn
+        |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS sxy
+        |  FROM o)
+        |SELECT user_id, event_id,
+        |  round((10.0 * (CAST(sxy AS DOUBLE) - (rn - 9) * CAST(sy AS DOUBLE))
+        |         - 45.0 * CAST(sy AS DOUBLE)) / 825.0, 4) AS slope
+        |FROM w WHERE rn >= 10
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("rn")
+        .rowsBetween(-9, 0)
+      val o = t(s, dir, "events")
+        .where(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("y"),
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("rn"))
+      val w = o
+        .withColumn("sy", sum("y").over(wOrd).cast("decimal(38,6)"))
+        .withColumn("sxy", sum(col("y") * col("rn")).over(wOrd).cast("decimal(38,6)"))
+      w.where(col("rn") >= 10)
+        .select(col("user_id"), col("event_id"),
+          round((lit(10.0) * (col("sxy").cast("double")
+            - (col("rn") - 9) * col("sy").cast("double"))
+            - lit(45.0) * col("sy").cast("double")) / lit(825.0), 4)
+            .as("slope"))
+        .orderBy("user_id", "event_id")
+    }
+  )
+}

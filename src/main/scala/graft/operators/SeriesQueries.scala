@@ -1947,6 +1947,67 @@ object SeriesQueries {
           round((lit(2) * col("tp")).cast("double")
             / (lit(2) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
         .orderBy("d")
+    },
+
+    // ---- SAX symbolization (PAA + Gaussian-breakpoint alphabet) ----
+    // Lin et al.'s Symbolic Aggregate approXimation: each user's
+    // value series is z-normalized, piecewise-aggregate-approximated
+    // over 8-event segments, and mapped to a 4-symbol alphabet at the
+    // N(0,1) quartile breakpoints (±0.6745, 0) — the discretization
+    // that turns raw telemetry into motif-minable strings. Scale:
+    // the per-user rank, the per-(user, segment) PAA aggregation and
+    // the per-user moments all shuffle on the SAME key prefix
+    // (user_id), so the plan is one corpus sort plus co-partitioned
+    // aggregations; all z-arithmetic runs from exact DECIMAL moments
+    // so the symbols are bit-identical across engines.
+    sql(
+      "q_sax",
+      """WITH o AS (SELECT user_id, CAST(value AS DECIMAL(18,6)) AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id % 10 = 0),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS DECIMAL(38,6)) AS s,
+        |         CAST(sum(y * y) AS DECIMAL(38,12)) AS s2
+        |       FROM o GROUP BY user_id),
+        |paa AS (SELECT user_id, (rn - 1) // 8 AS seg,
+        |          CAST(count(*) AS BIGINT) AS k,
+        |          CAST(sum(y) AS DECIMAL(38,6)) AS sy
+        |        FROM o GROUP BY 1, 2),
+        |z AS (SELECT p.user_id, p.seg,
+        |        (CAST(p.sy AS DOUBLE) / p.k
+        |         - CAST(t.s AS DOUBLE) / t.n)
+        |        / sqrt(CAST(t.s2 AS DOUBLE) / t.n
+        |               - (CAST(t.s AS DOUBLE) / t.n) * (CAST(t.s AS DOUBLE) / t.n))
+        |          AS zv
+        |      FROM paa p JOIN st t ON t.user_id = p.user_id
+        |      WHERE p.k = 8)
+        |SELECT user_id, seg, round(zv, 4) AS paa_z,
+        |  CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0 THEN 'b'
+        |       WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z ORDER BY user_id, seg""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "events")
+        .where(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("value").cast("decimal(18,6)").as("y"),
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("rn"))
+        .localCheckpoint() // feeds per-user moments AND per-segment PAA
+      val st = o.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum("y").cast("decimal(38,6)").as("s"),
+          sum(col("y") * col("y")).cast("decimal(38,12)").as("s2"))
+      val paa = o
+        .groupBy(col("user_id"), ((col("rn") - 1) / 8).cast("long").as("seg"))
+        .agg(count(lit(1)).as("k"), sum("y").cast("decimal(38,6)").as("sy"))
+      val mean = col("s").cast("double") / col("n")
+      val z = paa.join(st, "user_id")
+        .where(col("k") === 8)
+        .select(col("user_id"), col("seg"),
+          ((col("sy").cast("double") / col("k") - mean)
+            / sqrt(col("s2").cast("double") / col("n") - mean * mean)).as("zv"))
+      z.select(col("user_id"), col("seg"), round(col("zv"), 4).as("paa_z"),
+          when(col("zv") < -0.6745, "a").when(col("zv") < 0, "b")
+            .when(col("zv") < 0.6745, "c").otherwise("d").as("symbol"))
+        .orderBy("user_id", "seg")
     }
   )
 }

@@ -1103,6 +1103,122 @@ object TemporalQueries {
           // BigDecimal path) — numerically equal, now bit-equal too.
           (round(r1 - r0 - pe - ve, 6) + lit(0.0)).as("residual"))
         .orderBy("rf")
+    },
+
+    // ---- interval union / coverage (merge overlapping intervals) ----
+    // Each view event opens an interval [ts, ts + value minutes); per
+    // user, overlapping intervals merge into islands (sweep line: a
+    // new island starts where the start exceeds the running max of
+    // prior ends) and the query reports per-user covered time, island
+    // count, and the overlap ratio — the utilization/dedup-of-time
+    // primitive behind ad-exposure and on-call coverage analytics.
+    // One per-key sort; the cummax and island prefix-sum are window
+    // passes over the same partitioning; all arithmetic in exact
+    // BIGINT micros.
+    sql(
+      "q_interval_coverage",
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e_us
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (SELECT user_id, s_us, e_us,
+        |    CASE WHEN s_us > coalesce(max(e_us) OVER (
+        |           PARTITION BY user_id ORDER BY s_us, e_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         -9223372036854775808) THEN 1 ELSE 0 END AS new_isl
+        |  FROM iv),
+        |isl AS (SELECT user_id, s_us, e_us,
+        |    CAST(sum(new_isl) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM m),
+        |per AS (SELECT user_id, island,
+        |    CAST(max(e_us) - min(s_us) AS BIGINT) AS covered_us,
+        |    CAST(count(*) AS BIGINT) AS n_iv,
+        |    CAST(sum(e_us - s_us) AS BIGINT) AS raw_us
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(covered_us) AS BIGINT) AS covered_us,
+        |  round(CAST(sum(raw_us) AS DOUBLE) / sum(covered_us), 4) AS overlap_ratio
+        |FROM per GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val iv = t(s, dir, "events")
+        .where(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts"))
+            + floor(col("value") * 60000000.0).cast("long")).as("e_us"))
+      val wPrev = Window.partitionBy("user_id").orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("user_id").orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val isl = iv
+        .withColumn("new_isl",
+          when(col("s_us") > coalesce(max("e_us").over(wPrev),
+            lit(Long.MinValue)), 1).otherwise(0))
+        .withColumn("island", sum("new_isl").over(wCum).cast("long"))
+      val per = isl.groupBy("user_id", "island")
+        .agg((max("e_us") - min("s_us")).as("covered_us"),
+          count(lit(1)).as("n_iv"),
+          sum(col("e_us") - col("s_us")).as("raw_us"))
+      per.groupBy("user_id")
+        .agg(sum("n_iv").as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum("covered_us").as("covered_us"),
+          round(sum("raw_us").cast("double") / sum("covered_us"), 4)
+            .as("overlap_ratio"))
+        .orderBy("user_id")
+    },
+
+    // ---- SCD2 point-in-time lookup (temporal fact→dim join) ----
+    // The consumption side of q_scd2_build: purchases probe the
+    // run-length-compressed state dimension for the version effective
+    // at purchase time (eff_from ≤ ts < eff_to, open current
+    // version). The join is an equi-join on the entity key with the
+    // validity range as residual predicate — at 100 TB both sides
+    // hash-partition on user_id, each probe scans only its key's
+    // handful of versions, and the dimension stays run-length
+    // compressed (never re-exploded to per-event rows).
+    sql(
+      "q_scd2_lookup",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |             lag(event_type) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events WHERE user_id % 10 = 3),
+        |chg AS (SELECT user_id, event_type, ts, event_id FROM o
+        |        WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type AS state,
+        |        epoch_us(ts) AS eff_from_us,
+        |        epoch_us(lead(ts) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id)) AS eff_to_us,
+        |        CAST(row_number() OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        |      FROM chg),
+        |f AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE user_id % 10 = 3 AND event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_us, v.version, v.state
+        |FROM f JOIN v ON v.user_id = f.user_id
+        |  AND f.ts_us >= v.eff_from_us
+        |  AND (v.eff_to_us IS NULL OR f.ts_us < v.eff_to_us)
+        |ORDER BY f.event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = t(s, dir, "events").where(col("user_id") % 10 === 3)
+        .localCheckpoint() // feeds the dim build AND the fact probe
+      val v = base
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .where(!(col("prev") <=> col("event_type")))
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("eff_from_us"),
+          unix_micros(lead(col("ts"), 1).over(w)).as("eff_to_us"),
+          row_number().over(w).cast("long").as("version"))
+      val f = base.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      f.join(v, f("user_id") === v("user_id")
+          && f("ts_us") >= v("eff_from_us")
+          && (v("eff_to_us").isNull || f("ts_us") < v("eff_to_us")))
+        .select(f("event_id"), f("user_id"), col("ts_us"),
+          col("version"), col("state"))
+        .orderBy("event_id")
     }
   )
 }

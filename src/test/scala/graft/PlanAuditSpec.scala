@@ -68,6 +68,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_kcore",             // 1-row broadcast degree-threshold scalar per peel round
     "q_xcorr_lagged",      // 8-row broadcast lag list × the #days frame
     "q_growth_accounting", // 1-row broadcast corpus-horizon scalar for churn
+    "q_gains_table",       // 1-row broadcast corpus-midpoint scalar riding the plan
+    "q_good_turing",       // 1-row broadcast token-total scalar riding the spectrum
+    "q_knn_dist_outlier",  // capped probe set × corpus (q_knn_bruteforce shape)
+    "q_mi_matrix",         // 1-row broadcast grand-total scalar per pair block
+    "q_nelson_aalen",      // 1-row broadcast censor-horizon + total scalars (KM twin)
     "q_decile_lift",       // 1-row broadcast N/P totals riding the 10-row grid
     "q_power_analysis",    // 1-row broadcast μ/σ² moments × the 4-row MDE ladder
     "q_lsh_pr_curve",      // 5-row broadcast threshold ladder × the pair frame

@@ -24,6 +24,7 @@ object SparkEntry {
       operators.SeriesQueries.defs ++
       operators.AuditQueries.defs ++
       operators.ScoreQueries.defs ++
+      operators.BiQueries.defs ++
       llm.DedupQueries.defs ++
       llm.DedupClusterQueries.defs ++
       llm.SimilarityQueries.defs ++

@@ -73,6 +73,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_dist_outlier",  // capped probe set × corpus (q_knn_bruteforce shape)
     "q_mi_matrix",         // 1-row broadcast grand-total scalar per pair block
     "q_nelson_aalen",      // 1-row broadcast censor-horizon + total scalars (KM twin)
+    "q_sequence_support",  // 1-row broadcast distinct-user total riding the pair frame
     "q_decile_lift",       // 1-row broadcast N/P totals riding the 10-row grid
     "q_power_analysis",    // 1-row broadcast μ/σ² moments × the 4-row MDE ladder
     "q_lsh_pr_curve",      // 5-row broadcast threshold ladder × the pair frame

@@ -179,7 +179,22 @@ object ScaleCheck {
     // outer-join histogram (q13), the correlated-average join-back
     // (q17), and the nested-agg semi-join chain (q20)
     "q_tpch_q1", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13",
-    "q_tpch_q17", "q_tpch_q20")
+    "q_tpch_q17", "q_tpch_q20",
+    // r8 eleventh batch (this round's operator additions): the
+    // per-user score/outcome collapse + decile windows, the one-pass
+    // groupingSets MI screen, the KM-twin hazard collapse, the
+    // DECIMAL-window rolling slope, the user-key PAA/moment chain,
+    // the sweep-line interval merge, the run-length dim build +
+    // range-residual probe, the syllable-regexp corpus fold, the
+    // token-spectrum collapse, the two-table row-hash fingerprint,
+    // the capped probe×corpus kNN rank, the cell-grid density
+    // classify, and the entity-frame BI five
+    "q_gains_table", "q_target_encode", "q_mi_matrix", "q_nelson_aalen",
+    "q_rolling_slope", "q_sax", "q_interval_coverage", "q_scd2_lookup",
+    "q_readability", "q_good_turing", "q_table_fingerprint",
+    "q_knn_dist_outlier", "q_dbscan_cells", "q_top_movers",
+    "q_abc_classification", "q_hhi_concentration",
+    "q_funnel_dropoff_time", "q_tukey_outlier", "q_sequence_support")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

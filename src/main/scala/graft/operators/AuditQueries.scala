@@ -354,6 +354,68 @@ object AuditQueries {
             .as("fingerprint"))
           .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
       fp("lineitem", li).unionByName(fp("orders", od)).orderBy("tbl")
+    },
+
+    // ---- snapshot diff (table-version data-diff audit) ----
+    // The row-level complement to q_table_fingerprint: when the
+    // fingerprints disagree, diff two table versions into
+    // added/removed/changed/unchanged counts. v1 is a deterministic
+    // synthetic mutation of orders (keys %100=7 deleted, %100=13
+    // repriced, %100=21 cloned under a shifted key) so the expected
+    // diff is known by construction. ONE full-outer join on the
+    // primary key comparing canonical row hashes — at 100 TB both
+    // sides hash-partition on the key and the diff never compares
+    // more than each key's pair; output is 4 counters.
+    sql(
+      "q_snapshot_diff",
+      """WITH v0 AS (SELECT o_orderkey AS k,
+        |    md5(o_orderstatus || '|'
+        |        || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |        || '|' || o_orderpriority) AS h
+        |  FROM orders),
+        |v1 AS (SELECT o_orderkey AS k,
+        |    md5(o_orderstatus || '|'
+        |        || CAST(CAST(CASE WHEN o_orderkey % 100 = 13
+        |                     THEN o_totalprice + 10 ELSE o_totalprice END
+        |               AS DECIMAL(12,2)) AS VARCHAR)
+        |        || '|' || o_orderpriority) AS h
+        |  FROM orders WHERE o_orderkey % 100 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000,
+        |    md5(o_orderstatus || '|'
+        |        || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |        || '|' || o_orderpriority)
+        |  FROM orders WHERE o_orderkey % 100 = 21),
+        |d AS (SELECT
+        |    CASE WHEN v0.k IS NULL THEN 'added'
+        |         WHEN v1.k IS NULL THEN 'removed'
+        |         WHEN v0.h <> v1.h THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM v0 FULL OUTER JOIN v1 ON v1.k = v0.k)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, dir) =>
+      def rowHash(price: Column) = md5(concat_ws("|",
+        col("o_orderstatus"), price.cast("decimal(12,2)").cast("string"),
+        col("o_orderpriority")))
+      val orders = t(s, dir, "orders")
+      val v0 = orders.select(col("o_orderkey").as("k"),
+        rowHash(col("o_totalprice")).as("h"))
+      val v1 = orders.where(col("o_orderkey") % 100 =!= 7)
+        .select(col("o_orderkey").as("k"),
+          rowHash(when(col("o_orderkey") % 100 === 13,
+            col("o_totalprice") + 10).otherwise(col("o_totalprice"))).as("h"))
+        .unionByName(orders.where(col("o_orderkey") % 100 === 21)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            rowHash(col("o_totalprice")).as("h")))
+      v0.withColumnRenamed("h", "h0")
+        .join(v1.withColumnRenamed("h", "h1")
+          .withColumnRenamed("k", "k1"), col("k1") === col("k"), "full")
+        .select(when(col("k").isNull, "added")
+          .when(col("k1").isNull, "removed")
+          .when(col("h0") =!= col("h1"), "changed")
+          .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
     }
   )
 }

@@ -2008,6 +2008,74 @@ object SeriesQueries {
           when(col("zv") < -0.6745, "a").when(col("zv") < 0, "b")
             .when(col("zv") < 0.6745, "c").otherwise("d").as("symbol"))
         .orderBy("user_id", "seg")
+    },
+
+    // ---- 1-D Kalman filter (local-level model) per key ----
+    // The optimal recursive smoother for noisy level telemetry
+    // (state x, variance P; process noise q=1, observation noise
+    // r=4): P' = P+q; K = P'/(P'+r); x += K(z−x); P = (1−K)P'. Like
+    // q_ewma this is inherently SEQUENTIAL — no window frame — so it
+    // runs as the same secondary-sort mapPartitions fold (key-local
+    // runs, O(rows), two doubles of state). The DuckDB oracle folds
+    // the identically-ordered list with a STRUCT accumulator through
+    // list_reduce (x and P together), seeded x₀=z₀, P₀=1 on both
+    // sides — bit-identical double recurrences.
+    sql(
+      "q_kalman_1d",
+      """WITH l AS (SELECT user_id,
+        |             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+        |           FROM events WHERE user_id % 10 = 0
+        |           GROUP BY user_id),
+        |k AS (SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+        |        list_reduce(
+        |          list_transform(xs, z -> {'x': z, 'p': CAST(1.0 AS DOUBLE)}),
+        |          (acc, el) -> {
+        |            'x': acc.x + ((acc.p + 1.0) / (acc.p + 1.0 + 4.0))
+        |                         * (el.x - acc.x),
+        |            'p': (1.0 - (acc.p + 1.0) / (acc.p + 1.0 + 4.0))
+        |                 * (acc.p + 1.0)}) AS st
+        |      FROM l)
+        |SELECT user_id, n_events,
+        |       round(CAST(st.x AS DOUBLE), 6) AS x_hat,
+        |       round(CAST(st.p AS DOUBLE), 6) AS p_var
+        |FROM k ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .where(col("user_id") % 10 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapPartitions { it =>
+          new Iterator[(Long, Long, Double, Double)] {
+            private var pending: Option[(Long, Long, Long, Double)] =
+              if (it.hasNext) Some(it.next()) else None
+            def hasNext: Boolean = pending.isDefined
+            def next(): (Long, Long, Double, Double) = {
+              val (uid, _, _, v0) = pending.get
+              var x = v0
+              var p = 1.0
+              var cnt = 1L
+              pending = None
+              while (pending.isEmpty && it.hasNext) {
+                val r = it.next()
+                if (r._1 == uid) {
+                  val pp = p + 1.0
+                  val k = pp / (pp + 4.0)
+                  x = x + k * (r._4 - x)
+                  p = (1.0 - k) * pp
+                  cnt += 1
+                } else pending = Some(r)
+              }
+              (uid, cnt, x, p)
+            }
+          }
+        }
+        .toDF("user_id", "n_events", "x", "p")
+        .select(col("user_id"), col("n_events"),
+          round(col("x"), 6).as("x_hat"), round(col("p"), 6).as("p_var"))
+        .orderBy("user_id")
     }
   )
 }

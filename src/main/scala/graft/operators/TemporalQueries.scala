@@ -1219,6 +1219,52 @@ object TemporalQueries {
         .select(f("event_id"), f("user_id"), col("ts_us"),
           col("version"), col("state"))
         .orderBy("event_id")
+    },
+
+    // ---- CDC changelog compaction (last-writer-wins apply) ----
+    // Apply an ordered insert/update/delete changelog to produce the
+    // live snapshot — the merge step of every CDC ingestion pipeline.
+    // Ops derive deterministically from the event stream (signup=I,
+    // error=D, else U); per key, ONE ranked window picks the final
+    // op/value, and a key is live iff its last op isn't a delete.
+    // This is the compaction a 100-TB CDC table runs per batch: one
+    // key-partitioned window, output proportional to KEYS, never a
+    // per-op join.
+    sql(
+      "q_cdc_apply",
+      """WITH log AS (SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE user_id % 10 = 1),
+        |r AS (SELECT user_id, op, value, ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts_us DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM log)
+        |SELECT user_id, n_ops, op AS last_op,
+        |       CAST(op <> 'D' AS BOOLEAN) AS is_live,
+        |       round(value, 2) AS last_value, ts_us AS last_ts_us
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val log = t(s, dir, "events")
+        .where(col("user_id") % 10 === 1)
+        .select(col("user_id"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          col("value"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val wK = Window.partitionBy("user_id")
+        .orderBy(desc("ts_us"), desc("event_id"))
+      val r = log
+        .withColumn("rn", row_number().over(wK))
+        .withColumn("n_ops",
+          count(lit(1)).over(Window.partitionBy("user_id")).cast("long"))
+      r.where(col("rn") === 1)
+        .select(col("user_id"), col("n_ops"), col("op").as("last_op"),
+          (col("op") =!= "D").as("is_live"),
+          round(col("value"), 2).as("last_value"),
+          col("ts_us").as("last_ts_us"))
+        .orderBy("user_id")
     }
   )
 }

@@ -78,6 +78,52 @@ object FormatQueries {
             col("sum_price"), col("n_flags"), col("key_sum"))
       }.reduce(_ unionByName _)
         .orderBy("fmt")
+    },
+
+    // ---- hive-partitioned layout + partition-pruning proof ----
+    // The table-layout op a 100-TB events table lives or dies by:
+    // write the stream partitioned by day (`ym=`), read it back
+    // with a day predicate, and prove — in the result itself — that
+    // the scan touched exactly ONE partition. `pruned_ok` is read off
+    // the executed plan's FileSourceScan (`PartitionCount: 1`, i.e.
+    // partition pruning happened at planning time, the other months'
+    // files were never listed into the scan) and the oracle pins it
+    // TRUE; the aggregate hash-matches the same day computed from
+    // the original parquet, so the layout round-trips values exactly.
+    // The probe day is the corpus's first day (one 1-row driver
+    // read — the sanctioned scalar collect), so the query is
+    // scale-factor-portable.
+    sql(
+      "q_partition_prune",
+      """WITH m AS (SELECT strftime(min(ts), '%Y-%m-%d') AS ym FROM events),
+        |s AS (SELECT event_type, value FROM events
+        |      WHERE strftime(ts, '%Y-%m-%d') = (SELECT ym FROM m))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+        |       true AS pruned_ok
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("ym"))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_part_prune_${math.abs(dir.hashCode)}").getAbsolutePath
+      ev.write.mode("overwrite").partitionBy("ym").parquet(base)
+      val m0 = ev.agg(min("ym")).first().getString(0)
+      val back = s.read.parquet(base).where(col("ym") === m0)
+      // the proof: pruning happened iff the scan's file index kept
+      // exactly one partition directory
+      val scans = back.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val pruned = scans.nonEmpty &&
+        scans.forall(_.relation.location.listFiles(
+          scans.head.partitionFilters, Nil).length == 1)
+      back.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .as("sum_value"))
+        .select(col("event_type"), col("n"), col("sum_value"),
+          lit(pruned).as("pruned_ok"))
+        .orderBy("event_type")
     }
   )
 }

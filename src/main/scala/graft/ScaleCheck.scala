@@ -194,7 +194,14 @@ object ScaleCheck {
     "q_readability", "q_good_turing", "q_table_fingerprint",
     "q_knn_dist_outlier", "q_dbscan_cells", "q_top_movers",
     "q_abc_classification", "q_hhi_concentration",
-    "q_funnel_dropoff_time", "q_tukey_outlier", "q_sequence_support")
+    "q_funnel_dropoff_time", "q_tukey_outlier", "q_sequence_support",
+    // r8 twelfth batch: the secondary-sort Kalman fold, the ranked
+    // CDC compaction window, the keyed full-outer diff join, the
+    // partitioned write+pruned read, the deseasonalized residual
+    // screen, the randomized-response projection + dual histograms,
+    // and the stopword-detector confusion collapse
+    "q_kalman_1d", "q_cdc_apply", "q_snapshot_diff", "q_partition_prune",
+    "q_anomaly_deseasonalized", "q_ldp_frequency", "q_langid_confusion")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1290,6 +1290,56 @@ object TextAnalysisQueries {
             .as("r_star"),
           round(col("r").cast("double") * col("n_r") / col("n"), 6).as("mass"))
         .orderBy("r")
+    },
+
+    // ---- language-ID confusion matrix (detector evaluation) ----
+    // The evaluation layer over q_lang_id: cross the corpus's labeled
+    // language against the stopword-detector's prediction and report
+    // the confusion cells with per-label recall shares — the QA
+    // readout that decides whether the cheap detector is good enough
+    // to route a corpus slice. Shares divide exact integer counts by
+    // the label marginal (a window over the ≤ |langs|² cell frame).
+    QueryDef.sql(
+      "q_langid_confusion",
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |              len(list_filter(words, x -> list_contains(${sqlList(stopEn)}, x))) AS s_en,
+         |              len(list_filter(words, x -> list_contains(${sqlList(stopEs)}, x))) AS s_es,
+         |              len(list_filter(words, x -> list_contains(${sqlList(stopDe)}, x))) AS s_de
+         |       FROM w),
+         |p AS (SELECT lang AS labeled_lang,
+         |        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |             WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+         |             WHEN s_de > 0 THEN 'de'
+         |             ELSE 'und' END AS detected_lang
+         |      FROM sc),
+         |c AS (SELECT labeled_lang, detected_lang,
+         |             CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+         |SELECT labeled_lang, detected_lang, n,
+         |  round(CAST(n AS DOUBLE)
+         |        / sum(n) OVER (PARTITION BY labeled_lang), 4) AS label_share,
+         |  CAST(labeled_lang = detected_lang AS BOOLEAN) AS is_correct
+         |FROM c ORDER BY labeled_lang, detected_lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("words"))
+        .select(col("lang"),
+          stopwordCount(col("words"), stopEn).as("s_en"),
+          stopwordCount(col("words"), stopEs).as("s_es"),
+          stopwordCount(col("words"), stopDe).as("s_de"))
+      val p = sc.select(col("lang").as("labeled_lang"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und").as("detected_lang"))
+      val c = p.groupBy("labeled_lang", "detected_lang")
+        .agg(count(lit(1)).as("n"))
+      c.select(col("labeled_lang"), col("detected_lang"), col("n"),
+          round(col("n").cast("double")
+            / sum("n").over(Window.partitionBy("labeled_lang")), 4)
+            .as("label_share"),
+          (col("labeled_lang") === col("detected_lang")).as("is_correct"))
+        .orderBy("labeled_lang", "detected_lang")
     }
   )
 }

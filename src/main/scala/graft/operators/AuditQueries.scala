@@ -416,6 +416,70 @@ object AuditQueries {
           .otherwise("unchanged").as("change_type"))
         .groupBy("change_type").agg(count(lit(1)).as("n"))
         .orderBy("change_type")
+    },
+
+    // ---- local-DP frequency estimation (randomized response) ----
+    // k-ary randomized response (Warner'65 / RAPPOR's direct-encoding
+    // mode): each event reports its true category with probability
+    // p = 0.75, otherwise a uniformly random category; the server
+    // DEBIASES the noisy histogram with π̂ = (c/n − (1−p)/k) / (p −
+    // (1−p)/k)... using the standard unbiased estimator for
+    // report = truth w.p. p + (1−p)/k. Per the repo's seeded-
+    // randomness convention (q_dp_noise) the coins are deterministic
+    // md5 draws, so the release is reproducible and cross-engine
+    // checkable. ONE corpus pass builds both the true and reported
+    // histograms (the per-row perturbation is a pure projection —
+    // this is the aggregation pattern of any LDP collector at scale).
+    sql(
+      "q_ldp_frequency",
+      """WITH r AS (SELECT event_type,
+        |    (('0x' || substr(md5('ldp:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |       % 1000000 + 0.5) / 1000000.0 AS u,
+        |    ['click','error','purchase','signup','view']
+        |      [CAST(('0x' || substr(md5('ldpc:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |            % 5 AS INT) + 1] AS alt
+        |  FROM events),
+        |o AS (SELECT event_type,
+        |             CASE WHEN u < 0.75 THEN event_type ELSE alt END AS reported
+        |      FROM r),
+        |tc AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n_true
+        |       FROM o GROUP BY 1),
+        |rc AS (SELECT reported AS et, CAST(count(*) AS BIGINT) AS n_reported
+        |       FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o)
+        |SELECT tc.et AS event_type, tc.n_true, rc.n_reported,
+        |  round((CAST(rc.n_reported AS DOUBLE) / (SELECT n FROM tot) - 0.05)
+        |        / 0.80 * (SELECT n FROM tot), 2) AS n_debiased,
+        |  round(abs((CAST(rc.n_reported AS DOUBLE) / (SELECT n FROM tot) - 0.05)
+        |        / 0.80 * (SELECT n FROM tot) - tc.n_true)
+        |        / tc.n_true, 4) AS rel_err
+        |FROM tc JOIN rc ON rc.et = tc.et
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      // report = truth w.p. p + (1−p)/k = 0.75 + 0.05 = 0.80; uniform
+      // floor (1−p)/k = 0.05 — the debias constants below
+      val cats = array(Seq("click", "error", "purchase", "signup", "view")
+        .map(lit): _*)
+      val r = t(s, dir, "events").select(col("event_type"),
+        ((h32(concat(lit("ldp:"), col("event_id").cast("string"))) % 1000000L
+          + 0.5) / 1000000.0).as("u"),
+        element_at(cats,
+          (h32(concat(lit("ldpc:"), col("event_id").cast("string"))) % 5L)
+            .cast("int") + 1).as("alt"))
+      val o = r.select(col("event_type"),
+        when(col("u") < 0.75, col("event_type")).otherwise(col("alt"))
+          .as("reported"))
+        .localCheckpoint() // feeds true + reported histograms + total
+      val tc = o.groupBy(col("event_type").as("et")).agg(count(lit(1)).as("n_true"))
+      val rc = o.groupBy(col("reported").as("et")).agg(count(lit(1)).as("n_reported"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      val est =
+        ((col("n_reported").cast("double") / col("n") - 0.05) / 0.80) * col("n")
+      tc.join(rc, "et").crossJoin(broadcast(tot))
+        .select(col("et").as("event_type"), col("n_true"), col("n_reported"),
+          round(est, 2).as("n_debiased"),
+          round(abs(est - col("n_true")) / col("n_true"), 4).as("rel_err"))
+        .orderBy("event_type")
     }
   )
 }

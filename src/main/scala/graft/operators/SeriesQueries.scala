@@ -2076,6 +2076,72 @@ object SeriesQueries {
         .select(col("user_id"), col("n_events"),
           round(col("x"), 6).as("x_hat"), round(col("p"), 6).as("p_var"))
         .orderBy("user_id")
+    },
+
+    // ---- deseasonalized anomaly detection (STL residual + MAD) ----
+    // Anomalies scored AFTER removing trend (±3-day centered MA) and
+    // day-of-week seasonality — the screen that doesn't page on
+    // weekends. Residuals come from the q_seasonal_dow decomposition;
+    // the robust threshold is median ± 3·1.4826·MAD of the residuals
+    // (two exact medians over the #days frame — the corpus was
+    // collapsed to days in ONE pass; everything after is
+    // calendar-bounded). The flag is computed on ROUNDED residuals so
+    // the threshold compare is bit-stable across engines.
+    sql(
+      "q_anomaly_deseasonalized",
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT d, rev, (d + 3) % 7 AS dow,
+        |         CAST(sum(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |                             AND 3 FOLLOWING) AS DOUBLE)
+        |           / count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |                            AND 3 FOLLOWING) AS trend
+        |       FROM daily),
+        |g AS (SELECT CAST(sum(rev) AS DOUBLE) / count(*) AS gmean FROM daily),
+        |dm AS (SELECT (d + 3) % 7 AS dow,
+        |              CAST(sum(rev) AS DOUBLE) / count(*) AS dmean
+        |       FROM daily GROUP BY 1),
+        |r AS (SELECT t.d,
+        |        round(CAST(t.rev AS DOUBLE) - t.trend
+        |              - (dm.dmean - (SELECT gmean FROM g)), 4) AS resid
+        |      FROM tr t JOIN dm ON dm.dow = t.dow),
+        |m AS (SELECT CAST(quantile_cont(resid, 0.5) AS DOUBLE) AS med FROM r),
+        |a AS (SELECT CAST(quantile_cont(abs(resid - (SELECT med FROM m)), 0.5)
+        |             AS DOUBLE) AS mad FROM r)
+        |SELECT d, resid,
+        |  round(abs(resid - (SELECT med FROM m))
+        |        / (1.4826 * (SELECT mad FROM a)), 4) AS score,
+        |  CAST(abs(resid - (SELECT med FROM m))
+        |       > 3 * 1.4826 * (SELECT mad FROM a) AS BOOLEAN) AS is_anomaly
+        |FROM r ORDER BY d""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "events"), "ts", "value")
+      // the one intentionally tiny global window (#days rows)
+      val w = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("dow", (col("d") + 3) % 7)
+        .withColumn("trend",
+          sum("rev").over(w).cast("double") / count(lit(1)).over(w))
+      val g = daily.agg(
+        (sum("rev").cast("double") / count(lit(1))).as("gmean"))
+      val dm = daily.groupBy(((col("d") + 3) % 7).as("dow"))
+        .agg((sum("rev").cast("double") / count(lit(1))).as("dmean"))
+      val r = tr.join(broadcast(dm), "dow").crossJoin(broadcast(g))
+        .select(col("d"),
+          round(col("rev").cast("double") - col("trend")
+            - (col("dmean") - col("gmean")), 4).as("resid"))
+        .localCheckpoint() // #days rows: feeds median, MAD and output
+      val m = r.agg(expr("percentile(resid, 0.5)").cast("double").as("med"))
+      val a = r.crossJoin(broadcast(m))
+        .agg(expr("percentile(abs(resid - med), 0.5)").cast("double").as("mad"))
+      r.crossJoin(broadcast(m)).crossJoin(broadcast(a))
+        .select(col("d"), col("resid"),
+          round(abs(col("resid") - col("med"))
+            / (lit(1.4826) * col("mad")), 4).as("score"),
+          (abs(col("resid") - col("med"))
+            > lit(3) * lit(1.4826) * col("mad")).as("is_anomaly"))
+        .orderBy("d")
     }
   )
 }

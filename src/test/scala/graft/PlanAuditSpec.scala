@@ -74,6 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_mi_matrix",         // 1-row broadcast grand-total scalar per pair block
     "q_nelson_aalen",      // 1-row broadcast censor-horizon + total scalars (KM twin)
     "q_sequence_support",  // 1-row broadcast distinct-user total riding the pair frame
+    "q_anomaly_deseasonalized", // 1-row broadcast gmean/median/MAD scalars on #days rows
+    "q_ldp_frequency",     // 1-row broadcast report-total scalar riding the histogram
     "q_decile_lift",       // 1-row broadcast N/P totals riding the 10-row grid
     "q_power_analysis",    // 1-row broadcast μ/σ² moments × the 4-row MDE ladder
     "q_lsh_pr_curve",      // 5-row broadcast threshold ladder × the pair frame

@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -863,6 +863,107 @@ object CurationQueries {
           round((col("a") + col("b")) / (col("n") + col("a") + col("b")), 6)
             .as("shrink_frac"))
         .orderBy("source")
+    },
+
+    // ---- lexicon safety screen (blocklist hit rates per source) ----
+    // The curation-pipeline safety filter in its simplest honest
+    // form: a term blocklist, per-document hit counts, per-source hit
+    // rates, and the block decision at a hit threshold (≥ 3) — the
+    // shape any lexicon-based screen (toxicity, PII keywords, spam
+    // vocab) runs before the expensive model-based pass. The per-doc
+    // count is a pure array fold (no explode — the corpus never
+    // re-shuffles on tokens); the per-source rollup is one hash agg.
+    sql(
+      "q_lexicon_screen",
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['slow', 'big', 'dup'], x))) AS hits
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+        |  CAST(sum(hits) AS BIGINT) AS total_hits,
+        |  CAST(sum(CASE WHEN hits >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS docs_blocked,
+        |  round(CAST(sum(CASE WHEN hits >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS block_rate
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val lex = Seq("slow", "big", "dup")
+      val hits = size(filter(split(col("text"), " "),
+        x => lex.map(w => x === w).reduce(_ || _)))
+      val d = t(s, dir, "documents").select(col("source"), hits.as("hits"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+          sum("hits").cast("long").as("total_hits"),
+          sum(when(col("hits") >= 3, 1L).otherwise(0L)).as("docs_blocked"))
+        .select(col("source"), col("n_docs"), col("docs_hit"),
+          col("total_hits"), col("docs_blocked"),
+          round(col("docs_blocked").cast("double") / col("n_docs"), 4)
+            .as("block_rate"))
+        .orderBy("source")
+    },
+
+    // ---- IPF raking (iterative proportional fitting) ----
+    // Rake the (source × lang) corpus contingency table to uniform
+    // marginal targets — the survey-weighting / corpus-rebalancing
+    // primitive: 3 row/column scaling rounds produce per-cell
+    // weights whose weighted table matches both marginals (up to the
+    // empty-cell residual). The corpus collapses ONCE to the ≤100-
+    // cell frame; every IPF round is two window passes there. The
+    // window sums quantize per-term to DECIMAL(28,12) so the scaling
+    // factors are combiner-order-free in both engines.
+    sql(
+      "q_ipf_raking",
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+        |          CAST(count(DISTINCT source) AS BIGINT) AS nr,
+        |          CAST(count(DISTINCT lang) AS BIGINT) AS nc
+        |        FROM cells),
+        |s0 AS (SELECT c.source, c.lang, c.n, CAST(t AS DOUBLE) / nr AS rt,
+        |         CAST(t AS DOUBLE) / nc AS ct, 1.0 AS w
+        |       FROM cells c CROSS JOIN tot),
+        |r1 AS (SELECT source, lang, n, rt, ct, w * rt
+        |         / CAST(sum(CAST(n * w AS DECIMAL(28,12)))
+        |                OVER (PARTITION BY source) AS DOUBLE) AS w2 FROM s0),
+        |c1 AS (SELECT source, lang, n, rt, ct, w2 * ct
+        |         / CAST(sum(CAST(n * w2 AS DECIMAL(28,12)))
+        |                OVER (PARTITION BY lang) AS DOUBLE) AS w FROM r1),
+        |r2 AS (SELECT source, lang, n, rt, ct, w * rt
+        |         / CAST(sum(CAST(n * w AS DECIMAL(28,12)))
+        |                OVER (PARTITION BY source) AS DOUBLE) AS w2 FROM c1),
+        |c2 AS (SELECT source, lang, n, rt, ct, w2 * ct
+        |         / CAST(sum(CAST(n * w2 AS DECIMAL(28,12)))
+        |                OVER (PARTITION BY lang) AS DOUBLE) AS w FROM r2),
+        |r3 AS (SELECT source, lang, n, rt, ct, w * rt
+        |         / CAST(sum(CAST(n * w AS DECIMAL(28,12)))
+        |                OVER (PARTITION BY source) AS DOUBLE) AS w2 FROM c2),
+        |c3 AS (SELECT source, lang, n, rt, ct, w2 * ct
+        |         / CAST(sum(CAST(n * w2 AS DECIMAL(28,12)))
+        |                OVER (PARTITION BY lang) AS DOUBLE) AS w FROM r3)
+        |SELECT source, lang, n, round(w, 6) AS weight,
+        |  round(n * w, 4) AS fitted
+        |FROM c3 ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // ≤100 cells — the whole IPF state
+      val tot = cells.agg(sum("n").cast("long").as("t"),
+        countDistinct("source").as("nr"), countDistinct("lang").as("nc"))
+      val s0 = cells.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n"),
+          (col("t").cast("double") / col("nr")).as("rt"),
+          (col("t").cast("double") / col("nc")).as("ct"),
+          lit(1.0).as("w"))
+      def scale(df: DataFrame, target: String, by: String) =
+        df.withColumn("w", col("w") * col(target)
+          / sum((col("n") * col("w")).cast("decimal(28,12)"))
+            .over(Window.partitionBy(by)).cast("double"))
+      val fit = Seq.fill(3)(()).foldLeft(s0) { (d, _) =>
+        scale(scale(d, "rt", "source"), "ct", "lang")
+      }
+      fit.select(col("source"), col("lang"), col("n"),
+          round(col("w"), 6).as("weight"),
+          round(col("n") * col("w"), 4).as("fitted"))
+        .orderBy("source", "lang")
     }
   )
 }

@@ -1340,6 +1340,150 @@ object TextAnalysisQueries {
             .as("label_share"),
           (col("labeled_lang") === col("detected_lang")).as("is_correct"))
         .orderBy("labeled_lang", "detected_lang")
+    },
+
+    // ---- Cohen's kappa (chance-corrected rater agreement) ----
+    // Agreement between two independent document-quality raters —
+    // a length rule (n_chars > 300) and a lexical-diversity rule
+    // (distinct-token ratio > 0.46, both median splits) — corrected
+    // for chance: κ = (p_o − p_e)/(1 − p_e). The calibration step
+    // before replacing an expensive labeler with a cheap rule. ONE
+    // corpus pass to the 2×2 table (four conditional sums); all κ
+    // algebra on the 1-row frame.
+    QueryDef.sql(
+      "q_cohens_kappa",
+      """WITH f AS (SELECT
+        |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |           x -> length(x) > 0)))
+        |         > 0.46 * len(list_filter(string_split(text, ' '),
+        |           x -> length(x) > 0)) THEN 1 ELSE 0 END AS r2
+        |  FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(r1 * r2) AS BIGINT) AS n11,
+        |        CAST(sum(r1 * (1 - r2)) AS BIGINT) AS n10,
+        |        CAST(sum((1 - r1) * r2) AS BIGINT) AS n01,
+        |        CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+        |      FROM f),
+        |k AS (SELECT n, n11, n10, n01, n00,
+        |        CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |        (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+        |         + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n AS DOUBLE) * n) AS pe
+        |      FROM c)
+        |SELECT n, n11, n10, n01, n00, round(po, 6) AS p_observed,
+        |  round(pe, 6) AS p_expected,
+        |  round((po - pe) / (1 - pe), 6) AS kappa
+        |FROM k""".stripMargin) { (s, dir) =>
+      val words = filter(split(col("text"), " "), x => length(x) > 0)
+      val f = t(s, dir, "documents").select(
+        when(col("n_chars") > 300, 1L).otherwise(0L).as("r1"),
+        when(size(array_distinct(words)).cast("double")
+          > lit(0.46) * size(words), 1L).otherwise(0L).as("r2"))
+      val c = f.agg(count(lit(1)).as("n"),
+        sum(col("r1") * col("r2")).as("n11"),
+        sum(col("r1") * (lit(1) - col("r2"))).as("n10"),
+        sum((lit(1) - col("r1")) * col("r2")).as("n01"),
+        sum((lit(1) - col("r1")) * (lit(1) - col("r2"))).as("n00"))
+      val po = (col("n11") + col("n00")).cast("double") / col("n")
+      val pe = ((col("n11") + col("n10")).cast("double") * (col("n11") + col("n01"))
+        + (col("n01") + col("n00")).cast("double") * (col("n10") + col("n00")))
+        ./(col("n").cast("double") * col("n"))
+      c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("p_observed"), round(pe, 6).as("p_expected"),
+        round((po - pe) / (lit(1) - pe), 6).as("kappa"))
+    },
+
+    // ---- BLEU-2 n-gram overlap between adjacent docs per source ----
+    // The generation-eval primitive (clipped modified n-gram
+    // precision + brevity penalty, Papineni 2002) run as a corpus
+    // self-similarity audit: candidate = each doc, reference = the
+    // next doc of the same source by doc_id (deterministic pairing,
+    // exactly N−#sources pairs — never quadratic). The engine path is
+    // the 100-TB shape: explode each side to (pair, token) counts and
+    // equi-join — clipping never compares texts pairwise. Per-pair
+    // BLEU quantizes to DECIMAL before the per-source mean.
+    QueryDef.sql(
+      "q_bleu_overlap",
+      """WITH p AS (SELECT source, doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tc,
+        |    list_filter(string_split(lead(text) OVER
+        |        (PARTITION BY source ORDER BY doc_id), ' '),
+        |      x -> length(x) > 0) AS tr
+        |  FROM documents),
+        |pp AS (SELECT source, doc_id AS pid, tc, tr,
+        |    list_transform(range(len(tc) - 1),
+        |      i -> tc[i + 1] || ' ' || tc[i + 2]) AS bc,
+        |    list_transform(range(len(tr) - 1),
+        |      i -> tr[i + 1] || ' ' || tr[i + 2]) AS br
+        |  FROM p WHERE tr IS NOT NULL),
+        |sc AS (SELECT source, pid, len(tc) AS lc, len(tr) AS lr,
+        |    CAST(list_sum(list_transform(list_distinct(tc),
+        |      t -> least(len(list_filter(tc, x -> x = t)),
+        |                 len(list_filter(tr, x -> x = t))))) AS BIGINT) AS clip1,
+        |    len(bc) AS nb,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(bc),
+        |      t -> least(len(list_filter(bc, x -> x = t)),
+        |                 len(list_filter(br, x -> x = t))))), 0) AS BIGINT) AS clip2
+        |  FROM pp),
+        |bl AS (SELECT source,
+        |    CASE WHEN clip1 > 0 AND clip2 > 0 AND nb > 0 THEN
+        |      least(1.0, exp(1.0 - CAST(lr AS DOUBLE) / lc))
+        |        * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / lc)
+        |                     + ln(CAST(clip2 AS DOUBLE) / nb)))
+        |    ELSE 0.0 END AS bleu
+        |  FROM sc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(CAST(bleu AS DECIMAL(28,12))) AS DOUBLE)
+        |        / count(*), 6) AS avg_bleu2,
+        |  round(max(bleu), 6) AS max_bleu2
+        |FROM bl GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = filter(split(col("text"), " "), x => length(x) > 0)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      def bigrams(c: Column) = when(size(c) >= 2,
+        transform(sequence(lit(0), size(c) - 2),
+          i => concat(element_at(c, i + 1), lit(" "), element_at(c, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val p = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), toks.as("tc"),
+          lead(toks, 1).over(w).as("tr"))
+        .where(col("tr").isNotNull)
+        .select(col("source"), col("doc_id").as("pid"), col("tc"), col("tr"),
+          bigrams(col("tc")).as("bc"), bigrams(col("tr")).as("br"))
+        .localCheckpoint() // pairs frame feeds 4 explode streams
+      // 100-TB shape: clip via (pair, gram) count join, never a
+      // per-pair pairwise scan
+      def clipped(cand: String, ref: String) = {
+        val c = p.select(col("source"), col("pid"), explode(col(cand)).as("g"))
+          .groupBy("source", "pid", "g").agg(count(lit(1)).as("cc"))
+        val r = p.select(col("pid").as("rpid"), explode(col(ref)).as("rg"))
+          .groupBy("rpid", "rg").agg(count(lit(1)).as("cr"))
+        c.join(r, col("pid") === col("rpid") && col("g") === col("rg"), "left")
+          .groupBy("source", "pid")
+          .agg(sum(least(col("cc"), coalesce(col("cr"), lit(0L)))).as("clip"),
+            sum("cc").as("tot"))
+      }
+      val u = clipped("tc", "tr")
+        .select(col("source"), col("pid"), col("clip").as("clip1"), col("tot").as("lc"))
+      val bgr = clipped("bc", "br")
+        .select(col("pid").as("bpid"), col("clip").as("clip2"), col("tot").as("nb"))
+      val lens = p.select(col("pid").as("lpid"), size(col("tr")).cast("long").as("lr"))
+      val sc = u.join(bgr, col("pid") === col("bpid"), "left")
+        .join(lens, col("pid") === col("lpid"))
+        .select(col("source"), col("pid"), col("clip1"), col("lc"),
+          coalesce(col("clip2"), lit(0L)).as("clip2"),
+          coalesce(col("nb"), lit(0L)).as("nb"), col("lr"))
+      val bleu = when(col("clip1") > 0 && col("clip2") > 0 && col("nb") > 0,
+        least(lit(1.0), exp(lit(1.0) - col("lr").cast("double") / col("lc")))
+          * exp(lit(0.5) * (log(col("clip1").cast("double") / col("lc"))
+            + log(col("clip2").cast("double") / col("nb")))))
+        .otherwise(lit(0.0))
+      sc.select(col("source"), bleu.as("bleu"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("bleu").cast("decimal(28,12)")).cast("double")
+            / count(lit(1)), 6).as("avg_bleu2"),
+          round(max(col("bleu")), 6).as("max_bleu2"))
+        .orderBy("source")
     }
   )
 }

@@ -2328,6 +2328,603 @@ object StatsQueries {
             - col("bs2") * sc2 * col("d2")) / col("n").cast("double"), 6)
             .as("beta0"))
         .orderBy("lambda")
+    },
+
+    // ---- Wilcoxon signed-rank (paired two-sample test) ----
+    // The PAIRED complement to q_auc_mannwhitney's unpaired U: each
+    // user contributes one before/after difference (first-half vs
+    // second-half mean event value); |d| is ranked with average ranks
+    // (rank + (ties−1)/2 — exact integer window arithmetic on the
+    // ROUND-6 d, the repo's tie-stability convention), W⁺ sums the
+    // positive-d ranks, and the normal approximation carries the
+    // tie-correction term Σ(t³−t)/48. Corpus collapses ONCE to a
+    // per-user pair; the ranking runs on the #users frame.
+    sql(
+      "q_wilcoxon_signed_rank",
+      """WITH b AS (SELECT epoch_us(min(ts))
+        |                  + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+        |           FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+        |                 THEN CAST(value AS DECIMAL(18,6))
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s1,
+        |        CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+        |                 THEN CAST(value AS DECIMAL(18,6))
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s2,
+        |        CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT round(CAST(s2 AS DOUBLE) / n2
+        |             - CAST(s1 AS DOUBLE) / n1, 6) AS d
+        |      FROM u WHERE n1 > 0 AND n2 > 0),
+        |nz AS (SELECT d, abs(d) AS ad FROM d WHERE d <> 0),
+        |r AS (SELECT d, ad,
+        |        rank() OVER (ORDER BY ad) AS rk,
+        |        CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) AS t
+        |      FROM nz),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CASE WHEN d > 0 THEN rk + (t - 1) / 2.0 ELSE 0 END) AS wp,
+        |        sum(CASE WHEN d < 0 THEN rk + (t - 1) / 2.0 ELSE 0 END) AS wm
+        |      FROM r),
+        |tc AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie
+        |       FROM (SELECT ad, CAST(count(*) AS BIGINT) AS t
+        |             FROM nz GROUP BY ad) g WHERE t > 1)
+        |SELECT n, round(wp, 1) AS w_plus, round(wm, 1) AS w_minus,
+        |  round((wp - n * (n + 1) / 4.0)
+        |        / sqrt(n * (n + 1) * (2 * n + 1) / 24.0
+        |               - (SELECT tie FROM tc) / 48.0), 6) AS z_approx
+        |FROM a""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select((unix_micros(col("t0"))
+          + expr("(unix_micros(t1) - unix_micros(t0)) div 2")).as("mid_us"))
+      val dz = lit(0).cast("decimal(18,6)")
+      val pre = unix_micros(col("ts")) < col("mid_us")
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy("user_id")
+        .agg(sum(when(pre, col("value").cast("decimal(18,6)")).otherwise(dz))
+          .cast("decimal(38,6)").as("s1"),
+          sum(when(pre, 1L).otherwise(0L)).as("n1"),
+          sum(when(!pre, col("value").cast("decimal(18,6)")).otherwise(dz))
+            .cast("decimal(38,6)").as("s2"),
+          sum(when(!pre, 1L).otherwise(0L)).as("n2"))
+      val d = u.where(col("n1") > 0 && col("n2") > 0)
+        .select(round(col("s2").cast("double") / col("n2")
+          - col("s1").cast("double") / col("n1"), 6).as("d"))
+        .where(col("d") =!= 0)
+        .withColumn("ad", abs(col("d")))
+        .localCheckpoint() // #users rows: ranks + tie groups
+      val r = d
+        .withColumn("rk", rank().over(Window.orderBy("ad")))
+        .withColumn("t", count(lit(1)).over(Window.partitionBy("ad")).cast("long"))
+      val avgRk = col("rk") + (col("t") - 1) / 2.0
+      val a = r.agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, avgRk).otherwise(0.0)).as("wp"),
+        sum(when(col("d") < 0, avgRk).otherwise(0.0)).as("wm"))
+      val tc = d.groupBy("ad").agg(count(lit(1)).as("t"))
+        .where(col("t") > 1)
+        .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+          .cast("long").as("tie"))
+      a.crossJoin(broadcast(tc))
+        .select(col("n"), round(col("wp"), 1).as("w_plus"),
+          round(col("wm"), 1).as("w_minus"),
+          round((col("wp") - col("n") * (col("n") + 1) / 4.0)
+            / sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) / 24.0
+              - col("tie") / 48.0), 6).as("z_approx"))
+    },
+
+    // ---- partial correlation (controlling for a covariate) ----
+    // r(quantity, price | discount) and r(discount, price | quantity)
+    // from ONE corpus pass of exact DECIMAL moments — does the
+    // quantity–price relationship survive controlling for discount?
+    // The raw pairwise r's ride along so the collider/confounder
+    // story is readable from the row. Same one-pass-moments design
+    // as q_corr_matrix; the partial-corr algebra runs on a 1-row
+    // frame.
+    sql(
+      "q_partial_corr",
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DECIMAL(38,4)) AS s1,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(15,4))) AS DECIMAL(38,4)) AS s2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(38,4)) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,4))
+        |             * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s11,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(15,4))
+        |             * CAST(l_discount AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s22,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))
+        |             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,4))
+        |             * CAST(l_discount AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s12,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,4))
+        |             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s1y,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(15,4))
+        |             * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s2y
+        |  FROM lineitem),
+        |c AS (SELECT
+        |    (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |      / sqrt((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |             * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS r1y,
+        |    (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |      / sqrt((CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+        |             * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS r2y,
+        |    (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+        |      / sqrt((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |             * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)) AS r12
+        |  FROM m)
+        |SELECT round(r1y, 6) AS r_qty_price, round(r2y, 6) AS r_disc_price,
+        |  round(r12, 6) AS r_qty_disc,
+        |  round((r1y - r12 * r2y) / sqrt((1 - r12 * r12) * (1 - r2y * r2y)), 6)
+        |    AS partial_qty_price,
+        |  round((r2y - r12 * r1y) / sqrt((1 - r12 * r12) * (1 - r1y * r1y)), 6)
+        |    AS partial_disc_price
+        |FROM c""".stripMargin) { (s, dir) =>
+      // d15 × d19 keeps DuckDB's decimal multiply on the int128 path
+      // (18,6 × 18,6 overflows its int64 fast path — the q_corr_matrix
+      // width convention)
+      def d15(c: Column) = c.cast("decimal(15,4)")
+      def d19(c: Column) = c.cast("decimal(19,4)")
+      val m = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(d15(col("l_quantity"))).cast("decimal(38,4)").as("s1"),
+        sum(d15(col("l_discount"))).cast("decimal(38,4)").as("s2"),
+        sum(d15(col("l_extendedprice"))).cast("decimal(38,4)").as("sy"),
+        sum(d15(col("l_quantity")) * d19(col("l_quantity")))
+          .cast("decimal(38,8)").as("s11"),
+        sum(d15(col("l_discount")) * d19(col("l_discount")))
+          .cast("decimal(38,8)").as("s22"),
+        sum(d15(col("l_extendedprice")) * d19(col("l_extendedprice")))
+          .cast("decimal(38,8)").as("syy"),
+        sum(d15(col("l_quantity")) * d19(col("l_discount")))
+          .cast("decimal(38,8)").as("s12"),
+        sum(d15(col("l_quantity")) * d19(col("l_extendedprice")))
+          .cast("decimal(38,8)").as("s1y"),
+        sum(d15(col("l_discount")) * d19(col("l_extendedprice")))
+          .cast("decimal(38,8)").as("s2y"))
+      def cen(sxy: String, sx: String, sy: String) =
+        col(sxy).cast("double") - col(sx).cast("double") * col(sy).cast("double") / col("n")
+      def cor(sxy: String, sx: String, sxx: String, sy: String, syy: String) =
+        cen(sxy, sx, sy) / sqrt(
+          (col(sxx).cast("double") - col(sx).cast("double") * col(sx).cast("double") / col("n"))
+            * (col(syy).cast("double") - col(sy).cast("double") * col(sy).cast("double") / col("n")))
+      val c = m.select(
+        cor("s1y", "s1", "s11", "sy", "syy").as("r1y"),
+        cor("s2y", "s2", "s22", "sy", "syy").as("r2y"),
+        cor("s12", "s1", "s11", "s2", "s22").as("r12"))
+      c.select(round(col("r1y"), 6).as("r_qty_price"),
+        round(col("r2y"), 6).as("r_disc_price"),
+        round(col("r12"), 6).as("r_qty_disc"),
+        round((col("r1y") - col("r12") * col("r2y"))
+          / sqrt((lit(1) - col("r12") * col("r12"))
+            * (lit(1) - col("r2y") * col("r2y"))), 6).as("partial_qty_price"),
+        round((col("r2y") - col("r12") * col("r1y"))
+          / sqrt((lit(1) - col("r12") * col("r12"))
+            * (lit(1) - col("r1y") * col("r1y"))), 6).as("partial_disc_price"))
+    },
+
+    // ---- Jarque–Bera normality test (per event type) ----
+    // Skewness/kurtosis-based normality screen from one pass of four
+    // exact DECIMAL moments per group: JB = n/6·(S² + K²/4) with
+    // excess kurtosis K — the cheap "is this metric Gaussian enough
+    // for the z-tests downstream" gate. The moment collapse is the
+    // whole corpus cost; the JB algebra is a per-group projection.
+    sql(
+      "q_jarque_bera",
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s2,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s3,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+        |         AS DECIMAL(38,12)) AS s4
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v,
+        |    CAST(s2 AS DOUBLE) AS m2r, CAST(s3 AS DOUBLE) AS m3r,
+        |    CAST(s4 AS DOUBLE) AS m4r, CAST(s1 AS DOUBLE) AS m1r
+        |  FROM m),
+        |k AS (SELECT event_type, n, mu, v,
+        |    (m3r / n - 3 * mu * (m2r / n) + 2 * mu * mu * mu) / power(v, 1.5) AS skew,
+        |    (m4r / n - 4 * mu * (m3r / n) + 6 * mu * mu * (m2r / n)
+        |     - 3 * mu * mu * mu * mu) / (v * v) - 3 AS exkurt
+        |  FROM c)
+        |SELECT event_type, n, round(skew, 6) AS skewness,
+        |  round(exkurt, 6) AS excess_kurtosis,
+        |  round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 4) AS jb_stat,
+        |  CAST(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) > 5.991 AS BOOLEAN)
+        |    AS reject_normal
+        |FROM k ORDER BY event_type""".stripMargin) { (s, dir) =>
+      def d6(c: Column) = c.cast("decimal(18,6)")
+      val v = d6(col("value"))
+      val m = t(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(v).cast("decimal(38,6)").as("s1"),
+        sum(v * v).cast("decimal(38,12)").as("s2"),
+        sum(v * v * v).cast("decimal(38,12)").as("s3"),
+        sum(v * v * v * v).cast("decimal(38,12)").as("s4"))
+      val mu = col("s1").cast("double") / col("n")
+      val vr = col("s2").cast("double") / col("n") - mu * mu
+      val skew = (col("s3").cast("double") / col("n")
+        - lit(3) * mu * (col("s2").cast("double") / col("n"))
+        + lit(2) * mu * mu * mu) / pow(vr, 1.5)
+      val exk = (col("s4").cast("double") / col("n")
+        - lit(4) * mu * (col("s3").cast("double") / col("n"))
+        + lit(6) * mu * mu * (col("s2").cast("double") / col("n"))
+        - lit(3) * mu * mu * mu * mu) / (vr * vr) - lit(3)
+      val k = m.select(col("event_type"), col("n"),
+        skew.as("skew"), exk.as("exkurt"))
+      val jb = col("n") / 6.0 * (col("skew") * col("skew")
+        + col("exkurt") * col("exkurt") / 4.0)
+      k.select(col("event_type"), col("n"),
+          round(col("skew"), 6).as("skewness"),
+          round(col("exkurt"), 6).as("excess_kurtosis"),
+          round(jb, 4).as("jb_stat"),
+          (jb > 5.991).as("reject_normal"))
+        .orderBy("event_type")
+    },
+
+    // ---- Benjamini–Hochberg FDR across a metric family ----
+    // The multiple-comparisons gate every experimentation platform
+    // needs: one two-sample z-test per event_type (arms split by
+    // user_id parity), then BH step-up at α=0.10 across the family.
+    // Φ is the Bowling (2009) logistic approximation — identical
+    // closed-form arithmetic in both engines (neither has erf).
+    // ONE corpus pass to the per-type conditional moments; every
+    // rank/threshold step runs on the #types frame.
+    sql(
+      "q_bh_fdr",
+      """WITH m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |             THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS q0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |             THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS q1
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT event_type, n0, n1,
+        |    (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |      / sqrt((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+        |               / (n0 - 1) / n0
+        |             + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        |               / (n1 - 1) / n1) AS zs
+        |  FROM m),
+        |p AS (SELECT event_type, n0, n1, zs,
+        |    round(2.0 / (1.0 + exp(0.07056 * abs(zs) * abs(zs) * abs(zs)
+        |                           + 1.5976 * abs(zs))), 6) AS p6
+        |  FROM z),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p6, event_type) AS BIGINT) AS i,
+        |        CAST(count(*) OVER () AS BIGINT) AS fam
+        |      FROM p),
+        |k AS (SELECT coalesce(max(CASE WHEN p6 <= i * 0.10 / fam THEN i END), 0) AS kmax
+        |      FROM r)
+        |SELECT event_type, n0, n1, round(zs, 6) AS z_stat, p6 AS p_approx,
+        |  i AS p_rank, round(i * 0.10 / fam, 6) AS bh_cutoff,
+        |  CAST(i <= (SELECT kmax FROM k) AS BOOLEAN) AS reject
+        |FROM r ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d6v = col("value").cast("decimal(18,6)")
+      val dz6 = lit(0).cast("decimal(18,6)")
+      val dz12 = lit(0).cast("decimal(38,12)")
+      val a0 = col("user_id") % 2 === 0
+      val m = t(s, dir, "events").groupBy("event_type").agg(
+        sum(when(a0, 1L).otherwise(0L)).as("n0"),
+        sum(when(!a0, 1L).otherwise(0L)).as("n1"),
+        sum(when(a0, d6v).otherwise(dz6)).cast("decimal(38,6)").as("s0"),
+        sum(when(!a0, d6v).otherwise(dz6)).cast("decimal(38,6)").as("s1"),
+        sum(when(a0, d6v * d6v).otherwise(dz12)).cast("decimal(38,12)").as("q0"),
+        sum(when(!a0, d6v * d6v).otherwise(dz12)).cast("decimal(38,12)").as("q1"))
+      def dd(c: String) = col(c).cast("double")
+      val se = sqrt((dd("q0") - dd("s0") * dd("s0") / col("n0"))
+          / (col("n0") - 1) / col("n0")
+        + (dd("q1") - dd("s1") * dd("s1") / col("n1"))
+          / (col("n1") - 1) / col("n1"))
+      val zs = (dd("s1") / col("n1") - dd("s0") / col("n0")) / se
+      val az = abs(col("zs"))
+      val p = m.select(col("event_type"), col("n0"), col("n1"), zs.as("zs"))
+        .withColumn("p6",
+          round(lit(2.0) / (lit(1.0) + exp(lit(0.07056) * az * az * az
+            + lit(1.5976) * az)), 6))
+        .localCheckpoint() // #types rows — ranked and re-joined below
+      val r = p
+        .withColumn("i", row_number()
+          .over(Window.orderBy("p6", "event_type")).cast("long"))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("fam"))))
+      val kmax = r.agg(coalesce(
+        max(when(col("p6") <= col("i") * 0.10 / col("fam"), col("i"))),
+        lit(0L)).as("kmax"))
+      r.crossJoin(broadcast(kmax))
+        .select(col("event_type"), col("n0"), col("n1"),
+          round(col("zs"), 6).as("z_stat"), col("p6").as("p_approx"),
+          col("i").as("p_rank"),
+          round(col("i") * 0.10 / col("fam"), 6).as("bh_cutoff"),
+          (col("i") <= col("kmax")).as("reject"))
+        .orderBy("event_type")
+    },
+
+    // ---- Huber M-estimator (robust mean, 2 unrolled IRLS rounds) ----
+    // The outlier-robust location estimate per event_type: start at
+    // the mean, tuning constant k = 1.345·sd (the textbook 95%%-
+    // efficiency choice, stddev-scaled — documented; MAD scaling
+    // would cost two extra corpus passes), then two reweighted-mean
+    // rounds with w = min(1, k/|x−μ|). Per-term DECIMAL(28,12)
+    // quantization keeps the weighted sums combiner-order-free. Each
+    // round is one corpus pass fanned by the 5-row broadcast of the
+    // previous center.
+    sql(
+      "q_huber_mean",
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s2
+        |  FROM events GROUP BY 1),
+        |c0 AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu0,
+        |    1.345 * sqrt((CAST(s2 AS DOUBLE)
+        |                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS k
+        |  FROM m),
+        |r1 AS (SELECT e.event_type,
+        |    CAST(sum(CAST((CASE WHEN abs(e.value - c.mu0) <= c.k THEN 1.0
+        |                   ELSE c.k / abs(e.value - c.mu0) END) * e.value
+        |                  AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS swx,
+        |    CAST(sum(CAST(CASE WHEN abs(e.value - c.mu0) <= c.k THEN 1.0
+        |                  ELSE c.k / abs(e.value - c.mu0) END
+        |                  AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS sw
+        |  FROM events e JOIN c0 c USING (event_type) GROUP BY 1),
+        |c1 AS (SELECT event_type, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mu1
+        |       FROM r1),
+        |r2 AS (SELECT e.event_type,
+        |    CAST(sum(CAST((CASE WHEN abs(e.value - c.mu1) <= k.k THEN 1.0
+        |                   ELSE k.k / abs(e.value - c.mu1) END) * e.value
+        |                  AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS swx,
+        |    CAST(sum(CAST(CASE WHEN abs(e.value - c.mu1) <= k.k THEN 1.0
+        |                  ELSE k.k / abs(e.value - c.mu1) END
+        |                  AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS sw
+        |  FROM events e JOIN c1 c USING (event_type) JOIN c0 k USING (event_type)
+        |  GROUP BY 1)
+        |SELECT c0.event_type, c0.n, round(c0.mu0, 6) AS mean,
+        |  round(c0.k, 6) AS huber_k, round(c1.mu1, 6) AS mu_round1,
+        |  round(CAST(r2.swx AS DOUBLE) / CAST(r2.sw AS DOUBLE), 6) AS mu_round2,
+        |  round(CAST(r2.swx AS DOUBLE) / CAST(r2.sw AS DOUBLE) - c0.mu0, 6) AS shift
+        |FROM c0 JOIN c1 USING (event_type) JOIN r2 USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val d6v = col("value").cast("decimal(18,6)")
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(d6v).cast("decimal(38,6)").as("s1"),
+        sum(d6v * d6v).cast("decimal(38,12)").as("s2"))
+      val c0 = m.select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mu0"),
+          (lit(1.345) * sqrt((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1))).as("k"))
+        .localCheckpoint() // 5 rows — broadcast into both IRLS passes
+      def irls(center: DataFrame, mu: String) = {
+        val d = abs(col("value") - col(mu))
+        val w = when(d <= col("k"), lit(1.0)).otherwise(col("k") / d)
+        ev.join(broadcast(center), "event_type")
+          .groupBy("event_type")
+          .agg(sum((w * col("value")).cast("decimal(28,12)"))
+            .cast("decimal(38,12)").as("swx"),
+            sum(w.cast("decimal(28,12)")).cast("decimal(38,12)").as("sw"))
+          .select(col("event_type"),
+            (col("swx").cast("double") / col("sw").cast("double")).as(mu + "n"))
+      }
+      val c1 = irls(c0.select(col("event_type"), col("mu0"), col("k")), "mu0")
+        .withColumnRenamed("mu0n", "mu1").localCheckpoint()
+      val c2 = irls(c1.join(broadcast(c0.select(col("event_type"), col("k"))),
+        "event_type"), "mu1").withColumnRenamed("mu1n", "mu2")
+      c0.join(c1, "event_type").join(c2, "event_type")
+        .select(col("event_type"), col("n"), round(col("mu0"), 6).as("mean"),
+          round(col("k"), 6).as("huber_k"), round(col("mu1"), 6).as("mu_round1"),
+          round(col("mu2"), 6).as("mu_round2"),
+          round(col("mu2") - col("mu0"), 6).as("shift"))
+        .orderBy("event_type")
+    },
+
+    // ---- Neyman optimal stratified-sample allocation ----
+    // Survey-sampling planning: given a total budget of 1000 draws
+    // over strata = event_type, allocate n_h ∝ N_h·S_h (Neyman) vs
+    // n_h ∝ N_h (proportional), and report each stratum's share and
+    // the variance ratio of the two designs. One corpus pass to the
+    // per-stratum moments; the allocation algebra runs on the 5-row
+    // frame with totals riding a 1-row broadcast.
+    sql(
+      "q_neyman_allocation",
+      """WITH m AS (SELECT event_type AS stratum, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s2
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT stratum, n_h,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
+        |         / (n_h - 1)) AS sd
+        |  FROM m),
+        |tt AS (SELECT sum(n_h * sd) AS tot_ns, CAST(sum(n_h) AS BIGINT) AS tot_n,
+        |         sum(n_h * sd * sd) AS tot_nss
+        |       FROM c)
+        |SELECT stratum, n_h, round(sd, 6) AS sd_h,
+        |  round(1000.0 * n_h * sd / (SELECT tot_ns FROM tt), 2) AS neyman_n,
+        |  round(1000.0 * n_h / (SELECT tot_n FROM tt), 2) AS prop_n,
+        |  round(((SELECT tot_ns FROM tt) / (SELECT tot_n FROM tt))
+        |        * ((SELECT tot_ns FROM tt) / (SELECT tot_n FROM tt))
+        |        / ((SELECT tot_nss FROM tt) / (SELECT tot_n FROM tt)), 6)
+        |    AS neyman_var_ratio
+        |FROM c ORDER BY stratum""".stripMargin) { (s, dir) =>
+      val d6v = col("value").cast("decimal(18,6)")
+      val m = t(s, dir, "events").groupBy(col("event_type").as("stratum")).agg(
+        count(lit(1)).as("n_h"),
+        sum(d6v).cast("decimal(38,6)").as("s1"),
+        sum(d6v * d6v).cast("decimal(38,12)").as("s2"))
+      val c = m.select(col("stratum"), col("n_h"),
+          sqrt((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n_h"))
+            / (col("n_h") - 1)).as("sd"))
+        .localCheckpoint() // 5 rows, consumed twice (totals + output)
+      val tt = c.agg(sum(col("n_h") * col("sd")).as("tot_ns"),
+        sum("n_h").cast("long").as("tot_n"),
+        sum(col("n_h") * col("sd") * col("sd")).as("tot_nss"))
+      c.crossJoin(broadcast(tt))
+        .select(col("stratum"), col("n_h"), round(col("sd"), 6).as("sd_h"),
+          round(lit(1000.0) * col("n_h") * col("sd") / col("tot_ns"), 2)
+            .as("neyman_n"),
+          round(lit(1000.0) * col("n_h") / col("tot_n"), 2).as("prop_n"),
+          round((col("tot_ns") / col("tot_n")) * (col("tot_ns") / col("tot_n"))
+            / (col("tot_nss") / col("tot_n")), 6).as("neyman_var_ratio"))
+        .orderBy("stratum")
+    },
+
+    // ---- Hill tail-index estimator (heavy-tail audit) ----
+    // Is order revenue power-law-tailed, and how heavy? The Hill
+    // estimator over the top k=500 order statistics:
+    // γ̂ = mean(ln x_(i) − ln x_(k+1)), α̂ = 1/γ̂. The corpus cost is
+    // ONE sort+limit (TakeOrdered — a per-partition top-k then a
+    // 501-row merge, no global sort); all log algebra runs on the
+    // 501-row frame with per-term DECIMAL quantization.
+    sql(
+      "q_hill_tail",
+      """WITH r AS (SELECT o_totalprice AS x,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS i
+        |  FROM orders QUALIFY i <= 501),
+        |xk AS (SELECT x AS xkv FROM r WHERE i = 501),
+        |g AS (SELECT CAST(sum(CAST(ln(x / (SELECT xkv FROM xk))
+        |                      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS slog,
+        |        CAST(count(*) AS BIGINT) AS k
+        |      FROM r WHERE i <= 500)
+        |SELECT k, round((SELECT xkv FROM xk), 2) AS x_k1,
+        |  round(CAST(slog AS DOUBLE) / k, 6) AS gamma_hat,
+        |  round(k / CAST(slog AS DOUBLE), 6) AS alpha_hat
+        |FROM g""".stripMargin) { (s, dir) =>
+      val top = t(s, dir, "orders")
+        .select(col("o_totalprice").as("x"), col("o_orderkey"))
+        .orderBy(desc("x"), col("o_orderkey"))
+        .limit(501)
+        .withColumn("i", row_number()
+          .over(Window.orderBy(desc("x"), col("o_orderkey"))))
+        .localCheckpoint() // 501 rows
+      val xk = top.where(col("i") === 501).select(col("x").as("xkv"))
+      val g = top.where(col("i") <= 500)
+        .crossJoin(broadcast(xk))
+        .agg(sum(log(col("x") / col("xkv")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("slog"),
+          count(lit(1)).as("k"),
+          first("xkv").as("xkv"))
+      g.select(col("k"), round(col("xkv"), 2).as("x_k1"),
+        round(col("slog").cast("double") / col("k"), 6).as("gamma_hat"),
+        round(col("k") / col("slog").cast("double"), 6).as("alpha_hat"))
+    },
+
+    // ---- Bradley–Terry preference strengths (3 MM rounds) ----
+    // The pairwise-preference fit behind RLHF reward-data audits and
+    // ranker evaluation: each user "prefers" the event_type with the
+    // higher mean value, pairwise wins aggregate into a K×K game
+    // matrix, and three minorization–maximization rounds
+    // sᵢ ← Wᵢ / Σⱼ nᵢⱼ/(sᵢ+sⱼ) (Hunter 2004) fit the strengths,
+    // renormalized to sum K. The corpus collapses ONCE to (user,
+    // type) means; the per-user type self-join fans out ≤ K²/2; every
+    // MM round runs on the ≤ K² game frame. Per-term DECIMAL
+    // quantization keeps denominators combiner-order-free.
+    sql(
+      "q_bradley_terry",
+      """WITH um AS (SELECT user_id, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |cmp AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS wa
+        |  FROM um a JOIN um b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  WHERE a.m <> b.m),
+        |sym AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij,
+        |          CAST(sum(w) AS BIGINT) AS wij
+        |        FROM (SELECT ta AS i, tb AS j, wa AS w FROM cmp
+        |              UNION ALL
+        |              SELECT tb AS i, ta AS j, 1 - wa AS w FROM cmp) u
+        |        GROUP BY 1, 2),
+        |s0 AS (SELECT i AS et, CAST(sum(nij) AS BIGINT) AS games,
+        |         CAST(sum(wij) AS BIGINT) AS wins, 1.0 AS s
+        |       FROM sym GROUP BY 1),
+        |r1 AS (SELECT g.et, g.games, g.wins, g.wins
+        |         / CAST(sum(CAST(y.nij / (g.s + sj.s) AS DECIMAL(28,12)))
+        |                AS DOUBLE) AS s
+        |       FROM s0 g JOIN sym y ON y.i = g.et JOIN s0 sj ON sj.et = y.j
+        |       GROUP BY 1, 2, 3, g.s),
+        |n1 AS (SELECT et, games, wins, s * (SELECT count(*) FROM r1)
+        |         / CAST((SELECT sum(CAST(s AS DECIMAL(28,12))) FROM r1)
+        |                AS DOUBLE) AS s FROM r1),
+        |r2 AS (SELECT g.et, g.games, g.wins, g.wins
+        |         / CAST(sum(CAST(y.nij / (g.s + sj.s) AS DECIMAL(28,12)))
+        |                AS DOUBLE) AS s
+        |       FROM n1 g JOIN sym y ON y.i = g.et JOIN n1 sj ON sj.et = y.j
+        |       GROUP BY 1, 2, 3, g.s),
+        |n2 AS (SELECT et, games, wins, s * (SELECT count(*) FROM r2)
+        |         / CAST((SELECT sum(CAST(s AS DECIMAL(28,12))) FROM r2)
+        |                AS DOUBLE) AS s FROM r2),
+        |r3 AS (SELECT g.et, g.games, g.wins, g.wins
+        |         / CAST(sum(CAST(y.nij / (g.s + sj.s) AS DECIMAL(28,12)))
+        |                AS DOUBLE) AS s
+        |       FROM n2 g JOIN sym y ON y.i = g.et JOIN n2 sj ON sj.et = y.j
+        |       GROUP BY 1, 2, 3, g.s),
+        |n3 AS (SELECT et, games, wins, s * (SELECT count(*) FROM r3)
+        |         / CAST((SELECT sum(CAST(s AS DECIMAL(28,12))) FROM r3)
+        |                AS DOUBLE) AS s FROM r3)
+        |SELECT et AS event_type, games, wins, round(s, 6) AS strength,
+        |  CAST(row_number() OVER (ORDER BY s DESC, et) AS BIGINT) AS pref_rank
+        |FROM n3 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val um = t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("m"))
+      val a = um.select(col("user_id").as("uida"),
+        col("event_type").as("ta"), col("m").as("ma"))
+      val b = um.select(col("user_id").as("uidb"),
+        col("event_type").as("tb"), col("m").as("mb"))
+      val cmp = a.join(b, col("uida") === col("uidb") && col("ta") < col("tb"))
+        .where(col("ma") =!= col("mb"))
+        .select(col("ta"), col("tb"),
+          when(col("ma") > col("mb"), 1L).otherwise(0L).as("wa"))
+      val sym = cmp.select(col("ta").as("i"), col("tb").as("j"), col("wa").as("w"))
+        .unionByName(cmp.select(col("tb").as("i"), col("ta").as("j"),
+          (lit(1L) - col("wa")).as("w")))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("nij"), sum("w").cast("long").as("wij"))
+        .localCheckpoint() // ≤ K² rows — the whole MM state
+      val s0 = sym.groupBy(col("i").as("et"))
+        .agg(sum("nij").cast("long").as("games"),
+          sum("wij").cast("long").as("wins"))
+        .withColumn("s", lit(1.0))
+        .localCheckpoint()
+      def mmRound(cur: DataFrame): DataFrame = {
+        val si = cur.select(col("et"), col("games"), col("wins"), col("s"))
+        val sj = cur.select(col("et").as("jt"), col("s").as("sjv"))
+        val upd = sym.join(broadcast(si), sym("i") === si("et"))
+          .join(broadcast(sj), sym("j") === col("jt"))
+          .groupBy(col("et"), col("games"), col("wins"))
+          .agg(sum((col("nij") / (col("s") + col("sjv"))).cast("decimal(28,12)"))
+            .cast("double").as("den"))
+          .select(col("et"), col("games"), col("wins"),
+            (col("wins") / col("den")).as("s"))
+        val norm = upd.agg(count(lit(1)).as("kk"),
+          sum(col("s").cast("decimal(28,12)")).cast("double").as("ssum"))
+        upd.crossJoin(broadcast(norm))
+          .select(col("et"), col("games"), col("wins"),
+            (col("s") * col("kk") / col("ssum")).as("s"))
+          .localCheckpoint()
+      }
+      val fit = mmRound(mmRound(mmRound(s0)))
+      fit.select(col("et").as("event_type"), col("games"), col("wins"),
+          round(col("s"), 6).as("strength"),
+          row_number().over(Window.orderBy(desc("s"), col("et")))
+            .cast("long").as("pref_rank"))
+        .orderBy("event_type")
     }
   )
 }

@@ -119,6 +119,18 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the ≤256×#labels contingency frame
     "q_silhouette",        // k-row broadcast centroid fan-out + 1-row
                            // overall-mean scalar
+    "q_wilcoxon_signed_rank", // 1-row broadcast corpus-midpoint + tie-correction
+                           // scalars riding the per-user pair frame
+    "q_bh_fdr",            // 1-row broadcast family-size + BH-kmax scalars
+                           // riding the #types frame
+    "q_neyman_allocation", // 1-row broadcast allocation totals riding the
+                           // #strata frame
+    "q_hill_tail",         // 1-row broadcast x_(k+1) scalar riding the
+                           // 501-row top-k frame
+    "q_bradley_terry",     // 1-row broadcast normalization scalar riding the
+                           // ≤K² game frame each MM round
+    "q_ipf_raking",        // 1-row broadcast marginal-target scalars riding
+                           // the ≤100-cell contingency frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

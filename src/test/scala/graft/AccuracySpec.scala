@@ -1157,4 +1157,118 @@ class AccuracySpec extends SparkSpec {
         && r.getAs[Double]("silhouette") <= 1)
     }
   }
+
+  test("q_bradley_terry matches a from-scratch MM fit") {
+    // In-memory Hunter-2004 minorization-maximization on the same
+    // pairwise wins the engine derives: catches a transposed game
+    // matrix, a missed normalization, or a denominator built from
+    // stale strengths.
+    val um = Tables(spark, sf, "events")
+      .groupBy("user_id", "event_type")
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("m"))
+      .as[(Long, String, Double)].collect()
+    val byUser = um.groupBy(_._1)
+    val games = scala.collection.mutable.Map[(String, String), Long]()
+    val wins = scala.collection.mutable.Map[(String, String), Long]()
+    for (g <- byUser.values; a <- g; b <- g
+         if a._2 < b._2 && a._3 != b._3) {
+      for ((i, j, w) <- Seq((a._2, b._2, if (a._3 > b._3) 1L else 0L),
+        (b._2, a._2, if (b._3 > a._3) 1L else 0L))) {
+        games((i, j)) = games.getOrElse((i, j), 0L) + 1L
+        wins((i, j)) = wins.getOrElse((i, j), 0L) + w
+      }
+    }
+    val types = games.keys.map(_._1).toSeq.distinct.sorted
+    val bigW = types.map(t => t -> types.filter(_ != t)
+      .map(j => wins.getOrElse((t, j), 0L)).sum).toMap
+    var s = types.map(t => t -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val upd = types.map { i =>
+        val den = types.filter(_ != i)
+          .map(j => games.getOrElse((i, j), 0L) / (s(i) + s(j))).sum
+        i -> bigW(i) / den
+      }.toMap
+      val norm = types.size / upd.values.sum
+      s = upd.view.mapValues(_ * norm).toMap
+    }
+    val got = SparkEntry.queries("q_bradley_terry")(spark, sf).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSet == types.toSet)
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("wins") == bigW(et))
+      assert(math.abs(r.getAs[Double]("strength") - s(et)) < 1e-5,
+        s"$et: ${r.getAs[Double]("strength")} vs ${s(et)}")
+    }
+    // a strength fit that ignored the games entirely would stay at 1.0
+    assert(got.map(_.getAs[Double]("strength")).distinct.length > 1)
+  }
+
+  test("q_ipf_raking matches a from-scratch IPF and hits the column marginals") {
+    val cells = Tables(spark, sf, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val total = cells.map(_._3).sum
+    val rt = total.toDouble / cells.map(_._1).distinct.length
+    val ct = total.toDouble / cells.map(_._2).distinct.length
+    var w = cells.map { case (s0, l, n) => ((s0, l), 1.0) }.toMap
+    val nOf = cells.map(c => ((c._1, c._2), c._3)).toMap
+    for (_ <- 1 to 3) {
+      val rowSum = cells.groupBy(_._1).view.mapValues(
+        _.map(c => nOf((c._1, c._2)) * w((c._1, c._2))).sum).toMap
+      w = w.map { case (k, v) => k -> v * rt / rowSum(k._1) }
+      val colSum = cells.groupBy(_._2).view.mapValues(
+        _.map(c => nOf((c._1, c._2)) * w((c._1, c._2))).sum).toMap
+      w = w.map { case (k, v) => k -> v * ct / colSum(k._2) }
+    }
+    val got = SparkEntry.queries("q_ipf_raking")(spark, sf).collect()
+    assert(got.length == cells.length)
+    got.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(math.abs(r.getAs[Double]("weight") - w(k)) < 1e-5,
+        s"$k: ${r.getAs[Double]("weight")} vs ${w(k)}")
+    }
+    // the final scaling pass is column-wise: every lang marginal of
+    // the fitted table must match its target exactly (to rounding)
+    val colFit = got.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.map(_.getAs[Double]("fitted")).sum)
+    colFit.foreach { case (l, v) =>
+      assert(math.abs(v - ct) < 1e-2, s"lang $l marginal $v vs $ct")
+    }
+  }
+
+  test("q_huber_mean matches a from-scratch IRLS and damps an injected outlier") {
+    val vals = Tables(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val byType = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SparkEntry.queries("q_huber_mean")(spark, sf).collect()
+    got.foreach { r =>
+      val xs = byType(r.getAs[String]("event_type"))
+      val n = xs.length
+      val mu0 = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mu0) * (x - mu0)).sum / (n - 1))
+      val k = 1.345 * sd
+      def irls(mu: Double) = {
+        val ws = xs.map(x => if (math.abs(x - mu) <= k) 1.0
+          else k / math.abs(x - mu))
+        ws.zip(xs).map { case (wv, x) => wv * x }.sum / ws.sum
+      }
+      val mu2 = irls(irls(mu0))
+      assert(math.abs(r.getAs[Double]("mu_round2") - mu2) < 1e-4,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("mu_round2")} vs $mu2")
+      // robustness property: the Huber center moves less than the mean
+      // when one huge outlier is injected into the replica
+      val polluted = xs :+ (mu0 + 1000 * sd)
+      val pm = polluted.sum / polluted.length
+      def irlsP(mu: Double) = {
+        val ws = polluted.map(x => if (math.abs(x - mu) <= k) 1.0
+          else k / math.abs(x - mu))
+        ws.zip(polluted).map { case (wv, x) => wv * x }.sum / ws.sum
+      }
+      val pH = irlsP(irlsP(pm))
+      assert(math.abs(pH - mu2) < math.abs(pm - mu0),
+        "Huber center must move less than the mean under a 1000-sigma outlier")
+    }
+  }
 }

@@ -593,6 +593,51 @@ object AggregateQueries {
           col("probe_overlap"),
           round(col("n_fp").cast("double") / col("n"), 6).as("observed_fpr"),
           round(t1 * t1 * t1 * t1, 6).as("theoretical_fpr"))
+    },
+
+    // ---- KMV bottom-k sketch (deterministic sample + distinct est) ----
+    // The k-minimum-values sketch (Bar-Yossef 2002): the k smallest
+    // md5-uniform hashes of the distinct user keys are simultaneously
+    // (a) a deterministic, merge-able uniform sample of the key space
+    // and (b) a distinct-count estimator n̂ = (k−1)/u_(k). Both sides
+    // of a cross-cluster reconciliation can exchange just the k
+    // hashes. The engine path is a per-partition top-k merge
+    // (TakeOrdered over the distinct-key frame), never a global sort;
+    // the exact count rides along as the audit the oracle pins.
+    sql(
+      "q_bottomk_sample",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |h AS (SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS hu
+        |  FROM u),
+        |k AS (SELECT user_id, hu, row_number() OVER (ORDER BY hu, user_id) AS r
+        |      FROM h QUALIFY r <= 100),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, max(hu) AS uk,
+        |          CAST(sum(user_id) AS BIGINT) AS sample_id_sum
+        |        FROM k),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM u)
+        |SELECT k, round(uk, 6) AS kth_hash,
+        |  round((k - 1) / uk, 2) AS est_distinct, exact_distinct,
+        |  round(abs((k - 1) / uk - exact_distinct) / exact_distinct, 4)
+        |    AS rel_err, sample_id_sum
+        |FROM agg CROSS JOIN ex""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "events").select(col("user_id")).distinct()
+        .localCheckpoint() // distinct-key frame feeds sketch + exact audit
+      val h = u.select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") / lit(1152921504606846976.0)).as("hu"))
+      val bottom = h.orderBy(col("hu"), col("user_id")).limit(100)
+      val agg = bottom.agg(count(lit(1)).as("k"), max("hu").as("uk"),
+        sum("user_id").cast("long").as("sample_id_sum"))
+      val ex = u.agg(count(lit(1)).as("exact_distinct"))
+      agg.crossJoin(broadcast(ex))
+        .select(col("k"), round(col("uk"), 6).as("kth_hash"),
+          round((col("k") - 1) / col("uk"), 2).as("est_distinct"),
+          col("exact_distinct"),
+          round(abs((col("k") - 1) / col("uk") - col("exact_distinct"))
+            / col("exact_distinct"), 4).as("rel_err"),
+          col("sample_id_sum"))
     }
   )
 }

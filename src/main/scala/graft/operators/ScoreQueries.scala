@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -366,6 +366,175 @@ object ScoreQueries {
             - lit(45.0) * col("sy").cast("double")) / lit(825.0), 4)
             .as("slope"))
         .orderBy("user_id", "event_id")
+    },
+
+    // ---- gradient-boosted stumps (2 unrolled boosting rounds) ----
+    // The trainer extension of q_stump_split: squared-loss gradient
+    // boosting with depth-1 trees over (l_quantity, l_discount)
+    // predicting l_extendedprice, learning rate 0.5. Each round is
+    // ONE groupingSets corpus pass — both features' per-value
+    // residual partials AND the global MSE come from a single
+    // shuffle; the split search (cumulative sums + argmax of
+    // SL²/nL + SR²/nR) runs on the ≤62-row value ladder, and the
+    // chosen stump re-enters the next pass as a 1-row broadcast.
+    // mse_after descends monotonically by construction — the
+    // in-output training audit.
+    sql(
+      "q_gbdt_stumps",
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sy
+        |  FROM lineitem),
+        |m AS (SELECT n, CAST(sy AS DOUBLE) / n AS mu FROM b),
+        |e0 AS (SELECT l_quantity AS vq, l_discount AS vd,
+        |    l_extendedprice - (SELECT mu FROM m) AS e FROM lineitem),
+        |vq1 AS (SELECT 'q' AS feat, vq AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(e AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS se
+        |  FROM e0 GROUP BY 2),
+        |vd1 AS (SELECT 'd' AS feat, vd AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(e AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS se
+        |  FROM e0 GROUP BY 2),
+        |t0 AS (SELECT CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS see,
+        |    CAST(count(*) AS BIGINT) AS n FROM e0),
+        |c1 AS (SELECT feat, v,
+        |    sum(cnt) OVER (PARTITION BY feat ORDER BY v) AS nl,
+        |    sum(se) OVER (PARTITION BY feat ORDER BY v) AS sl,
+        |    sum(cnt) OVER (PARTITION BY feat) AS nt,
+        |    sum(se) OVER (PARTITION BY feat) AS st
+        |  FROM (SELECT * FROM vq1 UNION ALL SELECT * FROM vd1) v1),
+        |bs1 AS (SELECT feat, v, CAST(sl AS DOUBLE) / nl AS wl,
+        |    CAST(st - sl AS DOUBLE) / (nt - nl) AS wr,
+        |    round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+        |          + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |            / (nt - nl), 6) AS gain
+        |  FROM c1 WHERE nt - nl > 0
+        |  ORDER BY gain DESC, feat, v LIMIT 1),
+        |e1 AS (SELECT vq, vd, e - 0.5 * (CASE WHEN (SELECT feat FROM bs1) = 'q'
+        |      THEN CASE WHEN vq <= (SELECT v FROM bs1) THEN (SELECT wl FROM bs1)
+        |                ELSE (SELECT wr FROM bs1) END
+        |      ELSE CASE WHEN vd <= (SELECT v FROM bs1) THEN (SELECT wl FROM bs1)
+        |                ELSE (SELECT wr FROM bs1) END END) AS e
+        |  FROM e0),
+        |vq2 AS (SELECT 'q' AS feat, vq AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(e AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS se
+        |  FROM e1 GROUP BY 2),
+        |vd2 AS (SELECT 'd' AS feat, vd AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(e AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS se
+        |  FROM e1 GROUP BY 2),
+        |t1 AS (SELECT CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS see,
+        |    CAST(count(*) AS BIGINT) AS n FROM e1),
+        |c2 AS (SELECT feat, v,
+        |    sum(cnt) OVER (PARTITION BY feat ORDER BY v) AS nl,
+        |    sum(se) OVER (PARTITION BY feat ORDER BY v) AS sl,
+        |    sum(cnt) OVER (PARTITION BY feat) AS nt,
+        |    sum(se) OVER (PARTITION BY feat) AS st
+        |  FROM (SELECT * FROM vq2 UNION ALL SELECT * FROM vd2) v2),
+        |bs2 AS (SELECT feat, v, CAST(sl AS DOUBLE) / nl AS wl,
+        |    CAST(st - sl AS DOUBLE) / (nt - nl) AS wr,
+        |    round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+        |          + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |            / (nt - nl), 6) AS gain
+        |  FROM c2 WHERE nt - nl > 0
+        |  ORDER BY gain DESC, feat, v LIMIT 1),
+        |e2 AS (SELECT e - 0.5 * (CASE WHEN (SELECT feat FROM bs2) = 'q'
+        |      THEN CASE WHEN vq <= (SELECT v FROM bs2) THEN (SELECT wl FROM bs2)
+        |                ELSE (SELECT wr FROM bs2) END
+        |      ELSE CASE WHEN vd <= (SELECT v FROM bs2) THEN (SELECT wl FROM bs2)
+        |                ELSE (SELECT wr FROM bs2) END END) AS e
+        |  FROM e1),
+        |t2 AS (SELECT CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS see,
+        |    CAST(count(*) AS BIGINT) AS n FROM e2)
+        |SELECT CAST(1 AS BIGINT) AS round, feat AS feature,
+        |  round(v, 4) AS threshold, round(wl, 6) AS w_left,
+        |  round(wr, 6) AS w_right, round(gain, 2) AS gain,
+        |  round(CAST((SELECT see FROM t0) AS DOUBLE) / (SELECT n FROM t0), 4)
+        |    AS mse_before,
+        |  round(CAST((SELECT see FROM t1) AS DOUBLE) / (SELECT n FROM t1), 4)
+        |    AS mse_after
+        |FROM bs1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), feat, round(v, 4), round(wl, 6),
+        |  round(wr, 6), round(gain, 2),
+        |  round(CAST((SELECT see FROM t1) AS DOUBLE) / (SELECT n FROM t1), 4),
+        |  round(CAST((SELECT see FROM t2) AS DOUBLE) / (SELECT n FROM t2), 4)
+        |FROM bs2
+        |ORDER BY round""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val b = li.agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(38,4)").as("sy"))
+        .select(col("n"), (col("sy").cast("double") / col("n")).as("mu"))
+        .localCheckpoint()
+      val e0 = li.crossJoin(broadcast(b.select("mu")))
+        .select(col("l_quantity").as("vq"), col("l_discount").as("vd"),
+          (col("l_extendedprice") - col("mu")).as("e"))
+      // one groupingSets shuffle per round: both feature ladders + the
+      // global MSE partials
+      def collapse(e: DataFrame) =
+        e.groupingSets(Seq(Seq(col("vq")), Seq(col("vd")), Seq.empty[Column]),
+            col("vq"), col("vd"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("e").cast("decimal(28,12)"))
+              .cast("decimal(38,12)").as("se"),
+            sum((col("e") * col("e")).cast("decimal(38,12)"))
+              .cast("decimal(38,12)").as("see"))
+          .localCheckpoint() // ≤62 rows — ladder + mse consumers
+      def bestSplit(gs: DataFrame) = {
+        val ladder = gs.where(col("vq").isNotNull)
+          .select(lit("q").as("feat"), col("vq").cast("double").as("v"),
+            col("cnt"), col("se"))
+          .unionByName(gs.where(col("vd").isNotNull)
+            .select(lit("d").as("feat"), col("vd").cast("double").as("v"),
+              col("cnt"), col("se")))
+        val wCum = Window.partitionBy("feat").orderBy("v")
+        val wAll = Window.partitionBy("feat")
+        val c = ladder
+          .withColumn("nl", sum("cnt").over(wCum))
+          .withColumn("sl", sum("se").over(wCum))
+          .withColumn("nt", sum("cnt").over(wAll))
+          .withColumn("st", sum("se").over(wAll))
+        c.where(col("nt") - col("nl") > 0)
+          .select(col("feat"), col("v"),
+            (col("sl").cast("double") / col("nl")).as("wl"),
+            ((col("st") - col("sl")).cast("double")
+              / (col("nt") - col("nl"))).as("wr"),
+            round(col("sl").cast("double") * col("sl").cast("double") / col("nl")
+              + (col("st") - col("sl")).cast("double")
+                * (col("st") - col("sl")).cast("double")
+                / (col("nt") - col("nl")), 6).as("gain"))
+          .orderBy(desc("gain"), col("feat"), col("v"))
+          .limit(1)
+          .localCheckpoint() // the stump, re-broadcast into the next pass
+      }
+      def mseOf(gs: DataFrame) = gs
+        .where(col("vq").isNull && col("vd").isNull)
+        .select((col("see").cast("double") / col("cnt")).as("mse"))
+      def boost(e: DataFrame, best: DataFrame) = {
+        val pred = when(col("feat") === "q",
+          when(col("vq") <= col("v"), col("wl")).otherwise(col("wr")))
+          .otherwise(
+            when(col("vd") <= col("v"), col("wl")).otherwise(col("wr")))
+        e.crossJoin(broadcast(best))
+          .select(col("vq"), col("vd"), (col("e") - lit(0.5) * pred).as("e"))
+      }
+      val gs1 = collapse(e0)
+      val bs1 = bestSplit(gs1)
+      val e1 = boost(e0, bs1)
+      val gs2 = collapse(e1)
+      val bs2 = bestSplit(gs2)
+      val e2 = boost(e1, bs2)
+      val t2m = e2.agg((sum((col("e") * col("e")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").cast("double") / count(lit(1))).as("mse"))
+      def row(rnd: Int, bs: DataFrame, before: DataFrame, after: DataFrame) =
+        bs.crossJoin(broadcast(before.select(col("mse").as("mse_b"))))
+          .crossJoin(broadcast(after.select(col("mse").as("mse_a"))))
+          .select(lit(rnd.toLong).as("round"), col("feat").as("feature"),
+            round(col("v"), 4).as("threshold"), round(col("wl"), 6).as("w_left"),
+            round(col("wr"), 6).as("w_right"), round(col("gain"), 2).as("gain"),
+            round(col("mse_b"), 4).as("mse_before"),
+            round(col("mse_a"), 4).as("mse_after"))
+      row(1, bs1, mseOf(gs1), mseOf(gs2))
+        .unionByName(row(2, bs2, mseOf(gs2), t2m))
+        .orderBy("round")
     }
   )
 }

@@ -1265,6 +1265,98 @@ object TemporalQueries {
           round(col("value"), 2).as("last_value"),
           col("ts_us").as("last_ts_us"))
         .orderBy("user_id")
+    },
+
+    // ---- removal-effect attribution (path-based) ----
+    // The data-driven complement to q_attribution's position rules:
+    // each channel's credit is its REMOVAL EFFECT — how much of the
+    // conversion mass disappears if journeys can no longer touch it
+    // (the empirical form of Markov removal-effect attribution;
+    // journeys truncate at the first purchase, the conversion event).
+    // A user "converts without c" iff they convert and channel c
+    // never appears strictly before the first purchase ts. ONE
+    // window+groupBy exchange on user_id collapses the corpus to
+    // per-user presence flags; the four removal chains are projected
+    // rows of the resulting 1-row frame (the price/volume-bridge
+    // unpivot pattern) — no per-channel rescans.
+    sql(
+      "q_attribution_removal",
+      """WITH f AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS p_ts
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS conv,
+        |    max(CASE WHEN event_type = 'click' AND ts < p_ts THEN 1 ELSE 0 END) AS h_click,
+        |    max(CASE WHEN event_type = 'error' AND ts < p_ts THEN 1 ELSE 0 END) AS h_error,
+        |    max(CASE WHEN event_type = 'signup' AND ts < p_ts THEN 1 ELSE 0 END) AS h_signup,
+        |    max(CASE WHEN event_type = 'view' AND ts < p_ts THEN 1 ELSE 0 END) AS h_view
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS conv_total,
+        |    CAST(sum(CASE WHEN conv = 1 AND h_click = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wo_click,
+        |    CAST(sum(CASE WHEN conv = 1 AND h_error = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wo_error,
+        |    CAST(sum(CASE WHEN conv = 1 AND h_signup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wo_signup,
+        |    CAST(sum(CASE WHEN conv = 1 AND h_view = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wo_view,
+        |    CAST(sum(h_click) AS BIGINT) AS t_click,
+        |    CAST(sum(h_error) AS BIGINT) AS t_error,
+        |    CAST(sum(h_signup) AS BIGINT) AS t_signup,
+        |    CAST(sum(h_view) AS BIGINT) AS t_view
+        |  FROM u),
+        |r AS (SELECT *,
+        |    1.0 - CAST(wo_click AS DOUBLE) / conv_total AS re_click,
+        |    1.0 - CAST(wo_error AS DOUBLE) / conv_total AS re_error,
+        |    1.0 - CAST(wo_signup AS DOUBLE) / conv_total AS re_signup,
+        |    1.0 - CAST(wo_view AS DOUBLE) / conv_total AS re_view
+        |  FROM a),
+        |s AS (SELECT *, re_click + re_error + re_signup + re_view AS re_sum FROM r)
+        |SELECT * FROM (
+        |  SELECT 'click' AS channel, t_click AS touched, conv_total,
+        |    wo_click AS conv_without, round(re_click, 6) AS removal_effect,
+        |    round(re_click / re_sum, 6) AS attribution_share,
+        |    round(re_click / re_sum * conv_total, 2) AS attributed_conv FROM s
+        |  UNION ALL SELECT 'error', t_error, conv_total, wo_error,
+        |    round(re_error, 6), round(re_error / re_sum, 6),
+        |    round(re_error / re_sum * conv_total, 2) FROM s
+        |  UNION ALL SELECT 'signup', t_signup, conv_total, wo_signup,
+        |    round(re_signup, 6), round(re_signup / re_sum, 6),
+        |    round(re_signup / re_sum * conv_total, 2) FROM s
+        |  UNION ALL SELECT 'view', t_view, conv_total, wo_view,
+        |    round(re_view, 6), round(re_view / re_sum, 6),
+        |    round(re_view / re_sum * conv_total, 2) FROM s)
+        |ORDER BY channel""".stripMargin) { (s, dir) =>
+      val wU = Window.partitionBy("user_id")
+      val f = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase", col("ts"))).over(wU))
+      def pres(c: String) = max(when(col("event_type") === c
+        && col("ts") < col("p_ts"), 1).otherwise(0)).as("h_" + c)
+      // window + groupBy share the user_id partitioning: one exchange
+      val u = f.groupBy("user_id").agg(
+        max(when(col("p_ts").isNotNull, 1).otherwise(0)).as("conv"),
+        pres("click"), pres("error"), pres("signup"), pres("view"))
+      val chans = Seq("click", "error", "signup", "view")
+      val aggExprs = sum("conv").cast("long").as("conv_total") +:
+        chans.flatMap(c => Seq(
+          sum(when(col("conv") === 1 && col("h_" + c) === 0, 1L)
+            .otherwise(0L)).as("wo_" + c),
+          sum("h_" + c).cast("long").as("t_" + c)))
+      val a = u.agg(count(lit(1)).as("n_users"), aggExprs: _*)
+      val withRe = chans.foldLeft(a) { (d, c) =>
+        d.withColumn("re_" + c,
+          lit(1.0) - col("wo_" + c).cast("double") / col("conv_total"))
+      }.withColumn("re_sum", col("re_click") + col("re_error")
+        + col("re_signup") + col("re_view"))
+        .localCheckpoint() // 1 row, projected 4× below
+      chans.map { c =>
+        withRe.select(lit(c).as("channel"), col("t_" + c).as("touched"),
+          col("conv_total"), col("wo_" + c).as("conv_without"),
+          round(col("re_" + c), 6).as("removal_effect"),
+          round(col("re_" + c) / col("re_sum"), 6).as("attribution_share"),
+          round(col("re_" + c) / col("re_sum") * col("conv_total"), 2)
+            .as("attributed_conv"))
+      }.reduce(_ unionByName _).orderBy("channel")
     }
   )
 }

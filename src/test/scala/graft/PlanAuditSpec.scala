@@ -131,6 +131,9 @@ class PlanAuditSpec extends SparkSpec {
                            // ≤K² game frame each MM round
     "q_ipf_raking",        // 1-row broadcast marginal-target scalars riding
                            // the ≤100-cell contingency frame
+    "q_bottomk_sample",    // 1-row broadcast exact-count audit scalar
+    "q_gbdt_stumps",       // 1-row broadcast stump params + MSE scalars
+                           // riding each boosting pass
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

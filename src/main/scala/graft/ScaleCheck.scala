@@ -201,7 +201,28 @@ object ScaleCheck {
     // screen, the randomized-response projection + dual histograms,
     // and the stopword-detector confusion collapse
     "q_kalman_1d", "q_cdc_apply", "q_snapshot_diff", "q_partition_prune",
-    "q_anomaly_deseasonalized", "q_ldp_frequency", "q_langid_confusion")
+    "q_anomaly_deseasonalized", "q_ldp_frequency", "q_langid_confusion",
+    // round-8 session batch: the per-user pair collapse + tiny ranked
+    // frame (Wilcoxon), the one-pass 10-moment matrix (partial corr),
+    // the per-type 4-moment collapse (JB), the 2×2 rater collapse
+    // (kappa), the array-fold lexicon screen, the per-type conditional
+    // moments + BH ladder, the two broadcast-center IRLS passes
+    // (Huber), the top-501 TakeOrdered (Hill), the (user,type)
+    // self-join pair mining + K² MM rounds (Bradley–Terry), the
+    // ≤100-cell IPF window rounds, the 4-explode clipped-count joins
+    // (BLEU), the distinct-key bottom-k merge (KMV), the user-window
+    // presence collapse (removal attribution), and the two
+    // groupingSets boosting passes (GBDT stumps)
+    "q_wilcoxon_signed_rank", "q_partial_corr", "q_jarque_bera",
+    "q_cohens_kappa", "q_lexicon_screen", "q_bh_fdr", "q_huber_mean",
+    "q_neyman_allocation", "q_hill_tail", "q_bradley_terry",
+    "q_ipf_raking", "q_bleu_overlap", "q_bottomk_sample",
+    "q_attribution_removal", "q_gbdt_stumps",
+    // round-8 second batch: the per-stratum 2×2 collapse (CMH), the
+    // postings + 3-term broadcast fan-out (Dirichlet QL), the 2-integer
+    // discordance collapse (McNemar), and the three-table (x,y)
+    // dependency aggregations (FD audit)
+    "q_mantel_haenszel", "q_dirichlet_ql", "q_mcnemar", "q_fd_audit")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1484,6 +1484,49 @@ object TextAnalysisQueries {
             / count(lit(1)), 6).as("avg_bleu2"),
           round(max(col("bleu")), 6).as("max_bleu2"))
         .orderBy("source")
+    },
+
+    // ---- McNemar paired test (rater disagreement direction) ----
+    // The significance companion to q_cohens_kappa on the SAME two
+    // document-quality raters: does the length rule flag documents
+    // the diversity rule misses more often than vice versa? Only the
+    // discordant cells matter: χ² = (b−c)²/(b+c), with the
+    // continuity-corrected variant alongside; reject at the 3.841
+    // (1 df, α=.05) critical value. One corpus pass to two integers.
+    QueryDef.sql(
+      "q_mcnemar",
+      """WITH f AS (SELECT
+        |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |           x -> length(x) > 0)))
+        |         > 0.46 * len(list_filter(string_split(text, ' '),
+        |           x -> length(x) > 0)) THEN 1 ELSE 0 END AS r2
+        |  FROM documents),
+        |c AS (SELECT CAST(sum(r1 * (1 - r2)) AS BIGINT) AS b,
+        |        CAST(sum((1 - r1) * r2) AS BIGINT) AS c
+        |      FROM f)
+        |SELECT b AS n_discordant_10, c AS n_discordant_01,
+        |  round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) AS mcnemar_stat,
+        |  round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+        |    AS mcnemar_cc,
+        |  CAST(CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841 AS BOOLEAN)
+        |    AS reject_05
+        |FROM c""".stripMargin) { (s, dir) =>
+      val words = filter(split(col("text"), " "), x => length(x) > 0)
+      val f = t(s, dir, "documents").select(
+        when(col("n_chars") > 300, 1L).otherwise(0L).as("r1"),
+        when(size(array_distinct(words)).cast("double")
+          > lit(0.46) * size(words), 1L).otherwise(0L).as("r2"))
+      val c = f.agg(sum(col("r1") * (lit(1) - col("r2"))).as("b"),
+        sum((lit(1) - col("r1")) * col("r2")).as("c"))
+      val stat = ((col("b") - col("c")) * (col("b") - col("c")))
+        .cast("double") / (col("b") + col("c"))
+      c.select(col("b").as("n_discordant_10"), col("c").as("n_discordant_01"),
+        round(stat, 6).as("mcnemar_stat"),
+        round((abs(col("b") - col("c")) - 1.0)
+          * (abs(col("b") - col("c")) - 1.0) / (col("b") + col("c")), 6)
+          .as("mcnemar_cc"),
+        (stat > 3.841).as("reject_05"))
     }
   )
 }

@@ -185,6 +185,67 @@ object TfIdfQueries {
         .select(col("lang"), col("doc_id"), col("r1"), col("r2"), col("r3"),
           round(col("rrf"), 6).as("rrf"))
         .orderBy("lang", "doc_id")
+    },
+
+    // ---- Dirichlet-smoothed query likelihood (LM retrieval) ----
+    // The language-model retrieval scorer next to q_bm25 (Zhai &
+    // Lafferty 2001): score(d) = Σ_t ln((tf_td + μ·p(t|C)) / (|d|+μ)),
+    // μ = 2000, over a deterministic 3-term query (the corpus's top-3
+    // tokens by collection frequency). One explode pass builds the
+    // postings; the collection LM is vocabulary-sized; the query is a
+    // 3-row broadcast fanning the doc-length frame (docs missing a
+    // term still contribute the smoothing-only term — LEFT join, not
+    // inner). Top-20 by score.
+    sql(
+      "q_dirichlet_ql",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT doc_id, unnest(words) AS word, len(words) AS dl FROM w),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf,
+        |         CAST(max(dl) AS BIGINT) AS dl
+        |       FROM p GROUP BY 1, 2),
+        |cf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM p),
+        |q AS (SELECT word, cf, row_number() OVER (ORDER BY cf DESC, word) AS r
+        |      FROM cf QUALIFY r <= 3),
+        |dlen AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |         FROM documents),
+        |fan AS (SELECT d.doc_id, d.dl, q.word, q.cf FROM dlen d CROSS JOIN q),
+        |sc AS (SELECT f.doc_id,
+        |    CAST(sum(CAST(ln((coalesce(t.tf, 0) + 2000.0 * f.cf
+        |                      / (SELECT ctot FROM tot)) / (f.dl + 2000.0))
+        |                  AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS s
+        |  FROM fan f LEFT JOIN tf t ON t.doc_id = f.doc_id AND t.word = f.word
+        |  GROUP BY 1)
+        |SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS ql_score,
+        |  CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+        |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val w = wordsByDoc(s, dir)
+      val p = postings(w)
+      val tf = p.groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("tf"), max("dl").cast("long").as("dl"))
+      val cf = p.groupBy("word").agg(count(lit(1)).as("cf"))
+      val tot = p.agg(count(lit(1)).as("ctot"))
+      val q = cf
+        .withColumn("r", row_number().over(Window.orderBy(desc("cf"), col("word"))))
+        .where(col("r") <= 3)
+        .crossJoin(broadcast(tot))
+        .select(col("word"), col("cf"), col("ctot"))
+        .localCheckpoint() // the 3-row query + collection total
+      val dlen = w.select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+      val fan = dlen.crossJoin(broadcast(q))
+      val term = log((coalesce(col("tf"), lit(0L)) + lit(2000.0) * col("cf")
+        / col("ctot")) / (col("dl") + lit(2000.0)))
+      val sc = fan.join(tf.select(col("doc_id").as("tdoc"),
+          col("word").as("tword"), col("tf")),
+          col("tdoc") === fan("doc_id") && col("tword") === col("word"), "left")
+        .groupBy(fan("doc_id").as("doc_id"))
+        .agg(sum(term.cast("decimal(28,12)")).cast("decimal(38,12)").as("s"))
+      sc.withColumn("rank", row_number()
+          .over(Window.orderBy(desc("s"), col("doc_id"))).cast("long"))
+        .where(col("rank") <= 20)
+        .select(col("doc_id"), round(col("s").cast("double"), 6).as("ql_score"),
+          col("rank"))
+        .orderBy("rank")
     }
   )
 }

@@ -480,6 +480,59 @@ object AuditQueries {
           round(est, 2).as("n_debiased"),
           round(abs(est - col("n_true")) / col("n_true"), 4).as("rel_err"))
         .orderBy("event_type")
+    },
+
+    // ---- functional-dependency conformance audit ----
+    // The profiling question behind schema inference and DQ
+    // contracts: does X → Y hold, and how badly is it violated? For
+    // each declared FD the violating-row count is the minimum number
+    // of rows to delete for the FD to hold exactly:
+    // Σ_x (n_x − max_y n_xy). Three FDs over three tables, each ONE
+    // (x, y) hash aggregation (the corpus pass) with all the audit
+    // arithmetic on the per-key frame.
+    sql(
+      "q_fd_audit",
+      """WITH d1 AS (SELECT source AS x, lang AS y FROM documents),
+        |d2 AS (SELECT CAST(user_id AS VARCHAR) AS x, event_type AS y FROM events),
+        |d3 AS (SELECT CAST(o_custkey AS VARCHAR) AS x, o_orderpriority AS y
+        |       FROM orders),
+        |u AS (SELECT 'documents: source->lang' AS fd, x, y FROM d1
+        |      UNION ALL SELECT 'events: user_id->event_type', x, y FROM d2
+        |      UNION ALL SELECT 'orders: custkey->priority', x, y FROM d3),
+        |xy AS (SELECT fd, x, y, CAST(count(*) AS BIGINT) AS c
+        |       FROM u GROUP BY 1, 2, 3),
+        |k AS (SELECT fd, x, CAST(sum(c) AS BIGINT) AS n_x,
+        |        CAST(max(c) AS BIGINT) AS max_y,
+        |        CAST(count(*) AS BIGINT) AS n_y
+        |      FROM xy GROUP BY 1, 2)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n_x) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_keys,
+        |  CAST(sum(n_x - max_y) AS BIGINT) AS violating_rows,
+        |  round(1.0 - CAST(sum(n_x - max_y) AS DOUBLE) / sum(n_x), 6)
+        |    AS conformance
+        |FROM k GROUP BY fd ORDER BY fd""".stripMargin) { (s, dir) =>
+      def fdOf(df: DataFrame, name: String, x: Column, y: Column) =
+        df.select(lit(name).as("fd"), x.cast("string").as("x"), y.as("y"))
+      val u = fdOf(t(s, dir, "documents"), "documents: source->lang",
+          col("source"), col("lang"))
+        .unionByName(fdOf(t(s, dir, "events"), "events: user_id->event_type",
+          col("user_id"), col("event_type")))
+        .unionByName(fdOf(t(s, dir, "orders"), "orders: custkey->priority",
+          col("o_custkey"), col("o_orderpriority")))
+      val xy = u.groupBy("fd", "x", "y").agg(count(lit(1)).as("c"))
+      val k = xy.groupBy("fd", "x").agg(sum("c").cast("long").as("n_x"),
+        max("c").cast("long").as("max_y"), count(lit(1)).as("n_y"))
+      k.groupBy("fd").agg(count(lit(1)).as("n_keys"),
+          sum("n_x").cast("long").as("n_rows"),
+          sum(when(col("n_y") > 1, 1L).otherwise(0L)).as("violating_keys"),
+          sum(col("n_x") - col("max_y")).cast("long").as("violating_rows"))
+        .select(col("fd"), col("n_keys"), col("n_rows"), col("violating_keys"),
+          col("violating_rows"),
+          round(lit(1.0) - col("violating_rows").cast("double") / col("n_rows"),
+            6).as("conformance"))
+        .orderBy("fd")
     }
   )
 }

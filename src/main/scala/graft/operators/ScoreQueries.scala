@@ -467,24 +467,28 @@ object ScoreQueries {
       val e0 = li.crossJoin(broadcast(b.select("mu")))
         .select(col("l_quantity").as("vq"), col("l_discount").as("vd"),
           (col("l_extendedprice") - col("mu")).as("e"))
-      // one groupingSets shuffle per round: both feature ladders + the
-      // global MSE partials
+      // one plain (vq, vd) cell collapse per round — ≤ |dom(q)|·|dom(d)|
+      // groups (≈550 here), perfect map-side combine, no Expand
+      // triplication (a groupingSets variant measured 3.5× slower at
+      // the 10× decade: Expand pushes every corpus row through the
+      // DECIMAL aggregators three times). Both feature ladders AND the
+      // global MSE are re-aggregations of the tiny cell frame.
+      // Continuous features would pre-bucket into the same shape.
       def collapse(e: DataFrame) =
-        e.groupingSets(Seq(Seq(col("vq")), Seq(col("vd")), Seq.empty[Column]),
-            col("vq"), col("vd"))
+        e.groupBy("vq", "vd")
           .agg(count(lit(1)).as("cnt"),
             sum(col("e").cast("decimal(28,12)"))
               .cast("decimal(38,12)").as("se"),
             sum((col("e") * col("e")).cast("decimal(38,12)"))
               .cast("decimal(38,12)").as("see"))
-          .localCheckpoint() // ≤62 rows — ladder + mse consumers
+          .localCheckpoint() // ≤550 cells — ladder + mse consumers
       def bestSplit(gs: DataFrame) = {
-        val ladder = gs.where(col("vq").isNotNull)
-          .select(lit("q").as("feat"), col("vq").cast("double").as("v"),
+        def ladderOf(feat: String, v: String) = gs.groupBy(col(v))
+          .agg(sum("cnt").as("cnt"),
+            sum("se").cast("decimal(38,12)").as("se"))
+          .select(lit(feat).as("feat"), col(v).cast("double").as("v"),
             col("cnt"), col("se"))
-          .unionByName(gs.where(col("vd").isNotNull)
-            .select(lit("d").as("feat"), col("vd").cast("double").as("v"),
-              col("cnt"), col("se")))
+        val ladder = ladderOf("q", "vq").unionByName(ladderOf("d", "vd"))
         val wCum = Window.partitionBy("feat").orderBy("v")
         val wAll = Window.partitionBy("feat")
         val c = ladder
@@ -506,7 +510,8 @@ object ScoreQueries {
           .localCheckpoint() // the stump, re-broadcast into the next pass
       }
       def mseOf(gs: DataFrame) = gs
-        .where(col("vq").isNull && col("vd").isNull)
+        .agg(sum("see").cast("decimal(38,12)").as("see"),
+          sum("cnt").as("cnt"))
         .select((col("see").cast("double") / col("cnt")).as("mse"))
       def boost(e: DataFrame, best: DataFrame) = {
         val pred = when(col("feat") === "q",

@@ -2925,6 +2925,65 @@ object StatsQueries {
           row_number().over(Window.orderBy(desc("s"), col("et")))
             .cast("long").as("pref_rank"))
         .orderBy("event_type")
+    },
+
+    // ---- Cochran–Mantel–Haenszel pooled odds ratio ----
+    // The stratified-confounding audit: exposure (user parity) vs
+    // outcome (value > 50) in a 2×2 table PER event_type stratum,
+    // pooled with the CMH estimator ORₘₕ = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ),
+    // against the crude OR of the collapsed table — with the
+    // Simpson-reversal flag ((crude−1)·(cmh−1) < 0) in the output.
+    // ONE corpus pass to the per-stratum 2×2 counts; CMH terms
+    // quantize to DECIMAL so the pooled sums are order-free.
+    sql(
+      "q_mantel_haenszel",
+      """WITH m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM events GROUP BY 1),
+        |tt AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+        |    CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td,
+        |    CAST(sum(CAST(CAST(a AS DOUBLE) * d / (a + b + c + d)
+        |                  AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS sad,
+        |    CAST(sum(CAST(CAST(b AS DOUBLE) * c / (a + b + c + d)
+        |                  AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS sbc
+        |  FROM m)
+        |SELECT event_type, a, b, c, d,
+        |  round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6) AS or_stratum,
+        |  round(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6) AS cmh_or,
+        |  round(CAST(ta AS DOUBLE) * td / (CAST(tb AS DOUBLE) * tc), 6) AS crude_or,
+        |  CAST((CAST(ta AS DOUBLE) * td / (CAST(tb AS DOUBLE) * tc) - 1)
+        |       * (CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE) - 1) < 0
+        |       AS BOOLEAN) AS simpson_flip
+        |FROM m CROSS JOIN tt ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val e1 = col("user_id") % 2 === 1
+      val y1 = col("value") > 50
+      val m = t(s, dir, "events").groupBy("event_type").agg(
+        sum(when(e1 && y1, 1L).otherwise(0L)).as("a"),
+        sum(when(e1 && !y1, 1L).otherwise(0L)).as("b"),
+        sum(when(!e1 && y1, 1L).otherwise(0L)).as("c"),
+        sum(when(!e1 && !y1, 1L).otherwise(0L)).as("d"))
+        .localCheckpoint() // #strata rows, consumed twice
+      val n = col("a") + col("b") + col("c") + col("d")
+      val tt = m.agg(sum("a").cast("long").as("ta"),
+        sum("b").cast("long").as("tb"), sum("c").cast("long").as("tc"),
+        sum("d").cast("long").as("td"),
+        sum((col("a").cast("double") * col("d") / n).cast("decimal(28,12)"))
+          .cast("decimal(38,12)").as("sad"),
+        sum((col("b").cast("double") * col("c") / n).cast("decimal(28,12)"))
+          .cast("decimal(38,12)").as("sbc"))
+      val cmh = col("sad").cast("double") / col("sbc").cast("double")
+      val crude = (col("ta").cast("double") * col("td")
+        / (col("tb").cast("double") * col("tc")))
+      m.crossJoin(broadcast(tt))
+        .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+          round(col("a").cast("double") * col("d")
+            / (col("b").cast("double") * col("c")), 6).as("or_stratum"),
+          round(cmh, 6).as("cmh_or"), round(crude, 6).as("crude_or"),
+          ((crude - 1) * (cmh - 1) < 0).as("simpson_flip"))
+        .orderBy("event_type")
     }
   )
 }

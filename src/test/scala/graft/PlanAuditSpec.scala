@@ -134,6 +134,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_bottomk_sample",    // 1-row broadcast exact-count audit scalar
     "q_gbdt_stumps",       // 1-row broadcast stump params + MSE scalars
                            // riding each boosting pass
+    "q_mantel_haenszel",   // 1-row broadcast CMH/crude totals riding the
+                           // #strata frame
+    "q_dirichlet_ql",      // 3-row broadcast query-term fan-out + 1-row
+                           // collection-total scalar
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -222,7 +222,10 @@ object ScaleCheck {
     // postings + 3-term broadcast fan-out (Dirichlet QL), the 2-integer
     // discordance collapse (McNemar), and the three-table (x,y)
     // dependency aggregations (FD audit)
-    "q_mantel_haenszel", "q_dirichlet_ql", "q_mcnemar", "q_fd_audit")
+    "q_mantel_haenszel", "q_dirichlet_ql", "q_mcnemar", "q_fd_audit",
+    // round-8 third batch: the per-round corpus E-step joins (EM) and
+    // the rating-matrix collapse + factor solves (ALS)
+    "q_mixture_em", "q_als_round")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

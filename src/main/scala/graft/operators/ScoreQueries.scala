@@ -540,6 +540,137 @@ object ScoreQueries {
       row(1, bs1, mseOf(gs1), mseOf(gs2))
         .unionByName(row(2, bs2, mseOf(gs2), t2m))
         .orderBy("round")
+    },
+
+    // ---- one ALS round (matrix factorization as joins) ----
+    // The recommender trainer: rank-2 factors for the user×event_type
+    // rating matrix (per-user mean value), one full alternating-
+    // least-squares round with ridge λ=0.1. Item factors seed
+    // deterministically (y = (1, rank/K)); the USER solve is a
+    // per-user 2×2 closed form against the K-row broadcast of item
+    // factors; the ITEM solve transposes it against the user-factor
+    // frame (a user-keyed hash join — the user frame never
+    // broadcasts). The corpus collapses ONCE to (user, item) means;
+    // every later stage works on rating-matrix-sized frames. RMSE is
+    // measured after the user half-step and after the full round —
+    // the in-output descent audit.
+    sql(
+      "q_als_round",
+      """WITH um AS (SELECT user_id, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS r
+        |  FROM events GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM ty),
+        |y0 AS (SELECT event_type, 1.0 AS y1,
+        |    CAST(row_number() OVER (ORDER BY event_type) AS DOUBLE)
+        |      / (SELECT kk FROM k) AS y2
+        |  FROM ty),
+        |ux AS (SELECT u.user_id,
+        |    CAST(sum(CAST(y.y1 * y.y1 AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS a11,
+        |    CAST(sum(CAST(y.y1 * y.y2 AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS a12,
+        |    CAST(sum(CAST(y.y2 * y.y2 AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS a22,
+        |    CAST(sum(CAST(y.y1 * u.r AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS b1,
+        |    CAST(sum(CAST(y.y2 * u.r AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS b2
+        |  FROM um u JOIN y0 y USING (event_type) GROUP BY 1),
+        |x AS (SELECT user_id,
+        |    ((CAST(a22 AS DOUBLE) + 0.1) * CAST(b1 AS DOUBLE)
+        |     - CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE))
+        |      / ((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1)
+        |         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS x1,
+        |    ((CAST(a11 AS DOUBLE) + 0.1) * CAST(b2 AS DOUBLE)
+        |     - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE))
+        |      / ((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1)
+        |         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS x2
+        |  FROM ux),
+        |r0 AS (SELECT sqrt(CAST(sum(CAST((u.r - (x.x1 * y.y1 + x.x2 * y.y2))
+        |        * (u.r - (x.x1 * y.y1 + x.x2 * y.y2)) AS DECIMAL(28,12)))
+        |      AS DOUBLE) / count(*)) AS rmse
+        |  FROM um u JOIN x USING (user_id) JOIN y0 y USING (event_type)),
+        |iy AS (SELECT u.event_type, CAST(count(*) AS BIGINT) AS n_ratings,
+        |    CAST(sum(CAST(x.x1 * x.x1 AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS a11,
+        |    CAST(sum(CAST(x.x1 * x.x2 AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS a12,
+        |    CAST(sum(CAST(x.x2 * x.x2 AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS a22,
+        |    CAST(sum(CAST(x.x1 * u.r AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS b1,
+        |    CAST(sum(CAST(x.x2 * u.r AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS b2
+        |  FROM um u JOIN x USING (user_id) GROUP BY 1),
+        |y1t AS (SELECT event_type, n_ratings,
+        |    ((CAST(a22 AS DOUBLE) + 0.1) * CAST(b1 AS DOUBLE)
+        |     - CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE))
+        |      / ((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1)
+        |         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS y1,
+        |    ((CAST(a11 AS DOUBLE) + 0.1) * CAST(b2 AS DOUBLE)
+        |     - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE))
+        |      / ((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1)
+        |         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS y2
+        |  FROM iy),
+        |r1 AS (SELECT sqrt(CAST(sum(CAST((u.r - (x.x1 * y.y1 + x.x2 * y.y2))
+        |        * (u.r - (x.x1 * y.y1 + x.x2 * y.y2)) AS DECIMAL(28,12)))
+        |      AS DOUBLE) / count(*)) AS rmse
+        |  FROM um u JOIN x USING (user_id) JOIN y1t y USING (event_type))
+        |SELECT y.event_type, y.n_ratings, round(y.y1, 6) AS y1,
+        |  round(y.y2, 6) AS y2, round(r0.rmse, 6) AS rmse_half,
+        |  round(r1.rmse, 6) AS rmse_after,
+        |  CAST(r1.rmse < r0.rmse AS BOOLEAN) AS improved
+        |FROM y1t y CROSS JOIN r0 CROSS JOIN r1
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val um = ev.groupBy("user_id", "event_type")
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("r"))
+        .localCheckpoint() // the rating matrix — 4 consumers below
+      val ty = um.select("event_type").distinct()
+      val kk = ty.agg(count(lit(1)).as("kk"))
+      val y0 = ty
+        .withColumn("rn", row_number().over(Window.orderBy("event_type")))
+        .crossJoin(broadcast(kk))
+        .select(col("event_type"), lit(1.0).as("y1"),
+          (col("rn").cast("double") / col("kk")).as("y2"))
+        .localCheckpoint() // K-row item factors
+      def d28(c: Column) = c.cast("decimal(28,12)")
+      val lam = lit(0.1)
+      def solve(pfx: String) = {
+        def dd(c: String) = col(c).cast("double")
+        val det = (dd("a11") + lam) * (dd("a22") + lam) - dd("a12") * dd("a12")
+        Seq(((dd("a22") + lam) * dd("b1") - dd("a12") * dd("b2")) / det,
+          ((dd("a11") + lam) * dd("b2") - dd("a12") * dd("b1")) / det)
+          .zip(Seq(pfx + "1", pfx + "2"))
+      }
+      val ux = um.join(broadcast(y0), "event_type")
+        .groupBy("user_id").agg(
+          sum(d28(col("y1") * col("y1"))).cast("decimal(38,12)").as("a11"),
+          sum(d28(col("y1") * col("y2"))).cast("decimal(38,12)").as("a12"),
+          sum(d28(col("y2") * col("y2"))).cast("decimal(38,12)").as("a22"),
+          sum(d28(col("y1") * col("r"))).cast("decimal(38,12)").as("b1"),
+          sum(d28(col("y2") * col("r"))).cast("decimal(38,12)").as("b2"))
+      val x = ux.select(col("user_id") +:
+          solve("x").map { case (e, n) => e.as(n) }: _*)
+        .localCheckpoint() // user factors — item solve + 2 RMSE passes
+      def rmse(yf: DataFrame) = {
+        val err = col("r") - (col("x1") * col("y1") + col("x2") * col("y2"))
+        um.join(x, "user_id").join(broadcast(yf), "event_type")
+          .agg(sqrt(sum(d28(err * err)).cast("double") / count(lit(1)))
+            .as("rmse"))
+      }
+      val iy = um.join(x, "user_id").groupBy("event_type").agg(
+        count(lit(1)).as("n_ratings"),
+        sum(d28(col("x1") * col("x1"))).cast("decimal(38,12)").as("a11"),
+        sum(d28(col("x1") * col("x2"))).cast("decimal(38,12)").as("a12"),
+        sum(d28(col("x2") * col("x2"))).cast("decimal(38,12)").as("a22"),
+        sum(d28(col("x1") * col("r"))).cast("decimal(38,12)").as("b1"),
+        sum(d28(col("x2") * col("r"))).cast("decimal(38,12)").as("b2"))
+      val y1t = iy.select(col("event_type") +: col("n_ratings") +:
+          solve("y").map { case (e, n) => e.as(n) }: _*)
+        .localCheckpoint()
+      val r0 = rmse(y0)
+      val r1 = rmse(y1t.select(col("event_type"), col("y1"), col("y2")))
+      y1t.crossJoin(broadcast(r0.select(col("rmse").as("rmse_half"))))
+        .crossJoin(broadcast(r1.select(col("rmse").as("rmse_after"))))
+        .select(col("event_type"), col("n_ratings"),
+          round(col("y1"), 6).as("y1"), round(col("y2"), 6).as("y2"),
+          round(col("rmse_half"), 6).as("rmse_half"),
+          round(col("rmse_after"), 6).as("rmse_after"),
+          (col("rmse_after") < col("rmse_half")).as("improved"))
+        .orderBy("event_type")
     }
   )
 }

@@ -2984,6 +2984,179 @@ object StatsQueries {
           round(cmh, 6).as("cmh_or"), round(crude, 6).as("crude_or"),
           ((crude - 1) * (cmh - 1) < 0).as("simpson_flip"))
         .orderBy("event_type")
+    },
+
+    // ---- 2-component Gaussian mixture, 2 unrolled EM rounds ----
+    // The distributional-unmixing trainer per event_type: moments
+    // seed μ = mean∓sd, σ = sd, π = ½; each EM round is ONE corpus
+    // pass — E-step responsibilities against the 5-row broadcast of
+    // the previous parameters, M-step as weighted DECIMAL moments of
+    // the same pass (σ via the E[x²]−μ² shortcut, so no second pass
+    // per round). The final log-likelihood pass makes EM's
+    // monotonicity auditable in-output.
+    sql(
+      "q_mixture_em",
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS s2
+        |  FROM events GROUP BY 1),
+        |p0 AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |         / (n - 1)) AS sd
+        |  FROM m),
+        |i0 AS (SELECT event_type, n, mu - sd AS mu1, mu + sd AS mu2,
+        |    sd AS sg1, sd AS sg2, 0.5 AS pi2 FROM p0),
+        |em1 AS (SELECT e.event_type,
+        |    CAST(sum(CAST(rr AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS sr,
+        |    CAST(sum(CAST(rr * e.value AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS srx,
+        |    CAST(sum(CAST(rr * e.value * e.value AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS srxx,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,6))
+        |             * CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sxx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT e.event_type, e.value,
+        |      p.pi2 * (exp(-(e.value - p.mu2) * (e.value - p.mu2)
+        |                   / (2 * p.sg2 * p.sg2)) / p.sg2)
+        |      / ((1 - p.pi2) * (exp(-(e.value - p.mu1) * (e.value - p.mu1)
+        |                            / (2 * p.sg1 * p.sg1)) / p.sg1)
+        |         + p.pi2 * (exp(-(e.value - p.mu2) * (e.value - p.mu2)
+        |                        / (2 * p.sg2 * p.sg2)) / p.sg2)) AS rr
+        |    FROM events e JOIN i0 p USING (event_type)) e
+        |  GROUP BY 1),
+        |i1 AS (SELECT event_type,
+        |    CAST(sr AS DOUBLE) / n AS pi2,
+        |    (CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+        |      / (n - CAST(sr AS DOUBLE)) AS mu1,
+        |    CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE) AS mu2,
+        |    sqrt((CAST(sxx AS DOUBLE) - CAST(srxx AS DOUBLE))
+        |           / (n - CAST(sr AS DOUBLE))
+        |         - ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+        |            / (n - CAST(sr AS DOUBLE)))
+        |           * ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+        |              / (n - CAST(sr AS DOUBLE)))) AS sg1,
+        |    sqrt(CAST(srxx AS DOUBLE) / CAST(sr AS DOUBLE)
+        |         - (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))
+        |           * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))) AS sg2,
+        |    n
+        |  FROM em1),
+        |em2 AS (SELECT e.event_type,
+        |    CAST(sum(CAST(rr AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS sr,
+        |    CAST(sum(CAST(rr * e.value AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS srx,
+        |    CAST(sum(CAST(rr * e.value * e.value AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS srxx,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,6))
+        |             * CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sxx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT e.event_type, e.value,
+        |      p.pi2 * (exp(-(e.value - p.mu2) * (e.value - p.mu2)
+        |                   / (2 * p.sg2 * p.sg2)) / p.sg2)
+        |      / ((1 - p.pi2) * (exp(-(e.value - p.mu1) * (e.value - p.mu1)
+        |                            / (2 * p.sg1 * p.sg1)) / p.sg1)
+        |         + p.pi2 * (exp(-(e.value - p.mu2) * (e.value - p.mu2)
+        |                        / (2 * p.sg2 * p.sg2)) / p.sg2)) AS rr
+        |    FROM events e JOIN i1 p USING (event_type)) e
+        |  GROUP BY 1),
+        |i2 AS (SELECT event_type,
+        |    CAST(sr AS DOUBLE) / n AS pi2,
+        |    (CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+        |      / (n - CAST(sr AS DOUBLE)) AS mu1,
+        |    CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE) AS mu2,
+        |    sqrt((CAST(sxx AS DOUBLE) - CAST(srxx AS DOUBLE))
+        |           / (n - CAST(sr AS DOUBLE))
+        |         - ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+        |            / (n - CAST(sr AS DOUBLE)))
+        |           * ((CAST(sx AS DOUBLE) - CAST(srx AS DOUBLE))
+        |              / (n - CAST(sr AS DOUBLE)))) AS sg1,
+        |    sqrt(CAST(srxx AS DOUBLE) / CAST(sr AS DOUBLE)
+        |         - (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))
+        |           * (CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))) AS sg2,
+        |    n
+        |  FROM em2),
+        |ll AS (SELECT e.event_type,
+        |    CAST(sum(CAST(ln(((1 - p.pi2) * (exp(-(e.value - p.mu1) * (e.value - p.mu1)
+        |                            / (2 * p.sg1 * p.sg1)) / p.sg1)
+        |        + p.pi2 * (exp(-(e.value - p.mu2) * (e.value - p.mu2)
+        |                       / (2 * p.sg2 * p.sg2)) / p.sg2))
+        |        / sqrt(2 * pi())) AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS s
+        |  FROM events e JOIN i2 p USING (event_type) GROUP BY 1)
+        |SELECT i2.event_type, i2.n, round(i0.mu1, 6) AS init_mu1,
+        |  round(i0.mu2, 6) AS init_mu2, round(i2.pi2, 6) AS pi2,
+        |  round(i2.mu1, 6) AS mu1, round(i2.mu2, 6) AS mu2,
+        |  round(i2.sg1, 6) AS sigma1, round(i2.sg2, 6) AS sigma2,
+        |  round(CAST(ll.s AS DOUBLE) / i2.n, 6) AS avg_loglik
+        |FROM i2 JOIN i0 USING (event_type) JOIN ll USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val d6v = col("value").cast("decimal(18,6)")
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(d6v).cast("decimal(38,6)").as("s1"),
+        sum(d6v * d6v).cast("decimal(38,12)").as("s2"))
+      val i0 = m.select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)).as("sd"))
+        .select(col("event_type"), col("n"),
+          (col("mu") - col("sd")).as("mu1"), (col("mu") + col("sd")).as("mu2"),
+          col("sd").as("sg1"), col("sd").as("sg2"), lit(0.5).as("pi2"))
+        .localCheckpoint() // 5 rows — the EM parameter state
+      def dens(mu: Column, sg: Column) =
+        exp((col("value") - mu) * (col("value") - mu)
+          * lit(-1.0) / (lit(2) * sg * sg)) / sg
+      def emRound(params: DataFrame): DataFrame = {
+        // match the oracle's operand order exactly: -(x-mu)² / (2σ²)
+        def d1 = exp((col("value") - col("mu1")) * (col("value") - col("mu1"))
+          .unary_- / (lit(2) * col("sg1") * col("sg1"))) / col("sg1")
+        def d2 = exp((col("value") - col("mu2")) * (col("value") - col("mu2"))
+          .unary_- / (lit(2) * col("sg2") * col("sg2"))) / col("sg2")
+        val rr = col("pi2") * d2 / ((lit(1) - col("pi2")) * d1 + col("pi2") * d2)
+        val e = ev.join(broadcast(params), "event_type")
+          .select(col("event_type"), col("value"), rr.as("rr"))
+        val agg = e.groupBy("event_type").agg(
+          sum(col("rr").cast("decimal(28,12)")).cast("decimal(38,12)").as("sr"),
+          sum((col("rr") * col("value")).cast("decimal(28,12)"))
+            .cast("decimal(38,12)").as("srx"),
+          sum((col("rr") * col("value") * col("value")).cast("decimal(38,12)"))
+            .cast("decimal(38,12)").as("srxx"),
+          sum(d6v).cast("decimal(38,6)").as("sx"),
+          sum(d6v * d6v).cast("decimal(38,12)").as("sxx"),
+          count(lit(1)).as("n"))
+        def dd(c: String) = col(c).cast("double")
+        val mu1n = (dd("sx") - dd("srx")) / (col("n") - dd("sr"))
+        val mu2n = dd("srx") / dd("sr")
+        agg.select(col("event_type"),
+            (dd("sr") / col("n")).as("pi2"), mu1n.as("mu1"), mu2n.as("mu2"),
+            sqrt((dd("sxx") - dd("srxx")) / (col("n") - dd("sr"))
+              - ((dd("sx") - dd("srx")) / (col("n") - dd("sr")))
+                * ((dd("sx") - dd("srx")) / (col("n") - dd("sr")))).as("sg1"),
+            sqrt(dd("srxx") / dd("sr")
+              - (dd("srx") / dd("sr")) * (dd("srx") / dd("sr"))).as("sg2"),
+            col("n"))
+          .localCheckpoint()
+      }
+      val i1 = emRound(i0)
+      val i2 = emRound(i1)
+      def d1f = exp((col("value") - col("mu1")) * (col("value") - col("mu1"))
+        .unary_- / (lit(2) * col("sg1") * col("sg1"))) / col("sg1")
+      def d2f = exp((col("value") - col("mu2")) * (col("value") - col("mu2"))
+        .unary_- / (lit(2) * col("sg2") * col("sg2"))) / col("sg2")
+      val ll = ev.join(broadcast(i2), "event_type")
+        .select(col("event_type"),
+          log(((lit(1) - col("pi2")) * d1f + col("pi2") * d2f)
+            / sqrt(lit(2) * lit(Math.PI))).as("l"))
+        .groupBy("event_type")
+        .agg(sum(col("l").cast("decimal(28,12)")).cast("decimal(38,12)").as("s"))
+      i2.join(i0.select(col("event_type"), col("mu1").as("imu1"),
+          col("mu2").as("imu2")), "event_type")
+        .join(ll, "event_type")
+        .select(col("event_type"), col("n"), round(col("imu1"), 6).as("init_mu1"),
+          round(col("imu2"), 6).as("init_mu2"), round(col("pi2"), 6).as("pi2"),
+          round(col("mu1"), 6).as("mu1"), round(col("mu2"), 6).as("mu2"),
+          round(col("sg1"), 6).as("sigma1"), round(col("sg2"), 6).as("sigma2"),
+          round(col("s").cast("double") / col("n"), 6).as("avg_loglik"))
+        .orderBy("event_type")
     }
   )
 }

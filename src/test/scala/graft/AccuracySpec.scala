@@ -1271,4 +1271,86 @@ class AccuracySpec extends SparkSpec {
         "Huber center must move less than the mean under a 1000-sigma outlier")
     }
   }
+
+  test("q_mixture_em matches a from-scratch 2-round EM") {
+    val vals = Tables(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val byType = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SparkEntry.queries("q_mixture_em")(spark, sf).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    got.foreach { r =>
+      val xs = byType(r.getAs[String]("event_type"))
+      val n = xs.length
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      var (mu1, mu2, sg1, sg2, pi2) = (mean - sd, mean + sd, sd, sd, 0.5)
+      for (_ <- 1 to 2) {
+        val rr = xs.map { x =>
+          val d1 = math.exp(-(x - mu1) * (x - mu1) / (2 * sg1 * sg1)) / sg1
+          val d2 = math.exp(-(x - mu2) * (x - mu2) / (2 * sg2 * sg2)) / sg2
+          pi2 * d2 / ((1 - pi2) * d1 + pi2 * d2)
+        }
+        val sr = rr.sum
+        val srx = rr.zip(xs).map { case (w, x) => w * x }.sum
+        val srxx = rr.zip(xs).map { case (w, x) => w * x * x }.sum
+        val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+        pi2 = sr / n
+        mu1 = (sx - srx) / (n - sr); mu2 = srx / sr
+        sg1 = math.sqrt((sxx - srxx) / (n - sr) - mu1 * mu1)
+        sg2 = math.sqrt(srxx / sr - mu2 * mu2)
+      }
+      assert(math.abs(r.getAs[Double]("pi2") - pi2) < 1e-4)
+      assert(math.abs(r.getAs[Double]("mu1") - mu1) < 1e-3,
+        s"mu1 ${r.getAs[Double]("mu1")} vs $mu1")
+      assert(math.abs(r.getAs[Double]("mu2") - mu2) < 1e-3)
+      assert(r.getAs[Double]("sigma1") > 0 && r.getAs[Double]("sigma2") > 0)
+      assert(r.getAs[Double]("mu1") < r.getAs[Double]("mu2"),
+        "components seeded apart must not cross in 2 rounds on this corpus")
+    }
+  }
+
+  test("q_als_round matches a from-scratch alternating solve and descends") {
+    val um = Tables(spark, sf, "events")
+      .groupBy("user_id", "event_type")
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("r"))
+      .as[(Long, String, Double)].collect()
+    val types = um.map(_._2).distinct.sorted
+    val kk = types.length
+    val y0 = types.zipWithIndex
+      .map { case (t, i) => t -> (1.0, (i + 1).toDouble / kk) }.toMap
+    val lam = 0.1
+    def solve(rows: Seq[(Double, Double, Double)]) = { // (f1, f2, r)
+      val a11 = rows.map(t => t._1 * t._1).sum + lam
+      val a12 = rows.map(t => t._1 * t._2).sum
+      val a22 = rows.map(t => t._2 * t._2).sum + lam
+      val b1 = rows.map(t => t._1 * t._3).sum
+      val b2 = rows.map(t => t._2 * t._3).sum
+      val det = a11 * a22 - a12 * a12
+      ((a22 * b1 - a12 * b2) / det, (a11 * b2 - a12 * b1) / det)
+    }
+    val x = um.groupBy(_._1).view.mapValues { g =>
+      solve(g.map(t => (y0(t._2)._1, y0(t._2)._2, t._3)).toSeq)
+    }.toMap
+    val y1 = um.groupBy(_._2).view.mapValues { g =>
+      solve(g.map(t => (x(t._1)._1, x(t._1)._2, t._3)).toSeq)
+    }.toMap
+    def rmse(y: Map[String, (Double, Double)]) = math.sqrt(um.map { t =>
+      val e = t._3 - (x(t._1)._1 * y(t._2)._1 + x(t._1)._2 * y(t._2)._2)
+      e * e
+    }.sum / um.length)
+    val got = SparkEntry.queries("q_als_round")(spark, sf).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSet == types.toSet)
+    got.foreach { r =>
+      val (ey1, ey2) = y1(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("y1") - ey1) < 1e-4,
+        s"${r.getAs[String]("event_type")} y1 ${r.getAs[Double]("y1")} vs $ey1")
+      assert(math.abs(r.getAs[Double]("y2") - ey2) < 1e-4)
+      assert(math.abs(r.getAs[Double]("rmse_half") - rmse(y0)) < 1e-4)
+      assert(math.abs(r.getAs[Double]("rmse_after") - rmse(y1.toMap)) < 1e-4)
+      assert(r.getAs[Boolean]("improved"),
+        "the item half-step must not increase RMSE")
+    }
+  }
 }

@@ -138,6 +138,8 @@ class PlanAuditSpec extends SparkSpec {
                            // #strata frame
     "q_dirichlet_ql",      // 3-row broadcast query-term fan-out + 1-row
                            // collection-total scalar
+    "q_als_round",         // 1-row broadcast K + RMSE scalars riding the
+                           // K-row item-factor frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -225,7 +225,11 @@ object ScaleCheck {
     "q_mantel_haenszel", "q_dirichlet_ql", "q_mcnemar", "q_fd_audit",
     // round-8 third batch: the per-round corpus E-step joins (EM) and
     // the rating-matrix collapse + factor solves (ALS)
-    "q_mixture_em", "q_als_round")
+    "q_mixture_em", "q_als_round",
+    // round-8 fourth batch: the three per-key frequency collapses
+    // (skew audit), the per-type rank windows (trimmed mean), and the
+    // 10-bin forecast collapse (Brier decomposition)
+    "q_skew_audit", "q_trimmed_mean", "q_brier_decomposition")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -533,6 +533,56 @@ object AuditQueries {
           round(lit(1.0) - col("violating_rows").cast("double") / col("n_rows"),
             6).as("conformance"))
         .orderBy("fd")
+    },
+
+    // ---- join-key skew audit (the salting-decision input) ----
+    // The pre-flight check for every large join: how skewed is the
+    // key? Per candidate key, the frequency distribution's shape —
+    // top-1 share, exact p50/p99 key frequency, and the salt flag
+    // (top key exceeding 1/32 of rows would overload one of this
+    // session's 32 shuffle partitions). One (key) hash aggregation
+    // per table — the corpus cost — with all order statistics on the
+    // per-key frame.
+    sql(
+      "q_skew_audit",
+      """WITH f1 AS (SELECT 'lineitem.l_orderkey' AS key_name,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey),
+        |f2 AS (SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT)
+        |       FROM orders GROUP BY o_custkey),
+        |f3 AS (SELECT 'events.user_id', CAST(count(*) AS BIGINT)
+        |       FROM events GROUP BY user_id),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3)
+        |SELECT key_name, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_freq,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+        |  round(CAST(quantile_cont(c, 0.5) AS DOUBLE), 4) AS p50_freq,
+        |  round(CAST(quantile_cont(c, 0.99) AS DOUBLE), 4) AS p99_freq,
+        |  round(CAST(quantile_cont(c, 0.99) AS DOUBLE)
+        |        / CAST(quantile_cont(c, 0.5) AS DOUBLE), 4) AS p99_over_p50,
+        |  CAST(CAST(max(c) AS DOUBLE) / sum(c) > 1.0 / 32 AS BOOLEAN)
+        |    AS salt_recommended
+        |FROM u GROUP BY key_name ORDER BY key_name""".stripMargin) { (s, dir) =>
+      def freqs(df: DataFrame, name: String, k: Column) =
+        df.groupBy(k.as("k")).agg(count(lit(1)).as("c"))
+          .select(lit(name).as("key_name"), col("c"))
+      val u = freqs(t(s, dir, "lineitem"), "lineitem.l_orderkey", col("l_orderkey"))
+        .unionByName(freqs(t(s, dir, "orders"), "orders.o_custkey",
+          col("o_custkey")))
+        .unionByName(freqs(t(s, dir, "events"), "events.user_id",
+          col("user_id")))
+      u.groupBy("key_name").agg(count(lit(1)).as("n_keys"),
+          sum("c").cast("long").as("n_rows"), max("c").cast("long").as("max_freq"),
+          percentile(col("c"), lit(0.5)).as("p50"),
+          percentile(col("c"), lit(0.99)).as("p99"))
+        .select(col("key_name"), col("n_keys"), col("n_rows"), col("max_freq"),
+          round(col("max_freq").cast("double") / col("n_rows"), 6)
+            .as("top1_share"),
+          round(col("p50"), 4).as("p50_freq"), round(col("p99"), 4).as("p99_freq"),
+          round(col("p99") / col("p50"), 4).as("p99_over_p50"),
+          (col("max_freq").cast("double") / col("n_rows") > lit(1.0) / 32)
+            .as("salt_recommended"))
+        .orderBy("key_name")
     }
   )
 }

@@ -671,6 +671,126 @@ object ScoreQueries {
           round(col("rmse_after"), 6).as("rmse_after"),
           (col("rmse_after") < col("rmse_half")).as("improved"))
         .orderBy("event_type")
+    },
+
+    // ---- Brier score Murphy decomposition ----
+    // Forecast-quality accounting beyond q_calibration's curve: the
+    // Brier score of a probabilistic quality classifier (logistic of
+    // n_chars predicting the lexical-diversity label) split into
+    // reliability - resolution + uncertainty over 10 probability
+    // bins, closed EXACTLY by the two within-bin terms:
+    // BS = REL - RES + UNC + WBV - 2*COV (WBV = within-bin forecast
+    // variance, COV = within-bin forecast/outcome covariance), with
+    // the identity as a value-checked flag. ONE corpus pass to the
+    // 10-bin frame; every term rides 1-row broadcasts of the totals.
+    sql(
+      "q_brier_decomposition",
+      """WITH f AS (SELECT
+        |    1.0 / (1.0 + exp(-(n_chars - 300) / 100.0)) AS p,
+        |    CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |           x -> length(x) > 0)))
+        |         > 0.46 * len(list_filter(string_split(text, ' '),
+        |           x -> length(x) > 0)) THEN 1 ELSE 0 END AS o
+        |  FROM documents),
+        |b AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(CAST(p AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS sp,
+        |    CAST(sum(o) AS BIGINT) AS so,
+        |    CAST(sum(CAST(p * p AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS spp,
+        |    CAST(sum(CAST(p * o AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS spo,
+        |    CAST(sum(CAST((p - o) * (p - o) AS DECIMAL(28,12)))
+        |         AS DECIMAL(38,12)) AS sqerr
+        |  FROM f GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+        |    CAST(sum(so) AS BIGINT) AS oall,
+        |    CAST(sum(sqerr) AS DECIMAL(38,12)) AS sq,
+        |    sum(CAST(n_b AS DOUBLE)
+        |        * (CAST(sp AS DOUBLE) / n_b - CAST(so AS DOUBLE) / n_b)
+        |        * (CAST(sp AS DOUBLE) / n_b - CAST(so AS DOUBLE) / n_b)) AS rel_n,
+        |    sum(CAST(n_b AS DOUBLE)
+        |        * (CAST(sp AS DOUBLE) / n_b) * (CAST(sp AS DOUBLE) / n_b)) AS spb2,
+        |    sum(CAST(n_b AS DOUBLE)
+        |        * (CAST(sp AS DOUBLE) / n_b) * (CAST(so AS DOUBLE) / n_b)) AS spbob,
+        |    CAST(sum(spp) AS DECIMAL(38,12)) AS sppall,
+        |    CAST(sum(spo) AS DECIMAL(38,12)) AS spoall
+        |  FROM b),
+        |rs AS (SELECT sum(CAST(b.n_b AS DOUBLE)
+        |      * (CAST(b.so AS DOUBLE) / b.n_b - CAST(tt.oall AS DOUBLE) / tt.n)
+        |      * (CAST(b.so AS DOUBLE) / b.n_b - CAST(tt.oall AS DOUBLE) / tt.n))
+        |      AS res_n
+        |   FROM b CROSS JOIN tt),
+        |d AS (SELECT n,
+        |    CAST(sq AS DOUBLE) / n AS brier,
+        |    rel_n / n AS reliability,
+        |    (SELECT res_n FROM rs) / n AS resolution,
+        |    (CAST(oall AS DOUBLE) / n) * (1 - CAST(oall AS DOUBLE) / n)
+        |      AS uncertainty,
+        |    (CAST(sppall AS DOUBLE) - spb2) / n AS wb_var,
+        |    (CAST(spoall AS DOUBLE) - spbob) / n AS wb_cov
+        |  FROM tt)
+        |SELECT b.bin, b.n_b, round(CAST(b.sp AS DOUBLE) / b.n_b, 6) AS p_mean,
+        |  round(CAST(b.so AS DOUBLE) / b.n_b, 6) AS o_rate,
+        |  round(d.brier, 6) AS brier, round(d.reliability, 6) AS reliability,
+        |  round(d.resolution, 6) AS resolution,
+        |  round(d.uncertainty, 6) AS uncertainty,
+        |  round(d.wb_var, 6) AS within_bin_var,
+        |  round(d.wb_cov, 6) AS within_bin_cov,
+        |  CAST(abs(d.brier - (d.reliability - d.resolution + d.uncertainty
+        |                      + d.wb_var - 2 * d.wb_cov)) < 1e-9 AS BOOLEAN)
+        |    AS identity_ok
+        |FROM b CROSS JOIN d ORDER BY b.bin""".stripMargin) { (s, dir) =>
+      val words = filter(split(col("text"), " "), x => length(x) > 0)
+      val f = t(s, dir, "documents").select(
+        (lit(1.0) / (lit(1.0)
+          + exp((col("n_chars") - 300).unary_- / lit(100.0)))).as("p"),
+        when(size(array_distinct(words)).cast("double")
+          > lit(0.46) * size(words), 1L).otherwise(0L).as("o"))
+      def d28(c: Column) = c.cast("decimal(28,12)")
+      val b = f.groupBy(least(floor(col("p") * 10).cast("long"), lit(9L))
+          .as("bin"))
+        .agg(count(lit(1)).as("n_b"),
+          sum(d28(col("p"))).cast("decimal(38,12)").as("sp"),
+          sum("o").cast("long").as("so"),
+          sum(d28(col("p") * col("p"))).cast("decimal(38,12)").as("spp"),
+          sum(d28(col("p") * col("o"))).cast("decimal(38,12)").as("spo"),
+          sum(d28((col("p") - col("o")) * (col("p") - col("o"))))
+            .cast("decimal(38,12)").as("sqerr"))
+        .localCheckpoint() // the 10-bin frame -- 3 consumers
+      def pb = col("sp").cast("double") / col("n_b")
+      def ob = col("so").cast("double") / col("n_b")
+      val tt = b.agg(sum("n_b").cast("long").as("n"),
+        sum("so").cast("long").as("oall"),
+        sum("sqerr").cast("decimal(38,12)").as("sq"),
+        sum(col("n_b").cast("double") * (pb - ob) * (pb - ob)).as("rel_n"),
+        sum(col("n_b").cast("double") * pb * pb).as("spb2"),
+        sum(col("n_b").cast("double") * pb * ob).as("spbob"),
+        sum("spp").cast("decimal(38,12)").as("sppall"),
+        sum("spo").cast("decimal(38,12)").as("spoall"))
+        .localCheckpoint() // 1-row grand totals
+      val res = b.crossJoin(broadcast(tt))
+        .agg(sum(col("n_b").cast("double")
+          * (ob - col("oall").cast("double") / col("n"))
+          * (ob - col("oall").cast("double") / col("n"))).as("res_n"))
+      val obar = col("oall").cast("double") / col("n")
+      val d = tt.crossJoin(broadcast(res)).select(col("n"),
+        (col("sq").cast("double") / col("n")).as("brier"),
+        (col("rel_n") / col("n")).as("reliability"),
+        (col("res_n") / col("n")).as("resolution"),
+        (obar * (lit(1) - obar)).as("uncertainty"),
+        ((col("sppall").cast("double") - col("spb2")) / col("n")).as("wb_var"),
+        ((col("spoall").cast("double") - col("spbob")) / col("n")).as("wb_cov"))
+      b.crossJoin(broadcast(d))
+        .select(col("bin"), col("n_b"), round(pb, 6).as("p_mean"),
+          round(ob, 6).as("o_rate"), round(col("brier"), 6).as("brier"),
+          round(col("reliability"), 6).as("reliability"),
+          round(col("resolution"), 6).as("resolution"),
+          round(col("uncertainty"), 6).as("uncertainty"),
+          round(col("wb_var"), 6).as("within_bin_var"),
+          round(col("wb_cov"), 6).as("within_bin_cov"),
+          (abs(col("brier") - (col("reliability") - col("resolution")
+            + col("uncertainty") + col("wb_var") - lit(2) * col("wb_cov")))
+            < 1e-9).as("identity_ok"))
+        .orderBy("bin")
     }
   )
 }

@@ -3157,6 +3157,60 @@ object StatsQueries {
           round(col("sg1"), 6).as("sigma1"), round(col("sg2"), 6).as("sigma2"),
           round(col("s").cast("double") / col("n"), 6).as("avg_loglik"))
         .orderBy("event_type")
+    },
+
+    // ---- 10% trimmed mean (the order-statistics robust center) ----
+    // The complement to q_winsorize (clip) and q_huber_mean (reweight):
+    // DROP the k = ⌊0.1·n⌋ smallest and largest values per event_type
+    // and average the rest. Exact rank semantics via one per-type
+    // window pass (deterministic (value, event_id) total order); the
+    // kept-range mean accumulates in DECIMAL. The shift column makes
+    // the tail asymmetry readable from the row.
+    sql(
+      "q_trimmed_mean",
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events),
+        |k AS (SELECT event_type, value, rn, n,
+        |        CAST(floor(n / 10.0) AS BIGINT) AS kk FROM r)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(kk) AS BIGINT) AS k_each_side,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / max(n), 6)
+        |    AS mean,
+        |  round(CAST(sum(CASE WHEN rn > kk AND rn <= n - kk
+        |                 THEN CAST(value AS DECIMAL(18,6))
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |        / (max(n) - 2 * max(kk)), 6) AS trimmed_mean,
+        |  round(CAST(sum(CASE WHEN rn > kk AND rn <= n - kk
+        |                 THEN CAST(value AS DECIMAL(18,6))
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |        / (max(n) - 2 * max(kk))
+        |        - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / max(n), 6)
+        |    AS shift
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val wAll = Window.partitionBy("event_type")
+      val r = t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("kk", floor(col("n") / 10.0).cast("long"))
+      val d6v = col("value").cast("decimal(18,6)")
+      val dz = lit(0).cast("decimal(18,6)")
+      val kept = when(col("rn") > col("kk") && col("rn") <= col("n") - col("kk"),
+        d6v).otherwise(dz)
+      val g = r.groupBy("event_type").agg(
+        max("n").cast("long").as("n"), max("kk").cast("long").as("k_each_side"),
+        sum(d6v).as("sv"), sum(kept).as("st"))
+      val mean = col("sv").cast("double") / col("n")
+      val tmean = col("st").cast("double")
+        ./(col("n") - lit(2) * col("k_each_side"))
+      g.select(col("event_type"), col("n"), col("k_each_side"),
+          round(mean, 6).as("mean"), round(tmean, 6).as("trimmed_mean"),
+          round(tmean - mean, 6).as("shift"))
+        .orderBy("event_type")
     }
   )
 }

@@ -140,6 +140,8 @@ class PlanAuditSpec extends SparkSpec {
                            // collection-total scalar
     "q_als_round",         // 1-row broadcast K + RMSE scalars riding the
                            // K-row item-factor frame
+    "q_brier_decomposition", // 1-row broadcast grand-total/decomposition
+                           // scalars riding the 10-bin frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

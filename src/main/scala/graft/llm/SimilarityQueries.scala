@@ -1200,6 +1200,107 @@ object SimilarityQueries {
             .when(col("near_core").isNotNull, "border")
             .otherwise("noise").as("cls"))
         .orderBy("cx", "cy")
+    },
+
+    // ---- Johnson–Lindenstrauss ±1 projection + distortion audit ----
+    // The dimensionality-reduction step before any large-scale ANN:
+    // project 64-dim embeddings to k=16 with a deterministic ±1
+    // matrix (sign = md5(i·16+j) parity, scaled 1/√k) and MEASURE the
+    // JL guarantee — the squared-distance ratio d'²/d² over an
+    // md5-capped probe-pair block (≤128 per side, the q_embed_mmd
+    // cap, so the pair volume is bounded at ANY corpus size).
+    // Projection is a (vec, dim) explode joined to the 1024-row
+    // broadcast sign table — k·d work per vector, no pairwise stage
+    // touches the full corpus.
+    sql(
+      "q_jl_projection",
+      """WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+        |  FROM embeddings WHERE vec_id % 2 = 0 QUALIFY r <= 128),
+        |b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+        |  FROM embeddings WHERE vec_id % 2 = 1 QUALIFY r <= 128),
+        |sg AS (SELECT i, j, CASE WHEN ('0x' || substr(md5(CAST(i * 16 + j
+        |      AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
+        |ex AS (SELECT vec_id, i, v[i + 1] AS x, 'a' AS side FROM a,
+        |         range(64) t(i)
+        |       UNION ALL SELECT vec_id, i, v[i + 1], 'b' FROM b, range(64) t(i)),
+        |pj AS (SELECT side, vec_id, j,
+        |    CAST(sum(CAST(x * s AS DECIMAL(28,12))) AS DOUBLE) / 4.0 AS y
+        |  FROM ex JOIN sg USING (i) GROUP BY 1, 2, 3),
+        |pd AS (SELECT pa.vec_id AS qa, pb.vec_id AS qb,
+        |    CAST(sum(CAST((pa.y - pb.y) * (pa.y - pb.y) AS DECIMAL(28,12)))
+        |         AS DOUBLE) AS d2p
+        |  FROM pj pa JOIN pj pb ON pa.j = pb.j AND pa.side = 'a' AND pb.side = 'b'
+        |  GROUP BY 1, 2),
+        |od AS (SELECT ea.vec_id AS qa, eb.vec_id AS qb,
+        |    CAST(sum(CAST((ea.x - eb.x) * (ea.x - eb.x) AS DECIMAL(28,12)))
+        |         AS DOUBLE) AS d2o
+        |  FROM ex ea JOIN ex eb ON ea.i = eb.i AND ea.side = 'a' AND eb.side = 'b'
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT p.d2p / o.d2o AS ratio
+        |  FROM pd p JOIN od o ON p.qa = o.qa AND p.qb = o.qb
+        |  WHERE o.d2o > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(16 AS BIGINT) AS k_dims,
+        |  round(CAST(sum(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+        |    AS mean_ratio,
+        |  round(CAST(quantile_cont(ratio, 0.05) AS DOUBLE), 6) AS p05_ratio,
+        |  round(CAST(quantile_cont(ratio, 0.95) AS DOUBLE), 6) AS p95_ratio,
+        |  round(CAST(sum(CASE WHEN abs(ratio - 1) <= 0.25 THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / count(*), 4) AS frac_within_25pct
+        |FROM rt""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      def side(parity: Int, tag: String) = e
+        .where(col("vec_id") % 2 === parity)
+        .withColumn("r", row_number().over(
+          Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .where(col("r") <= 128)
+        .select(col("vec_id"), col("v"), lit(tag).as("side"))
+      val ab = side(0, "a").unionByName(side(1, "b"))
+      val ex = ab.select(col("side"), col("vec_id"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .localCheckpoint() // ≤256×64 rows — feeds projection + exact d²
+      val signs = s.range(64).select(col("id").as("i"))
+        .crossJoin(s.range(16).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          when(conv(substring(md5((col("i") * 16 + col("j")).cast("string")),
+            1, 8), 16, 10).cast("long") % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0)).as("s"))
+      val pj = ex.join(broadcast(signs), "i")
+        .groupBy("side", "vec_id", "j")
+        .agg((sum((col("x") * col("s")).cast("decimal(28,12)")).cast("double")
+          / 4.0).as("y"))
+      val pa = pj.where(col("side") === "a")
+        .select(col("vec_id").as("qa"), col("j").as("ja"), col("y").as("ya"))
+      val pb = pj.where(col("side") === "b")
+        .select(col("vec_id").as("qb"), col("j").as("jb"), col("y").as("yb"))
+      val pd = pa.join(pb, col("ja") === col("jb"))
+        .groupBy("qa", "qb")
+        .agg(sum(((col("ya") - col("yb")) * (col("ya") - col("yb")))
+          .cast("decimal(28,12)")).cast("double").as("d2p"))
+      val ea = ex.where(col("side") === "a")
+        .select(col("vec_id").as("qa"), col("i").as("ia"), col("x").as("xa"))
+      val eb = ex.where(col("side") === "b")
+        .select(col("vec_id").as("qb"), col("i").as("ib"), col("x").as("xb"))
+      val od = ea.join(eb, col("ia") === col("ib"))
+        .groupBy("qa", "qb")
+        .agg(sum(((col("xa") - col("xb")) * (col("xa") - col("xb")))
+          .cast("decimal(28,12)")).cast("double").as("d2o"))
+      val rt = pd.join(od, Seq("qa", "qb")).where(col("d2o") > 0)
+        .select((col("d2p") / col("d2o")).as("ratio"))
+      rt.agg(count(lit(1)).as("n_pairs"),
+          sum(col("ratio").cast("decimal(28,12)")).cast("double").as("sr"),
+          percentile(col("ratio"), lit(0.05)).as("p05"),
+          percentile(col("ratio"), lit(0.95)).as("p95"),
+          sum(when(abs(col("ratio") - 1) <= 0.25, 1L).otherwise(0L)).as("w"))
+        .select(col("n_pairs"), lit(16L).as("k_dims"),
+          round(col("sr") / col("n_pairs"), 6).as("mean_ratio"),
+          round(col("p05"), 6).as("p05_ratio"),
+          round(col("p95"), 6).as("p95_ratio"),
+          round(col("w").cast("double") / col("n_pairs"), 4)
+            .as("frac_within_25pct"))
     }
   )
 }

@@ -638,6 +638,79 @@ object AggregateQueries {
           round(abs((col("k") - 1) / col("uk") - col("exact_distinct"))
             / col("exact_distinct"), 4).as("rel_err"),
           col("sample_id_sum"))
+    },
+
+    // ---- theta sketch set operations (audience intersection) ----
+    // The set-ops sketch next to q_hll_sketch_union's union-only HLL:
+    // DataSketches theta sketches support INTERSECTION, the "overlap
+    // of two huge audiences" primitive (users who click AND purchase)
+    // that HLL fundamentally can't answer. Build: one mapPartitions
+    // corpus pass emitting ≤ #partitions×2 compact partials (theta
+    // state is a pure function of the value set — mergeable, order-
+    // proof), then a per-type union and a 1-row intersection. The
+    // exact twins ride the same query; the oracle pins the exacts and
+    // the estimate-accuracy bound flags (the q_hll_sketch_union
+    // bound-flag pattern — ±5% marginals at 3σ of the k=4096 theta
+    // RSE, ±15% for the Jaccard-deflated intersection).
+    sql(
+      "q_theta_sketch_setops",
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(sum(hc) AS BIGINT) AS exact_click,
+        |  CAST(sum(hp) AS BIGINT) AS exact_purchase,
+        |  CAST(sum(hc * hp) AS BIGINT) AS exact_both,
+        |  round(CAST(sum(hc * hp) AS DOUBLE)
+        |        / (sum(hc) + sum(hp) - sum(hc * hp)), 6) AS jaccard,
+        |  TRUE AS click_est_ok, TRUE AS purchase_est_ok, TRUE AS both_est_ok
+        |FROM u""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.datasketches.memory.Memory
+      import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+      val ev = t(s, dir, "events")
+      val pairs = ev.where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id")).as[(String, Long)]
+      val partials = pairs.mapPartitions { it =>
+        val m = scala.collection.mutable.Map[String, UpdateSketch]()
+        it.foreach { case (ty, u) =>
+          m.getOrElseUpdate(ty, UpdateSketch.builder().build()).update(u)
+        }
+        m.iterator.map { case (ty, sk) => (ty, sk.compact().toByteArray) }
+      }
+      val merged = partials.groupByKey(_._1).mapGroups { (ty, it) =>
+        val un = SetOperation.builder().buildUnion()
+        it.foreach { case (_, b) => un.union(Sketches.wrapSketch(Memory.wrap(b))) }
+        (ty, un.getResult.toByteArray)
+      }.toDF("ty", "bytes").localCheckpoint() // 2 rows
+      val est = merged.where(col("ty") === "click")
+        .select(col("bytes").as("bc"))
+        .crossJoin(merged.where(col("ty") === "purchase")
+          .select(col("bytes").as("bp")))
+        .as[(Array[Byte], Array[Byte])]
+        .map { case (bc, bp) =>
+          val sc = Sketches.wrapSketch(Memory.wrap(bc))
+          val sp = Sketches.wrapSketch(Memory.wrap(bp))
+          val ix = SetOperation.builder().buildIntersection()
+          ix.intersect(sc); ix.intersect(sp)
+          (sc.getEstimate, sp.getEstimate, ix.getResult.getEstimate)
+        }.toDF("est_c", "est_p", "est_b")
+      val exact = ev.groupBy("user_id").agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("hc"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("hp"))
+        .agg(sum("hc").cast("long").as("exact_click"),
+          sum("hp").cast("long").as("exact_purchase"),
+          sum(col("hc") * col("hp")).cast("long").as("exact_both"))
+      def ok(est: String, ex: String, tol: Double) =
+        abs(col(est) - col(ex)) / col(ex) <= tol
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_click"), col("exact_purchase"), col("exact_both"),
+          round(col("exact_both").cast("double")
+            / (col("exact_click") + col("exact_purchase") - col("exact_both")),
+            6).as("jaccard"),
+          ok("est_c", "exact_click", 0.05).as("click_est_ok"),
+          ok("est_p", "exact_purchase", 0.05).as("purchase_est_ok"),
+          ok("est_b", "exact_both", 0.15).as("both_est_ok"))
     }
   )
 }

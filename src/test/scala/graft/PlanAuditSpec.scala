@@ -142,6 +142,9 @@ class PlanAuditSpec extends SparkSpec {
                            // K-row item-factor frame
     "q_brier_decomposition", // 1-row broadcast grand-total/decomposition
                            // scalars riding the 10-bin frame
+    "q_jl_projection",     // 64×16 sign-table grid from two range frames
+                           // + md5-capped probe pair block (ANN-audit class)
+    "q_theta_sketch_setops", // 1-row sketch-estimate × 1-row exact frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -229,10 +229,13 @@ object ScaleCheck {
     // round-8 fourth batch: the three per-key frequency collapses
     // (skew audit), the per-type rank windows (trimmed mean), and the
     // 10-bin forecast collapse (Brier decomposition)
-    "q_skew_audit", "q_trimmed_mean", "q_brier_decomposition",
+    "q_skew_audit_multi", "q_trimmed_mean", "q_brier_decomposition",
     // round-8 fifth batch: the (vec,dim) explode + 1024-row sign join
     // (JL) and the mapPartitions theta-partial corpus pass (set ops)
-    "q_jl_projection", "q_theta_sketch_setops")
+    "q_jl_projection", "q_theta_sketch_setops",
+    // round-8 sixth batch: the per-look cumulative moment collapse and
+    // the positive-argmax + vocabulary fan-out sampler
+    "q_group_sequential", "q_negative_sampling")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -964,6 +964,69 @@ object CurationQueries {
           round(col("w"), 6).as("weight"),
           round(col("n") * col("w"), 4).as("fitted"))
         .orderBy("source", "lang")
+    },
+
+    // ---- deterministic negative sampling (contrastive pairs) ----
+    // The contrastive-training data builder: each user's POSITIVE is
+    // their top event_type by mean value; 2 NEGATIVES come from the
+    // remaining vocabulary by smallest md5(user:type) — deterministic,
+    // so re-runs, backfills, and distributed workers agree on every
+    // pair with zero coordination (the same hash-not-random() rule as
+    // the split/sample family). Output is the (pos, neg) pair matrix
+    // with each negative type's share vs the uniform expectation —
+    // the sampler-bias audit. Corpus collapses ONCE to (user, type)
+    // means; the candidate fan-out is the K-row type vocabulary.
+    sql(
+      "q_negative_sampling",
+      """WITH um AS (SELECT user_id, event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |pos AS (SELECT user_id, event_type AS pos_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY m DESC, event_type) AS r
+        |    FROM um) WHERE r = 1),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |neg AS (SELECT p.user_id, p.pos_type, t.event_type AS neg_type,
+        |    row_number() OVER (PARTITION BY p.user_id
+        |      ORDER BY md5(CAST(p.user_id AS VARCHAR) || ':' || t.event_type),
+        |               t.event_type) AS nr
+        |  FROM pos p CROSS JOIN ty t WHERE t.event_type <> p.pos_type),
+        |pairs AS (SELECT pos_type, neg_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |          FROM neg WHERE nr <= 2 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM pairs)
+        |SELECT pos_type, neg_type, n_pairs,
+        |  round(CAST(n_pairs AS DOUBLE) / (SELECT n FROM tot), 4) AS pair_share,
+        |  round(CAST(sum(n_pairs) OVER (PARTITION BY neg_type) AS DOUBLE)
+        |        / (SELECT n FROM tot), 4) AS neg_share
+        |FROM pairs ORDER BY pos_type, neg_type""".stripMargin) { (s, dir) =>
+      val um = t(s, dir, "events").groupBy("user_id", "event_type")
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("m"))
+      val pos = um
+        .withColumn("r", row_number().over(Window.partitionBy("user_id")
+          .orderBy(desc("m"), col("event_type"))))
+        .where(col("r") === 1)
+        .select(col("user_id"), col("event_type").as("pos_type"))
+      val ty = t(s, dir, "events").select("event_type").distinct()
+        .withColumnRenamed("event_type", "cand")
+      val neg = pos.crossJoin(broadcast(ty))
+        .where(col("cand") =!= col("pos_type"))
+        .withColumn("nr", row_number().over(Window.partitionBy("user_id")
+          .orderBy(md5(concat(col("user_id").cast("string"), lit(":"),
+            col("cand"))), col("cand"))))
+        .where(col("nr") <= 2)
+      val pairs = neg.groupBy(col("pos_type"), col("cand").as("neg_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint() // ≤ K² rows
+      val tot = pairs.agg(sum("n_pairs").cast("long").as("n"))
+      pairs.crossJoin(broadcast(tot))
+        .withColumn("neg_tot",
+          sum("n_pairs").over(Window.partitionBy("neg_type")))
+        .select(col("pos_type"), col("neg_type"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("n"), 4).as("pair_share"),
+          round(col("neg_tot").cast("double") / col("n"), 4).as("neg_share"))
+        .orderBy("pos_type", "neg_type")
     }
   )
 }

@@ -544,7 +544,7 @@ object AuditQueries {
     // per table — the corpus cost — with all order statistics on the
     // per-key frame.
     sql(
-      "q_skew_audit",
+      "q_skew_audit_multi",
       """WITH f1 AS (SELECT 'lineitem.l_orderkey' AS key_name,
         |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey),
         |f2 AS (SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT)

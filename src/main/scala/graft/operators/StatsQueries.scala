@@ -3211,6 +3211,110 @@ object StatsQueries {
           round(mean, 6).as("mean"), round(tmean, 6).as("trimmed_mean"),
           round(tmean - mean, 6).as("shift"))
         .orderBy("event_type")
+    },
+
+    // ---- group-sequential monitoring (O'Brien–Fleming, 5 looks) ----
+    // The interim-analysis design next to q_msprt's always-valid
+    // sequential test: the experiment's time range splits into 5
+    // equal calendar spans, each look computes the cumulative
+    // two-sample z (arms = user parity) and compares it against the
+    // standard two-sided α=0.05 OBF boundary ladder
+    // (4.8769/3.3569/2.6803/2.2898/2.0310 — Lan–DeMets). ONE corpus
+    // pass to per-look conditional moments; the cumulative z and the
+    // boundary join run on the 5-row look frame.
+    sql(
+      "q_group_sequential",
+      """WITH b AS (SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+        |           FROM events),
+        |f AS (SELECT CAST(least(floor((epoch_us(ts) - (SELECT t0 FROM b))
+        |        / (((SELECT t1 FROM b) - (SELECT t0 FROM b)) / 5.0)), 4)
+        |        AS BIGINT) + 1 AS look,
+        |    user_id % 2 AS arm, value
+        |  FROM events),
+        |m AS (SELECT look,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CASE WHEN arm = 0
+        |             THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS q0,
+        |    CAST(sum(CASE WHEN arm = 1
+        |             THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS q1
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT look,
+        |    CAST(sum(n0) OVER w AS BIGINT) AS n0,
+        |    CAST(sum(n1) OVER w AS BIGINT) AS n1,
+        |    CAST(sum(s0) OVER w AS DECIMAL(38,6)) AS s0,
+        |    CAST(sum(s1) OVER w AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(q0) OVER w AS DECIMAL(38,12)) AS q0,
+        |    CAST(sum(q1) OVER w AS DECIMAL(38,12)) AS q1
+        |  FROM m WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+        |z AS (SELECT look, n0, n1,
+        |    (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |      / sqrt((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+        |               / (n0 - 1) / n0
+        |             + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        |               / (n1 - 1) / n1) AS zs
+        |  FROM c),
+        |ob AS (SELECT * FROM (VALUES (1, 4.8769), (2, 3.3569), (3, 2.6803),
+        |         (4, 2.2898), (5, 2.0310)) AS t(look, bound))
+        |SELECT z.look, z.n0, z.n1,
+        |  round(CAST(z.n0 + z.n1 AS DOUBLE)
+        |        / (SELECT max(n0 + n1) FROM z), 4) AS info_frac,
+        |  round(z.zs, 6) AS z_stat, CAST(ob.bound AS DOUBLE) AS obf_bound,
+        |  CAST(abs(z.zs) > ob.bound AS BOOLEAN) AS crossed
+        |FROM z JOIN ob ON ob.look = z.look ORDER BY z.look""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val b = ev.agg(unix_micros(min("ts")).as("t0"),
+        unix_micros(max("ts")).as("t1"))
+      val look = (least(floor((unix_micros(col("ts")) - col("t0"))
+        / ((col("t1") - col("t0")) / 5.0)), lit(4.0)).cast("long") + 1)
+        .as("look")
+      val d6v = col("value").cast("decimal(18,6)")
+      val dz6 = lit(0).cast("decimal(18,6)")
+      val dz12 = lit(0).cast("decimal(38,12)")
+      val a0 = col("user_id") % 2 === 0
+      val m = ev.crossJoin(broadcast(b))
+        .select(look, col("user_id"), col("value"))
+        .groupBy("look").agg(
+          sum(when(a0, 1L).otherwise(0L)).as("pn0"),
+          sum(when(!a0, 1L).otherwise(0L)).as("pn1"),
+          sum(when(a0, d6v).otherwise(dz6)).cast("decimal(38,6)").as("ps0"),
+          sum(when(!a0, d6v).otherwise(dz6)).cast("decimal(38,6)").as("ps1"),
+          sum(when(a0, d6v * d6v).otherwise(dz12)).cast("decimal(38,12)")
+            .as("pq0"),
+          sum(when(!a0, d6v * d6v).otherwise(dz12)).cast("decimal(38,12)")
+            .as("pq1"))
+      val w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+      val c = m.select(col("look"),
+        sum("pn0").over(w).cast("long").as("n0"),
+        sum("pn1").over(w).cast("long").as("n1"),
+        sum("ps0").over(w).cast("decimal(38,6)").as("s0"),
+        sum("ps1").over(w).cast("decimal(38,6)").as("s1"),
+        sum("pq0").over(w).cast("decimal(38,12)").as("q0"),
+        sum("pq1").over(w).cast("decimal(38,12)").as("q1"))
+      def dd(c0: String) = col(c0).cast("double")
+      val zs = (dd("s1") / col("n1") - dd("s0") / col("n0")) / sqrt(
+        (dd("q0") - dd("s0") * dd("s0") / col("n0")) / (col("n0") - 1) / col("n0")
+          + (dd("q1") - dd("s1") * dd("s1") / col("n1")) / (col("n1") - 1)
+            / col("n1"))
+      val z = c.select(col("look"), col("n0"), col("n1"), zs.as("zs"))
+        .localCheckpoint() // 5 rows
+      val ob = s.createDataFrame(Seq((1L, 4.8769), (2L, 3.3569), (3L, 2.6803),
+        (4L, 2.2898), (5L, 2.0310))).toDF("blook", "bound")
+      val tot = z.agg(max(col("n0") + col("n1")).as("ntot"))
+      z.join(broadcast(ob), col("blook") === col("look"))
+        .crossJoin(broadcast(tot))
+        .select(col("look"), col("n0"), col("n1"),
+          round((col("n0") + col("n1")).cast("double") / col("ntot"), 4)
+            .as("info_frac"),
+          round(col("zs"), 6).as("z_stat"), col("bound").as("obf_bound"),
+          (abs(col("zs")) > col("bound")).as("crossed"))
+        .orderBy("look")
     }
   )
 }

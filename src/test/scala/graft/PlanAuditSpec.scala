@@ -145,6 +145,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_jl_projection",     // 64×16 sign-table grid from two range frames
                            // + md5-capped probe pair block (ANN-audit class)
     "q_theta_sketch_setops", // 1-row sketch-estimate × 1-row exact frame
+    "q_group_sequential",  // 1-row broadcast time-range + total scalars
+                           // riding the 5-look frame
+    "q_negative_sampling", // K-row vocabulary fan-out + 1-row total scalar
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

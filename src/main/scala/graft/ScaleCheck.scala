@@ -235,7 +235,9 @@ object ScaleCheck {
     "q_jl_projection", "q_theta_sketch_setops",
     // round-8 sixth batch: the per-look cumulative moment collapse and
     // the positive-argmax + vocabulary fan-out sampler
-    "q_group_sequential", "q_negative_sampling")
+    "q_group_sequential", "q_negative_sampling",
+    // round-8 seventh batch: the d²-Gram double power chain
+    "q_pca_top2")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

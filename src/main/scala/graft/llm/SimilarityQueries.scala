@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1301,6 +1301,143 @@ object SimilarityQueries {
           round(col("p95"), 6).as("p95_ratio"),
           round(col("w").cast("double") / col("n_pairs"), 4)
             .as("frac_within_25pct"))
+    },
+
+    // ---- top-2 spectral pair via deflation ----
+    // Extends q_embed_top_eigen to the second eigenpair of the
+    // embedding second-moment matrix: power-iterate v₁ (5 rounds),
+    // deflate G₂ = G − λ₁v₁v₁ᵀ on the d² frame, power-iterate v₂, and
+    // report both Rayleigh eigenvalues, their trace shares, the
+    // spectral ratio, and the v₁·v₂ orthogonality check — the
+    // effective-dimension detail behind whitening and PCA-k choices.
+    // ONE corpus pass builds the d² Gram; every iteration (and the
+    // deflation) is d²-frame math with d-row broadcast vectors.
+    sql(
+      "q_pca_top2",
+      s"""WITH ex AS (SELECT vec_id, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS i
+        |            FROM embeddings),
+        |x AS MATERIALIZED (SELECT vec_id, i - 1 AS i,
+        |       CAST(embedding[i] AS DOUBLE) AS v FROM ex),
+        |n0 AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |        sum(a.v * b.v) / (SELECT n FROM n0) AS gij
+        |      FROM x a JOIN x b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+        |dims AS (SELECT DISTINCT i FROM x),
+        |d0 AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dims),
+        |wa0 AS (SELECT i, CAST(1 AS DOUBLE) / sqrt((SELECT d FROM d0)) AS w
+        |        FROM dims),
+        |${(1 to 5).map(k =>
+          s"""mva$k AS (SELECT g.i,
+             |    CAST(sum(CAST(g.gij * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+             |  FROM g JOIN wa${k - 1} w ON w.i = g.j GROUP BY g.i),
+             |nra$k AS (SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18)))
+             |                          AS DOUBLE)) AS z FROM mva$k),
+             |wa$k AS (SELECT i, m / (SELECT z FROM nra$k) AS w FROM mva$k)"""
+            .stripMargin).mkString(",\n")},
+        |mva6 AS (SELECT g.i,
+        |    CAST(sum(CAST(g.gij * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+        |  FROM g JOIN wa5 w ON w.i = g.j GROUP BY g.i),
+        |raya AS (SELECT CAST(sum(CAST(w.w * mv.m AS DECIMAL(38,18))) AS DOUBLE)
+        |           AS lam
+        |         FROM wa5 w JOIN mva6 mv ON mv.i = w.i),
+        |g2 AS MATERIALIZED (SELECT g.i, g.j,
+        |         g.gij - (SELECT lam FROM raya) * wi.w * wj.w AS gij
+        |       FROM g JOIN wa5 wi ON wi.i = g.i JOIN wa5 wj ON wj.i = g.j),
+        |wb0 AS (SELECT i, CAST(1 AS DOUBLE) / sqrt((SELECT d FROM d0)) AS w
+        |        FROM dims),
+        |${(1 to 5).map(k =>
+          s"""mvb$k AS (SELECT g.i,
+             |    CAST(sum(CAST(g.gij * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+             |  FROM g2 g JOIN wb${k - 1} w ON w.i = g.j GROUP BY g.i),
+             |nrb$k AS (SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,18)))
+             |                          AS DOUBLE)) AS z FROM mvb$k),
+             |wb$k AS (SELECT i, m / (SELECT z FROM nrb$k) AS w FROM mvb$k)"""
+            .stripMargin).mkString(",\n")},
+        |mvb6 AS (SELECT g.i,
+        |    CAST(sum(CAST(g.gij * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+        |  FROM g2 g JOIN wb5 w ON w.i = g.j GROUP BY g.i),
+        |rayb AS (SELECT CAST(sum(CAST(w.w * mv.m AS DECIMAL(38,18))) AS DOUBLE)
+        |           AS lam
+        |         FROM wb5 w JOIN mvb6 mv ON mv.i = w.i),
+        |tr AS (SELECT CAST(sum(CAST(gij AS DECIMAL(38,18))) AS DOUBLE) AS t
+        |       FROM g WHERE i = j),
+        |dt AS (SELECT CAST(sum(CAST(a.w * b.w AS DECIMAL(38,18))) AS DOUBLE)
+        |         AS d12
+        |       FROM wa5 a JOIN wb5 b ON b.i = a.i)
+        |SELECT round((SELECT lam FROM raya), 4) AS lambda1,
+        |  round((SELECT lam FROM rayb), 4) AS lambda2,
+        |  round((SELECT lam FROM rayb) / (SELECT lam FROM raya), 6)
+        |    AS spectral_ratio,
+        |  round((SELECT lam FROM raya) / (SELECT t FROM tr), 6) AS share1,
+        |  round((SELECT lam FROM rayb) / (SELECT t FROM tr), 6) AS share2,
+        |  round(abs((SELECT d12 FROM dt)), 6) AS v1_dot_v2,
+        |  CAST(abs((SELECT d12 FROM dt)) < 1e-6 AS BOOLEAN) AS ortho_ok"""
+        .stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cells = emb.select(col("vec_id"), col("embedding"),
+          posexplode(col("embedding")).as(Seq("pi", "vi")))
+        .select(col("vec_id"), col("pi"), col("vi").cast("double").as("vi"),
+          posexplode(col("embedding")).as(Seq("pj", "vj")))
+        .select(col("pi"), col("pj"), col("vi"),
+          col("vj").cast("double").as("vj"))
+      val n0 = emb.agg(countDistinct(when(col("embedding").isNotNull
+        && size(col("embedding")) > 0, col("vec_id"))).as("n"))
+      val g = cells.groupBy("pi", "pj")
+        .agg(sum(col("vi") * col("vj")).as("sxy"))
+        .crossJoin(broadcast(n0))
+        .select(col("pi"), col("pj"), (col("sxy") / col("n")).as("gij"))
+        .localCheckpoint() // the d² Gram — both chains + trace read this
+      val dims = g.select(col("pi")).distinct()
+      val d0 = dims.agg(count(lit(1)).as("d"))
+      val dec = (c: Column) => c.cast("decimal(38,18)")
+      val w0 = dims.crossJoin(broadcast(d0))
+        .select(col("pi").as("i"), (lit(1.0) / sqrt(col("d"))).as("w"))
+        .localCheckpoint()
+      def matvec(gf: DataFrame, wf: DataFrame) = gf
+        .join(broadcast(wf.select(col("i").as("pj"), col("w"))), Seq("pj"))
+        .groupBy(col("pi").as("i"))
+        .agg(sum(dec(col("gij") * col("w"))).cast("double").as("m"))
+      def power(gf: DataFrame): (DataFrame, DataFrame) = {
+        var w = w0
+        for (_ <- 1 to 5) {
+          val mv = matvec(gf, w).localCheckpoint()
+          val nrm = mv.agg(sqrt(sum(dec(col("m") * col("m"))).cast("double"))
+            .as("z"))
+          w = mv.crossJoin(broadcast(nrm))
+            .select(col("i"), (col("m") / col("z")).as("w"))
+            .localCheckpoint()
+        }
+        val mv6 = matvec(gf, w).localCheckpoint()
+        val ray = w.join(mv6, Seq("i"))
+          .agg(sum(dec(col("w") * col("m"))).cast("double").as("lam"))
+          .localCheckpoint()
+        (w, ray)
+      }
+      val (wa, raya) = power(g)
+      val g2 = g
+        .join(broadcast(wa.select(col("i").as("pi"), col("w").as("wi"))), Seq("pi"))
+        .join(broadcast(wa.select(col("i").as("pj"), col("w").as("wj"))), Seq("pj"))
+        .crossJoin(broadcast(raya.select(col("lam").as("lam1"))))
+        .select(col("pi"), col("pj"),
+          (col("gij") - col("lam1") * col("wi") * col("wj")).as("gij"))
+        .localCheckpoint() // deflated Gram, d² rows
+      val (wb, rayb) = power(g2)
+      val tr = g.where(col("pi") === col("pj"))
+        .agg(sum(dec(col("gij"))).cast("double").as("t"))
+      val dt = wa.select(col("i"), col("w").as("w1"))
+        .join(wb.select(col("i"), col("w").as("w2")), Seq("i"))
+        .agg(sum(dec(col("w1") * col("w2"))).cast("double").as("d12"))
+      raya.select(col("lam").as("lam1"))
+        .crossJoin(broadcast(rayb.select(col("lam").as("lam2"))))
+        .crossJoin(broadcast(tr)).crossJoin(broadcast(dt))
+        .select(round(col("lam1"), 4).as("lambda1"),
+          round(col("lam2"), 4).as("lambda2"),
+          round(col("lam2") / col("lam1"), 6).as("spectral_ratio"),
+          round(col("lam1") / col("t"), 6).as("share1"),
+          round(col("lam2") / col("t"), 6).as("share2"),
+          round(abs(col("d12")), 6).as("v1_dot_v2"),
+          (abs(col("d12")) < 1e-6).as("ortho_ok"))
     }
   )
 }

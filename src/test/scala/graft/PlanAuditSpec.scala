@@ -148,6 +148,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_group_sequential",  // 1-row broadcast time-range + total scalars
                            // riding the 5-look frame
     "q_negative_sampling", // K-row vocabulary fan-out + 1-row total scalar
+    "q_pca_top2",          // 1-row broadcast n/λ/trace scalars riding the
+                           // d² Gram per power round (q_embed_top_eigen class)
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -237,7 +237,10 @@ object ScaleCheck {
     // the positive-argmax + vocabulary fan-out sampler
     "q_group_sequential", "q_negative_sampling",
     // round-8 seventh batch: the d²-Gram double power chain
-    "q_pca_top2")
+    "q_pca_top2",
+    // round-8 eighth batch: the per-user IV collapse, the dual-scorer
+    // postings pass, and the band-bounded + md5-capped linkage pairs
+    "q_iv_wald", "q_rank_agreement", "q_fellegi_sunter")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -2,7 +2,8 @@ package graft.llm
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md
@@ -866,6 +867,150 @@ object DedupQueries {
           round(col("dist"), 4).as("dist"))
         .where(col("da") < col("db"))
         .orderBy("da", "db")
+    },
+
+    // ---- Fellegi–Sunter linkage weights ----
+    // The probabilistic record-linkage trainer (Fellegi & Sunter
+    // 1969): per-comparator m = P(agree | match) and u = P(agree |
+    // non-match) estimated from two labeled pair sets — matches = the
+    // LSH-verified near-dup pairs (MinhashPipeline, band-bounded),
+    // non-matches = an md5-capped even×odd pair block (≤64 per side,
+    // bounded at ANY corpus size, minus any accidental matches) —
+    // with Laplace-smoothed probabilities and the log-likelihood
+    // agreement/disagreement weights ln(m/u), ln((1−m)/(1−u)) a
+    // linkage scorer would sum per field. Four comparators: same
+    // source, same lang, length within 20%, token-Jaccard ≥ 0.3.
+    // Both pair sets are bounded, so the attribute joins and the
+    // per-pair set math never touch a corpus² stage.
+    sql(
+      "q_fellegi_sunter",
+      s"""WITH ${MinhashPipeline.pairsSqlCte},
+        |at AS (SELECT doc_id, source, lang, n_chars,
+        |    list_distinct(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS tk
+        |  FROM documents),
+        |ue AS (SELECT doc_id, row_number() OVER (ORDER BY
+        |         md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |       FROM documents WHERE doc_id % 2 = 0 QUALIFY r <= 64),
+        |uo AS (SELECT doc_id, row_number() OVER (ORDER BY
+        |         md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |       FROM documents WHERE doc_id % 2 = 1 QUALIFY r <= 64),
+        |up AS (SELECT least(e.doc_id, o.doc_id) AS da,
+        |         greatest(e.doc_id, o.doc_id) AS db
+        |       FROM ue e CROSS JOIN uo o),
+        |un AS (SELECT u.da, u.db FROM up u
+        |       LEFT JOIN pairs p ON p.da = u.da AND p.db = u.db
+        |       WHERE p.da IS NULL),
+        |fm AS (SELECT p.da, p.db,
+        |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN abs(a.n_chars - b.n_chars)
+        |         <= 0.2 * greatest(a.n_chars, b.n_chars) THEN 1 ELSE 0 END AS f3,
+        |    CASE WHEN CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x)))
+        |           AS DOUBLE)
+        |         / (len(a.tk) + len(b.tk)
+        |            - len(list_filter(a.tk, x -> list_contains(b.tk, x))))
+        |         >= 0.3 THEN 1 ELSE 0 END AS f4
+        |  FROM pairs p JOIN at a ON a.doc_id = p.da JOIN at b ON b.doc_id = p.db),
+        |fu AS (SELECT u.da, u.db,
+        |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN abs(a.n_chars - b.n_chars)
+        |         <= 0.2 * greatest(a.n_chars, b.n_chars) THEN 1 ELSE 0 END AS f3,
+        |    CASE WHEN CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x)))
+        |           AS DOUBLE)
+        |         / (len(a.tk) + len(b.tk)
+        |            - len(list_filter(a.tk, x -> list_contains(b.tk, x))))
+        |         >= 0.3 THEN 1 ELSE 0 END AS f4
+        |  FROM un u JOIN at a ON a.doc_id = u.da JOIN at b ON b.doc_id = u.db),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS nm,
+        |    CAST(sum(f1) AS BIGINT) AS m1, CAST(sum(f2) AS BIGINT) AS m2,
+        |    CAST(sum(f3) AS BIGINT) AS m3, CAST(sum(f4) AS BIGINT) AS m4
+        |  FROM fm),
+        |su AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(sum(f1) AS BIGINT) AS u1, CAST(sum(f2) AS BIGINT) AS u2,
+        |    CAST(sum(f3) AS BIGINT) AS u3, CAST(sum(f4) AS BIGINT) AS u4
+        |  FROM fu),
+        |j AS (SELECT * FROM sm CROSS JOIN su)
+        |SELECT * FROM (
+        |  SELECT 'f1_same_source' AS field, nm AS n_match_pairs,
+        |    nu AS n_nonmatch_pairs,
+        |    round((m1 + 0.5) / (nm + 1.0), 6) AS m_prob,
+        |    round((u1 + 0.5) / (nu + 1.0), 6) AS u_prob,
+        |    round(ln(((m1 + 0.5) / (nm + 1.0)) / ((u1 + 0.5) / (nu + 1.0))), 6)
+        |      AS w_agree,
+        |    round(ln((1 - (m1 + 0.5) / (nm + 1.0))
+        |             / (1 - (u1 + 0.5) / (nu + 1.0))), 6) AS w_disagree
+        |  FROM j
+        |  UNION ALL SELECT 'f2_same_lang', nm, nu,
+        |    round((m2 + 0.5) / (nm + 1.0), 6), round((u2 + 0.5) / (nu + 1.0), 6),
+        |    round(ln(((m2 + 0.5) / (nm + 1.0)) / ((u2 + 0.5) / (nu + 1.0))), 6),
+        |    round(ln((1 - (m2 + 0.5) / (nm + 1.0))
+        |             / (1 - (u2 + 0.5) / (nu + 1.0))), 6) FROM j
+        |  UNION ALL SELECT 'f3_len_within_20pct', nm, nu,
+        |    round((m3 + 0.5) / (nm + 1.0), 6), round((u3 + 0.5) / (nu + 1.0), 6),
+        |    round(ln(((m3 + 0.5) / (nm + 1.0)) / ((u3 + 0.5) / (nu + 1.0))), 6),
+        |    round(ln((1 - (m3 + 0.5) / (nm + 1.0))
+        |             / (1 - (u3 + 0.5) / (nu + 1.0))), 6) FROM j
+        |  UNION ALL SELECT 'f4_jaccard_030', nm, nu,
+        |    round((m4 + 0.5) / (nm + 1.0), 6), round((u4 + 0.5) / (nu + 1.0), 6),
+        |    round(ln(((m4 + 0.5) / (nm + 1.0)) / ((u4 + 0.5) / (nu + 1.0))), 6),
+        |    round(ln((1 - (m4 + 0.5) / (nm + 1.0))
+        |             / (1 - (u4 + 0.5) / (nu + 1.0))), 6) FROM j)
+        |ORDER BY field""".stripMargin) { (s, dir) =>
+      val mPairs = MinhashPipeline.pairs(s, dir).select("da", "db")
+        .localCheckpoint() // band-bounded labeled matches
+      val docs = t(s, dir, "documents")
+      val at = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"),
+        array_distinct(filter(split(col("text"), " "),
+          x => length(x) > 0)).as("tk"))
+      def side(parity: Int, out: String) = docs
+        .where(col("doc_id") % 2 === parity)
+        .withColumn("r", row_number().over(
+          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .where(col("r") <= 64)
+        .select(col("doc_id").as(out))
+      val up = side(0, "ea").crossJoin(broadcast(side(1, "ob")))
+        .select(least(col("ea"), col("ob")).as("da"),
+          greatest(col("ea"), col("ob")).as("db"))
+      val un = up.join(mPairs, Seq("da", "db"), "left_anti")
+      def fields(pairs: DataFrame) = {
+        val a = at.select(col("doc_id").as("da"), col("source").as("sa"),
+          col("lang").as("la"), col("n_chars").as("ca"), col("tk").as("tka"))
+        val b = at.select(col("doc_id").as("db"), col("source").as("sb"),
+          col("lang").as("lb"), col("n_chars").as("cb"), col("tk").as("tkb"))
+        val inter = size(array_intersect(col("tka"), col("tkb")))
+        val jac = inter.cast("double")
+          ./(size(col("tka")) + size(col("tkb")) - inter)
+        pairs.join(a, "da").join(b, "db")
+          .select(when(col("sa") === col("sb"), 1L).otherwise(0L).as("f1"),
+            when(col("la") === col("lb"), 1L).otherwise(0L).as("f2"),
+            when(abs(col("ca") - col("cb"))
+              <= lit(0.2) * greatest(col("ca"), col("cb")), 1L)
+              .otherwise(0L).as("f3"),
+            when(jac >= 0.3, 1L).otherwise(0L).as("f4"))
+          .agg(count(lit(1)).as("n"), sum("f1").as("s1"), sum("f2").as("s2"),
+            sum("f3").as("s3"), sum("f4").as("s4"))
+      }
+      val sm = fields(mPairs).select(col("n").as("nm"), col("s1").as("m1"),
+        col("s2").as("m2"), col("s3").as("m3"), col("s4").as("m4"))
+      val su = fields(un).select(col("n").as("nu"), col("s1").as("u1"),
+        col("s2").as("u2"), col("s3").as("u3"), col("s4").as("u4"))
+      val j = sm.crossJoin(broadcast(su)).localCheckpoint() // 1 row
+      val names = Seq("f1_same_source" -> ("m1", "u1"),
+        "f2_same_lang" -> ("m2", "u2"),
+        "f3_len_within_20pct" -> ("m3", "u3"),
+        "f4_jaccard_030" -> ("m4", "u4"))
+      names.map { case (nm, (mc, uc)) =>
+        val mp = (col(mc) + 0.5) / (col("nm") + 1.0)
+        val upr = (col(uc) + 0.5) / (col("nu") + 1.0)
+        j.select(lit(nm).as("field"), col("nm").as("n_match_pairs"),
+          col("nu").as("n_nonmatch_pairs"),
+          round(mp, 6).as("m_prob"), round(upr, 6).as("u_prob"),
+          round(log(mp / upr), 6).as("w_agree"),
+          round(log((lit(1) - mp) / (lit(1) - upr)), 6).as("w_disagree"))
+      }.reduce(_ unionByName _).orderBy("field")
     }
   )
 }

@@ -246,6 +246,108 @@ object TfIdfQueries {
         .select(col("doc_id"), round(col("s").cast("double"), 6).as("ql_score"),
           col("rank"))
         .orderBy("rank")
+    },
+
+    // ---- retrieval-ranker agreement (BM25 vs Dirichlet QL) ----
+    // Do the two scorers order the corpus the same way? Both score
+    // EVERY doc for the same top-3-cf query (BM25 k1=1.2 b=0.75;
+    // QL μ=2000), rank deterministically on the rounded scores, and
+    // the output is the exact tie-free Spearman ρ between the two
+    // rankings (doubled-rank-free: row_number ranks, integer d²
+    // accumulated in DECIMAL(38,0) — overflow-proof at any n) plus
+    // the top-20 overlap. The scorer-swap regression gate for a
+    // retrieval stack. One explode pass; the query statistics ride a
+    // 3-row broadcast.
+    sql(
+      "q_rank_agreement",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT doc_id, unnest(words) AS word, len(words) AS dl FROM w),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM p GROUP BY 1, 2),
+        |cf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM p),
+        |dlen AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |         FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |       FROM dlen),
+        |q AS (SELECT word, cf, df, row_number() OVER (ORDER BY cf DESC, word) AS r
+        |      FROM cf QUALIFY r <= 3),
+        |fan AS (SELECT d.doc_id, d.dl, q.word, q.cf, q.df FROM dlen d CROSS JOIN q),
+        |sc AS (SELECT f.doc_id,
+        |    CAST(sum(CAST(ln((coalesce(t.tf, 0) + 2000.0 * f.cf
+        |                      / (SELECT ctot FROM tot)) / (f.dl + 2000.0))
+        |                  AS DECIMAL(28,12))) AS DOUBLE) AS ql,
+        |    CAST(sum(CAST(ln(((SELECT nd FROM nd) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |                  * (coalesce(t.tf, 0) * 2.2)
+        |                  / (coalesce(t.tf, 0) + 1.2 * (0.25 + 0.75 * f.dl
+        |                      / (SELECT avgdl FROM nd)))
+        |                  AS DECIMAL(28,12))) AS DOUBLE) AS bm
+        |  FROM fan f LEFT JOIN tf t ON t.doc_id = f.doc_id AND t.word = f.word
+        |  GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY round(ql, 6) DESC, doc_id) AS BIGINT) AS rq,
+        |    CAST(row_number() OVER (ORDER BY round(bm, 6) DESC, doc_id) AS BIGINT) AS rb
+        |  FROM sc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(1.0 - 6.0 * CAST(sum(CAST((rq - rb) * (rq - rb) AS DECIMAL(38,0)))
+        |          AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE)
+        |           * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1)), 6)
+        |    AS spearman,
+        |  CAST(sum(CASE WHEN rq <= 20 AND rb <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS top20_overlap
+        |FROM r""".stripMargin) { (s, dir) =>
+      val w = wordsByDoc(s, dir)
+      val p = postings(w)
+      val tf = p.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val cf = p.groupBy("word")
+        .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+      val tot = p.agg(count(lit(1)).as("ctot"))
+      val dlen = w.select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+      val ndf = dlen.agg(count(lit(1)).as("nd"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val q = cf
+        .withColumn("r", row_number().over(Window.orderBy(desc("cf"), col("word"))))
+        .where(col("r") <= 3)
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ndf))
+        .select(col("word"), col("cf"), col("df"), col("ctot"), col("nd"),
+          col("avgdl"))
+        .localCheckpoint() // 3-row query + corpus scalars
+      val fan = dlen.crossJoin(broadcast(q))
+      val tfv = coalesce(col("tf"), lit(0L))
+      val ql = log((tfv + lit(2000.0) * col("cf") / col("ctot"))
+        / (col("dl") + lit(2000.0)))
+      val bm = log(((col("nd") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
+        .*(tfv * 2.2)
+        ./(tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val sc = fan.join(tf.select(col("doc_id").as("tdoc"),
+          col("word").as("tword"), col("tf")),
+          col("tdoc") === fan("doc_id") && col("tword") === col("word"), "left")
+        .groupBy(fan("doc_id").as("doc_id"))
+        .agg(sum(ql.cast("decimal(28,12)")).cast("double").as("ql"),
+          sum(bm.cast("decimal(28,12)")).cast("double").as("bm"))
+      val r = sc
+        .withColumn("rq", row_number()
+          .over(Window.orderBy(round(col("ql"), 6).desc, col("doc_id")))
+          .cast("long"))
+        .withColumn("rb", row_number()
+          .over(Window.orderBy(round(col("bm"), 6).desc, col("doc_id")))
+          .cast("long"))
+      val nD = count(lit(1)).cast("double")
+      r.agg(count(lit(1)).as("n_docs"),
+          sum(((col("rq") - col("rb")) * (col("rq") - col("rb")))
+            .cast("decimal(38,0)")).as("sd2"),
+          sum(when(col("rq") <= 20 && col("rb") <= 20, 1L).otherwise(0L))
+            .as("top20_overlap"))
+        .select(col("n_docs"),
+          round(lit(1.0) - lit(6.0) * col("sd2").cast("double")
+            / (col("n_docs").cast("double")
+              * (col("n_docs").cast("double") * col("n_docs").cast("double")
+                - 1)), 6).as("spearman"),
+          col("top20_overlap"))
     }
   )
 }

@@ -3315,6 +3315,87 @@ object StatsQueries {
           round(col("zs"), 6).as("z_stat"), col("bound").as("obf_bound"),
           (abs(col("zs")) > col("bound")).as("crossed"))
         .orderBy("look")
+    },
+
+    // ---- instrumental-variable (Wald) estimator ----
+    // The observational-causal complement to q_propensity_ipw: with
+    // user parity as an as-if-random instrument z, first-half
+    // activity count as the endogenous exposure x, and second-half
+    // spend as the outcome y, the Wald/IV slope is
+    // β = (E[y|z=1]−E[y|z=0]) / (E[x|z=1]−E[x|z=0]) — intent-to-treat
+    // over first-stage. The naive OLS slope rides along so the
+    // confounding gap is readable from the row. ONE corpus pass to
+    // the per-user (z, x, y) frame; every moment re-aggregates it.
+    sql(
+      "q_iv_wald",
+      """WITH b AS (SELECT epoch_us(min(ts))
+        |                  + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+        |           FROM events),
+        |u AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) AS z,
+        |        CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |        CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+        |                 THEN CAST(value AS DECIMAL(18,6))
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS y
+        |      FROM events GROUP BY 1, 2),
+        |arm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS BIGINT) AS n1,
+        |    CAST(sum(z * x) AS BIGINT) AS sx1,
+        |    CAST(sum((1 - z) * x) AS BIGINT) AS sx0,
+        |    CAST(sum(CASE WHEN z = 1 THEN y ELSE CAST(0 AS DECIMAL(38,6)) END)
+        |         AS DECIMAL(38,6)) AS sy1,
+        |    CAST(sum(CASE WHEN z = 0 THEN y ELSE CAST(0 AS DECIMAL(38,6)) END)
+        |         AS DECIMAL(38,6)) AS sy0,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS DECIMAL(38,6)) AS sxy
+        |  FROM u),
+        |e AS (SELECT n, n1, n - n1 AS n0,
+        |    CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / (n - n1) AS itt,
+        |    CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / (n - n1) AS fs,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |      AS ols
+        |  FROM arm)
+        |SELECT n AS n_users, n1, n0, round(itt, 6) AS itt,
+        |  round(fs, 6) AS first_stage, round(itt / fs, 6) AS beta_iv,
+        |  round(ols, 6) AS beta_ols,
+        |  round(itt / fs - ols, 6) AS confounding_gap
+        |FROM e""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select((unix_micros(col("t0"))
+          + expr("(unix_micros(t1) - unix_micros(t0)) div 2")).as("mid_us"))
+      val pre = unix_micros(col("ts")) < col("mid_us")
+      val dz = lit(0).cast("decimal(18,6)")
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("z"))
+        .agg(sum(when(pre, 1L).otherwise(0L)).as("x"),
+          sum(when(!pre, col("value").cast("decimal(18,6)")).otherwise(dz))
+            .cast("decimal(38,6)").as("y"))
+      val dz38 = lit(0).cast("decimal(38,6)")
+      val arm = u.agg(count(lit(1)).as("n"), sum("z").cast("long").as("n1"),
+        sum(col("z") * col("x")).cast("long").as("sx1"),
+        sum((lit(1) - col("z")) * col("x")).cast("long").as("sx0"),
+        sum(when(col("z") === 1, col("y")).otherwise(dz38))
+          .cast("decimal(38,6)").as("sy1"),
+        sum(when(col("z") === 0, col("y")).otherwise(dz38))
+          .cast("decimal(38,6)").as("sy0"),
+        sum("x").cast("long").as("sx"),
+        sum("y").cast("decimal(38,6)").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("y")).cast("decimal(38,6)").as("sxy"))
+      def dd(c: String) = col(c).cast("double")
+      val itt = dd("sy1") / col("n1") - dd("sy0") / (col("n") - col("n1"))
+      val fs = dd("sx1") / col("n1") - dd("sx0") / (col("n") - col("n1"))
+      val ols = (dd("sxy") - dd("sx") * dd("sy") / col("n"))
+        ./(dd("sxx") - dd("sx") * dd("sx") / col("n"))
+      arm.select(col("n").as("n_users"), col("n1"),
+        (col("n") - col("n1")).as("n0"), round(itt, 6).as("itt"),
+        round(fs, 6).as("first_stage"), round(itt / fs, 6).as("beta_iv"),
+        round(ols, 6).as("beta_ols"),
+        round(itt / fs - ols, 6).as("confounding_gap"))
     }
   )
 }

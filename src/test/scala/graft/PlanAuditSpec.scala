@@ -150,6 +150,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_negative_sampling", // K-row vocabulary fan-out + 1-row total scalar
     "q_pca_top2",          // 1-row broadcast n/λ/trace scalars riding the
                            // d² Gram per power round (q_embed_top_eigen class)
+    "q_iv_wald",           // 1-row broadcast corpus-midpoint scalar riding
+                           // the per-user collapse
+    "q_rank_agreement",    // 3-row broadcast query-term fan-out + corpus
+                           // scalars (the q_dirichlet_ql class)
+    "q_fellegi_sunter",    // md5-capped 64×64 non-match pair block (the
+                           // ANN-audit class) + 1-row m/u stat frames
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

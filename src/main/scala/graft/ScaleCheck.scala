@@ -240,7 +240,10 @@ object ScaleCheck {
     "q_pca_top2",
     // round-8 eighth batch: the per-user IV collapse, the dual-scorer
     // postings pass, and the band-bounded + md5-capped linkage pairs
-    "q_iv_wald", "q_rank_agreement", "q_fellegi_sunter")
+    "q_iv_wald", "q_rank_agreement", "q_fellegi_sunter",
+    // round-8 ninth batch: the procedure-comparison ladder and the
+    // tie-domain rank collapse
+    "q_holm_bonferroni", "q_kruskal_wallis")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -3396,6 +3396,173 @@ object StatsQueries {
         round(fs, 6).as("first_stage"), round(itt / fs, 6).as("beta_iv"),
         round(ols, 6).as("beta_ols"),
         round(itt / fs - ols, 6).as("confounding_gap"))
+    },
+
+    // ---- multiple-testing procedure comparison (Bonferroni/Holm/BH) ----
+    // The same per-type z-test family as q_bh_fdr, adjudicated by all
+    // three standard procedures side by side: Bonferroni (p ≤ α/m),
+    // Holm step-down (reject while p_(i) ≤ α/(m−i+1) — the cumulative-
+    // AND over the sorted family), and BH step-up — the FWER-vs-FDR
+    // power ladder made visible per metric. Corpus cost is the one
+    // conditional-moment pass; every procedure runs on the #types
+    // frame.
+    sql(
+      "q_holm_bonferroni",
+      """WITH m AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS s1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0
+        |             THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS q0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1
+        |             THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |             ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS q1
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT event_type,
+        |    round(2.0 / (1.0 + exp(0.07056 * abs(zs) * abs(zs) * abs(zs)
+        |                           + 1.5976 * abs(zs))), 6) AS p6
+        |  FROM (SELECT event_type,
+        |      (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |        / sqrt((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+        |                 / (n0 - 1) / n0
+        |               + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        |                 / (n1 - 1) / n1) AS zs
+        |    FROM m) z),
+        |r AS (SELECT event_type, p6,
+        |    CAST(row_number() OVER (ORDER BY p6, event_type) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS fam
+        |  FROM p),
+        |h AS (SELECT *,
+        |    CASE WHEN p6 <= 0.10 / fam THEN 1 ELSE 0 END AS bonf,
+        |    min(CASE WHEN p6 <= 0.10 / (fam - i + 1) THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS holm
+        |  FROM r),
+        |k AS (SELECT coalesce(max(CASE WHEN p6 <= i * 0.10 / fam THEN i END), 0)
+        |        AS kmax FROM r)
+        |SELECT event_type, p6 AS p_approx, i AS p_rank,
+        |  CAST(bonf = 1 AS BOOLEAN) AS bonferroni_reject,
+        |  CAST(holm = 1 AS BOOLEAN) AS holm_reject,
+        |  CAST(i <= (SELECT kmax FROM k) AS BOOLEAN) AS bh_reject
+        |FROM h ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d6v = col("value").cast("decimal(18,6)")
+      val dz6 = lit(0).cast("decimal(18,6)")
+      val dz12 = lit(0).cast("decimal(38,12)")
+      val a0 = col("user_id") % 2 === 0
+      val m = t(s, dir, "events").groupBy("event_type").agg(
+        sum(when(a0, 1L).otherwise(0L)).as("n0"),
+        sum(when(!a0, 1L).otherwise(0L)).as("n1"),
+        sum(when(a0, d6v).otherwise(dz6)).cast("decimal(38,6)").as("s0"),
+        sum(when(!a0, d6v).otherwise(dz6)).cast("decimal(38,6)").as("s1"),
+        sum(when(a0, d6v * d6v).otherwise(dz12)).cast("decimal(38,12)").as("q0"),
+        sum(when(!a0, d6v * d6v).otherwise(dz12)).cast("decimal(38,12)").as("q1"))
+      def dd(c: String) = col(c).cast("double")
+      val zs = (dd("s1") / col("n1") - dd("s0") / col("n0")) / sqrt(
+        (dd("q0") - dd("s0") * dd("s0") / col("n0")) / (col("n0") - 1) / col("n0")
+          + (dd("q1") - dd("s1") * dd("s1") / col("n1")) / (col("n1") - 1)
+            / col("n1"))
+      val az = abs(col("zs"))
+      val p = m.select(col("event_type"), zs.as("zs"))
+        .withColumn("p6", round(lit(2.0) / (lit(1.0)
+          + exp(lit(0.07056) * az * az * az + lit(1.5976) * az)), 6))
+        .localCheckpoint() // #types rows
+      val r = p
+        .withColumn("i", row_number()
+          .over(Window.orderBy("p6", "event_type")).cast("long"))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("fam"))))
+        .localCheckpoint()
+      val holm = min(when(col("p6") <= lit(0.10) / (col("fam") - col("i") + 1),
+        1).otherwise(0))
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+      val kmax = r.agg(coalesce(
+        max(when(col("p6") <= col("i") * 0.10 / col("fam"), col("i"))),
+        lit(0L)).as("kmax"))
+      r.withColumn("holm", holm)
+        .crossJoin(broadcast(kmax))
+        .select(col("event_type"), col("p6").as("p_approx"),
+          col("i").as("p_rank"),
+          (col("p6") <= lit(0.10) / col("fam")).as("bonferroni_reject"),
+          (col("holm") === 1).as("holm_reject"),
+          (col("i") <= col("kmax")).as("bh_reject"))
+        .orderBy("event_type")
+    },
+
+    // ---- Kruskal–Wallis rank test (K-group nonparametric ANOVA) ----
+    // The K>2 complement to q_auc_mannwhitney, in the repo's exact-
+    // rank house style: values collapse to the tie-group domain in
+    // ONE shuffle, average ranks come from a cumulative window over
+    // the distinct-value frame (exact half-integer arithmetic in
+    // DECIMAL), H carries the Σ(t³−t) tie correction, and the only
+    // doubles appear in the final 1-row projection. Rejects at the
+    // χ²(K−1, 0.05) = 9.488 critical value for K=5.
+    sql(
+      "q_kruskal_wallis",
+      """WITH v AS (SELECT value AS x, event_type AS g FROM events),
+        |u AS (SELECT x, g, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |d AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM u GROUP BY 1),
+        |w AS (SELECT x, t,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d),
+        |ar AS (SELECT x, t, cum_before,
+        |    CAST(cum_before AS DECIMAL(28,6)) + CAST(t + 1 AS DECIMAL(28,6)) / 2
+        |      AS avg_rank
+        |  FROM w),
+        |gr AS (SELECT u.g, CAST(sum(u.c) AS BIGINT) AS n_g,
+        |    CAST(sum(u.c * ar.avg_rank) AS DECIMAL(38,6)) AS rsum
+        |  FROM u JOIN ar ON ar.x = u.x GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(rsum AS DOUBLE) * CAST(rsum AS DOUBLE) / n_g
+        |              AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sr2,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM gr),
+        |tc AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS ties
+        |       FROM d WHERE t > 1),
+        |h AS (SELECT n, k,
+        |    (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(sr2 AS DOUBLE)
+        |     - 3.0 * (n + 1))
+        |      / (1.0 - CAST((SELECT ties FROM tc) AS DOUBLE)
+        |               / (CAST(n AS DOUBLE) * n * n - n)) AS hstat
+        |  FROM tt)
+        |SELECT n, k AS n_groups, round(hstat, 6) AS h_stat,
+        |  CAST(hstat > 9.488 AS BOOLEAN) AS reject_05
+        |FROM h""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "events")
+        .select(col("value").as("x"), col("event_type").as("g"))
+        .groupBy("x", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // tie-domain collapse — rank + group consumers
+      val d = u.groupBy("x").agg(sum("c").cast("long").as("t"))
+      val wCum = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ar = d
+        .withColumn("cum_before",
+          coalesce(sum("t").over(wCum), lit(0L)).cast("long"))
+        .select(col("x"),
+          (col("cum_before").cast("decimal(28,6)")
+            + (col("t") + 1).cast("decimal(28,6)") / 2).as("avg_rank"),
+          col("t"))
+      val gr = u.join(ar.select(col("x"), col("avg_rank")), "x")
+        .groupBy("g").agg(sum("c").cast("long").as("n_g"),
+          sum(col("c") * col("avg_rank")).cast("decimal(38,6)").as("rsum"))
+      val tt = gr.agg(sum("n_g").cast("long").as("n"),
+        sum((col("rsum").cast("double") * col("rsum").cast("double")
+          / col("n_g")).cast("decimal(38,6)")).cast("decimal(38,6)").as("sr2"),
+        count(lit(1)).as("k"))
+      val tc = d.where(col("t") > 1)
+        .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+          .cast("long").as("ties"))
+      val hstat = (lit(12.0) / (col("n").cast("double") * (col("n") + 1))
+        * col("sr2").cast("double") - lit(3.0) * (col("n") + 1))
+        ./(lit(1.0) - col("ties").cast("double")
+          / (col("n").cast("double") * col("n") * col("n") - col("n")))
+      tt.crossJoin(broadcast(tc))
+        .select(col("n"), col("k").as("n_groups"),
+          round(hstat, 6).as("h_stat"),
+          (hstat > 9.488).as("reject_05"))
     }
   )
 }

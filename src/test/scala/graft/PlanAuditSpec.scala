@@ -156,6 +156,10 @@ class PlanAuditSpec extends SparkSpec {
                            // scalars (the q_dirichlet_ql class)
     "q_fellegi_sunter",    // md5-capped 64×64 non-match pair block (the
                            // ANN-audit class) + 1-row m/u stat frames
+    "q_holm_bonferroni",   // 1-row family-size + BH-kmax scalars riding
+                           // the #types frame (the q_bh_fdr class)
+    "q_kruskal_wallis",    // 1-row tie-correction scalar riding the
+                           // group-rank frame
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

@@ -243,7 +243,9 @@ object ScaleCheck {
     "q_iv_wald", "q_rank_agreement", "q_fellegi_sunter",
     // round-8 ninth batch: the procedure-comparison ladder and the
     // tie-domain rank collapse
-    "q_holm_bonferroni", "q_kruskal_wallis")
+    "q_holm_bonferroni", "q_kruskal_wallis",
+    // round-8 tenth batch: the coalition-mask user collapse
+    "q_shapley_attribution")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1357,6 +1357,99 @@ object TemporalQueries {
           round(col("re_" + c) / col("re_sum") * col("conv_total"), 2)
             .as("attributed_conv"))
       }.reduce(_ unionByName _).orderBy("channel")
+    },
+
+    // ---- exact Shapley attribution over channel coalitions ----
+    // The game-theoretic closer of the attribution family: journeys
+    // collapse to their exact pre-conversion channel SET (a 4-bit
+    // mask over click/error/signup/view), the characteristic function
+    // v(S) = conversions reachable using only channels in S is the
+    // subset-sum (zeta transform) of the 16-cell mask frame, and each
+    // channel's Shapley value is the exact weighted marginal-
+    // contribution sum Σ_S |S|!(3−|S|)!/4!·(v(S∪i)−v(S)) — factorial
+    // weights hardcoded as exact 24ths. Every stage after the ONE
+    // user-window corpus collapse runs on ≤16-row frames (the 16×16
+    // subset join included); Shapley values sum to v(full)−v(∅) by
+    // construction — the efficiency axiom as a checkable invariant.
+    sql(
+      "q_shapley_attribution",
+      """WITH f AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS p_ts
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS conv,
+        |    max(CASE WHEN event_type = 'click' AND ts < p_ts THEN 1 ELSE 0 END)
+        |      + 2 * max(CASE WHEN event_type = 'error' AND ts < p_ts THEN 1 ELSE 0 END)
+        |      + 4 * max(CASE WHEN event_type = 'signup' AND ts < p_ts THEN 1 ELSE 0 END)
+        |      + 8 * max(CASE WHEN event_type = 'view' AND ts < p_ts THEN 1 ELSE 0 END)
+        |      AS mask
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conv_n
+        |      FROM u GROUP BY 1),
+        |grid AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS s),
+        |v AS (SELECT g.s, CAST(coalesce(sum(c.conv_n), 0) AS BIGINT) AS v
+        |      FROM grid g LEFT JOIN c ON (c.mask & g.s) = c.mask
+        |      GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+        |         ('error', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+        |         ('view', CAST(8 AS BIGINT))) AS t(channel, bit)),
+        |marg AS (SELECT ch.channel,
+        |    CAST(sum((CASE bit_count(CAST(v0.s AS BIGINT) & 15)
+        |              WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+        |              ELSE 6 END) * (v1.v - v0.v)) AS BIGINT) AS num24
+        |  FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+        |  JOIN v v1 ON v1.s = v0.s + ch.bit
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST((SELECT v FROM v WHERE s = 15) AS BIGINT) AS v_full,
+        |         CAST((SELECT v FROM v WHERE s = 0) AS BIGINT) AS v_none)
+        |SELECT m.channel, round(m.num24 / 24.0, 4) AS shapley_conv,
+        |  round(m.num24 / 24.0
+        |        / ((SELECT v_full FROM tt) - (SELECT v_none FROM tt)), 6)
+        |    AS shapley_share,
+        |  (SELECT v_full FROM tt) AS conv_total,
+        |  (SELECT v_none FROM tt) AS conv_no_channel
+        |FROM marg m ORDER BY m.channel""".stripMargin) { (s, dir) =>
+      val wU = Window.partitionBy("user_id")
+      val f = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase", col("ts"))).over(wU))
+      def pres(c: String) = max(when(col("event_type") === c
+        && col("ts") < col("p_ts"), 1L).otherwise(0L))
+      val u = f.groupBy("user_id").agg(
+        max(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("conv"),
+        (pres("click") + lit(2) * pres("error") + lit(4) * pres("signup")
+          + lit(8) * pres("view")).as("mask"))
+      val c = u.groupBy("mask").agg(sum("conv").cast("long").as("conv_n"))
+        .localCheckpoint() // ≤16 cells
+      val grid = s.range(0, 16).select(col("id").as("s"))
+      val v = grid.join(c, (c("mask").bitwiseAND(col("s"))) === c("mask"),
+          "left")
+        .groupBy("s").agg(coalesce(sum("conv_n"), lit(0L)).cast("long").as("v"))
+        .localCheckpoint() // the 16-row zeta transform
+      val ch = s.createDataFrame(Seq(("click", 1L), ("error", 2L),
+        ("signup", 4L), ("view", 8L))).toDF("channel", "bit")
+      val v0 = v.select(col("s").as("s0"), col("v").as("vv0"))
+      val v1 = v.select(col("s").as("s1"), col("v").as("vv1"))
+      val w24 = when(bit_count(col("s0").bitwiseAND(lit(15L))) === 0, 6L)
+        .when(bit_count(col("s0").bitwiseAND(lit(15L))) === 1, 2L)
+        .when(bit_count(col("s0").bitwiseAND(lit(15L))) === 2, 2L)
+        .otherwise(6L)
+      val marg = broadcast(ch)
+        .join(v0, (col("s0").bitwiseAND(col("bit"))) === 0)
+        .join(v1, col("s1") === col("s0") + col("bit"))
+        .groupBy("channel")
+        .agg(sum(w24 * (col("vv1") - col("vv0"))).cast("long").as("num24"))
+      val tt = v.agg(
+        max(when(col("s") === 15, col("v"))).as("v_full"),
+        max(when(col("s") === 0, col("v"))).as("v_none"))
+      marg.crossJoin(broadcast(tt))
+        .select(col("channel"), round(col("num24") / 24.0, 4).as("shapley_conv"),
+          round(col("num24") / 24.0 / (col("v_full") - col("v_none")), 6)
+            .as("shapley_share"),
+          col("v_full").as("conv_total"), col("v_none").as("conv_no_channel"))
+        .orderBy("channel")
     }
   )
 }

@@ -160,6 +160,8 @@ class PlanAuditSpec extends SparkSpec {
                            // the #types frame (the q_bh_fdr class)
     "q_kruskal_wallis",    // 1-row tie-correction scalar riding the
                            // group-rank frame
+    "q_shapley_attribution", // 16×16 subset-mask grid joins (bitwise
+                           // non-equi on ≤16-row frames) + 1-row totals
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

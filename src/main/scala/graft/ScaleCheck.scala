@@ -244,8 +244,9 @@ object ScaleCheck {
     // round-8 ninth batch: the procedure-comparison ladder and the
     // tie-domain rank collapse
     "q_holm_bonferroni", "q_kruskal_wallis",
-    // round-8 tenth batch: the coalition-mask user collapse
-    "q_shapley_attribution")
+    // round-8 tenth batch: the coalition-mask user collapse and the
+    // probe×corpus ranking-eval pass
+    "q_shapley_attribution", "q_map_at_k")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1438,6 +1438,115 @@ object SimilarityQueries {
           round(col("lam2") / col("t"), 6).as("share2"),
           round(abs(col("d12")), 6).as("v1_dot_v2"),
           (abs(col("d12")) < 1e-6).as("ortho_ok"))
+    },
+
+    // ---- MAP@10 of the sign-LSH retrieval vs exact ground truth ----
+    // The ranking-quality closer of the ANN ladder: recall flags say
+    // WHETHER the neighbors were found; mean average precision says
+    // WHERE in the list. Truth = exact cosine top-10 per probe (the
+    // q_knn_bruteforce shape — bounded probe set × corpus), retrieved
+    // = the sign-LSH bucket ranking's top-10; AP@10 per probe from
+    // the running-precision window, averaged over ALL probes (an
+    // empty bucket scores 0, not skipped). Fully oracle-replicable —
+    // both rankings are deterministic SQL.
+    sql(
+      "q_map_at_k",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  list_sum(list_transform(range(0, 8),
+        |                    i -> CASE WHEN embedding[i+1] > 0
+        |                              THEN (1::BIGINT << i) ELSE 0 END)) AS bkt
+        |           FROM embeddings),
+        |qs AS (SELECT qid, v, bkt FROM (
+        |    SELECT vec_id AS qid, v, bkt,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |        AS pr
+        |    FROM e WHERE vec_id % 25 = 0) WHERE pr <= 128),
+        |tr AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round($cosineSql, 6) DESC, c.vec_id) AS rn
+        |    FROM qs q JOIN e c ON c.vec_id <> q.qid)
+        |  WHERE rn <= 10),
+        |rv AS (SELECT qid, cid, rn FROM (
+        |    SELECT q.qid, c.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round($cosineSql, 6) DESC, c.vec_id) AS rn
+        |    FROM qs q JOIN e c ON c.bkt = q.bkt AND c.vec_id <> q.qid)
+        |  WHERE rn <= 10),
+        |rel AS (SELECT r.qid, r.rn,
+        |    CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM rv r LEFT JOIN tr t ON t.qid = r.qid AND t.cid = r.cid),
+        |pr AS (SELECT qid, rn, rel,
+        |    CAST(sum(rel) OVER (PARTITION BY qid ORDER BY rn
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / rn AS prec
+        |  FROM rel),
+        |ap AS (SELECT qid,
+        |    CAST(sum(CAST(rel * prec AS DECIMAL(28,12))) AS DOUBLE) / 10.0 AS ap,
+        |    CAST(sum(rel) AS BIGINT) AS hits
+        |  FROM pr GROUP BY 1),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs)
+        |SELECT (SELECT n FROM nq) AS n_queries,
+        |  round(CAST(sum(CAST(ap AS DECIMAL(28,12))) AS DOUBLE)
+        |        / (SELECT n FROM nq), 6) AS map_at10,
+        |  round(CAST(sum(hits) AS DOUBLE) / ((SELECT n FROM nq) * 10), 6)
+        |    AS recall_at10,
+        |  CAST(sum(CASE WHEN ap >= 0.999999 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS perfect_queries
+        |FROM ap""".stripMargin) { (s, dir) =>
+      // ONE projection off the raw column: signBucket's lambda
+      // captures its argument, and capturing a PROJECTED alias across
+      // a collapsed projection goes stale under this query's nested
+      // self-joins (ATTRIBUTE_NOT_FOUND at bind time — the NOTES
+      // outer-lambda pitfall). Derived from `embedding` directly,
+      // the capture survives every re-alias.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          signBucket(asDouble(col("embedding"))).as("bkt"))
+      // md5-capped probe set (<=128 at ANY corpus size — the
+      // q_embed_mmd cap): the truth stage is probes × corpus, so an
+      // uncapped %25 probe population would make the eval itself
+      // super-linear (measured 9.2× at the 10× decade before the cap)
+      // sort+limit = TakeOrdered (per-partition top-k merge), not a
+      // single-task global rank window
+      val qs = e.where(col("vec_id") % 25 === 0)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(128)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qb"))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("bkt").as("cb"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      val tr = qs.join(c, col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10).select(col("qid").as("tqid"),
+          col("cid").as("tcid"))
+      val rv = qs.join(c, col("cb") === col("qb") && col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10).select("qid", "cid", "rn")
+      val rel = rv.join(tr, col("tqid") === col("qid")
+          && col("tcid") === col("cid"), "left")
+        .select(col("qid"), col("rn"),
+          when(col("tcid").isNotNull, 1L).otherwise(0L).as("rel"))
+      val wCum = Window.partitionBy("qid").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pr = rel.withColumn("prec",
+        sum("rel").over(wCum).cast("double") / col("rn"))
+      val ap = pr.groupBy("qid")
+        .agg((sum((col("rel") * col("prec")).cast("decimal(28,12)"))
+          .cast("double") / 10.0).as("ap"),
+          sum("rel").cast("long").as("hits"))
+      val nq = qs.agg(count(lit(1)).as("n"))
+      ap.agg(sum(col("ap").cast("decimal(28,12)")).cast("double").as("sap"),
+          sum("hits").cast("long").as("shits"),
+          sum(when(col("ap") >= 0.999999, 1L).otherwise(0L))
+            .as("perfect_queries"))
+        .crossJoin(broadcast(nq))
+        .select(col("n").as("n_queries"),
+          round(col("sap") / col("n"), 6).as("map_at10"),
+          round(col("shits").cast("double") / (col("n") * 10), 6)
+            .as("recall_at10"),
+          col("perfect_queries"))
     }
   )
 }

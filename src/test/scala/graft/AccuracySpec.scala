@@ -1272,6 +1272,51 @@ class AccuracySpec extends SparkSpec {
     }
   }
 
+  test("q_shapley_attribution matches a from-scratch coalition game and is efficient") {
+    // In-memory zeta transform + exact factorial-weighted marginal
+    // sums over all 16 coalitions; also pins the EFFICIENCY axiom
+    // (Σ shapley = v(full) − v(∅)) that the weighted sum must satisfy
+    // by construction — a wrong weight table or a transposed subset
+    // join breaks it immediately.
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .as[(Long, String, Long)].collect()
+    val chans = Seq("click", "error", "signup", "view")
+    val byUser = ev.groupBy(_._1)
+    val cells = scala.collection.mutable.Map[Int, Long]()
+    byUser.values.foreach { g =>
+      val pts = g.filter(_._2 == "purchase").map(_._3)
+      val conv = pts.nonEmpty
+      if (conv) {
+        val p = pts.min
+        val mask = chans.zipWithIndex.map { case (c, i) =>
+          if (g.exists(e => e._2 == c && e._3 < p)) 1 << i else 0
+        }.sum
+        cells(mask) = cells.getOrElse(mask, 0L) + 1L
+      }
+    }
+    val v = (0 until 16).map(sS =>
+      sS -> cells.filter { case (m, _) => (m & sS) == m }.values.sum).toMap
+    val w24 = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    val shap = chans.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      c -> (0 until 16).filter(sS => (sS & bit) == 0)
+        .map(sS => w24(Integer.bitCount(sS)) * (v(sS + bit) - v(sS))).sum / 24.0
+    }.toMap
+    val got = SparkEntry.queries("q_shapley_attribution")(spark, sf).collect()
+    assert(got.map(_.getAs[String]("channel")).toSet == chans.toSet)
+    got.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(math.abs(r.getAs[Double]("shapley_conv") - shap(c)) < 1e-3,
+        s"$c: ${r.getAs[Double]("shapley_conv")} vs ${shap(c)}")
+      assert(r.getAs[Long]("conv_total") == v(15))
+      assert(r.getAs[Long]("conv_no_channel") == v(0))
+    }
+    // efficiency axiom
+    assert(math.abs(shap.values.sum - (v(15) - v(0))) < 1e-9)
+  }
+
   test("q_mixture_em matches a from-scratch 2-round EM") {
     val vals = Tables(spark, sf, "events")
       .select(col("event_type"), col("value"))

@@ -162,6 +162,8 @@ class PlanAuditSpec extends SparkSpec {
                            // group-rank frame
     "q_shapley_attribution", // 16×16 subset-mask grid joins (bitwise
                            // non-equi on ≤16-row frames) + 1-row totals
+    "q_map_at_k",          // bounded probe set × corpus ground truth
+                           // (the q_knn_bruteforce class) + 1-row totals
     "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)

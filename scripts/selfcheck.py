@@ -4,12 +4,22 @@ scale factor, then execute each oracle SQL in DuckDB over the same parquet
 tables and compare (columns sorted by name, rows sorted, exact values).
 
 Usage: python3 scripts/selfcheck.py [sfDir] [outDir] [--skip-verify] [--only=q_a,q_b]
+                                    [--forensics]
+
+--forensics: instead of the row-by-row compare, recompute graft.Verify's
+canonical rendering (hashes.json: cols sorted by name, IEEE-754 bit-hex
+floats, plain-string decimals, epoch-us timestamps, sorted row strings)
+from the DuckDB oracle side and diff table/column hashes — names the
+diverging COLUMN for any hash-level mismatch, which is exactly the
+forensic the r8 driver-only hash fails lacked.
 """
+import datetime
 import json
 import math
 import struct
 import subprocess
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -49,6 +59,82 @@ def norm(v):
             return b"NaN"
         return struct.pack(">d", v)
     return v
+
+
+def canon(v):
+    """Mirror of graft.Verify.canonValue — keep the two in lockstep."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        bits = struct.unpack(">Q", struct.pack(">d", v))[0]
+        if math.isnan(v):
+            bits = 0x7FF8000000000000  # Java's canonical NaN
+        return f"{bits:016x}"
+    if isinstance(v, Decimal):
+        return format(v, "f")  # plain string, no E-notation
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return str(math.floor(v.timestamp()) * 1_000_000 + v.microsecond)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(sorted(canon(k) + "=" + canon(x)
+                                     for k, x in v.items())) + "}"
+    return str(v)
+
+
+def oracle_canon(sql, con):
+    """(table_hash, rows, {col: hash}, head) for the oracle SQL, in
+    graft.Verify's canonical form."""
+    import hashlib
+    rel = con.sql(sql)
+    cols = sorted(rel.columns)
+    rows = [[canon(v) for v in r]
+            for r in con.sql(f"SELECT {', '.join(cols)} FROM ({sql})").fetchall()]
+    keyed = sorted(("|".join(r), i) for i, r in enumerate(rows))
+    table = hashlib.md5("\n".join(k for k, _ in keyed).encode()).hexdigest()
+    col_hashes = {
+        c: hashlib.md5("\n".join(rows[i][j] for _, i in keyed).encode()).hexdigest()
+        for j, c in enumerate(cols)}
+    return table, len(rows), col_hashes, [k for k, _ in keyed[:5]]
+
+
+def run_forensics(sqls, con):
+    hpath = Path(OUT_DIR, "hashes.json")
+    if not hpath.exists():
+        print("no hashes.json in outDir — rerun graft.Verify first")
+        sys.exit(2)
+    ours = json.loads(hpath.read_text())
+    fails = 0
+    for name in sorted(n for n in ours if n in sqls):
+        mine = ours[name]
+        try:
+            oh, orows, ocols, ohead = oracle_canon(sqls[name], con)
+        except Exception as e:
+            print(f"FAIL {name} (oracle: {type(e).__name__}: {e})")
+            fails += 1
+            continue
+        if mine["hash"] == oh:
+            print(f"OK   {name}")
+            continue
+        fails += 1
+        bad = [c for c in ocols if mine["cols"].get(c) != ocols[c]]
+        print(f"FAIL {name} rows ours={mine['rows']} oracle={orows} "
+              f"diverging cols: {bad or 'ALL'}")
+        for a, b in zip(mine.get("head", []), ohead):
+            if a != b:
+                print(f"     ours  : {a}")
+                print(f"     oracle: {b}")
+                break
+    print(f"\n{fails} forensic failures")
+    sys.exit(1 if fails else 0)
 
 
 def compare(name, sql, con):
@@ -102,6 +188,10 @@ def main():
         pat = f"{src}/*.parquet" if src.is_dir() else str(src)
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     sqls = json.loads(Path(OUT_DIR, "oracle_sql.json").read_text())
+    if "--forensics" in sys.argv:
+        if ONLY:
+            sqls = {k: v for k, v in sqls.items() if k in ONLY}
+        run_forensics(sqls, con)
     if ONLY:
         # a typo'd name must NOT produce a vacuous green run: validate
         # against the full oracle map + the rows-only dump dirs

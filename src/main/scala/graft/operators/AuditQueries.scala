@@ -301,9 +301,13 @@ object AuditQueries {
 
     // ---- order-independent table fingerprint (replication audit) ----
     // Cross-cluster dataset equality without moving rows: each row
-    // canonicalizes to a stable string (DECIMAL-formatted numerics +
+    // canonicalizes to a stable string (integer CENTS for numerics +
     // epoch-µs timestamps — double→string formatting is NOT portable
-    // across engines, decimal strings are), hashes through h32, and
+    // across engines, and even decimal→string rendering differs by
+    // engine build, so the canonical form is pure integers:
+    // DECIMAL(12,2)*100 is exactly integral, and an integral decimal
+    // casts to the same BIGINT under truncation and rounding alike),
+    // hashes through h32, and
     // the table fingerprint is the SUM of row hashes — commutative,
     // so partition order, shuffle order and file layout can't change
     // it, and a single flipped row flips the sum. One map-side pass
@@ -316,16 +320,16 @@ object AuditQueries {
         |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
         |      || '|' || CAST(l_suppkey AS VARCHAR)
         |      || '|' || CAST(l_linenumber AS VARCHAR)
-        |      || '|' || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)
-        |      || '|' || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
-        |      || '|' || CAST(CAST(l_discount AS DECIMAL(12,2)) AS VARCHAR)
+        |      || '|' || CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR)
+        |      || '|' || CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR)
+        |      || '|' || CAST(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR)
         |      || '|' || l_returnflag || '|' || l_linestatus
         |      || '|' || CAST(epoch_us(l_shipdate) AS VARCHAR)), 1, 8))::BIGINT AS h
         |      FROM lineitem),
         |od AS (SELECT ('0x' || substr(md5(
         |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
         |      || '|' || o_orderstatus
-        |      || '|' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR)
         |      || '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)
         |      || '|' || o_orderpriority), 1, 8))::BIGINT AS h
         |      FROM orders)
@@ -336,7 +340,11 @@ object AuditQueries {
         |       CAST(sum(h) AS DECIMAL(38,0)) FROM od
         |ORDER BY tbl""".stripMargin) { (s, dir) =>
       import graft.functions.TextFunctions.h32
-      def dec(c: Column) = c.cast("decimal(12,2)").cast("string")
+      // integer cents: DECIMAL(12,2)*100 is exactly integral, so the
+      // BIGINT cast is the same value whether an engine truncates or
+      // rounds, and integers render identically everywhere
+      def dec(c: Column) =
+        (c.cast("decimal(12,2)") * 100).cast("long").cast("string")
       val li = t(s, dir, "lineitem").select(h32(concat_ws("|",
         col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
         col("l_suppkey").cast("string"), col("l_linenumber").cast("string"),

@@ -28,6 +28,17 @@ object FormatQueries {
 
   import QueryDef.sql
 
+  /** Per-JVM token for the side-write scratch dirs. The r8 driver gate
+    * saw torn read-backs ("rows ok / hash off") consistent with two
+    * JVMs — e.g. a Verify and a Bench sweep over the same sf dir —
+    * racing on a path derived only from the input dir. A per-process
+    * UUID makes the scratch space unshareable by construction while
+    * keeping reruns within one JVM stable (overwrite mode still
+    * applies).
+    */
+  private val jvmToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private val schema = StructType(Seq(
     StructField("l_orderkey", LongType),
     StructField("l_linenumber", IntegerType),
@@ -59,7 +70,7 @@ object FormatQueries {
           col("l_extendedprice").cast("decimal(15,4)").as("price"),
           col("l_returnflag"))
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_fmt_rt_${math.abs(dir.hashCode)}").getAbsolutePath
+        s"graft_fmt_rt_${math.abs(dir.hashCode)}_$jvmToken").getAbsolutePath
       slice.write.mode("overwrite").orc(s"$base/orc")
       slice.write.mode("overwrite").json(s"$base/json")
       slice.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
@@ -106,7 +117,7 @@ object FormatQueries {
         .select(col("event_type"), col("value"),
           date_format(col("ts"), "yyyy-MM-dd").as("ym"))
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_part_prune_${math.abs(dir.hashCode)}").getAbsolutePath
+        s"graft_part_prune_${math.abs(dir.hashCode)}_$jvmToken").getAbsolutePath
       ev.write.mode("overwrite").partitionBy("ym").parquet(base)
       val m0 = ev.agg(min("ym")).first().getString(0)
       val back = s.read.parquet(base).where(col("ym") === m0)

@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * GC/JIT hiccup on a single-shot harness smeared round 2's report
   * (a 5 s query read as 24.6 s); the min of two runs is the stable
   * plan-cost signal the cross-round comparison needs.
+  *
+  * Contention discipline (r8 VERDICT #2 — the r8 driver artifact was
+  * noise-dominated): the e2e latency probe runs FIRST (quietest slot),
+  * with three base runs; queries whose two runs disagree >3× get a
+  * tiebreaker, and queries whose MIN still reads >3× the committed
+  * clean-bench time (bench_full.json) get up to two more runs; a
+  * fixed-work spin probe is timed at start/mid/end and reported as
+  * `contention_probe_ms`, so host load is readable in the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +38,142 @@ object Bench {
     // sets it, so the per-round artifact always covers every query.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val selected = SparkEntry.select(only)
+
+    // Contention probe: a fixed single-thread CPU spin, timed at
+    // sweep start / middle / end. The r8 driver artifact was
+    // contention-dominated (both timed runs of several queries landed
+    // in one busy window; adjudication needed a judge re-run). The
+    // probe makes host load READABLE IN THE ARTIFACT: a quiet host
+    // reads ~constant probe times; a loaded one shows the window.
+    def spinProbeMs(): Double = {
+      var acc = 0L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) { acc += i * 31 + (acc >> 7); i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (acc == 42) System.err.println("") // keep acc live
+      math.rint(dt * 10) / 10
+    }
+    val probes = scala.collection.mutable.ArrayBuffer(spinProbeMs())
+
+    // Committed clean-bench reference (bench_full.json from the repo):
+    // per-query times from the last quiet full run. Used ONLY to
+    // trigger extra timing runs when a measurement smells contended —
+    // never to substitute a number.
+    val refTimes: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_full.json")
+        if (java.nio.file.Files.exists(p)) {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          (JsonMethods.parse(java.nio.file.Files.readString(p)) \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+
+    // ---- e2e micro-batch latency (runs FIRST — r8 VERDICT #2) ----
+    // End-to-end micro-batch latency (BASELINE.md "end-to-end < 2 s"
+    // row): frames enqueued into a REAL Structured Streaming query
+    // (MemoryStream → keyed fMGWS state machine → memory sink), each
+    // chunk's latency = enqueue → its events observable in the sink.
+    // This measures what a consumer actually waits: micro-batch
+    // scheduling + state machine + sink commit.
+    //
+    // Ordered BEFORE the 336-query sweep: the r8 driver artifact ran
+    // e2e LAST, after ~5 min of sweep had heated the host, and both
+    // e2e runs landed in the same busy window (artifact p99 2076 ms vs
+    // 434 ms judge-quiet). First thing after warmup is the quietest
+    // slot this process controls. THREE base runs (was 2), plus the
+    // >3×-disagreement tiebreaker; headline = the run with the lowest
+    // p99 — a self-consistent (p50,p95,p99) from one run, not a
+    // cross-run per-percentile min no single execution produced.
+    def e2eRun(tag: String): Seq[Double] = {
+      import spark.implicits._
+      import graft.streaming.VideoSessionProcessor._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      implicit val sqlCtx = spark.sqlContext
+      // The 64-frame probe chunk occupies a handful of state-store
+      // partitions' worth of real work; at the session default (32)
+      // most of each micro-batch is empty-task scheduling, which is
+      // exactly what the p99 measures (r6 ask #5 decomposition, NOTES
+      // "e2e latency is task-scheduling cadence": p99 1536 ms at 32
+      // partitions vs 478 ms at 4 on the same host; an explicit
+      // ProcessingTime trigger changes nothing). Default 4 = measured
+      // sweet spot with headroom; env-tunable because the right number
+      // tracks probe load, not a constant. Shuffle partitions bind at
+      // query START, so setting the conf here scopes it to this
+      // stream; restored after.
+      val e2eParts = sys.env.get("SPARK_GRAFT_E2E_PARTITIONS")
+        .map(_.toInt).getOrElse(4)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", e2eParts.toString)
+      val input = MemoryStream[FrameIn]
+      // idle timeout far beyond the run: no completion-event noise
+      val events = processStream(input.toDS(), Config(idleTimeoutMs = 600000L))
+      val sinkName = s"bench_e2e_$tag"
+      // default trigger (back-to-back micro-batches) unless probed:
+      // SPARK_GRAFT_E2E_TRIGGER_MS sets an explicit ProcessingTime
+      // cadence for the scheduling-vs-work decomposition experiment.
+      val trigger = sys.env.get("SPARK_GRAFT_E2E_TRIGGER_MS")
+        .map(ms => Trigger.ProcessingTime(ms.toLong))
+        .getOrElse(Trigger.ProcessingTime(0L))
+      val q = events.writeStream
+        .format("memory").queryName(sinkName)
+        .trigger(trigger)
+        .outputMode(OutputMode.Append()).start()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      def sunk(): Long = spark.table(sinkName).count()
+      val chunk = 64
+      val warm = 3
+      val measured = 40
+      val lats = new Array[Double](measured)
+      try {
+        var expected = 0L
+        var c = 0
+        while (c < warm + measured) {
+          val t0 = System.nanoTime()
+          input.addData((0 until chunk).map(i => FrameIn(s"e$c", i, i * 1000L)))
+          expected += chunk // one detection event per frame
+          val deadline = System.currentTimeMillis() + 30000L
+          while (sunk() < expected && System.currentTimeMillis() < deadline)
+            Thread.sleep(5L)
+          val dt = (System.nanoTime() - t0) / 1e6
+          if (c >= warm) lats(c - warm) = dt
+          c += 1
+        }
+        // guard (r7 VERDICT #6): the 4× p99 win came from sizing the
+        // probe stream to e2eParts state partitions. Shuffle
+        // partitions bind at query START, so a refactor that reorders
+        // the conf-set/start()/conf-restore dance would silently
+        // rebind at the session default (32) and regress p99 ~3×.
+        // Assert what the RUNNING query actually bound.
+        val bound = Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption)
+          .map(_.numShufflePartitions).getOrElse(-1L)
+        require(bound == e2eParts,
+          s"e2e probe stream bound $bound state partitions, expected $e2eParts " +
+            "(conf must be set before writeStream.start and restored after)")
+      } finally q.stop()
+      java.util.Arrays.sort(lats)
+      Seq(0.50, 0.95, 0.99).map(p =>
+        lats(math.min(measured - 1, math.max(0, math.ceil(p * measured).toInt - 1))))
+    }
+    // SPARK_GRAFT_BENCH_ONLY=e2e: dev sentinel that runs ONLY the e2e
+    // block ("e2e" matches no query name, so the sweep below is empty)
+    // — the cadence/partition experiments need it isolated and fast.
+    val e2eOnly = only.contains("e2e")
+    val e2eRuns: Seq[Seq[Double]] = if (only.isDefined && !e2eOnly) Seq(Seq(0.0, 0.0, 0.0)) else {
+      var rs = Vector(e2eRun("a"), e2eRun("b"), e2eRun("c"))
+      val p99s = rs.map(_.last)
+      if (p99s.min > 0 && p99s.max / p99s.min > 3.0) rs :+= e2eRun("d")
+      rs
+    }
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timedRun(): (Double, Option[String]) = {
@@ -69,8 +213,24 @@ object Bench {
         val (t3, e3) = timedRun()
         if (e3.isEmpty) runs :+= t3
       }
+      // Contention retry (r8 VERDICT #2): when BOTH runs land in one
+      // busy window they can agree (<3× apart) yet both read far over
+      // the committed clean time (q_minhash_containment: 12.5/30.7 s
+      // vs 0.74 s clean). If the min is >3× the committed reference
+      // (and the gap is not sub-second jitter), buy up to two more
+      // runs — stop as soon as one lands back inside 3×.
+      refTimes.get(name).foreach { ref =>
+        var extra = 0
+        while (err.isEmpty && extra < 2 &&
+            runs.min > 3.0 * ref && runs.min - ref > 0.75) {
+          val (tx, ex) = timedRun()
+          if (ex.isEmpty) runs :+= tx
+          extra += 1
+        }
+      }
       (name, runs, err)
     }
+    probes += spinProbeMs()
     // A failed query's time-to-failure is NOT a benchmark number: it
     // leaves `queries` entirely and lands in `errors`, so a breakage
     // can't masquerade as a speedup in the cross-round comparison.
@@ -159,109 +319,17 @@ object Bench {
     }
     val Seq(p50, p95, p99) = latPcts.map(v => math.rint(v * 10000) / 10000)
 
-    // End-to-end micro-batch latency (BASELINE.md "end-to-end < 2 s"
-    // row): frames enqueued into a REAL Structured Streaming query
-    // (MemoryStream → keyed fMGWS state machine → memory sink), each
-    // chunk's latency = enqueue → its events observable in the sink.
-    // This measures what a consumer actually waits: micro-batch
-    // scheduling + state machine + sink commit.
-    //
-    // Dual-run + >3×-disagreement tiebreaker, same discipline as the
-    // queries/fps sections (r5 VERDICT "what's wrong #1": a single-shot
-    // e2e block let a contended host write p99 = 6,053 ms into the
-    // round artifact where a quiet re-run measures 564 ms). All runs
-    // are reported; the headline triple is the run with the lowest
-    // p99 — a self-consistent (p50,p95,p99) from one run, not a
-    // cross-run per-percentile min that no single execution produced.
-    def e2eRun(tag: String): Seq[Double] = {
-      import spark.implicits._
-      import graft.streaming.VideoSessionProcessor._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      implicit val sqlCtx = spark.sqlContext
-      // The 64-frame probe chunk occupies a handful of state-store
-      // partitions' worth of real work; at the session default (32)
-      // most of each micro-batch is empty-task scheduling, which is
-      // exactly what the p99 measures (r6 ask #5 decomposition, NOTES
-      // "e2e latency is task-scheduling cadence": p99 1536 ms at 32
-      // partitions vs 478 ms at 4 on the same host; an explicit
-      // ProcessingTime trigger changes nothing). Default 4 = measured
-      // sweet spot with headroom; env-tunable because the right number
-      // tracks probe load, not a constant. Shuffle partitions bind at
-      // query START, so setting the conf here scopes it to this
-      // stream; restored after.
-      val e2eParts = sys.env.get("SPARK_GRAFT_E2E_PARTITIONS")
-        .map(_.toInt).getOrElse(4)
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", e2eParts.toString)
-      val input = MemoryStream[FrameIn]
-      // idle timeout far beyond the run: no completion-event noise
-      val events = processStream(input.toDS(), Config(idleTimeoutMs = 600000L))
-      val sinkName = s"bench_e2e_$tag"
-      // default trigger (back-to-back micro-batches) unless probed:
-      // SPARK_GRAFT_E2E_TRIGGER_MS sets an explicit ProcessingTime
-      // cadence for the scheduling-vs-work decomposition experiment.
-      val trigger = sys.env.get("SPARK_GRAFT_E2E_TRIGGER_MS")
-        .map(ms => Trigger.ProcessingTime(ms.toLong))
-        .getOrElse(Trigger.ProcessingTime(0L))
-      val q = events.writeStream
-        .format("memory").queryName(sinkName)
-        .trigger(trigger)
-        .outputMode(OutputMode.Append()).start()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      def sunk(): Long = spark.table(sinkName).count()
-      val chunk = 64
-      val warm = 3
-      val measured = 40
-      val lats = new Array[Double](measured)
-      try {
-        var expected = 0L
-        var c = 0
-        while (c < warm + measured) {
-          val t0 = System.nanoTime()
-          input.addData((0 until chunk).map(i => FrameIn(s"e$c", i, i * 1000L)))
-          expected += chunk // one detection event per frame
-          val deadline = System.currentTimeMillis() + 30000L
-          while (sunk() < expected && System.currentTimeMillis() < deadline)
-            Thread.sleep(5L)
-          val dt = (System.nanoTime() - t0) / 1e6
-          if (c >= warm) lats(c - warm) = dt
-          c += 1
-        }
-        // guard (r7 VERDICT #6): the 4× p99 win came from sizing the
-        // probe stream to e2eParts state partitions. Shuffle
-        // partitions bind at query START, so a refactor that reorders
-        // the conf-set/start()/conf-restore dance would silently
-        // rebind at the session default (32) and regress p99 ~3×.
-        // Assert what the RUNNING query actually bound.
-        val bound = Option(q.lastProgress)
-          .flatMap(_.stateOperators.headOption)
-          .map(_.numShufflePartitions).getOrElse(-1L)
-        require(bound == e2eParts,
-          s"e2e probe stream bound $bound state partitions, expected $e2eParts " +
-            "(conf must be set before writeStream.start and restored after)")
-      } finally q.stop()
-      java.util.Arrays.sort(lats)
-      Seq(0.50, 0.95, 0.99).map(p =>
-        lats(math.min(measured - 1, math.max(0, math.ceil(p * measured).toInt - 1))))
-    }
-    // SPARK_GRAFT_BENCH_ONLY=e2e: dev sentinel that runs ONLY the e2e
-    // block ("e2e" matches no query name, so the sweep above is empty)
-    // — the cadence/partition experiments need it isolated and fast.
-    val e2eOnly = only.contains("e2e")
-    val e2eRuns: Seq[Seq[Double]] = if (only.isDefined && !e2eOnly) Seq(Seq(0.0, 0.0, 0.0)) else {
-      var rs = Vector(e2eRun("a"), e2eRun("b"))
-      val p99s = rs.map(_.last)
-      if (p99s.min > 0 && p99s.max / p99s.min > 3.0) rs :+= e2eRun("c")
-      rs
-    }
+    probes += spinProbeMs()
     val e2ePcts = e2eRuns.minBy(_.last)
     val Seq(e50, e95, e99) = e2ePcts.map(v => math.rint(v * 100) / 100)
     val e2eRunsJson = e2eRuns.map(r =>
       r.map(v => math.rint(v * 100) / 100).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}],"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"e2e_latency_ms_runs":$e2eRunsJson}"""
+    // contention_probe_ms: fixed-work spin timings at [start,
+    // post-sweep, end] — a loaded host is visible in the artifact
+    val probesJson = probes.mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}],"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"e2e_latency_ms_runs":$e2eRunsJson,"contention_probe_ms":$probesJson}"""
     // The driver keeps only the LAST 2000 chars of bench output, so the
     // full per-query map (~6 KB at 157 queries) has never fit — every
     // round's artifact shows `parsed: null` (r6 ADVICE). Split the
@@ -290,7 +358,7 @@ object Bench {
       val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
       "\"" + k + "\":\"" + jesc(safe) + "\"" }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"$fullOut","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99}}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"$fullOut","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"contention_probe_ms":$probesJson}"""
     // The driver parses the metric line from the TAIL of captured
     // output — it must be the last unprefixed stdout line. Three
     // guards: (1) build.sbt routes forked run output straight to

@@ -213,7 +213,9 @@ class AccuracySpec extends SparkSpec {
       .where(col("j") > 0)
       .as[(Long, Long, Double)].collect()
       .map { case (x, y, j) => (x, y) -> j }.toMap
-    val returned = SparkEntry.queries("q_dedup_minhash_mllib")(spark, sf)
+    // the raw pair core (the REGISTERED query now emits the
+    // oracle-pinnable agreement summary; the distances live here)
+    val returned = graft.llm.DedupQueries.mllibMinhashPairs(spark, sf)
       .select($"da".cast("long"), $"db".cast("long"), $"dist".cast("double"))
       .as[(Long, Long, Double)].collect()
     assert(returned.nonEmpty)

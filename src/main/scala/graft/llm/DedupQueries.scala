@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  import QueryDef.{rowsOnly, sql}
+  import QueryDef.sql
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 

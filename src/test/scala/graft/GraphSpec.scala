@@ -256,4 +256,36 @@ class GraphSpec extends SparkSpec {
         ((r.getAs[Long]("n_nodes"), r.getAs[Long]("node_sum")))).toMap
     assert(got == expected, s"got $got vs $expected")
   }
+
+  test("copurchaseEdgesByDst equals the symmetrized basketPairCounts view " +
+    "and arrives clustered on dst") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ed = graft.operators.GraphQueries.copurchaseEdgesByDst(spark, dir)
+    // the partitioning CONTRACT: LPA/BFS rounds stream this frame
+    // un-shuffled only because the cached plan reports hash clustering
+    // on dst — a refactor that swaps persist for localCheckpoint
+    // (which drops partitioning to UnknownPartitioning) must fail
+    // here, not as a silent 2× perf regression. The observable
+    // contract is the PLAN: a dst-keyed aggregation over ed must plan
+    // with NO exchange.
+    ed.count() // materialize the cache first
+    val agg = ed.groupBy("dst").agg(count(lit(1)))
+    agg.collect()
+    // only the plan ABOVE the cache scan matters — the cached subtree
+    // legitimately contains the edge build's own repartition exchange
+    val above = agg.queryExecution.executedPlan.toString
+      .split("InMemoryTableScan|TableCacheQueryStage")(0)
+    assert(!above.contains("Exchange hashpartitioning"),
+      s"src-keyed agg over the edge list re-shuffled — clustering lost:\n$above")
+    val (_, pairs) = graft.operators.StatsQueries.basketPairCounts(spark, dir)
+    val sym = pairs
+      .select(col("p1").as("src"), col("p2").as("dst"), col("n_both").as("w"))
+      .unionByName(pairs
+        .select(col("p2").as("src"), col("p1").as("dst"), col("n_both").as("w")))
+    val edS = ed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val symS = sym.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edS == symS,
+      s"edge sets diverge: only-ed=${(edS -- symS).take(3)} only-sym=${(symS -- edS).take(3)}")
+  }
 }

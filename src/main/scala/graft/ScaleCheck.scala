@@ -246,7 +246,16 @@ object ScaleCheck {
     "q_holm_bonferroni", "q_kruskal_wallis",
     // round-8 tenth batch: the coalition-mask user collapse and the
     // probe×corpus ranking-eval pass
-    "q_shapley_attribution", "q_map_at_k")
+    "q_shapley_attribution", "q_map_at_k",
+    // round-9 first batch: the 64-register one-pass portable HLL, the
+    // double label join over the shared dst-clustered edge cache, the
+    // seeded 5-round teleport recurrence, and the graded probe×corpus
+    // ranking eval
+    "q_hll_portable", "q_graph_modularity", "q_pagerank_personalized",
+    "q_ndcg_at_k",
+    // round-9 second batch: the component-member argmax rollup and the
+    // one-pass two-sided moment collapse
+    "q_dedup_keep_best", "q_regression_discontinuity")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

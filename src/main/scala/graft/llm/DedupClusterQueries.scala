@@ -179,6 +179,51 @@ object DedupClusterQueries {
         .orderBy("source", "split")
     },
 
+    // ---- quality-aware canonical selection per dup cluster ----
+    // The step between detecting dup clusters and writing the deduped
+    // corpus: pick WHICH member survives. Min-id (q_dedup_exact's
+    // keeper) is arbitrary; production pipelines keep the best-quality
+    // member — here the longest text (n_chars desc, doc_id asc tie),
+    // the standard "longest representative" heuristic. Everything
+    // after componentLabels runs on the pair-graph-sized member frame:
+    // one documents join for the scores, one per-component argmax
+    // (struct-max), one per-component rollup. The dropped_chars column
+    // is the dedup-savings audit a storage owner reads.
+    sql(
+      "q_dedup_keep_best",
+      s"""WITH RECURSIVE
+         |$componentsSqlCtes,
+         |mem AS (SELECT c.component, c.id AS doc_id, d.n_chars
+         |        FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |k AS (SELECT component, doc_id AS keeper, n_chars AS keeper_chars
+         |      FROM (SELECT component, doc_id, n_chars,
+         |              row_number() OVER (PARTITION BY component
+         |                ORDER BY n_chars DESC, doc_id) AS rn
+         |            FROM mem) WHERE rn = 1)
+         |SELECT m.component, k.keeper,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(k.keeper_chars AS BIGINT) AS keeper_chars,
+         |       CAST(sum(m.n_chars) - k.keeper_chars AS BIGINT) AS dropped_chars
+         |FROM mem m JOIN k ON k.component = m.component
+         |GROUP BY m.component, k.keeper, k.keeper_chars
+         |ORDER BY m.component""".stripMargin) { (s, dir) =>
+      val mem = componentLabels(s, dir)
+        .join(Tables(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+      // argmax by (n_chars desc, doc_id asc) ≡ max(struct(n_chars, -doc_id))
+      val k = mem.groupBy("component")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("component"), (-col("m.nd")).as("keeper"),
+          col("m.n_chars").as("keeper_chars"))
+      mem.groupBy("component")
+        .agg(count(lit(1)).as("n_members"), sum("n_chars").as("tot_chars"))
+        .join(broadcast(k), "component")
+        .select(col("component"), col("keeper"), col("n_members"),
+          col("keeper_chars").cast("long").as("keeper_chars"),
+          (col("tot_chars") - col("keeper_chars")).cast("long")
+            .as("dropped_chars"))
+        .orderBy("component")
+    },
+
     // ---- near-duplication rate per source ----
     // The crawl-hygiene audit: which sources ship template spam? A
     // doc is "near-dup" when its LSH component has size > 1; rate =

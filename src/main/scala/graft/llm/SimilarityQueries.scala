@@ -1440,6 +1440,150 @@ object SimilarityQueries {
           (abs(col("d12")) < 1e-6).as("ortho_ok"))
     },
 
+    // ---- NDCG@10 of the sign-LSH retrieval (graded ranking eval) ----
+    // MAP (below) treats every true neighbor as equally relevant;
+    // NDCG grades them — a retrieved doc that was the probe's TRUE
+    // NEAREST neighbor is worth more than its 10th. Gain = 11 − (exact
+    // cosine truth rank); DCG discounts by 1/log₂(r+1); IDCG is the
+    // probe's own ideal ordering, so NDCG∈[0,1] and equals 1 iff the
+    // bucket ranking reproduces the exact top-10 in order. Same
+    // md5-capped ≤128-probe core as q_map_at_k (the eval stays
+    // corpus-linear). Cross-engine determinism: the 10 discount
+    // weights are PINNED 9-decimal literals shared by both engines
+    // (log2() is a transcendental whose last ulp is libm-specific —
+    // the HLL/bin() lesson), and per-probe sums run in rank order
+    // through a cumulative window, so every double op sees bitwise-
+    // identical inputs in the same order on both sides.
+    sql(
+      "q_ndcg_at_k",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  list_sum(list_transform(range(0, 8),
+        |                    i -> CASE WHEN embedding[i+1] > 0
+        |                              THEN (1::BIGINT << i) ELSE 0 END)) AS bkt
+        |           FROM embeddings),
+        |qs AS (SELECT qid, v, bkt FROM (
+        |    SELECT vec_id AS qid, v, bkt,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |        AS pr
+        |    FROM e WHERE vec_id % 25 = 0) WHERE pr <= 128),
+        |wd AS (SELECT * FROM (VALUES (1, 1.0e0), (2, 0.630929754e0),
+        |    (3, 0.5e0), (4, 0.430676558e0), (5, 0.386852807e0),
+        |    (6, 0.356207187e0), (7, 0.333333333e0), (8, 0.315464877e0),
+        |    (9, 0.301029996e0), (10, 0.289064826e0)) t(rn, w)),
+        |tr AS (SELECT qid, cid, rn AS trank FROM (
+        |    SELECT q.qid, c.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round($cosineSql, 6) DESC, c.vec_id) AS rn
+        |    FROM qs q JOIN e c ON c.vec_id <> q.qid)
+        |  WHERE rn <= 10),
+        |rv AS (SELECT qid, cid, rn FROM (
+        |    SELECT q.qid, c.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round($cosineSql, 6) DESC, c.vec_id) AS rn
+        |    FROM qs q JOIN e c ON c.bkt = q.bkt AND c.vec_id <> q.qid)
+        |  WHERE rn <= 10),
+        |dg AS (SELECT r.qid,
+        |    sum(CASE WHEN t.trank IS NOT NULL THEN (11 - t.trank) * wd.w
+        |             ELSE 0e0 END) OVER (PARTITION BY r.qid ORDER BY r.rn
+        |      ROWS UNBOUNDED PRECEDING) AS dcg,
+        |    row_number() OVER (PARTITION BY r.qid ORDER BY r.rn DESC) AS lastr
+        |  FROM rv r JOIN wd ON wd.rn = r.rn
+        |  LEFT JOIN tr t ON t.qid = r.qid AND t.cid = r.cid),
+        |dcgq AS (SELECT qid, dcg FROM dg WHERE lastr = 1),
+        |ig AS (SELECT t.qid,
+        |    sum((11 - t.trank) * wd.w) OVER (PARTITION BY t.qid
+        |      ORDER BY t.trank ROWS UNBOUNDED PRECEDING) AS idcg,
+        |    row_number() OVER (PARTITION BY t.qid ORDER BY t.trank DESC) AS lastr
+        |  FROM tr t JOIN wd ON wd.rn = t.trank),
+        |idcgq AS (SELECT qid, idcg FROM ig WHERE lastr = 1),
+        |nd AS (SELECT q.qid,
+        |    coalesce(d.dcg, 0e0) AS dcg, i.idcg,
+        |    CASE WHEN i.idcg > 0 THEN coalesce(d.dcg, 0e0) / i.idcg
+        |         ELSE 0e0 END AS ndcg
+        |  FROM (SELECT qid FROM qs) q
+        |  LEFT JOIN dcgq d ON d.qid = q.qid
+        |  JOIN idcgq i ON i.qid = q.qid),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs)
+        |SELECT (SELECT n FROM nq) AS n_queries,
+        |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) AS DOUBLE)
+        |        / (SELECT n FROM nq), 6) AS mean_ndcg_at10,
+        |  CAST(sum(CASE WHEN ndcg >= 0.999999 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS perfect_queries,
+        |  round(CAST(sum(CAST(dcg AS DECIMAL(28,12))) AS DOUBLE)
+        |        / (SELECT n FROM nq), 4) AS mean_dcg_at10
+        |FROM nd""".stripMargin) { (s, dir) =>
+      // the q_map_at_k probe/truth core, verbatim (lambda-capture
+      // convention: derive HOF lambdas from the raw column)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          signBucket(asDouble(col("embedding"))).as("bkt"))
+      val qs = e.where(col("vec_id") % 25 === 0)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(128)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qb"))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("bkt").as("cb"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      val tr = qs.join(c, col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("trank", row_number().over(w))
+        .where(col("trank") <= 10)
+        .select(col("qid").as("tqid"), col("cid").as("tcid"), col("trank"))
+        .localCheckpoint() // truth feeds the DCG join AND the IDCG
+      val rv = qs.join(c, col("cb") === col("qb") && col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10).select("qid", "cid", "rn")
+      // the 10 discount weights as a broadcast literal frame — the
+      // SAME 9-decimal constants as the oracle's VALUES table
+      import s.implicits._
+      val wd = broadcast(Seq(
+        (1, 1.0), (2, 0.630929754), (3, 0.5), (4, 0.430676558),
+        (5, 0.386852807), (6, 0.356207187), (7, 0.333333333),
+        (8, 0.315464877), (9, 0.301029996), (10, 0.289064826))
+        .toDF("wrn", "w"))
+      // per-probe DCG: cumulative window in rank order = sequential
+      // left-to-right double summation, same order both engines
+      val wCum = Window.partitionBy("qid").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wLast = Window.partitionBy("qid").orderBy(desc("rn"))
+      val dg = rv.join(wd, col("wrn") === col("rn"))
+        .join(tr, col("tqid") === col("qid") && col("tcid") === col("cid"),
+          "left")
+        .select(col("qid"), col("rn"),
+          when(col("trank").isNotNull, (lit(11) - col("trank")) * col("w"))
+            .otherwise(0.0).as("g"))
+        .withColumn("dcg", sum("g").over(wCum))
+        .withColumn("lastr", row_number().over(wLast))
+        .where(col("lastr") === 1).select("qid", "dcg")
+      val wCumI = Window.partitionBy("tqid").orderBy("trank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wLastI = Window.partitionBy("tqid").orderBy(desc("trank"))
+      val ig = tr.join(wd, col("wrn") === col("trank"))
+        .select(col("tqid"), col("trank"),
+          ((lit(11) - col("trank")) * col("w")).as("g"))
+        .withColumn("idcg", sum("g").over(wCumI))
+        .withColumn("lastr", row_number().over(wLastI))
+        .where(col("lastr") === 1).select(col("tqid"), col("idcg"))
+      val nd = qs.select(col("qid"))
+        .join(dg, Seq("qid"), "left")
+        .join(ig.withColumnRenamed("tqid", "qid"), Seq("qid"))
+        .select(col("qid"), coalesce(col("dcg"), lit(0.0)).as("dcg"),
+          when(col("idcg") > 0,
+            coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+            .otherwise(0.0).as("ndcg"))
+      val nq = qs.agg(count(lit(1)).as("n"))
+      nd.agg(sum(col("ndcg").cast("decimal(28,12)")).cast("double").as("sn"),
+          sum(when(col("ndcg") >= 0.999999, 1L).otherwise(0L))
+            .as("perfect_queries"),
+          sum(col("dcg").cast("decimal(28,12)")).cast("double").as("sd"))
+        .crossJoin(broadcast(nq))
+        .select(col("n").as("n_queries"),
+          round(col("sn") / col("n"), 6).as("mean_ndcg_at10"),
+          col("perfect_queries"),
+          round(col("sd") / col("n"), 4).as("mean_dcg_at10"))
+    },
+
     // ---- MAP@10 of the sign-LSH retrieval vs exact ground truth ----
     // The ranking-quality closer of the ANN ladder: recall flags say
     // WHETHER the neighbors were found; mean average precision says

@@ -640,6 +640,85 @@ object AggregateQueries {
           col("sample_id_sum"))
     },
 
+    // ---- portable HyperLogLog (cross-engine-exact registers) ----
+    // The repo's other HLL paths (q_hll_sketch_union, DistinctStream)
+    // go through the DataSketches library — engine-private bits, so
+    // their oracles pin bound flags. This is the PORTABLE twin: a
+    // from-scratch Flajolet-Durand-Gandouet HLL whose registers both
+    // engines recompute bit-for-bit — m=64 buckets over a 60-bit
+    // md5-derived hash (bucket = h mod 64, ρ = leading-zeros+1 of the
+    // remaining 54 bits via the bin()-length identity, which is
+    // string-exact in both engines; log2() is NOT — Spark computes it
+    // as ln(x)/ln(2) and floor() flips at exact powers). The harmonic
+    // denominator is summed as SCALED INTEGERS (Σ 2^(55−M_j), max
+    // 64·2^55 < 2^62) so the only float ops are one division and the
+    // small-range ln — float SUMMATION order can differ cross-engine
+    // and 2^-55..2^0 terms don't fit one mantissa. α₆₄ = 0.709; the
+    // ≤2.5m small-range correction m·ln(m/zeros) kicks in exactly when
+    // both engines see the same integer (raw, zeros), so the branch
+    // can't diverge. 100-TB story: ONE corpus pass, map-side
+    // max-combine into 64 registers (mergeable by construction — the
+    // cross-cluster distinct-count reconciliation primitive next to
+    // q_bottomk_sample's KMV); exact distinct rides as the audit.
+    sql(
+      "q_hll_portable",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |h AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM u),
+        |b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h),
+        |r0 AS (SELECT bucket,
+        |         max(CASE WHEN rest = 0 THEN 55
+        |                  ELSE 55 - length(bin(rest)) END) AS m
+        |       FROM b GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 64)) AS bucket),
+        |reg AS (SELECT s.bucket, coalesce(r0.m, 0) AS m
+        |        FROM spine s LEFT JOIN r0 ON r0.bucket = s.bucket),
+        |agg AS (SELECT CAST(sum(m) AS BIGINT) AS register_sum,
+        |          CAST(max(m) AS BIGINT) AS register_max,
+        |          CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+        |          CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS denom_scaled
+        |        FROM reg),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM u),
+        |est AS (SELECT register_sum, register_max, zeros, exact_distinct,
+        |          CASE WHEN 0.709e0 * 4096e0 * 36028797018963968e0 / denom_scaled <= 160
+        |                AND zeros > 0
+        |               THEN 64e0 * ln(64e0 / zeros)
+        |               ELSE 0.709e0 * 4096e0 * 36028797018963968e0 / denom_scaled
+        |          END AS e
+        |        FROM agg CROSS JOIN ex)
+        |SELECT register_sum, register_max, zeros,
+        |       round(e, 2) AS est_distinct, exact_distinct,
+        |       round(abs(e - exact_distinct) / exact_distinct, 4) AS rel_err
+        |FROM est""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "events").select(col("user_id")).distinct()
+        .localCheckpoint() // feeds the sketch AND the exact audit
+      val h = u.select(conv(substring(md5(col("user_id").cast("string")), 1, 15),
+        16, 10).cast("long").as("h"))
+      val b = h.select((col("h") % 64).as("bucket"),
+        call_function("shiftright", col("h"), lit(6)).as("rest"))
+      val r0 = b.groupBy("bucket")
+        .agg(max(when(col("rest") === 0, 55)
+          .otherwise(lit(55) - length(bin(col("rest"))))).as("m"))
+      val spine = s.range(0, 64).select(col("id").as("bucket"))
+      val reg = spine.join(r0, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("m"), lit(0)).as("m"))
+      val agg = reg.agg(
+        sum("m").cast("long").as("register_sum"),
+        max("m").cast("long").as("register_max"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).cast("long").as("zeros"),
+        sum(call_function("shiftleft", lit(1L), (lit(55) - col("m")).cast("int")))
+          .cast("long").as("denom_scaled"))
+      val ex = u.agg(count(lit(1)).as("exact_distinct"))
+      val raw = lit(0.709) * 4096 * lit(36028797018963968.0) / col("denom_scaled")
+      val e = when(raw <= 160 && col("zeros") > 0,
+        lit(64.0) * log(lit(64.0) / col("zeros"))).otherwise(raw)
+      agg.crossJoin(broadcast(ex))
+        .select(col("register_sum"), col("register_max"), col("zeros"),
+          round(e, 2).as("est_distinct"), col("exact_distinct"),
+          round(abs(e - col("exact_distinct")) / col("exact_distinct"), 4)
+            .as("rel_err"))
+    },
+
     // ---- theta sketch set operations (audience intersection) ----
     // The set-ops sketch next to q_hll_sketch_union's union-only HLL:
     // DataSketches theta sketches support INTERSECTION, the "overlap

@@ -158,6 +158,77 @@ object GraphQueries {
       .sortWithinPartitions("dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** One unrolled PERSONALIZED-PageRank oracle iteration: the restart
+    * mass goes to the seed vector `rst` carried in r0, not uniformly. */
+  private def pprOracleIter(k: Int): String =
+    s"""r$k AS (SELECT u.node, u.rst,
+       |             0.15 * u.rst
+       |             + 0.85 * coalesce(sum(en.p * rp.pr), 0) AS pr
+       |      FROM r0 u
+       |      LEFT JOIN en ON en.dst = u.node
+       |      LEFT JOIN r${k - 1} rp ON rp.node = en.src
+       |      GROUP BY u.node, u.rst)""".stripMargin
+
+  /** One unrolled LPA oracle round: adopt the incident label with the
+    * highest edge-weight sum, smallest label on ties. */
+  private def lpaRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""n$r AS (SELECT e.src AS node, l.lab, CAST(sum(e.w) AS BIGINT) AS wt
+       |        FROM ed e JOIN l$p l ON l.node = e.dst GROUP BY 1, 2),
+       |l$r AS (SELECT node, lab FROM
+       |          (SELECT node, lab, row_number() OVER
+       |             (PARTITION BY node ORDER BY wt DESC, lab) AS rn
+       |           FROM n$r) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle CTE chain ending in `l3(node, lab)` — the 3-round LPA
+    * labels, shared verbatim by q_label_propagation and
+    * q_graph_modularity so the community assignment can never drift
+    * between the detector and its quality gate. */
+  private def lpaSqlCtes: String =
+    s"""${graft.operators.StatsQueries.basketPairsSqlCtes},
+       |ed AS (SELECT p1 AS src, p2 AS dst, n_both AS w FROM pairs
+       |       UNION ALL SELECT p2, p1, n_both FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+       |${Seq(1, 2, 3).map(lpaRoundSql).mkString(",\n")}""".stripMargin
+
+  /** 3-round synchronous weighted LPA labels (node, lab) — the engine
+    * twin of [[lpaSqlCtes]], shared by the detector and the
+    * modularity gate.
+    *
+    * r9 shape (r8 VERDICT #4, head-to-head measured 7.2-8.9 s →
+    * 4.5-4.9 s at sf0.1): the edge list arrives PERSISTED, clustered
+    * AND sorted on the round-join key from [[copurchaseEdgesByDst]],
+    * so each round's label join streams it from cache with no
+    * exchange and no sort — the per-round edge re-shuffle of the old
+    * shape is gone at every scale (decade gates: 10× 2.4×, 100× 7.1×;
+    * the old shape DNF'd a 590 s budget at the 100× decade). Rounds
+    * stay ADAPTIVE joins (a forced label broadcast with in-partition
+    * aggs re-measured catastrophic at 100× — the 240M-row (src,lab)
+    * aggregation spills in every partition). The argmax is the
+    * struct-max — (wt desc, lab asc) ≡ max(wt, -lab) — not a per-node
+    * sort window (window measured 3× worse, r7); a DECIMAL-packed
+    * hash-only argmax was measured and lost head-to-head. Per-round
+    * label checkpoints stay: the checkpoint-free nested-DAG variant
+    * re-executes round subtrees under the nested adaptive stages
+    * (measured 12.8 s vs 6.0 s); node-sized checkpoints are cheap. */
+  def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val ed = copurchaseEdgesByDst(s, dir)
+    var labels = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to 3) {
+      labels = ed
+        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(sum("w").cast("long").as("wt"))
+        .groupBy("node")
+        .agg(max(struct(col("wt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     sql(
@@ -212,6 +283,83 @@ object GraphQueries {
 
       pagerankIterate(en, nodes, n, rounds = 5)
         .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    },
+
+    // ---- personalized (topic-sensitive) PageRank ----
+    // Haveliwala 2002: the random surfer teleports to a SEED SET
+    // instead of uniformly — the "influence relative to these nodes"
+    // ranking behind seeded crawl budgeting, related-entity
+    // expansion, and TrustRank-style reputation seeding. Same trade
+    // graph and same 5-round join+aggregate recurrence as q_pagerank
+    // (edges/out-normalization reused verbatim), but the restart mass
+    // 0.15 concentrates on the seeds (n_nationkey < 5, 1/|S| each)
+    // and r0 starts as the restart vector. Non-seed nodes have NO
+    // rank floor — their rank is purely inherited mass, so the output
+    // separates the seeded neighborhood from the periphery (compare
+    // q_pagerank where every node keeps 0.15/n). Scale: identical to
+    // q_pagerank — the restart column rides the node frame, K joins
+    // on node id.
+    sql(
+      "q_pagerank_personalized",
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) * 1.0 AS w
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY src),
+         |en AS (SELECT e.src, e.dst, e.w / o.tw AS p
+         |       FROM e JOIN outw o ON e.src = o.src),
+         |ns AS (SELECT sum(CASE WHEN n_nationkey < 5 THEN 1.0 ELSE 0 END) AS k
+         |       FROM nation),
+         |r0 AS (SELECT n_nationkey AS node,
+         |              CASE WHEN n_nationkey < 5
+         |                   THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS rst,
+         |              CASE WHEN n_nationkey < 5
+         |                   THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS pr
+         |       FROM nation),
+         |${(1 to 5).map(pprOracleIter).mkString(",\n")}
+         |SELECT node, round(pr, 6) AS ppr
+         |FROM r5 ORDER BY node""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val lineitem = t(s, dir, "lineitem")
+      val supplier = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val edges = orders
+        .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg((count(lit(1)) * 1.0).as("w"))
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("tw"))
+      val en = edges.join(outw, "src")
+        .select(col("src"), col("dst"), (col("w") / col("tw")).as("p"))
+        .localCheckpoint() // eager, the q_pagerank convention
+      // seed count as a broadcast 1-row aggregate (no driver count)
+      val k = nation.agg(sum(when(col("n_nationkey") < 5, 1.0)
+        .otherwise(0.0)).as("k"))
+      val nodes = nation.select(col("n_nationkey").as("node"))
+        .crossJoin(broadcast(k))
+        .select(col("node"),
+          when(col("node") < 5, lit(1.0) / col("k")).otherwise(0.0).as("rst"))
+      var pr = nodes.select(col("node"), col("rst"), col("rst").as("pr"))
+      for (iter <- 1 to 5) {
+        val contrib = en
+          .join(pr.select(col("node").as("src"), col("pr")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("p") * col("pr")).as("in_mass"))
+        pr = nodes
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"), col("rst"),
+            (lit(0.15) * col("rst")
+              + lit(0.85) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        if (iter < 5) pr = pr.localCheckpoint()
+      }
+      pr.select(col("node"), round(col("pr"), 6).as("ppr")).orderBy("node")
     },
 
     // ---- TextRank keyword extraction ----
@@ -412,60 +560,90 @@ object GraphQueries {
     // lineage pitfall). Output: per-community size + member-id
     // checksum, which pins every node's final label without emitting
     // node-level rows.
-    {
-      def roundSql(r: Int): String = {
-        val p = r - 1
-        s"""n$r AS (SELECT e.src AS node, l.lab, CAST(sum(e.w) AS BIGINT) AS wt
-           |        FROM ed e JOIN l$p l ON l.node = e.dst GROUP BY 1, 2),
-           |l$r AS (SELECT node, lab FROM
-           |          (SELECT node, lab, row_number() OVER
-           |             (PARTITION BY node ORDER BY wt DESC, lab) AS rn
-           |           FROM n$r) WHERE rn = 1)""".stripMargin
-      }
-      sql(
-        "q_label_propagation",
-        s"""WITH ${graft.operators.StatsQueries.basketPairsSqlCtes},
-           |ed AS (SELECT p1 AS src, p2 AS dst, n_both AS w FROM pairs
-           |       UNION ALL SELECT p2, p1, n_both FROM pairs),
-           |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
-           |${Seq(1, 2, 3).map(roundSql).mkString(",\n")}
-           |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
-           |       CAST(sum(node) AS BIGINT) AS member_sum
-           |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-        // r9 rework (r8 VERDICT #4, head-to-head measured 7.2-8.9 s →
-        // 4.5-4.9 s at sf0.1): the edge list now arrives PERSISTED,
-        // clustered AND sorted on the round-join key from
-        // [[copurchaseEdgesByDst]], so each round's label join streams
-        // it from cache with no exchange and no sort — the per-round
-        // edge re-shuffle of the old shape is gone at every scale. The
-        // rounds stay ADAPTIVE joins (a forced label broadcast with
-        // in-partition aggs was re-measured this round: catastrophic
-        // at the 100× decade, the 240M-row (src,lab) aggregation
-        // spills in every partition). The argmax is the hash-agg
-        // struct-max — (wt desc, lab asc) ≡ max(wt, -lab) — not a
-        // per-node sort window (window measured 3× worse, r7); a
-        // DECIMAL-packed hash-only argmax was also measured and lost
-        // head-to-head. Per-round label checkpoints stay: the
-        // no-checkpoint nested-DAG variant re-executes round subtrees
-        // under the nested adaptive stages (measured 12.8 s vs 6.0 s);
-        // node-sized checkpoints are cheap insurance.
-        val ed = copurchaseEdgesByDst(s, dir)
-        var labels = ed.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("lab"))
-        for (_ <- 1 to 3) {
-          labels = ed
-            .join(labels.select(col("node").as("dst"), col("lab")), "dst")
-            .groupBy(col("src").as("node"), col("lab"))
-            .agg(sum("w").cast("long").as("wt"))
-            .groupBy("node")
-            .agg(max(struct(col("wt"), (-col("lab")).as("nl"))).as("m"))
-            .select(col("node"), (-col("m.nl")).as("lab"))
-            .localCheckpoint()
-        }
-        labels.groupBy(col("lab").as("community"))
-          .agg(count(lit(1)).as("n_members"), sum("node").as("member_sum"))
-          .orderBy("community")
-      }
+    sql(
+      "q_label_propagation",
+      s"""WITH $lpaSqlCtes
+         |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(node) AS BIGINT) AS member_sum
+         |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      lpaLabels(s, dir)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"), sum("node").as("member_sum"))
+        .orderBy("community")
+    },
+
+    // ---- modularity of the detected communities ----
+    // The cluster-quality gate for LPA (Newman & Girvan 2004,
+    // weighted): Q = Σ_c [ W_in(c)/W − (S(c)/2W)² ] over the SAME
+    // 3-round LPA labels — the number a community detection run is
+    // accepted or rejected on. On the symmetrized directed edge view
+    // (total directed weight m2 = 2W), per community: intra weight =
+    // Σ w over edges with both endpoints labeled c (directed — counts
+    // each undirected edge twice, exactly 2·W_in), strength = Σ w of
+    // all edges leaving c's members. Both reduce to TWO label joins
+    // against the edge frame (src label, dst label) — the frame
+    // arrives clustered on dst from the shared cache, so one side
+    // streams — followed by label-sized aggregations; the totals ride
+    // as a broadcast 1-row frame. Integer edge weights keep every
+    // intermediate EXACT (BIGINT sums); only the final ratios are
+    // doubles, rounded 6. Output: per-community membership, intra
+    // weight, strength, contribution, with total Q riding every row
+    // (hash-pinned against the oracle's identical unroll).
+    sql(
+      "q_graph_modularity",
+      s"""WITH $lpaSqlCtes,
+         |lsrc AS (SELECT e.src, e.dst, e.w, l.lab AS lab_src
+         |         FROM ed e JOIN l3 l ON l.node = e.src),
+         |lb AS (SELECT ls.src, ls.dst, ls.w, ls.lab_src, l.lab AS lab_dst
+         |       FROM lsrc ls JOIN l3 l ON l.node = ls.dst),
+         |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM ed),
+         |pc AS (SELECT lab_src AS community,
+         |              CAST(sum(CASE WHEN lab_src = lab_dst THEN w ELSE 0 END) AS BIGINT) AS intra_w,
+         |              CAST(sum(w) AS BIGINT) AS strength
+         |       FROM lb GROUP BY 1),
+         |nm AS (SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM l3 GROUP BY 1),
+         |qc AS (SELECT pc.community, nm.n_members, pc.intra_w, pc.strength,
+         |              CAST(pc.intra_w AS DOUBLE) / m2.tot
+         |              - (CAST(pc.strength AS DOUBLE) / m2.tot)
+         |                * (CAST(pc.strength AS DOUBLE) / m2.tot) AS contrib
+         |       FROM pc JOIN nm ON nm.community = pc.community, m2)
+         |SELECT community, n_members, intra_w, strength,
+         |       round(contrib, 6) + 0.0 AS contrib,
+         |       round(sum(contrib) OVER (), 6) + 0.0 AS q_total
+         |FROM qc ORDER BY community""".stripMargin) { (s, dir) =>
+      val ed = copurchaseEdgesByDst(s, dir)
+      val l3 = lpaLabels(s, dir)
+      val m2 = ed.agg(sum("w").cast("long").as("tot"))
+      val withLabels = ed
+        .join(l3.select(col("node").as("src"), col("lab").as("lab_src")), "src")
+        .join(l3.select(col("node").as("dst"), col("lab").as("lab_dst")), "dst")
+      val pc = withLabels.groupBy(col("lab_src").as("community"))
+        .agg(sum(when(col("lab_src") === col("lab_dst"), col("w"))
+            .otherwise(0L)).cast("long").as("intra_w"),
+          sum("w").cast("long").as("strength"))
+      val nm = l3.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+      val contrib = col("intra_w").cast("double") / col("tot") -
+        (col("strength").cast("double") / col("tot")) *
+          (col("strength").cast("double") / col("tot"))
+      val qc = pc.join(nm, "community").crossJoin(broadcast(m2))
+        .select(col("community"), col("n_members"), col("intra_w"),
+          col("strength"), contrib.as("contrib"))
+        // community-sized frame feeds both the output and the global
+        // Q window — materialize so the sum-over-all window (a single
+        // tiny partition of |C| rows) doesn't recompute the joins
+        .localCheckpoint()
+      // `+ 0.0` on BOTH engines: IEEE −0.0 + 0.0 = +0.0 — a
+      // community whose rounded contribution underflows to a signed
+      // zero must hash identically cross-engine (the r7
+      // q_price_volume_bridge convention)
+      qc.select(col("community"), col("n_members"), col("intra_w"),
+          col("strength"), (round(col("contrib"), 6) + 0.0).as("contrib"),
+          (round(sum("contrib").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)),
+            6) + 0.0).as("q_total"))
+        .orderBy("community")
     },
 
     // ---- link prediction: Adamic–Adar over the co-purchase graph ----

@@ -760,6 +760,80 @@ object StatsQueries {
           + varOverN("cp") + varOverN("cr")), 6).as("se"))
     },
 
+    // ---- sharp regression discontinuity (local linear, both sides) ----
+    // The third member of the causal family (DiD above, IPW below):
+    // when treatment switches deterministically at a threshold of a
+    // running variable, the effect is the JUMP of the outcome at the
+    // cutoff — estimated by two separate local linear fits inside a
+    // bandwidth and differencing their intercepts AT the cutoff.
+    // Running variable x = value − 250 (centered, so each side's OLS
+    // intercept IS its boundary limit), bandwidth |x| ≤ 100, outcome =
+    // the props.k payload. Both fits are CLOSED-FORM slopes from five
+    // exact DECIMAL moments per side, collapsed in ONE corpus pass
+    // (map-side combine to a single row — the q_did_estimator scale
+    // shape); on the synthetic corpus the true jump is ~0, which the
+    // oracle pins exactly. `+ 0.0` canonicalizes signed zeros on the
+    // rounded doubles (slopes near 0 round to −0.0 engine-dependently).
+    sql(
+      "q_regression_discontinuity",
+      """WITH e AS (SELECT CAST(value - 250 AS DECIMAL(18,6)) AS x,
+        |        CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+        |             AS DECIMAL(18,6)) AS y,
+        |        CASE WHEN value >= 250 THEN 1 ELSE 0 END AS r
+        |      FROM events
+        |      WHERE value >= 150 AND value <= 350
+        |        AND json_extract_string(props, '$.k') IS NOT NULL),
+        |m AS (SELECT r, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |        sum(x * CAST(x AS DECIMAL(19,6))) AS sxx
+        |      FROM e GROUP BY r),
+        |f AS (SELECT r, n,
+        |        (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |        CAST(sy AS DOUBLE) / n
+        |          - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * CAST(sx AS DOUBLE) / n AS a
+        |      FROM m)
+        |SELECT l.n AS n_left, rt.n AS n_right,
+        |       round(l.a, 6) + 0.0 AS a_left, round(l.b, 6) + 0.0 AS b_left,
+        |       round(rt.a, 6) + 0.0 AS a_right, round(rt.b, 6) + 0.0 AS b_right,
+        |       round(rt.a - l.a, 6) + 0.0 AS tau
+        |FROM (SELECT * FROM f WHERE r = 0) l,
+        |     (SELECT * FROM f WHERE r = 1) rt""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .where(col("value") >= 150 && col("value") <= 350
+          && get_json_object(col("props"), "$.k").isNotNull)
+        .select((col("value") - 250).cast("decimal(18,6)").as("x"),
+          get_json_object(col("props"), "$.k").cast("double")
+            .cast("decimal(18,6)").as("y"),
+          when(col("value") >= 250, 1).otherwise(0).as("r"))
+      val m = e.groupBy("r").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y").cast("decimal(19,6)")).as("sxy"),
+        sum(col("x") * col("x").cast("decimal(19,6)")).as("sxx"))
+      val b = (col("n") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      val a = col("sy").cast("double") / col("n") -
+        b * col("sx").cast("double") / col("n")
+      val f = m.select(col("r"), col("n"), a.as("a"), b.as("b"))
+        .localCheckpoint() // 2 rows feeding both sides of the pivot
+      val l = f.where(col("r") === 0)
+        .select(col("n").as("n_left"), col("a").as("al"), col("b").as("bl"))
+      val rt = f.where(col("r") === 1)
+        .select(col("n").as("n_right"), col("a").as("ar"), col("b").as("br"))
+      l.crossJoin(broadcast(rt))
+        .select(col("n_left"), col("n_right"),
+          (round(col("al"), 6) + 0.0).as("a_left"),
+          (round(col("bl"), 6) + 0.0).as("b_left"),
+          (round(col("ar"), 6) + 0.0).as("a_right"),
+          (round(col("br"), 6) + 0.0).as("b_right"),
+          (round(col("ar") - col("al"), 6) + 0.0).as("tau"))
+    },
+
     // ---- stratified propensity / IPW treatment-effect estimate ----
     // The observational-causal complement to q_did_estimator: stratify
     // users on a PRE-period covariate (pre-period spend, fixed-width

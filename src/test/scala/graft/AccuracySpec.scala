@@ -1400,4 +1400,88 @@ class AccuracySpec extends SparkSpec {
         "the item half-step must not increase RMSE")
     }
   }
+
+  test("q_hll_portable registers and estimate equal a from-scratch HLL") {
+    // Recompute every register in plain Scala from the same md5-derived
+    // 60-bit hash — catches a wrong bucket split, an off-by-one in the
+    // rho width, a missed empty-bucket spine row, or a denominator
+    // summed in floats instead of scaled integers.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val users = Tables(spark, sf, "events").select("user_id")
+      .distinct().as[Long].collect()
+    val reg = new Array[Int](64)
+    users.foreach { u =>
+      val h = java.lang.Long.parseLong(md5hex(u.toString).take(15), 16)
+      val bucket = (h % 64).toInt
+      val rest = h >>> 6
+      val rho = if (rest == 0) 55
+        else 55 - java.lang.Long.toBinaryString(rest).length
+      if (rho > reg(bucket)) reg(bucket) = rho
+    }
+    val zeros = reg.count(_ == 0)
+    val denomScaled = reg.map(m => 1L << (55 - m)).sum
+    val raw = 0.709 * 4096 * 36028797018963968.0 / denomScaled
+    val est = if (raw <= 160 && zeros > 0) 64.0 * math.log(64.0 / zeros) else raw
+    val r = SparkEntry.queries("q_hll_portable")(spark, sf).collect().head
+    assert(r.getAs[Long]("register_sum") == reg.map(_.toLong).sum, "register sum")
+    assert(r.getAs[Long]("register_max") == reg.max.toLong, "register max")
+    assert(r.getAs[Long]("zeros") == zeros.toLong, "empty buckets")
+    assert(math.abs(r.getAs[Double]("est_distinct") - est) <= 0.01,
+      s"estimate ${r.getAs[Double]("est_distinct")} vs replica $est")
+    assert(r.getAs[Long]("exact_distinct") == users.length.toLong)
+    // m=64 standard error is 1.04/8 = 13%; 3 sigma = 39%
+    assert(r.getAs[Double]("rel_err") <= 0.39,
+      s"HLL estimate ${r.getAs[Double]("rel_err")} outside 3-sigma")
+  }
+
+  test("q_ndcg_at_k equals a from-scratch graded eval and bounds hold") {
+    import graft.functions.VectorFunctions.{asDouble, cosine}
+    // replicate probes, exact + bucket rankings, and NDCG with the
+    // SAME pinned 9-decimal discounts on the sf0.01 corpus
+    val weights = Array(1.0, 0.630929754, 0.5, 0.430676558, 0.386852807,
+      0.356207187, 0.333333333, 0.315464877, 0.301029996, 0.289064826)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def bucket(v: Seq[Double]): Long =
+      (0 until 8).map(i => if (v(i) > 0) 1L << i else 0L).sum
+    val bkt = emb.view.mapValues(bucket).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val probes = emb.keys.filter(_ % 25 == 0).toSeq
+      .sortBy(q => (md5hex(q.toString), q)).take(128)
+    var sumN = 0.0
+    var perfect = 0
+    probes.foreach { q =>
+      def top10(pool: Iterable[Long]): Seq[Long] = pool.toSeq
+        .map(c => (c, r6(cos(emb(q), emb(c)))))
+        .sortBy { case (c, s) => (-s, c) }.take(10).map(_._1)
+      val truth = top10(emb.keys.filter(_ != q))
+      val trank = truth.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+      val retrieved = top10(emb.keys.filter(c => c != q && bkt(c) == bkt(q)))
+      val dcg = retrieved.zipWithIndex.map { case (c, i) =>
+        trank.get(c).map(t => (11 - t) * weights(i)).getOrElse(0.0) }.sum
+      val idcg = truth.indices.map(i => (11 - (i + 1)) * weights(i)).sum
+      val ndcg = if (idcg > 0) dcg / idcg else 0.0
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12, s"probe $q ndcg $ndcg")
+      sumN += ndcg
+      if (ndcg >= 0.999999) perfect += 1
+    }
+    val r = SparkEntry.queries("q_ndcg_at_k")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_queries") == probes.size.toLong)
+    assert(math.abs(r.getAs[Double]("mean_ndcg_at10") - sumN / probes.size) <= 1e-6,
+      s"mean ndcg ${r.getAs[Double]("mean_ndcg_at10")} vs replica ${sumN / probes.size}")
+    assert(r.getAs[Long]("perfect_queries") == perfect.toLong)
+  }
 }

@@ -257,6 +257,94 @@ class GraphSpec extends SparkSpec {
     assert(got == expected, s"got $got vs $expected")
   }
 
+  test("q_graph_modularity equals a from-scratch weighted Newman Q at sf0.001") {
+    // Recompute the 3-round LPA labels AND the modularity sum in plain
+    // collections — catches a wrong intra/strength join, a m2 that
+    // counts undirected weight once, or label drift between the
+    // detector and the gate.
+    val dir = "/root/testdata/sf0.001"
+    val baskets = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val w = baskets.flatMap(ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = w.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    val byNode = edges.groupBy(_._1)
+    var lab = byNode.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = byNode.map { case (v, es) =>
+        val wt = es.groupMapReduce(e => lab(e._2))(_._3)(_ + _)
+        v -> wt.toSeq.minBy { case (l, s) => (-s, l) }._1
+      }
+    }
+    val m2 = edges.map(_._3).sum.toDouble
+    val byComm = edges.groupBy(e => lab(e._1))
+    val expected = byComm.map { case (c, es) =>
+      val intra = es.filter(e => lab(e._2) == c).map(_._3).sum
+      val strength = es.map(_._3).sum
+      c -> ((intra, strength,
+        intra / m2 - (strength / m2) * (strength / m2)))
+    }
+    val qTotal = expected.values.map(_._3).sum
+    val got = SparkEntry.queries("q_graph_modularity")(spark, dir).collect()
+    assert(got.map(_.getAs[Number]("community").longValue).toSet == expected.keySet)
+    got.foreach { r =>
+      val c = r.getAs[Number]("community").longValue
+      val (ei, es, ec) = expected(c)
+      assert(r.getAs[Long]("intra_w") == ei, s"community $c intra")
+      assert(r.getAs[Long]("strength") == es, s"community $c strength")
+      assert(math.abs(r.getAs[Double]("contrib") - ec) <= 1e-6, s"community $c contrib")
+      assert(math.abs(r.getAs[Double]("q_total") - qTotal) <= 1e-6, "total Q")
+    }
+  }
+
+  test("q_pagerank_personalized equals an in-memory seeded power iteration " +
+    "at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def read(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val custNation = read("customer").select("c_custkey", "c_nationkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val suppNation = read("supplier").select("s_suppkey", "s_nationkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val orderCust = read("orders").select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val nodes = read("nation").select("n_nationkey")
+      .collect().map(_.getAs[Number](0).longValue).sorted
+    val w = read("lineitem").select("l_orderkey", "l_suppkey").collect()
+      .flatMap { r =>
+        orderCust.get(r.getAs[Number](0).longValue).map { ck =>
+          (custNation(ck), suppNation(r.getAs[Number](1).longValue)) -> 1.0
+        }
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val outW = w.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val p = w.map { case ((src, dst), cnt) => (src, dst) -> cnt / outW(src) }
+    val seeds = nodes.filter(_ < 5)
+    val rst = nodes.map(v => v ->
+      (if (v < 5) 1.0 / seeds.size else 0.0)).toMap
+    var pr = rst
+    for (_ <- 1 to 5) {
+      val inMass = p.toSeq
+        .map { case ((src, dst), prob) => dst -> prob * pr(src) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      pr = nodes.map(v => v ->
+        (0.15 * rst(v) + 0.85 * inMass.getOrElse(v, 0.0))).toMap
+    }
+    val got = SparkEntry.queries("q_pagerank_personalized")(spark, dir)
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getDouble(1)).toMap
+    assert(got.keySet == nodes.toSet)
+    for (v <- nodes)
+      assert(math.abs(got(v) - pr(v)) <= 1e-6,
+        s"node $v: query ${got(v)} vs power iteration ${pr(v)}")
+    // the teleport floor is a theorem, not a heuristic: every seed
+    // keeps at least 0.15/|S| regardless of the graph; non-seeds have
+    // no floor at all
+    seeds.foreach(v => assert(got(v) >= 0.15 / seeds.size - 1e-9,
+      s"seed $v rank ${got(v)} below its teleport floor"))
+  }
+
   test("copurchaseEdgesByDst equals the symmetrized basketPairCounts view " +
     "and arrives clustered on dst") {
     import org.apache.spark.sql.functions._

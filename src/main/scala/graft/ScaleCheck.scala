@@ -255,7 +255,10 @@ object ScaleCheck {
     "q_ndcg_at_k",
     // round-9 second batch: the component-member argmax rollup and the
     // one-pass two-sided moment collapse
-    "q_dedup_keep_best", "q_regression_discontinuity")
+    "q_dedup_keep_best", "q_regression_discontinuity",
+    // round-9 third batch: the 9-way probe-explode bucket join and the
+    // vocabulary-joined EM pass
+    "q_knn_multiprobe", "q_plsa_round")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

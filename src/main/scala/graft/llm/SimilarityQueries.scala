@@ -1440,6 +1440,132 @@ object SimilarityQueries {
           (abs(col("d12")) < 1e-6).as("ortho_ok"))
     },
 
+    // ---- multi-probe sign-LSH retrieval (Hamming-1 bucket probing) ----
+    // The standard production fix for LSH's recall cliff (Lv et al.
+    // 2007): instead of widening the index (more tables = more
+    // memory), probe the query's OWN bucket plus its 8 Hamming-1
+    // neighbors — near-misses land in buckets differing by one sign
+    // bit far more often than chance. This query runs BOTH retrievals
+    // against the same exact-cosine truth and reports recall@10 and
+    // candidate volume side by side — the recall-vs-cost tradeoff
+    // table an ANN operator reads before picking a probe width. Same
+    // md5-capped ≤128-probe core as q_map_at_k (corpus-linear by
+    // construction); the multi-probe candidate join is an EQUI-join on
+    // bucket after a 9-way probe-list explode — at 100 TB the bucket
+    // index is hash-partitioned once and each probe is a lookup, never
+    // a scan.
+    sql(
+      "q_knn_multiprobe",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  list_sum(list_transform(range(0, 8),
+        |                    i -> CASE WHEN embedding[i+1] > 0
+        |                              THEN (1::BIGINT << i) ELSE 0 END)) AS bkt
+        |           FROM embeddings),
+        |qs AS (SELECT qid, v, bkt FROM (
+        |    SELECT vec_id AS qid, v, bkt,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |        AS pr
+        |    FROM e WHERE vec_id % 25 = 0) WHERE pr <= 128),
+        |probes AS (SELECT qid, v, CASE WHEN i = 0 THEN bkt
+        |                               ELSE xor(bkt, 1::BIGINT << (i - 1))
+        |                          END AS pbkt
+        |           FROM qs, range(0, 9) t(i)),
+        |tr AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round($cosineSql, 6) DESC, c.vec_id) AS rn
+        |    FROM qs q JOIN e c ON c.vec_id <> q.qid)
+        |  WHERE rn <= 10),
+        |s1 AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round($cosineSql, 6) DESC, c.vec_id) AS rn
+        |    FROM qs q JOIN e c ON c.bkt = q.bkt AND c.vec_id <> q.qid)
+        |  WHERE rn <= 10),
+        |mc AS (SELECT DISTINCT p.qid, p.v, c.vec_id AS cid, c.v AS cv
+        |       FROM probes p JOIN e c ON c.bkt = p.pbkt
+        |       WHERE c.vec_id <> p.qid),
+        |sm AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, q.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1),
+        |            i -> q.v[i] * q.cv[i]))
+        |          / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |           * sqrt(list_sum(list_transform(q.cv, x -> x * x)))), 6)
+        |          DESC, q.cid) AS rn
+        |    FROM mc q)
+        |  WHERE rn <= 10),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS cand_single
+        |       FROM qs q JOIN e c ON c.bkt = q.bkt AND c.vec_id <> q.qid),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS cand_multi FROM mc),
+        |h1 AS (SELECT CAST(count(*) AS BIGINT) AS hits_single
+        |       FROM s1 JOIN tr USING (qid, cid)),
+        |hm AS (SELECT CAST(count(*) AS BIGINT) AS hits_multi
+        |       FROM sm JOIN tr USING (qid, cid)),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs)
+        |SELECT n AS n_queries,
+        |  round(CAST(hits_single AS DOUBLE) / (n * 10), 6) AS recall_single,
+        |  round(CAST(hits_multi AS DOUBLE) / (n * 10), 6) AS recall_multiprobe,
+        |  cand_single, cand_multi,
+        |  round(CAST(cand_multi AS DOUBLE) / cand_single, 4) AS cost_ratio
+        |FROM nq, h1, hm, n1, nm""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+          signBucket(asDouble(col("embedding"))).as("bkt"))
+      val qs = e.where(col("vec_id") % 25 === 0)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(128)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt").as("qb"))
+        .localCheckpoint() // probe set feeds truth, single, multi, count
+      val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("bkt").as("cb"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      val tr = qs.join(c, col("cid") =!= col("qid"))
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("qid").as("tqid"), col("cid").as("tcid"))
+        .localCheckpoint() // truth joined by both retrieval arms
+      val single = qs.join(c, col("cb") === col("qb") && col("cid") =!= col("qid"))
+        .localCheckpoint() // candidate frame feeds count + ranking
+      val s1 = single
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10).select("qid", "cid")
+      // probe list: own bucket + the 8 Hamming-1 neighbors, exploded
+      // into an EQUI-join key (the scale path — no IN-list scan)
+      val probeBkts = qs.select(col("qid"), col("qv"), col("qb"),
+          explode(sequence(lit(0), lit(8))).as("i"))
+        .select(col("qid"), col("qv"),
+          when(col("i") === 0, col("qb"))
+            .otherwise(expr("qb ^ shiftleft(1L, i - 1)")).as("pbkt"))
+      val mc = probeBkts
+        .join(c, col("cb") === col("pbkt") && col("cid") =!= col("qid"))
+        .select("qid", "qv", "cid", "cv").distinct()
+        .localCheckpoint() // multi-probe candidates: count + ranking
+      val sm = mc
+        .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10).select("qid", "cid")
+      val n1 = single.agg(count(lit(1)).as("cand_single"))
+      val nm = mc.agg(count(lit(1)).as("cand_multi"))
+      val h1 = s1.join(tr, col("tqid") === col("qid")
+        && col("tcid") === col("cid")).agg(count(lit(1)).as("hits_single"))
+      val hm = sm.join(tr, col("tqid") === col("qid")
+        && col("tcid") === col("cid")).agg(count(lit(1)).as("hits_multi"))
+      val nq = qs.agg(count(lit(1)).as("n"))
+      nq.crossJoin(broadcast(h1)).crossJoin(broadcast(hm))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(nm))
+        .select(col("n").as("n_queries"),
+          round(col("hits_single").cast("double") / (col("n") * 10), 6)
+            .as("recall_single"),
+          round(col("hits_multi").cast("double") / (col("n") * 10), 6)
+            .as("recall_multiprobe"),
+          col("cand_single"), col("cand_multi"),
+          round(col("cand_multi").cast("double") / col("cand_single"), 4)
+            .as("cost_ratio"))
+    },
+
     // ---- NDCG@10 of the sign-LSH retrieval (graded ranking eval) ----
     // MAP (below) treats every true neighbor as equally relevant;
     // NDCG grades them — a retrieved doc that was the probe's TRUE

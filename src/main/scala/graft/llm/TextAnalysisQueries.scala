@@ -127,6 +127,118 @@ object TextAnalysisQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- one PLSA EM round (2-topic mixture, deterministic init) ----
+    // The topic-model rung of the LM family (Hofmann 1999): factor the
+    // doc-word count matrix into p(w|z)·p(z|d) — the corpus-structure
+    // readout behind domain-mix audits and soft clustering. One
+    // EXACTLY-unrollable EM round: init θ₀(d,0) ∈ {0.3, 0.7} by doc
+    // parity and φ₀(w,z) ∝ 1+((h32(w)+z) mod 3) (both engines compute
+    // the identical integers, so every E-step double is bitwise
+    // shared); E-step responsibilities p(z|d,w) = θφ/Σθφ ride the
+    // (d,w) count frame; M-step numerators/denominators accumulate as
+    // DECIMAL(28,12) of per-row doubles (order-proof, the house
+    // convention). Output: top-10 words per topic by the updated
+    // φ₁(w,z) (exact-DECIMAL tie order) + topic masses. Scale: ONE
+    // corpus tokenize/explode collapses to the (d,w) count frame; the
+    // E/M steps are vocabulary-joined map math + two aggregations —
+    // at 100 TB this is TF-IDF-shaped work, no new join class.
+    sql(
+      "q_plsa_round",
+      """WITH ndw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1, 2),
+        |voc AS (SELECT DISTINCT word FROM ndw),
+        |g AS (SELECT word,
+        |        1 + ((('0x' || substr(md5(word), 1, 8))::BIGINT) % 3) AS g0,
+        |        1 + ((('0x' || substr(md5(word), 1, 8))::BIGINT + 1) % 3) AS g1
+        |      FROM voc),
+        |gt AS (SELECT CAST(sum(g0) AS BIGINT) AS t0,
+        |              CAST(sum(g1) AS BIGINT) AS t1 FROM g),
+        |phi0 AS (SELECT word,
+        |           CAST(g0 AS DOUBLE) / (SELECT t0 FROM gt) AS f0,
+        |           CAST(g1 AS DOUBLE) / (SELECT t1 FROM gt) AS f1
+        |         FROM g),
+        |e AS (SELECT ndw.doc_id, ndw.word, ndw.n, p.f0, p.f1,
+        |        0.3e0 + 0.4e0 * (ndw.doc_id % 2) AS th0
+        |      FROM ndw JOIN phi0 p ON p.word = ndw.word),
+        |r AS (SELECT doc_id, word, n,
+        |        th0 * f0 / (th0 * f0 + (1e0 - th0) * f1) AS p0,
+        |        (1e0 - th0) * f1 / (th0 * f0 + (1e0 - th0) * f1) AS p1
+        |      FROM e),
+        |m AS (SELECT word,
+        |        sum(CAST(n * p0 AS DECIMAL(28,12))) AS m0,
+        |        sum(CAST(n * p1 AS DECIMAL(28,12))) AS m1
+        |      FROM r GROUP BY 1),
+        |z AS (SELECT sum(m0) AS z0, sum(m1) AS z1 FROM m),
+        |phi1 AS (SELECT 0 AS topic, word, m0 AS mz,
+        |           CAST(m0 AS DOUBLE) / CAST((SELECT z0 FROM z) AS DOUBLE) AS phi,
+        |           CAST((SELECT z0 FROM z) AS DOUBLE)
+        |             / (CAST((SELECT z0 FROM z) AS DOUBLE)
+        |                + CAST((SELECT z1 FROM z) AS DOUBLE)) AS mass
+        |         FROM m
+        |         UNION ALL
+        |         SELECT 1, word, m1,
+        |           CAST(m1 AS DOUBLE) / CAST((SELECT z1 FROM z) AS DOUBLE),
+        |           CAST((SELECT z1 FROM z) AS DOUBLE)
+        |             / (CAST((SELECT z0 FROM z) AS DOUBLE)
+        |                + CAST((SELECT z1 FROM z) AS DOUBLE))
+        |         FROM m),
+        |tk AS (SELECT topic, word, phi, mass,
+        |         row_number() OVER (PARTITION BY topic
+        |           ORDER BY mz DESC, word) AS rnk
+        |       FROM phi1)
+        |SELECT CAST(topic AS BIGINT) AS topic, CAST(rnk AS BIGINT) AS rnk,
+        |       word, round(phi, 6) AS phi, round(mass, 6) AS topic_mass
+        |FROM tk WHERE rnk <= 10
+        |ORDER BY topic, rnk""".stripMargin) { (s, dir) =>
+      val ndw = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val g = ndw.select("word").distinct()
+        .select(col("word"),
+          (lit(1) + h32(col("word")) % 3).as("g0"),
+          (lit(1) + (h32(col("word")) + 1) % 3).as("g1"))
+      val gt = g.agg(sum("g0").cast("long").as("t0"),
+        sum("g1").cast("long").as("t1"))
+      val phi0 = g.crossJoin(broadcast(gt))
+        .select(col("word"),
+          (col("g0").cast("double") / col("t0")).as("f0"),
+          (col("g1").cast("double") / col("t1")).as("f1"))
+      val th0 = lit(0.3) + lit(0.4) * (col("doc_id") % 2)
+      val denom = col("th0") * col("f0") + (lit(1.0) - col("th0")) * col("f1")
+      val r = ndw.join(phi0, "word")
+        .withColumn("th0", th0)
+        .select(col("word"), col("n"),
+          (col("th0") * col("f0") / denom).as("p0"),
+          ((lit(1.0) - col("th0")) * col("f1") / denom).as("p1"))
+      val m = r.groupBy("word")
+        .agg(sum((col("n") * col("p0")).cast("decimal(28,12)")).as("m0"),
+          sum((col("n") * col("p1")).cast("decimal(28,12)")).as("m1"))
+        .localCheckpoint() // vocab-sized; feeds totals + both topic arms
+      val z = m.agg(sum("m0").as("z0"), sum("m1").as("z1"))
+      val phi1 = m.crossJoin(broadcast(z))
+        .select(lit(0L).as("topic"), col("word"), col("m0").as("mz"),
+          (col("m0").cast("double") / col("z0").cast("double")).as("phi"),
+          (col("z0").cast("double")
+            / (col("z0").cast("double") + col("z1").cast("double"))).as("mass"))
+        .unionByName(m.crossJoin(broadcast(z))
+          .select(lit(1L).as("topic"), col("word"), col("m1").as("mz"),
+            (col("m1").cast("double") / col("z1").cast("double")).as("phi"),
+            (col("z1").cast("double")
+              / (col("z0").cast("double") + col("z1").cast("double"))).as("mass")))
+      val wTop = Window.partitionBy("topic").orderBy(desc("mz"), col("word"))
+      phi1.withColumn("rnk", row_number().over(wTop).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("topic"), col("rnk"), col("word"),
+          round(col("phi"), 6).as("phi"),
+          round(col("mass"), 6).as("topic_mass"))
+        .orderBy("topic", "rnk")
+    },
+
     // ---- token counting: whitespace + regex (BPE-ish subword bound) ----
     sql(
       "q_token_counts",

@@ -1436,6 +1436,69 @@ class AccuracySpec extends SparkSpec {
       s"HLL estimate ${r.getAs[Double]("rel_err")} outside 3-sigma")
   }
 
+  test("q_knn_multiprobe candidate superset strictly helps recall") {
+    // The Hamming-1 probe set CONTAINS the single-bucket probe (i=0),
+    // so the candidate count must dominate and recall must not drop
+    // by more than one rounding step; the headline claim — probing
+    // neighbors finds more of the exact top-10 — is checked as a
+    // strict improvement on this corpus (measured 0.019 → 0.109).
+    val r = SparkEntry.queries("q_knn_multiprobe")(spark, sf).collect().head
+    assert(r.getAs[Long]("cand_multi") >= r.getAs[Long]("cand_single"),
+      "multi-probe candidates must be a superset")
+    assert(r.getAs[Double]("recall_multiprobe") >
+      r.getAs[Double]("recall_single"),
+      s"multi-probe recall ${r.getAs[Double]("recall_multiprobe")} did not " +
+        s"beat single-bucket ${r.getAs[Double]("recall_single")}")
+    assert(r.getAs[Double]("cost_ratio") >= 1.0)
+  }
+
+  test("q_plsa_round equals a from-scratch EM step") {
+    import graft.functions.TextFunctions.tokens
+    // replicate init, E-step and M-step in plain Scala — catches a
+    // swapped topic hash salt, a theta/phi mixup, or a denominator
+    // summed over the wrong grain
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val ndw = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect()
+    val vocab = ndw.map(_._2).distinct
+    val g0 = vocab.map(w => w -> (1 + (h32(w) % 3))).toMap
+    val g1 = vocab.map(w => w -> (1 + ((h32(w) + 1) % 3))).toMap
+    val (t0, t1) = (g0.values.sum.toDouble, g1.values.sum.toDouble)
+    val m0 = collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    val m1 = collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+    ndw.foreach { case (d, w, n) =>
+      val th0 = 0.3 + 0.4 * (d % 2)
+      val f0 = g0(w) / t0; val f1 = g1(w) / t1
+      val den = th0 * f0 + (1.0 - th0) * f1
+      m0(w) += n * th0 * f0 / den
+      m1(w) += n * (1.0 - th0) * f1 / den
+    }
+    val (z0, z1) = (m0.values.sum, m1.values.sum)
+    val top0 = m0.toSeq.sortBy { case (w, v) => (-v, w) }.take(10)
+    val top1 = m1.toSeq.sortBy { case (w, v) => (-v, w) }.take(10)
+    val got = SparkEntry.queries("q_plsa_round")(spark, sf).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val (topic, rnk) = (r.getAs[Long]("topic"), r.getAs[Long]("rnk"))
+      val (ew, ev, ez) = if (topic == 0)
+        (top0((rnk - 1).toInt)._1, top0((rnk - 1).toInt)._2, z0)
+      else (top1((rnk - 1).toInt)._1, top1((rnk - 1).toInt)._2, z1)
+      assert(r.getAs[String]("word") == ew,
+        s"topic $topic rank $rnk: ${r.getAs[String]("word")} vs $ew")
+      assert(math.abs(r.getAs[Double]("phi") - ev / ez) <= 1e-5,
+        s"topic $topic rank $rnk phi")
+      assert(math.abs(r.getAs[Double]("topic_mass")
+        - (if (topic == 0) z0 else z1) / (z0 + z1)) <= 1e-5)
+    }
+  }
+
   test("q_ndcg_at_k equals a from-scratch graded eval and bounds hold") {
     import graft.functions.VectorFunctions.{asDouble, cosine}
     // replicate probes, exact + bucket rankings, and NDCG with the

@@ -258,7 +258,10 @@ object ScaleCheck {
     "q_dedup_keep_best", "q_regression_discontinuity",
     // round-9 third batch: the 9-way probe-explode bucket join and the
     // vocabulary-joined EM pass
-    "q_knn_multiprobe", "q_plsa_round")
+    "q_knn_multiprobe", "q_plsa_round",
+    // round-9 fourth batch: the per-(type,day) lead window + DECIMAL
+    // collapse and the 3×(corpus×64 cell) Weiszfeld passes
+    "q_twap", "q_geometric_median")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1440,6 +1440,123 @@ object SimilarityQueries {
           (abs(col("d12")) < 1e-6).as("ortho_ok"))
     },
 
+    // ---- geometric median of the embedding cloud (2 Weiszfeld rounds) ----
+    // The ROBUST center next to q_embed_centroids' mean: the point
+    // minimizing Σ‖v − x‖ — outlier embeddings (corrupt docs, wrong-
+    // modality rows) drag a mean arbitrarily far but barely move the
+    // geometric median, so this is the center a drift monitor or a
+    // whitening step should anchor on. Two Weiszfeld (1937) rounds
+    // from the mean: x' = Σ(v/d) / Σ(1/d), d = ‖v − x‖; coincident
+    // points (d = 0) are skipped (the standard practical guard). The
+    // objective Σd is evaluated at all three iterates and its descent
+    // rides as data. Numerics: sqrt is IEEE-exact so distances are
+    // cross-engine bitwise given exact inputs; every 64-term and
+    // corpus-sized sum accumulates DECIMAL(38,18) (order-proof); the
+    // per-row v/d divisions are identical doubles. Scale: each round
+    // is one corpus×64 cell pass joined with a 64-row broadcast center
+    // — k·d work per vector, no pairwise anything.
+    sql(
+      "q_geometric_median",
+      """WITH x AS (SELECT vec_id, i, CAST(emb[i] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |nv AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+        |x0 AS (SELECT i, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+        |                 / count(*) AS c FROM x GROUP BY i),
+        |d1 AS (SELECT x.vec_id, sqrt(CAST(sum(CAST((x.v - x0.c) * (x.v - x0.c)
+        |          AS DECIMAL(38,18))) AS DOUBLE)) AS d
+        |       FROM x JOIN x0 ON x0.i = x.i GROUP BY x.vec_id),
+        |o0 AS (SELECT CAST(sum(CAST(d AS DECIMAL(38,18))) AS DOUBLE) AS obj FROM d1),
+        |n1 AS (SELECT x.i, CAST(sum(CAST(x.v / d1.d AS DECIMAL(38,18))) AS DOUBLE) AS num
+        |       FROM x JOIN d1 USING (vec_id) WHERE d1.d > 0 GROUP BY x.i),
+        |dn1 AS (SELECT CAST(sum(CAST(1e0 / d AS DECIMAL(38,18))) AS DOUBLE) AS den
+        |        FROM d1 WHERE d > 0),
+        |x1 AS (SELECT i, num / (SELECT den FROM dn1) AS c FROM n1),
+        |d2 AS (SELECT x.vec_id, sqrt(CAST(sum(CAST((x.v - x1.c) * (x.v - x1.c)
+        |          AS DECIMAL(38,18))) AS DOUBLE)) AS d
+        |       FROM x JOIN x1 ON x1.i = x.i GROUP BY x.vec_id),
+        |o1 AS (SELECT CAST(sum(CAST(d AS DECIMAL(38,18))) AS DOUBLE) AS obj FROM d2),
+        |n2 AS (SELECT x.i, CAST(sum(CAST(x.v / d2.d AS DECIMAL(38,18))) AS DOUBLE) AS num
+        |       FROM x JOIN d2 USING (vec_id) WHERE d2.d > 0 GROUP BY x.i),
+        |dn2 AS (SELECT CAST(sum(CAST(1e0 / d AS DECIMAL(38,18))) AS DOUBLE) AS den
+        |        FROM d2 WHERE d > 0),
+        |x2 AS (SELECT i, num / (SELECT den FROM dn2) AS c FROM n2),
+        |d3 AS (SELECT x.vec_id, sqrt(CAST(sum(CAST((x.v - x2.c) * (x.v - x2.c)
+        |          AS DECIMAL(38,18))) AS DOUBLE)) AS d
+        |       FROM x JOIN x2 ON x2.i = x.i GROUP BY x.vec_id),
+        |o2 AS (SELECT CAST(sum(CAST(d AS DECIMAL(38,18))) AS DOUBLE) AS obj FROM d3),
+        |cc AS (SELECT max(CASE WHEN i = 1 THEN c END) AS c1,
+        |              max(CASE WHEN i = 2 THEN c END) AS c2,
+        |              max(CASE WHEN i = 3 THEN c END) AS c3,
+        |              max(CASE WHEN i = 4 THEN c END) AS c4
+        |       FROM x2)
+        |SELECT (SELECT n FROM nv) AS n_vecs,
+        |  round((SELECT obj FROM o0), 4) AS obj_mean,
+        |  round((SELECT obj FROM o1), 4) AS obj_w1,
+        |  round((SELECT obj FROM o2), 4) AS obj_w2,
+        |  (SELECT obj FROM o1) <= (SELECT obj FROM o0) + 1e-9 AS descent1,
+        |  (SELECT obj FROM o2) <= (SELECT obj FROM o1) + 1e-9 AS descent2,
+        |  round(c1, 6) + 0.0 AS c1, round(c2, 6) + 0.0 AS c2,
+        |  round(c3, 6) + 0.0 AS c3, round(c4, 6) + 0.0 AS c4
+        |FROM cc""".stripMargin) { (s, dir) =>
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      val x = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v0")))
+        .select(col("vec_id"), (col("p") + 1).as("i"),
+          col("v0").cast("double").as("v"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // (distance pass, numerator pass) per round against a 64-row
+      // broadcast center; d frames are corpus-keyed and feed both the
+      // objective and the next numerators — checkpoint each
+      def distances(ctr: org.apache.spark.sql.DataFrame) = x
+        .join(broadcast(ctr), "i")
+        .groupBy("vec_id")
+        .agg(sqrt(dsum((col("v") - col("c")) * (col("v") - col("c")))).as("d"))
+        .localCheckpoint()
+      def objective(d: org.apache.spark.sql.DataFrame) =
+        d.agg(dsum(col("d")).as("obj"))
+      def step(d: org.apache.spark.sql.DataFrame) = {
+        val num = x.join(d, "vec_id").where(col("d") > 0)
+          .groupBy("i").agg(dsum(col("v") / col("d")).as("num"))
+        val den = d.where(col("d") > 0).agg(dsum(lit(1.0) / col("d")).as("den"))
+        num.crossJoin(broadcast(den))
+          .select(col("i"), (col("num") / col("den")).as("c"))
+          .localCheckpoint() // 64 rows; broadcast into the next passes
+      }
+      val x0 = x.groupBy("i")
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double")
+          / count(lit(1))).as("c"))
+        .localCheckpoint()
+      val d1 = distances(x0)
+      val x1 = step(d1)
+      val d2 = distances(x1)
+      val x2 = step(d2)
+      val d3 = distances(x2)
+      val nv = x.agg(countDistinct("vec_id").as("n"))
+      val cc = x2.agg(
+        max(when(col("i") === 1, col("c"))).as("c1"),
+        max(when(col("i") === 2, col("c"))).as("c2"),
+        max(when(col("i") === 3, col("c"))).as("c3"),
+        max(when(col("i") === 4, col("c"))).as("c4"))
+      objective(d1).select(col("obj").as("o0"))
+        .crossJoin(broadcast(objective(d2).select(col("obj").as("o1"))))
+        .crossJoin(broadcast(objective(d3).select(col("obj").as("o2"))))
+        .crossJoin(broadcast(nv)).crossJoin(broadcast(cc))
+        .select(col("n").as("n_vecs"),
+          round(col("o0"), 4).as("obj_mean"),
+          round(col("o1"), 4).as("obj_w1"),
+          round(col("o2"), 4).as("obj_w2"),
+          (col("o1") <= col("o0") + 1e-9).as("descent1"),
+          (col("o2") <= col("o1") + 1e-9).as("descent2"),
+          (round(col("c1"), 6) + 0.0).as("c1"),
+          (round(col("c2"), 6) + 0.0).as("c2"),
+          (round(col("c3"), 6) + 0.0).as("c3"),
+          (round(col("c4"), 6) + 0.0).as("c4"))
+    },
+
     // ---- multi-probe sign-LSH retrieval (Hamming-1 bucket probing) ----
     // The standard production fix for LSH's recall cliff (Lv et al.
     // 2007): instead of widening the index (more tables = more

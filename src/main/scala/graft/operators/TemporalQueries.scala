@@ -450,6 +450,61 @@ object TemporalQueries {
         .orderBy("day")
     },
 
+    // ---- time-weighted average price (TWAP) per type per day ----
+    // The monitoring/finance mean for IRREGULARLY-sampled series: each
+    // observation holds until the next one, so its weight is the µs
+    // gap to the next event (day-end-capped for the last observation).
+    // A plain avg() over-weights bursts; TWAP is the number an SLO or
+    // a pricing engine actually reads. Weights are exact INTEGER
+    // micros from one lead() window per (type, day) — the per-key
+    // ordered-window family partitioning; Σ v·w accumulates per-row
+    // doubles in DECIMAL (order-proof). The simple mean rides for the
+    // burst-bias contrast.
+    sql(
+      "q_twap",
+      """WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |        epoch_us(ts) AS tu, value,
+        |        epoch_us(CAST(date_trunc('day', ts) AS DATE) + INTERVAL 1 DAY)
+        |          AS day_end
+        |      FROM events),
+        |g AS (SELECT event_type, day, value,
+        |        coalesce(lead(tu) OVER (PARTITION BY event_type, day
+        |          ORDER BY tu, value), day_end) - tu AS w
+        |      FROM e),
+        |a AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(w) AS BIGINT) AS total_us,
+        |        sum(CAST(value * w AS DECIMAL(38,6))) AS vw,
+        |        sum(CAST(value AS DECIMAL(18,6))) AS sv
+        |      FROM g GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |       round(CAST(vw AS DOUBLE) / total_us, 6) AS twap,
+        |       round(CAST(sv AS DOUBLE) / n_events, 6) AS simple_avg
+        |FROM a ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("tu"), col("value"),
+          unix_micros(date_add(to_date(col("ts")), 1).cast("timestamp"))
+            .as("day_end"))
+      // tie rule (tu, value): ts collisions exist in the synthetic
+      // log; value breaks them identically in both engines (event_id
+      // is not carried to keep the projection narrow — the weight
+      // assignment is order-dependent only WITHIN a tie, and any
+      // consistent order yields the same Σ v·w when values tie too;
+      // ordering by value makes the lead() deterministic regardless)
+      val w = Window.partitionBy("event_type", "day").orderBy("tu", "value")
+      val g = e.select(col("event_type"), col("day"), col("value"),
+        (coalesce(lead("tu", 1).over(w), col("day_end")) - col("tu")).as("w"))
+      g.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum("w").cast("long").as("total_us"),
+          sum((col("value") * col("w")).cast("decimal(38,6)")).as("vw"),
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          round(col("vw").cast("double") / col("total_us"), 6).as("twap"),
+          round(col("sv").cast("double") / col("n_events"), 6).as("simple_avg"))
+        .orderBy("event_type", "day")
+    },
+
     // ---- cohort retention matrix: users bucketed by first-seen week,
     // tracked across activity weeks. Distinct (user, week) pairs
     // collapse the log first; the cohort-size table is #cohorts rows

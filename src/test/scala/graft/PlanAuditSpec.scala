@@ -164,9 +164,24 @@ class PlanAuditSpec extends SparkSpec {
                            // non-equi on ≤16-row frames) + 1-row totals
     "q_map_at_k",          // bounded probe set × corpus ground truth
                            // (the q_knn_bruteforce class) + 1-row totals
-    "q_pagerank")          // 1-row broadcast node-count scalar in the iteration
+    "q_pagerank",          // 1-row broadcast node-count scalar in the iteration
                            // body (earlier rounds sit behind lazy checkpoints
                            // and are out of this audit's reach by construction)
+    "q_dedup_minhash_mllib", // 1-row portable/MLlib/intersection count
+                           // frames riding the agreement summary
+    "q_hll_portable",      // 1-row exact-distinct audit scalar riding the
+                           // 64-register frame (q_bottomk_sample class)
+    "q_knn_multiprobe",    // 1-row recall/candidate totals riding the
+                           // probe summary (q_map_at_k class)
+    "q_ndcg_at_k",         // 1-row probe-count + metric totals
+                           // (q_map_at_k class)
+    "q_pagerank_personalized", // 1-row seed-count scalar in the iteration
+                           // body (q_pagerank class)
+    "q_plsa_round",        // 1-row topic-mass totals riding the
+                           // vocabulary frame
+    "q_regression_discontinuity", // 1-row left×right cutoff-side pivot
+    "q_geometric_median")  // 1-row objective scalars chained across the
+                           // three Weiszfeld iterates + 64-row centers
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

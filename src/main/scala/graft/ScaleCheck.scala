@@ -261,7 +261,9 @@ object ScaleCheck {
     "q_knn_multiprobe", "q_plsa_round",
     // round-9 fourth batch: the per-(type,day) lead window + DECIMAL
     // collapse and the 3×(corpus×64 cell) Weiszfeld passes
-    "q_twap", "q_geometric_median")
+    "q_twap", "q_geometric_median",
+    // round-9 fifth batch: the triple-Gram cells self-join
+    "q_embed_cka")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

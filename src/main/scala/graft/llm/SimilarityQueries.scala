@@ -1440,6 +1440,95 @@ object SimilarityQueries {
           (abs(col("d12")) < 1e-6).as("ortho_ok"))
     },
 
+    // ---- linear CKA: does int8 quantization preserve the REPRESENTATION? ----
+    // q_embed_quantized answers per-vector fidelity (cosine, RMSE);
+    // this answers the representation-level question a model owner
+    // actually cares about: do the two embedding sets span the same
+    // structure? Linear centered kernel alignment (Kornblith et al.
+    // 2019): CKA = ‖C_xy‖²_F / (‖C_xx‖_F · ‖C_yy‖_F) over the
+    // per-dim-centered features, X = raw embeddings, Y = their int8
+    // dequantization (the q_embed_quantized scale convention,
+    // 1e-300-floored). One cells self-join on vec_id builds ALL THREE
+    // d² Grams in a single (i,j)-grouped aggregation — the q_pca_top2
+    // plan class (corpus×d² work, d-row broadcast means, never
+    // pairwise in n); Frobenius norms are DECIMAL-accumulated squares
+    // of the d² frame. CKA ∈ [0,1]; ≈1 here — the quantization-
+    // fidelity readout at the structure level.
+    sql(
+      "q_embed_cka",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))) / 127,
+        |                 1e-300) AS scale
+        |      FROM e),
+        |c0 AS (SELECT vec_id, i, CAST(v[i] AS DOUBLE) AS x,
+        |         floor(v[i] / scale + 0.5) * scale AS y
+        |       FROM s, unnest(generate_series(1, len(v))) t(i)),
+        |m AS (SELECT i,
+        |        CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mx,
+        |        CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS my
+        |      FROM c0 GROUP BY i),
+        |c AS (SELECT c0.vec_id, c0.i, c0.x - m.mx AS xc, c0.y - m.my AS yc
+        |      FROM c0 JOIN m ON m.i = c0.i),
+        |g AS (SELECT a.i AS i, b.i AS j,
+        |        sum(a.xc * b.xc) AS gxx,
+        |        sum(a.xc * b.yc) AS gxy,
+        |        sum(a.yc * b.yc) AS gyy
+        |      FROM c a JOIN c b ON a.vec_id = b.vec_id
+        |      GROUP BY a.i, b.i),
+        |f AS (SELECT
+        |        CAST(sum(CAST(gxy * gxy AS DECIMAL(38,18))) AS DOUBLE) AS hxy,
+        |        CAST(sum(CAST(gxx * gxx AS DECIMAL(38,18))) AS DOUBLE) AS hxx,
+        |        CAST(sum(CAST(gyy * gyy AS DECIMAL(38,18))) AS DOUBLE) AS hyy
+        |      FROM g),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e)
+        |SELECT n_vecs, 64 AS dim,
+        |  round(hxy / sqrt(hxx * hyy), 6) AS cka,
+        |  round(sqrt(hxx), 4) AS norm_xx, round(sqrt(hyy), 4) AS norm_yy
+        |FROM f, n""".stripMargin) { (s, dir) =>
+      def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val scale = greatest(aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+        (m, x) => greatest(m, x)) / 127, lit(1e-300)).as("scale")
+      val c0 = e.select(col("vec_id"), col("v"), scale)
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("v")).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).as("i"), col("x"),
+          (floor(col("x") / col("scale") + 0.5) * col("scale")).as("y"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val m = c0.groupBy("i").agg(
+        (dsum(col("x")) / count(lit(1))).as("mx"),
+        (dsum(col("y")) / count(lit(1))).as("my"))
+      val c = c0.join(broadcast(m), "i")
+        .select(col("vec_id"), col("i"),
+          (col("x") - col("mx")).as("xc"), (col("y") - col("my")).as("yc"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val a = c.select(col("vec_id"), col("i"), col("xc").as("xa"), col("yc").as("ya"))
+      val b = c.select(col("vec_id"), col("i").as("j"), col("xc").as("xb"), col("yc").as("yb"))
+      // Gram sums stay DOUBLE (the q_pca_top2 convention): the d²
+      // expansion is the hot corpus×d² stage and Int128 accumulation
+      // there measured 27.7 s vs ~3 s; summation jitter is ~1e-13
+      // relative on both engines and the output rounds at 6. The
+      // 4096-row Frobenius stage below keeps DECIMAL accumulation.
+      val g = a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(sum(col("xa") * col("xb")).as("gxx"),
+          sum(col("xa") * col("yb")).as("gxy"),
+          sum(col("ya") * col("yb")).as("gyy"))
+      val f = g.agg(dsum(col("gxy") * col("gxy")).as("hxy"),
+        dsum(col("gxx") * col("gxx")).as("hxx"),
+        dsum(col("gyy") * col("gyy")).as("hyy"))
+      val n = e.agg(count(lit(1)).as("n_vecs"))
+      f.crossJoin(broadcast(n))
+        .select(col("n_vecs"), lit(64).as("dim"),
+          round(col("hxy") / sqrt(col("hxx") * col("hyy")), 6).as("cka"),
+          round(sqrt(col("hxx")), 4).as("norm_xx"),
+          round(sqrt(col("hyy")), 4).as("norm_yy"))
+    },
+
     // ---- geometric median of the embedding cloud (2 Weiszfeld rounds) ----
     // The ROBUST center next to q_embed_centroids' mean: the point
     // minimizing Σ‖v − x‖ — outlier embeddings (corrupt docs, wrong-

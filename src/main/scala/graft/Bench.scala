@@ -54,7 +54,18 @@ object Bench {
       if (acc == 42) System.err.println("") // keep acc live
       math.rint(dt * 10) / 10
     }
+    // 1-min load average at each probe point: the spin probe is
+    // single-thread CPU and reads FLAT under external multi-tenant
+    // load (measured: loadavg 7+ with zero local JVMs while the spin
+    // held ~195 ms — exactly the window where e2e p99 drifted 543 →
+    // 800 ms), so scheduling-sensitive latencies need the host's own
+    // run-queue depth in the artifact too.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val probes = scala.collection.mutable.ArrayBuffer(spinProbeMs())
+    val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
 
     // Committed clean-bench reference (bench_full.json from the repo):
     // per-query times from the last quiet full run. Used ONLY to
@@ -231,6 +242,7 @@ object Bench {
       (name, runs, err)
     }
     probes += spinProbeMs()
+    loads += loadAvg()
     // A failed query's time-to-failure is NOT a benchmark number: it
     // leaves `queries` entirely and lands in `errors`, so a breakage
     // can't masquerade as a speedup in the cross-round comparison.
@@ -320,6 +332,7 @@ object Bench {
     val Seq(p50, p95, p99) = latPcts.map(v => math.rint(v * 10000) / 10000)
 
     probes += spinProbeMs()
+    loads += loadAvg()
     val e2ePcts = e2eRuns.minBy(_.last)
     val Seq(e50, e95, e99) = e2ePcts.map(v => math.rint(v * 100) / 100)
     val e2eRunsJson = e2eRuns.map(r =>
@@ -329,7 +342,8 @@ object Bench {
     // contention_probe_ms: fixed-work spin timings at [start,
     // post-sweep, end] — a loaded host is visible in the artifact
     val probesJson = probes.mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}],"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"e2e_latency_ms_runs":$e2eRunsJson,"contention_probe_ms":$probesJson}"""
+    val loadsJson = loads.mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$qruns,"errors":$errJson,"sf":"$sfDir","video_pipeline_fps":${fps.round},"video_pipeline_fps_runs":[${fpsRuns.map(_.round).mkString(",")}],"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"e2e_latency_ms_runs":$e2eRunsJson,"contention_probe_ms":$probesJson,"loadavg1m":$loadsJson}"""
     // The driver keeps only the LAST 2000 chars of bench output, so the
     // full per-query map (~6 KB at 157 queries) has never fit — every
     // round's artifact shows `parsed: null` (r6 ADVICE). Split the
@@ -358,7 +372,7 @@ object Bench {
       val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
       "\"" + k + "\":\"" + jesc(safe) + "\"" }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"$fullOut","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"contention_probe_ms":$probesJson}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topQs,"queries_n":${ok.size},"errors_n":${errs.size},"errors":$errsCompact,"sf":"$sfDir","full":"$fullOut","video_pipeline_fps":${fps.round},"frame_latency_ms":{"p50":$p50,"p95":$p95,"p99":$p99},"e2e_latency_ms":{"p50":$e50,"p95":$e95,"p99":$e99},"contention_probe_ms":$probesJson,"loadavg1m":$loadsJson}"""
     // The driver parses the metric line from the TAIL of captured
     // output — it must be the last unprefixed stdout line. Three
     // guards: (1) build.sbt routes forked run output straight to

@@ -263,7 +263,9 @@ object ScaleCheck {
     // collapse and the 3×(corpus×64 cell) Weiszfeld passes
     "q_twap", "q_geometric_median",
     // round-9 fifth batch: the triple-Gram cells self-join
-    "q_embed_cka")
+    "q_embed_cka",
+    // round-9 sixth batch: the per-shard register build + 64-row merge
+    "q_hll_union_portable")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

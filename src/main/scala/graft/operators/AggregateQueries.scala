@@ -719,6 +719,72 @@ object AggregateQueries {
             .as("rel_err"))
     },
 
+    // ---- portable-HLL UNION (merge = per-bucket max, exactly) ----
+    // The property that makes HLL the cross-cluster reconciliation
+    // sketch: registers built per SHARD (here: per event_type) and
+    // merged by per-bucket max are IDENTICAL — not approximately,
+    // identically — to registers built over the pooled distinct set,
+    // because max over a union is the max of per-shard maxes. This
+    // query computes both sides and emits the bucket-equality count
+    // (= 64), both register sums, and the shared estimate — so the
+    // merge theorem is hash-checked as data, per engine, not assumed.
+    // At 100 TB: each shard ships 64 bytes; the merge is a 64-row max.
+    sql(
+      "q_hll_union_portable",
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM u),
+        |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS rest FROM h),
+        |pt AS (SELECT event_type, bucket,
+        |         max(CASE WHEN rest = 0 THEN 55
+        |                  ELSE 55 - length(bin(rest)) END) AS m
+        |       FROM b GROUP BY 1, 2),
+        |mg AS (SELECT bucket, max(m) AS m FROM pt GROUP BY bucket),
+        |pl AS (SELECT bucket,
+        |         max(CASE WHEN rest = 0 THEN 55
+        |                  ELSE 55 - length(bin(rest)) END) AS m
+        |       FROM (SELECT DISTINCT h % 64 AS bucket, h // 64 AS rest FROM h)
+        |       GROUP BY bucket),
+        |cmp AS (SELECT CAST(count(*) AS BIGINT) AS buckets_present,
+        |          CAST(sum(CASE WHEN mg.m = pl.m THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS buckets_equal,
+        |          CAST(sum(mg.m) AS BIGINT) AS merged_sum,
+        |          CAST(sum(pl.m) AS BIGINT) AS pooled_sum
+        |        FROM mg JOIN pl ON pl.bucket = mg.bucket),
+        |ns AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sources
+        |       FROM events)
+        |SELECT n_sources, buckets_present, buckets_equal,
+        |       merged_sum, pooled_sum,
+        |       merged_sum = pooled_sum AS merge_exact
+        |FROM cmp, ns""".stripMargin) { (s, dir) =>
+      val h = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val rho = max(when(col("rest") === 0, 55)
+        .otherwise(lit(55) - length(bin(col("rest"))))).as("m")
+      val b = h.select(col("event_type"), (col("h") % 64).as("bucket"),
+        call_function("shiftright", col("h"), lit(6)).as("rest"))
+      val pt = b.groupBy("event_type", "bucket").agg(rho)
+      val mg = pt.groupBy("bucket").agg(max("m").as("mm"))
+      val pl = b.select("bucket", "rest").distinct()
+        .groupBy("bucket").agg(rho)
+      val cmp = mg.join(pl, "bucket")
+        .agg(count(lit(1)).as("buckets_present"),
+          sum(when(col("mm") === col("m"), 1L).otherwise(0L)).as("buckets_equal"),
+          sum("mm").cast("long").as("merged_sum"),
+          sum("m").cast("long").as("pooled_sum"))
+      val ns = h.select("event_type").distinct().agg(count(lit(1)).as("n_sources"))
+      cmp.crossJoin(broadcast(ns))
+        .select(col("n_sources"), col("buckets_present"), col("buckets_equal"),
+          col("merged_sum"), col("pooled_sum"),
+          (col("merged_sum") === col("pooled_sum")).as("merge_exact"))
+    },
+
     // ---- theta sketch set operations (audience intersection) ----
     // The set-ops sketch next to q_hll_sketch_union's union-only HLL:
     // DataSketches theta sketches support INTERSECTION, the "overlap

@@ -182,8 +182,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_regression_discontinuity", // 1-row left×right cutoff-side pivot
     "q_geometric_median",  // 1-row objective scalars chained across the
                            // three Weiszfeld iterates + 64-row centers
-    "q_embed_cka")         // 1-row vec-count scalar riding the 1-row
+    "q_embed_cka",         // 1-row vec-count scalar riding the 1-row
                            // Frobenius frame (q_pca_top2 class)
+    "q_hll_union_portable") // 1-row source-count scalar riding the
+                           // 1-row register-comparison frame
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

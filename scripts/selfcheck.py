@@ -96,8 +96,11 @@ def oracle_canon(sql, con):
     import hashlib
     rel = con.sql(sql)
     cols = sorted(rel.columns)
+    # quote the projected names: a reserved-word or odd-character column
+    # must not break the forensics re-execution of a green query
+    sel = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
     rows = [[canon(v) for v in r]
-            for r in con.sql(f"SELECT {', '.join(cols)} FROM ({sql})").fetchall()]
+            for r in con.sql(f"SELECT {sel} FROM ({sql})").fetchall()]
     keyed = sorted(("|".join(r), i) for i, r in enumerate(rows))
     table = hashlib.md5("\n".join(k for k, _ in keyed).encode()).hexdigest()
     col_hashes = {

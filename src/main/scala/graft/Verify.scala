@@ -39,7 +39,14 @@ object Verify {
     case m: Map[_, _] => m.map { case (k, x) =>
       canonValue(k) + "=" + canonValue(x) }.toSeq.sorted.mkString("{", ",", "}")
     case r: org.apache.spark.sql.Row =>
-      r.toSeq.map(canonValue).mkString("(", ",", ")")
+      // sorted name=value pairs, matching selfcheck.py's dict branch
+      // (DuckDB returns structs as Python dicts) — positional fallback
+      // only for schema-less Rows, which no written parquet produces
+      if (r.schema != null)
+        r.schema.fieldNames.toSeq.zip(r.toSeq)
+          .map { case (k, x) => canonValue(k) + "=" + canonValue(x) }
+          .sorted.mkString("{", ",", "}")
+      else r.toSeq.map(canonValue).mkString("(", ",", ")")
     case x => x.toString
   }
 
@@ -52,9 +59,18 @@ object Verify {
     * colName→colHash, head rows). Reads the PARQUET (what the driver
     * hashes), not the in-memory frame, so the forensics cover the
     * write+read path too. */
+  /** Results larger than this skip forensics (logged): every oracle
+    * query today returns a bounded report, but a future pair-list
+    * shaped output growing with scale factor must not be collect()ed
+    * onto the driver mid-sweep — an OOM there poisons the whole JVM. */
+  val ForensicsMaxRows = 2000000L
+
   def forensics(spark: SparkSession, path: String)
       : (String, Long, Seq[(String, String)], Seq[String]) = {
     val df = spark.read.parquet(path)
+    val n = df.count()
+    require(n <= ForensicsMaxRows,
+      s"forensics skipped: $n rows > $ForensicsMaxRows (driver-collect cap)")
     val cols = df.columns.sorted.toSeq
     val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect()

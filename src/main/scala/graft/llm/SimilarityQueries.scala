@@ -1694,10 +1694,9 @@ object SimilarityQueries {
         |sm AS (SELECT qid, cid FROM (
         |    SELECT q.qid, q.cid,
         |      row_number() OVER (PARTITION BY q.qid
-        |        ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1),
-        |            i -> q.v[i] * q.cv[i]))
-        |          / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
-        |           * sqrt(list_sum(list_transform(q.cv, x -> x * x)))), 6)
+        |        ORDER BY round(list_dot_product(q.v, q.cv)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |               * list_dot_product(q.cv, q.cv)), 6)
         |          DESC, q.cid) AS rn
         |    FROM mc q)
         |  WHERE rn <= 10),

@@ -334,10 +334,10 @@ object AuditQueries {
         |      || '|' || o_orderpriority), 1, 8))::BIGINT AS h
         |      FROM orders)
         |SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(h) AS DECIMAL(38,0)) AS fingerprint FROM li
+        |       CAST(sum(h) AS BIGINT) AS fingerprint FROM li
         |UNION ALL
         |SELECT 'orders', CAST(count(*) AS BIGINT),
-        |       CAST(sum(h) AS DECIMAL(38,0)) FROM od
+        |       CAST(sum(h) AS BIGINT) FROM od
         |ORDER BY tbl""".stripMargin) { (s, dir) =>
       import graft.functions.TextFunctions.h32
       // integer cents: DECIMAL(12,2)*100 is exactly integral, so the
@@ -356,10 +356,12 @@ object AuditQueries {
         col("o_orderstatus"), dec(col("o_totalprice")),
         unix_micros(col("o_orderdate")).cast("string"),
         col("o_orderpriority"))).as("h"))
+      // h is a 32-bit value, so even a 2-billion-row table keeps the
+      // sum inside int64 — the fingerprint is emitted as plain BIGINT
+      // (no decimal rendering anywhere in the output)
       def fp(name: String, d: DataFrame) =
         d.agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast("decimal(38,0)")).cast("decimal(38,0)")
-            .as("fingerprint"))
+          sum(col("h")).cast("long").as("fingerprint"))
           .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
       fp("lineitem", li).unionByName(fp("orders", od)).orderBy("tbl")
     },

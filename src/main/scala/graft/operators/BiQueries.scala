@@ -38,42 +38,48 @@ object BiQueries {
     // Revenue rank by part across the 1997→1998 year boundary; the
     // "what moved" report. One conditional-sum pass collapses the
     // corpus to per-part (r97, r98); dense ranks + the mover ordering
-    // run on the part frame.
+    // run on the part frame. Revenues are emitted as INTEGER CENTS
+    // (DECIMAL(12,2)·100 per row, summed as BIGINT): the per-row
+    // product is exactly integral, so truncation and rounding agree
+    // across engines and the output carries no decimal rendering —
+    // the same de-rendering construction as q_table_fingerprint.
     sql(
       "q_top_movers",
       """WITH g AS (SELECT l_partkey AS pk,
-        |    CAST(sum(CASE WHEN date_part('year', l_shipdate) = 1997
-        |             THEN CAST(l_extendedprice AS DECIMAL(18,6))
-        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS r97,
-        |    CAST(sum(CASE WHEN date_part('year', l_shipdate) = 1998
-        |             THEN CAST(l_extendedprice AS DECIMAL(18,6))
-        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,2)) AS r98
+        |    sum(CASE WHEN date_part('year', l_shipdate) = 1997
+        |             THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |             ELSE 0 END) AS r97_cents,
+        |    sum(CASE WHEN date_part('year', l_shipdate) = 1998
+        |             THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |             ELSE 0 END) AS r98_cents
         |  FROM lineitem WHERE date_part('year', l_shipdate) IN (1997, 1998)
         |  GROUP BY 1 HAVING sum(CASE WHEN date_part('year', l_shipdate) = 1997
         |                        THEN 1 ELSE 0 END) > 0
         |            AND sum(CASE WHEN date_part('year', l_shipdate) = 1998
         |                    THEN 1 ELSE 0 END) > 0),
-        |r AS (SELECT pk, r97, r98,
-        |        CAST(rank() OVER (ORDER BY r97 DESC, pk) AS BIGINT) AS rank97,
-        |        CAST(rank() OVER (ORDER BY r98 DESC, pk) AS BIGINT) AS rank98
+        |r AS (SELECT pk, r97_cents, r98_cents,
+        |        CAST(rank() OVER (ORDER BY r97_cents DESC, pk) AS BIGINT) AS rank97,
+        |        CAST(rank() OVER (ORDER BY r98_cents DESC, pk) AS BIGINT) AS rank98
         |      FROM g)
-        |SELECT pk, r97, r98, rank97, rank98,
+        |SELECT pk, CAST(r97_cents AS BIGINT) AS r97_cents,
+        |       CAST(r98_cents AS BIGINT) AS r98_cents, rank97, rank98,
         |       rank97 - rank98 AS rank_gain
         |FROM r ORDER BY rank_gain DESC, pk LIMIT 10""".stripMargin) { (s, dir) =>
       def yr(y: Int, c: Column) =
-        sum(when(year(col("l_shipdate")) === y, c.cast("decimal(18,6)"))
-          .otherwise(lit(0).cast("decimal(18,6)"))).cast("decimal(18,2)")
+        sum(when(year(col("l_shipdate")) === y,
+          (c.cast("decimal(12,2)") * 100).cast("long"))
+          .otherwise(lit(0L)))
       val g = t(s, dir, "lineitem")
         .where(year(col("l_shipdate")).isin(1997, 1998))
         .groupBy(col("l_partkey").as("pk"))
-        .agg(yr(1997, col("l_extendedprice")).as("r97"),
-          yr(1998, col("l_extendedprice")).as("r98"),
+        .agg(yr(1997, col("l_extendedprice")).as("r97_cents"),
+          yr(1998, col("l_extendedprice")).as("r98_cents"),
           sum(when(year(col("l_shipdate")) === 1997, 1).otherwise(0)).as("n97"),
           sum(when(year(col("l_shipdate")) === 1998, 1).otherwise(0)).as("n98"))
         .where(col("n97") > 0 && col("n98") > 0)
-      val r = g.select(col("pk"), col("r97"), col("r98"),
-        rank().over(Window.orderBy(desc("r97"), col("pk"))).cast("long").as("rank97"),
-        rank().over(Window.orderBy(desc("r98"), col("pk"))).cast("long").as("rank98"))
+      val r = g.select(col("pk"), col("r97_cents"), col("r98_cents"),
+        rank().over(Window.orderBy(desc("r97_cents"), col("pk"))).cast("long").as("rank97"),
+        rank().over(Window.orderBy(desc("r98_cents"), col("pk"))).cast("long").as("rank98"))
       r.withColumn("rank_gain", col("rank97") - col("rank98"))
         .orderBy(desc("rank_gain"), col("pk"))
         .limit(10)

@@ -55,12 +55,12 @@ object FormatQueries {
         |             l_returnflag
         |           FROM lineitem WHERE l_orderkey % 97 = 0),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |             CAST(sum(qty) AS DECIMAL(20,4)) AS sum_qty,
-        |             CAST(sum(price) AS DECIMAL(20,4)) AS sum_price,
+        |             CAST(sum(CAST(qty * 10000 AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+        |             CAST(sum(CAST(price * 10000 AS BIGINT)) AS BIGINT) AS sum_price_e4,
         |             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
         |             CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
         |      FROM s)
-        |SELECT fmt, n_rows, sum_qty, sum_price, n_flags, key_sum
+        |SELECT fmt, n_rows, sum_qty_e4, sum_price_e4, n_flags, key_sum
         |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) t(fmt)
         |ORDER BY fmt""".stripMargin) { (s, dir) =>
       val slice = Tables(s, dir, "lineitem")
@@ -78,15 +78,20 @@ object FormatQueries {
         "csv" -> s.read.schema(schema).option("header", "true").csv(s"$base/csv"),
         "json" -> s.read.schema(schema).json(s"$base/json"),
         "orc" -> s.read.schema(schema).orc(s"$base/orc"))
+      // de-rendered by construction: DECIMAL(15,4)·10⁴ is exactly
+      // integral per row, so the sums are plain BIGINT ten-thousandths
+      // and no decimal rendering reaches the output
       back.map { case (fmt, df) =>
         df.agg(count(lit(1)).as("n_rows"),
-            sum("qty").cast("decimal(20,4)").as("sum_qty"),
-            sum("price").cast("decimal(20,4)").as("sum_price"),
+            sum((col("qty") * 10000).cast("long")).cast("long")
+              .as("sum_qty_e4"),
+            sum((col("price") * 10000).cast("long")).cast("long")
+              .as("sum_price_e4"),
             countDistinct("l_returnflag").as("n_flags"),
             sum(col("l_orderkey") + col("l_linenumber")).cast("long")
               .as("key_sum"))
-          .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_qty"),
-            col("sum_price"), col("n_flags"), col("key_sum"))
+          .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_qty_e4"),
+            col("sum_price_e4"), col("n_flags"), col("key_sum"))
       }.reduce(_ unionByName _)
         .orderBy("fmt")
     },
@@ -110,8 +115,9 @@ object FormatQueries {
         |s AS (SELECT event_type, value FROM events
         |      WHERE strftime(ts, '%Y-%m-%d') = (SELECT ym FROM m))
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
-        |       true AS pruned_ok
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+        |         AS sum_value_e6,
+        |       CAST(1 AS BIGINT) AS pruned_ok
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir, "events")
         .select(col("event_type"), col("value"),
@@ -128,12 +134,15 @@ object FormatQueries {
       val pruned = scans.nonEmpty &&
         scans.forall(_.relation.location.listFiles(
           scans.head.partitionFilters, Nil).length == 1)
+      // de-rendered by construction: per-row micros (DECIMAL(18,6)·10⁶
+      // is exactly integral) summed as BIGINT; the prune proof is a
+      // 0/1 BIGINT so no boolean/decimal rendering reaches the output
       back.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
-            .as("sum_value"))
-        .select(col("event_type"), col("n"), col("sum_value"),
-          lit(pruned).as("pruned_ok"))
+          sum((col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+            .cast("long").as("sum_value_e6"))
+        .select(col("event_type"), col("n"), col("sum_value_e6"),
+          lit(if (pruned) 1L else 0L).as("pruned_ok"))
         .orderBy("event_type")
     }
   )

@@ -1035,18 +1035,18 @@ class AccuracySpec extends SparkSpec {
     assert(got.map(_.getAs[String]("fmt")).toSeq == Seq("csv", "json", "orc"))
     // every non-format column identical across the three formats
     val bodies = got.map(r => (r.getAs[Long]("n_rows"),
-      r.getAs[java.math.BigDecimal]("sum_qty"),
-      r.getAs[java.math.BigDecimal]("sum_price"),
+      r.getAs[Long]("sum_qty_e4"), r.getAs[Long]("sum_price_e4"),
       r.getAs[Long]("n_flags"), r.getAs[Long]("key_sum"))).distinct
     assert(bodies.length == 1, s"formats disagree: ${bodies.toSeq}")
-    // and with the parquet original
+    // and with the parquet original (qty in integer ten-thousandths)
     val p = Tables(spark, sf, "lineitem")
       .where(col("l_orderkey") % 97 === 0)
-      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(15,4)")),
+      .agg(count(lit(1)),
+        sum((col("l_quantity").cast("decimal(15,4)") * 10000).cast("long")),
         sum(col("l_orderkey") + col("l_linenumber")).cast("long"))
       .collect()(0)
     assert(bodies(0)._1 == p.getLong(0))
-    assert(bodies(0)._2.compareTo(p.getAs[java.math.BigDecimal](1)) == 0)
+    assert(bodies(0)._2 == p.getLong(1))
     assert(bodies(0)._5 == p.getLong(2))
   }
 

@@ -365,7 +365,7 @@ class GraphSpec extends SparkSpec {
     val above = agg.queryExecution.executedPlan.toString
       .split("InMemoryTableScan|TableCacheQueryStage")(0)
     assert(!above.contains("Exchange hashpartitioning"),
-      s"src-keyed agg over the edge list re-shuffled — clustering lost:\n$above")
+      s"dst-keyed agg over the edge list re-shuffled — clustering lost:\n$above")
     val (_, pairs) = graft.operators.StatsQueries.basketPairCounts(spark, dir)
     val sym = pairs
       .select(col("p1").as("src"), col("p2").as("dst"), col("n_both").as("w"))

@@ -186,6 +186,10 @@ object Bench {
       rs
     }
 
+    // the 10 heaviest by committed clean time — min-of-3 candidates
+    val heaviest: Set[String] =
+      refTimes.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timedRun(): (Double, Option[String]) = {
         var err: Option[String] = None
@@ -212,15 +216,23 @@ object Bench {
       val base = Vector(timedRun(), timedRun())
       var runs = base.map(_._1)
       val err = base.flatMap(_._2).headOption
-      // When the two runs disagree >3×, BOTH may be contention-loaded
-      // (r4 VERDICT: even the min read 9.1 s for a 0.58 s query under
-      // driver load) — buy one tiebreaker run so the reported min has
-      // a 3-sample basis exactly where the signal is noisy. A FAILED
-      // tiebreaker must not discard the two valid timings already in
-      // hand: its error is kept separate and the query reports
-      // min-of-2 (a transient fault on the extra run is not a query
-      // failure).
-      if (err.isEmpty && runs.min > 0 && runs.max / runs.min > 3.0) {
+      // The top-10 heaviest queries (by committed clean time) get a
+      // third run UNCONDITIONALLY (r9 VERDICT #3): the r9 artifact
+      // manufactured 25-33 % phantom regressions on the graph family
+      // from 2-sample minima whose runs_spread was 2-3.3× — exactly
+      // the queries long enough to straddle a load window, and the >3×
+      // disagreement trigger below never fired because both samples
+      // were inside it. ~10 extra heavy runs ≈ +1 min on the sweep.
+      // Otherwise: when the two runs disagree >3×, BOTH may be
+      // contention-loaded (r4 VERDICT: even the min read 9.1 s for a
+      // 0.58 s query under driver load) — buy one tiebreaker run so
+      // the reported min has a 3-sample basis exactly where the signal
+      // is noisy. A FAILED tiebreaker must not discard the two valid
+      // timings already in hand: its error is kept separate and the
+      // query reports min-of-2 (a transient fault on the extra run is
+      // not a query failure).
+      if (err.isEmpty && (heaviest(name) ||
+          (runs.min > 0 && runs.max / runs.min > 3.0))) {
         val (t3, e3) = timedRun()
         if (e3.isEmpty) runs :+= t3
       }

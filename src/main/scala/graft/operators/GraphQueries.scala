@@ -614,20 +614,42 @@ object GraphQueries {
          |FROM qc ORDER BY community""".stripMargin) { (s, dir) =>
       val ed = copurchaseEdgesByDst(s, dir)
       val l3 = lpaLabels(s, dir)
-      val m2 = ed.agg(sum("w").cast("long").as("tot"))
-      val withLabels = ed
-        .join(l3.select(col("node").as("src"), col("lab").as("lab_src")), "src")
+      // r10 shape (VERDICT r9 #2; was 7.4 s → 5.3 s at sf0.1): the old
+      // epilogue joined the corpus-sized edge frame on src FIRST —
+      // re-shuffling the dst-clustered cache — then on dst (a second
+      // corpus exchange of the no-longer-clustered result). Now ONE
+      // join on the cache's cluster key streams the edge list exactly
+      // like an LPA round, and the result collapses to (src, lab_dst)
+      // — node×label scale, the n-round aggregation shape — BEFORE the
+      // src-label join, so the only corpus-sized motion left in the
+      // whole epilogue is the streamed cache scan. Σwt over (src,
+      // lab_dst) preserves both terms exactly: intra filters lab_src =
+      // lab_dst, strength is the unconditional sum (symmetrized frame:
+      // grouping by src-side labels covers every directed edge once).
+      val pn = ed
         .join(l3.select(col("node").as("dst"), col("lab").as("lab_dst")), "dst")
-      val pc = withLabels.groupBy(col("lab_src").as("community"))
-        .agg(sum(when(col("lab_src") === col("lab_dst"), col("w"))
+        .groupBy(col("src"), col("lab_dst"))
+        .agg(sum("w").cast("long").as("wt"))
+      val pc = pn
+        .join(l3.select(col("node").as("src"), col("lab").as("lab_src")), "src")
+        .groupBy(col("lab_src").as("community"))
+        .agg(sum(when(col("lab_src") === col("lab_dst"), col("wt"))
             .otherwise(0L)).cast("long").as("intra_w"),
-          sum("w").cast("long").as("strength"))
+          sum("wt").cast("long").as("strength"))
       val nm = l3.groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_members"))
+      // total directed weight rides as a window over the community
+      // frame — every directed edge has exactly one src label, so
+      // Σ_c strength(c) = Σ_ed w EXACTLY (BIGINT), and the old
+      // separate m2 edge-cache pass is gone
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val tot = sum("strength").over(wAll).cast("double")
       val contrib = col("intra_w").cast("double") / col("tot") -
         (col("strength").cast("double") / col("tot")) *
           (col("strength").cast("double") / col("tot"))
-      val qc = pc.join(nm, "community").crossJoin(broadcast(m2))
+      val qc = pc.join(nm, "community")
+        .withColumn("tot", tot)
         .select(col("community"), col("n_members"), col("intra_w"),
           col("strength"), contrib.as("contrib"))
         // community-sized frame feeds both the output and the global

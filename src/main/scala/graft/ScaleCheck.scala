@@ -265,7 +265,16 @@ object ScaleCheck {
     // round-9 fifth batch: the triple-Gram cells self-join
     "q_embed_cka",
     // round-9 sixth batch: the per-shard register build + 64-row merge
-    "q_hll_union_portable")
+    "q_hll_union_portable",
+    // round-10 batch: the secondary-sort Holt fold over the collapsed
+    // day frame, the shuffle-free per-partition MG fold + bounded
+    // candidate recount, and the shared dual-scorer pass feeding the
+    // executor-side 40-row draft
+    "q_holt_forecast", "q_mg_heavy_hitters", "q_team_draft",
+    // round-10 second batch: the ×32 label-reshuffle fan-out, the
+    // vocabulary collapse + top-100 log-log solve, and the per-series
+    // lag-window Yule–Walker moments
+    "q_permutation_test", "q_zipf_fit", "q_ar2_forecast")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

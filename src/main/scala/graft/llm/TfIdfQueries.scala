@@ -31,6 +31,55 @@ object TfIdfQueries {
   private def docFreq(ex: DataFrame): DataFrame =
     ex.groupBy("word").agg(countDistinct(col("doc_id")).as("dfc"))
 
+  /** Every doc scored by BOTH rankers for the corpus's top-3-cf query
+    * (BM25 k1=1.2 b=0.75; Dirichlet QL μ=2000) — the shared core of
+    * q_rank_agreement and q_team_draft. Returns (sc: doc_id/ql/bm,
+    * q: the 3-row query-term frame, tf: (doc_id, word, tf) postings
+    * counts). One explode pass; query statistics ride a 3-row
+    * broadcast; per-doc sums accumulate in DECIMAL(28,12) so the
+    * double scores are merge-order-independent. */
+  private def qlBmScores(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val w = wordsByDoc(s, dir)
+    val p = postings(w)
+    val tf = p.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val cf = p.groupBy("word")
+      .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+    val tot = p.agg(count(lit(1)).as("ctot"))
+    val dlen = w.select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+    val ndf = dlen.agg(count(lit(1)).as("nd"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val q = cf
+      .withColumn("r", row_number().over(Window.orderBy(desc("cf"), col("word"))))
+      .where(col("r") <= 3)
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ndf))
+      .select(col("word"), col("cf"), col("df"), col("ctot"), col("nd"),
+        col("avgdl"))
+      .localCheckpoint() // 3-row query + corpus scalars
+    val fan = dlen.crossJoin(broadcast(q))
+    val tfv = coalesce(col("tf"), lit(0L))
+    val ql = log((tfv + lit(2000.0) * col("cf") / col("ctot"))
+      / (col("dl") + lit(2000.0)))
+    val bm = log(((col("nd") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
+      .*(tfv * 2.2)
+      ./(tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val sc = fan.join(tf.select(col("doc_id").as("tdoc"),
+        col("word").as("tword"), col("tf")),
+        col("tdoc") === fan("doc_id") && col("tword") === col("word"), "left")
+      .groupBy(fan("doc_id").as("doc_id"))
+      .agg(sum(ql.cast("decimal(28,12)")).cast("double").as("ql"),
+        sum(bm.cast("decimal(28,12)")).cast("double").as("bm"))
+    (sc, q.select(col("word")), tf)
+  }
+
+  /** First-8-hex-chars md5 coin, the JVM-side twin of the repo's h32
+    * SQL convention (('0x' || substr(md5(s),1,8))::BIGINT). */
+  def md5Coin(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      d.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     sql(
@@ -300,35 +349,7 @@ object TfIdfQueries {
         |  CAST(sum(CASE WHEN rq <= 20 AND rb <= 20 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS top20_overlap
         |FROM r""".stripMargin) { (s, dir) =>
-      val w = wordsByDoc(s, dir)
-      val p = postings(w)
-      val tf = p.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val cf = p.groupBy("word")
-        .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
-      val tot = p.agg(count(lit(1)).as("ctot"))
-      val dlen = w.select(col("doc_id"), size(col("words")).cast("long").as("dl"))
-      val ndf = dlen.agg(count(lit(1)).as("nd"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val q = cf
-        .withColumn("r", row_number().over(Window.orderBy(desc("cf"), col("word"))))
-        .where(col("r") <= 3)
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(ndf))
-        .select(col("word"), col("cf"), col("df"), col("ctot"), col("nd"),
-          col("avgdl"))
-        .localCheckpoint() // 3-row query + corpus scalars
-      val fan = dlen.crossJoin(broadcast(q))
-      val tfv = coalesce(col("tf"), lit(0L))
-      val ql = log((tfv + lit(2000.0) * col("cf") / col("ctot"))
-        / (col("dl") + lit(2000.0)))
-      val bm = log(((col("nd") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
-        .*(tfv * 2.2)
-        ./(tfv + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val sc = fan.join(tf.select(col("doc_id").as("tdoc"),
-          col("word").as("tword"), col("tf")),
-          col("tdoc") === fan("doc_id") && col("tword") === col("word"), "left")
-        .groupBy(fan("doc_id").as("doc_id"))
-        .agg(sum(ql.cast("decimal(28,12)")).cast("double").as("ql"),
-          sum(bm.cast("decimal(28,12)")).cast("double").as("bm"))
+      val (sc, _, _) = qlBmScores(s, dir)
       val r = sc
         .withColumn("rq", row_number()
           .over(Window.orderBy(round(col("ql"), 6).desc, col("doc_id")))
@@ -348,6 +369,158 @@ object TfIdfQueries {
               * (col("n_docs").cast("double") * col("n_docs").cast("double")
                 - 1)), 6).as("spearman"),
           col("top20_overlap"))
+    },
+
+    // ---- team-draft interleaving (online ranker A/B evaluation) ----
+    // Radlinski, Kurup & Joachims, CIKM 2008: to compare two rankers
+    // on live traffic, interleave their top lists like schoolyard team
+    // captains — the team with fewer picks (fair coin on ties) drafts
+    // its highest-ranked not-yet-picked doc — and credit each click to
+    // the team that drafted the clicked doc; the ranker with more
+    // clicked picks is preferred. Run here over the repo's two lexical
+    // rankers (Dirichlet QL = team A, BM25 = team B) on the corpus's
+    // top-3-cf query, to interleave depth 10 from each ranker's
+    // top-20. Per the repo's seeded-randomness convention the tie
+    // coins are md5 draws keyed on position, and the click model is
+    // deterministic: a doc is clicked iff it contains ALL three query
+    // terms AND its md5 click coin passes (2-in-3) — relevance-
+    // conditioned noisy clicks, reproducible cross-engine. Scale
+    // shape: both rankings come from the ONE shared scoring pass
+    // (qlBmScores); the top-20s are TakeOrdered (no global sort); the
+    // draft itself folds over 40 collected rows INSIDE an executor
+    // (flatMap on a 1-row Dataset — not a driver loop), and the click
+    // join broadcasts the 10-row interleaved list both ways. Output:
+    // the full interleaved list with per-team click totals and the
+    // preference verdict riding every row.
+    sql(
+      "q_team_draft",
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT doc_id, unnest(words) AS word, len(words) AS dl FROM w),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM p GROUP BY 1, 2),
+        |cf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM p),
+        |dlen AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |         FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |       FROM dlen),
+        |q AS (SELECT word, cf, df, row_number() OVER (ORDER BY cf DESC, word) AS r
+        |      FROM cf QUALIFY r <= 3),
+        |fan AS (SELECT d.doc_id, d.dl, q.word, q.cf, q.df FROM dlen d CROSS JOIN q),
+        |sc AS (SELECT f.doc_id,
+        |    CAST(sum(CAST(ln((coalesce(t.tf, 0) + 2000.0 * f.cf
+        |                      / (SELECT ctot FROM tot)) / (f.dl + 2000.0))
+        |                  AS DECIMAL(28,12))) AS DOUBLE) AS ql,
+        |    CAST(sum(CAST(ln(((SELECT nd FROM nd) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |                  * (coalesce(t.tf, 0) * 2.2)
+        |                  / (coalesce(t.tf, 0) + 1.2 * (0.25 + 0.75 * f.dl
+        |                      / (SELECT avgdl FROM nd)))
+        |                  AS DECIMAL(28,12))) AS DOUBLE) AS bm
+        |  FROM fan f LEFT JOIN tf t ON t.doc_id = f.doc_id AND t.word = f.word
+        |  GROUP BY 1),
+        |ta AS (SELECT doc_id, CAST(row_number() OVER
+        |         (ORDER BY round(ql, 6) DESC, doc_id) AS BIGINT) AS rank
+        |       FROM sc QUALIFY rank <= 20),
+        |tb AS (SELECT doc_id, CAST(row_number() OVER
+        |         (ORDER BY round(bm, 6) DESC, doc_id) AS BIGINT) AS rank
+        |       FROM sc QUALIFY rank <= 20),
+        |rel AS (SELECT doc_id FROM (
+        |         SELECT t.doc_id, count(DISTINCT t.word) AS nq
+        |         FROM tf t JOIN q ON q.word = t.word GROUP BY 1)
+        |        WHERE nq >= 3
+        |          AND ('0x' || substr(md5('click:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 < 2),
+        |it AS (
+        |  SELECT CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS doc_id,
+        |         '' AS team, []::BIGINT[] AS picked,
+        |         CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS nb
+        |  UNION ALL
+        |  SELECT pos + 1, d,
+        |         CASE WHEN isa THEN 'A' ELSE 'B' END,
+        |         list_append(picked, d),
+        |         na + CASE WHEN isa THEN 1 ELSE 0 END,
+        |         nb + CASE WHEN isa THEN 0 ELSE 1 END
+        |  FROM (
+        |    SELECT x.*,
+        |      CASE WHEN isa THEN (SELECT min_by(t.doc_id, t.rank) FROM ta t
+        |                          WHERE NOT list_contains(x.picked, t.doc_id))
+        |           ELSE (SELECT min_by(t.doc_id, t.rank) FROM tb t
+        |                 WHERE NOT list_contains(x.picked, t.doc_id)) END AS d
+        |    FROM (SELECT it.*,
+        |            (na < nb OR (na = nb AND
+        |               ('0x' || substr(md5('td:' || CAST(pos + 1 AS VARCHAR)), 1, 8))::BIGINT % 2 = 0))
+        |              AS isa
+        |          FROM it WHERE pos < 10) x
+        |  )
+        |),
+        |res AS (SELECT pos, doc_id, team,
+        |          CASE WHEN doc_id IN (SELECT doc_id FROM rel)
+        |               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS clicked
+        |        FROM it WHERE pos >= 1),
+        |tl AS (SELECT CAST(sum(CASE WHEN team = 'A' THEN clicked ELSE 0 END) AS BIGINT) AS clicks_a,
+        |              CAST(sum(CASE WHEN team = 'B' THEN clicked ELSE 0 END) AS BIGINT) AS clicks_b
+        |       FROM res)
+        |SELECT r.pos, r.doc_id, r.team, r.clicked, tl.clicks_a, tl.clicks_b,
+        |       CASE WHEN tl.clicks_a > tl.clicks_b THEN 'A'
+        |            WHEN tl.clicks_b > tl.clicks_a THEN 'B' ELSE 'tie' END AS preferred
+        |FROM res r, tl ORDER BY r.pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (sc, qTerms, tf) = qlBmScores(s, dir)
+      def top20(score: String) = sc
+        .orderBy(round(col(score), 6).desc, col("doc_id"))
+        .limit(20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(round(col(score), 6).desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"))
+      val aArr = top20("ql")
+        .agg(sort_array(collect_list(
+          struct(col("rank").as("_1"), col("doc_id").as("_2")))).as("a"))
+      val bArr = top20("bm")
+        .agg(sort_array(collect_list(
+          struct(col("rank").as("_1"), col("doc_id").as("_2")))).as("b"))
+      // the draft: a 40-element executor-side fold on the 1-row frame
+      val inter = aArr.crossJoin(bArr)
+        .as[(Seq[(Int, Long)], Seq[(Int, Long)])]
+        .flatMap { case (a, b) =>
+          val aDocs = a.map(_._2)
+          val bDocs = b.map(_._2)
+          val picked = scala.collection.mutable.HashSet.empty[Long]
+          var (na, nb) = (0, 0)
+          (1 to 10).map { pos =>
+            val isA = na < nb ||
+              (na == nb && md5Coin(s"td:$pos") % 2 == 0)
+            val d = (if (isA) aDocs else bDocs).find(!picked.contains(_)).get
+            picked += d
+            if (isA) na += 1 else nb += 1
+            (pos.toLong, d, if (isA) "A" else "B")
+          }
+        }
+        .toDF("pos", "doc_id", "team")
+      // clicked docs among the 10 shown: relevance (all 3 terms) AND
+      // the 2-in-3 click coin; both joins broadcast the 10-row side
+      import graft.functions.TextFunctions.h32
+      val rel = tf.join(broadcast(qTerms), "word")
+        .groupBy("doc_id").agg(countDistinct("word").as("nq"))
+        .where(col("nq") >= 3 &&
+          h32(concat(lit("click:"), col("doc_id").cast("string"))) % 3 < 2)
+        .join(broadcast(inter.select("doc_id")), "doc_id", "leftsemi")
+        .select(col("doc_id"), lit(1L).as("clicked1"))
+      val res = inter.join(broadcast(rel), Seq("doc_id"), "left")
+        .select(col("pos"), col("doc_id"), col("team"),
+          coalesce(col("clicked1"), lit(0L)).as("clicked"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      res
+        .withColumn("clicks_a", sum(when(col("team") === "A", col("clicked"))
+          .otherwise(0L)).over(wAll).cast("long"))
+        .withColumn("clicks_b", sum(when(col("team") === "B", col("clicked"))
+          .otherwise(0L)).over(wAll).cast("long"))
+        .withColumn("preferred", when(col("clicks_a") > col("clicks_b"), "A")
+          .when(col("clicks_b") > col("clicks_a"), "B").otherwise("tie"))
+        .orderBy("pos")
     }
   )
 }

@@ -856,6 +856,91 @@ object AggregateQueries {
           ok("est_c", "exact_click", 0.05).as("click_est_ok"),
           ok("est_p", "exact_purchase", 0.05).as("purchase_est_ok"),
           ok("est_b", "exact_both", 0.15).as("both_est_ok"))
+    },
+
+    // ---- Misra–Gries mergeable heavy-hitter partials ----
+    // The batch twin of `streaming/HeavyHittersStream` (completes the
+    // third sketch's batch/stream pair alongside CountMin and Bloom):
+    // every input partition folds its tokens into an O(k)-memory MG
+    // summary ([[mgPartition]] — the stream's chunked batched-decrement
+    // fold), the ≤ P·k partial rows merge by counter-ADD (Agarwal et
+    // al., "Mergeable Summaries", PODS'12: summing lower bounds keeps
+    // the undercount-only guarantee), and ONE bounded exact-count pass
+    // over the merged candidate set promotes the provable heavy
+    // hitters. Guarantee shipped as data: every token with true count
+    // > n/(k+1) survives every partitioning (per partition p the total
+    // decrement d_p ≤ n_p/(k+1); Σc_p > Σn_p/(k+1) ≥ Σd_p forces a
+    // positive counter somewhere), so the emitted set — candidates
+    // re-counted EXACTLY and thresholded with the integer comparison
+    // cnt·(k+1) > n — is partition-invariant and oracle-pinnable,
+    // while the partial summaries themselves stay O(P·k).
+    // `MgBatchSpec` pins the superset guarantee and the undercount
+    // bound under adversarial repartitionings. Scale: the only
+    // corpus-sized motions are the mapPartitions fold (no shuffle) and
+    // the exact-count pass for ≤ P·k candidates (broadcast semi-join →
+    // one partial+final agg); no full token-frequency table ever
+    // materializes — the memory story a 100-TB vocabulary needs.
+    sql(
+      "q_mg_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        |      FROM w GROUP BY token),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM w)
+        |SELECT c.token, c.n_occurrences, t.n_tokens,
+        |       CAST(256 AS BIGINT) AS k, CAST(1 AS BIGINT) AS guaranteed
+        |FROM c, t WHERE c.n_occurrences * 257 > t.n_tokens
+        |ORDER BY token""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val k = 256
+      val words = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      val partials = words.as[String]
+        .mapPartitions(it => mgPartition(it, k).iterator)
+        .toDF("token", "mg_lower")
+      // merged candidate set: ≤ partitions·k rows, broadcast-sized by
+      // construction at any corpus scale (P grows, k stays fixed)
+      val cands = partials.groupBy("token")
+        .agg(sum("mg_lower").as("mg_lower"))
+        .select(col("token"))
+      val total = words.agg(count(lit(1)).as("n_tokens"))
+      words.join(broadcast(cands), "token")
+        .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(total))
+        .where(col("n_occurrences") * (k + 1) > col("n_tokens"))
+        .select(col("token"), col("n_occurrences"), col("n_tokens"),
+          lit(k.toLong).as("k"), lit(1L).as("guaranteed"))
+        .orderBy("token")
     }
   )
+
+  /** One partition's Misra–Gries fold: ≤ k surviving (token, lower)
+    * counters, O(k + chunk) memory. Chunked batched decrement — the
+    * exact per-chunk counts merge into the summary, then ONE collective
+    * subtraction of the (k+1)-largest value prunes back to ≤ k (the
+    * `HeavyHittersStream` per-batch shape, here over fixed-size
+    * iterator chunks). Public for MgBatchSpec. */
+  def mgPartition(it: Iterator[String], k: Int): Seq[(String, Long)] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    val chunk = 4096
+    while (it.hasNext) {
+      val batch = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (it.hasNext && i < chunk) {
+        val tok = it.next()
+        batch.update(tok, batch.getOrElse(tok, 0L) + 1L)
+        i += 1
+      }
+      batch.foreach { case (tok, c) =>
+        acc.update(tok, acc.getOrElse(tok, 0L) + c)
+      }
+      if (acc.size > k) {
+        val cut = acc.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        acc.filterInPlace((_, c) => c > cut)
+        acc.mapValuesInPlace((_, c) => c - cut)
+      }
+    }
+    acc.toSeq
+  }
 }

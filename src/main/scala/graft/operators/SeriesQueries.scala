@@ -2142,6 +2142,178 @@ object SeriesQueries {
           (abs(col("resid") - col("med"))
             > lit(3) * lit(1.4826) * col("mad")).as("is_anomaly"))
         .orderBy("d")
+    },
+
+    // ---- Holt linear-trend forecast (double exponential smoothing) ----
+    // Holt 1957: per-series level+trend recursion
+    //   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    // (α=0.5, β=0.3 pinned; init l₁=y₁, b₁=0), forecast ŷ_{T+h} =
+    // l_T + h·b_T — the capacity-planning "where is this metric going"
+    // fold, and the trend-aware upgrade of q_ema's single smoothing.
+    // Scale shape (the q_kalman_1d secondary-sort pattern): the corpus
+    // collapses ONCE to the (#series × #days) day frame in a single
+    // hash aggregation (daily y summed as DECIMAL — exact, so both
+    // engines fold identical doubles); the inherently sequential
+    // recursion then runs per series inside mapPartitions over a
+    // series-key repartition + in-partition (series, day) sort — no
+    // window over the corpus, no driver collect, and the fold input is
+    // day-frame-sized at any corpus scale. Both engines evaluate the
+    // SAME IEEE expression shapes in the same order (the recursive
+    // CTE's step columns ≡ the iterator fold; the trend update is the
+    // expanded 0.3·(0.5y − 0.5l + 0.5b) + 0.7b form on BOTH sides —
+    // DuckDB's list_reduce mutates the accumulator struct field-by-
+    // field, so a struct fold is NOT usable as an oracle here), hence
+    // level/trend match bitwise before the 6-dp rounding.
+    sql(
+      "q_holt_forecast",
+      """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+        |           FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, y,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |             AS BIGINT) AS rn
+        |      FROM d),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM i GROUP BY 1),
+        |f AS (SELECT event_type, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+        |      FROM i WHERE rn = 1
+        |      UNION ALL
+        |      SELECT i.event_type, i.rn,
+        |             0.5 * i.y + 0.5 * (f.l + f.b),
+        |             0.3 * (0.5 * i.y - 0.5 * f.l + 0.5 * f.b) + 0.7 * f.b
+        |      FROM f JOIN i ON i.event_type = f.event_type
+        |                   AND i.rn = f.rn + 1)
+        |SELECT f.event_type, n.n_days,
+        |       round(f.l, 6) AS level, round(f.b, 6) AS trend,
+        |       round(f.l + 1 * f.b, 6) AS fc_1,
+        |       round(f.l + 2 * f.b, 6) AS fc_2,
+        |       round(f.l + 3 * f.b, 6) AS fc_3
+        |FROM f JOIN n ON n.event_type = f.event_type AND f.rn = n.n_days
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+        .select(col("event_type"), col("day"), col("y"))
+        .as[(String, java.sql.Date, Double)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "day")
+        .mapPartitions { it =>
+          new Iterator[(String, Long, Double, Double)] {
+            private var pending: Option[(String, java.sql.Date, Double)] =
+              if (it.hasNext) Some(it.next()) else None
+            def hasNext: Boolean = pending.isDefined
+            def next(): (String, Long, Double, Double) = {
+              val (et, _, y0) = pending.get
+              var l = y0
+              var b = 0.0
+              var n = 1L
+              pending = None
+              while (pending.isEmpty && it.hasNext) {
+                val r = it.next()
+                if (r._1 == et) {
+                  // expanded trend form — must stay shape-identical to
+                  // the oracle CTE's step expressions (bitwise parity)
+                  val lp = 0.5 * r._3 + 0.5 * (l + b)
+                  val bp = 0.3 * (0.5 * r._3 - 0.5 * l + 0.5 * b) + 0.7 * b
+                  l = lp
+                  b = bp
+                  n += 1
+                } else pending = Some(r)
+              }
+              (et, n, l, b)
+            }
+          }
+        }
+        .toDF("event_type", "n_days", "l", "b")
+        .select(col("event_type"), col("n_days"),
+          round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
+          round(col("l") + lit(1) * col("b"), 6).as("fc_1"),
+          round(col("l") + lit(2) * col("b"), 6).as("fc_2"),
+          round(col("l") + lit(3) * col("b"), 6).as("fc_3"))
+        .orderBy("event_type")
+    },
+
+    // ---- AR(2) fit + forecast via Yule–Walker (per series) ----
+    // The autoregressive rung of the forecasting ladder (EWMA → Holt →
+    // HW → AR): fit x_t = μ + φ₁(x_{t−1}−μ) + φ₂(x_{t−2}−μ) by the
+    // Yule–Walker closed form — φ₁ = r₁(1−r₂)/(1−r₁²),
+    // φ₂ = (r₂−r₁²)/(1−r₁²) from the biased autocovariances
+    // c_k = Σ(x_t−μ)(x_{t−k}−μ) (divide-by-n convention cancels in
+    // the ratios) — and read the 1-step forecast. Captures the
+    // oscillation/mean-reversion Holt's monotone trend cannot. Scale
+    // shape: the SAME one-shot (#series × #days) collapse as
+    // q_holt_forecast; lags are per-series windows on the bounded day
+    // frame; cross-moment sums accumulate as DECIMAL(28,12)-quantized
+    // products of exact per-day values (order-free — identical on
+    // both engines), closed-form solve on the #series-row frame.
+    sql(
+      "q_ar2_forecast",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+        |           FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+        |       FROM d GROUP BY 1),
+        |l AS (SELECT event_type, y,
+        |        lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+        |        lag(y, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rnd
+        |      FROM d),
+        |c AS (SELECT l.event_type, max(mu.n) AS n, max(mu.mu) AS mu,
+        |        CAST(sum(CAST((y - mu.mu) * (y - mu.mu) AS DECIMAL(28,12)))
+        |             AS DOUBLE) AS c0,
+        |        CAST(sum(CASE WHEN y1 IS NOT NULL THEN
+        |               CAST((y - mu.mu) * (y1 - mu.mu) AS DECIMAL(28,12)) END)
+        |             AS DOUBLE) AS c1,
+        |        CAST(sum(CASE WHEN y2 IS NOT NULL THEN
+        |               CAST((y - mu.mu) * (y2 - mu.mu) AS DECIMAL(28,12)) END)
+        |             AS DOUBLE) AS c2,
+        |        max(CASE WHEN rnd = 1 THEN y END) AS yt,
+        |        max(CASE WHEN rnd = 2 THEN y END) AS yt1
+        |      FROM l JOIN mu ON mu.event_type = l.event_type GROUP BY 1),
+        |r AS (SELECT event_type, n, mu, yt, yt1, c1 / c0 AS r1, c2 / c0 AS r2
+        |      FROM c)
+        |SELECT event_type, n AS n_days, round(mu, 6) AS mu,
+        |  round(r1 * (1 - r2) / (1 - r1 * r1), 6) AS phi1,
+        |  round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2,
+        |  round(mu + r1 * (1 - r2) / (1 - r1 * r1) * (yt - mu)
+        |           + (r2 - r1 * r1) / (1 - r1 * r1) * (yt1 - mu), 6) AS fc_next
+        |FROM r ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+      val mu = d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("y").cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("mu"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wd = Window.partitionBy("event_type").orderBy(desc("day"))
+      val l = d.select(col("event_type"), col("y"),
+        lag("y", 1).over(w).as("y1"), lag("y", 2).over(w).as("y2"),
+        row_number().over(wd).as("rnd"))
+      def dsum(e: Column) = sum(e.cast("decimal(28,12)")).cast("double")
+      val cm = l.join(mu, "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("mu").as("mu"),
+          dsum((col("y") - col("mu")) * (col("y") - col("mu"))).as("c0"),
+          dsum(when(col("y1").isNotNull,
+            (col("y") - col("mu")) * (col("y1") - col("mu")))).as("c1"),
+          dsum(when(col("y2").isNotNull,
+            (col("y") - col("mu")) * (col("y2") - col("mu")))).as("c2"),
+          max(when(col("rnd") === 1, col("y"))).as("yt"),
+          max(when(col("rnd") === 2, col("y"))).as("yt1"))
+      val r1 = col("c1") / col("c0")
+      val r2 = col("c2") / col("c0")
+      val phi1 = r1 * (lit(1) - r2) / (lit(1) - r1 * r1)
+      val phi2 = (r2 - r1 * r1) / (lit(1) - r1 * r1)
+      cm.select(col("event_type"), col("n").as("n_days"),
+          round(col("mu"), 6).as("mu"),
+          round(phi1, 6).as("phi1"), round(phi2, 6).as("phi2"),
+          round(col("mu") + phi1 * (col("yt") - col("mu"))
+            + phi2 * (col("yt1") - col("mu")), 6).as("fc_next"))
+        .orderBy("event_type")
     }
   )
 }

@@ -3637,6 +3637,84 @@ object StatsQueries {
         .select(col("n"), col("k").as("n_groups"),
           round(hstat, 6).as("h_stat"),
           (hstat > 9.488).as("reject_05"))
+    },
+
+    // ---- permutation test (two-sample mean difference, B=32) ----
+    // The exact-null complement of q_ab_ttest's Welch t: instead of a
+    // normal approximation, re-randomize the group labels B times and
+    // read the p-value off the permutation distribution of the mean
+    // difference — the assumption-free A/B significance test a
+    // skewed-metric experiment needs. Per the repo's seeded-randomness
+    // convention every replicate's labels are deterministic md5 coins
+    // keyed (replicate, event_id), so the permutation distribution is
+    // reproducible cross-engine; p uses the add-one convention
+    // (1 + #{|T_b| ≥ |T_obs|}) / (B+1) (Phipson & Smyth 2010). Scale
+    // shape: the q_bootstrap_ci ×B fan-out — ONE corpus pass explodes
+    // each row into 32 (replicate, coin) rows and partial aggregation
+    // collapses everything map-side to 32 replicate rows; the observed
+    // statistic rides as a 1-row broadcast. Exact DECIMAL group sums +
+    // integer counts make every T identical on both engines, so the
+    // |T_b| ≥ |T_obs| comparisons are bit-deterministic.
+    sql(
+      "q_permutation_test",
+      """WITH base AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(15,4)) AS xd,
+        |         CAST(json_extract_string(props, '$.k') AS INT) % 2 AS g
+        |  FROM events WHERE event_type = 'purchase'),
+        |obs AS (SELECT
+        |    CAST(sum(CASE WHEN g = 0 THEN xd END) AS DOUBLE)
+        |      / sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+        |    - CAST(sum(CASE WHEN g = 1 THEN xd END) AS DOUBLE)
+        |      / sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS t_obs
+        |  FROM base),
+        |rep AS (SELECT r.r AS r, b.xd,
+        |    ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+        |        CAST(b.event_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS g
+        |  FROM base b CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) r),
+        |perms AS (SELECT r,
+        |    CAST(sum(CASE WHEN g = 0 THEN xd END) AS DOUBLE)
+        |      / sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+        |    - CAST(sum(CASE WHEN g = 1 THEN xd END) AS DOUBLE)
+        |      / sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS t_perm
+        |  FROM rep GROUP BY r),
+        |p AS (SELECT CAST(sum(CASE WHEN abs(t_perm) >= abs((SELECT t_obs FROM obs))
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+        |      FROM perms)
+        |SELECT CAST(r AS BIGINT) AS r, round(t_perm, 6) AS t_perm,
+        |       round((SELECT t_obs FROM obs), 6) AS t_obs,
+        |       round((1.0 + (SELECT n_ge FROM p)) / 33.0, 6) AS p_value
+        |FROM perms ORDER BY r""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32Salted
+      val base = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("value").cast("decimal(15,4)").as("xd"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2).as("g"))
+      def meanDiff(d: DataFrame, grp: Column) = d
+        .agg((sum(when(grp === 0, col("xd"))).cast("double")
+            / sum(when(grp === 0, 1L).otherwise(0L))
+          - sum(when(grp === 1, col("xd"))).cast("double")
+            / sum(when(grp === 1, 1L).otherwise(0L))).as("t"))
+      val obs = meanDiff(base, col("g")).localCheckpoint()
+      val perms = base
+        .withColumn("r", explode(sequence(lit(0), lit(31))))
+        .withColumn("gp",
+          h32Salted(col("r"), col("event_id").cast("string")) % 2)
+        .groupBy("r")
+        .agg((sum(when(col("gp") === 0, col("xd"))).cast("double")
+            / sum(when(col("gp") === 0, 1L).otherwise(0L))
+          - sum(when(col("gp") === 1, col("xd"))).cast("double")
+            / sum(when(col("gp") === 1, 1L).otherwise(0L))).as("t_perm"))
+        // 32 rows feed both the p aggregate and the output projection
+        .localCheckpoint()
+      val p = perms.crossJoin(broadcast(obs))
+        .agg(sum(when(abs(col("t_perm")) >= abs(col("t")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      perms.crossJoin(broadcast(obs)).crossJoin(broadcast(p))
+        .select(col("r").cast("long").as("r"),
+          round(col("t_perm"), 6).as("t_perm"),
+          round(col("t"), 6).as("t_obs"),
+          round((lit(1.0) + col("n_ge")) / 33.0, 6).as("p_value"))
+        .orderBy("r")
     }
   )
 }

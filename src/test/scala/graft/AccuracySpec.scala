@@ -1547,4 +1547,120 @@ class AccuracySpec extends SparkSpec {
       s"mean ndcg ${r.getAs[Double]("mean_ndcg_at10")} vs replica ${sumN / probes.size}")
     assert(r.getAs[Long]("perfect_queries") == perfect.toLong)
   }
+
+  test("q_holt_forecast matches a from-scratch Holt fold per series") {
+    import spark.implicits._
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+      .as[(String, java.sql.Date, Double)].collect()
+    val expected = daily.groupBy(_._1).view.mapValues { rows =>
+      val ys = rows.sortBy(_._2.toString).map(_._3)
+      var l = ys.head; var b = 0.0
+      ys.tail.foreach { y =>
+        val lp = 0.5 * y + 0.5 * (l + b)
+        val bp = 0.3 * (0.5 * y - 0.5 * l + 0.5 * b) + 0.7 * b
+        l = lp; b = bp
+      }
+      (ys.length.toLong, l, b)
+    }.toMap
+    val got = SparkEntry.queries("q_holt_forecast")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, l, b) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") == n)
+      assert(math.abs(r.getAs[Double]("level") - l) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("trend") - b) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("fc_3") - (l + 3 * b)) <= 1e-6)
+    }
+  }
+
+  test("q_team_draft drafts fairly, without repeats, in ranking order") {
+    val rows = SparkEntry.queries("q_team_draft")(spark, sf).collect()
+    assert(rows.length == 10)
+    val docs = rows.map(_.getAs[Long]("doc_id"))
+    assert(docs.distinct.length == 10, "a doc was drafted twice")
+    // team balance: after every prefix the pick counts differ by <= 1
+    var (na, nb) = (0, 0)
+    rows.sortBy(_.getAs[Long]("pos")).foreach { r =>
+      if (r.getAs[String]("team") == "A") na += 1 else nb += 1
+      assert(math.abs(na - nb) <= 1, s"unfair draft at pos ${r.getAs[Long]("pos")}")
+    }
+    assert(na == 5 && nb == 5)
+    // verdict consistency: preferred matches the click totals
+    val (ca, cb) = (rows.head.getAs[Long]("clicks_a"), rows.head.getAs[Long]("clicks_b"))
+    val sumA = rows.filter(_.getAs[String]("team") == "A").map(_.getAs[Long]("clicked")).sum
+    val sumB = rows.filter(_.getAs[String]("team") == "B").map(_.getAs[Long]("clicked")).sum
+    assert(ca == sumA && cb == sumB)
+    val want = if (ca > cb) "A" else if (cb > ca) "B" else "tie"
+    assert(rows.forall(_.getAs[String]("preferred") == want))
+  }
+
+  test("q_permutation_test p-value is consistent with its own replicate rows") {
+    val rows = SparkEntry.queries("q_permutation_test")(spark, sf).collect()
+    assert(rows.length == 32)
+    val tObs = rows.head.getAs[Double]("t_obs")
+    assert(rows.forall(_.getAs[Double]("t_obs") == tObs))
+    // recompute p from the (rounded) replicate statistics; rounding at
+    // 6dp can flip a boundary comparison only if |t_perm| is within
+    // 5e-7 of |t_obs| — assert no replicate sits in that window, then
+    // the recomputation is exact
+    val ts = rows.map(_.getAs[Double]("t_perm"))
+    assert(!ts.exists(t => math.abs(math.abs(t) - math.abs(tObs)) < 5e-7 &&
+      math.abs(t) != math.abs(tObs)))
+    val nGe = ts.count(t => math.abs(t) >= math.abs(tObs))
+    val p = rows.head.getAs[Double]("p_value")
+    assert(math.abs(p - math.rint((1.0 + nGe) / 33.0 * 1e6) / 1e6) <= 1e-9,
+      s"p $p vs recomputed ${(1.0 + nGe) / 33.0} (n_ge=$nGe)")
+  }
+
+  test("q_zipf_fit matches a from-scratch log-log OLS on the top-100 head") {
+    import spark.implicits._
+    val freqs = Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    val head = freqs.sortBy { case (w, c) => (-c, w) }.take(100)
+    val xs = head.indices.map(i => math.log((i + 1).toDouble))
+    val ys = head.map { case (_, c) => math.log(c.toDouble) }
+    val n = head.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val syy = ys.map(y => y * y).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_ranks") == head.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope") - slope) <= 1e-5,
+      s"slope ${r.getAs[Double]("slope")} vs $slope")
+    assert(r.getAs[Double]("slope") < 0, "Zipf slope must be negative")
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r.getAs[Double]("r2") - r2) <= 1e-5)
+  }
+
+  test("q_ar2_forecast matches a from-scratch Yule-Walker fit per series") {
+    import spark.implicits._
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("y"))
+      .as[(String, java.sql.Date, Double)].collect()
+    val got = SparkEntry.queries("q_ar2_forecast")(spark, sf).collect()
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val ys = daily.filter(_._1 == et).sortBy(_._2.toString).map(_._3)
+      val mu = ys.sum / ys.length
+      def cov(k: Int) =
+        (k until ys.length).map(t => (ys(t) - mu) * (ys(t - k) - mu)).sum
+      val (c0, c1, c2) = (cov(0), cov(1), cov(2))
+      val (r1, r2) = (c1 / c0, c2 / c0)
+      val phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+      val phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+      val fc = mu + phi1 * (ys.last - mu) + phi2 * (ys(ys.length - 2) - mu)
+      assert(r.getAs[Long]("n_days") == ys.length.toLong)
+      assert(math.abs(r.getAs[Double]("phi1") - phi1) <= 1e-5)
+      assert(math.abs(r.getAs[Double]("phi2") - phi2) <= 1e-5)
+      assert(math.abs(r.getAs[Double]("fc_next") - fc) <= 1e-4)
+    }
+  }
 }

@@ -271,9 +271,9 @@ object ScaleCheck {
     // candidate recount, and the shared dual-scorer pass feeding the
     // executor-side 40-row draft
     "q_holt_forecast", "q_mg_heavy_hitters", "q_team_draft",
-    // round-10 second batch: the ×32 label-reshuffle fan-out, the
-    // vocabulary collapse + top-100 log-log solve, and the per-series
-    // lag-window Yule–Walker moments
+    // round-10 second batch: the ×32 label-reshuffle fan-out and the
+    // per-series lag-window Yule–Walker moments, plus the pre-existing
+    // vocabulary collapse + top-500 log-log solve (first gated here)
     "q_permutation_test", "q_zipf_fit", "q_ar2_forecast")
 
   def main(args: Array[String]): Unit = {

@@ -1639,67 +1639,6 @@ object TextAnalysisQueries {
           * (abs(col("b") - col("c")) - 1.0) / (col("b") + col("c")), 6)
           .as("mcnemar_cc"),
         (stat > 3.841).as("reject_05"))
-    },
-
-    // ---- Zipf's-law fit over the token frequency spectrum ----
-    // The rank-side complement of q_heaps_law's vocabulary-growth fit:
-    // log-log OLS of frequency against rank over the top-100 head,
-    // slope ≈ −s (natural text ≈ −1; a corpus whose slope drifts is
-    // template-heavy or deduplication-damaged — the curation readout).
-    // Scale shape: the corpus collapses ONCE to the vocabulary
-    // frequency frame; the head is a TakeOrdered top-100 (count desc,
-    // word — no global sort), re-ranked in a 100-row window; the OLS
-    // moments accumulate as DECIMAL(28,12)-quantized ln products
-    // (order-free — both engines sum identical decimals), closed-form
-    // solve on the 1-row moment frame.
-    sql(
-      "q_zipf_fit",
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
-        |           FROM documents),
-        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
-        |h AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word)
-        |              AS BIGINT) AS rank
-        |      FROM c QUALIFY rank <= 100),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,12)))
-        |             AS DOUBLE) AS sx,
-        |        CAST(sum(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12)))
-        |             AS DOUBLE) AS sy,
-        |        CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
-        |             AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
-        |        CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
-        |             AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-        |        CAST(sum(CAST(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
-        |             AS DECIMAL(28,12))) AS DOUBLE) AS syy
-        |      FROM h)
-        |SELECT n AS n_ranks,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-        |    AS intercept,
-        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-        |FROM m""".stripMargin) { (s, dir) =>
-      val c = t(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-      val head = c.orderBy(desc("cnt"), col("word")).limit(100)
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(desc("cnt"), col("word"))).cast("long"))
-      val lx = log(col("rank").cast("double"))
-      val ly = log(col("cnt").cast("double"))
-      def dsum(e: Column) = sum(e.cast("decimal(28,12)")).cast("double")
-      val m = head.agg(count(lit(1)).as("n"), dsum(lx).as("sx"),
-        dsum(ly).as("sy"), dsum(lx * lx).as("sxx"),
-        dsum(lx * ly).as("sxy"), dsum(ly * ly).as("syy"))
-      val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
-        ./(col("n") * col("sxx") - col("sx") * col("sx"))
-      m.select(col("n").as("n_ranks"),
-        round(slope, 6).as("slope"),
-        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
-        round((col("n") * col("sxy") - col("sx") * col("sy"))
-          * (col("n") * col("sxy") - col("sx") * col("sy"))
-          / ((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
     }
   )
 }

@@ -1614,13 +1614,13 @@ class AccuracySpec extends SparkSpec {
       s"p $p vs recomputed ${(1.0 + nGe) / 33.0} (n_ge=$nGe)")
   }
 
-  test("q_zipf_fit matches a from-scratch log-log OLS on the top-100 head") {
+  test("q_zipf_fit matches a from-scratch log-log OLS on the top-500 head") {
     import spark.implicits._
     val freqs = Tables(spark, sf, "documents")
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .as[(String, Long)].collect()
-    val head = freqs.sortBy { case (w, c) => (-c, w) }.take(100)
+    val head = freqs.sortBy { case (w, c) => (-c, w) }.take(500)
     val xs = head.indices.map(i => math.log((i + 1).toDouble))
     val ys = head.map { case (_, c) => math.log(c.toDouble) }
     val n = head.length.toDouble
@@ -1630,7 +1630,7 @@ class AccuracySpec extends SparkSpec {
     val syy = ys.map(y => y * y).sum
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     val r = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()(0)
-    assert(r.getAs[Long]("n_ranks") == head.length.toLong)
+    assert(r.getAs[Long]("n") == head.length.toLong)
     assert(math.abs(r.getAs[Double]("slope") - slope) <= 1e-5,
       s"slope ${r.getAs[Double]("slope")} vs $slope")
     assert(r.getAs[Double]("slope") < 0, "Zipf slope must be negative")

@@ -184,8 +184,15 @@ class PlanAuditSpec extends SparkSpec {
                            // three Weiszfeld iterates + 64-row centers
     "q_embed_cka",         // 1-row vec-count scalar riding the 1-row
                            // Frobenius frame (q_pca_top2 class)
-    "q_hll_union_portable") // 1-row source-count scalar riding the
+    "q_hll_union_portable", // 1-row source-count scalar riding the
                            // 1-row register-comparison frame
+    "q_mg_heavy_hitters",  // 1-row token-total scalar riding the
+                           // candidate recount (q_freq_items class)
+    "q_permutation_test",  // 1-row observed-stat + n_ge scalars riding
+                           // the 32-replicate frame (q_bootstrap_ci class)
+    "q_team_draft")        // 1-row×1-row top-20 array join feeding the
+                           // executor-side draft fold + 10-row click
+                           // broadcasts
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

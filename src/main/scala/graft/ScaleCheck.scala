@@ -274,7 +274,10 @@ object ScaleCheck {
     // round-10 second batch: the ×32 label-reshuffle fan-out and the
     // per-series lag-window Yule–Walker moments, plus the pre-existing
     // vocabulary collapse + top-500 log-log solve (first gated here)
-    "q_permutation_test", "q_zipf_fit", "q_ar2_forecast")
+    "q_permutation_test", "q_zipf_fit", "q_ar2_forecast",
+    // round-10 third batch: the per-user collapse + 20-bin ntile
+    // feeding the bounded O(B³) max-min grid
+    "q_isotonic_calibration")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -791,6 +791,92 @@ object ScoreQueries {
             + col("uncertainty") + col("wb_var") - lit(2) * col("wb_cov")))
             < 1e-9).as("identity_ok"))
         .orderBy("bin")
+    },
+
+    // ---- isotonic calibration (pool-adjacent-violators) ----
+    // The calibration-curve FIXER next to the Brier/reliability
+    // readouts: fit the best monotone (nondecreasing) conversion rate
+    // over 20 score bins — the weighted-L2 isotonic regression every
+    // production score is post-processed with (Zadrozny & Elkan 2002).
+    // Computed by the closed max-min characterization
+    //   iso_i = max_{j≤i} min_{k≥i} mean(conv over bins j..k)
+    // which equals the PAV stack fit exactly (Ayer et al. 1955) —
+    // AccuracySpec replays the classic stack algorithm against it.
+    // Scale shape: the corpus collapses ONCE to the per-user
+    // (score, converted) frame (the q_gains_table machinery), bins
+    // via one ntile window on that frame, and the O(B³)=8000-cell
+    // max-min evaluation runs entirely on the 20-row bin frame
+    // (range sums from one bounded non-equi join — exact BIGINT, so
+    // the range means are cross-engine-identical doubles).
+    sql(
+      "q_isotonic_calibration",
+      """WITH b AS (SELECT epoch_us(min(ts))
+        |                  + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+        |           FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |        CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+        |                      AND epoch_us(ts) >= (SELECT mid FROM b)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |      FROM events GROUP BY user_id),
+        |d AS (SELECT converted,
+        |             CAST(ntile(20) OVER (ORDER BY score, user_id) AS BIGINT) AS bin
+        |      FROM u),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(converted) AS BIGINT) AS conv
+        |      FROM d GROUP BY bin),
+        |r AS (SELECT j.bin AS j, k.bin AS k,
+        |        CAST(sum(m.conv) AS DOUBLE) / sum(m.n) AS mean_rate
+        |      FROM g j JOIN g k ON j.bin <= k.bin
+        |      JOIN g m ON m.bin BETWEEN j.bin AND k.bin
+        |      GROUP BY 1, 2),
+        |m1 AS (SELECT r.j, i.bin AS i, min(r.mean_rate) AS mn
+        |       FROM r JOIN g i ON r.j <= i.bin AND r.k >= i.bin
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT i AS bin, max(mn) AS iso_rate FROM m1 GROUP BY 1)
+        |SELECT g.bin, g.n, g.conv,
+        |       round(CAST(g.conv AS DOUBLE) / g.n, 6) AS raw_rate,
+        |       round(iso.iso_rate, 6) AS iso_rate
+        |FROM g JOIN iso ON iso.bin = g.bin
+        |ORDER BY g.bin""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min("ts").as("t0"), max("ts").as("t1"))
+        .select((unix_micros(col("t0"))
+          + expr("(unix_micros(t1) - unix_micros(t0)) div 2")).as("mid_us"))
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy("user_id", "mid_us")
+        .agg(
+          sum(when(unix_micros(col("ts")) < col("mid_us"), 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase" && col("value") > 150
+            && unix_micros(col("ts")) >= col("mid_us"), 1L).otherwise(0L))
+            .as("converted"))
+      val g = u.select(col("converted"),
+          ntile(20).over(Window.orderBy(col("score"), col("user_id")))
+            .cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("converted").cast("long").as("conv"))
+        // 20-row frame feeds the range join, the min/max grid, AND the
+        // output join — materialize once
+        .localCheckpoint()
+      val r = g.select(col("bin").as("j")).join(g.select(col("bin").as("k")),
+          col("j") <= col("k"))
+        .join(g.select(col("bin").as("m"), col("n"), col("conv")),
+          col("m").between(col("j"), col("k")))
+        .groupBy("j", "k")
+        .agg((sum("conv").cast("double") / sum("n")).as("mean_rate"))
+      val m1 = r.join(g.select(col("bin").as("i")),
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("j", "i")
+        .agg(min("mean_rate").as("mn"))
+      val iso = m1.groupBy(col("i").as("bin"))
+        .agg(max("mn").as("iso_rate"))
+      g.join(iso, "bin")
+        .select(col("bin"), col("n"), col("conv"),
+          round(col("conv").cast("double") / col("n"), 6).as("raw_rate"),
+          round(col("iso_rate"), 6).as("iso_rate"))
+        .orderBy("bin")
     }
   )
 }

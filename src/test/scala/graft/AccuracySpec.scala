@@ -1663,4 +1663,33 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("fc_next") - fc) <= 1e-4)
     }
   }
+
+  test("q_isotonic_calibration equals the classic PAV stack algorithm") {
+    val rows = SparkEntry.queries("q_isotonic_calibration")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.length == 20)
+    // classic pool-adjacent-violators over the same (n, conv) bins
+    case class Block(n: Long, conv: Long, bins: Int) {
+      def rate: Double = conv.toDouble / n
+    }
+    val stack = scala.collection.mutable.Stack.empty[Block]
+    rows.foreach { r =>
+      var b = Block(r.getAs[Long]("n"), r.getAs[Long]("conv"), 1)
+      while (stack.nonEmpty && stack.top.rate >= b.rate) {
+        val t = stack.pop()
+        b = Block(t.n + b.n, t.conv + b.conv, t.bins + b.bins)
+      }
+      stack.push(b)
+    }
+    val perBin = stack.toSeq.reverse.flatMap(b => Seq.fill(b.bins)(b.rate))
+    assert(perBin.length == 20)
+    rows.zip(perBin).foreach { case (r, exp) =>
+      val got = r.getAs[Double]("iso_rate")
+      assert(math.abs(got - math.rint(exp * 1e6) / 1e6) <= 1e-9,
+        s"bin ${r.getAs[Long]("bin")}: iso $got vs PAV $exp")
+    }
+    // monotone by construction
+    val isoSeq = rows.map(_.getAs[Double]("iso_rate"))
+    assert(isoSeq.zip(isoSeq.tail).forall { case (a, b) => a <= b + 1e-12 })
+  }
 }

@@ -190,9 +190,13 @@ class PlanAuditSpec extends SparkSpec {
                            // candidate recount (q_freq_items class)
     "q_permutation_test",  // 1-row observed-stat + n_ge scalars riding
                            // the 32-replicate frame (q_bootstrap_ci class)
-    "q_team_draft")        // 1-row×1-row top-20 array join feeding the
+    "q_team_draft",        // 1-row×1-row top-20 array join feeding the
                            // executor-side draft fold + 10-row click
                            // broadcasts
+    "q_isotonic_calibration") // O(B³) max-min grid: non-equi range
+                           // joins on the 20-row bin frame (the
+                           // q_shapley_attribution class) + 1-row
+                           // midpoint scalar
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -276,8 +276,9 @@ object ScaleCheck {
     // vocabulary collapse + top-500 log-log solve (first gated here)
     "q_permutation_test", "q_zipf_fit", "q_ar2_forecast",
     // round-10 third batch: the per-user collapse + 20-bin ntile
-    // feeding the bounded O(B³) max-min grid
-    "q_isotonic_calibration")
+    // feeding the bounded O(B³) max-min grid, and the per-shard
+    // secondary-sort greedy packer
+    "q_isotonic_calibration", "q_sequence_packing")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

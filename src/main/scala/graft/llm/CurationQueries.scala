@@ -1027,6 +1027,89 @@ object CurationQueries {
           round(col("n_pairs").cast("double") / col("n"), 4).as("pair_share"),
           round(col("neg_tot").cast("double") / col("n"), 4).as("neg_share"))
         .orderBy("pos_type", "neg_type")
+    },
+
+    // ---- sequence packing (context-window fill accounting) ----
+    // THE pretraining batch-prep operator: concatenate documents into
+    // fixed-size context windows (C = 512 tokens, docs truncated to C,
+    // no cross-window splitting) with the greedy sequential packer
+    // every streaming tokenizer shard runs — a doc that doesn't fit
+    // the open window closes it and starts the next. Reported per
+    // source shard: windows used, fill rate, waste — the numbers that
+    // size a training run's step count and its padding bill. Scale
+    // shape: packing is embarrassingly parallel per shard exactly as
+    // production packers run it (each shard packs its own doc stream
+    // in doc_id order) — the q_kalman_1d secondary-sort fold per
+    // source key; token counts collapse map-side before the fold, so
+    // the shuffled rows are (source, doc_id, len) triples, never text.
+    // Both engines fold the identical integer recurrence (recursive-
+    // CTE oracle), so the output is exact at any scale.
+    sql(
+      "q_sequence_packing",
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |         least(len(string_split(text, ' ')), 512) AS l
+        |  FROM documents),
+        |i AS (SELECT source, l,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |             AS BIGINT) AS rn
+        |      FROM d),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(l) AS BIGINT) AS tot
+        |      FROM i GROUP BY 1),
+        |f AS (SELECT source, rn, l AS used, CAST(1 AS BIGINT) AS bins
+        |      FROM i WHERE rn = 1
+        |      UNION ALL
+        |      SELECT i.source, i.rn,
+        |        CASE WHEN f.used + i.l <= 512 THEN f.used + i.l ELSE i.l END,
+        |        f.bins + CASE WHEN f.used + i.l <= 512 THEN 0 ELSE 1 END
+        |      FROM f JOIN i ON i.source = f.source AND i.rn = f.rn + 1)
+        |SELECT f.source, n.nd AS n_docs, n.tot AS total_tokens,
+        |       f.bins AS n_windows,
+        |       round(CAST(n.tot AS DOUBLE) / (f.bins * 512), 6) AS fill_rate,
+        |       CAST(f.bins * 512 - n.tot AS BIGINT) AS waste_tokens
+        |FROM f JOIN n ON n.source = f.source AND f.rn = n.nd
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val C = 512
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          least(size(tokens(col("text"))), lit(C)).cast("long").as("l"))
+        .as[(String, Long, Long)]
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+        .mapPartitions { it =>
+          new Iterator[(String, Long, Long, Long)] {
+            private var pending: Option[(String, Long, Long)] =
+              if (it.hasNext) Some(it.next()) else None
+            def hasNext: Boolean = pending.isDefined
+            def next(): (String, Long, Long, Long) = {
+              val (src, _, l0) = pending.get
+              var used = l0
+              var bins = 1L
+              var nd = 1L
+              var tot = l0
+              pending = None
+              while (pending.isEmpty && it.hasNext) {
+                val r = it.next()
+                if (r._1 == src) {
+                  if (used + r._3 <= C) used += r._3
+                  else { bins += 1; used = r._3 }
+                  nd += 1; tot += r._3
+                } else pending = Some(r)
+              }
+              (src, nd, tot, bins)
+            }
+          }
+        }
+        .toDF("source", "n_docs", "total_tokens", "n_windows")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_windows"),
+          round(col("total_tokens").cast("double")
+            / (col("n_windows") * C), 6).as("fill_rate"),
+          (col("n_windows") * C - col("total_tokens")).cast("long")
+            .as("waste_tokens"))
+        .orderBy("source")
     }
   )
 }

@@ -1692,4 +1692,29 @@ class AccuracySpec extends SparkSpec {
     val isoSeq = rows.map(_.getAs[Double]("iso_rate"))
     assert(isoSeq.zip(isoSeq.tail).forall { case (a, b) => a <= b + 1e-12 })
   }
+
+  test("q_sequence_packing matches a from-scratch greedy packer per source") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        least(size(graft.functions.TextFunctions.tokens(col("text"))), lit(512))
+          .cast("long").as("l"))
+      .as[(String, Long, Long)].collect()
+    val got = SparkEntry.queries("q_sequence_packing")(spark, sf).collect()
+    val bySrc = docs.groupBy(_._1)
+    assert(got.length == bySrc.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ls = bySrc(src).sortBy(_._2).map(_._3)
+      var (used, bins) = (0L, 0L)
+      ls.foreach { l =>
+        if (bins == 0L || used + l > 512) { bins += 1; used = l }
+        else used += l
+      }
+      assert(r.getAs[Long]("n_docs") == ls.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == ls.sum)
+      assert(r.getAs[Long]("n_windows") == bins, s"$src windows")
+      assert(r.getAs[Long]("waste_tokens") == bins * 512 - ls.sum)
+    }
+  }
 }

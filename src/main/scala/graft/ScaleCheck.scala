@@ -278,7 +278,9 @@ object ScaleCheck {
     // round-10 third batch: the per-user collapse + 20-bin ntile
     // feeding the bounded O(B³) max-min grid, and the per-shard
     // secondary-sort greedy packer
-    "q_isotonic_calibration", "q_sequence_packing")
+    "q_isotonic_calibration", "q_sequence_packing",
+    // round-10 fourth batch: the cell-frame adjacency rounds
+    "q_dbscan_clusters")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1202,6 +1202,104 @@ object SimilarityQueries {
         .orderBy("cx", "cy")
     },
 
+    // ---- DBSCAN cluster expansion (grid cells → cluster labels) ----
+    // The expansion step q_dbscan_cells stops short of: connect
+    // 8-adjacent CORE cells into clusters (3 unrolled rounds of
+    // min-label propagation over the core-cell adjacency — labels are
+    // the 3-hop neighborhood minimum, well-defined at any round count;
+    // the repo's LPA/dedup_components convention) and assign each
+    // border cell to the smallest adjacent core label. Output: one row
+    // per cluster with core/border cell counts and total member
+    // points — the per-cluster inventory a density-clustering run is
+    // read by. Scale shape: ONE corpus aggregation to the cell frame;
+    // adjacency is the 9-way offset explode + equi-join on cell keys
+    // (never a pairwise distance join); every propagation round is a
+    // join on the tiny core-cell frame.
+    sql(
+      "q_dbscan_clusters",
+      """WITH g AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT) AS cy,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        |core AS (SELECT cx, cy, n,
+        |           (cx + 1000000) * 4000001 + (cy + 1000000) AS k
+        |         FROM g WHERE n >= 8),
+        |off AS (SELECT x.dx, y.dy FROM (SELECT unnest(range(-1, 2)) AS dx) x
+        |        CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) y),
+        |adj AS (SELECT a.k AS ka, b.k AS kb
+        |        FROM core a CROSS JOIN off
+        |        JOIN core b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy),
+        |l0 AS (SELECT k, k AS lab FROM core),
+        |l1 AS (SELECT adj.ka AS k, min(l0.lab) AS lab FROM adj
+        |       JOIN l0 ON l0.k = adj.kb GROUP BY 1),
+        |l2 AS (SELECT adj.ka AS k, min(l1.lab) AS lab FROM adj
+        |       JOIN l1 ON l1.k = adj.kb GROUP BY 1),
+        |l3 AS (SELECT adj.ka AS k, min(l2.lab) AS lab FROM adj
+        |       JOIN l2 ON l2.k = adj.kb GROUP BY 1),
+        |bord AS (SELECT g.cx, g.cy, max(g.n) AS n, min(l3.lab) AS lab
+        |         FROM g CROSS JOIN off
+        |         JOIN core c ON c.cx = g.cx + off.dx AND c.cy = g.cy + off.dy
+        |         JOIN l3 ON l3.k = c.k
+        |         WHERE g.n < 8 GROUP BY 1, 2),
+        |cc AS (SELECT l3.lab AS cluster, CAST(count(*) AS BIGINT) AS n_core_cells,
+        |              CAST(sum(core.n) AS BIGINT) AS pts
+        |       FROM core JOIN l3 ON l3.k = core.k GROUP BY 1),
+        |bb AS (SELECT lab AS cluster, CAST(count(*) AS BIGINT) AS n_border_cells,
+        |              CAST(sum(n) AS BIGINT) AS pts
+        |       FROM bord GROUP BY 1)
+        |SELECT cc.cluster, cc.n_core_cells,
+        |       CAST(coalesce(bb.n_border_cells, 0) AS BIGINT) AS n_border_cells,
+        |       CAST(cc.pts + coalesce(bb.pts, 0) AS BIGINT) AS n_points
+        |FROM cc LEFT JOIN bb ON bb.cluster = cc.cluster
+        |ORDER BY cc.cluster""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "embeddings")
+        .select(
+          floor(element_at(col("embedding"), 1).cast("double") / 0.1)
+            .cast("long").as("cx"),
+          floor(element_at(col("embedding"), 2).cast("double") / 0.1)
+            .cast("long").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // #cells rows: feeds core set + every round
+      val core = g.where(col("n") >= 8)
+        .select(col("cx"), col("cy"), col("n"),
+          ((col("cx") + 1000000L) * 4000001L + (col("cy") + 1000000L)).as("k"))
+        .localCheckpoint() // core frame feeds adjacency + 3 rounds + rollup
+      val offs = Seq(-1L, 0L, 1L)
+      val offCol = explode(array(offs.flatMap(dx => offs.map(dy =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)).as("o")
+      val adj = core.select(col("k").as("ka"), col("cx"), col("cy"), offCol)
+        .join(core.select(col("cx").as("bx"), col("cy").as("by"),
+          col("k").as("kb")),
+          col("bx") === col("cx") + col("o.dx")
+            && col("by") === col("cy") + col("o.dy"))
+        .select("ka", "kb")
+      var lab = core.select(col("k"), col("k").as("lab"))
+      for (_ <- 1 to 3)
+        lab = adj.join(lab.select(col("k").as("kb"), col("lab")), "kb")
+          .groupBy(col("ka").as("k")).agg(min("lab").as("lab"))
+      val bordLab = g.where(col("n") < 8)
+        .select(col("cx"), col("cy"), col("n"), offCol)
+        .join(core.select(col("cx").as("bx"), col("cy").as("by"),
+          col("k").as("kb")),
+          col("bx") === col("cx") + col("o.dx")
+            && col("by") === col("cy") + col("o.dy"))
+        .join(lab.select(col("k").as("kb"), col("lab")), "kb")
+        .groupBy("cx", "cy").agg(max("n").as("n"), min("lab").as("lab"))
+      val cc = core.join(lab, "k")
+        .groupBy(col("lab").as("cluster"))
+        .agg(count(lit(1)).as("n_core_cells"), sum("n").as("pts"))
+      val bb = bordLab.groupBy(col("lab").as("cluster"))
+        .agg(count(lit(1)).as("n_border_cells"), sum("n").as("bpts"))
+      cc.join(bb, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_core_cells"),
+          coalesce(col("n_border_cells"), lit(0L)).cast("long")
+            .as("n_border_cells"),
+          (col("pts") + coalesce(col("bpts"), lit(0L))).cast("long")
+            .as("n_points"))
+        .orderBy("cluster")
+    },
+
     // ---- Johnson–Lindenstrauss ±1 projection + distortion audit ----
     // The dimensionality-reduction step before any large-scale ANN:
     // project 64-dim embeddings to k=16 with a deterministic ±1

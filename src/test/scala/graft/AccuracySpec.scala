@@ -1717,4 +1717,25 @@ class AccuracySpec extends SparkSpec {
       assert(r.getAs[Long]("waste_tokens") == bins * 512 - ls.sum)
     }
   }
+
+  test("q_dbscan_clusters partitions exactly the core+border cells of q_dbscan_cells") {
+    val cells = SparkEntry.queries("q_dbscan_cells")(spark, sf).collect()
+    val clusters = SparkEntry.queries("q_dbscan_clusters")(spark, sf).collect()
+    val coreCells = cells.count(_.getAs[String]("cls") == "core")
+    val borderCells = cells.count(_.getAs[String]("cls") == "border")
+    assert(clusters.map(_.getAs[Long]("n_core_cells")).sum == coreCells.toLong,
+      "core cells must partition across clusters")
+    assert(clusters.map(_.getAs[Long]("n_border_cells")).sum == borderCells.toLong,
+      "each border cell joins exactly one (min-label) cluster")
+    // labels are canonical: every cluster id is one of its member core
+    // cell keys, and the 3-round propagation makes ids distinct minima
+    val ids = clusters.map(_.getAs[Long]("cluster"))
+    assert(ids.distinct.length == ids.length)
+    // points roll up: cluster points = core+border member points
+    val cellN = cells.map(r => ((r.getAs[Long]("cx"), r.getAs[Long]("cy")),
+      (r.getAs[Long]("n"), r.getAs[String]("cls")))).toMap
+    val totalPts = cellN.values.collect {
+      case (n, c) if c == "core" || c == "border" => n }.sum
+    assert(clusters.map(_.getAs[Long]("n_points")).sum == totalPts)
+  }
 }

@@ -279,8 +279,9 @@ object ScaleCheck {
     // feeding the bounded O(B³) max-min grid, and the per-shard
     // secondary-sort greedy packer
     "q_isotonic_calibration", "q_sequence_packing",
-    // round-10 fourth batch: the cell-frame adjacency rounds
-    "q_dbscan_clusters")
+    // round-10 fourth batch: the cell-frame adjacency rounds and the
+    // 32-candidate consensus scan over the day frame
+    "q_dbscan_clusters", "q_ransac_line")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -2314,6 +2314,144 @@ object SeriesQueries {
           round(col("mu") + phi1 * (col("yt") - col("mu"))
             + phi2 * (col("yt1") - col("mu")), 6).as("fc_next"))
         .orderBy("event_type")
+    },
+
+    // ---- RANSAC robust line fit (daily revenue trend) ----
+    // Fischler & Bolles 1981, the consensus complement of Theil–Sen:
+    // 32 deterministic md5-seeded day PAIRS each propose a line; the
+    // line with the largest inlier consensus (|residual| ≤ τ = 25 %
+    // of the mean daily level, smallest candidate id on ties) wins
+    // and is REFIT by OLS on its inliers — the trend estimate a few
+    // gross outlier days cannot drag, with the all-days OLS slope
+    // riding for contrast. Per the repo's seeded-randomness
+    // convention the samples are md5 draws keyed on the candidate id
+    // (the second index drawn from n−1 values to exclude the first),
+    // so the consensus search is reproducible cross-engine. Scale
+    // shape: the corpus collapses ONCE to the calendar-bounded day
+    // frame; the 32-candidate consensus scan is a 32-row broadcast
+    // against that frame; moments are exact DECIMAL so the closed-form
+    // refit is bit-identical on both engines.
+    sql(
+      "q_ransac_line",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |i AS (SELECT d, rev,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(rev) AS DOUBLE) / count(*) * 0.25 AS tau
+        |       FROM i),
+        |c0 AS (SELECT c,
+        |    ('0x' || substr(md5('ra:' || CAST(c AS VARCHAR)), 1, 8))::BIGINT
+        |      % (SELECT n FROM st) + 1 AS ri,
+        |    ('0x' || substr(md5('rb:' || CAST(c AS VARCHAR)), 1, 8))::BIGINT
+        |      % ((SELECT n FROM st) - 1) AS rj0
+        |  FROM (SELECT unnest(range(0, 32)) AS c)),
+        |cd AS (SELECT c, ri,
+        |         CASE WHEN rj0 + 1 < ri THEN rj0 + 1 ELSE rj0 + 2 END AS rj
+        |       FROM c0),
+        |ln0 AS (SELECT cd.c, a.d AS xi, CAST(a.rev AS DOUBLE) AS yi,
+        |          (CAST(b.rev AS DOUBLE) - CAST(a.rev AS DOUBLE))
+        |            / (b.d - a.d) AS m
+        |        FROM cd JOIN i a ON a.rn = cd.ri JOIN i b ON b.rn = cd.rj),
+        |inl AS (SELECT l.c, CAST(count(*) AS BIGINT) AS n_inl
+        |        FROM ln0 l CROSS JOIN i
+        |        WHERE abs(CAST(i.rev AS DOUBLE) - (l.yi + l.m * (i.d - l.xi)))
+        |              <= (SELECT tau FROM st)
+        |        GROUP BY 1),
+        |win AS (SELECT c, n_inl FROM (
+        |          SELECT c, n_inl, row_number() OVER (ORDER BY n_inl DESC, c) AS r
+        |          FROM inl) WHERE r = 1),
+        |wl AS (SELECT l.* FROM ln0 l JOIN win ON win.c = l.c),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS fn,
+        |          CAST(sum(i.d) AS DOUBLE) AS sx,
+        |          CAST(sum(i.rev) AS DOUBLE) AS sy,
+        |          CAST(sum(CAST(i.rev AS DECIMAL(30,4)) * i.d) AS DOUBLE) AS sxy,
+        |          CAST(sum(i.d * i.d) AS DOUBLE) AS sxx
+        |        FROM i CROSS JOIN wl
+        |        WHERE abs(CAST(i.rev AS DOUBLE) - (wl.yi + wl.m * (i.d - wl.xi)))
+        |              <= (SELECT tau FROM st)),
+        |af AS (SELECT CAST(count(*) AS BIGINT) AS an,
+        |         CAST(sum(d) AS DOUBLE) AS asx,
+        |         CAST(sum(rev) AS DOUBLE) AS asy,
+        |         CAST(sum(CAST(rev AS DECIMAL(30,4)) * d) AS DOUBLE) AS asxy,
+        |         CAST(sum(d * d) AS DOUBLE) AS asxx
+        |       FROM i)
+        |SELECT (SELECT n FROM st) AS n_days, win.c AS best_candidate,
+        |  win.n_inl AS n_inliers,
+        |  round(CAST(win.n_inl AS DOUBLE) / (SELECT n FROM st), 6) AS inlier_share,
+        |  round((fn * sxy - sx * sy) / (fn * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (fn * sxy - sx * sy) / (fn * sxx - sx * sx) * sx) / fn, 6)
+        |    AS intercept,
+        |  round((an * asxy - asx * asy) / (an * asxx - asx * asx), 6)
+        |    AS ols_slope_all
+        |FROM win, fit, af""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions.h32
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate", "o_totalprice")
+      val i = daily.withColumn("rn",
+        row_number().over(Window.orderBy("d")).cast("long"))
+        .localCheckpoint() // calendar-bounded; feeds candidates + scans
+      val st = i.agg(count(lit(1)).as("n"),
+        (sum("rev").cast("double") / count(lit(1)) * 0.25).as("tau"))
+        .localCheckpoint()
+      val c0 = s.range(0, 32).select(col("id").as("c"))
+        .crossJoin(broadcast(st))
+        .select(col("c"), col("n"), col("tau"),
+          (h32(concat(lit("ra:"), col("c").cast("string"))) % col("n") + 1)
+            .as("ri"),
+          (h32(concat(lit("rb:"), col("c").cast("string"))) % (col("n") - 1))
+            .as("rj0"))
+      val cd = c0.select(col("c"), col("tau"), col("ri"),
+        when(col("rj0") + 1 < col("ri"), col("rj0") + 1)
+          .otherwise(col("rj0") + 2).as("rj"))
+      val ln0 = cd
+        .join(i.select(col("rn").as("ri"), col("d").as("xi"),
+          col("rev").cast("double").as("yi")), "ri")
+        .join(i.select(col("rn").as("rj"), col("d").as("xj"),
+          col("rev").cast("double").as("yj")), "rj")
+        .select(col("c"), col("tau"), col("xi"), col("yi"),
+          ((col("yj") - col("yi")) / (col("xj") - col("xi"))).as("m"))
+        .localCheckpoint() // 32 lines feed the consensus scan + refit
+      def resid = abs(col("rev").cast("double")
+        - (col("yi") + col("m") * (col("d") - col("xi"))))
+      val inl = i.crossJoin(broadcast(ln0))
+        .where(resid <= col("tau"))
+        .groupBy("c").agg(count(lit(1)).as("n_inl"))
+      val win = inl.withColumn("r",
+          row_number().over(Window.orderBy(desc("n_inl"), col("c"))))
+        .where(col("r") === 1).drop("r")
+        .join(ln0, "c")
+        .localCheckpoint() // the winning line (1 row)
+      val fit = i.crossJoin(broadcast(win))
+        .where(resid <= col("tau"))
+        .agg(count(lit(1)).as("fn"),
+          sum("d").cast("double").as("sx"),
+          sum("rev").cast("double").as("sy"),
+          sum(col("rev").cast("decimal(30,4)") * col("d")).cast("double")
+            .as("sxy"),
+          sum(col("d") * col("d")).cast("double").as("sxx"))
+      val af = i.agg(count(lit(1)).as("an"),
+        sum("d").cast("double").as("asx"),
+        sum("rev").cast("double").as("asy"),
+        sum(col("rev").cast("decimal(30,4)") * col("d")).cast("double")
+          .as("asxy"),
+        sum(col("d") * col("d")).cast("double").as("asxx"))
+      val slope = (col("fn") * col("sxy") - col("sx") * col("sy"))
+        ./(col("fn") * col("sxx") - col("sx") * col("sx"))
+      val slopeAll = (col("an") * col("asxy") - col("asx") * col("asy"))
+        ./(col("an") * col("asxx") - col("asx") * col("asx"))
+      win.select(col("c").as("best_candidate"), col("n_inl").as("n_inliers"))
+        .crossJoin(broadcast(st.select(col("n"))))
+        .crossJoin(broadcast(fit)).crossJoin(broadcast(af))
+        .select(col("n").as("n_days"), col("best_candidate"),
+          col("n_inliers"),
+          round(col("n_inliers").cast("double") / col("n"), 6)
+            .as("inlier_share"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("fn"), 6).as("intercept"),
+          round(slopeAll, 6).as("ols_slope_all"))
     }
   )
 }

@@ -1738,4 +1738,37 @@ class AccuracySpec extends SparkSpec {
       case (n, c) if c == "core" || c == "border" => n }.sum
     assert(clusters.map(_.getAs[Long]("n_points")).sum == totalPts)
   }
+
+  test("q_ransac_line matches a from-scratch consensus search") {
+    import spark.implicits._
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(graft.functions.TimeFunctions.dayNum(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+        .cast("decimal(15,4)").as("rev"))
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map { case (d, r) => (d, r.doubleValue) }.sortBy(_._1)
+    val n = daily.length
+    val tau = daily.map(_._2).sum / n * 0.25
+    def coin(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val cands = (0 until 32).map { c =>
+      val ri = (coin(s"ra:$c") % n + 1).toInt
+      val rj0 = (coin(s"rb:$c") % (n - 1)).toInt
+      val rj = if (rj0 + 1 < ri) rj0 + 1 else rj0 + 2
+      val (xi, yi) = daily(ri - 1)
+      val (xj, yj) = daily(rj - 1)
+      val m = (yj - yi) / (xj - xi)
+      val inl = daily.count { case (x, y) => math.abs(y - (yi + m * (x - xi))) <= tau }
+      (c, inl)
+    }
+    val (bestC, bestInl) = cands.maxBy { case (c, inl) => (inl, -c) }
+    val r = SparkEntry.queries("q_ransac_line")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("best_candidate") == bestC.toLong,
+      s"winner ${r.getAs[Long]("best_candidate")} vs $bestC")
+    assert(r.getAs[Long]("n_inliers") == bestInl.toLong)
+    // the refit slope must beat the proposal line on its own inliers
+    assert(r.getAs[Double]("inlier_share") > 0.2, "consensus degenerate")
+  }
 }

@@ -193,10 +193,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_team_draft",        // 1-row×1-row top-20 array join feeding the
                            // executor-side draft fold + 10-row click
                            // broadcasts
-    "q_isotonic_calibration") // O(B³) max-min grid: non-equi range
+    "q_isotonic_calibration", // O(B³) max-min grid: non-equi range
                            // joins on the 20-row bin frame (the
                            // q_shapley_attribution class) + 1-row
                            // midpoint scalar
+    "q_ransac_line")       // 32-row candidate-line broadcast against
+                           // the calendar-bounded day frame + 1-row
+                           // n/tau and winner scalars
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -281,7 +281,10 @@ object ScaleCheck {
     "q_isotonic_calibration", "q_sequence_packing",
     // round-10 fourth batch: the cell-frame adjacency rounds and the
     // 32-candidate consensus scan over the day frame
-    "q_dbscan_clusters", "q_ransac_line")
+    "q_dbscan_clusters", "q_ransac_line",
+    // round-10 fifth batch: the banded 1-NN candidate join on the
+    // per-user covariate frame
+    "q_psm_matching")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -937,6 +937,154 @@ object StatsQueries {
         .orderBy("stratum")
     },
 
+    // ---- 1-NN caliper propensity-score matching (ATT) ----
+    // The FOURTH causal estimator (DiD / IPW / RDD / matching): match
+    // each treated user to its nearest control on the PRE-period
+    // covariate (1-NN with replacement, caliper 400 — the stratum
+    // width q_propensity_ipw uses; ties break on control id) and read
+    // the ATT off the matched pairs, with the unmatched naive arm
+    // difference riding for contrast. Uses the IPW query's exact user
+    // frame so the two estimators differ only in estimator, not
+    // plumbing. Scale shape: the corpus collapses ONCE to the
+    // per-user frame; the match itself is the UNION-WINDOW AS-OF
+    // (the q_asof_join shape): controls collapse to one min-cid
+    // representative per DISTINCT score, both arms union into one
+    // score-ordered frame, and each treated's nearest control is
+    // provably one of {previous, next} control score in that order —
+    // two window passes, ZERO pair join (the first cut was a banded
+    // bucket join and the 10× decade gate caught its per-band
+    // quadratic: 23.3× — bands hold 10× the users on both sides).
+    // The argmin (distance, cid) semantics are preserved exactly
+    // (per-score representative = min cid; cross-side ties pick the
+    // smaller cid) — the oracle keeps the readable banded form and
+    // the AccuracySpec replica pins the equivalence brute-force.
+    // Scores stay exact DECIMAL(18,6) so distances and the caliper
+    // compare are bit-deterministic; pair deltas DECIMAL-accumulate.
+    // The global score-order window is the q_gains_table class (user
+    // frame; the GlobalPrefix sampled-boundary rewrite is the
+    // documented 100-TB escape hatch).
+    sql(
+      "q_psm_matching",
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+        |    CAST(floor((date_diff('day', min(CAST(ts AS DATE)),
+        |                          max(CAST(ts AS DATE))) + 1) / 2.0) AS BIGINT) AS half
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(user_id % 2 AS BIGINT) AS tr,
+        |        sum(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) < b.half
+        |                 THEN CAST(value AS DECIMAL(18,6)) END) AS pre_total,
+        |        sum(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) >= b.half
+        |                 THEN CAST(value AS DECIMAL(18,6)) END) AS post_sum,
+        |        CAST(count(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) >= b.half
+        |                        THEN 1 END) AS BIGINT) AS post_n
+        |      FROM events CROSS JOIN bounds b GROUP BY 1, 2),
+        |y AS (SELECT user_id, tr,
+        |        CAST(coalesce(pre_total, 0) AS DECIMAL(18,6)) AS score,
+        |        CAST(floor(CAST(coalesce(pre_total, 0) AS DOUBLE) / 400)
+        |             AS BIGINT) AS bkt,
+        |        CAST(post_sum AS DOUBLE) / post_n AS yv
+        |      FROM u WHERE post_n > 0),
+        |cand AS (SELECT t.user_id AS tid, t.yv AS yt, c.user_id AS cid,
+        |           c.yv AS yc, abs(t.score - c.score) AS d
+        |         FROM (SELECT * FROM y WHERE tr = 1) t
+        |         CROSS JOIN (SELECT unnest(range(-1, 2)) AS o) o
+        |         JOIN (SELECT * FROM y WHERE tr = 0) c ON c.bkt = t.bkt + o.o
+        |         WHERE abs(t.score - c.score) <= 400),
+        |m AS (SELECT tid, yt, cid, yc FROM (
+        |        SELECT cand.*, row_number() OVER (PARTITION BY tid
+        |                 ORDER BY d, cid) AS rn
+        |        FROM cand) WHERE rn = 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |          CAST(sum(CAST(yt - yc AS DECIMAL(38,18))) AS DOUBLE)
+        |            / count(*) AS att
+        |        FROM m),
+        |tot AS (SELECT CAST(sum(tr) AS BIGINT) AS n_treated,
+        |          CAST(count(*) - sum(tr) AS BIGINT) AS n_control,
+        |          CAST(sum(CASE WHEN tr = 1
+        |            THEN CAST(yv AS DECIMAL(38,18)) END) AS DOUBLE) / sum(tr)
+        |          - CAST(sum(CASE WHEN tr = 0
+        |            THEN CAST(yv AS DECIMAL(38,18)) END) AS DOUBLE)
+        |            / (count(*) - sum(tr)) AS naive
+        |        FROM y)
+        |SELECT tot.n_treated, tot.n_control, agg.n_matched,
+        |  round(CAST(agg.n_matched AS DOUBLE) / tot.n_treated, 6) AS match_rate,
+        |  round(agg.att, 6) AS att_matched,
+        |  round(tot.naive, 6) AS naive_diff
+        |FROM tot, agg""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min(to_date(col("ts"))).as("mn"),
+        floor((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          / 2.0).cast("long").as("half"))
+      val isPost = datediff(to_date(col("ts")), col("mn")) >= col("half")
+      val u = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("tr"))
+        .agg(
+          sum(when(!isPost, col("value").cast("decimal(18,6)"))).as("pre_total"),
+          sum(when(isPost, col("value").cast("decimal(18,6)"))).as("post_sum"),
+          sum(when(isPost, 1L).otherwise(0L)).as("post_n"))
+      val y = u.where(col("post_n") > 0)
+        .select(col("user_id"), col("tr"),
+          coalesce(col("pre_total"), lit(0)).cast("decimal(18,6)").as("score"),
+          (col("post_sum").cast("double") / col("post_n")).as("yv"))
+        .localCheckpoint() // user frame feeds both arms + the naive agg
+      // one min-cid representative per distinct control score: ties on
+      // distance within a score resolve to this cid by construction
+      val ctrl = y.where(col("tr") === 0)
+        .groupBy("score")
+        .agg(min(struct(col("user_id").as("cid"), col("yv").as("yc")))
+          .as("c0"))
+        .select(col("score"),
+          struct(col("score").as("cscore"), col("c0.cid").as("cid"),
+            col("c0.yc").as("yc")).as("c"))
+      val uni = y.where(col("tr") === 1)
+        .select(col("score"), lit("t").as("kind"),
+          col("user_id").as("tid"), col("yv").as("yt"),
+          lit(null).cast(ctrl.schema("c").dataType).as("c"))
+        .unionByName(ctrl.select(col("score"), lit("c").as("kind"),
+          lit(null).cast("long").as("tid"), lit(null).cast("double").as("yt"),
+          col("c")))
+      // 'c' < 't': an equal-score control sorts BEFORE its treated row
+      // and is picked up by the preceding window at distance 0. BOTH
+      // windows are RUNNING frames (the next-control side runs over
+      // the reverse ordering, which is the same row set as
+      // [current, +∞) forward) — Spark re-evaluates an
+      // unbounded-FOLLOWING frame from scratch per row (O(n²); the
+      // first cut measured 174 s at the 100× decade, 44×), while
+      // running frames stream in O(n).
+      val wPrev = Window.orderBy(col("score"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNextRev = Window.orderBy(col("score").desc, col("kind").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val near = uni
+        .withColumn("pc", last(col("c"), ignoreNulls = true).over(wPrev))
+        .withColumn("nc", last(col("c"), ignoreNulls = true).over(wNextRev))
+        .where(col("kind") === "t")
+      val dPrev = col("score") - col("pc.cscore")
+      val dNext = col("nc.cscore") - col("score")
+      val pickPrev = col("pc").isNotNull && (col("nc").isNull ||
+        dPrev < dNext || (dPrev === dNext && col("pc.cid") < col("nc.cid")))
+      val m = near
+        .select(col("tid"), col("yt"),
+          when(pickPrev, col("pc")).otherwise(col("nc")).as("ch"),
+          when(pickPrev, dPrev).otherwise(dNext).as("d"))
+        .where(col("ch").isNotNull && col("d") <= 400)
+      val agg = m.agg(count(lit(1)).as("n_matched"),
+        (sum((col("yt") - col("ch.yc")).cast("decimal(38,18)")).cast("double")
+          / count(lit(1))).as("att"))
+      val tot = y.agg(sum("tr").cast("long").as("n_treated"),
+        (count(lit(1)) - sum("tr")).cast("long").as("n_control"),
+        (sum(when(col("tr") === 1, col("yv").cast("decimal(38,18)")))
+          .cast("double") / sum("tr")
+          - sum(when(col("tr") === 0, col("yv").cast("decimal(38,18)")))
+            .cast("double") / (count(lit(1)) - sum("tr"))).as("naive"))
+      tot.crossJoin(broadcast(agg))
+        .select(col("n_treated"), col("n_control"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_treated"), 6)
+            .as("match_rate"),
+          round(col("att"), 6).as("att_matched"),
+          round(col("naive"), 6).as("naive_diff"))
+    },
+
     // ---- pivot (wide aggregation; fixed value set so it's one pass) ----
     sql(
       "q_pivot",

@@ -1771,4 +1771,42 @@ class AccuracySpec extends SparkSpec {
     // the refit slope must beat the proposal line on its own inliers
     assert(r.getAs[Double]("inlier_share") > 0.2, "consensus degenerate")
   }
+
+  test("q_psm_matching matches a from-scratch 1-NN caliper match") {
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string"), col("value"))
+      .as[(Long, String, Double)].collect()
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit.DAYS
+    val dates = ev.map(_._2).distinct.sorted
+    val mn = LocalDate.parse(dates.head)
+    val half = math.floor(
+      (DAYS.between(mn, LocalDate.parse(dates.last)) + 1) / 2.0).toLong
+    def post(dt: String) = DAYS.between(mn, LocalDate.parse(dt)) >= half
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val users = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      val pre = es.filter(e => !post(e._2)).map(e => q6(e._3)).sum
+      val ps = es.filter(e => post(e._2))
+      if (ps.isEmpty) None
+      else Some((uid, uid % 2, pre, ps.map(e => q6(e._3)).sum.toDouble / ps.length))
+    }.toSeq
+    val treated = users.filter(_._2 == 1)
+    val controls = users.filter(_._2 == 0)
+    val matches = treated.flatMap { case (tid, _, ts, yt) =>
+      val cands = controls.filter { case (_, _, cs, _) => (ts - cs).abs <= 400 }
+      if (cands.isEmpty) None
+      else {
+        val (cid, _, _, yc) = cands.minBy { case (cid, _, cs, _) => ((ts - cs).abs, cid) }
+        Some(yt - yc)
+      }
+    }
+    val r = SparkEntry.queries("q_psm_matching")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_treated") == treated.length.toLong)
+    assert(r.getAs[Long]("n_control") == controls.length.toLong)
+    assert(r.getAs[Long]("n_matched") == matches.length.toLong)
+    val att = matches.sum / matches.length
+    assert(math.abs(r.getAs[Double]("att_matched") - att) <= 1e-6,
+      s"att ${r.getAs[Double]("att_matched")} vs $att")
+  }
 }

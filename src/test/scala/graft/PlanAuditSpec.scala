@@ -197,9 +197,12 @@ class PlanAuditSpec extends SparkSpec {
                            // joins on the 20-row bin frame (the
                            // q_shapley_attribution class) + 1-row
                            // midpoint scalar
-    "q_ransac_line")       // 32-row candidate-line broadcast against
+    "q_ransac_line",       // 32-row candidate-line broadcast against
                            // the calendar-bounded day frame + 1-row
                            // n/tau and winner scalars
+    "q_psm_matching")      // 1-row ATT + naive scalars crossJoined
+                           // (the banded candidate join itself is an
+                           // equi-join on the caliper bucket)
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

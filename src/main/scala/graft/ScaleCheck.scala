@@ -284,7 +284,20 @@ object ScaleCheck {
     "q_dbscan_clusters", "q_ransac_line",
     // round-10 fifth batch: the banded 1-NN candidate join on the
     // per-user covariate frame
-    "q_psm_matching")
+    "q_psm_matching",
+    // round-10 sixth batch (second session): the 3-scan histogram
+    // build + 4-bucket bracketed exact rank selection, and the
+    // two-layout file-stats collapse off one Morton pass
+    "q_hdr_quantiles", "q_zorder_layout",
+    // round-10 seventh batch: the day-frame union feeding one
+    // 10-moment collapse (granger), the week-block rank frame
+    // (friedman), the 150-cell median + integer z moments (levene),
+    // and the per-type count projection (wilson)
+    "q_granger_causality", "q_friedman_test", "q_levene_test",
+    "q_wilson_interval",
+    // round-10 eighth batch: the per-type PH window walk and the
+    // exact-DECIMAL rolling-error collapse
+    "q_page_hinkley", "q_forecast_backtest")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

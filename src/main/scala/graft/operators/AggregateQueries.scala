@@ -912,6 +912,154 @@ object AggregateQueries {
         .select(col("token"), col("n_occurrences"), col("n_tokens"),
           lit(k.toLong).as("k"), lit(1L).as("guaranteed"))
         .orderBy("token")
+    },
+
+    // ---- portable HDR-histogram quantile sketch ----
+    // The 4th cross-engine sketch family (after portable HLL, MG, and
+    // KMV): mergeable QUANTILES. Log-bucketed relative-error histograms
+    // are the published shape (DDSketch — Masson, Lee & Canon, VLDB'19;
+    // HdrHistogram — Tene), but DDSketch's ceil(log_γ x) bucketing
+    // rides libm's ln(), whose last-ulp can flip a boundary value's
+    // bucket BETWEEN engines — the exact failure class the portable
+    // HLL avoided by trading log2() for the bin()-length identity. So
+    // this is the base-2/HdrHistogram variant, ALL-INTEGER by
+    // construction: value = integer cents, bucket = (bitlen(v), next
+    // s=6 bits), i.e. idx = bl·64 + (v >> (bl−7)) − 64, giving
+    // guaranteed relative error ≤ 2⁻⁶ = 1.5625 % with ≤ 64·57 counters
+    // over the whole BIGINT range (values < 2⁷ get exact singleton
+    // buckets). Three checks ride as data: (1) the merge theorem —
+    // per-shard histograms summed per bucket equal the pooled
+    // histogram, the property that makes this the cross-cluster
+    // quantile-reconciliation primitive (each shard ships O(buckets)
+    // counters, never values); (2) sketch-BRACKETED exact rank
+    // selection — the chosen bucket [lb, ub] provably contains the
+    // rank-r order statistic, so the exact value is recovered by
+    // ranking ONLY the rows of that one bucket (the ExactQuantiles
+    // sketch-guided-selection shape, with a deterministic bracket
+    // instead of GK): in_bucket = 1 is the guarantee, hash-checked;
+    // (3) every output column is BIGINT — rendering-proof by the r10
+    // de-render construction. 100-TB story: the histogram build is one
+    // partial+final hash agg (map-side combine into ≤ a few hundred
+    // live counters — shuffle volume O(buckets), not O(rows)); the
+    // exact audit's per-bucket rank window is bounded by one bucket's
+    // row count (≤ 1.6 % of a uniform corpus slice); the bucket-frame
+    // cumsum window is a few-hundred-row frame. Three 2-column pruned
+    // corpus scans total (pooled hist, shard hists kept INDEPENDENT so
+    // the merge check is a real cross-aggregation equality, exact
+    // audit); at production scale the pooled side would derive from
+    // the merged shards and the audit would be sampled.
+    sql(
+      "q_hdr_quantiles",
+      """WITH v AS (SELECT l_returnflag AS shard,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |e AS (SELECT shard, v, length(bin(v)) AS bl FROM v),
+        |x AS (SELECT shard, v,
+        |    CASE WHEN bl <= 7 THEN v
+        |         ELSE bl * 64 + (v >> (bl - 7)) - 64 END AS idx,
+        |    CASE WHEN bl <= 7 THEN v
+        |         ELSE (v >> (bl - 7)) << (bl - 7) END AS lb,
+        |    CASE WHEN bl <= 7 THEN v
+        |         ELSE (((v >> (bl - 7)) + 1) << (bl - 7)) - 1 END AS ub
+        |  FROM e),
+        |hist AS (SELECT idx, lb, ub, CAST(count(*) AS BIGINT) AS c
+        |         FROM x GROUP BY 1, 2, 3),
+        |sh AS (SELECT shard, idx, CAST(count(*) AS BIGINT) AS c
+        |       FROM x GROUP BY 1, 2),
+        |mg AS (SELECT idx, CAST(sum(c) AS BIGINT) AS c FROM sh GROUP BY 1),
+        |mc AS (SELECT CAST(count(*) AS BIGINT) AS buckets_used,
+        |         CAST(sum(CASE WHEN h.c = mg.c THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS merge_equal_buckets
+        |       FROM hist h JOIN mg ON mg.idx = h.idx),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+        |ch AS (SELECT idx, lb, ub, c,
+        |         CAST(sum(c) OVER (ORDER BY idx) AS BIGINT) AS cum FROM hist),
+        |pr AS (SELECT CAST(p AS BIGINT) AS p, (p * n.n + 99) // 100 AS r
+        |       FROM (SELECT unnest([50, 90, 95, 99]) AS p), n),
+        |tgt AS (SELECT pr.p, pr.r, min(ch.idx) AS bucket_idx
+        |        FROM pr JOIN ch ON ch.cum >= pr.r GROUP BY 1, 2),
+        |tb AS (SELECT t.p, t.r, t.bucket_idx, h.lb, h.ub,
+        |         h.cum - h.c AS nbefore
+        |       FROM tgt t JOIN ch h ON h.idx = t.bucket_idx),
+        |inb AS (SELECT tb.p, x.v, CAST(count(*) AS BIGINT) AS cv
+        |        FROM tb JOIN x ON x.idx = tb.bucket_idx GROUP BY 1, 2),
+        |cin AS (SELECT p, v,
+        |          CAST(sum(cv) OVER (PARTITION BY p ORDER BY v) AS BIGINT)
+        |            AS cumv
+        |        FROM inb),
+        |ex AS (SELECT c.p, min(c.v) AS exact_cents
+        |       FROM cin c JOIN tb ON tb.p = c.p
+        |       WHERE tb.nbefore + c.cumv >= tb.r GROUP BY 1)
+        |SELECT tb.p AS p, n.n AS n, tb.r AS rank_r, tb.bucket_idx,
+        |       tb.lb AS bucket_lb, tb.ub AS bucket_ub, ex.exact_cents,
+        |       CAST(CASE WHEN ex.exact_cents BETWEEN tb.lb AND tb.ub
+        |            THEN 1 ELSE 0 END AS BIGINT) AS in_bucket,
+        |       mc.buckets_used, mc.merge_equal_buckets
+        |FROM tb JOIN ex ON ex.p = tb.p CROSS JOIN n CROSS JOIN mc
+        |ORDER BY p""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+      def shr(c: Column, bits: Column) =
+        call_function("shiftright", c, bits.cast("int"))
+      def shl(c: Column, bits: Column) =
+        call_function("shiftleft", c, bits.cast("int"))
+      val x = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("shard"), cents.as("v"))
+        .withColumn("bl", length(bin(col("v"))))
+        .select(col("shard"), col("v"),
+          when(col("bl") <= 7, col("v"))
+            .otherwise(col("bl").cast("long") * 64
+              + shr(col("v"), col("bl") - 7) - 64).as("idx"),
+          when(col("bl") <= 7, col("v"))
+            .otherwise(shl(shr(col("v"), col("bl") - 7), col("bl") - 7))
+            .as("lb"),
+          when(col("bl") <= 7, col("v"))
+            .otherwise(shl(shr(col("v"), col("bl") - 7) + 1, col("bl") - 7) - 1)
+            .as("ub"))
+      val hist = x.groupBy("idx", "lb", "ub").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // bucket frame: a few hundred rows
+      val sh = x.groupBy("shard", "idx").agg(count(lit(1)).as("c"))
+      val mg = sh.groupBy("idx").agg(sum("c").cast("long").as("mc"))
+      val mc = hist.join(mg, "idx")
+        .agg(count(lit(1)).as("buckets_used"),
+          sum(when(col("c") === col("mc"), 1L).otherwise(0L))
+            .as("merge_equal_buckets"))
+      val n = hist.agg(sum("c").cast("long").as("n"))
+      // bounded global window: the bucket frame, never the corpus
+      val ch = hist.withColumn("cum",
+        sum("c").over(Window.orderBy("idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val pr = s.range(1)
+        .select(explode(array(lit(50), lit(90), lit(95), lit(99))).as("p"))
+        .crossJoin(broadcast(n))
+        .selectExpr("CAST(p AS BIGINT) AS p", "(p * n + 99) div 100 AS r")
+      val tgt = broadcast(pr)
+        .join(ch, col("cum") >= col("r"))
+        .groupBy("p", "r").agg(min("idx").as("bucket_idx"))
+      val tb = tgt.join(ch, col("idx") === col("bucket_idx"))
+        .select(col("p"), col("r"), col("bucket_idx"), col("lb"), col("ub"),
+          (col("cum") - col("c")).as("nbefore"))
+        .localCheckpoint() // 4 rows, read by two passes below
+      val inb = x.join(broadcast(tb.select("p", "bucket_idx", "nbefore", "r")),
+          col("idx") === col("bucket_idx"))
+        .groupBy("p", "v").agg(count(lit(1)).as("cv"))
+      val cin = inb.withColumn("cumv",
+        sum("cv").over(Window.partitionBy("p").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ex = cin.join(broadcast(tb.select("p", "nbefore", "r")), Seq("p"))
+        .where(col("nbefore") + col("cumv") >= col("r"))
+        .groupBy("p").agg(min("v").as("exact_cents"))
+      tb.join(ex, Seq("p"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(mc))
+        .select(col("p"), col("n"), col("r").as("rank_r"), col("bucket_idx"),
+          col("lb").as("bucket_lb"), col("ub").as("bucket_ub"),
+          col("exact_cents"),
+          when(col("exact_cents").between(col("lb"), col("ub")), 1L)
+            .otherwise(0L).as("in_bucket"),
+          col("buckets_used").cast("long").as("buckets_used"),
+          col("merge_equal_buckets"))
+        .orderBy("p")
     }
   )
 

@@ -2452,6 +2452,302 @@ object SeriesQueries {
           round(slope, 6).as("slope"),
           round((col("sy") - slope * col("sx")) / col("fn"), 6).as("intercept"),
           round(slopeAll, 6).as("ols_slope_all"))
+    },
+
+    // ---- Granger causality (lag-1, both directions) ----
+    // Granger (1969): x Granger-causes y if x's lag improves the
+    // autoregressive fit of y. Lag 1 keeps the unrestricted model at
+    // two features (own lag + other's lag) — EXACTLY q_ols_multi's
+    // closed-form Cramer solve off one DECIMAL moment collapse — and
+    // the restricted model (own lag only) falls out of the SAME
+    // moments (β_r = b1/a11), so F = (RSS_r − RSS_u)/(RSS_u/(T−3))
+    // costs zero extra passes. Both causal directions ride one frame:
+    // the lagged day series unions into a (direction, y, x1=own lag,
+    // x2=cross lag) long format and a single groupBy(direction)
+    // computes all 10 moments per arm. Series = the orders calendar
+    // collapse (daily revenue + order count); lags are previous
+    // OBSERVED day (TPC-H dates are dense; the business-series
+    // convention). The day-frame window is calendar-bounded — ≤ ~2.4k
+    // rows at ANY corpus scale, the q_mann_kendall class. 100-TB
+    // story: one corpus aggregation to the day frame; everything
+    // after is day-frame-sized; the moment collapse makes the two
+    // OLS solves free projections.
+    sql(
+      "q_granger_causality",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT rev, cnt,
+        |        lag(rev) OVER (ORDER BY d) AS rl,
+        |        lag(cnt) OVER (ORDER BY d) AS cl
+        |      FROM daily),
+        |f AS (SELECT rev, cnt, rl, CAST(cl AS DECIMAL(15,4)) AS cl
+        |      FROM l WHERE rl IS NOT NULL),
+        |dirs AS (SELECT 'orders_to_revenue' AS direction,
+        |           rev AS y, rl AS x1, cl AS x2 FROM f
+        |         UNION ALL
+        |         SELECT 'revenue_to_orders',
+        |           CAST(cnt AS DECIMAL(15,4)), cl, rl FROM f),
+        |m AS (SELECT direction, count(*) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+        |    sum(x1 * CAST(x1 AS DECIMAL(19,4))) AS s11,
+        |    sum(x1 * CAST(x2 AS DECIMAL(19,4))) AS s12,
+        |    sum(x2 * CAST(x2 AS DECIMAL(19,4))) AS s22,
+        |    sum(x1 * CAST(y AS DECIMAL(19,4))) AS s1y,
+        |    sum(x2 * CAST(y AS DECIMAL(19,4))) AS s2y,
+        |    sum(y * CAST(y AS DECIMAL(19,4))) AS syy
+        |  FROM dirs GROUP BY 1),
+        |c AS (SELECT direction, n,
+        |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a11,
+        |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a12,
+        |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a22,
+        |    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1,
+        |    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syc
+        |  FROM m),
+        |b AS (SELECT direction, n, a11, b1, b2, syc,
+        |    (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+        |    (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS beta2
+        |  FROM c),
+        |r AS (SELECT direction, n, beta1, beta2,
+        |    syc - beta1 * b1 - beta2 * b2 AS nrss_u,
+        |    syc - b1 * b1 / a11 AS nrss_r,
+        |    (beta1 * b1 + beta2 * b2) / syc AS r2_u,
+        |    b1 * b1 / (a11 * syc) AS r2_r
+        |  FROM b)
+        |SELECT direction, CAST(n AS BIGINT) AS t_rows,
+        |  round(beta1, 6) AS beta_own, round(beta2, 6) AS beta_cross,
+        |  round(r2_r, 6) AS r2_restricted, round(r2_u, 6) AS r2_unrestricted,
+        |  round((nrss_r - nrss_u) / (nrss_u / (n - 3)), 6) AS f_stat,
+        |  CAST(n - 3 AS BIGINT) AS df2
+        |FROM r ORDER BY direction""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(dayNum(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("rev"),
+          count(lit(1)).as("cnt"))
+      // calendar-bounded single-partition window (q_mann_kendall class)
+      val w = Window.orderBy("d")
+      val f = daily
+        .select(col("rev"), col("cnt"),
+          lag("rev", 1).over(w).as("rl"),
+          lag("cnt", 1).over(w).cast("decimal(15,4)").as("cl"))
+        .where(col("rl").isNotNull)
+      val dirs = f.select(lit("orders_to_revenue").as("direction"),
+          col("rev").as("y"), col("rl").as("x1"), col("cl").as("x2"))
+        .unionByName(f.select(lit("revenue_to_orders").as("direction"),
+          col("cnt").cast("decimal(15,4)").as("y"),
+          col("cl").as("x1"), col("rl").as("x2")))
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val m = dirs.groupBy("direction")
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(col("x1") * d19(col("x1"))).as("s11"),
+          sum(col("x1") * d19(col("x2"))).as("s12"),
+          sum(col("x2") * d19(col("x2"))).as("s22"),
+          sum(col("x1") * d19(col("y"))).as("s1y"),
+          sum(col("x2") * d19(col("y"))).as("s2y"),
+          sum(col("y") * d19(col("y"))).as("syy"))
+      val dbl = (n: String) => col(n).cast("double")
+      val nD = dbl("n")
+      val a11 = nD * dbl("s11") - dbl("s1") * dbl("s1")
+      val a12 = nD * dbl("s12") - dbl("s1") * dbl("s2")
+      val a22 = nD * dbl("s22") - dbl("s2") * dbl("s2")
+      val b1 = nD * dbl("s1y") - dbl("s1") * dbl("sy")
+      val b2 = nD * dbl("s2y") - dbl("s2") * dbl("sy")
+      val syc = nD * dbl("syy") - dbl("sy") * dbl("sy")
+      val det = a11 * a22 - a12 * a12
+      val r = m.select(col("direction"), col("n"),
+        a11.as("a11"), b1.as("b1"), b2.as("b2"), syc.as("syc"),
+        ((b1 * a22 - b2 * a12) / det).as("beta1"),
+        ((a11 * b2 - a12 * b1) / det).as("beta2"))
+      val nrssU = col("syc") - col("beta1") * col("b1") -
+        col("beta2") * col("b2")
+      val nrssR = col("syc") - col("b1") * col("b1") / col("a11")
+      r.select(col("direction"), col("n").cast("long").as("t_rows"),
+          round(col("beta1"), 6).as("beta_own"),
+          round(col("beta2"), 6).as("beta_cross"),
+          round(col("b1") * col("b1") / (col("a11") * col("syc")), 6)
+            .as("r2_restricted"),
+          round((col("beta1") * col("b1") + col("beta2") * col("b2"))
+            / col("syc"), 6).as("r2_unrestricted"),
+          round((nrssR - nrssU) / (nrssU / (col("n").cast("double") - 3)), 6)
+            .as("f_stat"),
+          (col("n") - 3).cast("long").as("df2"))
+        .orderBy("direction")
+    },
+
+    // ---- Page–Hinkley drift detector (per-type daily volumes) ----
+    // Page (1954) / Hinkley (1971), the ONLINE mean-shift detector the
+    // stream-mining libraries (MOA, river) ship: unlike
+    // q_changepoint_cusum (which references the series' GLOBAL μ/σ —
+    // unknowable online), PH tracks m_t = Σ(x_i − x̄_i − δ) against its
+    // running minimum, needing only O(1) state per series — which is
+    // why it gets a streaming twin ([[graft.streaming.PageHinkleyStream]],
+    // the 18th batch/stream pair). Batch form: the recurrence is
+    // window-expressible with NO recursion — x̄_i = S_i/i off the exact
+    // BIGINT prefix sum, m = the ORDERED cumulative sum of
+    // (x_i − x̄_i), PH = m − running-min(m); ordered accumulation is
+    // sequential in BOTH engines, so the doubles agree bitwise.
+    // Alarm threshold λ = 5·√(burn-in mean) — Poisson-scaled from the
+    // first 10 days per series, so the query is scale-factor-portable
+    // (volumes 10× → λ √10×); alarms only score past the burn-in.
+    // 100-TB story: one corpus aggregation to (type, day) counts;
+    // every window runs per-type on ≤ calendar-bounded frames.
+    sql(
+      "q_page_hinkley",
+      """WITH dd AS (SELECT event_type AS ty,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT ty, d, c,
+        |        CAST(row_number() OVER w AS BIGINT) AS t,
+        |        CAST(sum(c) OVER w AS BIGINT) AS s
+        |      FROM dd WINDOW w AS (PARTITION BY ty ORDER BY d)),
+        |c2 AS (SELECT ty, d, t,
+        |         c - CAST(s AS DOUBLE) / t AS cterm FROM o),
+        |m0 AS (SELECT ty, d, t,
+        |         sum(cterm) OVER (PARTITION BY ty ORDER BY d) AS m FROM c2),
+        |ph0 AS (SELECT ty, d, t, m,
+        |         m - min(m) OVER (PARTITION BY ty ORDER BY d) AS ph FROM m0),
+        |lam AS (SELECT ty, 5.0e0 * sqrt(CAST(s AS DOUBLE) / 10) AS lambda
+        |        FROM o WHERE t = 10),
+        |a AS (SELECT ph0.ty, lam.lambda,
+        |        CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(CASE WHEN t > 10 AND ph > lambda
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |        CAST(coalesce(min(CASE WHEN t > 10 AND ph > lambda
+        |                          THEN d END), -1) AS BIGINT) AS first_alarm_d,
+        |        max(ph) AS max_ph
+        |      FROM ph0 JOIN lam ON lam.ty = ph0.ty GROUP BY 1, 2)
+        |SELECT ty AS event_type, n_days, round(lambda, 6) AS lambda,
+        |  n_alarms, first_alarm_d, round(max_ph, 6) AS max_ph
+        |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dd = t(s, dir, "events")
+        .groupBy(col("event_type").as("ty"), dayNum(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("ty").orderBy("d")
+      val o = dd.select(col("ty"), col("d"), col("c"),
+          row_number().over(w).cast("long").as("t"),
+          sum("c").over(w).cast("long").as("s"))
+        .localCheckpoint() // feeds the PH walk AND the burn-in scalar
+      val m0 = o.select(col("ty"), col("d"), col("t"),
+        (col("c") - col("s").cast("double") / col("t")).as("cterm"))
+        .withColumn("m", sum("cterm").over(w))
+      val ph0 = m0.withColumn("ph", col("m") - min("m").over(w))
+      val lam = o.where(col("t") === 10)
+        .select(col("ty"),
+          (lit(5.0) * sqrt(col("s").cast("double") / 10)).as("lambda"))
+      val alarm = col("t") > 10 && col("ph") > col("lambda")
+      ph0.join(broadcast(lam), "ty")
+        .groupBy("ty", "lambda")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(alarm, 1L).otherwise(0L)).cast("long").as("n_alarms"),
+          coalesce(min(when(alarm, col("d"))), lit(-1L)).cast("long")
+            .as("first_alarm_d"),
+          max("ph").as("max_ph"))
+        .select(col("ty").as("event_type"), col("n_days"),
+          round(col("lambda"), 6).as("lambda"), col("n_alarms"),
+          col("first_alarm_d"), round(col("max_ph"), 6).as("max_ph"))
+        .orderBy("event_type")
+    },
+
+    // ---- rolling-origin forecast backtest (one-step, 3 baselines) ----
+    // The M-competition evaluation discipline applied to the daily
+    // revenue series: every forecaster is scored on ROLLING one-step
+    // forecasts (each day predicted using only its past), not on an
+    // in-sample fit — the eval a forecasting platform runs before any
+    // model ships. Three window-expressible baselines: naive (carry
+    // yesterday), seasonal-naive (carry the value 7 days back), and
+    // the 7-day rolling mean. The error ALGEBRA stays exact DECIMAL —
+    // naive/snaive errors are DECIMAL(15,4) differences, and the
+    // rolling-mean error is kept ×7 (7·y_t − S7, exactly integral in
+    // quarter-scale) then un-scaled only inside the final double
+    // metrics — so MAE/RMSE accumulate as exact DECIMAL sums,
+    // order-independent at any parallelism, and MASE (the
+    // scale-free skill score vs naive, Hyndman & Koehler 2006) is a
+    // pure 1-row projection. All models score only where every model
+    // is defined (day ≥ 8 of the series) so the comparison is fair.
+    // 100-TB story: one corpus collapse to the calendar-bounded day
+    // frame; lags/windows are per-frame; metrics are 3-row math.
+    sql(
+      "q_forecast_backtest",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT d, rev,
+        |        CAST(row_number() OVER w AS BIGINT) AS t,
+        |        lag(rev, 1) OVER w AS l1,
+        |        lag(rev, 7) OVER w AS l7,
+        |        sum(rev) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+        |                       AND 1 PRECEDING) AS s7
+        |      FROM daily WINDOW w AS (ORDER BY d)),
+        |e AS (SELECT rev - l1 AS e_naive, rev - l7 AS e_snaive,
+        |        7 * rev - s7 AS e_rm7_x7
+        |      FROM l WHERE t >= 8),
+        |m AS (SELECT 'naive' AS model, count(*) AS n,
+        |        sum(abs(e_naive)) AS sae,
+        |        sum(e_naive * CAST(e_naive AS DECIMAL(19,4))) AS sse,
+        |        1 AS scale FROM e
+        |      UNION ALL
+        |      SELECT 'snaive7', count(*), sum(abs(e_snaive)),
+        |        sum(e_snaive * CAST(e_snaive AS DECIMAL(19,4))), 1 FROM e
+        |      UNION ALL
+        |      SELECT 'rollmean7', count(*), sum(abs(e_rm7_x7)),
+        |        sum(e_rm7_x7 * CAST(e_rm7_x7 AS DECIMAL(19,4))), 7 FROM e),
+        |nv AS (SELECT CAST(sae AS DOUBLE) / n AS mae_naive FROM m
+        |       WHERE model = 'naive')
+        |SELECT model, CAST(n AS BIGINT) AS n_evals,
+        |  round(CAST(sae AS DOUBLE) / scale / n, 6) AS mae,
+        |  round(sqrt(CAST(sse AS DOUBLE) / (CAST(scale AS DOUBLE) * scale)
+        |    / n), 6) AS rmse,
+        |  round(CAST(sae AS DOUBLE) / scale / n / mae_naive, 6) AS mase
+        |FROM m CROSS JOIN nv ORDER BY model""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      // calendar-bounded single-partition windows (q_mann_kendall class)
+      val w = Window.orderBy("d")
+      val l = daily.select(col("d"), col("rev"),
+          row_number().over(w).cast("long").as("t"),
+          lag("rev", 1).over(w).as("l1"),
+          lag("rev", 7).over(w).as("l7"),
+          sum("rev").over(w.rowsBetween(-7, -1)).as("s7"))
+        .where(col("t") >= 8)
+        .select((col("rev") - col("l1")).as("e_naive"),
+          (col("rev") - col("l7")).as("e_snaive"),
+          (col("rev") * 7 - col("s7")).as("e_rm7_x7"))
+        .localCheckpoint() // error frame, read by three model arms
+      def arm(model: String, e: String, scale: Int) =
+        l.agg(count(lit(1)).as("n"),
+          sum(abs(col(e))).as("sae"),
+          sum(col(e) * col(e).cast("decimal(19,4)")).as("sse"))
+          .select(lit(model).as("model"), col("n"), col("sae"), col("sse"),
+            lit(scale).as("scale"))
+      val m = arm("naive", "e_naive", 1)
+        .unionByName(arm("snaive7", "e_snaive", 1))
+        .unionByName(arm("rollmean7", "e_rm7_x7", 7))
+        .localCheckpoint() // 3-row metric frame
+      val nv = m.where(col("model") === "naive")
+        .select((col("sae").cast("double") / col("n")).as("mae_naive"))
+      val saeD = col("sae").cast("double")
+      m.crossJoin(broadcast(nv))
+        .select(col("model"), col("n").cast("long").as("n_evals"),
+          round(saeD / col("scale") / col("n"), 6).as("mae"),
+          round(sqrt(col("sse").cast("double")
+            / (col("scale").cast("double") * col("scale")) / col("n")), 6)
+            .as("rmse"),
+          round(saeD / col("scale") / col("n") / col("mae_naive"), 6)
+            .as("mase"))
+        .orderBy("model")
     }
   )
 }

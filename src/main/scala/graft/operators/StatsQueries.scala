@@ -3863,6 +3863,223 @@ object StatsQueries {
           round(col("t"), 6).as("t_obs"),
           round((lit(1.0) + col("n_ge")) / 33.0, 6).as("p_value"))
         .orderBy("r")
+    },
+
+    // ---- Friedman test (blocked rank test, + Kendall's W) ----
+    // Friedman (1937): the nonparametric repeated-measures complement
+    // of q_kruskal_wallis — does day-of-week move daily revenue when
+    // WEEKS are the blocks? Blocks = epoch-week (dayNum div 7 — both
+    // engines compute the identical integer; no locale/ISO-week
+    // divergence surface), treatments = dayNum mod 7, value = the
+    // daily revenue collapse; only complete 7-day blocks enter (the
+    // test requires complete blocks). Ranks within a block use the
+    // midrank convention computed as INTEGERS — 2·midrank = 2·min-rank
+    // + (tie count − 1) — so the per-treatment rank sums, their
+    // squares, and the tie masses Σ(t³−t) are all exact BIGINTs and
+    // the χ² (= 3/(b·k(k+1)) · Σ(2R_j)²/4... folded to integer-exact
+    // form below), its tie-adjusted version, and Kendall's W are pure
+    // projections of integer sums. 100-TB story: one corpus
+    // aggregation to the day frame; blocks/ranks live on the ≤ ~350-
+    // row week×dow frame.
+    sql(
+      "q_friedman_test",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |wd AS (SELECT d // 7 AS wk, d % 7 AS dw, rev FROM daily),
+        |cb AS (SELECT wk FROM wd GROUP BY wk HAVING count(*) = 7),
+        |r0 AS (SELECT wd.wk, wd.dw,
+        |         CAST(2 * rank() OVER (PARTITION BY wd.wk ORDER BY wd.rev)
+        |           + count(*) OVER (PARTITION BY wd.wk, wd.rev) - 1 AS BIGINT)
+        |           AS r2
+        |       FROM wd JOIN cb ON cb.wk = wd.wk),
+        |tj AS (SELECT CAST(coalesce(sum(tc * tc * tc - tc), 0) AS BIGINT) AS ties
+        |       FROM (SELECT count(*) AS tc FROM wd JOIN cb ON cb.wk = wd.wk
+        |             GROUP BY wd.wk, wd.rev) WHERE tc > 1),
+        |rs AS (SELECT dw, CAST(sum(r2) AS BIGINT) AS r2sum FROM r0 GROUP BY dw),
+        |ag AS (SELECT CAST(sum(r2sum * r2sum) AS BIGINT) AS ssq,
+        |         CAST(count(*) AS BIGINT) AS k FROM rs),
+        |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cb),
+        |st AS (SELECT b, k, ssq, ties,
+        |         3.0e0 * ssq / (b * k * (k + 1))
+        |           - 3.0e0 * b * (k + 1) AS chi2_raw,
+        |         1.0e0 - CAST(ties AS DOUBLE) / (b * k * (k * k - 1)) AS cf
+        |       FROM ag, bb, tj)
+        |SELECT b AS b_blocks, k, ties AS tie_mass,
+        |       round(chi2_raw, 6) AS chi2,
+        |       round(chi2_raw / cf, 6) AS chi2_tie_adj,
+        |       round(chi2_raw / (b * (k - 1)), 6) AS kendall_w,
+        |       CAST(k - 1 AS BIGINT) AS df
+        |FROM st""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(graft.functions.TimeFunctions.dayNum(col("o_orderdate"))
+          .as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(15,4)").as("rev"))
+      val wd = daily.selectExpr("d div 7 AS wk", "d % 7 AS dw", "rev")
+      val cb = wd.groupBy("wk").agg(count(lit(1)).as("nd"))
+        .where(col("nd") === 7).select("wk")
+      val full = wd.join(cb, "wk").localCheckpoint() // week×dow frame
+      val r0 = full.select(col("dw"),
+        (lit(2) * rank().over(Window.partitionBy("wk").orderBy("rev"))
+          + count(lit(1)).over(Window.partitionBy("wk", "rev")) - 1)
+          .cast("long").as("r2"))
+      val tj = full.groupBy("wk", "rev").agg(count(lit(1)).as("tc"))
+        .where(col("tc") > 1)
+        .agg(coalesce(sum(col("tc") * col("tc") * col("tc") - col("tc")),
+          lit(0L)).cast("long").as("ties"))
+      val rs = r0.groupBy("dw").agg(sum("r2").cast("long").as("r2sum"))
+      val ag = rs.agg(sum(col("r2sum") * col("r2sum")).cast("long").as("ssq"),
+        count(lit(1)).as("k"))
+      val bb = cb.agg(count(lit(1)).as("b"))
+      val st = ag.crossJoin(broadcast(bb)).crossJoin(broadcast(tj))
+      val kD = col("k").cast("double")
+      val bD = col("b").cast("double")
+      val chi2 = lit(3.0) * col("ssq") / (bD * kD * (kD + 1)) -
+        lit(3.0) * bD * (kD + 1)
+      val cf = lit(1.0) -
+        col("ties").cast("double") / (bD * kD * (kD * kD - 1))
+      st.select(col("b").as("b_blocks"), col("k"),
+        col("ties").as("tie_mass"),
+        round(chi2, 6).as("chi2"),
+        round(chi2 / cf, 6).as("chi2_tie_adj"),
+        round(chi2 / (bD * (kD - 1)), 6).as("kendall_w"),
+        (col("k") - 1).cast("long").as("df"))
+    },
+
+    // ---- Brown–Forsythe (median-centered Levene) variance test ----
+    // Levene (1960) / Brown & Forsythe (1974): are the l_quantity
+    // spreads equal across return flags? The robust median-centered
+    // form, kept INTEGER-EXACT end to end: quantity is integral, the
+    // per-group median comes off the bounded (flag × 50-value) count
+    // frame as v_lo + v_hi (twice the median — the even/odd split
+    // without a .5), the deviation is |2q − med2| (= 2|q − med|, an
+    // integer), and the one-way ANOVA on those deviations needs only
+    // Σz and Σz² per group — exact BIGINTs — so W is a pure double
+    // projection of integer moments (the common 2× scale cancels in
+    // the F ratio). 100-TB story: ONE corpus aggregation to the
+    // (flag, quantity) count frame (≤ 150 cells at any scale), one
+    // more for the z moments; medians and W are frame-side math.
+    sql(
+      "q_levene_test",
+      """WITH g AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q
+        |           FROM lineitem),
+        |cnt AS (SELECT rf, q, CAST(count(*) AS BIGINT) AS c
+        |        FROM g GROUP BY 1, 2),
+        |cum AS (SELECT rf, q, c,
+        |          CAST(sum(c) OVER (PARTITION BY rf ORDER BY q) AS BIGINT) AS cm,
+        |          CAST(sum(c) OVER (PARTITION BY rf) AS BIGINT) AS ng
+        |        FROM cnt),
+        |med AS (SELECT rf,
+        |          min(CASE WHEN cm >= (ng + 1) // 2 THEN q END)
+        |            + min(CASE WHEN cm >= ng // 2 + 1 THEN q END) AS med2
+        |        FROM cum GROUP BY rf),
+        |z AS (SELECT g.rf, abs(2 * g.q - med.med2) AS z
+        |      FROM g JOIN med ON med.rf = g.rf),
+        |mo AS (SELECT rf, CAST(count(*) AS BIGINT) AS n_g,
+        |         CAST(sum(z) AS BIGINT) AS sz,
+        |         CAST(sum(z * z) AS BIGINT) AS szz
+        |       FROM z GROUP BY rf),
+        |gt AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |         CAST(sum(sz) AS BIGINT) AS szt,
+        |         CAST(count(*) AS BIGINT) AS k,
+        |         sum(CAST(sz AS DOUBLE) * sz / n_g) AS ssb_part,
+        |         CAST(sum(szz) AS BIGINT) AS szzt
+        |       FROM mo),
+        |w AS (SELECT n, k,
+        |        (ssb_part - CAST(szt AS DOUBLE) * szt / n) / (k - 1) AS msb,
+        |        (szzt - ssb_part) / (n - k) AS msw
+        |      FROM gt)
+        |SELECT mo.rf, mo.n_g, med.med2 AS median_x2, mo.sz AS sum_absdev_x2,
+        |       round(w.msb / w.msw, 6) AS w_stat,
+        |       CAST(w.k - 1 AS BIGINT) AS df1, CAST(w.n - w.k AS BIGINT) AS df2
+        |FROM mo JOIN med ON med.rf = mo.rf CROSS JOIN w
+        |ORDER BY mo.rf""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("q"))
+      val cnt = g.groupBy("rf", "q").agg(count(lit(1)).as("c"))
+      val cum = cnt.select(col("rf"), col("q"), col("c"),
+          sum("c").over(Window.partitionBy("rf").orderBy("q")).as("cm"),
+          sum("c").over(Window.partitionBy("rf")).as("ng"))
+        // integer rank targets — Column./ is DOUBLE division (the
+        // ExactQuantiles pitfall), so the (n+1)/2 split uses `div`
+        .withColumn("lo", expr("(ng + 1) div 2"))
+        .withColumn("hi", expr("ng div 2 + 1"))
+      val med = cum.groupBy("rf").agg(
+        (min(when(col("cm") >= col("lo"), col("q")))
+          + min(when(col("cm") >= col("hi"), col("q")))).as("med2"))
+      val z = g.join(med, "rf").select(col("rf"),
+        abs(lit(2) * col("q") - col("med2")).as("z"))
+      val mo = z.groupBy("rf").agg(count(lit(1)).as("n_g"),
+        sum("z").cast("long").as("sz"),
+        sum(col("z") * col("z")).cast("long").as("szz"))
+        .localCheckpoint() // 3-row group-moment frame
+      val gt = mo.agg(sum("n_g").cast("long").as("n"),
+        sum("sz").cast("long").as("szt"),
+        count(lit(1)).as("k"),
+        sum(col("sz").cast("double") * col("sz") / col("n_g")).as("ssb_part"),
+        sum("szz").cast("long").as("szzt"))
+      val w = gt.select(col("n"), col("k"),
+        ((col("ssb_part") - col("szt").cast("double") * col("szt") / col("n"))
+          / (col("k") - 1)).as("msb"),
+        ((col("szzt") - col("ssb_part")) / (col("n") - col("k"))).as("msw"))
+      mo.join(med, "rf").crossJoin(broadcast(w))
+        .select(col("rf"), col("n_g"), col("med2").as("median_x2"),
+          col("sz").as("sum_absdev_x2"),
+          round(col("msb") / col("msw"), 6).as("w_stat"),
+          (col("k") - 1).cast("long").as("df1"),
+          (col("n") - col("k")).cast("long").as("df2"))
+        .orderBy("rf")
+    },
+
+    // ---- Wilson score intervals for per-type rates ----
+    // Wilson (1927): the rate interval that behaves at small n and
+    // extreme p̂ where the Wald interval collapses — the estimator a
+    // CTR/conversion dashboard should use. Success = event value ≥ 50
+    // (a fixed threshold both engines apply to the same doubles);
+    // z = 1.96 pinned as a literal. Both the Wilson and Wald bounds
+    // ride per type, so the output itself documents the difference.
+    // Everything is a pure projection of the per-type (n, s) integer
+    // counts — sqrt on identical doubles is IEEE-correctly-rounded in
+    // both engines. 100-TB story: one partial+final count aggregation;
+    // the interval math is a #types-row projection.
+    sql(
+      "q_wilson_interval",
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT event_type, n, s,
+        |        CAST(s AS DOUBLE) / n AS ph, 1.96e0 AS z FROM c),
+        |w AS (SELECT event_type, n, s, ph, z,
+        |        (ph + z * z / (2 * n)) / (1 + z * z / n) AS center,
+        |        z / (1 + z * z / n)
+        |          * sqrt(ph * (1 - ph) / n + z * z / (4.0e0 * n * n)) AS hw
+        |      FROM p)
+        |SELECT event_type, n, s, round(ph, 6) AS rate,
+        |       round(center - hw, 6) AS wilson_lo,
+        |       round(center + hw, 6) AS wilson_hi,
+        |       round(ph - z * sqrt(ph * (1 - ph) / n), 6) AS wald_lo,
+        |       round(ph + z * sqrt(ph * (1 - ph) / n), 6) AS wald_hi
+        |FROM w ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 50, 1L).otherwise(0L)).cast("long").as("s"))
+      val nD = col("n").cast("double")
+      val ph = col("s").cast("double") / nD
+      val z = lit(1.96)
+      val center = (ph + z * z / (lit(2.0) * nD)) / (lit(1.0) + z * z / nD)
+      val hw = (z / (lit(1.0) + z * z / nD))
+        .*(sqrt(ph * (lit(1) - ph) / nD + z * z / (lit(4.0) * nD * nD)))
+      val wald = z * sqrt(ph * (lit(1) - ph) / nD)
+      c.select(col("event_type"), col("n"), col("s"),
+          round(ph, 6).as("rate"),
+          round(center - hw, 6).as("wilson_lo"),
+          round(center + hw, 6).as("wilson_hi"),
+          round(ph - wald, 6).as("wald_lo"),
+          round(ph + wald, 6).as("wald_hi"))
+        .orderBy("event_type")
     }
   )
 }

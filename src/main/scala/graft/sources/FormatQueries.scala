@@ -144,6 +144,130 @@ object FormatQueries {
         .select(col("event_type"), col("n"), col("sum_value_e6"),
           lit(if (pruned) 1L else 0L).as("pruned_ok"))
         .orderBy("event_type")
+    },
+
+    // ---- z-order layout audit (multi-dimensional data skipping) ----
+    // The decision audit behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
+    // before rewriting 100 TB, a table optimizer asks "how many files
+    // would a (partkey, suppkey) predicate scan under the CURRENT
+    // linear layout vs a Morton-interleaved one?" — this query
+    // computes that answer as data, using the repo's shipped
+    // [[ZOrder.spreadBits]] (the physical rewrite itself —
+    // range-partition + sort on the z-value — is `ZOrder.writeZOrdered`,
+    // plan-pinned by `ZOrderSpec` on real parquet; this oracle pins
+    // the MATH cross-engine). Both layouts assign rows to 64
+    // equal-width logical files — linear by l_orderkey (the natural
+    // insert order, uncorrelated with either predicate column), z by
+    // the raw interleave of the two positive keys (the signed-shift
+    // correction in ZOrder.zvalue is for full-range ints; TPC-H keys
+    // are positive, documented here) — then per (layout, file) min/max
+    // column stats answer three predicates exactly the way parquet
+    // footer pruning would: files whose [min, max] overlaps the range
+    // get scanned. Expected shape (hash-pinned): the linear layout
+    // scans ALL files for every predicate (each file spans the full
+    // pk/sk range); the z layout bounds both single-column and box
+    // scans by the curve's grid geometry. ALL-INTEGER outputs
+    // (rendering-proof); the only driver motion is the 1-row
+    // max/zmin/zmax scalar broadcast. 100-TB story: two corpus passes
+    // (stats build, exact match audit), file stats are O(files), and
+    // the audited layout is exactly the one writeZOrdered produces.
+    sql(
+      "q_zorder_layout",
+      """WITH base AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+        |                l_suppkey AS sk FROM lineitem),
+        |z1 AS (SELECT ok, pk, sk,
+        |         (pk | (pk << 16)) & 281470681808895 AS a1,
+        |         (sk | (sk << 16)) & 281470681808895 AS b1 FROM base),
+        |z2 AS (SELECT ok, pk, sk,
+        |         (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+        |         (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM z1),
+        |z3 AS (SELECT ok, pk, sk,
+        |         (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+        |         (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM z2),
+        |z4 AS (SELECT ok, pk, sk,
+        |         (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+        |         (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM z3),
+        |zz AS (SELECT ok, pk, sk,
+        |         ((a4 | (a4 << 1)) & 6148914691236517205)
+        |         | (((b4 | (b4 << 1)) & 6148914691236517205) << 1) AS z
+        |       FROM z4),
+        |sc AS (SELECT max(ok) AS max_ok, max(pk) AS max_pk,
+        |         max(sk) AS max_sk, min(z) AS zmin, max(z) AS zmax
+        |       FROM zz),
+        |asg AS (SELECT pk, sk,
+        |          (ok - 1) // (((max_ok - 1) // 64) + 1) AS f_lin,
+        |          (z - zmin) // (((zmax - zmin) // 64) + 1) AS f_z
+        |        FROM zz, sc),
+        |st AS (SELECT 'linear' AS layout, f_lin AS f,
+        |         min(pk) AS mnp, max(pk) AS mxp, min(sk) AS mns,
+        |         max(sk) AS mxs, count(*) AS c
+        |       FROM asg GROUP BY 1, 2
+        |       UNION ALL
+        |       SELECT 'zorder' AS layout, f_z AS f,
+        |         min(pk), max(pk), min(sk), max(sk), count(*)
+        |       FROM asg GROUP BY 1, 2),
+        |pred AS (SELECT max_pk // 4 AS pk_lo,
+        |           max_pk // 4 + max_pk // 8 AS pk_hi,
+        |           max_sk // 4 AS sk_lo, max_sk // 4 + max_sk // 8 AS sk_hi
+        |         FROM sc),
+        |mrows AS (SELECT CAST(count(*) AS BIGINT) AS match_rows_box
+        |          FROM base, pred
+        |          WHERE pk BETWEEN pk_lo AND pk_hi
+        |            AND sk BETWEEN sk_lo AND sk_hi),
+        |agg AS (SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+        |          CAST(sum(c) AS BIGINT) AS rows_total,
+        |          CAST(sum(CASE WHEN mnp <= pk_hi AND mxp >= pk_lo
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS scan_files_pk,
+        |          CAST(sum(CASE WHEN mns <= sk_hi AND mxs >= sk_lo
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS scan_files_sk,
+        |          CAST(sum(CASE WHEN mnp <= pk_hi AND mxp >= pk_lo
+        |                     AND mns <= sk_hi AND mxs >= sk_lo
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS scan_files_box
+        |        FROM st, pred GROUP BY 1)
+        |SELECT layout, files_total, rows_total, scan_files_pk,
+        |       scan_files_sk, scan_files_box, match_rows_box
+        |FROM agg CROSS JOIN mrows ORDER BY layout""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"))
+      val zz = base.withColumn("z",
+        ZOrder.spreadBits(col("pk"))
+          .bitwiseOR(shiftleft(ZOrder.spreadBits(col("sk")), 1)))
+      val sc0 = zz.agg(max("ok").as("max_ok"), max("pk").as("max_pk"),
+        max("sk").as("max_sk"), min("z").as("zmin"), max("z").as("zmax"))
+        .localCheckpoint() // 1-row scalar frame, read by three passes
+      val asg = zz.crossJoin(broadcast(sc0))
+        .selectExpr("pk", "sk",
+          "(ok - 1) div (((max_ok - 1) div 64) + 1) AS f_lin",
+          "(z - zmin) div (((zmax - zmin) div 64) + 1) AS f_z")
+      def fileStats(layout: String, f: String) =
+        asg.groupBy(lit(layout).as("layout"), col(f).as("f"))
+          .agg(min("pk").as("mnp"), max("pk").as("mxp"),
+            min("sk").as("mns"), max("sk").as("mxs"),
+            count(lit(1)).as("c"))
+      val st = fileStats("linear", "f_lin")
+        .unionByName(fileStats("zorder", "f_z"))
+      val pred = sc0.selectExpr("max_pk div 4 AS pk_lo",
+        "max_pk div 4 + max_pk div 8 AS pk_hi",
+        "max_sk div 4 AS sk_lo", "max_sk div 4 + max_sk div 8 AS sk_hi")
+      val mrows = base.crossJoin(broadcast(pred))
+        .where(col("pk").between(col("pk_lo"), col("pk_hi"))
+          && col("sk").between(col("sk_lo"), col("sk_hi")))
+        .agg(count(lit(1)).as("match_rows_box"))
+      def overlap(mn: String, mx: String, lo: String, hi: String) =
+        sum(when(col(mn) <= col(hi) && col(mx) >= col(lo), 1L)
+          .otherwise(0L)).cast("long")
+      st.crossJoin(broadcast(pred))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("files_total"),
+          sum("c").cast("long").as("rows_total"),
+          overlap("mnp", "mxp", "pk_lo", "pk_hi").as("scan_files_pk"),
+          overlap("mns", "mxs", "sk_lo", "sk_hi").as("scan_files_sk"),
+          sum(when(col("mnp") <= col("pk_hi") && col("mxp") >= col("pk_lo")
+            && col("mns") <= col("sk_hi") && col("mxs") >= col("sk_lo"), 1L)
+            .otherwise(0L)).cast("long").as("scan_files_box"))
+        .crossJoin(broadcast(mrows))
+        .orderBy("layout")
     }
   )
 }

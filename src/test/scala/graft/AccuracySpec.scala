@@ -1809,4 +1809,217 @@ class AccuracySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("att_matched") - att) <= 1e-6,
       s"att ${r.getAs[Double]("att_matched")} vs $att")
   }
+
+  test("q_hdr_quantiles brackets the true order statistics exactly") {
+    import spark.implicits._
+    import graft.streaming.HdrSketchStream.{bucketOf, rankOf}
+    val cents = Tables(spark, sf, "lineitem")
+      .select((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as[Long].collect().sorted
+    val n = cents.length.toLong
+    val rows = SparkEntry.queries("q_hdr_quantiles")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p").toInt
+      val rank = rankOf(p, n)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("rank_r") == rank, s"rank at p$p")
+      // the true rank-r order statistic, from a full in-memory sort
+      val exact = cents((rank - 1).toInt)
+      assert(r.getAs[Long]("exact_cents") == exact, s"exact at p$p")
+      // the sketch bucket brackets it, and the bucket is bucketOf's
+      val (idx, lb, ub) = bucketOf(exact)
+      assert(r.getAs[Long]("bucket_idx") == idx, s"bucket at p$p")
+      assert(r.getAs[Long]("bucket_lb") == lb
+        && r.getAs[Long]("bucket_ub") == ub, s"bounds at p$p")
+      assert(r.getAs[Long]("in_bucket") == 1L)
+      assert((ub - lb).toDouble / lb <= 1.0 / 64, s"rel-err bound at p$p")
+      assert(r.getAs[Long]("merge_equal_buckets")
+        == r.getAs[Long]("buckets_used"), "merge theorem")
+    }
+  }
+
+  test("q_zorder_layout matches a from-scratch layout simulation") {
+    import spark.implicits._
+    val rows0 = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .as[(Long, Long, Long)].collect()
+    def spread(x: Long): Long = {
+      var s = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      s = (s | (s << 8)) & 0x00FF00FF00FF00FFL
+      s = (s | (s << 4)) & 0x0F0F0F0F0F0F0F0FL
+      s = (s | (s << 2)) & 0x3333333333333333L
+      (s | (s << 1)) & 0x5555555555555555L
+    }
+    val zs = rows0.map { case (_, pk, sk) => spread(pk) | (spread(sk) << 1) }
+    val (zmin, zmax) = (zs.min, zs.max)
+    val maxOk = rows0.map(_._1).max
+    val (maxPk, maxSk) = (rows0.map(_._2).max, rows0.map(_._3).max)
+    val (pkLo, pkHi) = (maxPk / 4, maxPk / 4 + maxPk / 8)
+    val (skLo, skHi) = (maxSk / 4, maxSk / 4 + maxSk / 8)
+    def scanned(assign: Int => Long): (Long, Long, Long, Long) = {
+      val byFile = rows0.indices.groupBy(assign)
+      val stats = byFile.values.map { is =>
+        (is.map(rows0(_)._2).min, is.map(rows0(_)._2).max,
+          is.map(rows0(_)._3).min, is.map(rows0(_)._3).max)
+      }
+      (byFile.size.toLong,
+        stats.count(s => s._1 <= pkHi && s._2 >= pkLo).toLong,
+        stats.count(s => s._3 <= skHi && s._4 >= skLo).toLong,
+        stats.count(s => s._1 <= pkHi && s._2 >= pkLo
+          && s._3 <= skHi && s._4 >= skLo).toLong)
+    }
+    val lin = scanned(i => (rows0(i)._1 - 1) / ((maxOk - 1) / 64 + 1))
+    val zor = scanned(i => (zs(i) - zmin) / ((zmax - zmin) / 64 + 1))
+    val got = SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("linear") == lin, s"linear ${got("linear")} vs $lin")
+    assert(got("zorder") == zor, s"zorder ${got("zorder")} vs $zor")
+    // the point of the op: the z layout prunes where linear can't
+    assert(zor._4 < lin._4, "z-order must scan fewer files for the box")
+  }
+
+  /** Shared from-scratch day series (d -> (revenue, order count)),
+    * revenue at the queries' DECIMAL(15,4) quantization. */
+  private def daySeries(): Seq[(Long, Double, Long)] = {
+    import spark.implicits._
+    Tables(spark, sf, "orders")
+      .select(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("long"), col("o_totalprice"))
+      .as[(Long, Double)].collect()
+      .groupBy(_._1).toSeq.map { case (d, rows) =>
+        val rev = rows.map(r => BigDecimal(r._2).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        (d, rev.toDouble, rows.size.toLong)
+      }.sortBy(_._1)
+  }
+
+  test("q_granger_causality matches a from-scratch lag-1 OLS F-test") {
+    val s = daySeries()
+    // observed-day lag pairs: (y, own lag x1, cross lag x2)
+    def fstat(ys: Seq[Double], x1s: Seq[Double], x2s: Seq[Double])
+        : (Double, Double) = {
+      val n = ys.size.toDouble
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (u, v) => u * v }.sum
+      val (s1, s2, sy) = (x1s.sum, x2s.sum, ys.sum)
+      val a11 = n * dot(x1s, x1s) - s1 * s1
+      val a12 = n * dot(x1s, x2s) - s1 * s2
+      val a22 = n * dot(x2s, x2s) - s2 * s2
+      val b1 = n * dot(x1s, ys) - s1 * sy
+      val b2 = n * dot(x2s, ys) - s2 * sy
+      val syc = n * dot(ys, ys) - sy * sy
+      val det = a11 * a22 - a12 * a12
+      val (beta1, beta2) = ((b1 * a22 - b2 * a12) / det,
+        (a11 * b2 - a12 * b1) / det)
+      val nrssU = syc - beta1 * b1 - beta2 * b2
+      val nrssR = syc - b1 * b1 / a11
+      ((nrssR - nrssU) / (nrssU / (n - 3)), beta2)
+    }
+    val rev = s.map(_._2); val cnt = s.map(_._3.toDouble)
+    val (fOR, _) = fstat(rev.tail, rev.init, cnt.init)
+    val (fRO, _) = fstat(cnt.tail, cnt.init, rev.init)
+    val got = SparkEntry.queries("q_granger_causality")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("f_stat")).toMap
+    assert(math.abs(got("orders_to_revenue") - fOR) <= 1e-4,
+      s"${got("orders_to_revenue")} vs $fOR")
+    assert(math.abs(got("revenue_to_orders") - fRO) <= 1e-4,
+      s"${got("revenue_to_orders")} vs $fRO")
+  }
+
+  test("q_friedman_test matches a from-scratch blocked rank fold") {
+    val s = daySeries()
+    val byWeek = s.groupBy(_._1 / 7).filter(_._2.size == 7)
+    val b = byWeek.size
+    // midranks within each complete week
+    val rankSums = scala.collection.mutable.Map.empty[Long, Double]
+    byWeek.values.foreach { wk =>
+      val sorted = wk.map(_._2).sorted
+      wk.foreach { case (d, rev, _) =>
+        val lo = sorted.indexWhere(_ == rev) + 1
+        val hi = sorted.lastIndexWhere(_ == rev) + 1
+        val mid = (lo + hi) / 2.0
+        rankSums(d % 7) = rankSums.getOrElse(d % 7, 0.0) + mid
+      }
+    }
+    val k = 7
+    val chi2 = 12.0 / (b * k * (k + 1)) *
+      rankSums.values.map(r => r * r).sum - 3.0 * b * (k + 1)
+    val r = SparkEntry.queries("q_friedman_test")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("b_blocks") == b.toLong)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) <= 1e-4,
+      s"${r.getAs[Double]("chi2")} vs $chi2")
+    assert(math.abs(r.getAs[Double]("kendall_w")
+      - chi2 / (b * (k - 1))) <= 1e-4)
+  }
+
+  test("q_levene_test matches a from-scratch Brown-Forsythe fold") {
+    import spark.implicits._
+    val qs = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .as[(String, Long)].collect()
+    val groups = qs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val zs = groups.map { case (rf, v) =>
+      val sorted = v.sorted
+      val med2 = sorted((v.length - 1) / 2) + sorted(v.length / 2)
+      rf -> v.map(q => math.abs(2 * q - med2).toDouble)
+    }
+    val k = zs.size; val n = zs.values.map(_.length).sum
+    val grand = zs.values.flatten.sum / n
+    val ssb = zs.values.map { z =>
+      val m = z.sum / z.length; z.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = zs.values.map { z =>
+      val m = z.sum / z.length; z.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = SparkEntry.queries("q_levene_test")(spark, sf).collect()(0)
+    assert(math.abs(r.getAs[Double]("w_stat") - w) <= 1e-4,
+      s"${r.getAs[Double]("w_stat")} vs $w")
+    assert(r.getAs[Long]("df2") == (n - k).toLong)
+  }
+
+  test("q_wilson_interval matches the closed form and its guarantees") {
+    val rows = SparkEntry.queries("q_wilson_interval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n").toDouble, r.getAs[Long]("s").toDouble)
+      val (ph, z) = (s / n, 1.96)
+      val center = (ph + z * z / (2 * n)) / (1 + z * z / n)
+      val hw = z / (1 + z * z / n) *
+        math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n))
+      assert(math.abs(r.getAs[Double]("wilson_lo") - (center - hw)) <= 1e-5)
+      assert(math.abs(r.getAs[Double]("wilson_hi") - (center + hw)) <= 1e-5)
+      // structural guarantees: the interval brackets the rate, and the
+      // Wilson center is pulled toward 1/2 relative to the Wald center
+      assert(r.getAs[Double]("wilson_lo") < ph && ph < r.getAs[Double]("wilson_hi"))
+      assert((center - ph) * (0.5 - ph) >= 0, "center shifts toward 1/2")
+    }
+  }
+
+  test("q_forecast_backtest matches a from-scratch rolling-origin fold") {
+    val rev = daySeries().map(_._2)
+    // one-step errors from day 8 (all three models defined)
+    val idx = 7 until rev.size
+    val eN = idx.map(i => rev(i) - rev(i - 1))
+    val eS = idx.map(i => rev(i) - rev(i - 7))
+    val eM = idx.map(i => rev(i) - rev.slice(i - 7, i).sum / 7)
+    def mae(e: Seq[Double]) = e.map(math.abs).sum / e.size
+    def rmse(e: Seq[Double]) = math.sqrt(e.map(x => x * x).sum / e.size)
+    val got = SparkEntry.queries("q_forecast_backtest")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getAs[Double]("mae"),
+        r.getAs[Double]("rmse"), r.getAs[Double]("mase")))).toMap
+    val exp = Map("naive" -> eN, "snaive7" -> eS, "rollmean7" -> eM)
+    for ((m, e) <- exp) {
+      val (n, gmae, grmse, gmase) = got(m)
+      assert(n == e.size.toLong, s"$m n")
+      assert(math.abs(gmae - mae(e)) <= 1e-3, s"$m mae $gmae vs ${mae(e)}")
+      assert(math.abs(grmse - rmse(e)) <= 1e-3, s"$m rmse")
+      assert(math.abs(gmase - mae(e) / mae(eN)) <= 1e-6, s"$m mase")
+    }
+    // one-step evals only use the PAST: MASE of naive is exactly 1
+    assert(got("naive")._4 == 1.0)
+  }
 }

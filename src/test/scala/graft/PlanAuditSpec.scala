@@ -200,9 +200,21 @@ class PlanAuditSpec extends SparkSpec {
     "q_ransac_line",       // 32-row candidate-line broadcast against
                            // the calendar-bounded day frame + 1-row
                            // n/tau and winner scalars
-    "q_psm_matching")      // 1-row ATT + naive scalars crossJoined
+    "q_psm_matching",      // 1-row ATT + naive scalars crossJoined
                            // (the banded candidate join itself is an
                            // equi-join on the caliper bucket)
+    "q_hdr_quantiles",     // 4-row broadcast rank ladder × the bounded
+                           // bucket frame (cum >= r range join) + 1-row
+                           // n/merge-check scalars riding the output
+    "q_zorder_layout",     // 1-row broadcast max/zmin/zmax + predicate
+                           // scalars riding the corpus pass and the
+                           // 128-row file-stats frame
+    "q_forecast_backtest", // 1-row broadcast naive-MAE scalar riding
+                           // the 3-row model-metric frame
+    "q_friedman_test",     // 1-row block-count + tie-mass scalars
+                           // riding the 7-row rank-sum frame
+    "q_levene_test")       // 1-row W/df scalars riding the 3-row
+                           // group-moment frame
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -297,7 +297,10 @@ object ScaleCheck {
     "q_wilson_interval",
     // round-10 eighth batch: the per-type PH window walk and the
     // exact-DECIMAL rolling-error collapse
-    "q_page_hinkley", "q_forecast_backtest")
+    "q_page_hinkley", "q_forecast_backtest",
+    // round-10 ninth batch: three domain-bounded cent-support
+    // collapses (pooled midranks, trim/winsorize spans, CDF gaps)
+    "q_effect_sizes", "q_yuen_ttest", "q_wasserstein_1d")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

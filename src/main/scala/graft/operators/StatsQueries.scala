@@ -4080,6 +4080,308 @@ object StatsQueries {
           round(ph - wald, 6).as("wald_lo"),
           round(ph + wald, 6).as("wald_hi"))
         .orderBy("event_type")
+    },
+
+    // ---- standardized effect sizes (d, g, Glass, CLES, Cliff) ----
+    // The reporting layer q_ab_ttest/q_power_analysis assume: a t-stat
+    // says "significant", an effect size says "how big" — no experiment
+    // readout ships without one. Arms = the q_ab_ttest variant split.
+    // Everything is computed INTEGER-EXACTLY off cent-quantized values
+    // (values ≤ ~$500 → ≤ ~49k distinct cents, DOMAIN-bounded at any
+    // corpus scale): the standardized moments are scale-invariant, so
+    // quantizing both arms identically moves d/g/Glass only by the
+    // quantization itself (applied identically in both engines), and
+    // the rank statistics get exact ×2 midranks off the bounded
+    // (type, cents) count frame — Cliff's δ and the common-language
+    // effect size are pure projections of a BIGINT U. Cohen (1988) d
+    // with pooled sd; Hedges (1981) small-sample correction
+    // g = d·(1 − 3/(4N−9)); Glass's Δ on the CONTROL arm's sd;
+    // CLES = P(a > b) + ½P(a = b) = U_a/(n_a·n_b); δ = 2·CLES − 1.
+    // 100-TB story: one corpus pass to the count frame; every window
+    // runs on the ≤ 49k-row domain-bounded support per type.
+    sql(
+      "q_effect_sizes",
+      """WITH v AS (SELECT event_type AS ty,
+        |    CAST(json_extract_string(props, '$.k') AS INT) % 2 AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |cnt AS (SELECT ty, vc,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM v GROUP BY 1, 2),
+        |mr AS (SELECT ty, vc, c0, c1,
+        |    CAST(2 * (sum(c0 + c1) OVER (PARTITION BY ty ORDER BY vc)
+        |              - (c0 + c1)) + (c0 + c1) + 1 AS BIGINT) AS mr2
+        |  FROM cnt),
+        |mo AS (SELECT ty,
+        |    CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c0 * vc) AS BIGINT) AS s0,
+        |    CAST(sum(c1 * vc) AS BIGINT) AS s1,
+        |    CAST(sum(c0 * vc * vc) AS BIGINT) AS ss0,
+        |    CAST(sum(c1 * vc * vc) AS BIGINT) AS ss1,
+        |    CAST(sum(c0 * mr2) AS BIGINT) AS r0_x2
+        |  FROM mr GROUP BY 1),
+        |e AS (SELECT ty, n0, n1,
+        |    CAST(s0 AS DOUBLE) / n0 AS m0, CAST(s1 AS DOUBLE) / n1 AS m1,
+        |    (n0 * CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0)
+        |      / (CAST(n0 AS DOUBLE) * (n0 - 1)) AS v0,
+        |    (n1 * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+        |      / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+        |    r0_x2 - n0 * (n0 + 1) AS u0_x2
+        |  FROM mo),
+        |f AS (SELECT ty, n0, n1, u0_x2,
+        |    (m0 - m1) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1)
+        |                     / (n0 + n1 - 2)) AS d,
+        |    (m0 - m1) / sqrt(v1) AS glass,
+        |    CAST(u0_x2 AS DOUBLE) / (2.0e0 * n0 * n1) AS cles
+        |  FROM e)
+        |SELECT ty AS event_type, n0 AS n_a, n1 AS n_b, u0_x2 AS u_a_x2,
+        |  round(d, 6) AS cohen_d,
+        |  round(d * (1 - 3.0e0 / (4 * (n0 + n1) - 9)), 6) AS hedges_g,
+        |  round(glass, 6) AS glass_delta,
+        |  round(cles, 6) AS cles,
+        |  round(2 * cles - 1, 6) AS cliff_delta
+        |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "events")
+        .select(col("event_type").as("ty"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2).as("arm"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      val cnt = v.groupBy("ty", "vc")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("c1"))
+      // domain-bounded support window (≤ ~49k cents per type)
+      val ct = col("c0") + col("c1")
+      val mr = cnt.withColumn("mr2",
+        (lit(2) * (sum(ct).over(Window.partitionBy("ty").orderBy("vc")) - ct)
+          + ct + 1).cast("long"))
+      val mo = mr.groupBy("ty").agg(
+        sum("c0").cast("long").as("n0"), sum("c1").cast("long").as("n1"),
+        sum(col("c0") * col("vc")).cast("long").as("s0"),
+        sum(col("c1") * col("vc")).cast("long").as("s1"),
+        sum(col("c0") * col("vc") * col("vc")).cast("long").as("ss0"),
+        sum(col("c1") * col("vc") * col("vc")).cast("long").as("ss1"),
+        sum(col("c0") * col("mr2")).cast("long").as("r0_x2"))
+      val m0 = col("s0").cast("double") / col("n0")
+      val m1 = col("s1").cast("double") / col("n1")
+      val v0 = (col("n0") * col("ss0").cast("double")
+        - col("s0").cast("double") * col("s0"))
+        ./(col("n0").cast("double") * (col("n0") - 1))
+      val v1 = (col("n1") * col("ss1").cast("double")
+        - col("s1").cast("double") * col("s1"))
+        ./(col("n1").cast("double") * (col("n1") - 1))
+      val e = mo.select(col("ty"), col("n0"), col("n1"),
+        m0.as("m0"), m1.as("m1"), v0.as("v0"), v1.as("v1"),
+        (col("r0_x2") - col("n0") * (col("n0") + 1)).as("u0_x2"))
+      val d = (col("m0") - col("m1")) /
+        sqrt(((col("n0") - 1) * col("v0") + (col("n1") - 1) * col("v1"))
+          / (col("n0") + col("n1") - 2))
+      val glass = (col("m0") - col("m1")) / sqrt(col("v1"))
+      val cles = col("u0_x2").cast("double") /
+        (lit(2.0) * col("n0") * col("n1"))
+      e.select(col("ty").as("event_type"), col("n0").as("n_a"),
+          col("n1").as("n_b"), col("u0_x2").as("u_a_x2"),
+          round(d, 6).as("cohen_d"),
+          round(d * (lit(1) - lit(3.0)
+            / (lit(4) * (col("n0") + col("n1")) - 9)), 6).as("hedges_g"),
+          round(glass, 6).as("glass_delta"),
+          round(cles, 6).as("cles"),
+          round(cles * 2 - 1, 6).as("cliff_delta"))
+        .orderBy("event_type")
+    },
+
+    // ---- Yuen's trimmed-mean robust t-test ----
+    // Yuen (1974): the Welch t built on 20 %-trimmed means and
+    // winsorized variances — the robust two-sample test that keeps its
+    // level under heavy tails, where q_ab_ttest's Welch t loses power.
+    // Integer-exact trimming off the same cent-quantized domain-
+    // bounded count frame as q_effect_sizes: per arm, g = ⌊0.2n⌋, a
+    // value's TRIMMED weight is the overlap of its rank span with
+    // (g, n−g] (min(cum, n−g) − max(cum−c, g), clamped — no per-row
+    // sort survives to the plan), the winsorized value clamps to the
+    // rank-(g+1)/(n−g) order statistics read off the same cumulative
+    // frame, and all moment sums are BIGINTs. t and the Welch–
+    // Satterthwaite df are pure projections: d_i = (n_i−1)·s²_wi /
+    // (h_i·(h_i−1)), t = (tm₀−tm₁)/√(d₀+d₁). 100-TB story: one corpus
+    // pass to the count frame; per-arm windows run on ≤ ~49k
+    // domain-bounded rows.
+    sql(
+      "q_yuen_ttest",
+      """WITH v AS (SELECT event_type AS ty,
+        |    CAST(json_extract_string(props, '$.k') AS INT) % 2 AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |cnt AS (SELECT ty, arm, vc, CAST(count(*) AS BIGINT) AS c
+        |        FROM v GROUP BY 1, 2, 3),
+        |cum AS (SELECT ty, arm, vc, c,
+        |          CAST(sum(c) OVER (PARTITION BY ty, arm ORDER BY vc)
+        |            AS BIGINT) AS cm,
+        |          CAST(sum(c) OVER (PARTITION BY ty, arm) AS BIGINT) AS n
+        |        FROM cnt),
+        |gg AS (SELECT ty, arm, vc, c, cm, n, n // 5 AS g FROM cum),
+        |bd AS (SELECT ty, arm,
+        |         min(CASE WHEN cm >= g + 1 THEN vc END) AS vlo,
+        |         min(CASE WHEN cm >= n - g THEN vc END) AS vhi
+        |       FROM gg GROUP BY 1, 2),
+        |tw AS (SELECT gg.ty, gg.arm, gg.n, gg.g,
+        |         CASE WHEN (CASE WHEN gg.cm < gg.n - gg.g THEN gg.cm
+        |                         ELSE gg.n - gg.g END)
+        |                 - (CASE WHEN gg.cm - gg.c > gg.g THEN gg.cm - gg.c
+        |                         ELSE gg.g END) > 0
+        |              THEN (CASE WHEN gg.cm < gg.n - gg.g THEN gg.cm
+        |                         ELSE gg.n - gg.g END)
+        |                 - (CASE WHEN gg.cm - gg.c > gg.g THEN gg.cm - gg.c
+        |                         ELSE gg.g END)
+        |              ELSE 0 END AS tc,
+        |         CASE WHEN gg.vc < bd.vlo THEN bd.vlo
+        |              WHEN gg.vc > bd.vhi THEN bd.vhi
+        |              ELSE gg.vc END AS wv,
+        |         gg.c
+        |       FROM gg JOIN bd ON bd.ty = gg.ty AND bd.arm = gg.arm),
+        |mo AS (SELECT ty, arm, n, g, n - 2 * g AS h,
+        |         CAST(sum(tc * wv) AS BIGINT) AS st,
+        |         CAST(sum(c * wv) AS BIGINT) AS sw,
+        |         CAST(sum(c * wv * wv) AS BIGINT) AS sww
+        |       FROM tw GROUP BY 1, 2, 3, 4, 5),
+        |ar AS (SELECT ty, arm, n, h,
+        |         CAST(st AS DOUBLE) / h AS tm,
+        |         (n * CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * sw)
+        |           / (CAST(n AS DOUBLE) * (n - 1)) AS vw
+        |       FROM mo),
+        |j AS (SELECT a.ty, a.n AS n_a, b.n AS n_b, a.h AS h_a, b.h AS h_b,
+        |        a.tm AS tm_a, b.tm AS tm_b,
+        |        (a.n - 1) * a.vw / (CAST(a.h AS DOUBLE) * (a.h - 1)) AS d0,
+        |        (b.n - 1) * b.vw / (CAST(b.h AS DOUBLE) * (b.h - 1)) AS d1
+        |      FROM ar a JOIN ar b ON a.ty = b.ty AND a.arm = 0 AND b.arm = 1)
+        |SELECT ty AS event_type, n_a, n_b, h_a, h_b,
+        |  round(tm_a / 100, 6) AS trimmed_mean_a,
+        |  round(tm_b / 100, 6) AS trimmed_mean_b,
+        |  round((tm_a - tm_b) / sqrt(d0 + d1), 6) AS t_yuen,
+        |  round((d0 + d1) * (d0 + d1)
+        |        / (d0 * d0 / (h_a - 1) + d1 * d1 / (h_b - 1)), 2) AS df
+        |FROM j ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "events")
+        .select(col("event_type").as("ty"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2).as("arm"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      val cnt = v.groupBy("ty", "arm", "vc").agg(count(lit(1)).as("c"))
+      val wA = Window.partitionBy("ty", "arm")
+      val cum = cnt.select(col("ty"), col("arm"), col("vc"), col("c"),
+        sum("c").over(wA.orderBy("vc")).as("cm"),
+        sum("c").over(wA).as("n"))
+      val gg = cum.withColumn("g", expr("n div 5")).localCheckpoint()
+      val bd = gg.groupBy("ty", "arm").agg(
+        min(when(col("cm") >= col("g") + 1, col("vc"))).as("vlo"),
+        min(when(col("cm") >= col("n") - col("g"), col("vc"))).as("vhi"))
+      val hiCap = least(col("cm"), col("n") - col("g"))
+      val loCap = greatest(col("cm") - col("c"), col("g"))
+      val tw = gg.join(bd, Seq("ty", "arm"))
+        .select(col("ty"), col("arm"), col("n"), col("g"), col("c"),
+          greatest(hiCap - loCap, lit(0L)).as("tc"),
+          when(col("vc") < col("vlo"), col("vlo"))
+            .when(col("vc") > col("vhi"), col("vhi"))
+            .otherwise(col("vc")).as("wv"))
+      val mo = tw.groupBy(col("ty"), col("arm"), col("n"), col("g"),
+          (col("n") - col("g") * 2).as("h"))
+        .agg(sum(col("tc") * col("wv")).cast("long").as("st"),
+          sum(col("c") * col("wv")).cast("long").as("sw"),
+          sum(col("c") * col("wv") * col("wv")).cast("long").as("sww"))
+      val ar = mo.select(col("ty"), col("arm"), col("n"), col("h"),
+        (col("st").cast("double") / col("h")).as("tm"),
+        ((col("n") * col("sww").cast("double")
+          - col("sw").cast("double") * col("sw"))
+          / (col("n").cast("double") * (col("n") - 1))).as("vw"))
+        .localCheckpoint() // 10-row arm-moment frame
+      def dTerm(n: Column, vw: Column, h: Column) =
+        (n - 1) * vw / (h.cast("double") * (h - 1))
+      val a = ar.where(col("arm") === 0)
+        .select(col("ty"), col("n").as("n_a"), col("h").as("h_a"),
+          col("tm").as("tm_a"), dTerm(col("n"), col("vw"), col("h")).as("d0"))
+      val b = ar.where(col("arm") === 1)
+        .select(col("ty").as("ty_b"), col("n").as("n_b"), col("h").as("h_b"),
+          col("tm").as("tm_b"), dTerm(col("n"), col("vw"), col("h")).as("d1"))
+      a.join(broadcast(b), col("ty") === col("ty_b"))
+        .select(col("ty").as("event_type"), col("n_a"), col("n_b"),
+          col("h_a"), col("h_b"),
+          round(col("tm_a") / 100, 6).as("trimmed_mean_a"),
+          round(col("tm_b") / 100, 6).as("trimmed_mean_b"),
+          round((col("tm_a") - col("tm_b")) / sqrt(col("d0") + col("d1")), 6)
+            .as("t_yuen"),
+          round((col("d0") + col("d1")) * (col("d0") + col("d1"))
+            / (col("d0") * col("d0") / (col("h_a") - 1)
+              + col("d1") * col("d1") / (col("h_b") - 1)), 2).as("df"))
+        .orderBy("event_type")
+    },
+
+    // ---- 1-D Wasserstein (earth-mover) distance between arms ----
+    // The L1 companion to q_ks_drift's sup-norm: W₁ = ∫|F_a − F_b| is
+    // the drift metric that SEES magnitude (a small shift of the whole
+    // mass moves W₁ proportionally but barely moves KS), which is why
+    // distribution-shift monitors report both. Same integer-exact
+    // construction as the KS machinery: per type, both arms' CDFs live
+    // on the shared cent support, the running difference is the exact
+    // BIGINT cum_a·n_b − cum_b·n_a, each support gap contributes
+    // |diff|·gap_width exactly, and the only doubles are the two final
+    // normalizations (÷ n_a·n_b·100 for original units). The max of
+    // the same |diff| rides as the KS numerator, so the two metrics
+    // are computed from ONE pass and can be read against each other.
+    // 100-TB story: one corpus pass to the (type, cents) count frame;
+    // windows on the ≤ ~49k-row domain-bounded support.
+    sql(
+      "q_wasserstein_1d",
+      """WITH v AS (SELECT event_type AS ty,
+        |    CAST(json_extract_string(props, '$.k') AS INT) % 2 AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |cnt AS (SELECT ty, vc,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (SELECT ty, vc,
+        |    CAST(sum(c0) OVER w AS BIGINT) AS m0,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS m1,
+        |    CAST(sum(c0) OVER (PARTITION BY ty) AS BIGINT) AS n0,
+        |    CAST(sum(c1) OVER (PARTITION BY ty) AS BIGINT) AS n1,
+        |    lead(vc) OVER w AS nxt
+        |  FROM cnt WINDOW w AS (PARTITION BY ty ORDER BY vc)),
+        |d AS (SELECT ty, n0, n1,
+        |        abs(m0 * n1 - m1 * n0) AS ad,
+        |        CASE WHEN nxt IS NULL THEN 0 ELSE nxt - vc END AS gap
+        |      FROM cum),
+        |a AS (SELECT ty, n0, n1,
+        |        CAST(sum(ad * gap) AS BIGINT) AS w1_scaled,
+        |        CAST(max(ad) AS BIGINT) AS ks_scaled
+        |      FROM d GROUP BY 1, 2, 3)
+        |SELECT ty AS event_type, n0 AS n_a, n1 AS n_b, w1_scaled, ks_scaled,
+        |  round(CAST(w1_scaled AS DOUBLE) / n0 / n1 / 100, 6) AS w1,
+        |  round(CAST(ks_scaled AS DOUBLE) / n0 / n1, 6) AS ks_stat
+        |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "events")
+        .select(col("event_type").as("ty"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2).as("arm"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      val cnt = v.groupBy("ty", "vc")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("c1"))
+      val w = Window.partitionBy("ty").orderBy("vc")
+      val wT = Window.partitionBy("ty")
+      val cum = cnt.select(col("ty"), col("vc"),
+        sum("c0").over(w).as("m0"), sum("c1").over(w).as("m1"),
+        sum("c0").over(wT).as("n0"), sum("c1").over(wT).as("n1"),
+        lead("vc", 1).over(w).as("nxt"))
+      val d = cum.select(col("ty"), col("n0"), col("n1"),
+        abs(col("m0") * col("n1") - col("m1") * col("n0")).as("ad"),
+        when(col("nxt").isNull, 0L).otherwise(col("nxt") - col("vc"))
+          .as("gap"))
+      d.groupBy("ty", "n0", "n1")
+        .agg(sum(col("ad") * col("gap")).cast("long").as("w1_scaled"),
+          max("ad").cast("long").as("ks_scaled"))
+        .select(col("ty").as("event_type"), col("n0").as("n_a"),
+          col("n1").as("n_b"), col("w1_scaled"), col("ks_scaled"),
+          round(col("w1_scaled").cast("double") / col("n0") / col("n1")
+            / 100, 6).as("w1"),
+          round(col("ks_scaled").cast("double") / col("n0") / col("n1"), 6)
+            .as("ks_stat"))
+        .orderBy("event_type")
     }
   )
 }

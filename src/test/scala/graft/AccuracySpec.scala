@@ -2022,4 +2022,85 @@ class AccuracySpec extends SparkSpec {
     // one-step evals only use the PAST: MASE of naive is exactly 1
     assert(got("naive")._4 == 1.0)
   }
+
+  /** Shared from-scratch arm split: (event_type, arm, cents). */
+  private def armCents(): Map[(String, Int), Seq[Long]] = {
+    import spark.implicits._
+    Tables(spark, sf, "events")
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") % 2),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSeq).toMap
+  }
+
+  test("q_effect_sizes matches brute-force pairwise and moment folds") {
+    val arms = armCents()
+    val rows = SparkEntry.queries("q_effect_sizes")(spark, sf).collect()
+    rows.foreach { r =>
+      val ty = r.getString(0)
+      val (a, b) = (arms((ty, 0)), arms((ty, 1)))
+      // Cliff/CLES via literal pairwise comparison (U counts ties half)
+      val ux2 = a.iterator.map(x =>
+        2L * b.count(_ < x) + b.count(_ == x)).sum
+      assert(r.getAs[Long]("u_a_x2") == ux2, s"$ty U")
+      val cles = ux2.toDouble / (2.0 * a.size * b.size)
+      assert(math.abs(r.getAs[Double]("cles") - cles) <= 1e-6, s"$ty cles")
+      assert(math.abs(r.getAs[Double]("cliff_delta") - (2 * cles - 1)) <= 1e-6)
+      def mv(x: Seq[Long]) = {
+        val m = x.sum.toDouble / x.size
+        (m, x.map(v => (v - m) * (v - m)).sum / (x.size - 1))
+      }
+      val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+      val sp = math.sqrt(((a.size - 1) * va + (b.size - 1) * vb)
+        / (a.size + b.size - 2.0))
+      assert(math.abs(r.getAs[Double]("cohen_d") - (ma - mb) / sp) <= 1e-5,
+        s"$ty d")
+      assert(math.abs(r.getAs[Double]("glass_delta")
+        - (ma - mb) / math.sqrt(vb)) <= 1e-5, s"$ty glass")
+    }
+  }
+
+  test("q_yuen_ttest matches a from-scratch trim/winsorize fold") {
+    val arms = armCents()
+    def yuenArm(x: Seq[Long]): (Long, Double, Double) = {
+      val s = x.sorted; val n = s.size; val g = n / 5; val h = n - 2 * g
+      val tm = s.slice(g, n - g).sum.toDouble / h
+      val (vlo, vhi) = (s(g), s(n - g - 1))
+      val w = s.map(v => math.min(math.max(v, vlo), vhi))
+      val m = w.sum.toDouble / n
+      val vw = w.map(v => (v - m) * (v - m)).sum / (n - 1.0)
+      (h.toLong, tm, (n - 1) * vw / (h.toDouble * (h - 1)))
+    }
+    SparkEntry.queries("q_yuen_ttest")(spark, sf).collect().foreach { r =>
+      val ty = r.getString(0)
+      val (ha, tma, d0) = yuenArm(arms((ty, 0)))
+      val (hb, tmb, d1) = yuenArm(arms((ty, 1)))
+      assert(r.getAs[Long]("h_a") == ha && r.getAs[Long]("h_b") == hb, s"$ty h")
+      assert(math.abs(r.getAs[Double]("trimmed_mean_a") - tma / 100) <= 1e-5)
+      assert(math.abs(r.getAs[Double]("trimmed_mean_b") - tmb / 100) <= 1e-5)
+      assert(math.abs(r.getAs[Double]("t_yuen")
+        - (tma - tmb) / math.sqrt(d0 + d1)) <= 1e-5, s"$ty t")
+    }
+  }
+
+  test("q_wasserstein_1d matches a from-scratch CDF-gap walk") {
+    val arms = armCents()
+    SparkEntry.queries("q_wasserstein_1d")(spark, sf).collect().foreach { r =>
+      val ty = r.getString(0)
+      val (a, b) = (arms((ty, 0)), arms((ty, 1)))
+      val support = (a ++ b).distinct.sorted
+      var (m0, m1, w1s, kss) = (0L, 0L, 0L, 0L)
+      support.zipWithIndex.foreach { case (v, i) =>
+        m0 += a.count(_ == v); m1 += b.count(_ == v)
+        val ad = math.abs(m0 * b.size - m1 * a.size)
+        kss = math.max(kss, ad)
+        if (i + 1 < support.size) w1s += ad * (support(i + 1) - v)
+      }
+      assert(r.getAs[Long]("w1_scaled") == w1s, s"$ty w1 scaled")
+      assert(r.getAs[Long]("ks_scaled") == kss, s"$ty ks scaled")
+      // sanity: both metrics positive — the two arms genuinely differ
+      assert(w1s > 0 && kss > 0)
+    }
+  }
 }

@@ -300,7 +300,10 @@ object ScaleCheck {
     "q_page_hinkley", "q_forecast_backtest",
     // round-10 ninth batch: three domain-bounded cent-support
     // collapses (pooled midranks, trim/winsorize spans, CDF gaps)
-    "q_effect_sizes", "q_yuen_ttest", "q_wasserstein_1d")
+    "q_effect_sizes", "q_yuen_ttest", "q_wasserstein_1d",
+    // round-10 tenth batch: the cluster-bounded pair join, the
+    // DECIMAL(38,0) D-squared collapse, and the edge-moment Pearson
+    "q_semdedup", "q_cvm_twosample", "q_graph_assortativity")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

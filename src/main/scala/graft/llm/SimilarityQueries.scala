@@ -2120,6 +2120,147 @@ object SimilarityQueries {
           round(col("shits").cast("double") / (col("n") * 10), 6)
             .as("recall_at10"),
           col("perfect_queries"))
+    },
+
+    // ---- SemDeDup: semantic dedup inside k-means clusters ----
+    // Abbas et al. 2023 ("SemDeDup: data-efficient learning at
+    // web-scale through semantic deduplication"): cluster the
+    // embeddings, then deduplicate ONLY within clusters — candidate
+    // pairs are cluster-bounded, and k scales with n so cluster sizes
+    // stay constant (the paper's own scaling argument; the third
+    // bounded-candidate shape in this repo next to LSH bands and
+    // DBSCAN cells). Clustering is `q_kmeans_lloyd`'s deterministic
+    // assignment VERBATIM (md5-ordered seeds, 2 Lloyd rounds,
+    // DECIMAL(38,18) centroid means, round(dist,6) ties to the lower
+    // cluster) so the two queries' cluster populations must agree —
+    // AccuracySpec pins that equality. Within a cluster the keep rule
+    // is the paper's scan made deterministic: a vector is DROPPED iff
+    // some LOWER-id cluster-mate has cosine ≥ τ = 0.35 (the
+    // q_embed_neardup corpus threshold; cosine rounded to 6dp before
+    // the comparison so no cross-engine ulp can flip a boundary pair).
+    // The min-id vector of every cluster is kept by construction.
+    // 100-TB story: one embeddings pass to assign (k×d broadcast
+    // centroids), pair generation is an equi-join on cluster with
+    // per-cluster volume (n/k)² held constant by k ∝ n.
+    sql(
+      "q_semdedup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT cluster, c FROM
+        |         (SELECT row_number() OVER
+        |            (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+        |            v AS c FROM e) WHERE cluster < 8),
+        |d1 AS (SELECT e.vec_id, e.v, c.cluster,
+        |          round(list_dot_product(e.v, e.v)
+        |                - 2e0 * list_dot_product(e.v, c.c)
+        |                + list_dot_product(c.c, c.c), 6) AS dist
+        |        FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, v, cluster FROM
+        |         (SELECT *, row_number() OVER
+        |            (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |          FROM d1) WHERE rn = 1),
+        |x1 AS (SELECT cluster, i,
+        |         CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE)
+        |           / count(*) AS cx
+        |       FROM a1, unnest(generate_series(1, len(v))) AS t(i)
+        |       GROUP BY 1, 2),
+        |c1 AS (SELECT cluster, list(cx ORDER BY i) AS c FROM x1 GROUP BY 1),
+        |d2 AS (SELECT e.vec_id, e.v, c.cluster,
+        |          round(list_dot_product(e.v, e.v)
+        |                - 2e0 * list_dot_product(e.v, c.c)
+        |                + list_dot_product(c.c, c.c), 6) AS dist
+        |        FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, v, cluster FROM
+        |         (SELECT *, row_number() OVER
+        |            (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |          FROM d2) WHERE rn = 1),
+        |x2 AS (SELECT cluster, i,
+        |         CAST(sum(CAST(v[i] AS DECIMAL(38,18))) AS DOUBLE)
+        |           / count(*) AS cx
+        |       FROM a2, unnest(generate_series(1, len(v))) AS t(i)
+        |       GROUP BY 1, 2),
+        |c2 AS (SELECT cluster, list(cx ORDER BY i) AS c FROM x2 GROUP BY 1),
+        |d3 AS (SELECT e.vec_id, e.v, c.cluster,
+        |          round(list_dot_product(e.v, e.v)
+        |                - 2e0 * list_dot_product(e.v, c.c)
+        |                + list_dot_product(c.c, c.c), 6) AS dist
+        |        FROM e CROSS JOIN c2 c),
+        |a3 AS (SELECT vec_id, v, cluster FROM
+        |         (SELECT *, row_number() OVER
+        |            (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        |          FROM d3) WHERE rn = 1),
+        |p AS (SELECT x.cluster, x.vec_id,
+        |        max(CASE WHEN round(list_dot_product(x.v, y.v)
+        |                / sqrt(list_dot_product(x.v, x.v)
+        |                       * list_dot_product(y.v, y.v)), 6) >= 0.35
+        |              THEN 1 ELSE 0 END) AS dropped
+        |      FROM a3 x JOIN a3 y ON y.cluster = x.cluster
+        |                         AND y.vec_id < x.vec_id
+        |      GROUP BY 1, 2),
+        |k AS (SELECT a3.cluster, a3.vec_id, coalesce(p.dropped, 0) AS dropped
+        |      FROM a3 LEFT JOIN p ON p.vec_id = a3.vec_id)
+        |SELECT CAST(cluster AS INT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN dropped = 0 THEN vec_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_sum,
+        |  round(CAST(sum(dropped) AS DOUBLE) / count(*), 6) AS drop_rate
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .cache() // seed scan + one full pass per round + the pair join
+      // --- q_kmeans_lloyd's deterministic assignment, verbatim ---
+      def assign(cents: Array[(Int, Seq[Double])]) = {
+        val ds = cents.sortBy(_._1).map { case (j, c) =>
+          val lc = typedLit(c)
+          struct(
+            round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), lc)
+              + dot(lc, lc), 6).as("d"),
+            lit(j).as("j"))
+        }
+        e.withColumn("best", array_min(array(ds.toIndexedSeq: _*)))
+          .select(col("vec_id"), col("v"), col("best.j").as("cluster"))
+      }
+      def recompute(a: org.apache.spark.sql.DataFrame): Array[(Int, Seq[Double])] = a
+        .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("cluster"), (col("p") + 1).as("i"))
+        .agg(sum(col("x").cast("decimal(38,18)")).as("sx"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("i"),
+          (col("sx").cast("double") / col("n")).as("cx"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          x => x.getField("cx")).as("c"))
+        .collect()
+        .map(r => (r.getAs[Int]("cluster"), r.getSeq[Double](1)))
+      val seeds = e.withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(8)
+        .select(col("v")).collect() // TakeOrdered: k rows, sorted
+      var cents = seeds.zipWithIndex.map { case (r, j) => (j, r.getSeq[Double](0)) }
+      for (_ <- 1 to 2) cents = recompute(assign(cents))
+      val a3 = assign(cents).localCheckpoint() // assignment, read twice
+      // --- the SemDeDup scan: dropped iff a lower-id cluster-mate is
+      // within τ (6dp-rounded cosine so the boundary can't flip) ---
+      val x = a3.select(col("cluster"), col("vec_id"), col("v"))
+      val y = a3.select(col("cluster").as("y_cl"), col("vec_id").as("y_id"),
+        col("v").as("yv"))
+      val p = x.join(y, col("cluster") === col("y_cl")
+          && col("y_id") < col("vec_id"))
+        .groupBy("cluster", "vec_id")
+        .agg(max(when(round(cosine(col("v"), col("yv")), 6) >= 0.35, 1L)
+          .otherwise(0L)).as("dropped"))
+      val k = a3.select(col("cluster"), col("vec_id"))
+        .join(p.select(col("vec_id"), col("dropped")), Seq("vec_id"), "left")
+        .select(col("cluster"), col("vec_id"),
+          coalesce(col("dropped"), lit(0L)).as("dropped"))
+      k.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("dropped").cast("long").as("n_dropped"),
+          (count(lit(1)) - sum("dropped")).cast("long").as("n_kept"),
+          sum(when(col("dropped") === 0, col("vec_id")).otherwise(0L))
+            .cast("long").as("kept_id_sum"),
+          round(sum("dropped").cast("double") / count(lit(1)), 6)
+            .as("drop_rate"))
+        .orderBy("cluster")
     }
   )
 }

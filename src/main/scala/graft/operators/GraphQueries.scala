@@ -927,6 +927,73 @@ object GraphQueries {
           .select(lit(-1L).as("hop"), col("n_nodes"), col("node_sum"))
         hist.unionByName(unreached).orderBy("hop")
       }
+    },
+
+    // ---- degree assortativity (Newman 2002) ----
+    // Do high-degree parts co-purchase with other high-degree parts?
+    // Newman's r is the Pearson correlation of endpoint degrees over
+    // the DIRECTED edge list of the undirected graph (each edge listed
+    // both ways — the symmetric convention that makes r well-defined),
+    // the one-number structural summary next to q_graph_modularity's
+    // partition quality and q_kcore's density peel: r > 0 = hub-hub
+    // assortative (social networks), r < 0 = hub-leaf disassortative
+    // (dependency/co-occurrence graphs, expected here). INTEGER-EXACT
+    // to the last step: degrees are BIGINT counts off the distinct
+    // pair list, all five Pearson moments are BIGINT sums, and the
+    // symmetry identity Σx = Σy / Σx² = Σy² — true by construction on
+    // a both-ways edge list — is emitted as a checked flag rather than
+    // assumed. 100-TB story: the pair list is the shared bounded
+    // basket-pair derivation (per-order cap, never corpus-quadratic);
+    // degrees are one groupBy; the moment collapse is one
+    // partial+final aggregation over edges.
+    sql(
+      "q_graph_assortativity",
+      s"""WITH ${graft.operators.StatsQueries.basketPairsSqlCtes},
+        |ed AS (SELECT p1 AS src, p2 AS dst FROM pairs
+        |       UNION ALL SELECT p2, p1 FROM pairs),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+        |j AS (SELECT a.d AS x, b.d AS y
+        |      FROM ed JOIN dg a ON a.src = ed.src
+        |              JOIN dg b ON b.src = ed.dst),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM j),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
+        |SELECT n_nodes, m AS n_directed_edges, sx AS degree_sum, sxy,
+        |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |        / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |               * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+        |        6) AS assortativity,
+        |  CAST(CASE WHEN sx = sy AND sxx = syy THEN 1 ELSE 0 END AS BIGINT)
+        |    AS sym_ok
+        |FROM m CROSS JOIN nn""".stripMargin) { (s, dir) =>
+      val (_, pairs) = graft.operators.StatsQueries.basketPairCounts(s, dir)
+      val ed = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val dg = ed.groupBy("src").agg(count(lit(1)).as("d"))
+      val j = ed.join(dg.select(col("src"), col("d").as("x")), "src")
+        .join(dg.select(col("src").as("dst"), col("d").as("y")), "dst")
+      val m = j.agg(count(lit(1)).as("m"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      val nn = dg.agg(count(lit(1)).as("n_nodes"))
+      def dbl(n: String) = col(n).cast("double")
+      m.crossJoin(broadcast(nn))
+        .select(col("n_nodes"), col("m").as("n_directed_edges"),
+          col("sx").as("degree_sum"), col("sxy"),
+          round((dbl("m") * col("sxy") - dbl("sx") * col("sy"))
+            / sqrt((dbl("m") * col("sxx") - dbl("sx") * col("sx"))
+              * (dbl("m") * col("syy") - dbl("sy") * col("sy"))), 6)
+            .as("assortativity"),
+          when(col("sx") === col("sy") && col("sxx") === col("syy"), 1L)
+            .otherwise(0L).as("sym_ok"))
     }
   )
 }

@@ -4382,6 +4382,73 @@ object StatsQueries {
           round(col("ks_scaled").cast("double") / col("n0") / col("n1"), 6)
             .as("ks_stat"))
         .orderBy("event_type")
+    },
+
+    // ---- Cramér–von Mises two-sample statistic ----
+    // The L2 member completing the distribution-test trio (q_ks_drift
+    // sup-norm, q_wasserstein_1d L1-in-value, this L2-in-probability):
+    // T = (n_a·n_b/N²)·Σ over all N pooled observations of
+    // (F_a − F_b)², the omnibus test with better power than KS against
+    // dispersed alternatives (Anderson 1962's two-sample form). Same
+    // integer-exact construction off the cent-support count frame: at
+    // each support value the CDF gap is the exact BIGINT
+    // D = cum_a·n_b − cum_b·n_a, each pooled observation at that value
+    // contributes D², and the sum Σ ct·D² accumulates as DECIMAL(38,0)
+    // (D² alone reaches ~1.6e17 at the 10× corpus — BIGINT would
+    // overflow two decades out, DECIMAL(38,0) holds to 1e38). The
+    // statistic T = Σ/(n_a·n_b·N²) is one final double division.
+    // 100-TB story: identical to q_wasserstein_1d — one corpus pass to
+    // the domain-bounded count frame, windows on ≤ ~49k rows.
+    sql(
+      "q_cvm_twosample",
+      """WITH v AS (SELECT event_type AS ty,
+        |    CAST(json_extract_string(props, '$.k') AS INT) % 2 AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |cnt AS (SELECT ty, vc,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (SELECT ty, c0 + c1 AS ct,
+        |    CAST(sum(c0) OVER w AS BIGINT) AS m0,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS m1,
+        |    CAST(sum(c0) OVER (PARTITION BY ty) AS BIGINT) AS n0,
+        |    CAST(sum(c1) OVER (PARTITION BY ty) AS BIGINT) AS n1
+        |  FROM cnt WINDOW w AS (PARTITION BY ty ORDER BY vc)),
+        |a AS (SELECT ty, n0, n1,
+        |        sum(CAST(ct * (m0 * n1 - m1 * n0) AS DECIMAL(19,0))
+        |            * CAST(m0 * n1 - m1 * n0 AS DECIMAL(19,0))) AS s
+        |      FROM cum GROUP BY 1, 2, 3)
+        |SELECT ty AS event_type, n0 AS n_a, n1 AS n_b,
+        |  round(CAST(s AS DOUBLE) / n0 / n1
+        |        / ((n0 + n1) * CAST(n0 + n1 AS DOUBLE)), 6) AS cvm_t
+        |FROM a ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "events")
+        .select(col("event_type").as("ty"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2).as("arm"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      val cnt = v.groupBy("ty", "vc")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("c1"))
+      val w = Window.partitionBy("ty").orderBy("vc")
+      val wT = Window.partitionBy("ty")
+      val cum = cnt.select(col("ty"), (col("c0") + col("c1")).as("ct"),
+        sum("c0").over(w).as("m0"), sum("c1").over(w).as("m1"),
+        sum("c0").over(wT).as("n0"), sum("c1").over(wT).as("n1"))
+      // (ct·D) × D, each factor in DECIMAL(19,0): the naive ct·D·D
+      // chain overflowed DuckDB's INT64 decimal kernel at the 10×
+      // corpus (D² alone ~4e19 there); ct·D stays ≤ ~4e15 two decades
+      // out and the single (19,0)×(19,0) product widens to (38,0)
+      val ddRaw = col("m0") * col("n1") - col("m1") * col("n0")
+      val a = cum.groupBy("ty", "n0", "n1")
+        .agg(sum((col("ct") * ddRaw).cast("decimal(19,0)")
+          * ddRaw.cast("decimal(19,0)")).as("s"))
+      a.select(col("ty").as("event_type"), col("n0").as("n_a"),
+          col("n1").as("n_b"),
+          round(col("s").cast("double") / col("n0") / col("n1")
+            / ((col("n0") + col("n1"))
+              * (col("n0") + col("n1")).cast("double")), 6).as("cvm_t"))
+        .orderBy("event_type")
     }
   )
 }

@@ -2103,4 +2103,70 @@ class AccuracySpec extends SparkSpec {
       assert(w1s > 0 && kss > 0)
     }
   }
+
+  test("q_cvm_twosample matches a from-scratch CDF walk") {
+    val arms = armCents()
+    SparkEntry.queries("q_cvm_twosample")(spark, sf).collect().foreach { r =>
+      val ty = r.getString(0)
+      val (a, b) = (arms((ty, 0)), arms((ty, 1)))
+      val support = (a ++ b).distinct.sorted
+      var (m0, m1) = (0L, 0L)
+      var s = BigInt(0)
+      support.foreach { v =>
+        val (c0, c1) = (a.count(_ == v).toLong, b.count(_ == v).toLong)
+        m0 += c0; m1 += c1
+        val dd = BigInt(m0 * b.size - m1 * a.size)
+        s += BigInt(c0 + c1) * dd * dd
+      }
+      val n = (a.size + b.size).toDouble
+      val t = s.toDouble / a.size / b.size / (n * n)
+      assert(math.abs(r.getAs[Double]("cvm_t") - t) <= 1e-5,
+        s"$ty cvm ${r.getAs[Double]("cvm_t")} vs $t")
+    }
+  }
+
+  test("q_graph_assortativity matches a from-scratch Pearson over edges") {
+    import spark.implicits._
+    val baskets = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val pairs = baskets.flatMap(ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j)))
+      .toSet // distinct undirected pairs, the basketPairCounts contract
+    val ed = pairs.toSeq.flatMap { case (p, q) => Seq((p, q), (q, p)) }
+    val deg = ed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (xs, ys) = ed.map { case (p, q) => (deg(p), deg(q)) }.unzip
+    val mEdges = ed.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val syy = ys.map(y => y * y).sum.toDouble
+    val want = (mEdges * sxy - sx * sy) /
+      math.sqrt((mEdges * sxx - sx * sx) * (mEdges * syy - sy * sy))
+    val r = SparkEntry.queries("q_graph_assortativity")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_directed_edges") == ed.size.toLong)
+    assert(r.getAs[Long]("degree_sum") == xs.sum)
+    assert(math.abs(r.getAs[Double]("assortativity") - want) <= 1e-5,
+      s"${r.getAs[Double]("assortativity")} vs $want")
+    assert(r.getAs[Long]("sym_ok") == 1L)
+  }
+
+  test("q_semdedup clusters agree with q_kmeans_lloyd and drop consistently") {
+    val km = SparkEntry.queries("q_kmeans_lloyd")(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n_vecs")).toMap
+    val sd = SparkEntry.queries("q_semdedup")(spark, sf).collect()
+    // identical deterministic Lloyd assignment → identical populations
+    assert(sd.map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n_vecs"))
+      .toMap == km, "cluster populations must match q_kmeans_lloyd")
+    sd.foreach { r =>
+      val (n, d, k) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_kept"))
+      assert(d + k == n, "kept + dropped = cluster size")
+      assert(k >= 1, "the min-id vector of a cluster is always kept")
+      assert(math.abs(r.getAs[Double]("drop_rate") - d.toDouble / n) <= 1e-6)
+    }
+    // the op does real work on this corpus: some cluster drops vectors
+    assert(sd.map(_.getAs[Long]("n_dropped")).sum > 0)
+  }
 }

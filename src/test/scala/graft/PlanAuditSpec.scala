@@ -213,8 +213,10 @@ class PlanAuditSpec extends SparkSpec {
                            // the 3-row model-metric frame
     "q_friedman_test",     // 1-row block-count + tie-mass scalars
                            // riding the 7-row rank-sum frame
-    "q_levene_test")       // 1-row W/df scalars riding the 3-row
+    "q_levene_test",       // 1-row W/df scalars riding the 3-row
                            // group-moment frame
+    "q_graph_assortativity") // 1-row node-count scalar riding the
+                           // 1-row Pearson-moment frame
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -303,7 +303,10 @@ object ScaleCheck {
     "q_effect_sizes", "q_yuen_ttest", "q_wasserstein_1d",
     // round-10 tenth batch: the cluster-bounded pair join, the
     // DECIMAL(38,0) D-squared collapse, and the edge-moment Pearson
-    "q_semdedup", "q_cvm_twosample", "q_graph_assortativity")
+    "q_semdedup", "q_cvm_twosample", "q_graph_assortativity",
+    // round-10 eleventh batch: the rel-week moment collapse and the
+    // dual-threshold joint-exceedance count
+    "q_event_study", "q_tail_dependence")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -4449,6 +4449,206 @@ object StatsQueries {
             / ((col("n0") + col("n1"))
               * (col("n0") + col("n1")).cast("double")), 6).as("cvm_t"))
         .orderBy("event_type")
+    },
+
+    // ---- event-study leads & lags (dynamic DiD) ----
+    // q_did_estimator collapses the design to one 2×2; the modern
+    // causal-inference workflow plots the WHOLE dynamic path — per
+    // relative period p, β_p = (treat−control)_p − (treat−control)_ref
+    // with the last PRE period as the reference, so β_{−1} ≡ 0 by
+    // construction (emitted and hash-pinned as the built-in
+    // self-check) and the pre-period β's are the parallel-trends
+    // diagnostic a DiD is not credible without (Angrist & Pischke;
+    // the sixth causal estimator next to DiD/IPW/RDD/IV/PSM). Same
+    // design conventions as q_did_estimator (treatment = user_id
+    // parity, event at the corpus midpoint, DECIMAL(18,6) moments);
+    // relative WEEKS bucket the day offsets so every period has mass
+    // at any scale factor. The per-period Welch SE rides so lags can
+    // be read against noise. max|β_pre| rides as the single-number
+    // pre-trend audit. 100-TB story: ONE corpus pass to the
+    // (rel_week × arm) moment frame; the reference join and the
+    // pre-trend scalar are frame-side.
+    sql(
+      "q_event_study",
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+        |    CAST(floor((date_diff('day', min(CAST(ts AS DATE)),
+        |                          max(CAST(ts AS DATE))) + 1) / 2.0) AS BIGINT)
+        |      AS half
+        |  FROM events),
+        |e AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr,
+        |        CAST(floor((date_diff('day', b.mn, CAST(ts AS DATE)) - b.half)
+        |                   / 7.0) AS BIGINT) AS rw,
+        |        CAST(value AS DECIMAL(18,6)) AS v
+        |      FROM events CROSS JOIN bounds b),
+        |m AS (SELECT rw,
+        |    CAST(sum(tr) AS BIGINT) AS n_t,
+        |    sum(CASE WHEN tr = 1 THEN v END) AS s_t,
+        |    sum(CASE WHEN tr = 1 THEN v * CAST(v AS DECIMAL(19,6)) END) AS q_t,
+        |    CAST(sum(1 - tr) AS BIGINT) AS n_c,
+        |    sum(CASE WHEN tr = 0 THEN v END) AS s_c,
+        |    sum(CASE WHEN tr = 0 THEN v * CAST(v AS DECIMAL(19,6)) END) AS q_c
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT rw, n_t, n_c,
+        |    CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c AS diff,
+        |    sqrt((CAST(q_t AS DOUBLE)
+        |          - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / n_t)
+        |           / (n_t - 1) / n_t
+        |       + (CAST(q_c AS DOUBLE)
+        |          - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c)
+        |           / (n_c - 1) / n_c) AS se
+        |  FROM m),
+        |ref AS (SELECT diff AS ref_diff FROM d WHERE rw = -1),
+        |pre AS (SELECT max(abs(diff - ref_diff)) AS max_pre_beta
+        |        FROM d CROSS JOIN ref WHERE rw < -1)
+        |SELECT rw AS rel_week, n_t, n_c, round(diff, 6) AS diff,
+        |  round(diff - ref_diff, 6) AS beta,
+        |  round(se, 6) AS se_diff,
+        |  CAST(CASE WHEN rw < 0 THEN 1 ELSE 0 END AS BIGINT) AS is_pre,
+        |  round(max_pre_beta, 6) AS max_pre_beta
+        |FROM d CROSS JOIN ref CROSS JOIN pre
+        |ORDER BY rel_week""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min(to_date(col("ts"))).as("mn"),
+        floor((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          / 2.0).cast("long").as("half"))
+      val e = ev.crossJoin(broadcast(bounds))
+        .select((col("user_id") % 2).cast("int").as("tr"),
+          floor((datediff(to_date(col("ts")), col("mn")) - col("half")) / 7.0)
+            .cast("long").as("rw"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val m = e.groupBy("rw").agg(
+        sum("tr").cast("long").as("n_t"),
+        sum(when(col("tr") === 1, col("v"))).as("s_t"),
+        sum(when(col("tr") === 1,
+          col("v") * col("v").cast("decimal(19,6)"))).as("q_t"),
+        sum(lit(1) - col("tr")).cast("long").as("n_c"),
+        sum(when(col("tr") === 0, col("v"))).as("s_c"),
+        sum(when(col("tr") === 0,
+          col("v") * col("v").cast("decimal(19,6)"))).as("q_c"))
+      def dbl(n: String) = col(n).cast("double")
+      val d = m.select(col("rw"), col("n_t"), col("n_c"),
+        (dbl("s_t") / col("n_t") - dbl("s_c") / col("n_c")).as("diff"),
+        sqrt((dbl("q_t") - dbl("s_t") * dbl("s_t") / col("n_t"))
+          / (col("n_t") - 1) / col("n_t")
+          + (dbl("q_c") - dbl("s_c") * dbl("s_c") / col("n_c"))
+          / (col("n_c") - 1) / col("n_c")).as("se"))
+        .localCheckpoint() // rel-week frame, read by three passes
+      val ref = d.where(col("rw") === -1)
+        .select(col("diff").as("ref_diff"))
+      val pre = d.crossJoin(broadcast(ref)).where(col("rw") < -1)
+        .agg(max(abs(col("diff") - col("ref_diff"))).as("max_pre_beta"))
+      d.crossJoin(broadcast(ref)).crossJoin(broadcast(pre))
+        .select(col("rw").as("rel_week"), col("n_t"), col("n_c"),
+          round(col("diff"), 6).as("diff"),
+          round(col("diff") - col("ref_diff"), 6).as("beta"),
+          round(col("se"), 6).as("se_diff"),
+          when(col("rw") < 0, 1L).otherwise(0L).as("is_pre"),
+          round(col("max_pre_beta"), 6).as("max_pre_beta"))
+        .orderBy("rel_week")
+    },
+
+    // ---- upper-tail dependence (joint-exceedance audit) ----
+    // The copula-flavored question a marginal drift monitor can't
+    // answer: when one measure is extreme, how often is the other?
+    // Empirical upper-tail dependence λ̂_U(q) = P(Y > y_q | X > x_q)
+    // (Sibuya 1960; the λ_U of extreme-value copula theory), compared
+    // against the ≈(1−q) independence baseline that rides next to it —
+    // here on the genuinely dependent (l_quantity, l_extendedprice)
+    // pair. INTEGER-EXACT: the X threshold is the exact rank-⌈qn⌉
+    // order statistic off the 50-value quantity domain; the Y
+    // threshold is the q_hdr_quantiles BUCKET LOWER BOUND at the same
+    // rank (the portable sketch quantile — both engines recompute the
+    // identical integer, and the threshold is EMITTED so the statistic
+    // is fully specified by its own output); exceedance counts are one
+    // conditional aggregation. 100-TB story: two bounded-frame
+    // threshold reads + one corpus counting pass.
+    sql(
+      "q_tail_dependence",
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |qs AS (SELECT CAST(p AS BIGINT) AS p, (p * n.n + 99) // 100 AS r
+        |       FROM (SELECT unnest([90, 95]) AS p), n),
+        |xc AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+        |xcum AS (SELECT x, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cm
+        |         FROM xc),
+        |xq AS (SELECT qs.p, qs.r, min(xcum.x) AS xq
+        |       FROM qs JOIN xcum ON xcum.cm >= qs.r GROUP BY 1, 2),
+        |ye AS (SELECT y, length(bin(y)) AS bl FROM v),
+        |yx AS (SELECT y, CASE WHEN bl <= 7 THEN y
+        |                 ELSE bl * 64 + (y >> (bl - 7)) - 64 END AS idx,
+        |              CASE WHEN bl <= 7 THEN y
+        |                 ELSE (y >> (bl - 7)) << (bl - 7) END AS lb
+        |       FROM ye),
+        |yh AS (SELECT idx, lb, CAST(count(*) AS BIGINT) AS c
+        |       FROM yx GROUP BY 1, 2),
+        |ycum AS (SELECT idx, lb,
+        |           CAST(sum(c) OVER (ORDER BY idx) AS BIGINT) AS cm FROM yh),
+        |yq AS (SELECT qs.p, min_by(ycum.lb, ycum.idx) AS yq
+        |       FROM qs JOIN ycum ON ycum.cm >= qs.r GROUP BY 1),
+        |cnts AS (SELECT xq.p, xq.xq, yq.yq,
+        |    CAST(sum(CASE WHEN v.x > xq.xq THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_x_exc,
+        |    CAST(sum(CASE WHEN v.y > yq.yq THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_y_exc,
+        |    CAST(sum(CASE WHEN v.x > xq.xq AND v.y > yq.yq
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_joint
+        |  FROM v CROSS JOIN xq JOIN yq ON yq.p = xq.p
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.p AS q_pct, c.xq AS x_threshold, c.yq AS y_threshold_lb,
+        |  c.n_x_exc, c.n_y_exc, c.n_joint,
+        |  round(CAST(c.n_joint AS DOUBLE) / c.n_x_exc, 6) AS lambda_u,
+        |  round(CAST(c.n_y_exc AS DOUBLE) / n.n, 6) AS indep_baseline
+        |FROM cnts c CROSS JOIN n ORDER BY q_pct""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+            .as("y"))
+      val n = v.agg(count(lit(1)).as("n")).localCheckpoint()
+      val qs = s.range(1)
+        .select(explode(array(lit(90), lit(95))).as("p"))
+        .crossJoin(broadcast(n))
+        .selectExpr("CAST(p AS BIGINT) AS p", "(p * n + 99) div 100 AS r")
+      val xcum = v.groupBy("x").agg(count(lit(1)).as("c"))
+        .withColumn("cm", sum("c").over(Window.orderBy("x")))
+      val xq = broadcast(qs).join(xcum, col("cm") >= col("r"))
+        .groupBy("p", "r").agg(min("x").as("xq"))
+      def shr(c: Column, bits: Column) =
+        call_function("shiftright", c, bits.cast("int"))
+      def shl(c: Column, bits: Column) =
+        call_function("shiftleft", c, bits.cast("int"))
+      val yx = v.withColumn("bl", length(bin(col("y"))))
+        .select(
+          when(col("bl") <= 7, col("y"))
+            .otherwise(col("bl").cast("long") * 64
+              + shr(col("y"), col("bl") - 7) - 64).as("idx"),
+          when(col("bl") <= 7, col("y"))
+            .otherwise(shl(shr(col("y"), col("bl") - 7), col("bl") - 7))
+            .as("lb"))
+      val ycum = yx.groupBy("idx", "lb").agg(count(lit(1)).as("c"))
+        .withColumn("cm", sum("c").over(Window.orderBy("idx")))
+      val yq = broadcast(qs).join(ycum, col("cm") >= col("r"))
+        .groupBy("p").agg(min_by(col("lb"), col("idx")).as("yq"))
+      val thr = xq.join(yq, "p").localCheckpoint() // 2 rows
+      val cnts = v.crossJoin(broadcast(thr))
+        .groupBy("p", "xq", "yq")
+        .agg(sum(when(col("x") > col("xq"), 1L).otherwise(0L)).cast("long")
+          .as("n_x_exc"),
+          sum(when(col("y") > col("yq"), 1L).otherwise(0L)).cast("long")
+            .as("n_y_exc"),
+          sum(when(col("x") > col("xq") && col("y") > col("yq"), 1L)
+            .otherwise(0L)).cast("long").as("n_joint"))
+      cnts.crossJoin(broadcast(n))
+        .select(col("p").as("q_pct"), col("xq").as("x_threshold"),
+          col("yq").as("y_threshold_lb"), col("n_x_exc"), col("n_y_exc"),
+          col("n_joint"),
+          round(col("n_joint").cast("double") / col("n_x_exc"), 6)
+            .as("lambda_u"),
+          round(col("n_y_exc").cast("double") / col("n"), 6)
+            .as("indep_baseline"))
+        .orderBy("q_pct")
     }
   )
 }

@@ -2169,4 +2169,63 @@ class AccuracySpec extends SparkSpec {
     // the op does real work on this corpus: some cluster drops vectors
     assert(sd.map(_.getAs[Long]("n_dropped")).sum > 0)
   }
+
+  test("q_event_study matches a from-scratch per-period fold") {
+    import spark.implicits._
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit.DAYS
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val dates = ev.map(_._2)
+    val mn = LocalDate.parse(dates.min)
+    val half = math.floor(
+      (DAYS.between(mn, LocalDate.parse(dates.max)) + 1) / 2.0).toLong
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val byP = ev.groupBy { case (_, dt, _) =>
+      math.floor((DAYS.between(mn, LocalDate.parse(dt)) - half) / 7.0).toLong
+    }
+    val diffs = byP.map { case (rw, rows) =>
+      val (tr, ct) = rows.partition(_._1 % 2 == 1)
+      rw -> (tr.map(r => q6(r._3)).sum.toDouble / tr.size
+        - ct.map(r => q6(r._3)).sum.toDouble / ct.size)
+    }
+    val got = SparkEntry.queries("q_event_study")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("rel_week")).toSet == diffs.keySet)
+    got.foreach { r =>
+      val rw = r.getAs[Long]("rel_week")
+      assert(math.abs(r.getAs[Double]("diff") - diffs(rw)) <= 1e-5, s"rw $rw")
+      assert(math.abs(r.getAs[Double]("beta")
+        - (diffs(rw) - diffs(-1L))) <= 1e-5, s"beta $rw")
+    }
+    // the reference period's beta is zero by construction
+    assert(got.find(_.getAs[Long]("rel_week") == -1L)
+      .get.getAs[Double]("beta") == 0.0)
+  }
+
+  test("q_tail_dependence matches a from-scratch exceedance count") {
+    import spark.implicits._
+    import graft.streaming.HdrSketchStream.{bucketOf, rankOf}
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val n = rows.length.toLong
+    val (xs, ys) = (rows.map(_._1).sorted, rows.map(_._2).sorted)
+    SparkEntry.queries("q_tail_dependence")(spark, sf).collect().foreach { r =>
+      val p = r.getAs[Long]("q_pct").toInt
+      val rank = rankOf(p, n)
+      val xq = xs((rank - 1).toInt)
+      // Y threshold = the HDR bucket LOWER BOUND at the same rank
+      val yq = bucketOf(ys((rank - 1).toInt))._2
+      assert(r.getAs[Long]("x_threshold") == xq, s"p$p xq")
+      assert(r.getAs[Long]("y_threshold_lb") == yq, s"p$p yq")
+      val nx = rows.count(_._1 > xq).toLong
+      val ny = rows.count(_._2 > yq).toLong
+      val nj = rows.count(t => t._1 > xq && t._2 > yq).toLong
+      assert(r.getAs[Long]("n_x_exc") == nx && r.getAs[Long]("n_y_exc") == ny
+        && r.getAs[Long]("n_joint") == nj, s"p$p counts")
+      assert(math.abs(r.getAs[Double]("lambda_u") - nj.toDouble / nx) <= 1e-6)
+    }
+  }
 }

@@ -215,8 +215,14 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the 7-row rank-sum frame
     "q_levene_test",       // 1-row W/df scalars riding the 3-row
                            // group-moment frame
-    "q_graph_assortativity") // 1-row node-count scalar riding the
+    "q_graph_assortativity", // 1-row node-count scalar riding the
                            // 1-row Pearson-moment frame
+    "q_event_study",       // 1-row midpoint bounds + reference-period
+                           // + pre-trend scalars riding the rel-week
+                           // frame (the q_did_estimator class)
+    "q_tail_dependence")   // 2-row broadcast rank ladder x bounded
+                           // threshold frames + 1-row n scalar
+                           // (the q_hdr_quantiles class)
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -306,7 +306,9 @@ object ScaleCheck {
     "q_semdedup", "q_cvm_twosample", "q_graph_assortativity",
     // round-10 eleventh batch: the rel-week moment collapse and the
     // dual-threshold joint-exceedance count
-    "q_event_study", "q_tail_dependence")
+    "q_event_study", "q_tail_dependence",
+    // round-10 twelfth batch: the per-part secondary-sort Croston fold
+    "q_croston")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -2748,6 +2748,98 @@ object SeriesQueries {
           round(saeD / col("scale") / col("n") / col("mae_naive"), 6)
             .as("mase"))
         .orderBy("model")
+    },
+
+    // ---- Croston's method (intermittent demand, per part) ----
+    // Croston (1972), the forecaster the smooth-series ladder
+    // (EWMA/Holt/AR2/Kalman) is WRONG for: a part that sells 30 days
+    // out of 2 400 has a demand process that is mostly zeros, and
+    // exponential smoothing of the raw series decays toward zero
+    // between orders. Croston smooths TWO series instead — nonzero
+    // demand sizes z and inter-arrival intervals p (α = 0.2, seeds
+    // z₁ = q₁ and p₁ = days-to-first-demand) — and forecasts z/p
+    // demand per period; the Syntetos–Boylan (2005) bias-corrected
+    // (1 − α/2)·z/p rides next to it. Execution is the per-series
+    // secondary-sort fold (the q_holt_forecast/q_kalman_1d shape:
+    // repartition by part, in-partition sort, one sequential pass,
+    // zero per-group buffering) and the oracle is the per-part
+    // recursive CTE stepping occurrence rank — recursion DEPTH is the
+    // max occurrences per part, which replication leaves CONSTANT
+    // (new parts, not longer histories). 100-TB story: one corpus
+    // collapse to (part, day) demands, then embarrassingly parallel
+    // per-part folds.
+    sql(
+      "q_croston",
+      """WITH RECURSIVE mn AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0
+        |  FROM lineitem),
+        |d AS (SELECT l_partkey AS part,
+        |        date_diff('day', mn.d0, CAST(l_shipdate AS DATE)) + 1 AS off,
+        |        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q
+        |      FROM lineitem CROSS JOIN mn GROUP BY 1, 2),
+        |i AS (SELECT part, q,
+        |        CAST(off - coalesce(lag(off) OVER
+        |          (PARTITION BY part ORDER BY off), 0) AS DOUBLE) AS iv,
+        |        CAST(row_number() OVER (PARTITION BY part ORDER BY off)
+        |             AS BIGINT) AS rn
+        |      FROM d),
+        |n AS (SELECT part, CAST(count(*) AS BIGINT) AS n_occ FROM i GROUP BY 1),
+        |f AS (SELECT part, rn, q AS z, iv AS p FROM i WHERE rn = 1
+        |      UNION ALL
+        |      SELECT i.part, i.rn,
+        |             0.2 * i.q + 0.8 * f.z,
+        |             0.2 * i.iv + 0.8 * f.p
+        |      FROM f JOIN i ON i.part = f.part AND i.rn = f.rn + 1)
+        |SELECT f.part AS part, n.n_occ,
+        |       round(f.z, 6) AS size_z, round(f.p, 6) AS interval_p,
+        |       round(f.z / f.p, 6) AS fc_croston,
+        |       round(0.9 * (f.z / f.p), 6) AS fc_sba
+        |FROM f JOIN n ON n.part = f.part AND f.rn = n.n_occ
+        |ORDER BY f.part""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val mn = li.agg(min(to_date(col("l_shipdate"))).as("d0"))
+      li.crossJoin(broadcast(mn))
+        .groupBy(col("l_partkey").as("part"),
+          (datediff(to_date(col("l_shipdate")), col("d0")) + 1).as("off"))
+        .agg(sum(col("l_quantity").cast("long")).cast("double").as("q"))
+        .select(col("part"), col("off").cast("long"), col("q"))
+        .as[(Long, Long, Double)]
+        .repartition(col("part"))
+        .sortWithinPartitions("part", "off")
+        .mapPartitions { it =>
+          new Iterator[(Long, Long, Double, Double)] {
+            private var pending: Option[(Long, Long, Double)] =
+              if (it.hasNext) Some(it.next()) else None
+            def hasNext: Boolean = pending.isDefined
+            def next(): (Long, Long, Double, Double) = {
+              val (part, off0, q0) = pending.get
+              // seeds: z = first size, p = days to first demand —
+              // shape-identical to the oracle CTE's anchor row
+              var z = q0
+              var p = off0.toDouble
+              var prev = off0
+              var n = 1L
+              pending = None
+              while (pending.isEmpty && it.hasNext) {
+                val r = it.next()
+                if (r._1 == part) {
+                  z = 0.2 * r._3 + 0.8 * z
+                  p = 0.2 * (r._2 - prev).toDouble + 0.8 * p
+                  prev = r._2
+                  n += 1
+                } else pending = Some(r)
+              }
+              (part, n, z, p)
+            }
+          }
+        }
+        .toDF("part", "n_occ", "z", "p")
+        .select(col("part"), col("n_occ"),
+          round(col("z"), 6).as("size_z"),
+          round(col("p"), 6).as("interval_p"),
+          round(col("z") / col("p"), 6).as("fc_croston"),
+          round(lit(0.9) * (col("z") / col("p")), 6).as("fc_sba"))
+        .orderBy("part")
     }
   )
 }

@@ -5,93 +5,93 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming drift monitor — the streaming twin of the batch
-  * `q_js_divergence` / `q_drift_timeline` operators: per event-time
-  * window, the Jensen–Shannon divergence (in bits) between the
-  * window's event-type distribution and a broadcast REFERENCE
-  * distribution (e.g. the training-mix baseline), emitted exactly once
-  * when the watermark finalizes the window. The alerting shape a
-  * data-quality pipeline runs against its ingest stream: "did this
-  * hour's mix drift from the corpus I trained on?"
+/** Streaming per-window distribution drift vs a FIXED reference — the
+  * streaming twin of the batch `q_wasserstein_1d`/`q_ks_drift` pair
+  * (the 19th batch/stream twin): each open window carries its
+  * cent-value histogram as keyed state (the HdrSketchStream state
+  * shape, exact values instead of log buckets since the support is
+  * domain-bounded) and, when the watermark closes the window, emits
+  * the SAME integer-exact drift numerators the batch operators
+  * compute — W₁ = Σ|cum_w·n_ref − cum_ref·n_w|·gap and
+  * KS = max|cum_w·n_ref − cum_ref·n_w| over the merged support —
+  * against a reference histogram fixed at stream start (yesterday's
+  * distribution, a golden sample: the production drift-monitor
+  * setup).
   *
-  * Mechanics: `flatMapGroupsWithState` keyed by window start with an
-  * EVENT-time timeout at window end — counts accumulate across
-  * micro-batches (O(#types) state per open window, bounded by the
-  * type vocabulary; an unbounded vocabulary would swap in the
-  * Misra–Gries summary from [[HeavyHittersStream]] and monitor the
-  * heavy-hitter mix), and the JSD math runs once per window on the
-  * tiny final map. Late rows behind the watermark are dropped
-  * explicitly — a finalized window can never re-open and double-emit
-  * (the same append-mode contract as a windowed aggregation).
-  *
-  * At scale this is one shuffle on the window key; with a composite
-  * (source, window) key it monitors every ingest source concurrently
-  * with the identical plan.
+  * The histogram is a pure function of the window's value multiset,
+  * so arrival order and micro-batch splits cannot move the output —
+  * [[DriftStreamSpec]] pins bit-equality against the batch
+  * q_wasserstein_1d computation over the same rows.
   */
 object DriftStream {
 
-  case class TypedEvent(ts: Timestamp, typ: String)
-  case class WindowState(counts: Map[String, Long])
-  case class WindowDrift(window_start: Timestamp, n: Long, jsd_bits: Double)
+  case class ValueEvent(ts: Timestamp, cents: Long)
+  case class WindowDrift(window_start: Timestamp, n: Long,
+      w1_scaled: Long, ks_scaled: Long, w1: Double, ks_stat: Double)
+  case class DriftState(vals: Array[Long], cnt: Array[Long], n: Long)
 
-  /** Pinned (see q_js_divergence: both engines' ln(2) stay out of it). */
-  private val Ln2 = 0.6931471805599453
-
-  /** JSD in bits between observed counts and a reference distribution
-    * over the union vocabulary — same term shape as the batch
-    * operator (zero-probability terms contribute 0). */
-  def jsdBits(obs: Map[String, Long], ref: Map[String, Double]): Double = {
-    val n = obs.values.sum.toDouble
-    var s = 0.0
-    (obs.keySet ++ ref.keySet).foreach { k =>
-      val pa = if (n > 0) obs.getOrElse(k, 0L) / n else 0.0
-      val pb = ref.getOrElse(k, 0.0)
-      val m = (pa + pb) / 2.0
-      if (pa > 0) s += pa * math.log(pa / m)
-      if (pb > 0) s += pb * math.log(pb / m)
+  /** The batch operators' integer-exact drift numerators, off two
+    * histograms: (W₁ scaled, KS scaled) with the batch scaling
+    * n_w·n_ref (divide by it — and ×100 for W₁'s cent width — to get
+    * the statistics). */
+  def driftScaled(win: Map[Long, Long], ref: Map[Long, Long])
+      : (Long, Long) = {
+    val nw = win.valuesIterator.sum
+    val nr = ref.valuesIterator.sum
+    val support = (win.keySet ++ ref.keySet).toArray.sorted
+    var (cw, cr, w1, ks) = (0L, 0L, 0L, 0L)
+    var i = 0
+    while (i < support.length) {
+      val v = support(i)
+      cw += win.getOrElse(v, 0L)
+      cr += ref.getOrElse(v, 0L)
+      val ad = math.abs(cw * nr - cr * nw)
+      if (ad > ks) ks = ad
+      if (i + 1 < support.length) w1 += ad * (support(i + 1) - v)
+      i += 1
     }
-    s / 2.0 / Ln2
+    (w1, ks)
   }
 
-  /** windowSec-wide tumbling event-time windows over `ds`; emits one
-    * [[WindowDrift]] row per window once the watermark passes its end.
-    */
-  def apply(ds: Dataset[TypedEvent], ref: Map[String, Double],
+  def apply(ds: Dataset[ValueEvent], reference: Map[Long, Long],
       windowSec: Long, watermarkDelay: String): Dataset[WindowDrift] = {
-    implicit val stateEnc = Encoders.product[WindowState]
+    implicit val stateEnc = Encoders.product[DriftState]
     implicit val outEnc = Encoders.product[WindowDrift]
     import ds.sparkSession.implicits._
+    val nr = reference.valuesIterator.sum
     ds.withWatermark("ts", watermarkDelay)
       .groupByKey(e => e.ts.getTime / 1000 / windowSec * windowSec)
-      .flatMapGroupsWithState[WindowState, WindowDrift](
+      .flatMapGroupsWithState[DriftState, WindowDrift](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (wstartSec, it, state: GroupState[WindowState]) =>
+        (wstartSec, it, state: GroupState[DriftState]) =>
           val endMs = (wstartSec + windowSec) * 1000
           if (state.hasTimedOut) {
-            val counts = state.get.counts
+            val s = state.get
             state.remove()
+            val hist = s.vals.zip(s.cnt).toMap
+            val (w1, ks) = driftScaled(hist, reference)
+            val denom = s.n.toDouble * nr
             Iterator.single(WindowDrift(new Timestamp(wstartSec * 1000),
-              counts.values.sum, jsdBits(counts, ref)))
+              s.n, w1, ks, w1 / denom / 100, ks / denom))
           } else if (endMs <= state.getCurrentWatermarkMs()) {
-            // late rows for an already-finalized window: drop, never
-            // re-open (a fresh state here would eventually time out
-            // and emit the window a SECOND time in append mode)
-            Iterator.empty
+            Iterator.empty // late rows never re-open a finalized window
           } else {
-            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
-            val merged = it.foldLeft(counts) { (m, e) =>
-              m.updated(e.typ, m.getOrElse(e.typ, 0L) + 1L)
+            val s0 = state.getOption.getOrElse(
+              DriftState(Array.empty, Array.empty, 0L))
+            val hist = scala.collection.mutable.HashMap.empty[Long, Long]
+            s0.vals.indices.foreach(i => hist.update(s0.vals(i), s0.cnt(i)))
+            var n = s0.n
+            it.foreach { e =>
+              hist.update(e.cents, hist.getOrElse(e.cents, 0L) + 1L)
+              n += 1
             }
-            state.update(WindowState(merged))
-            // fire when the watermark passes window end (this branch
-            // is only reachable with endMs > current watermark, so the
-            // timestamp is always legally ahead of it)
+            val ks = hist.keysIterator.toArray
+            state.update(DriftState(ks, ks.map(hist), n))
             state.setTimeoutTimestamp(endMs)
             Iterator.empty
           }
       }
   }
 
-  /** The output mode this operator requires downstream. */
   val outputMode: OutputMode = OutputMode.Append()
 }

@@ -2228,4 +2228,40 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("lambda_u") - nj.toDouble / nx) <= 1e-6)
     }
   }
+
+  test("q_croston matches a from-scratch dual-EWMA fold") {
+    import spark.implicits._
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), to_date(col("l_shipdate")).cast("string"),
+        col("l_quantity").cast("long"))
+      .as[(Long, String, Long)].collect()
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit.DAYS
+    val d0 = LocalDate.parse(rows.map(_._2).min)
+    val byPart = rows.groupBy(_._1).view.mapValues(g =>
+      g.groupBy(r => DAYS.between(d0, LocalDate.parse(r._2)) + 1)
+        .map { case (off, rs) => (off, rs.map(_._3).sum.toDouble) }
+        .toSeq.sortBy(_._1)).toMap
+    val got = SparkEntry.queries("q_croston")(spark, sf).collect()
+      .map(r => r.getAs[Long]("part") ->
+        ((r.getAs[Long]("n_occ"), r.getAs[Double]("size_z"),
+          r.getAs[Double]("interval_p"), r.getAs[Double]("fc_croston"))))
+      .toMap
+    assert(got.keySet == byPart.keySet)
+    byPart.foreach { case (part, occ) =>
+      var z = occ.head._2
+      var p = occ.head._1.toDouble
+      var prev = occ.head._1
+      occ.tail.foreach { case (off, q) =>
+        z = 0.2 * q + 0.8 * z
+        p = 0.2 * (off - prev).toDouble + 0.8 * p
+        prev = off
+      }
+      val (n, gz, gp, gfc) = got(part)
+      assert(n == occ.size.toLong, s"part $part n_occ")
+      assert(math.abs(gz - z) <= 1e-5, s"part $part z $gz vs $z")
+      assert(math.abs(gp - p) <= 1e-5, s"part $part p")
+      assert(math.abs(gfc - z / p) <= 1e-5, s"part $part fc")
+    }
+  }
 }

@@ -220,9 +220,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_event_study",       // 1-row midpoint bounds + reference-period
                            // + pre-trend scalars riding the rel-week
                            // frame (the q_did_estimator class)
-    "q_tail_dependence")   // 2-row broadcast rank ladder x bounded
+    "q_tail_dependence",   // 2-row broadcast rank ladder x bounded
                            // threshold frames + 1-row n scalar
                            // (the q_hdr_quantiles class)
+    "q_croston")           // 1-row broadcast corpus-min-day scalar
+                           // riding the demand collapse
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

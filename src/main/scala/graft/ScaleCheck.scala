@@ -308,7 +308,10 @@ object ScaleCheck {
     // dual-threshold joint-exceedance count
     "q_event_study", "q_tail_dependence",
     // round-10 twelfth batch: the per-part secondary-sort Croston fold
-    "q_croston")
+    "q_croston",
+    // round-10 thirteenth batch: the part-frame cumulative selection,
+    // the user-grain capture flags, and the token-spectrum collapse
+    "q_pps_sampling", "q_capture_recapture", "q_chao1_richness")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

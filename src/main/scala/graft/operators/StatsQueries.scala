@@ -4649,6 +4649,205 @@ object StatsQueries {
           round(col("n_y_exc").cast("double") / col("n"), 6)
             .as("indep_baseline"))
         .orderBy("q_pct")
+    },
+
+    // ---- systematic PPS sampling + Horvitz–Thompson estimate ----
+    // The survey-sampling primitive the q_neyman_allocation /
+    // q_ipf_raking family was missing: probability-proportional-to-
+    // size selection (Madow 1949's systematic method — DETERMINISTIC
+    // with a pinned zero start, no RNG: a unit is hit once per
+    // revenue-scaled boundary ⌊cum·m/T⌋ it crosses, computable as one
+    // integer-division difference off the cumulative frame — large
+    // units can be hit multiple times, which is exactly PPS-with-
+    // replacement's multiplicity) and the Horvitz–Thompson estimator
+    // read off the draw: the pps-weighted QUANTITY estimate
+    // Σ hits·q_i·T/(m·y_i) against the true corpus total, so the
+    // output itself shows how close one systematic draw lands. (The
+    // revenue total estimates as exactly T by construction — that
+    // identity is the method's self-check and rides as ht_rev_exact.)
+    // 100-TB story: one corpus collapse to the part frame; the
+    // cumulative window is part-dimension-sized; selection is a
+    // projection.
+    sql(
+      "q_pps_sampling",
+      """WITH y AS (SELECT l_partkey AS part,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |tt AS (SELECT CAST(sum(rev) AS BIGINT) AS t,
+        |         CAST(sum(qty) AS BIGINT) AS true_qty,
+        |         CAST(count(*) AS BIGINT) AS n_parts FROM y),
+        |c AS (SELECT part, rev, qty, t, true_qty, n_parts,
+        |        CAST(sum(rev) OVER (ORDER BY part) AS BIGINT) AS cum
+        |      FROM y CROSS JOIN tt),
+        |s AS (SELECT part, rev, qty, t, true_qty, n_parts,
+        |        (cum * 100) // t - ((cum - rev) * 100) // t AS hits
+        |      FROM c),
+        |a AS (SELECT CAST(max(t) AS BIGINT) AS t,
+        |        CAST(max(true_qty) AS BIGINT) AS true_qty,
+        |        CAST(max(n_parts) AS BIGINT) AS n_parts,
+        |        CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_selected,
+        |        CAST(sum(hits) AS BIGINT) AS total_hits,
+        |        CAST(sum(CASE WHEN hits > 0
+        |            THEN CAST(round(hits * CAST(qty AS DOUBLE) * t
+        |                            / (100.0e0 * rev) * 1000000) AS BIGINT)
+        |            ELSE 0 END) AS BIGINT) AS ht_qty_u6
+        |      FROM s)
+        |SELECT n_parts, CAST(100 AS BIGINT) AS m_draws, n_selected,
+        |  total_hits, t AS total_rev_cents, true_qty, ht_qty_u6,
+        |  round(CAST(ht_qty_u6 AS DOUBLE) / 1000000 / true_qty, 6)
+        |    AS ht_ratio,
+        |  CAST(CASE WHEN total_hits = 100 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS ht_rev_exact
+        |FROM a""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val y = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("part"))
+        .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("rev"),
+          sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+      val tt = y.agg(sum("rev").cast("long").as("t"),
+        sum("qty").cast("long").as("true_qty"),
+        count(lit(1)).as("n_parts"))
+      // part-dimension-sized cumulative window (bounded by #parts)
+      val c = y.crossJoin(broadcast(tt))
+        .withColumn("cum", sum("rev").over(Window.orderBy("part")))
+      val sel = c.selectExpr("part", "rev", "qty", "t", "true_qty",
+        "n_parts",
+        "(cum * 100) div t - ((cum - rev) * 100) div t AS hits")
+      // per-term micro-unit rounding makes the HT sum a BIGINT —
+      // order-independent at any parallelism (a raw double sum's
+      // accumulation order differs between engines)
+      val term = round(col("hits") * col("qty").cast("double") * col("t")
+        / (lit(100.0) * col("rev")) * 1000000).cast("long")
+      sel.agg(max("t").cast("long").as("t"),
+          max("true_qty").cast("long").as("true_qty"),
+          max("n_parts").cast("long").as("n_parts"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_selected"),
+          sum("hits").cast("long").as("total_hits"),
+          sum(when(col("hits") > 0, term).otherwise(0L)).cast("long")
+            .as("ht_qty_u6"))
+        .select(col("n_parts"), lit(100L).as("m_draws"), col("n_selected"),
+          col("total_hits"), col("t").as("total_rev_cents"),
+          col("true_qty"), col("ht_qty_u6"),
+          round(col("ht_qty_u6").cast("double") / 1000000 / col("true_qty"),
+            6).as("ht_ratio"),
+          when(col("total_hits") === 100, 1L).otherwise(0L)
+            .as("ht_rev_exact"))
+    },
+
+    // ---- capture–recapture population estimation ----
+    // Lincoln–Petersen / Chapman (1951): estimate a population's size
+    // from two overlapping "captures" — the coverage-estimation trick
+    // a data platform uses when NO source sees everything (how many
+    // total users exist, given two logs that each saw some?). Capture
+    // 1 = users who clicked, capture 2 = users who purchased; the
+    // overlap m calibrates the estimate N̂ = n₁n₂/m (Chapman's
+    // (n₁+1)(n₂+1)/(m+1) − 1 corrects the small-m bias). Because this
+    // corpus DOES record the truth (distinct users over all events),
+    // the true N and the estimate error ride in the output — the
+    // estimator audits itself. Integer counts end-to-end, two final
+    // divisions. 100-TB story: one user-grain collapse with two
+    // conditional max flags, then 1-row math.
+    sql(
+      "q_capture_recapture",
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn FROM events),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click'
+        |              AND date_diff('day', b.mn, CAST(ts AS DATE)) < 3
+        |             THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN event_type = 'click'
+        |              AND date_diff('day', b.mn, CAST(ts AS DATE)) >= 27
+        |             THEN 1 ELSE 0 END) AS c2
+        |  FROM events CROSS JOIN b GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS true_n,
+        |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * c2) AS BIGINT) AS m_both
+        |  FROM u)
+        |SELECT n1, n2, m_both, true_n,
+        |  round(CAST(n1 AS DOUBLE) * n2 / m_both, 2) AS lincoln_petersen,
+        |  round((CAST(n1 + 1 AS DOUBLE)) * (n2 + 1) / (m_both + 1) - 1, 2)
+        |    AS chapman,
+        |  round(((CAST(n1 + 1 AS DOUBLE)) * (n2 + 1) / (m_both + 1) - 1
+        |         - true_n) / true_n, 6) AS chapman_rel_err
+        |FROM m""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min(to_date(col("ts"))).as("mn"))
+      // the two captures are the FIRST and LAST 3 days' clickers —
+      // overlapping but partial samples of the user population, so
+      // the estimate is non-degenerate (every user has every event
+      // type over the full month, which made whole-corpus captures
+      // trivially complete)
+      val off = datediff(to_date(col("ts")), col("mn"))
+      val u = ev.crossJoin(broadcast(b)).groupBy("user_id")
+        .agg(max(when(col("event_type") === "click" && off < 3, 1L)
+          .otherwise(0L)).as("c1"),
+          max(when(col("event_type") === "click" && off >= 27, 1L)
+            .otherwise(0L)).as("c2"))
+      val m = u.agg(count(lit(1)).as("true_n"),
+        sum("c1").cast("long").as("n1"), sum("c2").cast("long").as("n2"),
+        sum(col("c1") * col("c2")).cast("long").as("m_both"))
+      val chapman = (col("n1") + 1).cast("double") * (col("n2") + 1)
+        ./(col("m_both") + 1) - 1
+      m.select(col("n1"), col("n2"), col("m_both"), col("true_n"),
+        round(col("n1").cast("double") * col("n2") / col("m_both"), 2)
+          .as("lincoln_petersen"),
+        round(chapman, 2).as("chapman"),
+        round((chapman - col("true_n")) / col("true_n"), 6)
+          .as("chapman_rel_err"))
+    },
+
+    // ---- Chao1 vocabulary-richness estimate ----
+    // Chao (1984): the nonparametric lower bound on how many DISTINCT
+    // tokens the full population holds, from just the singleton/
+    // doubleton counts of the sample — the "how much vocabulary would
+    // a 100-TB crawl add" planning number next to q_heaps_law's
+    // growth-curve fit (Chao1 needs no fit, and Good's coverage
+    // estimate Ĉ = 1 − f₁/N rides as the fraction of the population's
+    // token MASS the sample already saw — the Good–Turing view of the
+    // same spectrum). Bias-corrected form D + f₁(f₁−1)/(2(f₂+1)).
+    // Integer spectrum counts, two final divisions. 100-TB story: one
+    // tokenize pass → frequency spectrum (map-side combined), 1-row
+    // math.
+    sql(
+      "q_chao1_richness",
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |                     i -> w[i] || ' ' || w[i + 1])) AS token
+        |       FROM t),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1),
+        |sp AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS d_distinct,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c)
+        |SELECT n_tokens, d_distinct, f1, f2,
+        |  round(d_distinct
+        |        + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0e0 * (f2 + 1)), 2)
+        |    AS chao1,
+        |  round(1.0e0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS good_coverage
+        |FROM sp""".stripMargin) { (s, dir) =>
+      // BIGRAM spectrum: the unigram lexicon of this corpus is only
+      // ~31 high-frequency words (f1 = f2 = 0 — Chao1 degenerates to
+      // D), while the bigram space is genuinely open-vocabulary
+      val w = graft.functions.TextFunctions.tokens(col("text"))
+      val c = t(s, dir, "documents")
+        .select(explode(transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      c.agg(sum("n").cast("long").as("n_tokens"),
+          count(lit(1)).as("d_distinct"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+          sum(when(col("n") === 2, 1L).otherwise(0L)).cast("long").as("f2"))
+        .select(col("n_tokens"), col("d_distinct"), col("f1"), col("f2"),
+          round(col("d_distinct") + col("f1").cast("double")
+            * (col("f1") - 1) / (lit(2.0) * (col("f2") + 1)), 2).as("chao1"),
+          round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+            .as("good_coverage"))
     }
   )
 }

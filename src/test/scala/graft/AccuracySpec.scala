@@ -2264,4 +2264,81 @@ class AccuracySpec extends SparkSpec {
       assert(math.abs(gfc - z / p) <= 1e-5, s"part $part fc")
     }
   }
+
+  test("q_pps_sampling matches a from-scratch systematic PPS walk") {
+    import spark.implicits._
+    val parts = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (p, g) =>
+        (p, g.map(_._2).sum, g.map(_._3).sum)
+      }.sortBy(_._1)
+    val tRev = parts.map(_._2).sum
+    var cum = 0L
+    var (nSel, totHits, htU6) = (0L, 0L, 0L)
+    parts.foreach { case (_, rev, qty) =>
+      val before = cum * 100 / tRev
+      cum += rev
+      val hits = cum * 100 / tRev - before
+      if (hits > 0) {
+        nSel += 1; totHits += hits
+        htU6 += math.rint(
+          hits * qty.toDouble * tRev / (100.0 * rev) * 1000000).toLong
+      }
+    }
+    val r = SparkEntry.queries("q_pps_sampling")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_selected") == nSel)
+    assert(r.getAs[Long]("total_hits") == totHits
+      && totHits == 100L && r.getAs[Long]("ht_rev_exact") == 1L)
+    assert(r.getAs[Long]("ht_qty_u6") == htU6,
+      s"${r.getAs[Long]("ht_qty_u6")} vs $htU6")
+    // HT on one systematic draw should land near the truth
+    assert(math.abs(r.getAs[Double]("ht_ratio") - 1.0) <= 0.15)
+  }
+
+  test("q_capture_recapture matches a from-scratch two-window count") {
+    import spark.implicits._
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit.DAYS
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string"))
+      .as[(Long, String, String)].collect()
+    val mn = LocalDate.parse(ev.map(_._3).min)
+    def off(d: String) = DAYS.between(mn, LocalDate.parse(d))
+    val c1 = ev.filter(e => e._2 == "click" && off(e._3) < 3).map(_._1).toSet
+    val c2 = ev.filter(e => e._2 == "click" && off(e._3) >= 27).map(_._1).toSet
+    val both = (c1 & c2).size
+    val r = SparkEntry.queries("q_capture_recapture")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n1") == c1.size.toLong)
+    assert(r.getAs[Long]("n2") == c2.size.toLong)
+    assert(r.getAs[Long]("m_both") == both.toLong)
+    assert(r.getAs[Long]("true_n") == ev.map(_._1).distinct.length.toLong)
+    val chapman = (c1.size + 1.0) * (c2.size + 1) / (both + 1) - 1
+    assert(math.abs(r.getAs[Double]("chapman") - chapman) <= 0.01)
+    // the estimator must be non-degenerate AND near the truth here
+    assert(both < c1.size && both < c2.size)
+    assert(math.abs(r.getAs[Double]("chapman_rel_err")) <= 0.10)
+  }
+
+  test("q_chao1_richness matches a from-scratch bigram spectrum") {
+    import spark.implicits._
+    val bigrams = Tables(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+      .flatMap(t => t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+    val spec = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val (d, f1, f2) = (spec.size.toLong,
+      spec.count(_._2 == 1).toLong, spec.count(_._2 == 2).toLong)
+    val r = SparkEntry.queries("q_chao1_richness")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == bigrams.length.toLong)
+    assert(r.getAs[Long]("d_distinct") == d)
+    assert(r.getAs[Long]("f1") == f1 && r.getAs[Long]("f2") == f2)
+    val chao1 = d + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1))
+    assert(math.abs(r.getAs[Double]("chao1") - chao1) <= 0.01)
+    // the bigram space is genuinely open: the estimator adds mass
+    assert(f1 > 0 && r.getAs[Double]("chao1") > d)
+  }
 }

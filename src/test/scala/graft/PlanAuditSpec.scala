@@ -223,8 +223,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_tail_dependence",   // 2-row broadcast rank ladder x bounded
                            // threshold frames + 1-row n scalar
                            // (the q_hdr_quantiles class)
-    "q_croston")           // 1-row broadcast corpus-min-day scalar
+    "q_croston",           // 1-row broadcast corpus-min-day scalar
                            // riding the demand collapse
+    "q_pps_sampling",      // 1-row broadcast total/count scalars
+                           // riding the part frame
+    "q_capture_recapture") // 1-row broadcast corpus-min-day scalar
+                           // riding the user-grain collapse
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -311,7 +311,10 @@ object ScaleCheck {
     "q_croston",
     // round-10 thirteenth batch: the part-frame cumulative selection,
     // the user-grain capture flags, and the token-spectrum collapse
-    "q_pps_sampling", "q_capture_recapture", "q_chao1_richness")
+    "q_pps_sampling", "q_capture_recapture", "q_chao1_richness",
+    // round-10 fourteenth batch: the 9-moment collapse and the
+    // residual-frame diagnostics off the shared daily OLS
+    "q_vif", "q_cooks_distance", "q_durbin_watson")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -2840,6 +2840,161 @@ object SeriesQueries {
           round(col("z") / col("p"), 6).as("fc_croston"),
           round(lit(0.9) * (col("z") / col("p")), 6).as("fc_sba"))
         .orderBy("part")
+    },
+
+    // ---- Cook's distance (influential-observation audit) ----
+    // The diagnostic behind "which days are driving this trend line":
+    // for the daily-revenue-on-day OLS, Cook's D_i = e_i²·h_i /
+    // (p·s²·(1−h_i)²) combines residual size with leverage h_i = 1/n +
+    // (d_i−d̄)²/S_dd — a point can be influential by being extreme in
+    // EITHER. Top-10 by D, with residual and leverage riding, is the
+    // "remove-and-refit" shortlist q_ransac_line's consensus and
+    // q_theil_sen's median slope defend against wholesale. Exact
+    // moments (the ransac af pattern); s² accumulates as per-term
+    // HUNDREDTH-rounded BIGINTs so the only cross-engine-fragile
+    // double sum is order-independent by construction (the
+    // q_pps_sampling trick). 100-TB story: one corpus collapse to the
+    // calendar-bounded day frame; everything after is frame-side.
+    sql(
+      "q_cooks_distance",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(d) AS DOUBLE) AS sx,
+        |         CAST(sum(rev) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(rev AS DECIMAL(30,4)) * d) AS DOUBLE) AS sxy,
+        |         CAST(sum(d * d) AS DOUBLE) AS sxx
+        |       FROM daily),
+        |fit AS (SELECT n, sx, sxx,
+        |          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+        |          (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |            AS a
+        |        FROM mo),
+        |r AS (SELECT daily.d, CAST(daily.rev AS DOUBLE) AS rev,
+        |        CAST(daily.rev AS DOUBLE) - (f.a + f.b * daily.d) AS e,
+        |        1.0e0 / f.n
+        |          + (daily.d - f.sx / f.n) * (daily.d - f.sx / f.n)
+        |            / (f.sxx - f.sx * f.sx / f.n) AS h,
+        |        f.n
+        |      FROM daily CROSS JOIN fit f),
+        |s2 AS (SELECT sum(CAST(round(e * e) AS DECIMAL(18,0))) AS sse_u
+        |       FROM r)
+        |SELECT d AS day_num, round(rev, 4) AS rev,
+        |  round(e, 4) AS residual, round(h, 6) AS leverage,
+        |  round(e * e * h
+        |        / (2.0e0 * (CAST(sse_u AS DOUBLE) / (n - 2))
+        |           * (1 - h) * (1 - h)), 6) AS cooks_d
+        |FROM r CROSS JOIN s2
+        |ORDER BY cooks_d DESC, day_num LIMIT 10""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val mo = daily.agg(count(lit(1)).as("n"),
+        sum("d").cast("double").as("sx"),
+        sum("rev").cast("double").as("sy"),
+        sum(col("rev").cast("decimal(30,4)") * col("d")).cast("double")
+          .as("sxy"),
+        sum(col("d") * col("d")).cast("double").as("sxx"))
+      val b = (col("n") * col("sxy") - col("sx") * col("sy"))
+        ./(col("n") * col("sxx") - col("sx") * col("sx"))
+      val fit = mo.select(col("n"), col("sx"), col("sxx"), b.as("b"),
+        ((col("sy") - b * col("sx")) / col("n")).as("a"))
+        .localCheckpoint() // 1-row fit frame, read by two passes
+      val r = daily.crossJoin(broadcast(fit))
+        .select(col("d"), col("rev").cast("double").as("rev"),
+          (col("rev").cast("double") - (col("a") + col("b") * col("d")))
+            .as("e"),
+          (lit(1.0) / col("n")
+            + (col("d") - col("sx") / col("n"))
+              * (col("d") - col("sx") / col("n"))
+              / (col("sxx") - col("sx") * col("sx") / col("n"))).as("h"),
+          col("n"))
+        .localCheckpoint() // day frame with residuals, read twice
+      // unit-rounded terms summed as DECIMAL: a BIGINT sum overflowed
+      // at the 10x corpus (e^2 ~ 1e16 per day there)
+      val s2 = r.agg(sum(round(col("e") * col("e")).cast("decimal(18,0)"))
+        .as("sse_u"))
+      r.crossJoin(broadcast(s2))
+        .select(col("d").as("day_num"), round(col("rev"), 4).as("rev"),
+          round(col("e"), 4).as("residual"),
+          round(col("h"), 6).as("leverage"),
+          round(col("e") * col("e") * col("h")
+            / (lit(2.0) * (col("sse_u").cast("double") / (col("n") - 2))
+              * (lit(1) - col("h")) * (lit(1) - col("h"))), 6).as("cooks_d"))
+        .orderBy(desc("cooks_d"), col("day_num"))
+        .limit(10)
+    },
+
+    // ---- Durbin–Watson statistic (residual autocorrelation) ----
+    // The companion diagnostic: a trend line over a day series with
+    // autocorrelated residuals has UNDERSTATED standard errors — DW =
+    // Σ(e_t − e_{t−1})²/Σe_t² near 2 means independent residuals,
+    // toward 0 positive autocorrelation (ρ̂ ≈ 1 − DW/2 rides). Same
+    // daily OLS as q_cooks_distance; both residual sums accumulate as
+    // per-term hundredth-rounded BIGINTs (order-independent), the lag
+    // runs on the calendar-bounded ordered day frame, and the only
+    // doubles are the final ratio. 100-TB story: one corpus collapse
+    // to the day frame.
+    sql(
+      "q_durbin_watson",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(d) AS DOUBLE) AS sx,
+        |         CAST(sum(rev) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(rev AS DECIMAL(30,4)) * d) AS DOUBLE) AS sxy,
+        |         CAST(sum(d * d) AS DOUBLE) AS sxx
+        |       FROM daily),
+        |r AS (SELECT d,
+        |        CAST(rev AS DOUBLE)
+        |          - ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |             + (n * sxy - sx * sy) / (n * sxx - sx * sx) * d) AS e
+        |      FROM daily CROSS JOIN mo),
+        |l AS (SELECT e, lag(e) OVER (ORDER BY d) AS ep FROM r),
+        |a AS (SELECT
+        |    sum(CAST(round(e * e) AS DECIMAL(18,0))) AS sse_u,
+        |    sum(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(18,0))
+        |             ELSE CAST(round((e - ep) * (e - ep)) AS DECIMAL(18,0))
+        |             END) AS sdiff_u,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM l)
+        |SELECT n_days,
+        |  round(CAST(sdiff_u AS DOUBLE) / CAST(sse_u AS DOUBLE), 6) AS dw,
+        |  round(1 - CAST(sdiff_u AS DOUBLE) / CAST(sse_u AS DOUBLE) / 2, 6)
+        |    AS rho_approx
+        |FROM a""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val mo = daily.agg(count(lit(1)).as("n"),
+        sum("d").cast("double").as("sx"),
+        sum("rev").cast("double").as("sy"),
+        sum(col("rev").cast("decimal(30,4)") * col("d")).cast("double")
+          .as("sxy"),
+        sum(col("d") * col("d")).cast("double").as("sxx"))
+      val b = (col("n") * col("sxy") - col("sx") * col("sy"))
+        ./(col("n") * col("sxx") - col("sx") * col("sx"))
+      val r = daily.crossJoin(broadcast(mo))
+        .select(col("d"),
+          (col("rev").cast("double")
+            - ((col("sy") - b * col("sx")) / col("n") + b * col("d")))
+            .as("e"))
+      val l = r.withColumn("ep", lag("e", 1).over(Window.orderBy("d")))
+      // unit-rounded DECIMAL sums (the q_cooks_distance overflow fix)
+      l.agg(
+          sum(round(col("e") * col("e")).cast("decimal(18,0)")).as("sse_u"),
+          sum(when(col("ep").isNull, lit(0).cast("decimal(18,0)"))
+            .otherwise(round((col("e") - col("ep"))
+              * (col("e") - col("ep"))).cast("decimal(18,0)")))
+            .as("sdiff_u"),
+          count(lit(1)).as("n_days"))
+        .select(col("n_days"),
+          round(col("sdiff_u").cast("double") / col("sse_u").cast("double"),
+            6).as("dw"),
+          round(lit(1) - col("sdiff_u").cast("double")
+            / col("sse_u").cast("double") / 2, 6).as("rho_approx"))
     }
   )
 }

@@ -4848,6 +4848,90 @@ object StatsQueries {
             * (col("f1") - 1) / (lit(2.0) * (col("f2") + 1)), 2).as("chao1"),
           round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
             .as("good_coverage"))
+    },
+
+    // ---- variance inflation factors (multicollinearity audit) ----
+    // The regression diagnostic that must run BEFORE q_ols_multi's
+    // coefficients are trusted: VIF_j = 1/(1 − R²_j) where R²_j is
+    // feature j regressed on the others — VIF ≳ 5-10 means the
+    // coefficient's sign/size is an artifact of collinearity, not
+    // signal. For three features the R²'s are closed-form in the
+    // pairwise correlations (R²₁ = (r₁₂² + r₁₃² − 2r₁₂r₁₃r₂₃) /
+    // (1 − r₂₃²)), so the whole audit is ONE DECIMAL moment collapse
+    // (the q_corr_matrix pairing) + 1-row math. TPC-H's quantity /
+    // discount / tax are independent by construction — VIF ≈ 1 is the
+    // honest calibration read, and the op's value is the shape, not
+    // this corpus's answer. 100-TB story: one corpus pass, 9 moments.
+    sql(
+      "q_vif",
+      """WITH m AS (SELECT count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))) AS s1,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))) AS s2,
+        |    sum(CAST(l_tax AS DECIMAL(15,4))) AS s3,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_quantity AS DECIMAL(19,4))) AS s11,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))
+        |        * CAST(l_discount AS DECIMAL(19,4))) AS s22,
+        |    sum(CAST(l_tax AS DECIMAL(15,4))
+        |        * CAST(l_tax AS DECIMAL(19,4))) AS s33,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_discount AS DECIMAL(19,4))) AS s12,
+        |    sum(CAST(l_quantity AS DECIMAL(15,4))
+        |        * CAST(l_tax AS DECIMAL(19,4))) AS s13,
+        |    sum(CAST(l_discount AS DECIMAL(15,4))
+        |        * CAST(l_tax AS DECIMAL(19,4))) AS s23
+        |  FROM lineitem),
+        |c AS (SELECT CAST(n AS BIGINT) AS n,
+        |    (n * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2)
+        |      / sqrt((n * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+        |             * (n * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2))
+        |      AS r12,
+        |    (n * CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3)
+        |      / sqrt((n * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+        |             * (n * CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3))
+        |      AS r13,
+        |    (n * CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3)
+        |      / sqrt((n * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2)
+        |             * (n * CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3))
+        |      AS r23
+        |  FROM m)
+        |SELECT n, round(r12, 6) AS r12, round(r13, 6) AS r13,
+        |  round(r23, 6) AS r23,
+        |  round(1 / (1 - (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+        |                 / (1 - r23 * r23)), 6) AS vif_quantity,
+        |  round(1 / (1 - (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13)
+        |                 / (1 - r13 * r13)), 6) AS vif_discount,
+        |  round(1 / (1 - (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12)
+        |                 / (1 - r12 * r12)), 6) AS vif_tax
+        |FROM c""".stripMargin) { (s, dir) =>
+      val d15 = (c: Column) => c.cast("decimal(15,4)")
+      val d19 = (c: Column) => c.cast("decimal(19,4)")
+      val (x1, x2, x3) = (col("l_quantity"), col("l_discount"), col("l_tax"))
+      val m = t(s, dir, "lineitem").agg(count(lit(1)).as("n"),
+        sum(d15(x1)).as("s1"), sum(d15(x2)).as("s2"), sum(d15(x3)).as("s3"),
+        sum(d15(x1) * d19(x1)).as("s11"), sum(d15(x2) * d19(x2)).as("s22"),
+        sum(d15(x3) * d19(x3)).as("s33"), sum(d15(x1) * d19(x2)).as("s12"),
+        sum(d15(x1) * d19(x3)).as("s13"), sum(d15(x2) * d19(x3)).as("s23"))
+      def dbl(n: String) = col(n).cast("double")
+      val nD = col("n")
+      def corr(sjk: String, sj: String, sk: String, sjj: String,
+          skk: String) =
+        (nD * dbl(sjk) - dbl(sj) * col(sk)) /
+          sqrt((nD * dbl(sjj) - dbl(sj) * col(sj))
+            * (nD * dbl(skk) - dbl(sk) * col(sk)))
+      val c = m.select(col("n").cast("long").as("n"),
+        corr("s12", "s1", "s2", "s11", "s22").as("r12"),
+        corr("s13", "s1", "s3", "s11", "s33").as("r13"),
+        corr("s23", "s2", "s3", "s22", "s33").as("r23"))
+      def vif(a: String, b: String, c0: String) =
+        round(lit(1) / (lit(1) - (col(a) * col(a) + col(b) * col(b)
+          - lit(2) * col(a) * col(b) * col(c0))
+          / (lit(1) - col(c0) * col(c0))), 6)
+      c.select(col("n"), round(col("r12"), 6).as("r12"),
+        round(col("r13"), 6).as("r13"), round(col("r23"), 6).as("r23"),
+        vif("r12", "r13", "r23").as("vif_quantity"),
+        vif("r12", "r23", "r13").as("vif_discount"),
+        vif("r13", "r23", "r12").as("vif_tax"))
     }
   )
 }

@@ -2341,4 +2341,84 @@ class AccuracySpec extends SparkSpec {
     // the bigram space is genuinely open: the estimator adds mass
     assert(f1 > 0 && r.getAs[Double]("chao1") > d)
   }
+
+  test("q_vif matches a from-scratch correlation computation") {
+    import spark.implicits._
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"))
+      .as[(Double, Double, Double)].collect()
+    def q4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (x1, x2, x3) = (rows.map(r => q4(r._1)), rows.map(r => q4(r._2)),
+      rows.map(r => q4(r._3)))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      (n * a.zip(b).map { case (u, v) => u * v }.sum - sa * sb) /
+        math.sqrt((n * a.map(u => u * u).sum - sa * sa)
+          * (n * b.map(v => v * v).sum - sb * sb))
+    }
+    val (r12, r13, r23) = (corr(x1, x2), corr(x1, x3), corr(x2, x3))
+    val vif1 = 1 / (1 - (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+      / (1 - r23 * r23))
+    val r = SparkEntry.queries("q_vif")(spark, sf).collect()(0)
+    assert(math.abs(r.getAs[Double]("r12") - r12) <= 1e-5)
+    assert(math.abs(r.getAs[Double]("vif_quantity") - vif1) <= 1e-5)
+    // the TPC-H numerics are independent: every VIF sits at ~1
+    Seq("vif_quantity", "vif_discount", "vif_tax").foreach { c =>
+      assert(math.abs(r.getAs[Double](c) - 1.0) <= 0.01, s"$c inflated")
+    }
+  }
+
+  /** Shared from-scratch daily OLS: (days, residuals) in day order. */
+  private def dailyResiduals(): (Seq[Long], Seq[Double]) = {
+    val s = daySeries()
+    val (ds, ys) = (s.map(_._1.toDouble), s.map(_._2))
+    val n = ds.size.toDouble
+    val (sx, sy) = (ds.sum, ys.sum)
+    val sxy = ds.zip(ys).map { case (d, y) => y * d }.sum
+    val sxx = ds.map(d => d * d).sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    (s.map(_._1), ds.zip(ys).map { case (d, y) => y - (a + b * d) })
+  }
+
+  test("q_cooks_distance matches a from-scratch influence fold") {
+    val (days, es) = dailyResiduals()
+    val s = daySeries()
+    val n = days.size.toDouble
+    val sx = days.map(_.toDouble).sum
+    val sxx = days.map(d => d.toDouble * d).sum
+    val sse = es.map(e => math.rint(e * e)).sum
+    val s2 = sse / (n - 2)
+    val dsByD = days.zip(es).map { case (d, e) =>
+      val h = 1.0 / n + (d - sx / n) * (d - sx / n) / (sxx - sx * sx / n)
+      (d, e, h, e * e * h / (2.0 * s2 * (1 - h) * (1 - h)))
+    }
+    val top = dsByD.sortBy(t => (-t._4, t._1)).take(10)
+    val got = SparkEntry.queries("q_cooks_distance")(spark, sf).collect()
+    assert(got.length == 10)
+    got.zip(top).foreach { case (r, (d, e, h, cd)) =>
+      assert(r.getAs[Long]("day_num") == d, s"day order")
+      assert(math.abs(r.getAs[Double]("residual") - e) <= 1e-3)
+      assert(math.abs(r.getAs[Double]("leverage") - h) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("cooks_d") - cd) <= 1e-5)
+    }
+    assert(s.nonEmpty)
+  }
+
+  test("q_durbin_watson matches a from-scratch residual walk") {
+    val (_, es) = dailyResiduals()
+    val sse = es.map(e => math.rint(e * e)).sum
+    val sdiff = es.sliding(2).collect { case Seq(a, b) =>
+      math.rint((b - a) * (b - a)) }.sum
+    val dw = sdiff / sse
+    val r = SparkEntry.queries("q_durbin_watson")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_days") == es.size.toLong)
+    assert(math.abs(r.getAs[Double]("dw") - dw) <= 1e-5,
+      s"${r.getAs[Double]("dw")} vs $dw")
+    assert(math.abs(r.getAs[Double]("rho_approx") - (1 - dw / 2)) <= 1e-5)
+    // the synthetic day series has independent residuals: DW near 2
+    assert(math.abs(r.getAs[Double]("dw") - 2.0) <= 0.3)
+  }
 }

@@ -227,8 +227,12 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the demand collapse
     "q_pps_sampling",      // 1-row broadcast total/count scalars
                            // riding the part frame
-    "q_capture_recapture") // 1-row broadcast corpus-min-day scalar
+    "q_capture_recapture", // 1-row broadcast corpus-min-day scalar
                            // riding the user-grain collapse
+    "q_cooks_distance",    // 1-row broadcast fit + SSE scalars riding
+                           // the day frame
+    "q_durbin_watson")     // 1-row broadcast moment scalars riding
+                           // the day frame
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -314,7 +314,10 @@ object ScaleCheck {
     "q_pps_sampling", "q_capture_recapture", "q_chao1_richness",
     // round-10 fourteenth batch: the 9-moment collapse and the
     // residual-frame diagnostics off the shared daily OLS
-    "q_vif", "q_cooks_distance", "q_durbin_watson")
+    "q_vif", "q_cooks_distance", "q_durbin_watson",
+    // round-10 fifteenth batch: the monthly-demand sparse moments,
+    // the (doc, term) collapse, and the rec-list pair self-join
+    "q_abc_xyz", "q_term_burstiness", "q_rec_coverage")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1639,6 +1639,64 @@ object TextAnalysisQueries {
           * (abs(col("b") - col("c")) - 1.0) / (col("b") + col("c")), 6)
           .as("mcnemar_cc"),
         (stat > 3.841).as("reject_05"))
+    },
+
+    // ---- term burstiness (per-term overdispersion) ----
+    // Church & Gale (1995): content words are BURSTY — once a
+    // document mentions a term it tends to mention it again — while
+    // function words arrive near-Poisson. The dispersion index
+    // D = Var(c)/E(c) over per-document counts (zeros included via
+    // the sparse-moment trick: Σc/Σc² over occurring docs + the
+    // global doc count N) separates the two: D ≈ 1 Poisson, D ≫ 1
+    // bursty — the statistic behind stopword screens and
+    // q_dsir_weights-style term informativeness, complementing
+    // q_zipf_fit's corpus-level law with a per-term view. Top-20
+    // terms by occurrence count; integer moments, two final
+    // divisions each. 100-TB story: one tokenize pass to (doc, term)
+    // counts, one term-grain collapse, a 20-row head.
+    sql(
+      "q_term_burstiness",
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        |      FROM dt GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |       FROM documents),
+        |tm AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |         CAST(sum(c) AS BIGINT) AS occ,
+        |         CAST(sum(c * c) AS BIGINT) AS socc2
+        |       FROM c GROUP BY 1),
+        |d AS (SELECT term, df, occ,
+        |        (CAST(socc2 AS DOUBLE) - CAST(occ AS DOUBLE) * occ / n)
+        |          / (n - 1) / (CAST(occ AS DOUBLE) / n) AS dispersion,
+        |        CAST(occ AS DOUBLE) / df AS mean_in_doc
+        |      FROM tm CROSS JOIN nn)
+        |SELECT term, occ AS n_occurrences, df AS n_docs,
+        |  round(mean_in_doc, 6) AS mean_when_present,
+        |  round(dispersion, 6) AS dispersion
+        |FROM d ORDER BY n_occurrences DESC, term LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val c = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        val nn = t(s, dir, "documents")
+          .agg(countDistinct("doc_id").as("n"))
+        val tm = c.groupBy("term").agg(count(lit(1)).as("df"),
+          sum("c").cast("long").as("occ"),
+          sum(col("c") * col("c")).cast("long").as("socc2"))
+        val disp = (col("socc2").cast("double")
+          - col("occ").cast("double") * col("occ") / col("n"))
+          ./(col("n") - 1)./(col("occ").cast("double") / col("n"))
+        tm.crossJoin(broadcast(nn))
+          .select(col("term"), col("occ").as("n_occurrences"),
+            col("df").as("n_docs"),
+            round(col("occ").cast("double") / col("df"), 6)
+              .as("mean_when_present"),
+            round(disp, 6).as("dispersion"))
+          .orderBy(desc("n_occurrences"), col("term"))
+          .limit(20)
     }
   )
 }

@@ -320,6 +320,97 @@ object BiQueries {
           round(col("sup").cast("double") * col("n")
             / (col("sup_a").cast("double") * col("sup_b")), 4).as("lift"))
         .orderBy("prev", "next")
+    },
+
+    // ---- ABC × XYZ inventory matrix ----
+    // The planning cross-classification q_abc_classification is half
+    // of: ABC ranks parts by revenue concentration (WHERE the money
+    // is), XYZ ranks them by demand VARIABILITY (how forecastable
+    // they are — the axis q_croston exists for): X = steady
+    // (CV ≤ 0.5), Y = variable (≤ 1.0), Z = erratic. A-X parts get
+    // safety-stock formulas, A-Z parts get Croston + human review —
+    // the 9-cell matrix IS the operating decision. CV is computed
+    // over the part's MONTHLY demand including zero months (the
+    // sparse-frame trick: zero months add nothing to ΣQ/ΣQ², so exact
+    // integer moments over nonzero rows + the global month count M
+    // give mean = ΣQ/M and var = (ΣQ² − (ΣQ)²/M)/(M−1) with zeros
+    // priced in). Revenue is integer cents. 100-TB story: one corpus
+    // pass to the (part, month) frame, one to part grain; the matrix
+    // is a 9-row collapse.
+    sql(
+      "q_abc_xyz",
+      """WITH pm AS (SELECT l_partkey AS pk,
+        |    date_trunc('month', CAST(l_shipdate AS DATE)) AS mo,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |mm AS (SELECT CAST(count(DISTINCT mo) AS BIGINT) AS m FROM pm),
+        |p AS (SELECT pk, CAST(sum(q) AS BIGINT) AS sq,
+        |        CAST(sum(q * q) AS BIGINT) AS sqq,
+        |        CAST(sum(rev) AS BIGINT) AS rev
+        |      FROM pm GROUP BY 1),
+        |x AS (SELECT pk, rev,
+        |        sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / m)
+        |             / (m - 1))
+        |          / (CAST(sq AS DOUBLE) / m) AS cv
+        |      FROM p CROSS JOIN mm),
+        |a AS (SELECT pk, rev, cv,
+        |        CAST(sum(rev) OVER (ORDER BY rev DESC, pk) AS BIGINT) AS cum,
+        |        CAST(sum(rev) OVER () AS BIGINT) AS tot
+        |      FROM x),
+        |k AS (SELECT rev, tot,
+        |        CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.70 THEN 'A'
+        |             WHEN CAST(cum AS DOUBLE) / tot <= 0.90 THEN 'B'
+        |             ELSE 'C' END AS abc,
+        |        CASE ntile(3) OVER (ORDER BY cv, pk)
+        |             WHEN 1 THEN 'X' WHEN 2 THEN 'Y' ELSE 'Z' END AS xyz
+        |      FROM a)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev) AS BIGINT) AS revenue_cents,
+        |  round(CAST(sum(rev) AS DOUBLE) / max(tot), 6) AS rev_share
+        |FROM k GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin) { (s, dir) =>
+      val pm = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"),
+          date_trunc("month", to_date(col("l_shipdate"))).as("mo"))
+        .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("rev"))
+      val mm = pm.agg(countDistinct("mo").as("m"))
+      val p = pm.groupBy("pk").agg(sum("q").cast("long").as("sq"),
+        sum(col("q") * col("q")).cast("long").as("sqq"),
+        sum("rev").cast("long").as("rev"))
+      val cv = sqrt((col("sqq").cast("double")
+        - col("sq").cast("double") * col("sq") / col("m")) / (col("m") - 1))
+        ./(col("sq").cast("double") / col("m"))
+      val x = p.crossJoin(broadcast(mm))
+        .select(col("pk"), col("rev"), cv.as("cv"))
+      // part-dimension-bounded ranking windows (q_abc_classification)
+      val wCum = Window.orderBy(desc("rev"), col("pk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(desc("rev"), col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val a = x.withColumn("cum", sum("rev").over(wCum).cast("long"))
+        .withColumn("tot", sum("rev").over(wAll).cast("long"))
+      val share = col("cum").cast("double") / col("tot")
+      // tercile-based XYZ: this corpus's demand is intermittent for
+      // EVERY part (mostly-zero months -> CV > 1 across the board), so
+      // the absolute 0.5/1.0 bands collapse to one class — the
+      // practitioner fallback is quantile banding, which stays
+      // deterministic here via the (cv, pk) total order
+      val wX = Window.orderBy(col("cv"), col("pk"))
+      a.withColumn("abc",
+          when(share <= 0.70, "A").when(share <= 0.90, "B").otherwise("C"))
+        .withColumn("xyz",
+          when(ntile(3).over(wX) === 1, "X")
+            .when(ntile(3).over(wX) === 2, "Y").otherwise("Z"))
+        .groupBy("abc", "xyz")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("rev").cast("long").as("revenue_cents"),
+          (sum("rev").cast("double") / max("tot")).as("sh"))
+        .select(col("abc"), col("xyz"), col("n_parts"), col("revenue_cents"),
+          round(col("sh"), 6).as("rev_share"))
+        .orderBy("abc", "xyz")
     }
   )
 }

@@ -4932,6 +4932,103 @@ object StatsQueries {
         vif("r12", "r13", "r23").as("vif_quantity"),
         vif("r12", "r23", "r13").as("vif_discount"),
         vif("r13", "r23", "r12").as("vif_tax"))
+    },
+
+    // ---- recommender coverage & intra-list diversity ----
+    // The system-level eval q_item_cf's per-list accuracy numbers
+    // can't give (Ge et al. 2010): a recommender that shows everyone
+    // the same 3 blockbusters scores fine per-list and is useless as
+    // a SYSTEM. Catalog coverage (share of the catalog that appears
+    // in ANY top-3 list), aggregate reach, the most-recommended
+    // item's list share (popularity concentration), and intra-list
+    // similarity (mean pairwise co-purchase cosine INSIDE a list —
+    // high ILS = redundant lists; unscored pairs count 0) — computed
+    // over exactly q_item_cf's rec lists, re-derived from the shared
+    // basket-pair core so the two queries cannot drift. 100-TB
+    // story: the rec build is q_item_cf's bounded pair shape; the
+    // eval adds a ≤ 3-pairs-per-list self-join on the rec frame and
+    // two dimension-sized collapses.
+    sql(
+      "q_rec_coverage",
+      s"""WITH $basketPairsSqlCtes,
+        |sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+        |e AS (SELECT p1 AS src, p2 AS dst, n_both FROM pairs WHERE n_both >= 2
+        |      UNION ALL
+        |      SELECT p2, p1, n_both FROM pairs WHERE n_both >= 2),
+        |sc AS (SELECT e.src, e.dst,
+        |         round(CAST(e.n_both AS DOUBLE)
+        |               / sqrt(CAST(s1.s AS DOUBLE) * s2.s), 6) AS cosine
+        |       FROM e JOIN sup s1 ON s1.l_partkey = e.src
+        |              JOIN sup s2 ON s2.l_partkey = e.dst),
+        |rec AS (SELECT src, dst, cosine FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY src
+        |                    ORDER BY cosine DESC, dst) AS rn
+        |          FROM sc) WHERE rn <= 3),
+        |cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM sup),
+        |lists AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_lists,
+        |            CAST(count(DISTINCT dst) AS BIGINT) AS n_recommended
+        |          FROM rec),
+        |topi AS (SELECT CAST(max(cnt) AS BIGINT) AS top_item_lists FROM
+        |           (SELECT dst, count(*) AS cnt FROM rec GROUP BY 1)),
+        |pr AS (SELECT a.src, a.dst AS d1, b2.dst AS d2
+        |       FROM rec a JOIN rec b2 ON b2.src = a.src AND b2.dst > a.dst),
+        |ils AS (SELECT count(*) AS n_pairs,
+        |          CAST(sum(CAST(coalesce(sc.cosine, 0) AS DECIMAL(9,6)))
+        |               AS DOUBLE) / count(*) AS ils
+        |        FROM pr LEFT JOIN sc ON sc.src = pr.d1 AND sc.dst = pr.d2)
+        |SELECT n_lists, n_recommended, n_catalog,
+        |  round(CAST(n_recommended AS DOUBLE) / n_catalog, 6) AS coverage,
+        |  top_item_lists,
+        |  round(CAST(top_item_lists AS DOUBLE) / n_lists, 6) AS top_share,
+        |  CAST(n_pairs AS BIGINT) AS n_intra_pairs,
+        |  round(ils, 6) AS intra_list_sim
+        |FROM lists CROSS JOIN cat CROSS JOIN topi CROSS JOIN ils"""
+        .stripMargin) { (s, dir) =>
+      val (baskets, rawPairs) = basketPairCounts(s, dir)
+      val sup = baskets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("s"))
+      val p2 = rawPairs.where(col("n_both") >= 2)
+      val e = p2.select(col("p1").as("src"), col("p2").as("dst"),
+          col("n_both"))
+        .unionByName(
+          p2.select(col("p2").as("src"), col("p1").as("dst"), col("n_both")))
+      val sc = e
+        .join(sup.select(col("p").as("src"), col("s").as("s1")), Seq("src"))
+        .join(sup.select(col("p").as("dst"), col("s").as("s2")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          round(col("n_both").cast("double")
+            / sqrt(col("s1").cast("double") * col("s2")), 6).as("cosine"))
+        .localCheckpoint() // scored pair frame: rec build + ILS lookups
+      val rk = Window.partitionBy("src").orderBy(desc("cosine"), col("dst"))
+      val rec = sc.withColumn("rn", row_number().over(rk))
+        .where(col("rn") <= 3).drop("rn")
+        .localCheckpoint() // rec lists, read three ways
+      val cat = sup.agg(count(lit(1)).as("n_catalog"))
+      val lists = rec.agg(countDistinct("src").as("n_lists"),
+        countDistinct("dst").as("n_recommended"))
+      val topi = rec.groupBy("dst").agg(count(lit(1)).as("cnt"))
+        .agg(max("cnt").as("top_item_lists"))
+      val pr = rec.select(col("src"), col("dst").as("d1"))
+        .join(rec.select(col("src"), col("dst").as("d2")), Seq("src"))
+        .where(col("d2") > col("d1"))
+      // 6dp cosines sum EXACTLY as DECIMAL(9,6) — a raw double avg's
+      // accumulation order differs between engines
+      val ils = pr
+        .join(sc.select(col("src").as("d1"), col("dst").as("d2"),
+          col("cosine")), Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(coalesce(col("cosine"), lit(0.0)).cast("decimal(9,6)"))
+            .cast("double") / count(lit(1))).as("ils"))
+      lists.crossJoin(broadcast(cat)).crossJoin(broadcast(topi))
+        .crossJoin(broadcast(ils))
+        .select(col("n_lists"), col("n_recommended"), col("n_catalog"),
+          round(col("n_recommended").cast("double") / col("n_catalog"), 6)
+            .as("coverage"),
+          col("top_item_lists"),
+          round(col("top_item_lists").cast("double") / col("n_lists"), 6)
+            .as("top_share"),
+          col("n_pairs").cast("long").as("n_intra_pairs"),
+          round(col("ils"), 6).as("intra_list_sim"))
     }
   )
 }

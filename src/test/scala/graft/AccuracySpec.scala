@@ -2421,4 +2421,96 @@ class AccuracySpec extends SparkSpec {
     // the synthetic day series has independent residuals: DW near 2
     assert(math.abs(r.getAs[Double]("dw") - 2.0) <= 0.3)
   }
+
+  test("q_abc_xyz matches a from-scratch classification fold") {
+    import spark.implicits._
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM"),
+        col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    val mTotal = rows.map(_._2).distinct.length
+    val parts = rows.groupBy(_._1).toSeq.map { case (pk, g) =>
+      val monthly = g.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+      val sq = monthly.sum.toDouble
+      val sqq = monthly.map(q => q.toDouble * q).sum
+      val cv = math.sqrt((sqq - sq * sq / mTotal) / (mTotal - 1)) /
+        (sq / mTotal)
+      (pk, g.map(_._4).sum, cv)
+    }
+    val tot = parts.map(_._2).sum
+    val byRev = parts.sortBy(p => (-p._2, p._1))
+    val abc = byRev.zip(byRev.scanLeft(0L)(_ + _._2).tail).map {
+      case ((pk, rev, _), cum) =>
+        pk -> (if (cum.toDouble / tot <= 0.70) "A"
+               else if (cum.toDouble / tot <= 0.90) "B" else "C")
+    }.toMap
+    val byCv = parts.sortBy(p => (p._3, p._1)).map(_._1)
+    val n = byCv.size
+    val xyz = byCv.zipWithIndex.map { case (pk, i) =>
+      // ntile(3) semantics: first ceil buckets get the extra rows
+      val bucket = i * 3 / n + 1
+      pk -> (if (bucket == 1) "X" else if (bucket == 2) "Y" else "Z")
+    }.toMap
+    val want = parts.groupBy(p => (abc(p._1), xyz(p._1)))
+      .view.mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val got = SparkEntry.queries("q_abc_xyz")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_parts"), r.getAs[Long]("revenue_cents")))).toMap
+    assert(got == want, s"matrix $got vs $want")
+    // all nine cells populated — the tercile banding is non-degenerate
+    assert(got.size == 9)
+  }
+
+  test("q_term_burstiness matches a from-scratch dispersion fold") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val nDocs = docs.length
+    val counts = docs.flatMap { case (d, t) =>
+      t.split(" ", -1).map(w => (d, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTerm = counts.groupBy(_._1._2).view.mapValues(_.values.toSeq)
+    val got = SparkEntry.queries("q_term_burstiness")(spark, sf).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val cs = byTerm(r.getString(0))
+      val occ = cs.sum
+      assert(r.getAs[Long]("n_occurrences") == occ)
+      assert(r.getAs[Long]("n_docs") == cs.size.toLong)
+      val mu = occ.toDouble / nDocs
+      val varAll = (cs.map(c => c.toDouble * c).sum
+        - occ.toDouble * occ / nDocs) / (nDocs - 1)
+      assert(math.abs(r.getAs[Double]("dispersion") - varAll / mu) <= 1e-5)
+      // content terms repeat within documents: dispersion above Poisson
+      assert(r.getAs[Double]("dispersion") > 1.0)
+    }
+  }
+
+  test("q_rec_coverage is consistent with q_item_cf's own lists") {
+    val rec = SparkEntry.queries("q_item_cf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Double]("cosine")))
+    val r = SparkEntry.queries("q_rec_coverage")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_lists") == rec.map(_._1).distinct.length.toLong)
+    assert(r.getAs[Long]("n_recommended")
+      == rec.map(_._2).distinct.length.toLong)
+    val topShare = rec.groupBy(_._2).values.map(_.size).max.toDouble /
+      rec.map(_._1).distinct.length
+    assert(math.abs(r.getAs[Double]("top_share") - topShare) <= 1e-6)
+    assert(math.abs(r.getAs[Double]("coverage")
+      - r.getAs[Long]("n_recommended").toDouble
+        / r.getAs[Long]("n_catalog")) <= 1e-6)
+    // ILS: intra-list pairs scored by the SAME cosine table (q_item_cf
+    // rows give each list's member cosines to src, not member-member —
+    // recompute member-member from the lists via the rec rows' sims
+    // being symmetric entries of one sc frame is not derivable here,
+    // so pin the pair count and the [0, 1] range instead)
+    val nPairs = rec.groupBy(_._1).values
+      .map(g => g.size * (g.size - 1) / 2).sum.toLong
+    assert(r.getAs[Long]("n_intra_pairs") == nPairs)
+    val ils = r.getAs[Double]("intra_list_sim")
+    assert(ils >= 0.0 && ils <= 1.0)
+  }
 }

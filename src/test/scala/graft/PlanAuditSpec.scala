@@ -231,8 +231,14 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the user-grain collapse
     "q_cooks_distance",    // 1-row broadcast fit + SSE scalars riding
                            // the day frame
-    "q_durbin_watson")     // 1-row broadcast moment scalars riding
+    "q_durbin_watson",     // 1-row broadcast moment scalars riding
                            // the day frame
+    "q_abc_xyz",           // 1-row broadcast month-count scalar riding
+                           // the part frame
+    "q_term_burstiness",   // 1-row broadcast doc-count scalar riding
+                           // the term frame
+    "q_rec_coverage")      // 1-row coverage/reach/ILS scalars
+                           // crossJoined into the summary row
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

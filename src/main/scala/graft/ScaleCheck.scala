@@ -317,7 +317,10 @@ object ScaleCheck {
     "q_vif", "q_cooks_distance", "q_durbin_watson",
     // round-10 fifteenth batch: the monthly-demand sparse moments,
     // the (doc, term) collapse, and the rec-list pair self-join
-    "q_abc_xyz", "q_term_burstiness", "q_rec_coverage")
+    "q_abc_xyz", "q_term_burstiness", "q_rec_coverage",
+    // round-10 sixteenth batch: the calendar-bounded subsequence
+    // pair profile
+    "q_matrix_profile")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

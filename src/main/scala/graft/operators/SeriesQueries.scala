@@ -2995,6 +2995,140 @@ object SeriesQueries {
             6).as("dw"),
           round(lit(1) - col("sdiff_u").cast("double")
             / col("sse_u").cast("double") / 2, 6).as("rho_approx"))
+    },
+
+    // ---- matrix profile: motifs & discords (w = 7 days) ----
+    // Yeh et al. (ICDM 2016): the all-pairs z-normalized subsequence
+    // distance profile — its minima are MOTIFS (the series' most
+    // repeated weekly shape) and the maxima of each subsequence's
+    // nearest-neighbor distance are DISCORDS (the week least like any
+    // other: the anomaly-hunting primitive q_anomaly_* point tests
+    // can't give, because a discord is only anomalous as a SHAPE).
+    // Exact-friendly construction: each length-7 window carries its
+    // seven lead values as explicit columns, so the cross dot product
+    // is a fixed 7-term expression (identical association order in
+    // both engines — no array codepath divergence), window moments
+    // come from exact DECIMAL sums, and the z-distance uses the
+    // closed form d² = 2w(1 − (q − wμaμb)/(wσaσb)), clamped and
+    // rounded to 6dp BEFORE ranking so cross-engine ulps can't flip
+    // the argmin. The pair join is calendar-bounded (≤ ~2.4k² / 2
+    // pairs at ANY corpus scale — the q_mann_kendall class, with a
+    // 7-day exclusion zone so trivial self-overlaps don't fake
+    // motifs). 100-TB story: one corpus collapse to the day frame;
+    // the profile is frame-side and scale-constant.
+    sql(
+      "q_matrix_profile",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT d, rev,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |v0 AS (SELECT rn, d, rev AS l0,
+        |        lead(rev, 1) OVER w AS l1, lead(rev, 2) OVER w AS l2,
+        |        lead(rev, 3) OVER w AS l3, lead(rev, 4) OVER w AS l4,
+        |        lead(rev, 5) OVER w AS l5, lead(rev, 6) OVER w AS l6
+        |      FROM o WINDOW w AS (ORDER BY rn)),
+        |v AS (SELECT rn, d,
+        |        CAST(l0 AS DOUBLE) AS x0, CAST(l1 AS DOUBLE) AS x1,
+        |        CAST(l2 AS DOUBLE) AS x2, CAST(l3 AS DOUBLE) AS x3,
+        |        CAST(l4 AS DOUBLE) AS x4, CAST(l5 AS DOUBLE) AS x5,
+        |        CAST(l6 AS DOUBLE) AS x6,
+        |        CAST(l0 + l1 + l2 + l3 + l4 + l5 + l6 AS DOUBLE) / 7 AS mu,
+        |        sqrt(CAST(l0 * CAST(l0 AS DECIMAL(19,4))
+        |              + l1 * CAST(l1 AS DECIMAL(19,4))
+        |              + l2 * CAST(l2 AS DECIMAL(19,4))
+        |              + l3 * CAST(l3 AS DECIMAL(19,4))
+        |              + l4 * CAST(l4 AS DECIMAL(19,4))
+        |              + l5 * CAST(l5 AS DECIMAL(19,4))
+        |              + l6 * CAST(l6 AS DECIMAL(19,4)) AS DOUBLE) / 7
+        |             - (CAST(l0 + l1 + l2 + l3 + l4 + l5 + l6 AS DOUBLE) / 7)
+        |               * (CAST(l0 + l1 + l2 + l3 + l4 + l5 + l6 AS DOUBLE) / 7))
+        |          AS sg
+        |      FROM v0 WHERE l6 IS NOT NULL),
+        |p AS (SELECT a.rn AS ai, b.rn AS bi, a.d AS da, b.d AS db,
+        |        round(greatest(
+        |          14 * (1 - ((a.x0 * b.x0 + a.x1 * b.x1 + a.x2 * b.x2
+        |                      + a.x3 * b.x3 + a.x4 * b.x4 + a.x5 * b.x5
+        |                      + a.x6 * b.x6) - 7 * a.mu * b.mu)
+        |                    / (7 * a.sg * b.sg)), 0), 6) AS d2
+        |      FROM v a JOIN v b ON b.rn >= a.rn + 7),
+        |mot AS (SELECT 'motif' AS kind,
+        |          CAST(row_number() OVER (ORDER BY d2, ai, bi) AS BIGINT)
+        |            AS rank,
+        |          da AS day_i, db AS day_j, d2
+        |        FROM p ORDER BY d2, ai, bi LIMIT 3),
+        |u AS (SELECT ai AS i, da AS di, bi AS j, db AS dj, d2 FROM p
+        |      UNION ALL
+        |      SELECT bi, db, ai, da, d2 FROM p),
+        |nn AS (SELECT i, di, min(d2) AS nnd FROM u GROUP BY 1, 2),
+        |dsc0 AS (SELECT nn.i, nn.di, nn.nnd,
+        |           min(u.dj) AS dj
+        |         FROM nn JOIN u ON u.i = nn.i AND u.d2 = nn.nnd
+        |         GROUP BY 1, 2, 3),
+        |dsc AS (SELECT 'discord' AS kind,
+        |          CAST(row_number() OVER (ORDER BY nnd DESC, i) AS BIGINT)
+        |            AS rank,
+        |          di AS day_i, dj AS day_j, nnd AS d2
+        |        FROM dsc0 ORDER BY nnd DESC, i LIMIT 3)
+        |SELECT kind, rank, day_i, day_j, round(sqrt(d2), 6) AS z_dist
+        |FROM (SELECT * FROM mot UNION ALL SELECT * FROM dsc)
+        |ORDER BY kind, rank""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val w = Window.orderBy("rn")
+      val o = daily.withColumn("rn",
+        row_number().over(Window.orderBy("d")).cast("long"))
+      val ls = (1 to 6).map(k => lead("rev", k).over(w).as(s"l$k"))
+      val v0 = o.select(Seq(col("rn"), col("d"), col("rev").as("l0"))
+        ++ ls: _*)
+      val sumL = (0 to 6).map(k => col(s"l$k")).reduce(_ + _)
+      val s2 = (0 to 6).map(k =>
+        col(s"l$k") * col(s"l$k").cast("decimal(19,4)")).reduce(_ + _)
+      val mu = sumL.cast("double") / 7
+      val v = v0.where(col("l6").isNotNull)
+        .select(Seq(col("rn"), col("d")) ++
+          (0 to 6).map(k => col(s"l$k").cast("double").as(s"x$k")) ++
+          Seq(mu.as("mu"),
+            sqrt(s2.cast("double") / 7 - mu * mu).as("sg")): _*)
+        .localCheckpoint() // subsequence frame, both sides of the join
+      val a = v.columns.foldLeft(v)((df, c) => df.withColumnRenamed(c, s"a_$c"))
+      val b = v.columns.foldLeft(v)((df, c) => df.withColumnRenamed(c, s"b_$c"))
+      val q = (0 to 6).map(k => col(s"a_x$k") * col(s"b_x$k")).reduce(_ + _)
+      val d2 = round(greatest(
+        lit(14) * (lit(1) - (q - lit(7) * col("a_mu") * col("b_mu"))
+          / (lit(7) * col("a_sg") * col("b_sg"))), lit(0)), 6)
+      val p = a.join(b, col("b_rn") >= col("a_rn") + 7)
+        .select(col("a_rn").as("ai"), col("b_rn").as("bi"),
+          col("a_d").as("da"), col("b_d").as("db"), d2.as("d2"))
+        .localCheckpoint() // pair frame: motifs + both discord passes
+      val mot = p.orderBy(col("d2"), col("ai"), col("bi")).limit(3)
+        .select(lit("motif").as("kind"),
+          row_number().over(Window.orderBy(col("d2"), col("ai"), col("bi")))
+            .cast("long").as("rank"),
+          col("da").as("day_i"), col("db").as("day_j"), col("d2"))
+      val u = p.select(col("ai").as("i"), col("da").as("di"),
+          col("bi").as("j"), col("db").as("dj"), col("d2"))
+        .unionByName(p.select(col("bi").as("i"), col("db").as("di"),
+          col("ai").as("j"), col("da").as("dj"), col("d2")))
+        .localCheckpoint() // directed pair frame, read twice
+      val nn = u.groupBy("i", "di").agg(min("d2").as("nnd"))
+        .select(col("i").as("ni"), col("di").as("ndi"), col("nnd"))
+      val dsc0 = nn.join(u,
+          col("i") === col("ni") && col("d2") === col("nnd"))
+        .groupBy(col("ni").as("i2"), col("ndi"), col("nnd"))
+        .agg(min("dj").as("dj"))
+      val dsc = dsc0.orderBy(desc("nnd"), col("i2")).limit(3)
+        .select(lit("discord").as("kind"),
+          row_number().over(Window.orderBy(desc("nnd"), col("i2")))
+            .cast("long").as("rank"),
+          col("ndi").as("day_i"), col("dj").as("day_j"),
+          col("nnd").as("d2"))
+      mot.unionByName(dsc)
+        .select(col("kind"), col("rank"), col("day_i"), col("day_j"),
+          round(sqrt(col("d2")), 6).as("z_dist"))
+        .orderBy("kind", "rank")
     }
   )
 }

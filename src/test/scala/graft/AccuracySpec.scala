@@ -2513,4 +2513,42 @@ class AccuracySpec extends SparkSpec {
     val ils = r.getAs[Double]("intra_list_sim")
     assert(ils >= 0.0 && ils <= 1.0)
   }
+
+  test("q_matrix_profile matches a from-scratch all-pairs profile") {
+    val s0 = daySeries()
+    val (days, xs) = (s0.map(_._1), s0.map(_._2))
+    val n = xs.size
+    val w = 7
+    val m = n - w + 1
+    val mus = (0 until m).map(i => xs.slice(i, i + w).sum / w)
+    val sgs = (0 until m).map { i =>
+      val win = xs.slice(i, i + w)
+      math.sqrt(win.map(x => x * x).sum / w - mus(i) * mus(i))
+    }
+    def d2(i: Int, j: Int): Double = {
+      val q = (0 until w).map(k => xs(i + k) * xs(j + k)).sum
+      val raw = 14 * (1 - (q - 7 * mus(i) * mus(j)) / (7 * sgs(i) * sgs(j)))
+      math.rint(math.max(raw, 0) * 1e6) / 1e6
+    }
+    val pairs = for (i <- 0 until m; j <- (i + w) until m) yield (i, j, d2(i, j))
+    val motif = pairs.minBy(p => (p._3, p._1, p._2))
+    val nnOf = Array.fill(m)(Double.MaxValue)
+    pairs.foreach { case (i, j, d) =>
+      nnOf(i) = math.min(nnOf(i), d); nnOf(j) = math.min(nnOf(j), d)
+    }
+    val discord = (0 until m).maxBy(i => (nnOf(i), -i))
+    val got = SparkEntry.queries("q_matrix_profile")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("day_i"), r.getAs[Long]("day_j"),
+          r.getAs[Double]("z_dist")))).toMap
+    val (mi, mj, md) = got(("motif", 1L))
+    assert(mi == days(motif._1) && mj == days(motif._2),
+      s"motif ($mi,$mj) vs (${days(motif._1)},${days(motif._2)})")
+    assert(math.abs(md - math.sqrt(motif._3)) <= 1e-5)
+    val (di, _, dd) = got(("discord", 1L))
+    assert(di == days(discord), s"discord $di vs ${days(discord)}")
+    assert(math.abs(dd - math.sqrt(nnOf(discord))) <= 1e-5)
+    // shape sanity: the top motif is far tighter than the top discord
+    assert(md < dd / 2)
+  }
 }

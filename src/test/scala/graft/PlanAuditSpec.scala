@@ -237,8 +237,11 @@ class PlanAuditSpec extends SparkSpec {
                            // the part frame
     "q_term_burstiness",   // 1-row broadcast doc-count scalar riding
                            // the term frame
-    "q_rec_coverage")      // 1-row coverage/reach/ILS scalars
+    "q_rec_coverage",      // 1-row coverage/reach/ILS scalars
                            // crossJoined into the summary row
+    "q_matrix_profile")    // calendar-bounded subsequence pair join
+                           // (<= ~2.4k^2/2 at any scale — the
+                           // q_mann_kendall class)
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

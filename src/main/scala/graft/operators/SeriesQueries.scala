@@ -2879,7 +2879,7 @@ object SeriesQueries {
         |            / (f.sxx - f.sx * f.sx / f.n) AS h,
         |        f.n
         |      FROM daily CROSS JOIN fit f),
-        |s2 AS (SELECT sum(CAST(round(e * e) AS DECIMAL(18,0))) AS sse_u
+        |s2 AS (SELECT sum(CAST(round(e * e) AS DECIMAL(28,0))) AS sse_u
         |       FROM r)
         |SELECT d AS day_num, round(rev, 4) AS rev,
         |  round(e, 4) AS residual, round(h, 6) AS leverage,
@@ -2913,7 +2913,7 @@ object SeriesQueries {
         .localCheckpoint() // day frame with residuals, read twice
       // unit-rounded terms summed as DECIMAL: a BIGINT sum overflowed
       // at the 10x corpus (e^2 ~ 1e16 per day there)
-      val s2 = r.agg(sum(round(col("e") * col("e")).cast("decimal(18,0)"))
+      val s2 = r.agg(sum(round(col("e") * col("e")).cast("decimal(28,0)"))
         .as("sse_u"))
       r.crossJoin(broadcast(s2))
         .select(col("d").as("day_num"), round(col("rev"), 4).as("rev"),
@@ -2955,9 +2955,9 @@ object SeriesQueries {
         |      FROM daily CROSS JOIN mo),
         |l AS (SELECT e, lag(e) OVER (ORDER BY d) AS ep FROM r),
         |a AS (SELECT
-        |    sum(CAST(round(e * e) AS DECIMAL(18,0))) AS sse_u,
-        |    sum(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(18,0))
-        |             ELSE CAST(round((e - ep) * (e - ep)) AS DECIMAL(18,0))
+        |    sum(CAST(round(e * e) AS DECIMAL(28,0))) AS sse_u,
+        |    sum(CASE WHEN ep IS NULL THEN CAST(0 AS DECIMAL(28,0))
+        |             ELSE CAST(round((e - ep) * (e - ep)) AS DECIMAL(28,0))
         |             END) AS sdiff_u,
         |    CAST(count(*) AS BIGINT) AS n_days
         |  FROM l)
@@ -2984,10 +2984,10 @@ object SeriesQueries {
       val l = r.withColumn("ep", lag("e", 1).over(Window.orderBy("d")))
       // unit-rounded DECIMAL sums (the q_cooks_distance overflow fix)
       l.agg(
-          sum(round(col("e") * col("e")).cast("decimal(18,0)")).as("sse_u"),
-          sum(when(col("ep").isNull, lit(0).cast("decimal(18,0)"))
+          sum(round(col("e") * col("e")).cast("decimal(28,0)")).as("sse_u"),
+          sum(when(col("ep").isNull, lit(0).cast("decimal(28,0)"))
             .otherwise(round((col("e") - col("ep"))
-              * (col("e") - col("ep"))).cast("decimal(18,0)")))
+              * (col("e") - col("ep"))).cast("decimal(28,0)")))
             .as("sdiff_u"),
           count(lit(1)).as("n_days"))
         .select(col("n_days"),

@@ -175,29 +175,38 @@ object FormatQueries {
       "q_zorder_layout",
       """WITH base AS (SELECT l_orderkey AS ok, l_partkey AS pk,
         |                l_suppkey AS sk FROM lineitem),
-        |z1 AS (SELECT ok, pk, sk,
-        |         (pk | (pk << 16)) & 281470681808895 AS a1,
-        |         (sk | (sk << 16)) & 281470681808895 AS b1 FROM base),
-        |z2 AS (SELECT ok, pk, sk,
+        |mx AS (SELECT max(ok) AS max_ok, max(pk) AS max_pk,
+        |         max(sk) AS max_sk, min(pk) AS min_pk, min(sk) AS min_sk
+        |       FROM base),
+        |g AS (SELECT ok, pk, sk, max_ok, max_pk, max_sk,
+        |        ((pk - min_pk) * 65535)
+        |          // (CASE WHEN max_pk > min_pk THEN max_pk - min_pk
+        |                   ELSE 1 END) AS a0,
+        |        ((sk - min_sk) * 65535)
+        |          // (CASE WHEN max_sk > min_sk THEN max_sk - min_sk
+        |                   ELSE 1 END) AS b0
+        |      FROM base CROSS JOIN mx),
+        |z1 AS (SELECT ok, pk, sk, max_ok, max_pk, max_sk,
+        |         (a0 | (a0 << 16)) & 281470681808895 AS a1,
+        |         (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM g),
+        |z2 AS (SELECT ok, pk, sk, max_ok, max_pk, max_sk,
         |         (a1 | (a1 << 8)) & 71777214294589695 AS a2,
         |         (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM z1),
-        |z3 AS (SELECT ok, pk, sk,
+        |z3 AS (SELECT ok, pk, sk, max_ok, max_pk, max_sk,
         |         (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
         |         (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM z2),
-        |z4 AS (SELECT ok, pk, sk,
+        |z4 AS (SELECT ok, pk, sk, max_ok, max_pk, max_sk,
         |         (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
         |         (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM z3),
-        |zz AS (SELECT ok, pk, sk,
+        |zz AS (SELECT ok, pk, sk, max_ok, max_pk, max_sk,
         |         ((a4 | (a4 << 1)) & 6148914691236517205)
         |         | (((b4 | (b4 << 1)) & 6148914691236517205) << 1) AS z
         |       FROM z4),
-        |sc AS (SELECT max(ok) AS max_ok, max(pk) AS max_pk,
-        |         max(sk) AS max_sk, min(z) AS zmin, max(z) AS zmax
-        |       FROM zz),
-        |asg AS (SELECT pk, sk,
+        |zb AS (SELECT min(z) AS zmin, max(z) AS zmax FROM zz),
+        |asg AS (SELECT pk, sk, max_pk, max_sk,
         |          (ok - 1) // (((max_ok - 1) // 64) + 1) AS f_lin,
         |          (z - zmin) // (((zmax - zmin) // 64) + 1) AS f_z
-        |        FROM zz, sc),
+        |        FROM zz, zb),
         |st AS (SELECT 'linear' AS layout, f_lin AS f,
         |         min(pk) AS mnp, max(pk) AS mxp, min(sk) AS mns,
         |         max(sk) AS mxs, count(*) AS c
@@ -209,7 +218,7 @@ object FormatQueries {
         |pred AS (SELECT max_pk // 4 AS pk_lo,
         |           max_pk // 4 + max_pk // 8 AS pk_hi,
         |           max_sk // 4 AS sk_lo, max_sk // 4 + max_sk // 8 AS sk_hi
-        |         FROM sc),
+        |         FROM mx),
         |mrows AS (SELECT CAST(count(*) AS BIGINT) AS match_rows_box
         |          FROM base, pred
         |          WHERE pk BETWEEN pk_lo AND pk_hi
@@ -230,13 +239,32 @@ object FormatQueries {
       val base = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
           col("l_suppkey").as("sk"))
-      val zz = base.withColumn("z",
-        ZOrder.spreadBits(col("pk"))
-          .bitwiseOR(shiftleft(ZOrder.spreadBits(col("sk")), 1)))
-      val sc0 = zz.agg(max("ok").as("max_ok"), max("pk").as("max_pk"),
-        max("sk").as("max_sk"), min("z").as("zmin"), max("z").as("zmax"))
+      val mx = base.agg(max("ok").as("max_ok"), max("pk").as("max_pk"),
+        max("sk").as("max_sk"), min("pk").as("min_pk"),
+        min("sk").as("min_sk"))
         .localCheckpoint() // 1-row scalar frame, read by three passes
-      val asg = zz.crossJoin(broadcast(sc0))
+      // min-max-scaled 16-bit coordinates: raw keys overflowed the
+      // 32-bit Morton spread at the 100x corpus (partkeys > 2^32 put
+      // the interleave's top bit into << 1's sign position), and the
+      // base corpora start their key ranges at 0 (a pk-1 scaling went
+      // NEGATIVE and exploded the spread) — (k - min)·65535 div
+      // (max - min) lands exactly in [0, 2^16) for ANY key range,
+      // keeping the full 64 x 64 grid resolution the 64-file audit
+      // reads
+      val zz = base.crossJoin(broadcast(mx))
+        .selectExpr("ok", "pk", "sk",
+          "((pk - min_pk) * 65535) div " +
+            "(CASE WHEN max_pk > min_pk THEN max_pk - min_pk ELSE 1 END)" +
+            " AS a0",
+          "((sk - min_sk) * 65535) div " +
+            "(CASE WHEN max_sk > min_sk THEN max_sk - min_sk ELSE 1 END)" +
+            " AS b0")
+        .withColumn("z",
+          ZOrder.spreadBits(col("a0"))
+            .bitwiseOR(shiftleft(ZOrder.spreadBits(col("b0")), 1)))
+      val zb = zz.agg(min("z").as("zmin"), max("z").as("zmax"))
+        .localCheckpoint()
+      val asg = zz.crossJoin(broadcast(zb)).crossJoin(broadcast(mx))
         .selectExpr("pk", "sk",
           "(ok - 1) div (((max_ok - 1) div 64) + 1) AS f_lin",
           "(z - zmin) div (((zmax - zmin) div 64) + 1) AS f_z")
@@ -247,7 +275,7 @@ object FormatQueries {
             count(lit(1)).as("c"))
       val st = fileStats("linear", "f_lin")
         .unionByName(fileStats("zorder", "f_z"))
-      val pred = sc0.selectExpr("max_pk div 4 AS pk_lo",
+      val pred = mx.selectExpr("max_pk div 4 AS pk_lo",
         "max_pk div 4 + max_pk div 8 AS pk_hi",
         "max_sk div 4 AS sk_lo", "max_sk div 4 + max_sk div 8 AS sk_hi")
       val mrows = base.crossJoin(broadcast(pred))

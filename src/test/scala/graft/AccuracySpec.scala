@@ -1851,7 +1851,13 @@ class AccuracySpec extends SparkSpec {
       s = (s | (s << 2)) & 0x3333333333333333L
       (s | (s << 1)) & 0x5555555555555555L
     }
-    val zs = rows0.map { case (_, pk, sk) => spread(pk) | (spread(sk) << 1) }
+    val (mPk, mSk) = (rows0.map(_._2).max, rows0.map(_._3).max)
+    val (nPk, nSk) = (rows0.map(_._2).min, rows0.map(_._3).min)
+    // min-max-scaled 16-bit coordinates (the 100x key-width fix)
+    val zs = rows0.map { case (_, pk, sk) =>
+      spread((pk - nPk) * 65535 / (mPk - nPk)) |
+        (spread((sk - nSk) * 65535 / (mSk - nSk)) << 1)
+    }
     val (zmin, zmax) = (zs.min, zs.max)
     val maxOk = rows0.map(_._1).max
     val (maxPk, maxSk) = (rows0.map(_._2).max, rows0.map(_._3).max)

@@ -3036,7 +3036,7 @@ object SeriesQueries {
         |        CAST(l4 AS DOUBLE) AS x4, CAST(l5 AS DOUBLE) AS x5,
         |        CAST(l6 AS DOUBLE) AS x6,
         |        CAST(l0 + l1 + l2 + l3 + l4 + l5 + l6 AS DOUBLE) / 7 AS mu,
-        |        sqrt(CAST(l0 * CAST(l0 AS DECIMAL(19,4))
+        |        greatest(sqrt(CAST(l0 * CAST(l0 AS DECIMAL(19,4))
         |              + l1 * CAST(l1 AS DECIMAL(19,4))
         |              + l2 * CAST(l2 AS DECIMAL(19,4))
         |              + l3 * CAST(l3 AS DECIMAL(19,4))
@@ -3044,8 +3044,8 @@ object SeriesQueries {
         |              + l5 * CAST(l5 AS DECIMAL(19,4))
         |              + l6 * CAST(l6 AS DECIMAL(19,4)) AS DOUBLE) / 7
         |             - (CAST(l0 + l1 + l2 + l3 + l4 + l5 + l6 AS DOUBLE) / 7)
-        |               * (CAST(l0 + l1 + l2 + l3 + l4 + l5 + l6 AS DOUBLE) / 7))
-        |          AS sg
+        |               * (CAST(l0 + l1 + l2 + l3 + l4 + l5 + l6 AS DOUBLE) / 7)),
+        |          1e-9) AS sg
         |      FROM v0 WHERE l6 IS NOT NULL),
         |p AS (SELECT a.rn AS ai, b.rn AS bi, a.d AS da, b.d AS db,
         |        round(greatest(
@@ -3091,7 +3091,10 @@ object SeriesQueries {
         .select(Seq(col("rn"), col("d")) ++
           (0 to 6).map(k => col(s"l$k").cast("double").as(s"x$k")) ++
           Seq(mu.as("mu"),
-            sqrt(s2.cast("double") / 7 - mu * mu).as("sg")): _*)
+            // sg = 0 on a constant week would give d2 = NaN and could
+            // mask a discord (r10 ADVICE); clamp identically both sides
+            greatest(sqrt(s2.cast("double") / 7 - mu * mu), lit(1e-9))
+              .as("sg")): _*)
         .localCheckpoint() // subsequence frame, both sides of the join
       val a = v.columns.foldLeft(v)((df, c) => df.withColumnRenamed(c, s"a_$c"))
       val b = v.columns.foldLeft(v)((df, c) => df.withColumnRenamed(c, s"b_$c"))

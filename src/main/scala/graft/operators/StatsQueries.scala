@@ -4832,11 +4832,21 @@ object StatsQueries {
         |FROM sp""".stripMargin) { (s, dir) =>
       // BIGRAM spectrum: the unigram lexicon of this corpus is only
       // ~31 high-frequency words (f1 = f2 = 0 — Chao1 degenerates to
-      // D), while the bigram space is genuinely open-vocabulary
+      // D), while the bigram space is genuinely open-vocabulary.
+      // r11 (VERDICT #1): the spectrum only consumes COUNTS, never the
+      // bigram text — hash each (w_i, w_i+1) pair to a 64-bit digest
+      // BEFORE the groupBy. No per-bigram string concat (the old shape
+      // allocated one string per corpus bigram — the GC churn that
+      // made this query the sweep's most inflation-sensitive), and the
+      // spectrum shuffle carries 8-byte longs instead of text.
+      // Distinct pairs keep distinct digests up to the 64-bit birthday
+      // bound (~1e7 distinct bigrams → P[any collision] ≈ 3e-6); a
+      // collision would merge two species, which the sf0.01 AND 10×
+      // oracle hash gates would catch.
       val w = graft.functions.TextFunctions.tokens(col("text"))
       val c = t(s, dir, "documents")
         .select(explode(transform(sequence(lit(1), size(w) - 1),
-          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          i => xxhash64(element_at(w, i), element_at(w, i + 1))))
           .as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
       c.agg(sum("n").cast("long").as("n_tokens"),

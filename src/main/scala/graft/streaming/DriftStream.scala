@@ -59,6 +59,9 @@ object DriftStream {
     implicit val outEnc = Encoders.product[WindowDrift]
     import ds.sparkSession.implicits._
     val nr = reference.valuesIterator.sum
+    // an empty reference would make every finalized window NaN/Inf
+    // (w1/ks divide by n*nr); fail at wiring time, not in the sink
+    require(nr > 0, s"DriftStream needs a non-empty reference histogram (got $nr observations)")
     ds.withWatermark("ts", watermarkDelay)
       .groupByKey(e => e.ts.getTime / 1000 / windowSec * windowSec)
       .flatMapGroupsWithState[DriftState, WindowDrift](

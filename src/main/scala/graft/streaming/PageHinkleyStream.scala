@@ -59,6 +59,12 @@ object PageHinkleyStream {
           state.update(st)
           PHOut(key, st.n, st.lambda, st.nAlarms, st.firstAlarmD, st.maxPh)
       }
+      // batch q_page_hinkley inner-joins on the t = 10 burn-in row, so
+      // series shorter than the burn-in never appear there; emit the
+      // same surface here instead of NaN-lambda rows (r10 ADVICE).
+      // State is still kept, so a series crossing the burn-in in a
+      // later batch starts emitting with the correct full history.
+      .filter(_.n_days >= BurnIn)
   }
 
   val outputMode: OutputMode = OutputMode.Update()

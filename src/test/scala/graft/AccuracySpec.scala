@@ -2290,8 +2290,11 @@ class AccuracySpec extends SparkSpec {
       val hits = cum * 100 / tRev - before
       if (hits > 0) {
         nSel += 1; totHits += hits
-        htU6 += math.rint(
-          hits * qty.toDouble * tRev / (100.0 * rev) * 1000000).toLong
+        // HALF_UP to match both engines' round() (math.rint is
+        // half-to-even and would fail on an exact .5 µ-unit tie)
+        htU6 += BigDecimal(
+          hits * qty.toDouble * tRev / (100.0 * rev) * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }
     }
     val r = SparkEntry.queries("q_pps_sampling")(spark, sf).collect()(0)

@@ -83,6 +83,21 @@ class PageHinkleyStreamSpec extends SparkSpec {
       rows.slice(cut1, cut2), rows.drop(cut2))))
   }
 
+  test("series shorter than the burn-in are suppressed, not NaN") {
+    // batch q_page_hinkley inner-joins on the t = 10 row, so a 6-day
+    // series never appears there; the stream must present the same
+    // surface (no lambda = NaN rows). Once the series crosses the
+    // burn-in in a LATER batch it must appear with full-history state.
+    val short = (1L to 6L).map(d => ("short", 2000 + d, 40L))
+    assert(!runStream(Seq(short)).contains("short"),
+      "sub-burn-in series leaked into the output")
+    val rest = (7L to 15L).map(d => ("short", 2000 + d, 40L))
+    val got = runStream(Seq(short, rest))
+    assert(got.contains("short"), "series crossing burn-in must emit")
+    assert(got("short")._1 == 15L, s"n_days ${got("short")._1} vs 15")
+    assert(!got("short")._2.isNaN, "lambda must be seeded, not NaN")
+  }
+
   test("behavior: quiet on a flat series, alarms after a mean shift") {
     // flat: constant 50/day for 30 days; shifted: 50/day for 20 days
     // then 150/day — the detector must arm at day 10 and fire only on

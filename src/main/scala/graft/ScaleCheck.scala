@@ -320,7 +320,10 @@ object ScaleCheck {
     "q_abc_xyz", "q_term_burstiness", "q_rec_coverage",
     // round-10 sixteenth batch: the calendar-bounded subsequence
     // pair profile
-    "q_matrix_profile")
+    "q_matrix_profile",
+    // round-11 first batch: the per-shard value-histogram collapse
+    // feeding the k-bounded ε-rank summary + merge audit
+    "q_rank_sketch")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1060,6 +1060,150 @@ object AggregateQueries {
           col("buckets_used").cast("long").as("buckets_used"),
           col("merge_equal_buckets"))
         .orderBy("p")
+    },
+
+    // ---- portable mergeable ε-rank summary (KLL family) ----
+    // The 5th cross-engine sketch family: mergeable quantiles with a
+    // RANK-domain guarantee — the complement of q_hdr_quantiles, whose
+    // bucketing bounds VALUE-relative error (a p50 answer is within
+    // 1.56 % of the true value, but its rank can be anywhere inside a
+    // fat bucket); here the answer's RANK is within ε·n of target,
+    // whatever the value distribution does. The published line is
+    // GK (Greenwald–Khanna '01) → Mergeable Summaries (Agarwal,
+    // Cormode, Huang, Phillips, Wei, Yi — PODS'12) → KLL (Karnin,
+    // Lang, Liberty — FOCS'16). KLL itself compacts with random coin
+    // flips over ARRIVAL order — two engines cannot reproduce it
+    // bitwise, the portable-HLL lesson — so this is the family's
+    // deterministic, multiset-invariant member: per shard, keep each
+    // value where the exact cumulative count crosses a multiple of the
+    // stride s_i = ⌈n_i/k⌉ (k = 64 ⇒ ε = 1/k), plus the shard max.
+    // Each kept value carries its EXACT local rank, so merging shard
+    // summaries is pure addition: est_rank(v) = Σ_i (largest kept
+    // local cum ≤ v), and the per-shard deficit is < s_i by the
+    // crossing rule — total rank error < Σ_i s_i ≈ ε·n, the PODS'12
+    // additive-merge theorem, which rides in the output as data
+    // (max_rank_err over every kept value vs the exact global rank,
+    // merge_ok = 1). Quantile answers a_p = min kept v with
+    // est_rank ≥ r_p satisfy #(≤ a_p) ≥ r_p and #(< a_p) < r_p + ε·n
+    // (rank_ok = 1, hash-checked per p). All-BIGINT output —
+    // rendering-proof by the r10 de-render construction.
+    // 100-TB story: ONE corpus pass (partial+final hash agg to the
+    // per-shard value histogram — shuffle O(distinct values), never
+    // O(rows)); cum/crossing ride per-shard windows on that bounded
+    // frame; summaries are ≤ k+1 rows/shard, so the merge estimation
+    // is a ≤200×200 broadcast range join at ANY corpus scale — each
+    // production shard ships k counters, never values. The exact-rank
+    // audit reuses the SAME value-histogram frame (no second corpus
+    // scan); at production scale it would be sampled.
+    sql(
+      "q_rank_sketch",
+      """WITH v AS (SELECT l_returnflag AS shard,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |vc AS (SELECT shard, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM v GROUP BY 1, 2),
+        |sn AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_i,
+        |         (CAST(sum(c) AS BIGINT) + 63) // 64 AS s
+        |       FROM vc GROUP BY 1),
+        |cu AS (SELECT vc.shard, vc.v, vc.c, sn.s, sn.n_i,
+        |         CAST(sum(vc.c) OVER (PARTITION BY vc.shard ORDER BY vc.v)
+        |           AS BIGINT) AS cum
+        |       FROM vc JOIN sn ON sn.shard = vc.shard),
+        |sk AS (SELECT shard, v, cum FROM cu
+        |       WHERE cum // s > (cum - c) // s OR cum = n_i),
+        |eb AS (SELECT CAST(sum(s) AS BIGINT) AS eps_bound FROM sn),
+        |kv AS (SELECT DISTINCT v FROM sk),
+        |er AS (SELECT m.v, CAST(sum(m.mx) AS BIGINT) AS est_rank
+        |       FROM (SELECT kv.v, sk.shard, max(sk.cum) AS mx
+        |             FROM kv JOIN sk ON sk.v <= kv.v GROUP BY 1, 2) m
+        |       GROUP BY 1),
+        |g AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM vc GROUP BY 1),
+        |gc AS (SELECT v, c,
+        |         CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cumg FROM g),
+        |ex AS (SELECT er.v, er.est_rank, gc.cumg AS exact_le,
+        |         gc.cumg - gc.c AS exact_lt
+        |       FROM er JOIN gc ON gc.v = er.v),
+        |mm AS (SELECT CAST(max(exact_le - est_rank) AS BIGINT)
+        |         AS max_rank_err FROM ex),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        |ssz AS (SELECT CAST(count(*) AS BIGINT) AS summary_rows FROM sk),
+        |pr AS (SELECT CAST(p AS BIGINT) AS p, (p * nn.n + 99) // 100 AS r
+        |       FROM (SELECT unnest([50, 90, 95, 99]) AS p), nn),
+        |a AS (SELECT pr.p, pr.r, min(ex.v) AS answer_cents
+        |      FROM pr JOIN ex ON ex.est_rank >= pr.r GROUP BY 1, 2),
+        |f AS (SELECT a.p, a.r, a.answer_cents, ex.exact_le, ex.exact_lt
+        |      FROM a JOIN ex ON ex.v = a.answer_cents)
+        |SELECT f.p, nn.n, f.r AS rank_r, f.answer_cents, f.exact_le,
+        |  f.exact_lt,
+        |  CAST(CASE WHEN f.exact_le >= f.r
+        |             AND f.exact_lt < f.r + eb.eps_bound
+        |       THEN 1 ELSE 0 END AS BIGINT) AS rank_ok,
+        |  ssz.summary_rows, eb.eps_bound, mm.max_rank_err,
+        |  CAST(CASE WHEN mm.max_rank_err < eb.eps_bound
+        |       THEN 1 ELSE 0 END AS BIGINT) AS merge_ok
+        |FROM f, nn, eb, mm, ssz
+        |ORDER BY p""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+      // ONE corpus pass: per-(shard, value) counts — the frame every
+      // downstream step (summary build, merge audit, exact ranks)
+      // reads; value-histogram-scale, checkpointed once
+      val vc = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("shard"), cents.as("v"))
+        .groupBy("shard", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val sn = vc.groupBy("shard").agg(sum("c").cast("long").as("n_i"))
+        .selectExpr("shard", "n_i", "(n_i + 63) div 64 AS s")
+      val cu = vc.join(broadcast(sn), "shard")
+        .withColumn("cum", sum("c").over(Window.partitionBy("shard")
+          .orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      // stride-crossing rule + forced shard max: ≤ k+1 rows per shard
+      val sk = cu.where(expr("cum div s > (cum - c) div s OR cum = n_i"))
+        .select(col("shard"), col("v"), col("cum"))
+        .localCheckpoint() // the sketch itself: ~200 rows at any scale
+      val eb = sn.agg(sum("s").cast("long").as("eps_bound"))
+      val kv = sk.select("v").distinct()
+      // merged rank estimation: kept-value × summary range join —
+      // both sides are k-bounded, broadcast by construction
+      val er = kv.join(broadcast(sk.select(col("shard"),
+            col("v").as("sv"), col("cum"))), col("sv") <= col("v"))
+        .groupBy("v", "shard").agg(max("cum").as("mx"))
+        .groupBy("v").agg(sum("mx").cast("long").as("est_rank"))
+      val g = vc.groupBy("v").agg(sum("c").cast("long").as("c"))
+      val gc = g.withColumn("cumg", sum("c").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      val ex = er.join(gc, "v")
+        .select(col("v"), col("est_rank"), col("cumg").as("exact_le"),
+          (col("cumg") - col("c")).as("exact_lt"))
+        .localCheckpoint() // audit frame: read by mm, a, and f
+      val mm = ex.agg(max(col("exact_le") - col("est_rank")).cast("long")
+        .as("max_rank_err"))
+      val nn = g.agg(sum("c").cast("long").as("n"))
+      val ssz = sk.agg(count(lit(1)).as("summary_rows"))
+      val pr = s.range(1)
+        .select(explode(array(lit(50), lit(90), lit(95), lit(99))).as("p"))
+        .crossJoin(broadcast(nn))
+        .selectExpr("CAST(p AS BIGINT) AS p", "(p * n + 99) div 100 AS r")
+      val a = broadcast(pr).join(ex, col("est_rank") >= col("r"))
+        .groupBy("p", "r").agg(min("v").as("answer_cents"))
+      val f = a.join(ex.select(col("v"), col("exact_le"), col("exact_lt")),
+        col("v") === col("answer_cents"))
+      f.crossJoin(broadcast(nn)).crossJoin(broadcast(eb))
+        .crossJoin(broadcast(mm)).crossJoin(broadcast(ssz))
+        .select(col("p"), col("n"), col("r").as("rank_r"),
+          col("answer_cents"), col("exact_le"), col("exact_lt"),
+          when(col("exact_le") >= col("r")
+            && col("exact_lt") < col("r") + col("eps_bound"), 1L)
+            .otherwise(0L).as("rank_ok"),
+          col("summary_rows"), col("eps_bound"), col("max_rank_err"),
+          when(col("max_rank_err") < col("eps_bound"), 1L)
+            .otherwise(0L).as("merge_ok"))
+        .orderBy("p")
     }
   )
 

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming per-window mergeable ε-rank summary — the streaming twin
+  * of the batch `q_rank_sketch` operator (the 21st batch/stream twin,
+  * and the 5th sketch family's stream side next to HllPortable, MG,
+  * KMV, and HDR): the same deterministic stride-crossing coreset
+  * (keep each value whose exact cumulative count crosses a multiple of
+  * s = ⌈n/k⌉, plus the max; k = 64 ⇒ rank error < s ≈ n/64), built
+  * from per-value counts carried as keyed state per open window and
+  * finalized exactly once when the watermark passes window end.
+  *
+  * Like the HDR histogram, the state is a pure function of the
+  * inserted value MULTISET — arrival order and micro-batch splits
+  * cannot move it — so for the same window's rows every emitted
+  * summary row and quantile answer is BIT-IDENTICAL to the batch
+  * computation ([[RankSketchStreamSpec]] asserts this). KLL proper
+  * compacts with random coins over arrival order (FOCS'16) — a
+  * stream restart or repartition would change its output; this
+  * deterministic member of the same family (Agarwal et al.,
+  * Mergeable Summaries, PODS'12 contract) recovers exactly after
+  * failure from the state store, which is what a production monitor
+  * needs. Two streams' summaries merge by est-rank ADDITION —
+  * [[mergedRank]], the same additive theorem `q_rank_sketch` checks
+  * as data (total error < Σ strides) — so per-shard windows
+  * reconcile cross-cluster by shipping ≤ k+1 (value, rank) pairs,
+  * never values.
+  *
+  * State size honesty: the OPEN-window state is the exact per-value
+  * histogram (the HdrSketchStream pattern — bounded by the value
+  * domain, not the row count); the ε-summary is cut once at close.
+  * Compacting mid-window (summary-of-summary) would compound the
+  * error ε per compaction and break bit-parity with the batch twin.
+  */
+object RankSketchStream {
+
+  case class PriceEvent(ts: Timestamp, cents: Long)
+  case class WindowRanks(window_start: Timestamp, n: Long,
+      summary_rows: Long, eps_bound: Long, p50: Long, p95: Long, p99: Long)
+  /** Parallel unsorted (value, count) arrays — O(distinct values). */
+  case class RankState(vs: Array[Long], cnt: Array[Long], n: Long)
+
+  val K = 64L
+
+  /** The batch stride formula: s = ⌈n/k⌉ (integer form). */
+  def strideOf(n: Long): Long = (n + K - 1) / K
+
+  /** The ε-summary of a value histogram: kept (value, exact cum rank)
+    * where cum crosses a stride multiple, plus the max value — the
+    * batch query's crossing rule, integer-for-integer. ≤ k+1 rows. */
+  def summarize(hist: Map[Long, Long]): Vector[(Long, Long)] = {
+    val n = hist.valuesIterator.sum
+    if (n == 0) return Vector.empty
+    val s = strideOf(n)
+    val out = Vector.newBuilder[(Long, Long)]
+    var cum = 0L
+    val sorted = hist.toSeq.sortBy(_._1)
+    sorted.foreach { case (v, c) =>
+      val prev = cum
+      cum += c
+      if (cum / s > prev / s || cum == n) out += ((v, cum))
+    }
+    out.result()
+  }
+
+  /** The batch rank formula: r_p = (p·n + 99) div 100, 1-based. */
+  def rankOf(p: Int, n: Long): Long = (p * n + 99) / 100
+
+  /** Quantile answer off one summary: min kept v with cum ≥ r —
+    * single-shard est_rank IS the exact local rank at kept values. */
+  def quantile(summary: Vector[(Long, Long)], p: Int, n: Long): Long = {
+    val r = rankOf(p, n)
+    summary.find(_._2 >= r).map(_._1).getOrElse(-1L)
+  }
+
+  /** PODS'12 additive merge: the estimated global rank of `v` over
+    * many shard summaries = Σ per-shard largest kept cum ≤ v. Error
+    * < Σ strides — the theorem q_rank_sketch carries as data. */
+  def mergedRank(summaries: Seq[Vector[(Long, Long)]], v: Long): Long =
+    summaries.map(_.takeWhile(_._1 <= v).lastOption.map(_._2).getOrElse(0L)).sum
+
+  /** Merged quantile answer: min kept value (across all summaries)
+    * whose merged estimated rank reaches r. */
+  def mergedQuantile(summaries: Seq[Vector[(Long, Long)]], p: Int,
+      n: Long): Long = {
+    val r = rankOf(p, n)
+    val kept = summaries.flatten.map(_._1).distinct.sorted
+    kept.find(kv => mergedRank(summaries, kv) >= r).getOrElse(-1L)
+  }
+
+  def apply(ds: Dataset[PriceEvent], windowSec: Long, watermarkDelay: String)
+      : Dataset[WindowRanks] = {
+    implicit val stateEnc = Encoders.product[RankState]
+    implicit val outEnc = Encoders.product[WindowRanks]
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime / 1000 / windowSec * windowSec)
+      .flatMapGroupsWithState[RankState, WindowRanks](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstartSec, it, state: GroupState[RankState]) =>
+          val endMs = (wstartSec + windowSec) * 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val hist = s.vs.zip(s.cnt).toMap
+            val sk = summarize(hist)
+            Iterator.single(WindowRanks(new Timestamp(wstartSec * 1000),
+              s.n, sk.size.toLong, strideOf(s.n),
+              quantile(sk, 50, s.n), quantile(sk, 95, s.n),
+              quantile(sk, 99, s.n)))
+          } else if (endMs <= state.getCurrentWatermarkMs()) {
+            Iterator.empty // late rows never re-open a finalized window
+          } else {
+            val s0 = state.getOption.getOrElse(
+              RankState(Array.empty, Array.empty, 0L))
+            val hist = scala.collection.mutable.HashMap.empty[Long, Long]
+            s0.vs.indices.foreach(i => hist.update(s0.vs(i), s0.cnt(i)))
+            var n = s0.n
+            it.foreach { e =>
+              hist.update(e.cents, hist.getOrElse(e.cents, 0L) + 1L)
+              n += 1
+            }
+            val ks = hist.keysIterator.toArray
+            state.update(RankState(ks, ks.map(hist), n))
+            state.setTimeoutTimestamp(endMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The output mode this operator requires downstream. */
+  val outputMode: OutputMode = OutputMode.Append()
+}

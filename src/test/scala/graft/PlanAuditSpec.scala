@@ -239,9 +239,13 @@ class PlanAuditSpec extends SparkSpec {
                            // the term frame
     "q_rec_coverage",      // 1-row coverage/reach/ILS scalars
                            // crossJoined into the summary row
-    "q_matrix_profile")    // calendar-bounded subsequence pair join
+    "q_matrix_profile",    // calendar-bounded subsequence pair join
                            // (<= ~2.4k^2/2 at any scale — the
                            // q_mann_kendall class)
+    "q_rank_sketch")       // k-bounded summary merge (kept-values ×
+                           // ≤(k+1)·shards summary range join, ~200×200
+                           // at ANY corpus scale) + 4-row rank ladder ×
+                           // audit frame + 1-row n/ε/merge scalars
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -323,7 +323,17 @@ object ScaleCheck {
     "q_matrix_profile",
     // round-11 first batch: the per-shard value-histogram collapse
     // feeding the k-bounded ε-rank summary + merge audit
-    "q_rank_sketch")
+    "q_rank_sketch",
+    // round-11 second batch: the user-grain survival collapse + the
+    // death-time frame, and the day-frame prefix-moment sup-F sweep
+    "q_logrank_test", "q_structural_break",
+    // round-11 third batch: the per-series theta fold off the day
+    // frame, and the user-grain doubly-robust term collapse
+    "q_theta_forecast", "q_aipw_estimator",
+    // round-11 fourth batch: the day-frame lag joins (LB + DF), the
+    // week-grain maxima collapse, and the (user, type) binary margins
+    "q_ljung_box", "q_dickey_fuller", "q_block_maxima_evt",
+    "q_cochran_q")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

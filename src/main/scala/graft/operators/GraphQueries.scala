@@ -142,8 +142,28 @@ object GraphQueries {
     * (no forced label broadcast — a broadcast variant with
     * in-partition aggs was measured catastrophic at the 100× decade,
     * spilling the (src,lab) aggregation in every partition). */
-  def copurchaseEdgesByDst(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  private val liCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def copurchaseEdgesByDst(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // Size the edge exchange to the corpus (r11, VERDICT #2): with the
+    // session's fixed 32 partitions, the 100× decade packs ~7.5M edge
+    // rows into each round's per-task (src, lab) partial hash agg —
+    // past the per-task memory budget, so every round spills. ~500k
+    // lineitem rows per partition (≈2M directed edges) keeps the
+    // partial agg resident at every decade; the parquet row count is a
+    // footer-metadata read, and 32 stays the floor so the sf0.1 and
+    // 10× plans are unchanged. At cluster scale this is exactly
+    // "size the shuffle to the data", done once at cache build.
+    // memoized per corpus dir: the footer count is cheap but this
+    // builder is invoked once by lpaLabels AND once by the modularity
+    // epilogue per query run (the CacheManager dedupes the FRAME;
+    // the count would otherwise run twice per build)
+    val parts = math.max(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      (liCount.computeIfAbsent(dir, _ => li.count()) / 500000L).toInt)
+    li
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .where(size(col("ps")) >= 2)
@@ -153,10 +173,11 @@ object GraphQueries {
         struct(col("z.p1").as("src"), col("z.p2").as("dst")),
         struct(col("z.p2").as("src"), col("z.p1").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
-      .repartition(col("dst"))
+      .repartition(parts, col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .sortWithinPartitions("dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
 
   /** One unrolled PERSONALIZED-PageRank oracle iteration: the restart
     * mass goes to the seed vector `rst` carried in r0, not uniformly. */

@@ -2235,6 +2235,138 @@ object SeriesQueries {
         .orderBy("event_type")
     },
 
+    // ---- Theta-method forecast (Assimakopoulos & Nikolopoulos 2000) ----
+    // The M3-competition winner and the benchmark every new forecast
+    // method is still judged against (Hyndman & Billah 2003 showed it
+    // is SES-with-drift): decompose the series into θ-lines, here the
+    // classic pair θ=0 (the pure linear trend) and θ=2
+    // (z_t = 2·y_t − trend_t, curvature doubled), SES the θ=2 line,
+    // and average the two lines' forecasts. Sits between
+    // q_holt_forecast (recursive trend) and q_ar2_forecast (mean
+    // reversion) on the ladder: the trend here is the GLOBAL OLS fit,
+    // so one bad recent day cannot bend it. Cross-engine exactness:
+    // trend moments are EXACT (DECIMAL(6,0)·DECIMAL(28,6) products —
+    // 6+28+1 = 35 ≤ 38 on both engines, the q_ols_multi pairing), so
+    // a/b doubles agree bitwise; the θ-line and its α=0.5 SES fold run
+    // the SAME IEEE expression shapes in the same sequential order
+    // (the q_holt_forecast recursive-CTE ≡ mapPartitions-fold parity
+    // argument; 0.5 multiplies are exact). Scale shape: ONE corpus
+    // collapse to the (#series × #days) day frame; the moment
+    // aggregation is per-series (5 rows broadcast back); the fold is
+    // a per-series in-partition walk — no corpus window, no collect.
+    sql(
+      "q_theta_forecast",
+      """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        |               AS yd
+        |           FROM events GROUP BY 1, 2),
+        |i0 AS (SELECT event_type, yd,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |              AS BIGINT) AS rn
+        |       FROM d),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(rn) AS BIGINT) AS sx,
+        |        CAST(sum(rn * rn) AS BIGINT) AS sxx,
+        |        CAST(sum(yd) AS DECIMAL(38,6)) AS sy,
+        |        CAST(sum(CAST(rn AS DECIMAL(6,0)) * CAST(yd AS DECIMAL(28,6)))
+        |          AS DECIMAL(38,6)) AS sxy
+        |      FROM i0 GROUP BY 1),
+        |ab AS (SELECT event_type, n, sx, sy,
+        |         (n * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b
+        |       FROM m),
+        |ab2 AS (SELECT event_type, n, b,
+        |          CAST(sy AS DOUBLE) / n - b * (CAST(sx AS DOUBLE) / n) AS a
+        |        FROM ab),
+        |i AS (SELECT i0.event_type, i0.rn,
+        |        2 * CAST(i0.yd AS DOUBLE) - (ab2.a + ab2.b * i0.rn) AS z
+        |      FROM i0 JOIN ab2 ON ab2.event_type = i0.event_type),
+        |f AS (SELECT event_type, rn, z AS l FROM i WHERE rn = 1
+        |      UNION ALL
+        |      SELECT i.event_type, i.rn, 0.5 * i.z + 0.5 * f.l
+        |      FROM f JOIN i ON i.event_type = f.event_type
+        |                   AND i.rn = f.rn + 1)
+        |SELECT f.event_type, ab2.n AS n_days,
+        |  round(ab2.a, 6) + 0.0 AS trend_a, round(ab2.b, 6) + 0.0 AS trend_b,
+        |  round(f.l, 6) + 0.0 AS ses_theta2,
+        |  round(0.5 * (ab2.a + ab2.b * (ab2.n + 1)) + 0.5 * f.l, 6) + 0.0
+        |    AS fc_1,
+        |  round(0.5 * (ab2.a + ab2.b * (ab2.n + 2)) + 0.5 * f.l, 6) + 0.0
+        |    AS fc_2,
+        |  round(0.5 * (ab2.a + ab2.b * (ab2.n + 3)) + 0.5 * f.l, 6) + 0.0
+        |    AS fc_3
+        |FROM f JOIN ab2 ON ab2.event_type = f.event_type AND f.rn = ab2.n
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val day = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("yd"))
+        .localCheckpoint() // day frame: moments AND the fold read it
+      val i0 = day.withColumn("rn", row_number()
+        .over(Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      val m = i0.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("rn").cast("long").as("sx"),
+          sum(col("rn") * col("rn")).cast("long").as("sxx"),
+          sum("yd").cast("decimal(38,6)").as("sy"),
+          sum(col("rn").cast("decimal(6,0)")
+            * col("yd").cast("decimal(28,6)"))
+            .cast("decimal(38,6)").as("sxy"))
+      val bCol = (col("n") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx"))
+      val ab2 = m.select(col("event_type").as("et"), col("n"),
+          bCol.as("b"), col("sx"), col("sy"))
+        .select(col("et"), col("n"), col("b"),
+          (col("sy").cast("double") / col("n")
+            - col("b") * (col("sx").cast("double") / col("n"))).as("a"))
+        .localCheckpoint() // 5 series rows: joins the fold input AND output
+      val z = i0.join(broadcast(ab2), col("event_type") === col("et"))
+        .select(col("event_type"), col("day"),
+          (lit(2) * col("yd").cast("double")
+            - (col("a") + col("b") * col("rn"))).as("z"))
+        .as[(String, java.sql.Date, Double)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "day")
+        .mapPartitions { it =>
+          new Iterator[(String, Long, Double)] {
+            private var pending: Option[(String, java.sql.Date, Double)] =
+              if (it.hasNext) Some(it.next()) else None
+            def hasNext: Boolean = pending.isDefined
+            def next(): (String, Long, Double) = {
+              val (et, _, z0) = pending.get
+              var l = z0
+              var n = 1L
+              pending = None
+              while (pending.isEmpty && it.hasNext) {
+                val r = it.next()
+                if (r._1 == et) {
+                  // the oracle CTE's step expression, shape-identical
+                  l = 0.5 * r._3 + 0.5 * l
+                  n += 1
+                } else pending = Some(r)
+              }
+              (et, n, l)
+            }
+          }
+        }
+        .toDF("event_type", "n_days", "l")
+      z.join(broadcast(ab2), col("event_type") === col("et"))
+        .select(col("event_type"), col("n_days"),
+          (round(col("a"), 6) + 0.0).as("trend_a"),
+          (round(col("b"), 6) + 0.0).as("trend_b"),
+          (round(col("l"), 6) + 0.0).as("ses_theta2"),
+          (round(lit(0.5) * (col("a") + col("b") * (col("n_days") + 1))
+            + lit(0.5) * col("l"), 6) + 0.0).as("fc_1"),
+          (round(lit(0.5) * (col("a") + col("b") * (col("n_days") + 2))
+            + lit(0.5) * col("l"), 6) + 0.0).as("fc_2"),
+          (round(lit(0.5) * (col("a") + col("b") * (col("n_days") + 3))
+            + lit(0.5) * col("l"), 6) + 0.0).as("fc_3"))
+        .orderBy("event_type")
+    },
+
     // ---- AR(2) fit + forecast via Yule–Walker (per series) ----
     // The autoregressive rung of the forecasting ladder (EWMA → Holt →
     // HW → AR): fit x_t = μ + φ₁(x_{t−1}−μ) + φ₂(x_{t−2}−μ) by the
@@ -3132,6 +3264,477 @@ object SeriesQueries {
         .select(col("kind"), col("rank"), col("day_i"), col("day_j"),
           round(sqrt(col("d2")), 6).as("z_dist"))
         .orderBy("kind", "rank")
+    },
+
+    // ---- Ljung–Box portmanteau test (autocorrelation up to lag 7) ----
+    // Ljung & Box (1978): the residual-whiteness test every fitted
+    // forecast model (holt/theta/ar2/kalman up-ladder) should be
+    // followed by — Q(m) = n(n+2)·Σ_{k≤m} r_k²/(n−k), here over the
+    // raw daily revenue series so the test doubles as the "is there
+    // ANY linear structure" screen. Unlike q_autocorr's per-lag
+    // pairwise Pearson, r_k is the Box–Jenkins ACF: GLOBAL mean and a
+    // COMMON denominator Σ(y−ȳ)², the convention Q's χ² calibration
+    // assumes. Exactness: y in micro-unit BIGINT; lagged cross sums
+    // C_k, head/tail sums H_k/T_k, and the global moments are exact
+    // (DECIMAL(38,0) pairings); r_k assembles in doubles with explicit
+    // association, and Q accumulates over the ORDERED 7-row lag frame
+    // (ordered accumulation — the q_page_hinkley parity argument).
+    // Each output row is the valid LB test at max-lag k, so the 7-row
+    // table is the whole test family. 100-TB story: one corpus
+    // collapse to the day frame; 7 lag self-joins on that bounded
+    // frame; everything downstream is a 7-row projection.
+    sql(
+      "q_ljung_box",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT CAST(rev * 10000 AS BIGINT) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |        CAST(sum(y * CAST(y AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |          AS syy
+        |      FROM o),
+        |lags AS (SELECT unnest(generate_series(1, 7)) AS k),
+        |p AS (SELECT l.k AS k,
+        |        CAST(count(*) AS BIGINT) AS npair,
+        |        CAST(sum(a.y * CAST(b.y AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |          AS ck,
+        |        CAST(sum(a.y) AS DECIMAL(38,0)) AS hk,
+        |        CAST(sum(b.y) AS DECIMAL(38,0)) AS tk
+        |      FROM o a CROSS JOIN lags l
+        |      JOIN o b ON b.rn = a.rn + l.k
+        |      GROUP BY 1),
+        |r AS (SELECT p.k, p.npair, g.n,
+        |        (CAST(p.ck AS DOUBLE)
+        |           - (CAST(g.sy AS DOUBLE) / g.n)
+        |             * (CAST(p.hk AS DOUBLE) + CAST(p.tk AS DOUBLE))
+        |           + (g.n - p.k) * ((CAST(g.sy AS DOUBLE) / g.n)
+        |             * (CAST(g.sy AS DOUBLE) / g.n)))
+        |        / (CAST(g.syy AS DOUBLE)
+        |           - (CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE)) / g.n)
+        |          AS rk
+        |      FROM p CROSS JOIN g),
+        |q AS (SELECT k, npair, n, rk,
+        |        n * (n + 2.0e0) * sum((rk * rk) / (n - k))
+        |          OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lbq
+        |      FROM r)
+        |SELECT k, npair AS n_pairs, n AS n_days,
+        |  round(rk, 6) + 0.0 AS acf,
+        |  round(lbq, 6) + 0.0 AS lb_q,
+        |  CAST(k AS BIGINT) AS df
+        |FROM q ORDER BY k""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val o = daily
+        .select((col("rev") * 10000).cast("long").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint() // day frame: global moments + 7 lag joins
+      val g = o.agg(count(lit(1)).as("n"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(col("y") * col("y").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("syy"))
+      val a = o.withColumn("k", explode(sequence(lit(1L), lit(7L))))
+        .select(col("k"), col("rn"), col("y").as("ya"))
+      val b = o.select(col("rn").as("rn2"), col("y").as("yb"))
+      val p = a.join(b, col("rn2") === col("rn") + col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("npair"),
+          sum(col("ya") * col("yb").cast("decimal(28,0)"))
+            .cast("decimal(38,0)").as("ck"),
+          sum("ya").cast("decimal(38,0)").as("hk"),
+          sum("yb").cast("decimal(38,0)").as("tk"))
+      val ybar = col("sy").cast("double") / col("n")
+      val rk = ((col("ck").cast("double")
+        - ybar * (col("hk").cast("double") + col("tk").cast("double"))
+        + (col("n") - col("k")) * (ybar * ybar))
+        / (col("syy").cast("double")
+          - (col("sy").cast("double") * col("sy").cast("double"))
+            / col("n"))).as("rk")
+      val r = p.crossJoin(broadcast(g))
+        .select(col("k"), col("npair"), col("n"), rk)
+      val wAll = Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      r.withColumn("lbq",
+          col("n") * (col("n") + lit(2.0))
+            * sum((col("rk") * col("rk")) / (col("n") - col("k"))).over(wAll))
+        .select(col("k"), col("npair").as("n_pairs"), col("n").as("n_days"),
+          (round(col("rk"), 6) + 0.0).as("acf"),
+          (round(col("lbq"), 6) + 0.0).as("lb_q"),
+          col("k").cast("long").as("df"))
+        .orderBy("k")
+    },
+
+    // ---- Dickey–Fuller unit-root test (is the series stationary?) ----
+    // Dickey & Fuller (1979), the DF(0) regression Δy_t = α + ρ·y_{t−1}
+    // + ε: ρ significantly below 0 ⇒ mean reversion (stationarity);
+    // ρ ≈ 0 ⇒ a random walk, where every q_rolling_* and forecast op's
+    // confidence story changes. The t-statistic's null distribution is
+    // NOT Student-t — the 5 % critical value −2.86 (constant-only DF
+    // tables, n→∞) rides as a pinned literal and the verdict is a 0/1
+    // column. Mean-reversion half-life −ln2/ln(1+ρ) rides for the
+    // product read. Exactness: the (y_{t−1}, Δy_t) pair moments are
+    // exact DECIMAL ((28,0) pairings); the OLS solve + t-stat are
+    // doubles with explicit association. 100-TB story: one corpus
+    // collapse to the day frame, one adjacent-day self-join on it,
+    // ONE moment row.
+    sql(
+      "q_dickey_fuller",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT CAST(rev * 10000 AS BIGINT) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |pr AS (SELECT a.y AS x, b.y - a.y AS dy
+        |       FROM o a JOIN o b ON b.rn = a.rn + 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |        CAST(sum(x * CAST(x AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |          AS sxx,
+        |        CAST(sum(dy) AS DECIMAL(38,0)) AS sd,
+        |        CAST(sum(x * CAST(dy AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |          AS sxd,
+        |        CAST(sum(dy * CAST(dy AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |          AS sdd
+        |      FROM pr),
+        |c AS (SELECT n,
+        |        CAST(sxx AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n AS sxxc,
+        |        CAST(sxd AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE)) / n AS sxdc,
+        |        CAST(sdd AS DOUBLE)
+        |          - (CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) / n AS sddc,
+        |        CAST(sd AS DOUBLE) / n AS mdy,
+        |        CAST(sx AS DOUBLE) / n AS mx
+        |      FROM m),
+        |f AS (SELECT n, sxdc / sxxc AS rho,
+        |        mdy - (sxdc / sxxc) * mx AS alpha_u,
+        |        (sddc - (sxdc / sxxc) * sxdc) / (n - 2) AS s2, sxxc
+        |      FROM c)
+        |SELECT n AS n_pairs,
+        |  round(rho, 6) + 0.0 AS rho,
+        |  round(alpha_u / 10000, 6) + 0.0 AS alpha_dollars,
+        |  round(rho / sqrt(s2 / sxxc), 6) + 0.0 AS df_t_stat,
+        |  CAST(CASE WHEN rho / sqrt(s2 / sxxc) < -2.86 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reject_unit_root_5pct,
+        |  CASE WHEN rho > -1 AND rho < 0
+        |       THEN round(-0.6931471805599453 / ln(1 + rho), 6) + 0.0
+        |       ELSE -1.0e0 END AS half_life_days
+        |FROM f""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val o = daily
+        .select((col("rev") * 10000).cast("long").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+      val a = o.select(col("rn"), col("y").as("x"))
+      val b = o.select(col("rn").as("rn2"), col("y").as("y2"))
+      val pr = a.join(b, col("rn2") === col("rn") + 1)
+        .select(col("x"), (col("y2") - col("x")).as("dy"))
+      val m = pr.agg(count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum(col("x") * col("x").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum("dy").cast("decimal(38,0)").as("sd"),
+        sum(col("x") * col("dy").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("sxd"),
+        sum(col("dy") * col("dy").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("sdd"))
+      val c = m.select(col("n"),
+        (col("sxx").cast("double")
+          - (col("sx").cast("double") * col("sx").cast("double"))
+            / col("n")).as("sxxc"),
+        (col("sxd").cast("double")
+          - (col("sx").cast("double") * col("sd").cast("double"))
+            / col("n")).as("sxdc"),
+        (col("sdd").cast("double")
+          - (col("sd").cast("double") * col("sd").cast("double"))
+            / col("n")).as("sddc"),
+        (col("sd").cast("double") / col("n")).as("mdy"),
+        (col("sx").cast("double") / col("n")).as("mx"))
+      val f = c.select(col("n"), (col("sxdc") / col("sxxc")).as("rho"),
+        (col("mdy") - (col("sxdc") / col("sxxc")) * col("mx")).as("alpha_u"),
+        ((col("sddc") - (col("sxdc") / col("sxxc")) * col("sxdc"))
+          / (col("n") - 2)).as("s2"),
+        col("sxxc"))
+      f.select(col("n").as("n_pairs"),
+        (round(col("rho"), 6) + 0.0).as("rho"),
+        (round(col("alpha_u") / 10000, 6) + 0.0).as("alpha_dollars"),
+        (round(col("rho") / sqrt(col("s2") / col("sxxc")), 6) + 0.0)
+          .as("df_t_stat"),
+        when(col("rho") / sqrt(col("s2") / col("sxxc")) < -2.86, 1L)
+          .otherwise(0L).as("reject_unit_root_5pct"),
+        when(col("rho") > -1 && col("rho") < 0,
+          round(lit(-0.6931471805599453) / log(lit(1) + col("rho")), 6)
+            + 0.0).otherwise(lit(-1.0))
+          .as("half_life_days"))
+    },
+
+    // ---- block-maxima extreme-value fit (Gumbel, weekly blocks) ----
+    // The block-maxima side of extreme-value theory (Gumbel 1958;
+    // Fisher–Tippett–Gnedenko), complementing q_hill_tail's
+    // peaks-over-threshold view: weekly maxima of daily revenue fitted
+    // to the Gumbel (GEV ξ=0) law by method of moments — β̂ = s·√6/π,
+    // μ̂ = x̄ − γ·β̂ — and read out as RETURN LEVELS, the capacity
+    // question ("the weekly peak exceeded once a year/two years is X")
+    // that no percentile op answers because it extrapolates past the
+    // sample. The Gumbel quantile factors −ln(−ln(1−1/T)) and √6/π
+    // and Euler's γ are PINNED double literals (the PoissonCum
+    // convention — libm's ln is not correctly-rounded, and a last-ulp
+    // wobble scaled by β would reach the 6th decimal), so both engines
+    // walk identical IEEE arithmetic from exact DECIMAL moments. The
+    // empirical exceedance count of the 1-year level rides as the
+    // self-audit (≈ n_blocks/52 if the fit holds). 100-TB story: one
+    // corpus collapse to the day frame, one week-grain max collapse,
+    // ONE moment row.
+    sql(
+      "q_block_maxima_evt",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |wk AS (SELECT d // 7 AS w,
+        |         max(CAST(rev * 10000 AS BIGINT)) AS mx
+        |       FROM daily GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |        CAST(sum(mx) AS DECIMAL(38,0)) AS sm,
+        |        CAST(sum(mx * CAST(mx AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |          AS smm
+        |      FROM wk),
+        |c AS (SELECT nb, CAST(sm AS DOUBLE) / nb AS mean_u,
+        |        sqrt((CAST(smm AS DOUBLE)
+        |              - (CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)) / nb)
+        |             / (nb - 1)) AS sd_u
+        |      FROM m),
+        |g AS (SELECT nb, mean_u, sd_u,
+        |        sd_u * 0.779696801233676 AS beta_u,
+        |        mean_u - 0.5772156649015329 * (sd_u * 0.779696801233676)
+        |          AS mu_u
+        |      FROM c),
+        |rl AS (SELECT nb, mean_u, sd_u, beta_u, mu_u,
+        |         mu_u + beta_u * 3.9415503865226063 AS rl52_u,
+        |         mu_u + beta_u * 4.639563833370918 AS rl104_u
+        |       FROM g),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exceed_1yr
+        |       FROM wk CROSS JOIN rl WHERE CAST(wk.mx AS DOUBLE) > rl.rl52_u)
+        |SELECT rl.nb AS n_blocks,
+        |  round(rl.mean_u / 10000, 4) + 0.0 AS block_mean,
+        |  round(rl.sd_u / 10000, 4) + 0.0 AS block_sd,
+        |  round(rl.mu_u / 10000, 4) + 0.0 AS gumbel_mu,
+        |  round(rl.beta_u / 10000, 4) + 0.0 AS gumbel_beta,
+        |  round(rl.rl52_u / 10000, 4) + 0.0 AS return_level_1yr,
+        |  round(rl.rl104_u / 10000, 4) + 0.0 AS return_level_2yr,
+        |  ex.exceed_1yr
+        |FROM rl CROSS JOIN ex""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val wk = daily.groupBy(expr("d div 7").as("w"))
+        .agg(max((col("rev") * 10000).cast("long")).as("mx"))
+        .localCheckpoint() // week frame: moments + the exceedance audit
+      val m = wk.agg(count(lit(1)).as("nb"),
+        sum("mx").cast("decimal(38,0)").as("sm"),
+        sum(col("mx") * col("mx").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("smm"))
+      val c = m.select(col("nb"),
+        (col("sm").cast("double") / col("nb")).as("mean_u"),
+        sqrt((col("smm").cast("double")
+          - (col("sm").cast("double") * col("sm").cast("double"))
+            / col("nb")) / (col("nb") - 1)).as("sd_u"))
+      val g = c.select(col("nb"), col("mean_u"), col("sd_u"),
+        (col("sd_u") * 0.779696801233676).as("beta_u"),
+        (col("mean_u") - lit(0.5772156649015329)
+          * (col("sd_u") * 0.779696801233676)).as("mu_u"))
+      val rl = g.select(col("nb"), col("mean_u"), col("sd_u"),
+          col("beta_u"), col("mu_u"),
+          (col("mu_u") + col("beta_u") * 3.9415503865226063).as("rl52_u"),
+          (col("mu_u") + col("beta_u") * 4.639563833370918).as("rl104_u"))
+        .localCheckpoint() // 1 row: exceedance probe + output
+      val ex = wk.crossJoin(broadcast(rl.select("rl52_u")))
+        .where(col("mx").cast("double") > col("rl52_u"))
+        .agg(count(lit(1)).as("exceed_1yr"))
+      rl.crossJoin(broadcast(ex))
+        .select(col("nb").as("n_blocks"),
+          (round(col("mean_u") / 10000, 4) + 0.0).as("block_mean"),
+          (round(col("sd_u") / 10000, 4) + 0.0).as("block_sd"),
+          (round(col("mu_u") / 10000, 4) + 0.0).as("gumbel_mu"),
+          (round(col("beta_u") / 10000, 4) + 0.0).as("gumbel_beta"),
+          (round(col("rl52_u") / 10000, 4) + 0.0).as("return_level_1yr"),
+          (round(col("rl104_u") / 10000, 4) + 0.0).as("return_level_2yr"),
+          col("exceed_1yr"))
+    },
+
+    // ---- structural break: sup-F (Quandt) over the revenue trend ----
+    // Quandt (1960) / Andrews (1993): the supremum of per-candidate
+    // Chow (1960) F statistics over all interior break dates — the
+    // econometric "did the data-generating process CHANGE, and when?"
+    // test that q_changepoint_cusum (mean shift vs global μ) and
+    // q_event_study (KNOWN event date) both sidestep: here the break
+    // date is estimated, trend included. Model rev_t = a + b·t per
+    // segment; for each candidate τ in the 15–85 % trimmed range
+    // (Andrews' trimming), F(τ) = ((SSE_pooled − SSE₁ − SSE₂)/2) /
+    // ((SSE₁+SSE₂)/(n−4)). The whole sweep is O(days): ordered prefix
+    // sums give every segment's 5 moments by subtraction, so each τ
+    // is a per-row projection — the q_pps_sampling cumulative-
+    // selection shape, never a per-τ scan. Moments are EXACT (micro-
+    // unit BIGINT y; DECIMAL(38,0) cross sums); the double algebra
+    // runs with explicit association identical in both engines, F
+    // rounds to 6dp BEFORE the argmax (ties → smallest τ), so the
+    // winner cannot flip cross-engine. The known-date Chow F at the
+    // series midpoint rides as a sanity column. 100-TB story: one
+    // corpus collapse to the calendar-bounded day frame; the sweep is
+    // frame-side and scale-constant.
+    sql(
+      "q_structural_break",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT d, CAST(rev * 10000 AS BIGINT) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |p AS (SELECT d, rn, y,
+        |        CAST(sum(rn) OVER w AS BIGINT) AS cx,
+        |        CAST(sum(rn * rn) OVER w AS BIGINT) AS cxx,
+        |        CAST(sum(y) OVER w AS DECIMAL(38,0)) AS cy,
+        |        CAST(sum(rn * CAST(y AS DECIMAL(28,0))) OVER w
+        |          AS DECIMAL(38,0)) AS cxy,
+        |        CAST(sum(y * CAST(y AS DECIMAL(28,0))) OVER w
+        |          AS DECIMAL(38,0)) AS cyy
+        |      FROM o WINDOW w AS (ORDER BY rn ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(rn) AS BIGINT) AS tx,
+        |          CAST(sum(rn * rn) AS BIGINT) AS txx,
+        |          CAST(sum(y) AS DECIMAL(38,0)) AS ty,
+        |          CAST(sum(rn * CAST(y AS DECIMAL(28,0)))
+        |            AS DECIMAL(38,0)) AS txy,
+        |          CAST(sum(y * CAST(y AS DECIMAL(28,0)))
+        |            AS DECIMAL(38,0)) AS tyy
+        |        FROM o),
+        |f0 AS (SELECT d, rn, tot.n,
+        |         CAST(cxx AS DOUBLE) - (CAST(cx AS DOUBLE) * cx) / rn AS sxx1,
+        |         CAST(cxy AS DOUBLE)
+        |           - (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) / rn AS sxy1,
+        |         CAST(cyy AS DOUBLE)
+        |           - (CAST(cy AS DOUBLE) * CAST(cy AS DOUBLE)) / rn AS syy1,
+        |         CAST(tot.txx - cxx AS DOUBLE)
+        |           - (CAST(tot.tx - cx AS DOUBLE) * (tot.tx - cx))
+        |             / (tot.n - rn) AS sxx2,
+        |         CAST(tot.txy - cxy AS DOUBLE)
+        |           - (CAST(tot.tx - cx AS DOUBLE)
+        |              * CAST(tot.ty - cy AS DOUBLE)) / (tot.n - rn) AS sxy2,
+        |         CAST(tot.tyy - cyy AS DOUBLE)
+        |           - (CAST(tot.ty - cy AS DOUBLE)
+        |              * CAST(tot.ty - cy AS DOUBLE)) / (tot.n - rn) AS syy2,
+        |         CAST(tot.txx AS DOUBLE)
+        |           - (CAST(tot.tx AS DOUBLE) * tot.tx) / tot.n AS sxxp,
+        |         CAST(tot.txy AS DOUBLE)
+        |           - (CAST(tot.tx AS DOUBLE) * CAST(tot.ty AS DOUBLE))
+        |             / tot.n AS sxyp,
+        |         CAST(tot.tyy AS DOUBLE)
+        |           - (CAST(tot.ty AS DOUBLE) * CAST(tot.ty AS DOUBLE))
+        |             / tot.n AS syyp
+        |       FROM p CROSS JOIN tot
+        |       WHERE rn >= (15 * tot.n + 99) // 100
+        |         AND rn <= (85 * tot.n) // 100),
+        |f1 AS (SELECT d, rn, n,
+        |         syy1 - (sxy1 * sxy1) / sxx1 AS sse1,
+        |         syy2 - (sxy2 * sxy2) / sxx2 AS sse2,
+        |         syyp - (sxyp * sxyp) / sxxp AS ssep,
+        |         sxy1 / sxx1 AS b1, sxy2 / sxx2 AS b2
+        |       FROM f0),
+        |f2 AS (SELECT d, rn, n, b1, b2,
+        |         round(((ssep - (sse1 + sse2)) / 2)
+        |               / ((sse1 + sse2) / (n - 4)), 6) AS f6
+        |       FROM f1),
+        |win AS (SELECT * FROM f2 ORDER BY f6 DESC, rn LIMIT 1),
+        |mid AS (SELECT f6 AS fmid FROM f2 WHERE rn = n // 2)
+        |SELECT win.n AS n_days, win.rn AS tau, win.d AS break_day,
+        |  win.f6 + 0.0 AS f_sup,
+        |  round(win.b1 / 10000, 6) + 0.0 AS slope_pre,
+        |  round(win.b2 / 10000, 6) + 0.0 AS slope_post,
+        |  mid.fmid + 0.0 AS chow_mid_f
+        |FROM win CROSS JOIN mid""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val o = daily
+        .select(col("d"), (col("rev") * 10000).cast("long").as("y"))
+        .withColumn("rn", row_number().over(Window.orderBy("d")).cast("long"))
+        .localCheckpoint() // day frame: prefix pass + total collapse
+      val w = Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = o.select(col("d"), col("rn"),
+        sum("rn").over(w).cast("long").as("cx"),
+        sum(col("rn") * col("rn")).over(w).cast("long").as("cxx"),
+        sum("y").over(w).cast("decimal(38,0)").as("cy"),
+        sum(col("rn") * col("y").cast("decimal(28,0)")).over(w)
+          .cast("decimal(38,0)").as("cxy"),
+        sum(col("y") * col("y").cast("decimal(28,0)")).over(w)
+          .cast("decimal(38,0)").as("cyy"))
+      val tot = o.agg(count(lit(1)).as("n"),
+        sum("rn").cast("long").as("tx"),
+        sum(col("rn") * col("rn")).cast("long").as("txx"),
+        sum("y").cast("decimal(38,0)").as("ty"),
+        sum(col("rn") * col("y").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("txy"),
+        sum(col("y") * col("y").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("tyy"))
+      // association order mirrors the oracle EXACTLY: doubles from
+      // exact moments are then bitwise-identical cross-engine
+      val f0 = p.crossJoin(broadcast(tot))
+        .where(expr("rn >= (15 * n + 99) div 100")
+          && expr("rn <= (85 * n) div 100"))
+        .select(col("d"), col("rn"), col("n"),
+          (col("cxx").cast("double")
+            - (col("cx").cast("double") * col("cx")) / col("rn")).as("sxx1"),
+          (col("cxy").cast("double")
+            - (col("cx").cast("double") * col("cy").cast("double"))
+              / col("rn")).as("sxy1"),
+          (col("cyy").cast("double")
+            - (col("cy").cast("double") * col("cy").cast("double"))
+              / col("rn")).as("syy1"),
+          ((col("txx") - col("cxx")).cast("double")
+            - ((col("tx") - col("cx")).cast("double")
+              * (col("tx") - col("cx"))) / (col("n") - col("rn")))
+            .as("sxx2"),
+          ((col("txy") - col("cxy")).cast("double")
+            - ((col("tx") - col("cx")).cast("double")
+              * (col("ty") - col("cy")).cast("double"))
+              / (col("n") - col("rn"))).as("sxy2"),
+          ((col("tyy") - col("cyy")).cast("double")
+            - ((col("ty") - col("cy")).cast("double")
+              * (col("ty") - col("cy")).cast("double"))
+              / (col("n") - col("rn"))).as("syy2"),
+          (col("txx").cast("double")
+            - (col("tx").cast("double") * col("tx")) / col("n")).as("sxxp"),
+          (col("txy").cast("double")
+            - (col("tx").cast("double") * col("ty").cast("double"))
+              / col("n")).as("sxyp"),
+          (col("tyy").cast("double")
+            - (col("ty").cast("double") * col("ty").cast("double"))
+              / col("n")).as("syyp"))
+      val f1 = f0.select(col("d"), col("rn"), col("n"),
+        (col("syy1") - (col("sxy1") * col("sxy1")) / col("sxx1")).as("sse1"),
+        (col("syy2") - (col("sxy2") * col("sxy2")) / col("sxx2")).as("sse2"),
+        (col("syyp") - (col("sxyp") * col("sxyp")) / col("sxxp")).as("ssep"),
+        (col("sxy1") / col("sxx1")).as("b1"),
+        (col("sxy2") / col("sxx2")).as("b2"))
+      val f2 = f1.select(col("d"), col("rn"), col("n"), col("b1"),
+          col("b2"),
+          round(((col("ssep") - (col("sse1") + col("sse2"))) / 2)
+            / ((col("sse1") + col("sse2")) / (col("n") - 4)), 6).as("f6"))
+        .localCheckpoint() // trimmed candidate frame, read twice
+      val win = f2.orderBy(desc("f6"), col("rn")).limit(1)
+      val mid = f2.where(expr("rn = n div 2"))
+        .select(col("f6").as("fmid"))
+      win.crossJoin(broadcast(mid))
+        .select(col("n").as("n_days"), col("rn").as("tau"),
+          col("d").as("break_day"), (col("f6") + 0.0).as("f_sup"),
+          (round(col("b1") / 10000, 6) + 0.0).as("slope_pre"),
+          (round(col("b2") / 10000, 6) + 0.0).as("slope_post"),
+          (col("fmid") + 0.0).as("chow_mid_f"))
     }
   )
 }

@@ -937,6 +937,180 @@ object StatsQueries {
         .orderBy("stratum")
     },
 
+    // ---- AIPW doubly-robust treatment effect ----
+    // Robins, Rotnitzky & Zhao (1994) / the modern DoubleML default:
+    // the 5th causal estimator (after DiD, stratified IPW, RDD, PSM),
+    // and the one that AUDITS the other two — augmented IPW combines
+    // an OUTCOME model m_t(x) (here: per-arm OLS of post-mean spend on
+    // the continuous pre-period covariate — deliberately NOT saturated
+    // per stratum, otherwise the augmentation is identically zero and
+    // the estimator degenerates to q_propensity_ipw's) with the
+    // stratum PROPENSITY p̂_s (q_propensity_ipw's fixed-width strata),
+    // τ̂ = N⁻¹ Σ [m₁(xᵢ)−m₀(xᵢ) + Tᵢ(Yᵢ−m₁(xᵢ))/p̂ − (1−Tᵢ)(Yᵢ−m₀(xᵢ))/(1−p̂)].
+    // Consistent if EITHER model is right (double robustness); the
+    // output carries all three estimates side by side (outcome-model-
+    // only, IPW-only, AIPW) so the doubly-robust number shows its
+    // work. Users in degenerate one-arm strata leave every term AND N
+    // (identically both engines). Cross-engine exactness: OLS moments
+    // are exact DECIMAL ((18,6)×(19,6) = 38-precision products, the
+    // q_ols_multi pairing); per-user term sums accumulate as
+    // DECIMAL(38,18) casts (combiner-order-free, the q_propensity_ipw
+    // convention). 100-TB story: one corpus pass to the user grain,
+    // one user-grain aggregation per moment set, ≤ 5-row strata and
+    // 1-row fits broadcast back — no per-row weight column survives.
+    sql(
+      "q_aipw_estimator",
+      """WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS mn,
+        |    CAST(floor((date_diff('day', min(CAST(ts AS DATE)),
+        |                          max(CAST(ts AS DATE))) + 1) / 2.0) AS BIGINT) AS half
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(user_id % 2 AS BIGINT) AS tr,
+        |        sum(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) < b.half
+        |                 THEN CAST(value AS DECIMAL(18,6)) END) AS pre_total,
+        |        sum(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) >= b.half
+        |                 THEN CAST(value AS DECIMAL(18,6)) END) AS post_sum,
+        |        CAST(count(CASE WHEN date_diff('day', b.mn, CAST(ts AS DATE)) >= b.half
+        |                        THEN 1 END) AS BIGINT) AS post_n
+        |      FROM events CROSS JOIN bounds b GROUP BY 1, 2),
+        |y AS (SELECT tr,
+        |        CAST(coalesce(pre_total, 0) AS DECIMAL(18,6)) AS x,
+        |        greatest(least(CAST(floor(CAST(coalesce(pre_total, 0) AS DOUBLE)
+        |          / 400) AS BIGINT) - 2, 4), 0) AS stratum,
+        |        CAST(post_sum AS DOUBLE) / post_n AS yv
+        |      FROM u WHERE post_n > 0),
+        |st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS ns,
+        |         CAST(sum(tr) AS BIGINT) AS nt FROM y GROUP BY 1),
+        |sp AS (SELECT stratum, CAST(nt AS DOUBLE) / ns AS p
+        |       FROM st WHERE nt > 0 AND nt < ns),
+        |spc AS (SELECT CAST(count(*) AS BIGINT) AS strata_used FROM sp),
+        |yy AS (SELECT y.tr, y.x, y.yv, sp.p
+        |       FROM y JOIN sp ON sp.stratum = y.stratum),
+        |m AS (SELECT tr, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+        |        CAST(sum(x * CAST(x AS DECIMAL(19,6))) AS DECIMAL(38,12))
+        |          AS sxx,
+        |        CAST(sum(CAST(yv AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sy,
+        |        CAST(sum(CAST(CAST(x AS DOUBLE) * yv AS DECIMAL(38,18)))
+        |          AS DECIMAL(38,18)) AS sxy
+        |      FROM yy GROUP BY 1),
+        |ab AS (SELECT tr, n, sx, sy,
+        |         (n * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (n * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |       FROM m),
+        |ab2 AS (SELECT tr, n, b,
+        |          CAST(sy AS DOUBLE) / n - b * (CAST(sx AS DOUBLE) / n) AS a
+        |        FROM ab),
+        |fits AS (SELECT
+        |    max(CASE WHEN tr = 1 THEN a END) AS a1,
+        |    max(CASE WHEN tr = 1 THEN b END) AS b1,
+        |    max(CASE WHEN tr = 0 THEN a END) AS a0,
+        |    max(CASE WHEN tr = 0 THEN b END) AS b0
+        |  FROM ab2),
+        |t AS (SELECT yy.tr, yy.yv, yy.p,
+        |        f.a1 + f.b1 * CAST(yy.x AS DOUBLE) AS m1,
+        |        f.a0 + f.b0 * CAST(yy.x AS DOUBLE) AS m0,
+        |        f.a1, f.b1, f.a0, f.b0
+        |      FROM yy CROSS JOIN fits f),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |          CAST(sum(tr) AS BIGINT) AS n_treated,
+        |          max(a1) AS a1, max(b1) AS b1, max(a0) AS a0, max(b0) AS b0,
+        |          CAST(sum(CAST(m1 - m0 AS DECIMAL(38,18))) AS DOUBLE) AS s_om,
+        |          CAST(sum(CAST(CASE WHEN tr = 1 THEN (yv - m1) / p
+        |                     ELSE -((yv - m0) / (1 - p)) END
+        |                AS DECIMAL(38,18))) AS DOUBLE) AS s_aug,
+        |          CAST(sum(CAST(CASE WHEN tr = 1 THEN yv / p
+        |                     ELSE -(yv / (1 - p)) END
+        |                AS DECIMAL(38,18))) AS DOUBLE) AS s_ipw
+        |        FROM t)
+        |SELECT n_users, n_treated, spc.strata_used,
+        |  round(a1, 6) + 0.0 AS a_treated, round(b1, 6) + 0.0 AS b_treated,
+        |  round(a0, 6) + 0.0 AS a_control, round(b0, 6) + 0.0 AS b_control,
+        |  round(s_om / n_users, 6) + 0.0 AS tau_outcome_model,
+        |  round(s_ipw / n_users, 6) + 0.0 AS tau_ipw,
+        |  round((s_om + s_aug) / n_users, 6) + 0.0 AS tau_aipw
+        |FROM agg CROSS JOIN spc""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min(to_date(col("ts"))).as("mn"),
+        floor((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+          / 2.0).cast("long").as("half"))
+      val isPost = datediff(to_date(col("ts")), col("mn")) >= col("half")
+      val u = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("tr"))
+        .agg(
+          sum(when(!isPost, col("value").cast("decimal(18,6)"))).as("pre_total"),
+          sum(when(isPost, col("value").cast("decimal(18,6)"))).as("post_sum"),
+          sum(when(isPost, 1L).otherwise(0L)).as("post_n"))
+      val y = u.where(col("post_n") > 0)
+        .select(col("tr"),
+          coalesce(col("pre_total"), lit(0)).cast("decimal(18,6)").as("x"),
+          greatest(least(floor(coalesce(col("pre_total"), lit(0))
+            .cast("double") / 400).cast("long") - 2, lit(4L)), lit(0L))
+            .as("stratum"),
+          (col("post_sum").cast("double") / col("post_n")).as("yv"))
+      val st = y.groupBy("stratum").agg(count(lit(1)).as("ns"),
+        sum("tr").cast("long").as("nt"))
+      val sp = st.where(col("nt") > 0 && col("nt") < col("ns"))
+        .select(col("stratum"), (col("nt").cast("double") / col("ns")).as("p"))
+        .localCheckpoint() // ≤ 5 rows: user join + strata_used count
+      val spc = sp.agg(count(lit(1)).as("strata_used"))
+      val yy = y.join(broadcast(sp), "stratum")
+        .select(col("tr"), col("x"), col("yv"), col("p"))
+        .localCheckpoint() // user frame: moment pass + term pass
+      val m = yy.groupBy("tr").agg(count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,6)").as("sx"),
+        sum(col("x") * col("x").cast("decimal(19,6)"))
+          .cast("decimal(38,12)").as("sxx"),
+        sum(col("yv").cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("sy"),
+        sum((col("x").cast("double") * col("yv")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("sxy"))
+      val bCol = (col("n") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      val ab2 = m.select(col("tr"), col("n"), col("sx"), col("sy"),
+          bCol.as("b"))
+        .select(col("tr"), col("b"),
+          (col("sy").cast("double") / col("n")
+            - col("b") * (col("sx").cast("double") / col("n"))).as("a"))
+      val fits = ab2.agg(
+        max(when(col("tr") === 1, col("a"))).as("a1"),
+        max(when(col("tr") === 1, col("b"))).as("b1"),
+        max(when(col("tr") === 0, col("a"))).as("a0"),
+        max(when(col("tr") === 0, col("b"))).as("b0"))
+      val tt = yy.crossJoin(broadcast(fits))
+        .select(col("tr"), col("yv"), col("p"),
+          (col("a1") + col("b1") * col("x").cast("double")).as("m1"),
+          (col("a0") + col("b0") * col("x").cast("double")).as("m0"),
+          col("a1"), col("b1"), col("a0"), col("b0"))
+      val agg = tt.agg(count(lit(1)).as("n_users"),
+        sum("tr").cast("long").as("n_treated"),
+        max("a1").as("a1"), max("b1").as("b1"),
+        max("a0").as("a0"), max("b0").as("b0"),
+        sum((col("m1") - col("m0")).cast("decimal(38,18)"))
+          .cast("double").as("s_om"),
+        sum(when(col("tr") === 1, (col("yv") - col("m1")) / col("p"))
+          .otherwise(-((col("yv") - col("m0")) / (lit(1) - col("p"))))
+          .cast("decimal(38,18)")).cast("double").as("s_aug"),
+        sum(when(col("tr") === 1, col("yv") / col("p"))
+          .otherwise(-(col("yv") / (lit(1) - col("p"))))
+          .cast("decimal(38,18)")).cast("double").as("s_ipw"))
+      agg.crossJoin(broadcast(spc))
+        .select(col("n_users"), col("n_treated"), col("strata_used"),
+          (round(col("a1"), 6) + 0.0).as("a_treated"),
+          (round(col("b1"), 6) + 0.0).as("b_treated"),
+          (round(col("a0"), 6) + 0.0).as("a_control"),
+          (round(col("b0"), 6) + 0.0).as("b_control"),
+          (round(col("s_om") / col("n_users"), 6) + 0.0)
+            .as("tau_outcome_model"),
+          (round(col("s_ipw") / col("n_users"), 6) + 0.0).as("tau_ipw"),
+          (round((col("s_om") + col("s_aug")) / col("n_users"), 6) + 0.0)
+            .as("tau_aipw"))
+    },
+
     // ---- 1-NN caliper propensity-score matching (ATT) ----
     // The FOURTH causal estimator (DiD / IPW / RDD / matching): match
     // each treated user to its nearest control on the PRE-period
@@ -2339,6 +2513,209 @@ object StatsQueries {
         .select(col("dur").as("t_days"), col("n_risk"),
           col("d").as("n_events"), round(col("surv"), 6).as("survival"))
         .orderBy("t_days")
+    },
+
+    // ---- two-group log-rank test (Mantel–Cox) ----
+    // The hypothesis test the survival pair (q_survival_km curve,
+    // q_nelson_aalen hazard) was missing: are two arms' time-to-event
+    // distributions the same? Mantel (1966)/Cox (1972): at each death
+    // time, group 1's observed deaths vs the hypergeometric
+    // expectation d·n₁/n given the risk sets; χ² = (O₁−E₁)²/V with
+    // V = Σ d·n₁·(n−n₁)·(n−d)/(n²·(n−1)). Arms are the user-id parity
+    // split (the q_ab_ttest convention), duration = days to first
+    // purchase, right-censored at the corpus horizon (the
+    // q_survival_km collapse, carried per arm). Output: one row per
+    // death time (risk sets + deaths per arm, all BIGINT) with the
+    // RUNNING O₁/E₁/V and χ² riding via ordered windows — ordered
+    // accumulation is sequential in BOTH engines (the q_page_hinkley
+    // parity argument), so the doubles agree bitwise; E/V terms are
+    // single-expression products with EXPLICIT association order,
+    // identical in both engines. Risk-set products go through DOUBLE
+    // before multiplying (at 10⁶+ users the integer product d·n₁·
+    // (n−n₁)·(n−d) would overflow BIGINT; doubles lose exactness but
+    // identically on both sides). 100-TB story: one user-grain
+    // collapse (partial+final agg), then every window runs on the
+    // calendar-bounded death-time frame (≤ horizon days rows).
+    sql(
+      "q_logrank_test",
+      """WITH u AS (SELECT user_id, min(ts) AS first_ts,
+        |             min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |               AS conv_ts
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT CAST(max(ts) AS TIMESTAMP) AS endt FROM events),
+        |s AS (SELECT user_id % 2 AS grp,
+        |        CASE WHEN conv_ts IS NOT NULL
+        |             THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+        |                                 CAST(conv_ts AS DATE)) AS BIGINT)
+        |             ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+        |                                 CAST(h.endt AS DATE)) AS BIGINT)
+        |             END AS dur,
+        |        CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS died
+        |      FROM u CROSS JOIN h),
+        |t AS (SELECT dur, CAST(sum(died) AS BIGINT) AS d,
+        |        CAST(sum(CASE WHEN grp = 1 THEN died ELSE 0 END) AS BIGINT)
+        |          AS d1,
+        |        CAST(count(*) AS BIGINT) AS ev,
+        |        CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ev1
+        |      FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ev) AS BIGINT) AS n_all,
+        |          CAST(sum(ev1) AS BIGINT) AS n1_all FROM t),
+        |r AS (SELECT dur, d, d1,
+        |        tot.n_all - CAST(coalesce(sum(ev) OVER (ORDER BY dur
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS n_risk,
+        |        tot.n1_all - CAST(coalesce(sum(ev1) OVER (ORDER BY dur
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS n_risk1
+        |      FROM t CROSS JOIN tot),
+        |lr AS (SELECT dur, d, d1, n_risk, n_risk1,
+        |         (CAST(d AS DOUBLE) * n_risk1) / n_risk AS e1,
+        |         CASE WHEN n_risk > 1 THEN
+        |           (((CAST(d AS DOUBLE) * n_risk1) * (n_risk - n_risk1))
+        |              * (n_risk - d))
+        |           / ((CAST(n_risk AS DOUBLE) * n_risk) * (n_risk - 1))
+        |         ELSE 0.0e0 END AS vt
+        |       FROM r WHERE d > 0),
+        |f AS (SELECT dur, d, d1, n_risk, n_risk1,
+        |        CAST(sum(d1) OVER w AS BIGINT) AS o1_cum,
+        |        sum(e1) OVER w AS e1_cum,
+        |        sum(vt) OVER w AS v_cum
+        |      FROM lr WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING))
+        |SELECT dur AS t_days, n_risk1, n_risk, d1 AS d1_events,
+        |  d AS d_events, o1_cum, round(e1_cum, 6) AS e1_cum,
+        |  round(v_cum, 6) AS v_cum,
+        |  round((o1_cum - e1_cum) * (o1_cum - e1_cum) / v_cum, 6)
+        |    AS chi2_running
+        |FROM f ORDER BY t_days""".stripMargin) { (s, dir) =>
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min("ts").as("first_ts"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("conv_ts"))
+      val h = t(s, dir, "events").agg(max("ts").as("endt"))
+      val sdf = u.crossJoin(broadcast(h))
+        .select((col("user_id") % 2).as("grp"),
+          when(col("conv_ts").isNotNull,
+            datediff(to_date(col("conv_ts")), to_date(col("first_ts"))))
+            .otherwise(datediff(to_date(col("endt")),
+              to_date(col("first_ts"))))
+            .cast("long").as("dur"),
+          when(col("conv_ts").isNotNull, 1L).otherwise(0L).as("died"))
+      val tt = sdf.groupBy("dur")
+        .agg(sum("died").cast("long").as("d"),
+          sum(when(col("grp") === 1, col("died")).otherwise(0L))
+            .cast("long").as("d1"),
+          count(lit(1)).as("ev"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).cast("long")
+            .as("ev1"))
+        .localCheckpoint() // death-time frame: ≤ horizon days rows
+      val tot = tt.agg(sum("ev").cast("long").as("n_all"),
+        sum("ev1").cast("long").as("n1_all"))
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = tt.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_all") - coalesce(sum("ev").over(wPrev), lit(0L))
+            .cast("long"))
+        .withColumn("n_risk1",
+          col("n1_all") - coalesce(sum("ev1").over(wPrev), lit(0L))
+            .cast("long"))
+      // association order matches the oracle expression exactly —
+      // double products are IEEE-deterministic given the same order
+      val e1 = (col("d").cast("double") * col("n_risk1")) / col("n_risk")
+      val vt = when(col("n_risk") > 1,
+        (((col("d").cast("double") * col("n_risk1"))
+          * (col("n_risk") - col("n_risk1"))) * (col("n_risk") - col("d")))
+          / ((col("n_risk").cast("double") * col("n_risk"))
+            * (col("n_risk") - 1)))
+        .otherwise(lit(0.0))
+      val wAll = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val f = r.where(col("d") > 0)
+        .withColumn("e1", e1).withColumn("vt", vt)
+        .withColumn("o1_cum", sum("d1").over(wAll).cast("long"))
+        .withColumn("e1_cum", sum("e1").over(wAll))
+        .withColumn("v_cum", sum("vt").over(wAll))
+      f.select(col("dur").as("t_days"), col("n_risk1"), col("n_risk"),
+          col("d1").as("d1_events"), col("d").as("d_events"),
+          col("o1_cum"), round(col("e1_cum"), 6).as("e1_cum"),
+          round(col("v_cum"), 6).as("v_cum"),
+          round((col("o1_cum") - col("e1_cum"))
+            * (col("o1_cum") - col("e1_cum")) / col("v_cum"), 6)
+            .as("chi2_running"))
+        .orderBy("t_days")
+    },
+
+    // ---- Cochran's Q (k correlated binary treatments) ----
+    // Cochran (1950): the k-sample extension of q_mcnemar and the
+    // BINARY sibling of q_friedman_test — do the k event types have
+    // the same per-user incidence, given each user is their own
+    // block? The binary outcome is "type j is OVER-represented for
+    // user i" (k·c_ij > R_i, strictly above the user's own mean
+    // across types — integer-only, and non-degenerate by construction
+    // on a corpus where every user touches every type, which had made
+    // raw did-user-ever-emit incidence all-ones and Q's denominator
+    // exactly zero). Q = (k−1)·(k·ΣC_j² − T²)/(k·T − ΣR_i²) — every
+    // term is an exact BIGINT, ONE final division; χ²₍₄,.05₎ =
+    // 9.487729036781154 rides as a pinned literal with the verdict as
+    // a 0/1 column. A (user, type) pair with no events has no row and
+    // an implicit x = 0 — identical on both engines. 100-TB story:
+    // one corpus pass to the (user, type) grain, two keyed collapses,
+    // 1-row math.
+    sql(
+      "q_cochran_q",
+      """WITH c AS (SELECT user_id, event_type,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS rtot
+        |      FROM c GROUP BY 1),
+        |x AS (SELECT c.user_id, c.event_type,
+        |        CASE WHEN 5 * c.cnt > r.rtot THEN 1 ELSE 0 END AS x
+        |      FROM c JOIN r ON r.user_id = c.user_id),
+        |rr AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS ri
+        |       FROM x GROUP BY 1),
+        |cc AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS cj
+        |       FROM x GROUP BY 1),
+        |ag AS (SELECT CAST(sum(cj) AS BIGINT) AS t_all,
+        |         CAST(sum(cj * cj) AS BIGINT) AS sc2,
+        |         CAST(count(*) AS BIGINT) AS k FROM cc),
+        |ar AS (SELECT CAST(sum(ri * ri) AS BIGINT) AS sr2,
+        |         CAST(count(*) AS BIGINT) AS n_users FROM rr)
+        |SELECT ag.k, ar.n_users, ag.t_all, ag.sc2, ar.sr2,
+        |  round(((ag.k - 1) * CAST(ag.k * ag.sc2 - ag.t_all * ag.t_all
+        |           AS DOUBLE)) / (ag.k * ag.t_all - ar.sr2), 6) + 0.0
+        |    AS q_stat,
+        |  CAST(ag.k - 1 AS BIGINT) AS df,
+        |  CAST(CASE WHEN ((ag.k - 1) * CAST(ag.k * ag.sc2
+        |                    - ag.t_all * ag.t_all AS DOUBLE))
+        |                 / (ag.k * ag.t_all - ar.sr2) > 9.487729036781154
+        |       THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+        |FROM ag CROSS JOIN ar""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // (user, type) grain: row totals + x pass
+      val r = c.groupBy("user_id").agg(sum("cnt").cast("long").as("rtot"))
+      val x = c.join(r, "user_id")
+        .select(col("user_id"), col("event_type"),
+          when(lit(5) * col("cnt") > col("rtot"), 1L).otherwise(0L).as("x"))
+        .localCheckpoint() // binary frame: both marginal collapses
+      val rr = x.groupBy("user_id").agg(sum("x").cast("long").as("ri"))
+      val cc = x.groupBy("event_type").agg(sum("x").cast("long").as("cj"))
+      val ag = cc.agg(sum("cj").cast("long").as("t_all"),
+        sum(col("cj") * col("cj")).cast("long").as("sc2"),
+        count(lit(1)).as("k"))
+      val ar = rr.agg(sum(col("ri") * col("ri")).cast("long").as("sr2"),
+        count(lit(1)).as("n_users"))
+      val q = ((col("k") - 1) * (col("k") * col("sc2")
+        - col("t_all") * col("t_all")).cast("double"))
+        ./((col("k") * col("t_all") - col("sr2")))
+      ag.crossJoin(broadcast(ar))
+        .select(col("k"), col("n_users"), col("t_all"), col("sc2"),
+          col("sr2"),
+          (round(q, 6) + 0.0).as("q_stat"),
+          (col("k") - 1).cast("long").as("df"),
+          when(q > 9.487729036781154, 1L).otherwise(0L).as("reject_5pct"))
     },
 
     // ---- multivariate OLS via normal equations ----

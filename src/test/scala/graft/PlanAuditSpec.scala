@@ -242,10 +242,25 @@ class PlanAuditSpec extends SparkSpec {
     "q_matrix_profile",    // calendar-bounded subsequence pair join
                            // (<= ~2.4k^2/2 at any scale — the
                            // q_mann_kendall class)
-    "q_rank_sketch")       // k-bounded summary merge (kept-values ×
+    "q_rank_sketch",       // k-bounded summary merge (kept-values ×
                            // ≤(k+1)·shards summary range join, ~200×200
                            // at ANY corpus scale) + 4-row rank ladder ×
                            // audit frame + 1-row n/ε/merge scalars
+    "q_logrank_test",      // 1-row broadcast horizon + risk-set total
+                           // scalars riding the user collapse and the
+                           // death-time frame (the q_survival_km class)
+    "q_structural_break",  // 1-row broadcast total-moment scalars
+                           // riding the day frame + 1-row midpoint-F
+                           // crossJoined into the winner row
+    "q_aipw_estimator",    // 1-row broadcast horizon + arm-fit + strata
+                           // -count scalars riding the user collapse
+                           // (the q_propensity_ipw class)
+    "q_ljung_box",         // 1-row broadcast global-moment scalars
+                           // riding the 7-row lag frame
+    "q_block_maxima_evt",  // 1-row fit scalars riding the week frame
+                           // (exceedance audit) + 1-row exceed count
+    "q_cochran_q")         // 1-row column-margin × row-margin scalar
+                           // crossJoin (both 1-row)
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -333,7 +333,9 @@ object ScaleCheck {
     // round-11 fourth batch: the day-frame lag joins (LB + DF), the
     // week-grain maxima collapse, and the (user, type) binary margins
     "q_ljung_box", "q_dickey_fuller", "q_block_maxima_evt",
-    "q_cochran_q")
+    "q_cochran_q",
+    // round-11 fifth batch: the day-frame prefix/sign walks
+    "q_kpss_test", "q_runs_test")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -3473,6 +3473,181 @@ object SeriesQueries {
           .as("half_life_days"))
     },
 
+    // ---- KPSS stationarity test (the DF null, reversed) ----
+    // Kwiatkowski, Phillips, Schmidt & Shin (1992): the complement the
+    // unit-root pair NEEDS — q_dickey_fuller's null is "unit root"
+    // (non-rejection is uninformative on short series); KPSS nulls
+    // "level-stationary", so running BOTH gives the four-quadrant
+    // read (reject/reject = misspecified, etc.). η = n⁻²·Σ_t S_t²/σ̂²
+    // with S_t the partial sums of demeaned y and σ̂² the l=0
+    // long-run variance (the iid-residual form — consistent here
+    // because q_ljung_box reads this series as white). The 5 %
+    // critical value 0.463 (level case) is a pinned literal; partial
+    // sums come from EXACT DECIMAL prefix cums with the per-row
+    // double demeaning, and Σ S_t² accumulates over the ORDERED day
+    // frame (the q_page_hinkley parity argument). 100-TB story: one
+    // corpus collapse to the day frame; two ordered windows on it.
+    sql(
+      "q_kpss_test",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT CAST(rev * 10000 AS BIGINT) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |        CAST(sum(y * CAST(y AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |          AS syy
+        |      FROM o),
+        |p AS (SELECT rn,
+        |        CAST(sum(y) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+        |          AS DECIMAL(38,0)) AS cy
+        |      FROM o),
+        |s AS (SELECT p.rn,
+        |        CAST(p.cy AS DOUBLE) - p.rn * (CAST(g.sy AS DOUBLE) / g.n)
+        |          AS st
+        |      FROM p CROSS JOIN g),
+        |c AS (SELECT rn,
+        |        sum(st * st) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+        |          AS cs2
+        |      FROM s),
+        |f AS (SELECT g.n, c.cs2,
+        |        (CAST(g.syy AS DOUBLE)
+        |           - (CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE)) / g.n)
+        |          / g.n AS sig2
+        |      FROM c CROSS JOIN g WHERE c.rn = g.n)
+        |SELECT n AS n_days,
+        |  round(cs2 / ((CAST(n AS DOUBLE) * n) * sig2), 6) + 0.0
+        |    AS kpss_eta,
+        |  CAST(CASE WHEN cs2 / ((CAST(n AS DOUBLE) * n) * sig2) > 0.463
+        |       THEN 1 ELSE 0 END AS BIGINT) AS reject_stationary_5pct,
+        |  round(sqrt(sig2) / 10000, 4) + 0.0 AS resid_sd
+        |FROM f""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val o = daily
+        .select((col("rev") * 10000).cast("long").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint() // day frame: global moments + the prefix walk
+      val g = o.agg(count(lit(1)).as("n"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(col("y") * col("y").cast("decimal(28,0)"))
+          .cast("decimal(38,0)").as("syy"))
+      val wCum = Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = o.select(col("rn"),
+        sum("y").over(wCum).cast("decimal(38,0)").as("cy"))
+      val st = p.crossJoin(broadcast(g))
+        .select(col("rn"), col("n"), col("sy"), col("syy"),
+          (col("cy").cast("double")
+            - col("rn") * (col("sy").cast("double") / col("n"))).as("st"))
+      val c = st.withColumn("cs2",
+        sum(col("st") * col("st")).over(wCum))
+      val f = c.where(col("rn") === col("n"))
+        .select(col("n"), col("cs2"),
+          (((col("syy").cast("double")
+            - (col("sy").cast("double") * col("sy").cast("double"))
+              / col("n"))) / col("n")).as("sig2"))
+      val eta = col("cs2")
+        ./((col("n").cast("double") * col("n")) * col("sig2"))
+      f.select(col("n").as("n_days"),
+        (round(eta, 6) + 0.0).as("kpss_eta"),
+        when(eta > 0.463, 1L).otherwise(0L).as("reject_stationary_5pct"),
+        (round(sqrt(col("sig2")) / 10000, 4) + 0.0).as("resid_sd"))
+    },
+
+    // ---- Wald–Wolfowitz runs test (sequence randomness) ----
+    // Wald & Wolfowitz (1940): is the SEQUENCE of above/below-median
+    // days random, or do highs/lows clump? Catches serial structure
+    // in SIGN that Ljung–Box's linear ACF can miss (and vice versa) —
+    // the q_runs_islands machinery turned into an actual hypothesis
+    // test. The split point is the LOWER MEDIAN as an exact order
+    // statistic (row_number = (n+1) div 2 over (y, rn) — a
+    // deterministic integer selection, no percentile interpolation to
+    // drift cross-engine); ties go below. Runs count via the ordered
+    // lag window (exact integer), then the normal approximation
+    // z = (R − μ)/σ with μ = 2n₁n₂/n + 1 — doubles with explicit
+    // association. 100-TB story: one corpus collapse to the day
+    // frame; one sort-rank, one lag window, 1-row math.
+    sql(
+      "q_runs_test",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT CAST(rev * 10000 AS BIGINT) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |md AS (SELECT y AS med FROM
+        |         (SELECT y, row_number() OVER (ORDER BY y, rn) AS rk FROM o)
+        |       CROSS JOIN g WHERE rk = (g.n + 1) // 2),
+        |b AS (SELECT o.rn,
+        |        CASE WHEN o.y > md.med THEN 1 ELSE 0 END AS s
+        |      FROM o CROSS JOIN md),
+        |tr AS (SELECT s,
+        |         CASE WHEN lag(s) OVER (ORDER BY rn) IS NULL THEN 1
+        |              WHEN s <> lag(s) OVER (ORDER BY rn) THEN 1
+        |              ELSE 0 END AS brk
+        |       FROM b),
+        |agg AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+        |          CAST(sum(1 - s) AS BIGINT) AS n2,
+        |          CAST(sum(brk) AS BIGINT) AS runs
+        |        FROM tr),
+        |f AS (SELECT n1, n2, runs, n1 + n2 AS n,
+        |        (2.0e0 * n1 * n2) / (n1 + n2) + 1 AS mu,
+        |        sqrt(((2.0e0 * n1 * n2) * (2.0e0 * n1 * n2 - (n1 + n2)))
+        |             / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+        |                * (n1 + n2 - 1))) AS sg
+        |      FROM agg)
+        |SELECT n AS n_days, n1 AS n_above, n2 AS n_below, runs,
+        |  round(mu, 6) + 0.0 AS expected_runs,
+        |  round((runs - mu) / sg, 6) + 0.0 AS z_score,
+        |  CAST(CASE WHEN abs((runs - mu) / sg) > 1.959963984540054
+        |       THEN 1 ELSE 0 END AS BIGINT) AS reject_random_5pct
+        |FROM f""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val o = daily
+        .select((col("rev") * 10000).cast("long").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint() // day frame: median rank + the sign walk
+      val g = o.agg(count(lit(1)).as("n"))
+      val md = o.withColumn("rk",
+          row_number().over(Window.orderBy("y", "rn")).cast("long"))
+        .crossJoin(broadcast(g))
+        .where(expr("rk = (n + 1) div 2"))
+        .select(col("y").as("med"))
+      val b = o.crossJoin(broadcast(md))
+        .select(col("rn"), when(col("y") > col("med"), 1L).otherwise(0L)
+          .as("s"))
+      val lagS = lag("s", 1).over(Window.orderBy("rn"))
+      val tr = b.select(col("s"),
+        when(lagS.isNull, 1L).when(col("s") =!= lagS, 1L)
+          .otherwise(0L).as("brk"))
+      val agg = tr.agg(sum("s").cast("long").as("n1"),
+        sum(lit(1) - col("s")).cast("long").as("n2"),
+        sum("brk").cast("long").as("runs"))
+      val f = agg.select(col("n1"), col("n2"), col("runs"),
+        (col("n1") + col("n2")).as("n"),
+        ((lit(2.0) * col("n1") * col("n2")) / (col("n1") + col("n2")) + 1)
+          .as("mu"),
+        sqrt(((lit(2.0) * col("n1") * col("n2"))
+          * (lit(2.0) * col("n1") * col("n2") - (col("n1") + col("n2"))))
+          / (((col("n1") + col("n2")).cast("double")
+            * (col("n1") + col("n2"))) * (col("n1") + col("n2") - 1)))
+          .as("sg"))
+      f.select(col("n").as("n_days"), col("n1").as("n_above"),
+        col("n2").as("n_below"), col("runs"),
+        (round(col("mu"), 6) + 0.0).as("expected_runs"),
+        (round((col("runs") - col("mu")) / col("sg"), 6) + 0.0)
+          .as("z_score"),
+        when(abs((col("runs") - col("mu")) / col("sg"))
+          > 1.959963984540054, 1L).otherwise(0L).as("reject_random_5pct"))
+    },
+
     // ---- block-maxima extreme-value fit (Gumbel, weekly blocks) ----
     // The block-maxima side of extreme-value theory (Gumbel 1958;
     // Fisher–Tippett–Gnedenko), complementing q_hill_tail's

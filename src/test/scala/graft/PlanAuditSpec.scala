@@ -259,8 +259,12 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the 7-row lag frame
     "q_block_maxima_evt",  // 1-row fit scalars riding the week frame
                            // (exceedance audit) + 1-row exceed count
-    "q_cochran_q")         // 1-row column-margin × row-margin scalar
+    "q_cochran_q",         // 1-row column-margin × row-margin scalar
                            // crossJoin (both 1-row)
+    "q_kpss_test",         // 1-row broadcast global-moment scalars
+                           // riding the day-frame prefix walk
+    "q_runs_test")         // 1-row broadcast n + exact-median scalars
+                           // riding the sign walk
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

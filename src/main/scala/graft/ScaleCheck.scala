@@ -335,7 +335,9 @@ object ScaleCheck {
     "q_ljung_box", "q_dickey_fuller", "q_block_maxima_evt",
     "q_cochran_q",
     // round-11 fifth batch: the day-frame prefix/sign walks
-    "q_kpss_test", "q_runs_test")
+    "q_kpss_test", "q_runs_test",
+    // round-11 sixth batch: the per-type arm-moment collapse
+    "q_tost_equivalence")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -2718,6 +2718,98 @@ object StatsQueries {
           when(q > 9.487729036781154, 1L).otherwise(0L).as("reject_5pct"))
     },
 
+    // ---- TOST equivalence test (two one-sided tests) ----
+    // Schuirmann (1987): the test q_ab_ttest CANNOT give — failing to
+    // reject "no difference" is not evidence of equivalence; TOST
+    // nulls NON-equivalence (|Δ| ≥ δ) and rejects it only when BOTH
+    // one-sided statistics clear the bound, the launch-gate read for
+    // "the new variant does no harm within δ". Margin δ = 5 % of the
+    // pooled mean (data-derived but deterministic — exact DECIMAL
+    // total / count, the corpus's own scale); arms are the
+    // q_ab_ttest parity split, per event type. With n ≈ corpus-sized
+    // arms the one-sided t is normal to machine precision — the
+    // z critical 1.6448536269514722 rides as a pinned literal (the
+    // pinned-constant convention). Moments are exact DECIMAL; the
+    // Welch SE and both t's are doubles with explicit association.
+    // 100-TB story: one corpus pass to 2×#types moment rows, per-type
+    // projection math.
+    sql(
+      "q_tost_equivalence",
+      """WITH v AS (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS INT) % 2
+        |               AS variant,
+        |             CAST(value AS DECIMAL(18,6)) AS x
+        |           FROM events),
+        |s AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+        |        CAST(sum(x * CAST(x AS DECIMAL(19,6))) AS DECIMAL(38,12))
+        |          AS sxx
+        |      FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, variant, n,
+        |        CAST(sx AS DOUBLE) / n AS m,
+        |        (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * n - n) AS v2
+        |      FROM s),
+        |p AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b, a.m AS m_a,
+        |        b.m AS m_b,
+        |        0.05e0 * ((a.m * a.n + b.m * b.n) / (a.n + b.n)) AS delta,
+        |        sqrt(a.v2 / a.n + b.v2 / b.n) AS se
+        |      FROM w a JOIN w b
+        |        ON a.event_type = b.event_type
+        |       AND a.variant = 0 AND b.variant = 1)
+        |SELECT event_type, n_a, n_b,
+        |  round(m_a, 4) + 0.0 AS mean_a, round(m_b, 4) + 0.0 AS mean_b,
+        |  round(m_b - m_a, 6) + 0.0 AS diff,
+        |  round(delta, 6) + 0.0 AS delta_margin,
+        |  round(((m_b - m_a) + delta) / se, 6) + 0.0 AS t_lower,
+        |  round(((m_b - m_a) - delta) / se, 6) + 0.0 AS t_upper,
+        |  CAST(CASE WHEN ((m_b - m_a) + delta) / se > 1.6448536269514722
+        |             AND ((m_b - m_a) - delta) / se < -1.6448536269514722
+        |       THEN 1 ELSE 0 END AS BIGINT) AS equivalent_5pct
+        |FROM p ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("int") % 2)
+            .as("variant"),
+          col("value").cast("decimal(18,6)").as("x"))
+      val sm = v.groupBy("event_type", "variant")
+        .agg(count(lit(1)).as("n"),
+          sum("x").cast("decimal(38,6)").as("sx"),
+          sum(col("x") * col("x").cast("decimal(19,6)"))
+            .cast("decimal(38,12)").as("sxx"))
+      val w = sm.select(col("event_type"), col("variant"), col("n"),
+        (col("sx").cast("double") / col("n")).as("m"),
+        ((col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * col("n") - col("n"))).as("v2"))
+        .localCheckpoint() // 2×#types rows, both sides of the pivot
+      val a = w.where(col("variant") === 0)
+        .select(col("event_type"), col("n").as("n_a"), col("m").as("m_a"),
+          col("v2").as("v2_a"))
+      val b = w.where(col("variant") === 1)
+        .select(col("event_type").as("et_b"), col("n").as("n_b"),
+          col("m").as("m_b"), col("v2").as("v2_b"))
+      val p = a.join(b, col("event_type") === col("et_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("m_a"),
+          col("m_b"),
+          (lit(0.05) * ((col("m_a") * col("n_a") + col("m_b") * col("n_b"))
+            / (col("n_a") + col("n_b")))).as("delta"),
+          sqrt(col("v2_a") / col("n_a") + col("v2_b") / col("n_b"))
+            .as("se"))
+      val tLo = ((col("m_b") - col("m_a")) + col("delta")) / col("se")
+      val tHi = ((col("m_b") - col("m_a")) - col("delta")) / col("se")
+      p.select(col("event_type"), col("n_a"), col("n_b"),
+          (round(col("m_a"), 4) + 0.0).as("mean_a"),
+          (round(col("m_b"), 4) + 0.0).as("mean_b"),
+          (round(col("m_b") - col("m_a"), 6) + 0.0).as("diff"),
+          (round(col("delta"), 6) + 0.0).as("delta_margin"),
+          (round(tLo, 6) + 0.0).as("t_lower"),
+          (round(tHi, 6) + 0.0).as("t_upper"),
+          when(tLo > 1.6448536269514722 && tHi < -1.6448536269514722, 1L)
+            .otherwise(0L).as("equivalent_5pct"))
+        .orderBy("event_type")
+    },
+
     // ---- multivariate OLS via normal equations ----
     // Two-feature linear regression (extendedprice ~ quantity +
     // discount, per returnflag) solved in closed form from sufficient

@@ -337,7 +337,10 @@ object ScaleCheck {
     // round-11 fifth batch: the day-frame prefix/sign walks
     "q_kpss_test", "q_runs_test",
     // round-11 sixth batch: the per-type arm-moment collapse
-    "q_tost_equivalence")
+    "q_tost_equivalence",
+    // round-11 seventh batch: the (type, day) count moments and the
+    // week-grain subgroup collapse
+    "q_negbin_fit", "q_control_chart")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

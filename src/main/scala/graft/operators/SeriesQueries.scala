@@ -3558,6 +3558,161 @@ object SeriesQueries {
         (round(sqrt(col("sig2")) / 10000, 4) + 0.0).as("resid_sd"))
     },
 
+    // ---- negative-binomial fit (overdispersed daily counts) ----
+    // The count-model rung q_benford/q_burst_detect point at but never
+    // fit: per event type, daily event COUNTS are Poisson only if
+    // Var = Mean; real streams are overdispersed, and the
+    // method-of-moments NB fit r = m²/(v−m), p = m/v (Anscombe 1950)
+    // is the planning distribution for queue sizing and anomaly
+    // thresholds. The dispersion index D = v/m and a large-sample
+    // Poisson dispersion test (χ² = (n−1)·v/m vs its normal
+    // approximation z = √(2χ²) − √(2df−1), pinned 1.645) ride as the
+    // verdict. Integer daily counts ⇒ EXACT BIGINT moments; the only
+    // doubles are the final ratios. Falls back to sentinel r/p = −1
+    // when v ≤ m (underdispersed ⇒ NB undefined), identically both
+    // engines. 100-TB story: one corpus collapse to (type, day)
+    // counts, one 3-moment collapse per type, per-type projection.
+    sql(
+      "q_negbin_fit",
+      """WITH dd AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS sc,
+        |        CAST(sum(c * c) AS BIGINT) AS scc
+        |      FROM dd GROUP BY 1),
+        |f AS (SELECT event_type, n, sc,
+        |        CAST(sc AS DOUBLE) / n AS mean_c,
+        |        (n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * n - n) AS var_c
+        |      FROM m)
+        |SELECT event_type, n AS n_days, sc AS n_events,
+        |  round(mean_c, 4) + 0.0 AS mean_daily,
+        |  round(var_c, 4) + 0.0 AS var_daily,
+        |  round(var_c / mean_c, 6) + 0.0 AS dispersion,
+        |  CASE WHEN var_c > mean_c
+        |       THEN round((mean_c * mean_c) / (var_c - mean_c), 6) + 0.0
+        |       ELSE -1.0e0 END AS nb_r,
+        |  CASE WHEN var_c > mean_c
+        |       THEN round(mean_c / var_c, 6) + 0.0
+        |       ELSE -1.0e0 END AS nb_p,
+        |  round(sqrt(2 * ((n - 1) * (var_c / mean_c)))
+        |        - sqrt(2.0e0 * (n - 1) - 1), 6) + 0.0 AS poisson_z,
+        |  CAST(CASE WHEN sqrt(2 * ((n - 1) * (var_c / mean_c)))
+        |                 - sqrt(2.0e0 * (n - 1) - 1) > 1.6448536269514722
+        |       THEN 1 ELSE 0 END AS BIGINT) AS overdispersed_5pct
+        |FROM f ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dd = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val m = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").cast("long").as("sc"),
+          sum(col("c") * col("c")).cast("long").as("scc"))
+      val f = m.select(col("event_type"), col("n"), col("sc"),
+        (col("sc").cast("double") / col("n")).as("mean_c"),
+        ((col("n") * col("scc").cast("double")
+          - col("sc").cast("double") * col("sc").cast("double"))
+          / (col("n").cast("double") * col("n") - col("n"))).as("var_c"))
+      val z = sqrt(lit(2) * ((col("n") - 1) * (col("var_c") / col("mean_c")))) -
+        sqrt(lit(2.0) * (col("n") - 1) - 1)
+      f.select(col("event_type"), col("n").as("n_days"),
+          col("sc").as("n_events"),
+          (round(col("mean_c"), 4) + 0.0).as("mean_daily"),
+          (round(col("var_c"), 4) + 0.0).as("var_daily"),
+          (round(col("var_c") / col("mean_c"), 6) + 0.0).as("dispersion"),
+          when(col("var_c") > col("mean_c"),
+            round((col("mean_c") * col("mean_c"))
+              / (col("var_c") - col("mean_c")), 6) + 0.0)
+            .otherwise(lit(-1.0)).as("nb_r"),
+          when(col("var_c") > col("mean_c"),
+            round(col("mean_c") / col("var_c"), 6) + 0.0)
+            .otherwise(lit(-1.0)).as("nb_p"),
+          (round(z, 6) + 0.0).as("poisson_z"),
+          when(z > 1.6448536269514722, 1L).otherwise(0L)
+            .as("overdispersed_5pct"))
+        .orderBy("event_type")
+    },
+
+    // ---- Shewhart X-bar / R control chart (weekly subgroups) ----
+    // The SPC classic (Shewhart 1931) the anomaly family reports TO:
+    // q_anomaly_* flags points, a control chart decides whether the
+    // PROCESS is in control. Daily revenue in 7-day subgroups; center
+    // lines x̄̄ and R̄, limits x̄̄ ± A₂·R̄ and D₃·R̄/D₄·R̄ with the
+    // n=7 chart constants PINNED (A₂ = 0.419, D₃ = 0.076, D₄ = 1.924
+    // — tabulated values, the pinned-literal convention). Output: one
+    // row per complete subgroup (means/ranges as exact micro-unit
+    // integers scaled at the edge) with the limits riding and the
+    // out-of-control flags (rule 1: beyond 3σ limits) — Σ flags is
+    // the process verdict. 100-TB story: one corpus collapse to the
+    // day frame, one week-grain collapse, 1-row limits broadcast back.
+    sql(
+      "q_control_chart",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |wk AS (SELECT d // 7 AS w, CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(CAST(rev * 10000 AS BIGINT)) AS BIGINT) AS sv,
+        |         max(CAST(rev * 10000 AS BIGINT))
+        |           - min(CAST(rev * 10000 AS BIGINT)) AS rng
+        |       FROM daily GROUP BY 1 HAVING count(*) = 7),
+        |cl AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+        |         CAST(sum(sv) AS DOUBLE) / (7 * count(*)) AS xbb,
+        |         CAST(sum(rng) AS DOUBLE) / count(*) AS rbar
+        |       FROM wk)
+        |SELECT wk.w AS week, round(CAST(wk.sv AS DOUBLE) / 7 / 10000, 4)
+        |    + 0.0 AS xbar,
+        |  round(CAST(wk.rng AS DOUBLE) / 10000, 4) + 0.0 AS r_range,
+        |  round(cl.xbb / 10000, 4) + 0.0 AS center,
+        |  round((cl.xbb - 0.419e0 * cl.rbar) / 10000, 4) + 0.0 AS lcl,
+        |  round((cl.xbb + 0.419e0 * cl.rbar) / 10000, 4) + 0.0 AS ucl,
+        |  round(0.076e0 * cl.rbar / 10000, 4) + 0.0 AS r_lcl,
+        |  round(1.924e0 * cl.rbar / 10000, 4) + 0.0 AS r_ucl,
+        |  CAST(CASE WHEN CAST(wk.sv AS DOUBLE) / 7
+        |                 < cl.xbb - 0.419e0 * cl.rbar
+        |             OR CAST(wk.sv AS DOUBLE) / 7
+        |                 > cl.xbb + 0.419e0 * cl.rbar
+        |       THEN 1 ELSE 0 END AS BIGINT) AS out_of_control,
+        |  CAST(CASE WHEN CAST(wk.rng AS DOUBLE) < 0.076e0 * cl.rbar
+        |             OR CAST(wk.rng AS DOUBLE) > 1.924e0 * cl.rbar
+        |       THEN 1 ELSE 0 END AS BIGINT) AS range_out,
+        |  cl.n_weeks
+        |FROM wk CROSS JOIN cl ORDER BY week""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val v = (col("rev") * 10000).cast("long")
+      val wk = daily.groupBy(expr("d div 7").as("w"))
+        .agg(count(lit(1)).as("nd"), sum(v).cast("long").as("sv"),
+          (max(v) - min(v)).as("rng"))
+        .where(col("nd") === 7)
+        .localCheckpoint() // complete-week frame: limits + the chart
+      val cl = wk.agg(count(lit(1)).as("n_weeks"),
+        (sum("sv").cast("double") / (lit(7) * count(lit(1)))).as("xbb"),
+        (sum("rng").cast("double") / count(lit(1))).as("rbar"))
+      val xbar = col("sv").cast("double") / 7
+      wk.crossJoin(broadcast(cl))
+        .select(col("w").as("week"),
+          (round(xbar / 10000, 4) + 0.0).as("xbar"),
+          (round(col("rng").cast("double") / 10000, 4) + 0.0).as("r_range"),
+          (round(col("xbb") / 10000, 4) + 0.0).as("center"),
+          (round((col("xbb") - lit(0.419) * col("rbar")) / 10000, 4) + 0.0)
+            .as("lcl"),
+          (round((col("xbb") + lit(0.419) * col("rbar")) / 10000, 4) + 0.0)
+            .as("ucl"),
+          (round(lit(0.076) * col("rbar") / 10000, 4) + 0.0).as("r_lcl"),
+          (round(lit(1.924) * col("rbar") / 10000, 4) + 0.0).as("r_ucl"),
+          when(xbar < col("xbb") - lit(0.419) * col("rbar"), 1L)
+            .when(xbar > col("xbb") + lit(0.419) * col("rbar"), 1L)
+            .otherwise(0L).as("out_of_control"),
+          when(col("rng").cast("double") < lit(0.076) * col("rbar"), 1L)
+            .when(col("rng").cast("double") > lit(1.924) * col("rbar"), 1L)
+            .otherwise(0L).as("range_out"),
+          col("n_weeks"))
+        .orderBy("week")
+    },
+
     // ---- Wald–Wolfowitz runs test (sequence randomness) ----
     // Wald & Wolfowitz (1940): is the SEQUENCE of above/below-median
     // days random, or do highs/lows clump? Catches serial structure

@@ -263,8 +263,10 @@ class PlanAuditSpec extends SparkSpec {
                            // crossJoin (both 1-row)
     "q_kpss_test",         // 1-row broadcast global-moment scalars
                            // riding the day-frame prefix walk
-    "q_runs_test")         // 1-row broadcast n + exact-median scalars
+    "q_runs_test",         // 1-row broadcast n + exact-median scalars
                            // riding the sign walk
+    "q_control_chart")     // 1-row broadcast center/limit scalars
+                           // riding the week frame
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -340,7 +340,7 @@ object ScaleCheck {
     "q_tost_equivalence",
     // round-11 seventh batch: the (type, day) count moments and the
     // week-grain subgroup collapse
-    "q_negbin_fit", "q_control_chart")
+    "q_negbin_fit", "q_control_chart", "q_hurst_exponent")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

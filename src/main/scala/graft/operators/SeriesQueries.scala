@@ -3558,6 +3558,134 @@ object SeriesQueries {
         (round(sqrt(col("sig2")) / 10000, 4) + 0.0).as("resid_sd"))
     },
 
+    // ---- Hurst exponent via rescaled-range analysis ----
+    // Hurst (1951) / Mandelbrot & Wallis (1969): the long-memory
+    // readout the stationarity pair can't give — DF/KPSS ask IF the
+    // series reverts, H asks HOW ITS FLUCTUATIONS SCALE: H ≈ .5
+    // random walk increments, H > .5 persistent (trends feed
+    // themselves), H < .5 anti-persistent. Classic R/S: for block
+    // sizes s ∈ {16..256}, each complete block's rescaled range
+    // (max−min of the cumulative demeaned walk, over the population
+    // σ), averaged per size, then H = the log-log OLS slope (the
+    // q_zipf_fit log-log-fit convention — ln enters only 5-row
+    // regression inputs). Cross-engine: block sums/squares are exact
+    // BIGINT/DECIMAL; the in-block walk accumulates through the
+    // ORDERED window (sequential both engines); per-size averages
+    // accumulate as DECIMAL(38,18) casts (combiner-order-free).
+    // 100-TB story: one corpus collapse to the day frame; the ×5
+    // size fan-out is day-frame-sized; everything else is block- and
+    // 5-row-frame math.
+    sql(
+      "q_hurst_exponent",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT CAST(rev * 10000 AS BIGINT) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |sizes AS (SELECT CAST(unnest([16, 32, 64, 128, 256]) AS BIGINT) AS s),
+        |e AS (SELECT sizes.s, (o.rn - 1) // sizes.s AS blk,
+        |        o.rn - sizes.s * ((o.rn - 1) // sizes.s) AS pos, o.y
+        |      FROM o CROSS JOIN sizes CROSS JOIN g
+        |      WHERE o.rn <= sizes.s * (g.n // sizes.s)),
+        |bm AS (SELECT s, blk, CAST(sum(y) AS BIGINT) AS bsum,
+        |         CAST(sum(y * CAST(y AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |           AS bss
+        |       FROM e GROUP BY 1, 2),
+        |z AS (SELECT e.s, e.blk,
+        |        CAST(sum(e.y) OVER (PARTITION BY e.s, e.blk ORDER BY e.pos
+        |            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |          - e.pos * (CAST(bm.bsum AS DOUBLE) / e.s) AS zt,
+        |        CAST(bm.bss AS DOUBLE) / e.s
+        |          - (CAST(bm.bsum AS DOUBLE) / e.s)
+        |            * (CAST(bm.bsum AS DOUBLE) / e.s) AS v2
+        |      FROM e JOIN bm ON bm.s = e.s AND bm.blk = e.blk),
+        |rsb AS (SELECT s, blk,
+        |          (max(zt) - min(zt)) / sqrt(max(v2)) AS rs
+        |        FROM z GROUP BY 1, 2 HAVING max(v2) > 0),
+        |rss AS (SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+        |          CAST(sum(CAST(rs AS DECIMAL(38,18))) AS DOUBLE)
+        |            / count(*) AS rs_mean
+        |        FROM rsb GROUP BY 1),
+        |lg AS (SELECT s, n_blocks, rs_mean,
+        |         ln(CAST(s AS DOUBLE)) AS lx, ln(rs_mean) AS ly
+        |       FROM rss),
+        |fm AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |         CAST(sum(CAST(lx * ly AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(lx AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(ly AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(lx * lx AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        |       FROM lg),
+        |fit AS (SELECT (np * sxy - sx * sy) / (np * sxx - sx * sx) AS h
+        |        FROM fm)
+        |SELECT lg.s AS block_size, lg.n_blocks,
+        |  round(lg.rs_mean, 6) + 0.0 AS rs_mean,
+        |  round(fit.h, 6) + 0.0 AS hurst_h,
+        |  CAST(CASE WHEN fit.h > 0.6 THEN 1
+        |            WHEN fit.h < 0.4 THEN -1
+        |            ELSE 0 END AS BIGINT) AS memory_verdict
+        |FROM lg CROSS JOIN fit ORDER BY block_size""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val o = daily
+        .select((col("rev") * 10000).cast("long").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+      val g = o.agg(count(lit(1)).as("n"))
+      val sizes = s.range(1).select(explode(array(
+        lit(16L), lit(32L), lit(64L), lit(128L), lit(256L))).as("s"))
+      val e = o.crossJoin(broadcast(sizes)).crossJoin(broadcast(g))
+        .where(col("rn") <= col("s") * expr("n div s"))
+        .select(col("s"), expr("(rn - 1) div s").as("blk"),
+          (col("rn") - col("s") * expr("(rn - 1) div s")).as("pos"),
+          col("y"))
+        .localCheckpoint() // (day × 5 sizes) frame: moments + the walk
+      val bm = e.groupBy("s", "blk")
+        .agg(sum("y").cast("long").as("bsum"),
+          sum(col("y") * col("y").cast("decimal(28,0)"))
+            .cast("decimal(38,0)").as("bss"))
+      val wBlk = Window.partitionBy("s", "blk").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val z = e.join(bm, Seq("s", "blk"))
+        .select(col("s"), col("blk"),
+          (sum("y").over(wBlk).cast("double")
+            - col("pos") * (col("bsum").cast("double") / col("s")))
+            .as("zt"),
+          (col("bss").cast("double") / col("s")
+            - (col("bsum").cast("double") / col("s"))
+              * (col("bsum").cast("double") / col("s"))).as("v2"))
+      val rsb = z.groupBy("s", "blk")
+        .agg(((max("zt") - min("zt")) / sqrt(max("v2"))).as("rs"),
+          max("v2").as("mv2"))
+        .where(col("mv2") > 0)
+      val rss = rsb.groupBy("s")
+        .agg(count(lit(1)).as("n_blocks"),
+          (sum(col("rs").cast("decimal(38,18)")).cast("double")
+            / count(lit(1))).as("rs_mean"))
+      val lg = rss.select(col("s"), col("n_blocks"), col("rs_mean"),
+          log(col("s").cast("double")).as("lx"),
+          log(col("rs_mean")).as("ly"))
+        .localCheckpoint() // 5-row frame: the fit + the output
+      val fm = lg.agg(count(lit(1)).as("np"),
+        sum((col("lx") * col("ly")).cast("decimal(38,18)"))
+          .cast("double").as("sxy"),
+        sum(col("lx").cast("decimal(38,18)")).cast("double").as("sx"),
+        sum(col("ly").cast("decimal(38,18)")).cast("double").as("sy"),
+        sum((col("lx") * col("lx")).cast("decimal(38,18)"))
+          .cast("double").as("sxx"))
+      val fit = fm.select(((col("np") * col("sxy") - col("sx") * col("sy"))
+        / (col("np") * col("sxx") - col("sx") * col("sx"))).as("h"))
+      lg.crossJoin(broadcast(fit))
+        .select(col("s").as("block_size"), col("n_blocks"),
+          (round(col("rs_mean"), 6) + 0.0).as("rs_mean"),
+          (round(col("h"), 6) + 0.0).as("hurst_h"),
+          when(col("h") > 0.6, 1L)
+            .when(col("h") < 0.4, -1L)
+            .otherwise(0L).as("memory_verdict"))
+        .orderBy("block_size")
+    },
+
     // ---- negative-binomial fit (overdispersed daily counts) ----
     // The count-model rung q_benford/q_burst_detect point at but never
     // fit: per event type, daily event COUNTS are Poisson only if

@@ -265,8 +265,10 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the day-frame prefix walk
     "q_runs_test",         // 1-row broadcast n + exact-median scalars
                            // riding the sign walk
-    "q_control_chart")     // 1-row broadcast center/limit scalars
+    "q_control_chart",     // 1-row broadcast center/limit scalars
                            // riding the week frame
+    "q_hurst_exponent")    // 5-row size fan-out × day frame + 1-row
+                           // n and slope scalars riding block frames
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -340,7 +340,9 @@ object ScaleCheck {
     "q_tost_equivalence",
     // round-11 seventh batch: the (type, day) count moments and the
     // week-grain subgroup collapse
-    "q_negbin_fit", "q_control_chart", "q_hurst_exponent")
+    "q_negbin_fit", "q_control_chart", "q_hurst_exponent",
+    // round-11 eighth batch: the per-series chart folds
+    "q_ewma_chart", "q_cusum_chart")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -3558,6 +3558,232 @@ object SeriesQueries {
         (round(sqrt(col("sig2")) / 10000, 4) + 0.0).as("resid_sd"))
     },
 
+    // ---- EWMA control chart (per event type, daily volumes) ----
+    // Roberts (1959) / Lucas & Saccucci (1990): the small-shift
+    // detector Shewhart misses — z_t = λx_t + (1−λ)z_{t−1} (λ = 0.2)
+    // against time-varying limits μ ± 3σ√(λ/(2−λ)·(1−(1−λ)^{2t})).
+    // The power (1−λ)^{2t} is CARRIED THROUGH THE RECURSION as
+    // v_t = (1−λ)²·v_{t−1} (exact IEEE multiplication both engines —
+    // no pow(), the chi²/libm non-choice), so the whole chart is the
+    // q_holt_forecast recursive-CTE ≡ mapPartitions-fold parity
+    // pattern with a 2-field state. μ/σ are the series' own exact
+    // integer moments (Phase-I-on-self convention, like
+    // q_control_chart). Output: per (type, day) z, limits, breach
+    // flag; Σ breaches is the verdict. 100-TB story: one corpus
+    // collapse to the (#series × #days) day frame; the fold is a
+    // per-series in-partition walk.
+    sql(
+      "q_ewma_chart",
+      """WITH RECURSIVE dd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, c,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |             AS BIGINT) AS rn
+        |      FROM dd),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS sc,
+        |        CAST(sum(c * c) AS BIGINT) AS scc
+        |      FROM i GROUP BY 1),
+        |ms AS (SELECT event_type, n, CAST(sc AS DOUBLE) / n AS mu,
+        |         sqrt((n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc)
+        |              / (CAST(n AS DOUBLE) * n - n)) AS sg
+        |       FROM m),
+        |f AS (SELECT i.event_type, i.rn,
+        |        ms.mu + 0.2e0 * (i.c - ms.mu) AS z,
+        |        0.64e0 AS v
+        |      FROM i JOIN ms ON ms.event_type = i.event_type
+        |      WHERE i.rn = 1
+        |      UNION ALL
+        |      SELECT i.event_type, i.rn,
+        |             0.2e0 * i.c + 0.8e0 * f.z,
+        |             0.64e0 * f.v
+        |      FROM f JOIN i ON i.event_type = f.event_type
+        |                   AND i.rn = f.rn + 1)
+        |SELECT f.event_type, f.rn AS t,
+        |  round(f.z, 6) + 0.0 AS ewma,
+        |  round(ms.mu, 6) + 0.0 AS center,
+        |  round(ms.mu - 3 * (ms.sg * sqrt(0.2e0 / 1.8e0 * (1 - f.v))), 6)
+        |    + 0.0 AS lcl,
+        |  round(ms.mu + 3 * (ms.sg * sqrt(0.2e0 / 1.8e0 * (1 - f.v))), 6)
+        |    + 0.0 AS ucl,
+        |  CAST(CASE WHEN f.z < ms.mu - 3 * (ms.sg * sqrt(0.2e0 / 1.8e0 * (1 - f.v)))
+        |             OR f.z > ms.mu + 3 * (ms.sg * sqrt(0.2e0 / 1.8e0 * (1 - f.v)))
+        |       THEN 1 ELSE 0 END AS BIGINT) AS breach
+        |FROM f JOIN ms ON ms.event_type = f.event_type
+        |ORDER BY f.event_type, t""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dd = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // day frame: moments + the fold
+      val m = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").cast("long").as("sc"),
+          sum(col("c") * col("c")).cast("long").as("scc"))
+      val ms = m.select(col("event_type").as("et"), col("n"),
+          (col("sc").cast("double") / col("n")).as("mu"),
+          sqrt((col("n") * col("scc").cast("double")
+            - col("sc").cast("double") * col("sc"))
+            / (col("n").cast("double") * col("n") - col("n"))).as("sg"))
+        .localCheckpoint() // 5 rows: fold seed + the limit join
+      val folded = dd.join(broadcast(ms), col("event_type") === col("et"))
+        .select(col("event_type"), col("day"),
+          col("c").cast("double").as("x"), col("mu"))
+        .as[(String, java.sql.Date, Double, Double)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "day")
+        .mapPartitions { it =>
+          new Iterator[(String, Long, Double, Double)] {
+            private var pending: Option[(String, java.sql.Date, Double, Double)] =
+              if (it.hasNext) Some(it.next()) else None
+            val out = scala.collection.mutable.Queue.empty[(String, Long, Double, Double)]
+            private def fill(): Unit = while (out.isEmpty && pending.isDefined) {
+              val (et, _, x0, mu) = pending.get
+              // seed: z1 = mu + lambda*(x1 - mu); v1 = (1-lambda)^2
+              var z = mu + 0.2 * (x0 - mu)
+              var v = 0.64
+              var rn = 1L
+              out += ((et, rn, z, v))
+              pending = None
+              var done = false
+              while (!done && it.hasNext) {
+                val r = it.next()
+                if (r._1 == et) {
+                  // the oracle CTE's step expressions, shape-identical
+                  z = 0.2 * r._3 + 0.8 * z
+                  v = 0.64 * v
+                  rn += 1
+                  out += ((et, rn, z, v))
+                } else { pending = Some(r); done = true }
+              }
+            }
+            def hasNext: Boolean = { fill(); out.nonEmpty }
+            def next(): (String, Long, Double, Double) = { fill(); out.dequeue() }
+          }
+        }
+        .toDF("event_type", "t", "z", "v")
+      val lim = col("sg") * sqrt(lit(0.2) / 1.8 * (lit(1) - col("v")))
+      folded.join(broadcast(ms), col("event_type") === col("et"))
+        .select(col("event_type"), col("t"),
+          (round(col("z"), 6) + 0.0).as("ewma"),
+          (round(col("mu"), 6) + 0.0).as("center"),
+          (round(col("mu") - lit(3) * lim, 6) + 0.0).as("lcl"),
+          (round(col("mu") + lit(3) * lim, 6) + 0.0).as("ucl"),
+          when(col("z") < col("mu") - lit(3) * lim, 1L)
+            .when(col("z") > col("mu") + lit(3) * lim, 1L)
+            .otherwise(0L).as("breach"))
+        .orderBy("event_type", "t")
+    },
+
+    // ---- tabular CUSUM control chart (per event type) ----
+    // Page (1954), the decision-interval form every SPC text pairs
+    // with the EWMA chart: C⁺ = max(0, x − (μ + kσ) + C⁺₋₁),
+    // C⁻ = max(0, (μ − kσ) − x + C⁻₋₁), alarm when either exceeds
+    // h·σ (k = 0.5, h = 4 — the standard design for 1σ shifts).
+    // Differs from q_changepoint_cusum (global-mean replay) and
+    // q_page_hinkley (running-mean drift): this is the CALIBRATED
+    // two-sided chart with named design constants. Same recursion
+    // discipline as q_ewma_chart: recursive-CTE oracle ≡ sequential
+    // fold, max() is exact in IEEE, μ/σ from exact integer moments.
+    // 100-TB story: one corpus collapse to the day frame; per-series
+    // in-partition walk.
+    sql(
+      "q_cusum_chart",
+      """WITH RECURSIVE dd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, c,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |             AS BIGINT) AS rn
+        |      FROM dd),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS sc,
+        |        CAST(sum(c * c) AS BIGINT) AS scc
+        |      FROM i GROUP BY 1),
+        |ms AS (SELECT event_type, CAST(sc AS DOUBLE) / n AS mu,
+        |         sqrt((n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc)
+        |              / (CAST(n AS DOUBLE) * n - n)) AS sg
+        |       FROM m),
+        |f AS (SELECT i.event_type, i.rn,
+        |        greatest(0, i.c - (ms.mu + 0.5e0 * ms.sg)) AS cp,
+        |        greatest(0, (ms.mu - 0.5e0 * ms.sg) - i.c) AS cm
+        |      FROM i JOIN ms ON ms.event_type = i.event_type
+        |      WHERE i.rn = 1
+        |      UNION ALL
+        |      SELECT i.event_type, i.rn,
+        |             greatest(0, i.c - (ms.mu + 0.5e0 * ms.sg) + f.cp),
+        |             greatest(0, (ms.mu - 0.5e0 * ms.sg) - i.c + f.cm)
+        |      FROM f JOIN i ON i.event_type = f.event_type
+        |                   AND i.rn = f.rn + 1
+        |      JOIN ms ON ms.event_type = i.event_type)
+        |SELECT f.event_type, f.rn AS t,
+        |  round(f.cp, 6) + 0.0 AS cusum_hi,
+        |  round(f.cm, 6) + 0.0 AS cusum_lo,
+        |  round(4 * ms.sg, 6) + 0.0 AS h_limit,
+        |  CAST(CASE WHEN f.cp > 4 * ms.sg OR f.cm > 4 * ms.sg
+        |       THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM f JOIN ms ON ms.event_type = f.event_type
+        |ORDER BY f.event_type, t""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dd = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val m = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").cast("long").as("sc"),
+          sum(col("c") * col("c")).cast("long").as("scc"))
+      val ms = m.select(col("event_type").as("et"),
+          (col("sc").cast("double") / col("n")).as("mu"),
+          sqrt((col("n") * col("scc").cast("double")
+            - col("sc").cast("double") * col("sc"))
+            / (col("n").cast("double") * col("n") - col("n"))).as("sg"))
+        .localCheckpoint()
+      val folded = dd.join(broadcast(ms), col("event_type") === col("et"))
+        .select(col("event_type"), col("day"),
+          col("c").cast("double").as("x"), col("mu"), col("sg"))
+        .as[(String, java.sql.Date, Double, Double, Double)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "day")
+        .mapPartitions { it =>
+          new Iterator[(String, Long, Double, Double)] {
+            private var pending: Option[(String, java.sql.Date, Double, Double, Double)] =
+              if (it.hasNext) Some(it.next()) else None
+            val out = scala.collection.mutable.Queue.empty[(String, Long, Double, Double)]
+            private def fill(): Unit = while (out.isEmpty && pending.isDefined) {
+              val (et, _, x0, mu, sg) = pending.get
+              // the oracle CTE's step expressions, shape-identical
+              var cp = math.max(0.0, x0 - (mu + 0.5 * sg))
+              var cm = math.max(0.0, (mu - 0.5 * sg) - x0)
+              var rn = 1L
+              out += ((et, rn, cp, cm))
+              pending = None
+              var done = false
+              while (!done && it.hasNext) {
+                val r = it.next()
+                if (r._1 == et) {
+                  cp = math.max(0.0, r._3 - (mu + 0.5 * sg) + cp)
+                  cm = math.max(0.0, (mu - 0.5 * sg) - r._3 + cm)
+                  rn += 1
+                  out += ((et, rn, cp, cm))
+                } else { pending = Some(r); done = true }
+              }
+            }
+            def hasNext: Boolean = { fill(); out.nonEmpty }
+            def next(): (String, Long, Double, Double) = { fill(); out.dequeue() }
+          }
+        }
+        .toDF("event_type", "t", "cp", "cm")
+      folded.join(broadcast(ms), col("event_type") === col("et"))
+        .select(col("event_type"), col("t"),
+          (round(col("cp"), 6) + 0.0).as("cusum_hi"),
+          (round(col("cm"), 6) + 0.0).as("cusum_lo"),
+          (round(lit(4) * col("sg"), 6) + 0.0).as("h_limit"),
+          when(col("cp") > lit(4) * col("sg"), 1L)
+            .when(col("cm") > lit(4) * col("sg"), 1L)
+            .otherwise(0L).as("alarm"))
+        .orderBy("event_type", "t")
+    },
+
     // ---- Hurst exponent via rescaled-range analysis ----
     // Hurst (1951) / Mandelbrot & Wallis (1969): the long-memory
     // readout the stationarity pair can't give — DF/KPSS ask IF the

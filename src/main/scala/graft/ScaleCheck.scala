@@ -342,7 +342,7 @@ object ScaleCheck {
     // week-grain subgroup collapse
     "q_negbin_fit", "q_control_chart", "q_hurst_exponent",
     // round-11 eighth batch: the per-series chart folds
-    "q_ewma_chart", "q_cusum_chart")
+    "q_ewma_chart", "q_cusum_chart", "q_dfa_alpha")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

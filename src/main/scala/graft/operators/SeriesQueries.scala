@@ -3558,6 +3558,161 @@ object SeriesQueries {
         (round(sqrt(col("sig2")) / 10000, 4) + 0.0).as("resid_sd"))
     },
 
+    // ---- detrended fluctuation analysis (DFA-1) ----
+    // Peng et al. (1994): the modern long-memory estimator next to
+    // q_hurst_exponent's classic R/S — DFA detrends each block of the
+    // cumulative profile with its own OLS line before measuring
+    // fluctuation, so a deterministic trend can't masquerade as
+    // memory (the failure mode R/S is famous for). α ≈ 0.5 white,
+    // > 0.5 persistent; the R/S + DFA PAIR agreeing (.568/.539 here)
+    // is itself the audit. Numerics (two 10×-gate lessons baked in):
+    // (1) block-OLS SSE is invariant to adding any intercept+slope
+    // term, so the mean-subtracted FLOAT profile is mathematically
+    // redundant — the profile is the raw INTEGER cumulative sum of
+    // whole-dollar daily revenue (floor() both engines, the CAST
+    // gotcha), and every block moment is exact; (2) the centered
+    // moments s·Σy²−(Σy)², s·Σxy−Σx·Σy CANCEL IN DECIMAL (38-digit
+    // exact, width-paired products) BEFORE any double conversion —
+    // cancelling in double after a >2⁵³ decimal→double cast left a
+    // 1-ulp engine gap that the 10× hash gate caught twice. Σpos and
+    // Σpos² are closed-form in s. F(s) = √(mean SSE/s), α = the
+    // 5-point log-log slope (the q_hurst_exponent fit shape).
+    // 100-TB story: one corpus collapse to the day frame; the
+    // profile is ONE ordered integer prefix window; the ×5 fan-out
+    // is day-frame-sized; headroom to ~1000× inside DECIMAL(38).
+    sql(
+      "q_dfa_alpha",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT CAST(floor(rev) AS BIGINT) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |pr AS (SELECT o.rn,
+        |         CAST(sum(o.y) OVER (ORDER BY o.rn ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS cy
+        |       FROM o),
+        |sizes AS (SELECT CAST(unnest([16, 32, 64, 128, 256]) AS BIGINT) AS s),
+        |e AS (SELECT sizes.s, (pr.rn - 1) // sizes.s AS blk,
+        |        CAST(pr.rn - sizes.s * ((pr.rn - 1) // sizes.s) AS BIGINT)
+        |          AS pos,
+        |        pr.cy
+        |      FROM pr CROSS JOIN sizes CROSS JOIN g
+        |      WHERE pr.rn <= sizes.s * (g.n // sizes.s)),
+        |bm AS (SELECT s, blk,
+        |         CAST(sum(cy) AS DECIMAL(18,0)) AS scy,
+        |         CAST(sum(pos * CAST(cy AS DECIMAL(22,0)))
+        |           AS DECIMAL(38,0)) AS spcy,
+        |         CAST(sum(CAST(cy AS DECIMAL(15,0))
+        |                  * CAST(cy AS DECIMAL(19,0)))
+        |           AS DECIMAL(34,0)) AS scy2
+        |       FROM e GROUP BY 1, 2),
+        |cm AS (SELECT s, blk,
+        |         CAST(CAST(scy2 AS DECIMAL(34,0)) * CAST(s AS DECIMAL(3,0))
+        |              - CAST(scy AS DECIMAL(18,0)) * CAST(scy AS DECIMAL(19,0))
+        |           AS DECIMAL(38,0)) AS syyc,
+        |         CAST(CAST(spcy AS DECIMAL(34,0)) * CAST(s AS DECIMAL(3,0))
+        |              - CAST((s * (s + 1)) // 2 AS DECIMAL(5,0))
+        |                * CAST(scy AS DECIMAL(32,0))
+        |           AS DECIMAL(38,0)) AS sxyc,
+        |         (s * s * (s * s - 1)) // 12 AS sxxc
+        |       FROM bm),
+        |sse AS (SELECT s, blk,
+        |          (CAST(syyc AS DOUBLE)
+        |             - (CAST(sxyc AS DOUBLE) * CAST(sxyc AS DOUBLE))
+        |               / CAST(sxxc AS DOUBLE))
+        |          / (CAST(s AS DOUBLE) * s) AS f2
+        |        FROM cm),
+        |fs AS (SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+        |         sqrt(CAST(sum(CAST(f2 AS DECIMAL(38,6))) AS DOUBLE)
+        |              / count(*)) AS f_s
+        |       FROM sse GROUP BY 1),
+        |lg AS (SELECT s, n_blocks, f_s,
+        |         ln(CAST(s AS DOUBLE)) AS lx, ln(f_s) AS ly
+        |       FROM fs),
+        |fm AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |         CAST(sum(CAST(lx * ly AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(lx AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(ly AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(lx * lx AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+        |       FROM lg),
+        |fit AS (SELECT (np * sxy - sx * sy) / (np * sxx - sx * sx) AS a
+        |        FROM fm)
+        |SELECT lg.s AS block_size, lg.n_blocks,
+        |  round(lg.f_s, 6) + 0.0 AS f_s,
+        |  round(fit.a, 6) + 0.0 AS dfa_alpha,
+        |  CAST(CASE WHEN fit.a > 0.6 THEN 1
+        |            WHEN fit.a < 0.4 THEN -1
+        |            ELSE 0 END AS BIGINT) AS memory_verdict
+        |FROM lg CROSS JOIN fit ORDER BY block_size""".stripMargin) { (s, dir) =>
+      val daily = dailyDecimal(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice")
+      val o = daily
+        .select(floor(col("rev")).cast("long").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+      val g = o.agg(count(lit(1)).as("n"))
+      val wCum = Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pr = o.select(col("rn"),
+        sum("y").over(wCum).cast("long").as("cy"))
+      val sizes = s.range(1).select(explode(array(
+        lit(16L), lit(32L), lit(64L), lit(128L), lit(256L))).as("s"))
+      val e = pr.crossJoin(broadcast(sizes)).crossJoin(broadcast(g))
+        .where(col("rn") <= col("s") * expr("n div s"))
+        .select(col("s"), expr("(rn - 1) div s").as("blk"),
+          (col("rn") - col("s") * expr("(rn - 1) div s")).cast("long")
+            .as("pos"),
+          col("cy"))
+      val bm = e.groupBy("s", "blk")
+        .agg(sum("cy").cast("decimal(18,0)").as("scy"),
+          sum(col("pos") * col("cy").cast("decimal(22,0)"))
+            .cast("decimal(38,0)").as("spcy"),
+          sum(col("cy").cast("decimal(15,0)")
+            * col("cy").cast("decimal(19,0)"))
+            .cast("decimal(34,0)").as("scy2"))
+      val cm = bm.select(col("s"), col("blk"),
+        (col("scy2").cast("decimal(34,0)") * col("s").cast("decimal(3,0)")
+          - col("scy").cast("decimal(18,0)")
+            * col("scy").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("syyc"),
+        (col("spcy").cast("decimal(34,0)") * col("s").cast("decimal(3,0)")
+          - expr("(s * (s + 1)) div 2").cast("decimal(5,0)")
+            * col("scy").cast("decimal(32,0)"))
+          .cast("decimal(38,0)").as("sxyc"),
+        expr("(s * s * (s * s - 1)) div 12").as("sxxc"))
+      val sse = cm.select(col("s"), col("blk"),
+        ((col("syyc").cast("double")
+          - ((col("sxyc").cast("double") * col("sxyc").cast("double"))
+            / col("sxxc").cast("double")))
+          / (col("s").cast("double") * col("s"))).as("f2"))
+      val fs = sse.groupBy("s")
+        .agg(count(lit(1)).as("n_blocks"),
+          sqrt(sum(col("f2").cast("decimal(38,6)")).cast("double")
+            / count(lit(1))).as("f_s"))
+      val lg = fs.select(col("s"), col("n_blocks"), col("f_s"),
+          log(col("s").cast("double")).as("lx"),
+          log(col("f_s")).as("ly"))
+        .localCheckpoint() // 5-row frame: the fit + the output
+      val fm = lg.agg(count(lit(1)).as("np"),
+        sum((col("lx") * col("ly")).cast("decimal(38,18)"))
+          .cast("double").as("sxy"),
+        sum(col("lx").cast("decimal(38,18)")).cast("double").as("sx"),
+        sum(col("ly").cast("decimal(38,18)")).cast("double").as("sy"),
+        sum((col("lx") * col("lx")).cast("decimal(38,18)"))
+          .cast("double").as("sxx"))
+      val fit = fm.select(((col("np") * col("sxy") - col("sx") * col("sy"))
+        / (col("np") * col("sxx") - col("sx") * col("sx"))).as("a"))
+      lg.crossJoin(broadcast(fit))
+        .select(col("s").as("block_size"), col("n_blocks"),
+          (round(col("f_s"), 6) + 0.0).as("f_s"),
+          (round(col("a"), 6) + 0.0).as("dfa_alpha"),
+          when(col("a") > 0.6, 1L).when(col("a") < 0.4, -1L)
+            .otherwise(0L).as("memory_verdict"))
+        .orderBy("block_size")
+    },
+
     // ---- EWMA control chart (per event type, daily volumes) ----
     // Roberts (1959) / Lucas & Saccucci (1990): the small-shift
     // detector Shewhart misses — z_t = λx_t + (1−λ)z_{t−1} (λ = 0.2)

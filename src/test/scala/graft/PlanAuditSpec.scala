@@ -267,8 +267,10 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the sign walk
     "q_control_chart",     // 1-row broadcast center/limit scalars
                            // riding the week frame
-    "q_hurst_exponent")    // 5-row size fan-out × day frame + 1-row
+    "q_hurst_exponent",    // 5-row size fan-out × day frame + 1-row
                            // n and slope scalars riding block frames
+    "q_dfa_alpha")         // the q_hurst_exponent class: size fan-out
+                           // + 1-row profile/slope scalars
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -102,6 +102,26 @@ object Bench {
       val p = spinProbeMs(); val l = loadAvg()
       (p <= 220.0 && l <= 2.0, p, l)
     }
+    // Self-load decay wait (r11 VERDICT #3): the 1-min loadavg decays
+    // over ~a minute after a burst ends, so a gate read taken seconds
+    // after THIS process's own 32-thread run (or a just-exited prior
+    // JVM) sees probe-quiet + loadavg-high and used to flag
+    // `contended` on a genuinely quiet window — a false positive that
+    // costs exactly the judge re-run the flag exists to save. When the
+    // spin probe is quiet but loadavg fails, wait bounded (≤90 s in
+    // 10 s steps) for the decay: real external load HOLDS loadavg up
+    // and still fails the gate; self-load decays through it. The probe
+    // is re-checked each step so external load arriving mid-wait
+    // cannot sneak through.
+    def quietSettled(): (Boolean, Double, Double) = {
+      var (q, p, l) = quietNow()
+      var waited = 0L
+      while (!q && p <= 220.0 && l > 2.0 && waited < 90000L) {
+        Thread.sleep(10000L); waited += 10000L
+        val r = quietNow(); q = r._1; p = r._2; l = r._3
+      }
+      (q, p, l)
+    }
 
     // Committed clean-bench reference (bench_full.json from the repo):
     // per-query times from the last quiet full run. Used ONLY to
@@ -225,9 +245,9 @@ object Bench {
     val e2eQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val e2eRuns: Seq[Seq[Double]] = if (only.isDefined && !e2eOnly) Seq(Seq(0.0, 0.0, 0.0)) else {
       def attempt(tag: String): (Seq[Double], Boolean) = {
-        val (q0, _, _) = quietNow()
+        val (q0, _, _) = quietSettled()
         val r = e2eRun(tag)
-        val (q1, _, _) = quietNow()
+        val (q1, _, _) = quietSettled()
         (r, q0 && q1)
       }
       var rs = Vector("a", "b", "c").map(attempt)
@@ -381,20 +401,26 @@ object Bench {
         nFrames / ((System.nanoTime() - t0) / 1e9)
       }
       def attempt(): (Double, Boolean) = {
-        val (q0, _, _) = quietNow()
+        val (q0, _, _) = quietSettled()
         val r = fpsRun()
-        val (q1, _, _) = quietNow()
+        val (q1, _, _) = quietSettled()
         (r, q0 && q1)
       }
       var rs = Vector(attempt(), attempt())
-      if (rs.map(_._1).min > 0 &&
-          rs.map(_._1).max / rs.map(_._1).min > 3.0) rs :+= attempt()
+      // Mirror the e2e ordering (r11 ADVICE): retry for a quiet run
+      // FIRST, then apply the >3× disagreement tiebreaker WITHIN the
+      // quiet pool — the old order tiebroke over all runs before any
+      // retry, so a contended-then-quiet sequence whose quiet runs
+      // disagreed >3× never got its tiebreaker.
       var extra = 0
       while (!rs.exists(_._2) && extra < 2) {
         Thread.sleep(15000L)
         rs :+= attempt()
         extra += 1
       }
+      val qv = rs.filter(_._2).map(_._1)
+      if (qv.size >= 2 && qv.min > 0 && qv.max / qv.min > 3.0)
+        rs :+= attempt()
       fpsContended = !rs.exists(_._2)
       fpsQuiet ++= rs.map(_._2)
       rs.map(_._1)

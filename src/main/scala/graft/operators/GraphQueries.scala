@@ -156,13 +156,23 @@ object GraphQueries {
     // footer-metadata read, and 32 stays the floor so the sf0.1 and
     // 10× plans are unchanged. At cluster scale this is exactly
     // "size the shuffle to the data", done once at cache build.
-    // memoized per corpus dir: the footer count is cheap but this
+    // memoized per corpus SNAPSHOT: the footer count is cheap but this
     // builder is invoked once by lpaLabels AND once by the modularity
     // epilogue per query run (the CacheManager dedupes the FRAME;
-    // the count would otherwise run twice per build)
+    // the count would otherwise run twice per build). The memo key
+    // carries the lineitem file's (mtime, length) next to the dir
+    // (r11 ADVICE): a corpus dir rebuilt at a different scale inside
+    // one JVM (the ScaleCheck build-then-run session) gets a fresh
+    // count instead of a stale-sized edge exchange.
+    val key = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      s"$dir@${st.getModificationTime}:${st.getLen}"
+    }
     val parts = math.max(
       s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-      (liCount.computeIfAbsent(dir, _ => li.count()) / 500000L).toInt)
+      (liCount.computeIfAbsent(key, _ => li.count()) / 500000L).toInt)
     li
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))

@@ -2668,11 +2668,13 @@ object StatsQueries {
       """WITH c AS (SELECT user_id, event_type,
         |             CAST(count(*) AS BIGINT) AS cnt
         |           FROM events GROUP BY 1, 2),
+        |kg AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS kg
+        |       FROM events),
         |r AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS rtot
         |      FROM c GROUP BY 1),
         |x AS (SELECT c.user_id, c.event_type,
-        |        CASE WHEN 5 * c.cnt > r.rtot THEN 1 ELSE 0 END AS x
-        |      FROM c JOIN r ON r.user_id = c.user_id),
+        |        CASE WHEN kg.kg * c.cnt > r.rtot THEN 1 ELSE 0 END AS x
+        |      FROM c JOIN r ON r.user_id = c.user_id CROSS JOIN kg),
         |rr AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS ri
         |       FROM x GROUP BY 1),
         |cc AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS cj
@@ -2687,7 +2689,10 @@ object StatsQueries {
         |           AS DOUBLE)) / (ag.k * ag.t_all - ar.sr2), 6) + 0.0
         |    AS q_stat,
         |  CAST(ag.k - 1 AS BIGINT) AS df,
-        |  CAST(CASE WHEN ((ag.k - 1) * CAST(ag.k * ag.sc2
+        |  CAST(CASE
+        |       WHEN ag.k <> 5 THEN CAST(error(
+        |         'q_cochran_q: chi2 reject literal pinned for k=5') AS BIGINT)
+        |       WHEN ((ag.k - 1) * CAST(ag.k * ag.sc2
         |                    - ag.t_all * ag.t_all AS DOUBLE))
         |                 / (ag.k * ag.t_all - ar.sr2) > 9.487729036781154
         |       THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
@@ -2696,9 +2701,16 @@ object StatsQueries {
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // (user, type) grain: row totals + x pass
       val r = c.groupBy("user_id").agg(sum("cnt").cast("long").as("rtot"))
-      val x = c.join(r, "user_id")
+      // The over-representation multiplier is the DATA's own type
+      // cardinality (r11 ADVICE), so x always means "above the user's
+      // own mean across types" — a hardcoded 5 would silently change
+      // meaning if the corpus ever carried a different event-type set.
+      val kg = t(s, dir, "events")
+        .agg(count_distinct(col("event_type")).cast("long").as("kg"))
+      val x = c.join(r, "user_id").crossJoin(broadcast(kg))
         .select(col("user_id"), col("event_type"),
-          when(lit(5) * col("cnt") > col("rtot"), 1L).otherwise(0L).as("x"))
+          when(col("kg") * col("cnt") > col("rtot"), 1L)
+            .otherwise(0L).as("x"))
         .localCheckpoint() // binary frame: both marginal collapses
       val rr = x.groupBy("user_id").agg(sum("x").cast("long").as("ri"))
       val cc = x.groupBy("event_type").agg(sum("x").cast("long").as("cj"))
@@ -2710,12 +2722,19 @@ object StatsQueries {
       val q = ((col("k") - 1) * (col("k") * col("sc2")
         - col("t_all") * col("t_all")).cast("double"))
         ./((col("k") * col("t_all") - col("sr2")))
+      // The reject literal is χ²(4, .05): if the type cardinality is
+      // ever not 5, FAIL the query on both engines (the oracle SQL
+      // carries the same guard via error()) instead of emitting a
+      // verdict against the wrong null distribution.
       ag.crossJoin(broadcast(ar))
         .select(col("k"), col("n_users"), col("t_all"), col("sc2"),
           col("sr2"),
           (round(q, 6) + 0.0).as("q_stat"),
           (col("k") - 1).cast("long").as("df"),
-          when(q > 9.487729036781154, 1L).otherwise(0L).as("reject_5pct"))
+          when(col("k") =!= 5, raise_error(
+              lit("q_cochran_q: chi2 reject literal pinned for k=5")))
+            .when(q > 9.487729036781154, lit(1L)).otherwise(lit(0L))
+            .cast("long").as("reject_5pct"))
     },
 
     // ---- TOST equivalence test (two one-sided tests) ----
@@ -5303,19 +5322,26 @@ object StatsQueries {
       // ~31 high-frequency words (f1 = f2 = 0 — Chao1 degenerates to
       // D), while the bigram space is genuinely open-vocabulary.
       // r11 (VERDICT #1): the spectrum only consumes COUNTS, never the
-      // bigram text — hash each (w_i, w_i+1) pair to a 64-bit digest
-      // BEFORE the groupBy. No per-bigram string concat (the old shape
+      // bigram text — hash each (w_i, w_i+1) pair to a digest BEFORE
+      // the groupBy. No per-bigram string concat (the old shape
       // allocated one string per corpus bigram — the GC churn that
       // made this query the sweep's most inflation-sensitive), and the
-      // spectrum shuffle carries 8-byte longs instead of text.
-      // Distinct pairs keep distinct digests up to the 64-bit birthday
-      // bound (~1e7 distinct bigrams → P[any collision] ≈ 3e-6); a
-      // collision would merge two species, which the sf0.01 AND 10×
-      // oracle hash gates would catch.
+      // spectrum shuffle carries fixed-width longs instead of text.
+      // r12 (r11 ADVICE): the digest is 128-BIT — a pair of xxhash64s
+      // over (w1,w2) and (seed-salted, w1,w2) — because the oracle
+      // counts exact strings: a Spark-side-only collision would merge
+      // two species and break the hash gate NONDETERMINISTICALLY, and
+      // the 64-bit birthday risk (~3e-6 at 1e7 bigrams) grows
+      // quadratically with corpus scale. Two independent 64-bit
+      // digests put P[any pair collides in BOTH] ≈ n²/2^129 — ~1e-25
+      // at 1e7 bigrams, still ~1e-15 at a 100-TB-scale 1e12 bigrams.
       val w = graft.functions.TextFunctions.tokens(col("text"))
       val c = t(s, dir, "documents")
         .select(explode(transform(sequence(lit(1), size(w) - 1),
-          i => xxhash64(element_at(w, i), element_at(w, i + 1))))
+          i => struct(
+            xxhash64(element_at(w, i), element_at(w, i + 1)).as("h1"),
+            xxhash64(lit(0x9e3779b9L), element_at(w, i),
+              element_at(w, i + 1)).as("h2"))))
           .as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
       c.agg(sum("n").cast("long").as("n_tokens"),

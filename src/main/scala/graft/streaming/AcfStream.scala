@@ -42,19 +42,25 @@ object AcfStream {
   case class ValuePoint(ts: Timestamp, series: String, v: Long)
   case class SeriesAcf(series: String, n: Long, k: Long,
       acf: Double, lb_q: Double)
-  /** Exact accumulables; big products ride as decimal strings. */
-  case class AcfState(n: Long, sy: Long, first: Array[Long],
+  /** Exact accumulables; big sums/products ride as decimal strings.
+    * S_y is exact BigInt too (r11 ADVICE): at the micro-unit scale the
+    * class doc assumes (y ≈ 3e13), a plain Long Σy approaches
+    * Long.MAX within ~3e5 values and would overflow SILENTLY,
+    * diverging from the batch DECIMAL(38,0) path — the whole point of
+    * this state is that the stream twin keeps the batch's exactness
+    * at every series length. */
+  case class AcfState(n: Long, syStr: String, first: Array[Long],
       last: Array[Long], syyStr: String, ckStr: Array[String])
 
   private def bi(s: String): BigInt = if (s.isEmpty) BigInt(0) else BigInt(s)
 
-  def empty: AcfState = AcfState(0L, 0L, Array.empty, Array.empty,
+  def empty: AcfState = AcfState(0L, "0", Array.empty, Array.empty,
     "0", Array.fill(L)("0"))
 
   /** Fold a time-ordered chunk of values into the state. */
   def fold(st: AcfState, vs: Seq[Long]): AcfState = {
     var n = st.n
-    var sy = st.sy
+    var sy = bi(st.syStr)
     var syy = bi(st.syyStr)
     val ck = st.ckStr.map(bi)
     val first = scala.collection.mutable.ArrayBuffer(st.first: _*)
@@ -69,13 +75,13 @@ object AcfStream {
         k += 1
       }
       n += 1
-      sy += y
+      sy += by
       syy += by * by
       if (first.length < L) first += y
       last += y
       if (last.length > L) last.remove(0)
     }
-    AcfState(n, sy, first.toArray, last.toArray,
+    AcfState(n, sy.toString, first.toArray, last.toArray,
       syy.toString, ck.map(_.toString))
   }
 
@@ -83,15 +89,16 @@ object AcfStream {
     * Defined (like the batch 7-lag frame) only once n > L. */
   def results(st: AcfState): Seq[(Long, Long, Double, Double)] = {
     val n = st.n
-    val syD = st.sy.toDouble
+    val sy = bi(st.syStr)
+    val syD = sy.toDouble
     val syyD = bi(st.syyStr).toDouble
     val ybar = syD / n
     val den = syyD - (syD * syD) / n
     var acc = 0.0
     (1 to L).map { k =>
       val ckD = bi(st.ckStr(k - 1)).toDouble
-      val hk = (st.sy - st.last.takeRight(k).sum).toDouble
-      val tk = (st.sy - st.first.take(k).sum).toDouble
+      val hk = (sy - BigInt(st.last.takeRight(k).sum)).toDouble
+      val tk = (sy - BigInt(st.first.take(k).sum)).toDouble
       val rk = (ckD - ybar * (hk + tk) + (n - k) * (ybar * ybar)) / den
       acc += (rk * rk) / (n - k)
       (n, k.toLong, rk, n * (n + 2.0) * acc)

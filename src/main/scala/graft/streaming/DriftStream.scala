@@ -53,8 +53,15 @@ object DriftStream {
     (w1, ks)
   }
 
+  /** Hard cap on per-window distinct values (r11 VERDICT #5) — same
+    * contract as [[RankSketchStream.MaxDistinctDefault]]: the exact
+    * histogram is the parity guarantee, so hostile cardinality fails
+    * fast with a sizing message instead of OOMing the state store. */
+  val MaxDistinctDefault: Int = 1 << 18
+
   def apply(ds: Dataset[ValueEvent], reference: Map[Long, Long],
-      windowSec: Long, watermarkDelay: String): Dataset[WindowDrift] = {
+      windowSec: Long, watermarkDelay: String,
+      maxDistinct: Int = MaxDistinctDefault): Dataset[WindowDrift] = {
     implicit val stateEnc = Encoders.product[DriftState]
     implicit val outEnc = Encoders.product[WindowDrift]
     import ds.sparkSession.implicits._
@@ -88,6 +95,12 @@ object DriftStream {
               hist.update(e.cents, hist.getOrElse(e.cents, 0L) + 1L)
               n += 1
             }
+            if (hist.size > maxDistinct)
+              throw new IllegalStateException(
+                s"DriftStream: window $wstartSec holds ${hist.size} " +
+                  s"distinct values > cap $maxDistinct. The exact-histogram " +
+                  "state is value-domain-bounded by contract; for unbounded " +
+                  "domains use HdrSketchStream (log buckets) instead.")
             val ks = hist.keysIterator.toArray
             state.update(DriftState(ks, ks.map(hist), n))
             state.setTimeoutTimestamp(endMs)

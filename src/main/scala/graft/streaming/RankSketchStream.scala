@@ -92,8 +92,21 @@ object RankSketchStream {
     kept.find(kv => mergedRank(summaries, kv) >= r).getOrElse(-1L)
   }
 
-  def apply(ds: Dataset[PriceEvent], windowSec: Long, watermarkDelay: String)
-      : Dataset[WindowRanks] = {
+  /** Hard cap on per-window distinct values (r11 VERDICT #5): the
+    * open-window state is the EXACT value histogram — O(distinct) in
+    * general, value-domain-bounded on this corpus. The exactness (and
+    * the bit-parity-with-batch guarantee) is the operator's contract,
+    * so on hostile cardinality it FAILS FAST with a sizing message
+    * instead of silently OOMing the state store or silently degrading
+    * to an approximation it never promised; the designed bounded-state
+    * alternatives are CountMinStream (fixed 4×1024 counters) and
+    * HdrSketchStream (log-bucketed). 2^18 distinct longs ≈ 4 MB of
+    * state per open window — generous for a cents domain, small
+    * enough that one bad key can't take the store down. */
+  val MaxDistinctDefault: Int = 1 << 18
+
+  def apply(ds: Dataset[PriceEvent], windowSec: Long, watermarkDelay: String,
+      maxDistinct: Int = MaxDistinctDefault): Dataset[WindowRanks] = {
     implicit val stateEnc = Encoders.product[RankState]
     implicit val outEnc = Encoders.product[WindowRanks]
     import ds.sparkSession.implicits._
@@ -124,6 +137,12 @@ object RankSketchStream {
               hist.update(e.cents, hist.getOrElse(e.cents, 0L) + 1L)
               n += 1
             }
+            if (hist.size > maxDistinct)
+              throw new IllegalStateException(
+                s"RankSketchStream: window $wstartSec holds ${hist.size} " +
+                  s"distinct values > cap $maxDistinct. The exact-histogram " +
+                  "state is value-domain-bounded by contract; for unbounded " +
+                  "domains use CountMinStream or HdrSketchStream instead.")
             val ks = hist.keysIterator.toArray
             state.update(RankState(ks, ks.map(hist), n))
             state.setTimeoutTimestamp(endMs)

@@ -115,7 +115,7 @@ class AcfStreamSpec extends SparkSpec {
     val whole = fold(empty, vs)
     val split = fold(fold(fold(empty, vs.take(10)), vs.slice(10, 57)),
       vs.drop(57))
-    assert(whole.n == split.n && whole.sy == split.sy
+    assert(whole.n == split.n && whole.syStr == split.syStr
       && whole.syyStr == split.syyStr
       && whole.ckStr.toSeq == split.ckStr.toSeq
       && whole.first.toSeq == split.first.toSeq

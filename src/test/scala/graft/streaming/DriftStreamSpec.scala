@@ -94,4 +94,28 @@ class DriftStreamSpec extends SparkSpec {
     val (_, w1s, kss) = got(60000L)
     assert(w1s == 0L && kss == 0L, "self-drift must be zero")
   }
+
+  test("distinct-value cap enforces the exact-histogram contract") {
+    // r11 VERDICT #5: >cap distinct values in one open window must
+    // FAIL FAST with the sizing message, not grow state silently.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ValueEvent]
+    val q = DriftStream(input.toDS(), Map(1L -> 1L), WindowSec,
+        "10 seconds", maxDistinct = 100)
+      .writeStream.format("memory").queryName("drift_cap_out")
+      .outputMode(DriftStream.outputMode).start()
+    try {
+      input.addData((1L to 101L).map(v =>
+        ValueEvent(new Timestamp(30 * 1000), v)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("distinct values > cap 100"))),
+        s"cap message missing in ${chain(e).map(_.getMessage)}")
+    } finally q.stop()
+  }
 }

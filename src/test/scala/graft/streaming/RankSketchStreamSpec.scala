@@ -159,4 +159,27 @@ class RankSketchStreamSpec extends SparkSpec {
     for ((w, e) <- exp)
       assert(got.get(w).contains(e), s"window $w: ${got.get(w)} vs $e")
   }
+
+  test("distinct-value cap enforces the exact-histogram contract") {
+    // r11 VERDICT #5: >cap distinct values in one open window must
+    // FAIL FAST with the sizing message, not grow state silently.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[PriceEvent]
+    val q = RankSketchStream(input.toDS(), WindowSec, "10 seconds",
+        maxDistinct = 100)
+      .writeStream.format("memory").queryName("rank_cap_out")
+      .outputMode(RankSketchStream.outputMode).start()
+    try {
+      input.addData((1L to 101L).map(v => ev(30, v)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("distinct values > cap 100"))),
+        s"cap message missing in ${chain(e).map(_.getMessage)}")
+    } finally q.stop()
+  }
 }

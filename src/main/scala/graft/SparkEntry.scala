@@ -23,6 +23,7 @@ object SparkEntry {
       operators.GraphQueries.defs ++
       operators.SeriesQueries.defs ++
       operators.AuditQueries.defs ++
+      operators.InferenceQueries.defs ++
       operators.ScoreQueries.defs ++
       operators.BiQueries.defs ++
       llm.DedupQueries.defs ++

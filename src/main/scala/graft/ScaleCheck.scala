@@ -342,7 +342,17 @@ object ScaleCheck {
     // week-grain subgroup collapse
     "q_negbin_fit", "q_control_chart", "q_hurst_exponent",
     // round-11 eighth batch: the per-series chart folds
-    "q_ewma_chart", "q_cusum_chart", "q_dfa_alpha")
+    "q_ewma_chart", "q_cusum_chart", "q_dfa_alpha",
+    // r12 batch: the 7-pass decimal-weighted IRLS (quantile reg), the
+    // death-time-frame Newton rounds (Cox), the two-pass aux
+    // regression (BP), the 5-row variance collapse (Bartlett), the
+    // exact-median counting pass (Mood), the converted-user rank
+    // window (Weibull), the nation-day return windows (ES), the
+    // 4-lag day-frame joins (PACF), and the double rank window over
+    // purchase gaps (AD)
+    "q_quantile_reg", "q_cox_ph", "q_breusch_pagan", "q_bartlett_test",
+    "q_mood_median", "q_weibull_fit", "q_expected_shortfall", "q_pacf",
+    "q_anderson_darling")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -109,11 +109,17 @@ object InferenceQueries {
          |  UNION ALL SELECT 4, a, b, (SELECT mae_prev FROM c5) FROM c4
          |  UNION ALL SELECT 5, a, b, (SELECT mae FROM f) FROM c5
          |) ORDER BY step""".stripMargin) { (s, dir) =>
+      // Repartitioned BEFORE the checkpoint: the sf0.1 parquet scan
+      // yields 3 row-group splits, and the per-pass BigDecimal moment
+      // math (wide decimals run off the compact-Long path) would
+      // otherwise grind on 3 tasks for all 7 passes — one cheap
+      // round-robin exchange buys full-width CPU for every pass.
       val xy = t(s, dir, "lineitem")
         .select(col("l_quantity").cast("decimal(15,2)").as("xd"),
           col("l_extendedprice").cast("decimal(15,2)").as("yd"),
           col("l_quantity").cast("double").as("x"),
           col("l_extendedprice").cast("double").as("y"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .localCheckpoint() // 7 one-row collapses read this projection
       val m0 = xy.agg(count(lit(1)).as("n"),
         sum("xd").as("sx"), sum("yd").as("sy"),

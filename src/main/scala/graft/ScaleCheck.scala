@@ -352,7 +352,11 @@ object ScaleCheck {
     // purchase gaps (AD)
     "q_quantile_reg", "q_cox_ph", "q_breusch_pagan", "q_bartlett_test",
     "q_mood_median", "q_weibull_fit", "q_expected_shortfall", "q_pacf",
-    "q_anderson_darling")
+    "q_anderson_darling",
+    // r12 second batch: the day-frame FGLS transform (PW), the 5-lag
+    // HAC score joins (NW), the single-partition forward fold (HMM),
+    // and the region-aligned residual ADF (EG)
+    "q_prais_winsten", "q_newey_west", "q_hmm_forward", "q_cointegration")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

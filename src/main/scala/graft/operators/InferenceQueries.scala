@@ -873,6 +873,445 @@ object InferenceQueries {
           .as("a2_modified"),
         when(a2 * (lit(1.0) + lit(0.6) / col("n")) > 1.321, 1L)
           .otherwise(0L).as("reject_5pct"))
+    },
+
+    // ---- Prais–Winsten AR(1) FGLS (serial-correlation-robust OLS) ----
+    // The estimator q_durbin_watson's diagnosis calls for: estimate
+    // rho from the OLS residual lag regression, quasi-difference the
+    // day-frame trend regression (y*_t = y_t − rho·y_{t−1}, both
+    // design columns transformed, the FIRST row kept via the
+    // sqrt(1−rho²) Prais–Winsten scaling instead of Cochrane–Orcutt's
+    // drop), and re-fit by the closed-form two-regressor normal
+    // equations. OLS init from exact decimal moments on the 6/8-dp
+    // grid → residuals IEEE-identical; rho and the transformed moments
+    // are bounded-day-frame double sums (~2400 terms, error ~1e-10 vs
+    // 5e-7 boundaries). TPC-H daily revenue is near-iid (rho ≈ −0.016)
+    // so b_pw ≈ b_ols — the honest calibration read, like q_vif.
+    // 100-TB story: one keyed collapse to the day frame, lag windows
+    // and 1-row math on it.
+    sql(
+      "q_prais_winsten",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT rev, CAST(rev AS DOUBLE) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rn) AS BIGINT)
+        |          AS sx,
+        |        CAST(sum(rn*rn) AS BIGINT) AS sxx, sum(rev) AS syd,
+        |        sum(CAST(CAST(rn AS DECIMAL(10,0)) * rev AS DECIMAL(32,4)))
+        |          AS sxyd
+        |      FROM o),
+        |c0 AS (SELECT n, round((n * CAST(sxyd AS DOUBLE)
+        |            - sx * CAST(syd AS DOUBLE))
+        |          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 8)
+        |          AS b,
+        |        round((CAST(syd AS DOUBLE) - (n * CAST(sxyd AS DOUBLE)
+        |            - sx * CAST(syd AS DOUBLE))
+        |          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sx)
+        |          / n, 6) AS a
+        |       FROM m),
+        |e AS (SELECT o.rn, o.y, y - c.a - c.b * rn AS e
+        |      FROM o CROSS JOIN c0 c),
+        |el AS (SELECT rn, y, e, lag(e) OVER (ORDER BY rn) AS ep,
+        |        lag(y) OVER (ORDER BY rn) AS yp FROM e),
+        |rh AS (SELECT round(sum(e * ep) / sum(ep * ep), 8) AS rho
+        |       FROM el WHERE ep IS NOT NULL),
+        |tr AS (SELECT
+        |        CASE WHEN el.yp IS NULL
+        |             THEN sqrt(1.0e0 - r.rho * r.rho) * el.y
+        |             ELSE el.y - r.rho * el.yp END AS ys,
+        |        CASE WHEN el.yp IS NULL THEN sqrt(1.0e0 - r.rho * r.rho)
+        |             ELSE 1.0e0 - r.rho END AS cs,
+        |        CASE WHEN el.yp IS NULL
+        |             THEN sqrt(1.0e0 - r.rho * r.rho) * el.rn
+        |             ELSE el.rn - r.rho * (el.rn - 1) END AS xs
+        |       FROM el CROSS JOIN rh r),
+        |m2 AS (SELECT sum(cs*cs) AS scc, sum(cs*xs) AS scx,
+        |        sum(cs*ys) AS scy, sum(xs*xs) AS sxx2, sum(xs*ys) AS sxy2
+        |       FROM tr),
+        |cp AS (SELECT (scc * sxy2 - scx * scy) / (scc * sxx2 - scx * scx)
+        |          AS b_pw, scc, scx, scy FROM m2)
+        |SELECT (SELECT n FROM c0) AS n_days,
+        |  (SELECT rho FROM rh) + 0.0 AS rho,
+        |  (SELECT b FROM c0) + 0.0 AS b_ols,
+        |  round(b_pw, 6) + 0.0 AS b_pw,
+        |  (SELECT a FROM c0) + 0.0 AS a_ols,
+        |  round((scy - scx * b_pw) / scc, 6) + 0.0 AS a_pw
+        |FROM cp""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("rev"))
+      val o = daily
+        .select(col("rev"), col("rev").cast("double").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint() // day frame: moments + residual windows
+      val m = o.agg(count(lit(1)).as("n"), sum("rn").cast("long").as("sx"),
+        sum(col("rn") * col("rn")).cast("long").as("sxx"),
+        sum("rev").as("syd"),
+        sum((col("rn").cast("decimal(10,0)") * col("rev"))
+          .cast("decimal(32,4)")).as("sxyd"))
+      val bE = (col("n") * col("sxyd").cast("double")
+        - col("sx") * col("syd").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx"))
+      val c0 = m.select(col("n"), round(bE, 8).as("b"),
+        round((col("syd").cast("double") - bE * col("sx")) / col("n"), 6)
+          .as("a"))
+      val wRn = Window.orderBy("rn")
+      val el = o.crossJoin(broadcast(c0))
+        .withColumn("e", col("y") - col("a") - col("b") * col("rn"))
+        .withColumn("ep", lag("e", 1).over(wRn))
+        .withColumn("yp", lag("y", 1).over(wRn))
+        .localCheckpoint() // lagged frame: rho + the transform read it
+      val rh = el.where(col("ep").isNotNull)
+        .agg(round(sum(col("e") * col("ep")) / sum(col("ep") * col("ep")),
+          8).as("rho"))
+      val tr = el.crossJoin(broadcast(rh))
+        .select(
+          when(col("yp").isNull,
+            sqrt(lit(1.0) - col("rho") * col("rho")) * col("y"))
+            .otherwise(col("y") - col("rho") * col("yp")).as("ys"),
+          when(col("yp").isNull, sqrt(lit(1.0) - col("rho") * col("rho")))
+            .otherwise(lit(1.0) - col("rho")).as("cs"),
+          when(col("yp").isNull,
+            sqrt(lit(1.0) - col("rho") * col("rho")) * col("rn"))
+            .otherwise(col("rn") - col("rho") * (col("rn") - 1)).as("xs"))
+      val m2 = tr.agg(sum(col("cs") * col("cs")).as("scc"),
+        sum(col("cs") * col("xs")).as("scx"),
+        sum(col("cs") * col("ys")).as("scy"),
+        sum(col("xs") * col("xs")).as("sxx2"),
+        sum(col("xs") * col("ys")).as("sxy2"))
+      val bPw = (col("scc") * col("sxy2") - col("scx") * col("scy")) /
+        (col("scc") * col("sxx2") - col("scx") * col("scx"))
+      m2.select((round(bPw, 6) + 0.0).as("b_pw"),
+          (round((col("scy") - col("scx") * bPw) / col("scc"), 6) + 0.0)
+            .as("a_pw"))
+        .crossJoin(broadcast(c0.select(col("n"),
+          (col("b") + 0.0).as("b_ols"), (col("a") + 0.0).as("a_ols"))))
+        .crossJoin(broadcast(rh.select((col("rho") + 0.0).as("rho_v"))))
+        .select(col("n").as("n_days"), col("rho_v").as("rho"),
+          col("b_ols"), col("b_pw"), col("a_ols"), col("a_pw"))
+    },
+
+    // ---- Newey–West HAC standard error (Bartlett kernel, L = 5) ----
+    // The serial-correlation/heteroscedasticity-robust slope SE for
+    // the same day-frame trend regression: Ω = S₀ + 2Σₗ(1 − l/(L+1))Sₗ
+    // over the score series u_t = e_t·(t − t̄), Var(b) = Ω / S_xx².
+    // Reported next to the iid OLS SE — the ratio IS the Newey–West
+    // correction a practitioner quotes. Same exactness ladder as
+    // q_prais_winsten (grid-rounded OLS init → identical residuals;
+    // bounded-frame double sums). 100-TB story: one keyed collapse to
+    // the day frame, 5 bounded lag joins, 1-row math.
+    sql(
+      "q_newey_west",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT rev, CAST(rev AS DOUBLE) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rn) AS BIGINT)
+        |          AS sx,
+        |        CAST(sum(rn*rn) AS BIGINT) AS sxx, sum(rev) AS syd,
+        |        sum(CAST(CAST(rn AS DECIMAL(10,0)) * rev AS DECIMAL(32,4)))
+        |          AS sxyd
+        |      FROM o),
+        |c0 AS (SELECT n, round((n * CAST(sxyd AS DOUBLE)
+        |            - sx * CAST(syd AS DOUBLE))
+        |          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 8)
+        |          AS b,
+        |        round((CAST(syd AS DOUBLE) - (n * CAST(sxyd AS DOUBLE)
+        |            - sx * CAST(syd AS DOUBLE))
+        |          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sx)
+        |          / n, 6) AS a
+        |       FROM m),
+        |e AS (SELECT o.rn, y - c.a - c.b * rn AS e, c.n
+        |      FROM o CROSS JOIN c0 c),
+        |u AS (SELECT rn, e, e * (rn - (n + 1.0e0) / 2) AS u, n FROM e),
+        |s0 AS (SELECT sum(u*u) AS s0, sum(e*e) AS see FROM u),
+        |sl AS (SELECT l.l, sum(a.u * b.u) AS sl
+        |       FROM u a CROSS JOIN (SELECT unnest(generate_series(1,5)) AS l)
+        |          l
+        |       JOIN u b ON b.rn = a.rn - l.l GROUP BY 1),
+        |om AS (SELECT (SELECT s0 FROM s0)
+        |        + 2 * sum((1.0e0 - l / 6.0e0) * sl) AS omega FROM sl),
+        |sxc AS (SELECT sum((rn - (SELECT (n + 1.0e0) / 2 FROM c0))
+        |         * (rn - (SELECT (n + 1.0e0) / 2 FROM c0))) AS sxc FROM o)
+        |SELECT (SELECT n FROM c0) AS n_days,
+        |  (SELECT b FROM c0) + 0.0 AS b_trend,
+        |  round(sqrt(((SELECT see FROM s0) / ((SELECT n FROM c0) - 2.0e0))
+        |    / (SELECT sxc FROM sxc)), 6) + 0.0 AS se_ols,
+        |  round(sqrt((SELECT omega FROM om)
+        |    / ((SELECT sxc FROM sxc) * (SELECT sxc FROM sxc))), 6) + 0.0
+        |    AS se_hac,
+        |  round(sqrt((SELECT omega FROM om)
+        |      / ((SELECT sxc FROM sxc) * (SELECT sxc FROM sxc)))
+        |    / sqrt(((SELECT see FROM s0) / ((SELECT n FROM c0) - 2.0e0))
+        |      / (SELECT sxc FROM sxc)), 6) + 0.0 AS hac_ratio
+        |""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("rev"))
+      val o = daily
+        .select(col("rev"), col("rev").cast("double").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint() // day frame: moments + score lags read it
+      val m = o.agg(count(lit(1)).as("n"), sum("rn").cast("long").as("sx"),
+        sum(col("rn") * col("rn")).cast("long").as("sxx"),
+        sum("rev").as("syd"),
+        sum((col("rn").cast("decimal(10,0)") * col("rev"))
+          .cast("decimal(32,4)")).as("sxyd"))
+      val bE = (col("n") * col("sxyd").cast("double")
+        - col("sx") * col("syd").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx"))
+      val c0 = m.select(col("n"), round(bE, 8).as("b"),
+        round((col("syd").cast("double") - bE * col("sx")) / col("n"), 6)
+          .as("a"))
+      val u = o.crossJoin(broadcast(c0))
+        .withColumn("e", col("y") - col("a") - col("b") * col("rn"))
+        .withColumn("u",
+          col("e") * (col("rn") - (col("n") + lit(1.0)) / 2))
+        .select("rn", "e", "u", "n")
+        .localCheckpoint() // score frame: S0 + 5 lag joins read it
+      val s0 = u.agg(sum(col("u") * col("u")).as("s0"),
+        sum(col("e") * col("e")).as("see"))
+      val lagsDf = u.sparkSession.range(1, 6)
+        .select(col("id").cast("long").as("l"))
+      val ua = u.select(col("u").as("uu"), col("rn").as("rna"))
+      val ub = u.select(col("u").as("ub"), col("rn").as("rnb"))
+      val sl = ua.crossJoin(broadcast(lagsDf))
+        .join(ub, col("rnb") === col("rna") - col("l"))
+        .groupBy("l").agg(sum(col("uu") * col("ub")).as("sl"))
+      val om = sl.crossJoin(broadcast(s0))
+        .agg((first("s0") + lit(2)
+          * sum((lit(1.0) - col("l") / lit(6.0)) * col("sl"))).as("omega"))
+      val sxc = u // the score frame already carries n
+        .agg(sum((col("rn") - (col("n") + lit(1.0)) / 2)
+          * (col("rn") - (col("n") + lit(1.0)) / 2)).as("sxc"))
+      val seOls = sqrt((col("see") / (col("n") - lit(2.0))) / col("sxc"))
+      val seHac = sqrt(col("omega") / (col("sxc") * col("sxc")))
+      c0.select(col("n"), (col("b") + 0.0).as("b_trend"))
+        .crossJoin(broadcast(s0)).crossJoin(broadcast(om))
+        .crossJoin(broadcast(sxc))
+        .select(col("n").as("n_days"), col("b_trend"),
+          (round(seOls, 6) + 0.0).as("se_ols"),
+          (round(seHac, 6) + 0.0).as("se_hac"),
+          (round(seHac / seOls, 6) + 0.0).as("hac_ratio"))
+    },
+
+    // ---- 2-state HMM forward pass (regime posterior timeline) ----
+    // The hidden-regime companion to q_markov_transitions: a pinned
+    // 2-state HMM (persistence .9/.8, emissions .8/.3 for a
+    // high-revenue day) filtered over the daily revenue sequence —
+    // the forward algorithm's normalized alpha recursion, emitting
+    // P(high-regime | obs so far) per day. The recursion re-normalizes
+    //每 step so probabilities stay O(1): pure +/×/÷ on identical
+    // doubles (obs thresholds on the exact-decimal day mean) — the
+    // recursive-CTE oracle and the sorted mapPartitions fold run the
+    // SAME expression order, so parity is bit-level before the 6-dp
+    // round (the q_theta_forecast twin discipline). 100-TB story: one
+    // keyed collapse to the bounded day frame, then a single-partition
+    // fold over ≤ calendar-horizon rows.
+    sql(
+      "q_hmm_forward",
+      """WITH RECURSIVE daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT CAST(sum(rev) AS DOUBLE) / count(*) AS mu FROM daily),
+        |o AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+        |        d, CASE WHEN CAST(rev AS DOUBLE) > m.mu THEN 1 ELSE 0 END
+        |          AS obs
+        |      FROM daily CROSS JOIN mu m),
+        |f AS (SELECT rn, d, obs,
+        |        (CASE WHEN obs = 1 THEN 0.8e0 ELSE 0.2e0 END) * 0.5e0 AS a1r,
+        |        (CASE WHEN obs = 1 THEN 0.3e0 ELSE 0.7e0 END) * 0.5e0 AS a2r
+        |      FROM o WHERE rn = 1
+        |      UNION ALL
+        |      SELECT o.rn, o.d, o.obs,
+        |        (CASE WHEN o.obs = 1 THEN 0.8e0 ELSE 0.2e0 END)
+        |          * ((f.a1r / (f.a1r + f.a2r)) * 0.9e0
+        |             + (f.a2r / (f.a1r + f.a2r)) * 0.2e0),
+        |        (CASE WHEN o.obs = 1 THEN 0.3e0 ELSE 0.7e0 END)
+        |          * ((f.a1r / (f.a1r + f.a2r)) * 0.1e0
+        |             + (f.a2r / (f.a1r + f.a2r)) * 0.8e0)
+        |      FROM f JOIN o ON o.rn = f.rn + 1)
+        |SELECT rn AS t, CAST(obs AS BIGINT) AS obs,
+        |  round(a1r / (a1r + a2r), 6) + 0.0 AS p_high
+        |FROM f ORDER BY t""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("rev"))
+        .localCheckpoint() // day frame: mean + the fold read it
+      val mu = daily.agg(
+        (sum("rev").cast("double") / count(lit(1))).as("mu"))
+      val o = daily.crossJoin(broadcast(mu))
+        .select(row_number().over(Window.orderBy("d")).cast("long")
+          .as("rn"),
+          when(col("rev").cast("double") > col("mu"), 1L).otherwise(0L)
+            .as("obs"))
+      o.as[(Long, Long)]
+        .repartition(1)
+        .sortWithinPartitions("rn")
+        .mapPartitions { it =>
+          // the oracle recursion's EXACT operation order: normalize
+          // the previous alphas, mix with the pinned transitions,
+          // scale by the pinned emission for today's observation
+          var a1 = 0.0; var a2 = 0.0; var started = false
+          it.map { case (rn, obs) =>
+            val b1 = if (obs == 1) 0.8 else 0.2
+            val b2 = if (obs == 1) 0.3 else 0.7
+            if (!started) { a1 = b1 * 0.5; a2 = b2 * 0.5; started = true }
+            else {
+              val s0 = a1 + a2
+              val p1 = a1 / s0; val p2 = a2 / s0
+              val n1 = b1 * (p1 * 0.9 + p2 * 0.2)
+              val n2 = b2 * (p1 * 0.1 + p2 * 0.8)
+              a1 = n1; a2 = n2
+            }
+            (rn, obs, a1 / (a1 + a2))
+          }
+        }
+        .toDF("t", "obs", "p_raw")
+        .select(col("t"), col("obs"),
+          (round(col("p_raw"), 6) + 0.0).as("p_high"))
+        .orderBy("t")
+    },
+
+    // ---- Engle–Granger cointegration (two region revenue series) ----
+    // The spurious-regression guard q_granger_causality assumes away:
+    // regress region-1 daily revenue on region-0 (exact decimal
+    // moments, grid-rounded), then Dickey–Fuller the residual
+    // (Δe_t = φ·e_{t−1}, t-stat on φ) against the Engle–Granger 5%
+    // critical value −3.34 (2 variables, constant; pinned literal,
+    // which is MacKinnon's asymptotic table — NOT the plain DF value,
+    // because the residual is estimated). Both series here are
+    // stationary around their means, so the null is rejected
+    // trivially — the honest calibration read; the operator's value
+    // is the shape. 100-TB story: one keyed collapse per region to
+    // bounded day frames, an aligned join on day, 1-row math.
+    sql(
+      "q_cointegration",
+      """WITH rev AS (SELECT n.n_regionkey AS rk,
+        |          date_diff('day', DATE '1970-01-01',
+        |                    CAST(o.o_orderdate AS DATE)) AS d,
+        |          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+        |            AS DECIMAL(18,4)) AS rv
+        |        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |        WHERE n.n_regionkey IN (0, 1) GROUP BY 1, 2),
+        |al AS (SELECT a.d, CAST(a.rv AS DOUBLE) AS x,
+        |         CAST(b.rv AS DOUBLE) AS y, a.rv AS xd, b.rv AS yd
+        |       FROM rev a JOIN rev b ON b.d = a.d AND a.rk = 0
+        |         AND b.rk = 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xd) AS sx,
+        |        sum(yd) AS sy,
+        |        sum(CAST(CAST(xd AS DECIMAL(20,4)) * xd AS DECIMAL(38,8)))
+        |          AS sxx,
+        |        sum(CAST(CAST(xd AS DECIMAL(20,4)) * yd AS DECIMAL(38,8)))
+        |          AS sxy
+        |      FROM al),
+        |c0 AS (SELECT n, round((n * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (n * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS b,
+        |        round((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (n * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * CAST(sx AS DOUBLE)) / n, 6) AS a
+        |       FROM m),
+        |e AS (SELECT d, y - c.a - c.b * x AS e,
+        |        row_number() OVER (ORDER BY d) AS rn
+        |      FROM al CROSS JOIN c0 c),
+        |de AS (SELECT a.e - b.e AS dlt, b.e AS ep
+        |       FROM e a JOIN e b ON b.rn = a.rn - 1),
+        |ph AS (SELECT sum(dlt * ep) / sum(ep * ep) AS phi,
+        |        sum(dlt * dlt) AS sdd, sum(dlt * ep) AS sde,
+        |        sum(ep * ep) AS see, CAST(count(*) AS BIGINT) AS m FROM de),
+        |st AS (SELECT m, phi,
+        |        sqrt(((sdd - phi * sde) / (m - 1)) / see) AS se FROM ph)
+        |SELECT (SELECT n FROM c0) AS n_days,
+        |  (SELECT b FROM c0) + 0.0 AS coint_b,
+        |  round(phi, 8) + 0.0 AS adf_phi, round(phi / se, 6) + 0.0 AS adf_t,
+        |  CAST(CASE WHEN phi / se < -3.34e0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS cointegrated_5pct
+        |FROM st""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .where(col("n_regionkey").isin(0, 1))
+        .groupBy(col("n_regionkey").as("rk"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("rv"))
+        .localCheckpoint() // region-day frame: both join sides read it
+      val al = rev.where(col("rk") === 0)
+        .select(col("d"), col("rv").cast("double").as("x"),
+          col("rv").as("xd"))
+        .join(rev.where(col("rk") === 1)
+          .select(col("d"), col("rv").cast("double").as("y"),
+            col("rv").as("yd")), "d")
+        .localCheckpoint() // aligned frame: moments + residual windows
+      val m = al.agg(count(lit(1)).as("n"), sum("xd").as("sx"),
+        sum("yd").as("sy"),
+        sum((col("xd").cast("decimal(20,4)") * col("xd"))
+          .cast("decimal(38,8)")).as("sxx"),
+        sum((col("xd").cast("decimal(20,4)") * col("yd"))
+          .cast("decimal(38,8)")).as("sxy"))
+      val bE = (col("n") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      val c0 = m.select(col("n"), round(bE, 8).as("b"),
+        round((col("sy").cast("double") - bE * col("sx").cast("double"))
+          / col("n"), 6).as("a"))
+      val e = al.crossJoin(broadcast(c0))
+        .select(col("d"), (col("y") - col("a") - col("b") * col("x"))
+          .as("e"))
+        .withColumn("rn", row_number().over(Window.orderBy("d")))
+      val de = e.select(col("e").as("ea"), col("rn").as("rna"))
+        .join(e.select(col("e").as("eb"), col("rn").as("rnb")),
+          col("rnb") === col("rna") - 1)
+        .select((col("ea") - col("eb")).as("dlt"), col("eb").as("ep"))
+      val ph = de.agg(
+        (sum(col("dlt") * col("ep")) / sum(col("ep") * col("ep")))
+          .as("phi"),
+        sum(col("dlt") * col("dlt")).as("sdd"),
+        sum(col("dlt") * col("ep")).as("sde"),
+        sum(col("ep") * col("ep")).as("see"), count(lit(1)).as("m"))
+      val se = sqrt(((col("sdd") - col("phi") * col("sde"))
+        / (col("m") - 1)) / col("see"))
+      ph.crossJoin(broadcast(c0.select(col("n"), (col("b") + 0.0)
+          .as("coint_b"))))
+        .select(col("n").as("n_days"), col("coint_b"),
+          (round(col("phi"), 8) + 0.0).as("adf_phi"),
+          (round(col("phi") / se, 6) + 0.0).as("adf_t"),
+          when(col("phi") / se < -3.34, 1L).otherwise(0L)
+            .as("cointegrated_5pct"))
     }
   )
 

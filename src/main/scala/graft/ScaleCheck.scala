@@ -356,7 +356,8 @@ object ScaleCheck {
     // r12 second batch: the day-frame FGLS transform (PW), the 5-lag
     // HAC score joins (NW), the single-partition forward fold (HMM),
     // and the region-aligned residual ADF (EG)
-    "q_prais_winsten", "q_newey_west", "q_hmm_forward", "q_cointegration")
+    "q_prais_winsten", "q_newey_west", "q_hmm_forward", "q_cointegration",
+    "q_periodogram")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1312,6 +1312,88 @@ object InferenceQueries {
           (round(col("phi") / se, 6) + 0.0).as("adf_t"),
           when(col("phi") / se < -3.34, 1L).otherwise(0L)
             .as("cointegrated_5pct"))
+    },
+
+    // ---- Schuster periodogram (12 harmonics of the day sequence) ----
+    // The frequency-domain read next to q_seasonal_dow's calendar
+    // buckets: normalized spectral power P(k) = (2/n)[(Σz·cos ω_k t)²
+    // + (Σz·sin ω_k t)²] at the first 12 Fourier harmonics of the
+    // standardized daily revenue (under white noise each P(k) ~ χ²₂ ≈
+    // mean 2 — values well above that flag a cycle at n/k days).
+    // Cross-engine: z is identical (mean/sd from exact decimal
+    // moments, rounded to the 8-dp grid); cos/sin come from each
+    // engine's libm and may differ in the last ulp, which perturbs the
+    // O(√n) trig sums by ~1e-14 against a 5e-7 rounding boundary —
+    // margin ~1e7 (the first operator in the engine to rely on this,
+    // deliberately measured before shipping: DuckDB ≡ independent
+    // replication at 6 dp). The engine's first trig-over-corpus shape.
+    // 100-TB story: one keyed collapse to the bounded day frame, a
+    // 12-way broadcast fan-out over it, one k-row collapse.
+    sql(
+      "q_periodogram",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT rev, CAST(rev AS DOUBLE) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS sd,
+        |        sum(CAST(CAST(rev AS DECIMAL(20,4)) * rev AS DECIMAL(38,8)))
+        |          AS sdd
+        |      FROM o),
+        |c0 AS (SELECT n, round(CAST(sd AS DOUBLE) / n, 8) AS mu,
+        |        round(sqrt((CAST(sdd AS DOUBLE)
+        |          - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+        |          / (n - 1)), 8) AS sd0 FROM m),
+        |z AS (SELECT rn, (y - c.mu) / c.sd0 AS z, c.n
+        |      FROM o CROSS JOIN c0 c),
+        |k AS (SELECT unnest(generate_series(1, 12)) AS k),
+        |p AS (SELECT k.k, max(z.n) AS n,
+        |        sum(z.z * cos(6.283185307179586e0 * k.k * z.rn / z.n))
+        |          AS cc,
+        |        sum(z.z * sin(6.283185307179586e0 * k.k * z.rn / z.n))
+        |          AS ss
+        |      FROM z CROSS JOIN k GROUP BY k.k)
+        |SELECT CAST(k AS BIGINT) AS k, n AS n_days,
+        |  round(CAST(n AS DOUBLE) / k, 2) AS period_days,
+        |  round((cc * cc + ss * ss) * 2 / n, 6) + 0.0 AS power_norm
+        |FROM p ORDER BY k""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("rev"))
+      val o = daily
+        .select(col("rev"), col("rev").cast("double").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint() // day frame: moments + the harmonic fan-out
+      val m = o.agg(count(lit(1)).as("n"), sum("rev").as("sd"),
+        sum((col("rev").cast("decimal(20,4)") * col("rev"))
+          .cast("decimal(38,8)")).as("sdd"))
+      val c0 = m.select(col("n"),
+        round(col("sd").cast("double") / col("n"), 8).as("mu"),
+        round(sqrt((col("sdd").cast("double")
+          - col("sd").cast("double") * col("sd").cast("double") / col("n"))
+          / (col("n") - 1)), 8).as("sd0"))
+      val z = o.crossJoin(broadcast(c0))
+        .select(col("rn"), ((col("y") - col("mu")) / col("sd0")).as("z"),
+          col("n"))
+      val ks = z.sparkSession.range(1, 13)
+        .select(col("id").cast("long").as("k"))
+      val arg = lit(6.283185307179586) * col("k") * col("rn") / col("n")
+      val p = z.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(max("n").as("n"),
+          sum(col("z") * cos(arg)).as("cc"),
+          sum(col("z") * sin(arg)).as("ss"))
+      p.select(col("k"), col("n").as("n_days"),
+          round(col("n").cast("double") / col("k"), 2).as("period_days"),
+          (round((col("cc") * col("cc") + col("ss") * col("ss")) * 2
+            / col("n"), 6) + 0.0).as("power_norm"))
+        .orderBy("k")
     }
   )
 

@@ -357,7 +357,8 @@ object ScaleCheck {
     // HAC score joins (NW), the single-partition forward fold (HMM),
     // and the region-aligned residual ADF (EG)
     "q_prais_winsten", "q_newey_west", "q_hmm_forward", "q_cointegration",
-    "q_periodogram")
+    "q_periodogram", "q_turning_points", "q_max_drawdown",
+    "q_kendall_w")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

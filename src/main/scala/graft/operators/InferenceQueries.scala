@@ -1394,6 +1394,190 @@ object InferenceQueries {
           (round((col("cc") * col("cc") + col("ss") * col("ss")) * 2
             / col("n"), 6) + 0.0).as("power_norm"))
         .orderBy("k")
+    },
+
+    // ---- turning-points randomness test (day sequence) ----
+    // The cheapest seq-randomness screen next to q_runs_test
+    // (Kendall): count local extrema of the daily revenue sequence;
+    // under iid the count is asymptotically N(2(n−2)/3, (16n−29)/90).
+    // Pure integer counting over three-point windows on identical
+    // doubles — no numeric-drift surface at all; the z and the ±1.96
+    // verdict are 1-row math. 100-TB story: one keyed collapse to the
+    // bounded day frame, one ordered window, two 1-row aggregates.
+    sql(
+      "q_turning_points",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT CAST(rev AS DOUBLE) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |w AS (SELECT rn, lag(y) OVER (ORDER BY rn) AS a, y AS b,
+        |        lead(y) OVER (ORDER BY rn) AS c FROM o),
+        |tps AS (SELECT CAST(count(*) AS BIGINT) AS t_cnt
+        |        FROM w WHERE a IS NOT NULL AND c IS NOT NULL
+        |          AND ((b > a AND b > c) OR (b < a AND b < c))),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |st AS (SELECT t_cnt, n, 2.0e0 * (n - 2) / 3 AS mu,
+        |        (16.0e0 * n - 29) / 90 AS v FROM tps CROSS JOIN nn)
+        |SELECT n AS n_days, t_cnt AS turning_points,
+        |  round(mu, 6) + 0.0 AS expected_tp,
+        |  round((t_cnt - mu) / sqrt(v), 6) + 0.0 AS z_stat,
+        |  CAST(CASE WHEN abs((t_cnt - mu) / sqrt(v)) > 1.959963984540054e0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+        |FROM st""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("rev"))
+      val o = daily
+        .select(col("rev").cast("double").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint() // day frame: count + the extrema window
+      val wRn = Window.orderBy("rn")
+      val w = o.select(col("rn"), lag("y", 1).over(wRn).as("a"),
+        col("y").as("b"), lead("y", 1).over(wRn).as("c"))
+      val tps = w.where(col("a").isNotNull && col("c").isNotNull
+          && ((col("b") > col("a") && col("b") > col("c"))
+            || (col("b") < col("a") && col("b") < col("c"))))
+        .agg(count(lit(1)).as("t_cnt"))
+      val nn = o.agg(count(lit(1)).as("n"))
+      val mu = lit(2.0) * (col("n") - 2) / 3
+      val v = (lit(16.0) * col("n") - 29) / 90
+      val z = (col("t_cnt") - mu) / sqrt(v)
+      tps.crossJoin(broadcast(nn))
+        .select(col("n").as("n_days"), col("t_cnt").as("turning_points"),
+          (round(mu, 6) + 0.0).as("expected_tp"),
+          (round(z, 6) + 0.0).as("z_stat"),
+          when(abs(z) > 1.959963984540054, 1L).otherwise(0L)
+            .as("reject_5pct"))
+    },
+
+    // ---- maximum drawdown (per-nation cumulative return) ----
+    // The path-dependent risk read next to q_expected_shortfall's
+    // static tail: running peak of the cumulative day-over-day return
+    // per nation, max peak-to-trough depth. The running sum and
+    // running max are ORDERED in-partition folds — both engines fold
+    // the identical doubles in the identical day order, so the
+    // result is deterministic without any decimal machinery. 100-TB
+    // story: one keyed collapse to the nation×day frame, two stacked
+    // per-nation ordered windows on bounded day counts.
+    sql(
+      "q_max_drawdown",
+      """WITH rev AS (SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+        |          sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rv
+        |        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |        GROUP BY 1, 2),
+        |r AS (SELECT n_name, day, CAST(rv AS DOUBLE)
+        |        / lag(CAST(rv AS DOUBLE)) OVER (PARTITION BY n_name
+        |            ORDER BY day) - 1.0e0 AS ret FROM rev),
+        |cum AS (SELECT n_name, day,
+        |         sum(ret) OVER (PARTITION BY n_name ORDER BY day
+        |             ROWS UNBOUNDED PRECEDING) AS eq
+        |        FROM r WHERE ret IS NOT NULL),
+        |pk AS (SELECT n_name, day, eq,
+        |        max(eq) OVER (PARTITION BY n_name ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS peak FROM cum),
+        |ddw AS (SELECT n_name, eq - peak AS dd FROM pk)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(min(dd), 6) + 0.0 AS max_drawdown
+        |FROM ddw GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+      val wDay = Window.partitionBy("n_name").orderBy("day")
+      val wRun = Window.partitionBy("n_name").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev
+        .withColumn("ret", col("rv").cast("double")
+          / lag(col("rv").cast("double"), 1).over(wDay) - lit(1.0))
+        .where(col("ret").isNotNull)
+        .withColumn("eq", sum("ret").over(wRun))
+        .withColumn("peak", max("eq").over(wRun))
+        .select(col("n_name"), (col("eq") - col("peak")).as("dd"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_days"),
+          (round(min("dd"), 6) + 0.0).as("max_drawdown"))
+        .orderBy("n_name")
+    },
+
+    // ---- Kendall's W (concordance of k event-type day rankings) ----
+    // The k-rater extension of q_spearman_by_type and the continuous
+    // sibling of q_friedman_test: do the five event types rank the
+    // shared calendar days the same way by daily value? Ranks are
+    // tie-free by construction (ORDER BY value, day — deterministic
+    // on both engines), so W = 12·S / (k²(n³−n)) needs no tie
+    // correction; only days carrying ALL k types enter, so every
+    // rank-sum row has exactly k addends. χ² = k(n−1)W rides with
+    // the verdict df. 100-TB story: one corpus pass to the
+    // (type, day) grain, per-type rank windows on bounded day
+    // counts, a day-level collapse, 1-row math.
+    sql(
+      "q_kendall_w",
+      """WITH dt AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,4))
+        |            AS v
+        |        FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |       FROM events),
+        |full_d AS (SELECT day FROM dt CROSS JOIN kk GROUP BY day, kk.k
+        |           HAVING count(DISTINCT event_type) = max(kk.k)),
+        |rk AS (SELECT dt.event_type, dt.day,
+        |        CAST(rank() OVER (PARTITION BY dt.event_type
+        |            ORDER BY dt.v, dt.day) AS BIGINT) AS r
+        |       FROM dt JOIN full_d f ON f.day = dt.day),
+        |rs AS (SELECT day, CAST(sum(r) AS BIGINT) AS rsum FROM rk
+        |       GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rs),
+        |st AS (SELECT k.k, nn.n,
+        |        sum((rs.rsum - k.k * (nn.n + 1.0e0) / 2)
+        |          * (rs.rsum - k.k * (nn.n + 1.0e0) / 2)) AS s
+        |       FROM rs CROSS JOIN kk k CROSS JOIN nn GROUP BY 1, 2)
+        |SELECT k AS k_raters, n AS n_days,
+        |  round(12.0e0 * s / (CAST(k AS DOUBLE) * k
+        |    * (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0 AS kendall_w,
+        |  round(k * (n - 1) * (12.0e0 * s / (CAST(k AS DOUBLE) * k
+        |    * (CAST(n AS DOUBLE) * n * n - n))), 6) + 0.0 AS chi2_stat
+        |FROM st""".stripMargin) { (s, dir) =>
+      val dt = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("v"))
+        .localCheckpoint() // (type, day) grain: coverage + ranks
+      val kk = t(s, dir, "events")
+        .agg(count_distinct(col("event_type")).cast("long").as("k"))
+      val fullD = dt.crossJoin(broadcast(kk))
+        .groupBy("day", "k")
+        .agg(count_distinct(col("event_type")).as("ct"))
+        .where(col("ct") === col("k"))
+        .select("day")
+      val rk = dt.join(fullD, "day")
+        .select(col("event_type"), col("day"),
+          rank().over(Window.partitionBy("event_type")
+            .orderBy("v", "day")).cast("long").as("r"))
+      val rs = rk.groupBy("day").agg(sum("r").cast("long").as("rsum"))
+        .localCheckpoint() // day-level rank sums: count + S read it
+      val nn = rs.agg(count(lit(1)).as("n"))
+      val st = rs.crossJoin(broadcast(kk)).crossJoin(broadcast(nn))
+        .groupBy("k", "n")
+        .agg(sum((col("rsum") - col("k") * (col("n") + lit(1.0)) / 2)
+          * (col("rsum") - col("k") * (col("n") + lit(1.0)) / 2)).as("s"))
+      val wExpr = lit(12.0) * col("s") / (col("k").cast("double") * col("k")
+        * (col("n").cast("double") * col("n") * col("n") - col("n")))
+      st.select(col("k").as("k_raters"), col("n").as("n_days"),
+        (round(wExpr, 6) + 0.0).as("kendall_w"),
+        (round(col("k") * (col("n") - 1) * wExpr, 6) + 0.0).as("chi2_stat"))
     }
   )
 

@@ -269,8 +269,30 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the week frame
     "q_hurst_exponent",    // 5-row size fan-out × day frame + 1-row
                            // n and slope scalars riding block frames
-    "q_dfa_alpha")         // the q_hurst_exponent class: size fan-out
+    "q_dfa_alpha",         // the q_hurst_exponent class: size fan-out
                            // + 1-row profile/slope scalars
+    // r12 batch — every entry is the sanctioned 1-row-broadcast
+    // scalar class: coefficient/total frames crossJoined back over
+    // bounded or linearly-scanned data, never a data×data product
+    "q_quantile_reg",      // 1-row IRLS coefficient frames riding the
+                           // 7 corpus passes
+    "q_breusch_pagan",     // 1-row OLS coefficients riding the aux pass
+    "q_mood_median",       // 1-row exact-median + margin totals riding
+                           // the counting pass and the k-row table
+    "q_weibull_fit",       // 1-row n riding the rank frame
+    "q_anderson_darling",  // 1-row n/mean riding the gap frame
+    "q_pacf",              // 1-row global moments riding the 4-row lag
+                           // frame (the q_ljung_box class)
+    "q_prais_winsten",     // 1-row OLS/rho scalars riding the day frame
+    "q_newey_west",        // 1-row OLS + S0/omega/sxc scalars riding
+                           // the day-frame score series
+    "q_hmm_forward",       // 1-row day-mean riding the day frame
+    "q_cointegration",     // 1-row OLS coefficients riding the aligned
+                           // day frame
+    "q_periodogram",       // 1-row mean/sd + 12-row harmonic fan-out
+                           // riding the day frame
+    "q_turning_points",    // 1-row n riding the extrema count
+    "q_kendall_w")         // 1-row k/n scalars riding the day rank sums
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

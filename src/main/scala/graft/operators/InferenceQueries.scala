@@ -1578,6 +1578,105 @@ object InferenceQueries {
       st.select(col("k").as("k_raters"), col("n").as("n_days"),
         (round(wExpr, 6) + 0.0).as("kendall_w"),
         (round(col("k") * (col("n") - 1) * wExpr, 6) + 0.0).as("chi2_stat"))
+    },
+
+    // ---- spectral entropy + dominant period (periodogram read-out) ----
+    // The one-number regularity summary of q_periodogram's harmonic
+    // table: normalize the 12 spectral powers to a distribution,
+    // report its Shannon entropy / ln 12 (1 = white-noise flat, → 0 =
+    // one dominant cycle) and the argmax harmonic with its period.
+    // Powers are rounded to the 10-dp grid BEFORE normalization, so
+    // the distribution, the entropy and the deterministic argmax
+    // (power desc, k asc) are identical cross-engine regardless of
+    // each engine's last-ulp trig. 100-TB story: identical to
+    // q_periodogram plus 12-row math.
+    sql(
+      "q_spectral_entropy",
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT rev, CAST(rev AS DOUBLE) AS y,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |      FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS sd,
+        |        sum(CAST(CAST(rev AS DECIMAL(20,4)) * rev AS DECIMAL(38,8)))
+        |          AS sdd FROM o),
+        |c0 AS (SELECT n, round(CAST(sd AS DOUBLE) / n, 8) AS mu,
+        |        round(sqrt((CAST(sdd AS DOUBLE)
+        |          - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+        |          / (n - 1)), 8) AS sd0 FROM m),
+        |z AS (SELECT rn, (y - c.mu) / c.sd0 AS z, c.n
+        |      FROM o CROSS JOIN c0 c),
+        |k AS (SELECT unnest(generate_series(1, 12)) AS k),
+        |p AS (SELECT k.k, max(z.n) AS n,
+        |        sum(z.z * cos(6.283185307179586e0 * k.k * z.rn / z.n))
+        |          AS cc,
+        |        sum(z.z * sin(6.283185307179586e0 * k.k * z.rn / z.n))
+        |          AS ss
+        |      FROM z CROSS JOIN k GROUP BY k.k),
+        |pw AS (SELECT k, n, round((cc * cc + ss * ss) * 2 / n, 10) AS pwr
+        |       FROM p),
+        |tt AS (SELECT max(n) AS n, sum(pwr) AS tot FROM pw),
+        |pr AS (SELECT pw.k, pw.pwr / tt.tot AS pk, tt.n, tt.tot
+        |       FROM pw CROSS JOIN tt),
+        |h AS (SELECT max(n) AS n, max(tot) AS tot,
+        |       -sum(pk * ln(pk)) / ln(12.0e0) AS hn FROM pr),
+        |dom AS (SELECT k AS dom_k FROM pr ORDER BY pk DESC, k LIMIT 1)
+        |SELECT h.n AS n_days, round(h.tot, 6) + 0.0 AS total_power,
+        |  round(h.hn, 6) + 0.0 AS spectral_entropy,
+        |  (SELECT dom_k FROM dom) AS dominant_k,
+        |  round(CAST(h.n AS DOUBLE) / (SELECT dom_k FROM dom), 2)
+        |    AS dominant_period_days
+        |FROM h""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,4)").as("rev"))
+      val o = daily
+        .select(col("rev"), col("rev").cast("double").as("y"),
+          row_number().over(Window.orderBy("d")).cast("long").as("rn"))
+        .localCheckpoint()
+      val m = o.agg(count(lit(1)).as("n"), sum("rev").as("sd"),
+        sum((col("rev").cast("decimal(20,4)") * col("rev"))
+          .cast("decimal(38,8)")).as("sdd"))
+      val c0 = m.select(col("n"),
+        round(col("sd").cast("double") / col("n"), 8).as("mu"),
+        round(sqrt((col("sdd").cast("double")
+          - col("sd").cast("double") * col("sd").cast("double") / col("n"))
+          / (col("n") - 1)), 8).as("sd0"))
+      val z = o.crossJoin(broadcast(c0))
+        .select(col("rn"), ((col("y") - col("mu")) / col("sd0")).as("z"),
+          col("n"))
+      val ks = z.sparkSession.range(1, 13)
+        .select(col("id").cast("long").as("k"))
+      val arg = lit(6.283185307179586) * col("k") * col("rn") / col("n")
+      val pw = z.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(max("n").as("n"),
+          sum(col("z") * cos(arg)).as("cc"),
+          sum(col("z") * sin(arg)).as("ss"))
+        .select(col("k"), col("n"),
+          round((col("cc") * col("cc") + col("ss") * col("ss")) * 2
+            / col("n"), 10).as("pwr"))
+        .localCheckpoint() // 12-row harmonic table: totals + argmax
+      val tt = pw.agg(max("n").as("n"), sum("pwr").as("tot"))
+      val pr = pw.crossJoin(broadcast(tt.select("tot")))
+        .select(col("k"), (col("pwr") / col("tot")).as("pk"))
+      val h = pr.agg((-sum(col("pk") * log(col("pk"))) / log(lit(12.0)))
+        .as("hn"))
+      val dom = pr.orderBy(col("pk").desc, col("k")).limit(1)
+        .select(col("k").as("dom_k"))
+      tt.crossJoin(broadcast(h)).crossJoin(broadcast(dom))
+        .select(col("n").as("n_days"),
+          (round(col("tot"), 6) + 0.0).as("total_power"),
+          (round(col("hn"), 6) + 0.0).as("spectral_entropy"),
+          col("dom_k").as("dominant_k"),
+          round(col("n").cast("double") / col("dom_k"), 2)
+            .as("dominant_period_days"))
     }
   )
 

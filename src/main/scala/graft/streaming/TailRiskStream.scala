@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming per-window exact tail risk — the 25th batch/stream twin,
+  * sharing `q_expected_shortfall`'s SELECTION SEMANTICS: the 5%
+  * Value-at-Risk by exact nearest-rank selection (rank ⌈0.05·n⌉ by
+  * value ascending) and the expected shortfall = exact mean of the
+  * lowest ⌈0.05·n⌉ values, finalized once per event-time window when
+  * the watermark passes window end. The open-window state is the
+  * exact per-value histogram (the RankSketchStream/DriftStream state
+  * shape, value-domain-bounded with the r11-VERDICT fail-fast cap),
+  * so the answers are EXACT — a pure function of the window's value
+  * multiset; arrival order and micro-batch splits cannot move them
+  * ([[TailRiskStreamSpec]] pins them against a from-scratch sort of
+  * the same rows and against the batch rank formula). ES is emitted
+  * as an exact integer-sum/count pair next to the rounded double, so
+  * a consumer needing bit-exactness never touches floating point.
+  */
+object TailRiskStream {
+
+  case class PnlEvent(ts: Timestamp, cents: Long)
+  case class WindowTail(window_start: Timestamp, n: Long, tail_n: Long,
+      var_cents: Long, tail_sum_cents: Long, es_cents: Double)
+  case class TailState(vs: Array[Long], cnt: Array[Long], n: Long)
+
+  /** Same cap + rationale as [[RankSketchStream.MaxDistinctDefault]]. */
+  val MaxDistinctDefault: Int = 1 << 18
+
+  /** The batch query's rank: ⌈0.05·n⌉, at least 1 for n > 0. */
+  def tailN(n: Long): Long = (n + 19) / 20
+
+  /** Exact (VaR, tail sum) off a value histogram: walk ascending
+    * until the cumulative count reaches the tail rank; the VaR is the
+    * value where it crosses, the tail sum takes only tail_n addends
+    * even when the crossing value's count overshoots. */
+  def tail(hist: Map[Long, Long]): (Long, Long, Long, Long) = {
+    val n = hist.valuesIterator.sum
+    val k = tailN(n)
+    var cum = 0L
+    var sum = 0L
+    var varC = 0L
+    val it = hist.toSeq.sortBy(_._1).iterator
+    while (cum < k && it.hasNext) {
+      val (v, c) = it.next()
+      val take = math.min(c, k - cum)
+      sum += v * take
+      cum += take
+      varC = v
+    }
+    (n, k, varC, sum)
+  }
+
+  def apply(ds: Dataset[PnlEvent], windowSec: Long, watermarkDelay: String,
+      maxDistinct: Int = MaxDistinctDefault): Dataset[WindowTail] = {
+    implicit val stateEnc = Encoders.product[TailState]
+    implicit val outEnc = Encoders.product[WindowTail]
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime / 1000 / windowSec * windowSec)
+      .flatMapGroupsWithState[TailState, WindowTail](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstartSec, it, state: GroupState[TailState]) =>
+          val endMs = (wstartSec + windowSec) * 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val hist = s.vs.zip(s.cnt).toMap
+            val (n, k, varC, sum) = tail(hist)
+            Iterator.single(WindowTail(new Timestamp(wstartSec * 1000),
+              n, k, varC, sum, sum.toDouble / k))
+          } else if (endMs <= state.getCurrentWatermarkMs()) {
+            Iterator.empty // late rows never re-open a finalized window
+          } else {
+            val s0 = state.getOption.getOrElse(
+              TailState(Array.empty, Array.empty, 0L))
+            val hist = scala.collection.mutable.HashMap.empty[Long, Long]
+            s0.vs.indices.foreach(i => hist.update(s0.vs(i), s0.cnt(i)))
+            var n = s0.n
+            it.foreach { e =>
+              hist.update(e.cents, hist.getOrElse(e.cents, 0L) + 1L)
+              n += 1
+            }
+            if (hist.size > maxDistinct)
+              throw new IllegalStateException(
+                s"TailRiskStream: window $wstartSec holds ${hist.size} " +
+                  s"distinct values > cap $maxDistinct. The exact-histogram " +
+                  "state is value-domain-bounded by contract; for unbounded " +
+                  "domains use HdrSketchStream (log buckets) instead.")
+            val ks = hist.keysIterator.toArray
+            state.update(TailState(ks, ks.map(hist), n))
+            state.setTimeoutTimestamp(endMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  val outputMode: OutputMode = OutputMode.Append()
+}

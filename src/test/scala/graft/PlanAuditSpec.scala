@@ -292,7 +292,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_periodogram",       // 1-row mean/sd + 12-row harmonic fan-out
                            // riding the day frame
     "q_turning_points",    // 1-row n riding the extrema count
-    "q_kendall_w")         // 1-row k/n scalars riding the day rank sums
+    "q_kendall_w",         // 1-row k/n scalars riding the day rank sums
+    "q_spectral_entropy")  // the q_periodogram class + 1-row
+                           // total/entropy/argmax scalars
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

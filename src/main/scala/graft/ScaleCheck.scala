@@ -358,7 +358,7 @@ object ScaleCheck {
     // and the region-aligned residual ADF (EG)
     "q_prais_winsten", "q_newey_west", "q_hmm_forward", "q_cointegration",
     "q_periodogram", "q_turning_points", "q_max_drawdown",
-    "q_kendall_w", "q_spectral_entropy")
+    "q_kendall_w", "q_spectral_entropy", "q_sharpe_ratio")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

@@ -1677,6 +1677,65 @@ object InferenceQueries {
           col("dom_k").as("dominant_k"),
           round(col("n").cast("double") / col("dom_k"), 2)
             .as("dominant_period_days"))
+    },
+
+    // ---- Sharpe ratio (per-nation daily revenue returns) ----
+    // The risk-ADJUSTED return read completing the q_expected_
+    // shortfall / q_max_drawdown family: per nation, mean and sd of
+    // the day-over-day returns and their ratio, annualized by the
+    // pinned √252 trading-day literal (15.874507866387544 — one
+    // double constant on both engines, not each engine's sqrt).
+    // Returns divide exact decimal day revenues (identical doubles);
+    // the moment sums run over bounded day counts at O(1) magnitudes.
+    // 100-TB story: one keyed collapse to the nation×day frame, a
+    // per-nation lag window, one 25-row moment collapse.
+    sql(
+      "q_sharpe_ratio",
+      """WITH rev AS (SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+        |          sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rv
+        |        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |        GROUP BY 1, 2),
+        |r AS (SELECT n_name, day, CAST(rv AS DOUBLE)
+        |        / lag(CAST(rv AS DOUBLE)) OVER (PARTITION BY n_name
+        |            ORDER BY day) - 1.0e0 AS ret FROM rev),
+        |m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n, sum(ret) AS s,
+        |        sum(ret * ret) AS s2 FROM r WHERE ret IS NOT NULL
+        |      GROUP BY 1),
+        |f AS (SELECT n_name, n, s / n AS mu,
+        |        sqrt((s2 - s * s / n) / (n - 1)) AS sd FROM m)
+        |SELECT n_name, n AS n_days, round(mu, 6) + 0.0 AS mean_ret,
+        |  round(sd, 6) + 0.0 AS sd_ret,
+        |  round(mu / sd, 6) + 0.0 AS sharpe_daily,
+        |  round(mu / sd * 15.874507866387544e0, 6) + 0.0 AS sharpe_annual
+        |FROM f ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+      val wDay = Window.partitionBy("n_name").orderBy("day")
+      val m = rev
+        .withColumn("ret", col("rv").cast("double")
+          / lag(col("rv").cast("double"), 1).over(wDay) - lit(1.0))
+        .where(col("ret").isNotNull)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("ret").as("s"),
+          sum(col("ret") * col("ret")).as("s2"))
+      val mu = col("s") / col("n")
+      val sd = sqrt((col("s2") - col("s") * col("s") / col("n"))
+        / (col("n") - 1))
+      m.select(col("n_name"), col("n").as("n_days"),
+          (round(mu, 6) + 0.0).as("mean_ret"),
+          (round(sd, 6) + 0.0).as("sd_ret"),
+          (round(mu / sd, 6) + 0.0).as("sharpe_daily"),
+          (round(mu / sd * 15.874507866387544, 6) + 0.0)
+            .as("sharpe_annual"))
+        .orderBy("n_name")
     }
   )
 

@@ -1118,7 +1118,7 @@ object InferenceQueries {
     // high-revenue day) filtered over the daily revenue sequence —
     // the forward algorithm's normalized alpha recursion, emitting
     // P(high-regime | obs so far) per day. The recursion re-normalizes
-    //每 step so probabilities stay O(1): pure +/×/÷ on identical
+    // each step so probabilities stay O(1): pure +/×/÷ on identical
     // doubles (obs thresholds on the exact-decimal day mean) — the
     // recursive-CTE oracle and the sorted mapPartitions fold run the
     // SAME expression order, so parity is bit-level before the 6-dp
@@ -1623,7 +1623,7 @@ object InferenceQueries {
         |pr AS (SELECT pw.k, pw.pwr / tt.tot AS pk, tt.n, tt.tot
         |       FROM pw CROSS JOIN tt),
         |h AS (SELECT max(n) AS n, max(tot) AS tot,
-        |       -sum(pk * ln(pk)) / ln(12.0e0) AS hn FROM pr),
+        |       -sum(pk * ln(pk)) / ln(12.0e0) AS hn FROM pr WHERE pk > 0),
         |dom AS (SELECT k AS dom_k FROM pr ORDER BY pk DESC, k LIMIT 1)
         |SELECT h.n AS n_days, round(h.tot, 6) + 0.0 AS total_power,
         |  round(h.hn, 6) + 0.0 AS spectral_entropy,
@@ -1666,7 +1666,14 @@ object InferenceQueries {
       val tt = pw.agg(max("n").as("n"), sum("pwr").as("tot"))
       val pr = pw.crossJoin(broadcast(tt.select("tot")))
         .select(col("k"), (col("pwr") / col("tot")).as("pk"))
-      val h = pr.agg((-sum(col("pk") * log(col("pk"))) / log(lit(12.0)))
+      // pk = 0 guard (r12 ADVICE): a harmonic whose power rounds to 0
+      // at the 10-dp grid would make DuckDB's 0*ln(0) a NaN while
+      // Spark's log() returns NULL (term silently dropped) — filter
+      // pk > 0 IDENTICALLY on both engines before the entropy sum so
+      // the zero-power term is excluded the same way everywhere
+      // (lim p→0 p·ln p = 0, so the entropy value is unchanged).
+      val h = pr.filter(col("pk") > 0)
+        .agg((-sum(col("pk") * log(col("pk"))) / log(lit(12.0)))
         .as("hn"))
       val dom = pr.orderBy(col("pk").desc, col("k")).limit(1)
         .select(col("k").as("dom_k"))

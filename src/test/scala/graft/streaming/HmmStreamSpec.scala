@@ -15,9 +15,14 @@ class HmmStreamSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Spark round()'s HALF_UP at 6 dp (math.rint would be HALF_EVEN). */
+  /** Spark round()'s HALF_UP at 6 dp (math.rint would be HALF_EVEN).
+    * valueOf, not new BigDecimal (r12 ADVICE): Spark's Round goes
+    * through BigDecimal.valueOf (shortest decimal repr of the
+    * double), while `new BigDecimal` expands the exact binary value —
+    * a value whose shortest repr straddles a 5e-7 half-boundary would
+    * round differently and fail the parity test spuriously. */
   private def round6(v: Double): Double =
-    new java.math.BigDecimal(v)
+    java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 
   private def batchRows(): Seq[(Long, Long, Double)] =

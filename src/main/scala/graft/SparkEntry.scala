@@ -24,6 +24,7 @@ object SparkEntry {
       operators.SeriesQueries.defs ++
       operators.AuditQueries.defs ++
       operators.InferenceQueries.defs ++
+      operators.DiagnosticsQueries.defs ++
       operators.ScoreQueries.defs ++
       operators.BiQueries.defs ++
       llm.DedupQueries.defs ++

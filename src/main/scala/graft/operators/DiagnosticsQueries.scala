@@ -578,6 +578,354 @@ object DiagnosticsQueries {
         (round(col("rho"), 6) + 0.0).as("rho1"),
         (round(lm, 6) + 0.0).as("lm_stat"),
         when(lm > 3.841458820694124, 1L).otherwise(0L).as("reject_5pct"))
+    },
+
+    // ---- Pettitt rank-based change-point test ----
+    // WHERE did the daily-revenue level shift? The Mann–Whitney-style
+    // U_t = Σ_{i≤t}Σ_{j>t} sign(x_i − x_j) via the midrank identity
+    // U_t = 2·Σ_{i≤t} r_i − t(n+1) (r = average ranks — the identity
+    // holds exactly under ties with midranks; brute-force-verified
+    // against the O(n²) sign sum on the sf0.001 corpus), K = max|U_t|,
+    // and the standard approximation p ≈ 2·exp(−6K²/(n³+n²)).
+    // Exactness: ranks are integers off exact DECIMAL day revenues,
+    // midranks are exact half-integers, the cumulative sum is a
+    // bounded window — every emitted number is grid-exact before the
+    // final exp. 100-TB story: one corpus pass to the calendar-bounded
+    // day frame; two windows + an argmax.
+    sql(
+      "q_pettitt_test",
+      s"""WITH $DailyRevSql,
+        |rk AS (SELECT day, rv,
+        |        CAST(rank() OVER (ORDER BY rv) AS BIGINT) AS rmin,
+        |        CAST(count(*) OVER (PARTITION BY rv) AS BIGINT) AS cv,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM daily),
+        |mr AS (SELECT day, n, rmin + (cv - 1) / 2.0e0 AS r FROM rk),
+        |u AS (SELECT day, n,
+        |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |        2 * sum(r) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |          AS cum2r
+        |      FROM mr),
+        |uu AS (SELECT day, t, n, cum2r - t * (n + 1.0e0) AS ut
+        |       FROM u WHERE t < n),
+        |k AS (SELECT day, t, n, abs(ut) AS au, ut FROM uu
+        |      ORDER BY abs(ut) DESC, t LIMIT 1)
+        |SELECT n AS n_days, t AS change_t, day AS change_day,
+        |  round(ut, 1) + 0.0 AS u_at_change,
+        |  round(au, 1) + 0.0 AS k_stat,
+        |  round(least(1.0e0, 2 * exp(-6.0e0 * au * au
+        |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6)
+        |    + 0.0 AS p_approx,
+        |  CAST(CASE WHEN 2 * exp(-6.0e0 * au * au
+        |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)) < 0.05e0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+        |FROM k""".stripMargin) { (s, dir) =>
+      val daily = dailyRev(s, dir)
+      val rk = daily.select(col("day"), col("rv"),
+        rank().over(Window.orderBy("rv")).cast("long").as("rmin"),
+        count(lit(1)).over(Window.partitionBy("rv")).cast("long").as("cv"),
+        count(lit(1)).over(Window.partitionBy()).cast("long").as("n"))
+      val mr = rk.select(col("day"), col("n"),
+        (col("rmin") + (col("cv") - 1) / lit(2.0)).as("r"))
+      val u = mr.select(col("day"), col("n"),
+        row_number().over(Window.orderBy("day")).cast("long").as("t"),
+        (lit(2) * sum("r").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("cum2r"))
+      val uu = u.where(col("t") < col("n"))
+        .select(col("day"), col("t"), col("n"),
+          (col("cum2r") - col("t") * (col("n") + lit(1.0))).as("ut"))
+      val k = uu.select(col("day"), col("t"), col("n"),
+          abs(col("ut")).as("au"), col("ut"))
+        .orderBy(col("au").desc, col("t")).limit(1)
+      val p2 = lit(2) * exp(lit(-6.0) * col("au") * col("au")
+        / (col("n").cast("double") * col("n") * col("n")
+          + col("n").cast("double") * col("n")))
+      k.select(col("n").as("n_days"), col("t").as("change_t"),
+        col("day").as("change_day"),
+        (round(col("ut"), 1) + 0.0).as("u_at_change"),
+        (round(col("au"), 1) + 0.0).as("k_stat"),
+        (round(least(lit(1.0), p2), 6) + 0.0).as("p_approx"),
+        when(p2 < 0.05, 1L).otherwise(0L).as("reject_5pct"))
+    },
+
+    // ---- CAPM market-model beta (per region vs the market) ----
+    // Each region's daily revenue return regressed on the aggregate
+    // "market" return: β = cov/var, α = ȳ − βx̄, R² = corr² — the
+    // systematic-vs-idiosyncratic decomposition completing the
+    // q_sharpe_ratio risk family. Returns divide exact DECIMAL day
+    // revenues (identical doubles both engines); the 5-series moment
+    // sums run doubles over calendar-bounded day counts at O(1)
+    // magnitudes (the sharpe convention). 100-TB story: one keyed
+    // corpus collapse to region×day, a day-keyed equi-join of two
+    // calendar-bounded frames, a 5-row collapse.
+    sql(
+      "q_capm_beta",
+      """WITH rev AS (SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS day,
+        |        sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rv
+        |      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |      JOIN region r ON r.r_regionkey = n.n_regionkey
+        |      GROUP BY 1, 2),
+        |mkt AS (SELECT day, sum(rv) AS mv FROM rev GROUP BY 1),
+        |ra AS (SELECT r_name, day, CAST(rv AS DOUBLE)
+        |        / lag(CAST(rv AS DOUBLE)) OVER (PARTITION BY r_name
+        |            ORDER BY day) - 1.0e0 AS ret FROM rev),
+        |rm AS (SELECT day, CAST(mv AS DOUBLE)
+        |        / lag(CAST(mv AS DOUBLE)) OVER (ORDER BY day) - 1.0e0
+        |          AS mret FROM mkt),
+        |j AS (SELECT a.r_name, a.ret, m.mret FROM ra a
+        |      JOIN rm m ON m.day = a.day
+        |      WHERE a.ret IS NOT NULL AND m.mret IS NOT NULL),
+        |mm AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n, sum(ret) AS sy,
+        |        sum(mret) AS sx, sum(ret * mret) AS sxy,
+        |        sum(mret * mret) AS sxx, sum(ret * ret) AS syy
+        |      FROM j GROUP BY 1),
+        |f AS (SELECT r_name, n,
+        |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+        |       sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n
+        |         AS alpha,
+        |       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |      FROM mm)
+        |SELECT r_name, n AS n_days, round(beta, 6) + 0.0 AS beta,
+        |  round(alpha, 6) + 0.0 AS alpha, round(r2, 6) + 0.0 AS r2
+        |FROM f ORDER BY r_name""".stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+        .localCheckpoint() // 5 regions × calendar days; reused 2×
+      val mkt = rev.groupBy("day").agg(sum("rv").as("mv"))
+      val ra = rev.select(col("r_name"), col("day"),
+        (col("rv").cast("double")
+          / lag(col("rv").cast("double"), 1)
+            .over(Window.partitionBy("r_name").orderBy("day"))
+          - lit(1.0)).as("ret"))
+      val rm = mkt.select(col("day"),
+        (col("mv").cast("double")
+          / lag(col("mv").cast("double"), 1).over(Window.orderBy("day"))
+          - lit(1.0)).as("mret"))
+      val j = ra.join(rm, "day")
+        .where(col("ret").isNotNull && col("mret").isNotNull)
+      val mm = j.groupBy("r_name").agg(count(lit(1)).as("n"),
+        sum("ret").as("sy"), sum("mret").as("sx"),
+        sum(col("ret") * col("mret")).as("sxy"),
+        sum(col("mret") * col("mret")).as("sxx"),
+        sum(col("ret") * col("ret")).as("syy"))
+      val betaC = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val f = mm.select(col("r_name"), col("n"), betaC.as("beta"),
+        (col("sy") / col("n") - betaC * col("sx") / col("n")).as("alpha"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      f.select(col("r_name"), col("n").as("n_days"),
+          (round(col("beta"), 6) + 0.0).as("beta"),
+          (round(col("alpha"), 6) + 0.0).as("alpha"),
+          (round(col("r2"), 6) + 0.0).as("r2"))
+        .orderBy("r_name")
+    },
+
+    // ---- Sortino ratio (downside-deviation risk adjustment) ----
+    // The q_sharpe_ratio twin that only penalizes DOWNSIDE volatility:
+    // per nation, mean daily return over the full-period downside
+    // deviation √(Σ min(r,0)²/n) at MAR = 0, annualized by the same
+    // pinned √252 literal. Identical frame, window and moment
+    // conventions as sharpe. 100-TB story: one keyed corpus collapse,
+    // one per-nation lag window, one 25-row collapse.
+    sql(
+      "q_sortino_ratio",
+      s"""WITH $NationDaySql,
+        |r AS (SELECT n_name, day, CAST(rv AS DOUBLE)
+        |        / lag(CAST(rv AS DOUBLE)) OVER (PARTITION BY n_name
+        |            ORDER BY day) - 1.0e0 AS ret FROM rev),
+        |m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n, sum(ret) AS s,
+        |        sum(CASE WHEN ret < 0 THEN ret * ret ELSE 0 END) AS sdn,
+        |        CAST(sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ndn
+        |      FROM r WHERE ret IS NOT NULL GROUP BY 1),
+        |f AS (SELECT n_name, n, ndn, s / n AS mu, sqrt(sdn / n) AS dd
+        |      FROM m)
+        |SELECT n_name, n AS n_days, ndn AS n_down,
+        |  round(mu, 6) + 0.0 AS mean_ret, round(dd, 6) + 0.0
+        |    AS downside_dev,
+        |  round(mu / dd, 6) + 0.0 AS sortino_daily,
+        |  round(mu / dd * 15.874507866387544e0, 6) + 0.0 AS sortino_annual
+        |FROM f ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val rev = nationDay(s, dir)
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+      val wDay = Window.partitionBy("n_name").orderBy("day")
+      val r = rev.select(col("n_name"), col("day"),
+        (col("rv").cast("double")
+          / lag(col("rv").cast("double"), 1).over(wDay) - lit(1.0))
+          .as("ret"))
+      val m = r.where(col("ret").isNotNull)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("ret").as("s"),
+          sum(when(col("ret") < 0, col("ret") * col("ret")).otherwise(0.0))
+            .as("sdn"),
+          sum(when(col("ret") < 0, 1L).otherwise(0L)).cast("long")
+            .as("ndn"))
+      val mu = col("s") / col("n")
+      val dd = sqrt(col("sdn") / col("n"))
+      m.select(col("n_name"), col("n").as("n_days"),
+          col("ndn").as("n_down"),
+          (round(mu, 6) + 0.0).as("mean_ret"),
+          (round(dd, 6) + 0.0).as("downside_dev"),
+          (round(mu / dd, 6) + 0.0).as("sortino_daily"),
+          (round(mu / dd * 15.874507866387544, 6) + 0.0)
+            .as("sortino_annual"))
+        .orderBy("n_name")
+    },
+
+    // ---- Calmar ratio (annualized return over max drawdown) ----
+    // The drawdown-normalized return completing the tail-risk family:
+    // per nation, the wealth index is exp of the running log-return
+    // sum, max drawdown 1 − exp(cl − peak) off a running max, and
+    // calmar = annualized return / MDD with the pinned 252 trading-day
+    // year. Log returns are doubles of exact-decimal revenue ratios;
+    // every window is calendar-bounded; the lone cross-engine libm
+    // surfaces (ln, exp) act on O(1) magnitudes against the 6-dp gate
+    // (the q_periodogram margin class). 100-TB story: one keyed corpus
+    // collapse, two bounded windows, a 25-row collapse.
+    sql(
+      "q_calmar_ratio",
+      s"""WITH $NationDaySql,
+        |r AS (SELECT n_name, day, ln(CAST(rv AS DOUBLE)
+        |        / lag(CAST(rv AS DOUBLE)) OVER (PARTITION BY n_name
+        |            ORDER BY day)) AS lr FROM rev),
+        |c AS (SELECT n_name, day,
+        |        sum(lr) OVER (PARTITION BY n_name ORDER BY day
+        |                      ROWS UNBOUNDED PRECEDING) AS cl
+        |      FROM r WHERE lr IS NOT NULL),
+        |d AS (SELECT n_name, cl,
+        |        max(cl) OVER (PARTITION BY n_name ORDER BY day
+        |                      ROWS UNBOUNDED PRECEDING) AS peak FROM c),
+        |m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |        max(peak - cl) AS mdl FROM d GROUP BY 1),
+        |e AS (SELECT n_name, sum(lr) AS cl_end FROM r
+        |      WHERE lr IS NOT NULL GROUP BY 1),
+        |f AS (SELECT m.n_name, m.n, 1.0e0 - exp(-m.mdl) AS mdd,
+        |       exp(252.0e0 / m.n * e.cl_end) - 1.0e0 AS ann
+        |      FROM m JOIN e ON e.n_name = m.n_name)
+        |SELECT n_name, n AS n_days, round(ann, 6) + 0.0 AS annual_return,
+        |  round(mdd, 6) + 0.0 AS max_drawdown,
+        |  round(ann / mdd, 6) + 0.0 AS calmar
+        |FROM f ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val rev = nationDay(s, dir)
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+      val wDay = Window.partitionBy("n_name").orderBy("day")
+      val wCum = wDay.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val r = rev.select(col("n_name"), col("day"),
+        log(col("rv").cast("double")
+          / lag(col("rv").cast("double"), 1).over(wDay)).as("lr"))
+        .where(col("lr").isNotNull)
+        .localCheckpoint() // calendar-bounded; feeds windows + totals
+      val c = r.select(col("n_name"), col("day"),
+        sum("lr").over(wCum).as("cl"))
+      val d = c.select(col("n_name"), col("cl"),
+        max("cl").over(wCum).as("peak"))
+      val m = d.groupBy("n_name").agg(count(lit(1)).as("n"),
+        max(col("peak") - col("cl")).as("mdl"))
+      val e = r.groupBy("n_name").agg(sum("lr").as("cl_end"))
+      val f = m.join(e, "n_name")
+        .select(col("n_name"), col("n"),
+          (lit(1.0) - exp(-col("mdl"))).as("mdd"),
+          (exp(lit(252.0) / col("n") * col("cl_end")) - lit(1.0))
+            .as("ann"))
+      f.select(col("n_name"), col("n").as("n_days"),
+          (round(col("ann"), 6) + 0.0).as("annual_return"),
+          (round(col("mdd"), 6) + 0.0).as("max_drawdown"),
+          (round(col("ann") / col("mdd"), 6) + 0.0).as("calmar"))
+        .orderBy("n_name")
+    },
+
+    // ---- Cramér–von Mises two-sample EDF test ----
+    // Do 1-URGENT and 5-LOW order values come from the same
+    // distribution? The rank form T = U/(nm(n+m)) − (4nm−1)/(6(n+m)),
+    // U = n·Σ(r_xi − i)² + m·Σ(s_yj − j)², r = combined-sample ranks,
+    // i = own-sample ranks — brute-force-verified on sf0.001. Equal
+    // values are ordered by o_orderkey IDENTICALLY in both rankings
+    // (a deterministic total order both engines share; the classic
+    // statistic assumes continuous data, and the fixed tiebreak makes
+    // the discrete version reproducible). Exactness: both ranks are
+    // integers, (r−i)² sums ride as exact DECIMAL, the lone doubles
+    // are the two final ratios. 100-TB story: two rank windows over
+    // the filtered corpus (sort-based, no pair join), one 2-row
+    // collapse — O(n log n) at any scale.
+    sql(
+      "q_cramer_von_mises",
+      """WITH s AS (SELECT o_orderkey AS k,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+        |          AS g
+        |      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |rk AS (SELECT g, v, k,
+        |        CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS r,
+        |        CAST(row_number() OVER (PARTITION BY g ORDER BY v, k)
+        |          AS BIGINT) AS i
+        |      FROM s),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |        sum(CAST((r - i) * (r - i) AS DECIMAL(38,0))) AS sq
+        |      FROM rk GROUP BY g),
+        |p AS (SELECT
+        |       (SELECT cnt FROM m WHERE g = 1) AS n,
+        |       (SELECT cnt FROM m WHERE g = 2) AS mm,
+        |       (SELECT sq FROM m WHERE g = 1) AS sqx,
+        |       (SELECT sq FROM m WHERE g = 2) AS sqy),
+        |u AS (SELECT n, mm,
+        |       CAST(n AS DOUBLE) * CAST(sqx AS DOUBLE)
+        |         + CAST(mm AS DOUBLE) * CAST(sqy AS DOUBLE) AS uu FROM p),
+        |f AS (SELECT n, mm, uu,
+        |       uu / (CAST(n AS DOUBLE) * mm * (n + mm))
+        |         - (4.0e0 * n * mm - 1) / (6.0e0 * (n + mm)) AS t FROM u)
+        |SELECT n AS n_urgent, mm AS n_low, round(uu, 1) + 0.0 AS u_stat,
+        |  round(t, 6) + 0.0 AS cvm_t,
+        |  CAST(CASE WHEN t > 0.461e0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject_5pct
+        |FROM f""".stripMargin) { (s, dir) =>
+      val sd = t(s, dir, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2)
+            .as("g"))
+      val rk = sd.select(col("g"), col("v"), col("k"),
+        row_number().over(Window.orderBy("v", "k")).cast("long").as("r"),
+        row_number().over(Window.partitionBy("g").orderBy("v", "k"))
+          .cast("long").as("i"))
+      val m = rk.groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum(((col("r") - col("i")) * (col("r") - col("i")))
+          .cast("decimal(38,0)")).as("sq"))
+      val p = m.where(col("g") === 1)
+        .select(col("cnt").as("n"), col("sq").as("sqx"))
+        .crossJoin(broadcast(m.where(col("g") === 2)
+          .select(col("cnt").as("mm"), col("sq").as("sqy"))))
+      val u = p.select(col("n"), col("mm"),
+        (col("n").cast("double") * col("sqx").cast("double")
+          + col("mm").cast("double") * col("sqy").cast("double"))
+          .as("uu"))
+      val tS = col("uu") / (col("n").cast("double") * col("mm")
+        * (col("n") + col("mm"))) -
+        (lit(4.0) * col("n") * col("mm") - 1) /
+          (lit(6.0) * (col("n") + col("mm")))
+      u.select(col("n").as("n_urgent"), col("mm").as("n_low"),
+        (round(col("uu"), 1) + 0.0).as("u_stat"),
+        (round(tS, 6) + 0.0).as("cvm_t"),
+        when(tS > 0.461, 1L).otherwise(0L).as("reject_5pct"))
     }
   )
 }

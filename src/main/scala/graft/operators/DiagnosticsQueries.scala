@@ -926,6 +926,371 @@ object DiagnosticsQueries {
         (round(col("uu"), 1) + 0.0).as("u_stat"),
         (round(tS, 6) + 0.0).as("cvm_t"),
         when(tS > 0.461, 1L).otherwise(0L).as("reject_5pct"))
+    },
+
+    // ---- odds ratio with Woolf confidence interval ----
+    // The epidemiologist's 2×2 effect size: exposure = order value
+    // above the exact corpus median, outcome = urgent/high priority.
+    // OR = ad/bc with the log-scale Woolf CI
+    // exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) at the pinned z. The
+    // median comes from the engine's ExactQuantiles (the q_mood_median
+    // pairing with DuckDB's quantile_cont); the four cells are one
+    // corpus pass of integer counts, so everything downstream is
+    // 1-row arithmetic on identical inputs. 100-TB story: the exact
+    // median's two passes + one counting pass; 1-row math.
+    sql(
+      "q_odds_ratio",
+      """WITH med AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+        |        0.5) AS md FROM orders),
+        |c AS (SELECT
+        |       CAST(sum(CASE WHEN o_totalprice > m.md
+        |         AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |       CAST(sum(CASE WHEN o_totalprice > m.md
+        |         AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |       CAST(sum(CASE WHEN o_totalprice <= m.md
+        |         AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |       CAST(sum(CASE WHEN o_totalprice <= m.md
+        |         AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |      FROM orders CROSS JOIN med m),
+        |f AS (SELECT a, b, c, d,
+        |       CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orr,
+        |       sqrt(1.0e0 / a + 1.0e0 / b + 1.0e0 / c + 1.0e0 / d) AS se
+        |      FROM c)
+        |SELECT a AS n_hi_urgent, b AS n_hi_other, c AS n_lo_urgent,
+        |  d AS n_lo_other, round(orr, 6) + 0.0 AS odds_ratio,
+        |  round(exp(ln(orr) - 1.959963984540054e0 * se), 6) + 0.0 AS ci_lo,
+        |  round(exp(ln(orr) + 1.959963984540054e0 * se), 6) + 0.0 AS ci_hi,
+        |  CAST(CASE WHEN ln(orr) - 1.959963984540054e0 * se > 0
+        |         OR ln(orr) + 1.959963984540054e0 * se < 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+        |FROM f""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val med = ExactQuantiles(
+        orders.select(col("o_totalprice").cast("double").as("v")),
+        "v", Seq(0.5), Seq("md")).select("md")
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val c = orders.crossJoin(broadcast(med))
+        .agg(
+          sum(when(col("o_totalprice") > col("md") && urgent, 1L)
+            .otherwise(0L)).cast("long").as("a"),
+          sum(when(col("o_totalprice") > col("md") && !urgent, 1L)
+            .otherwise(0L)).cast("long").as("b"),
+          sum(when(col("o_totalprice") <= col("md") && urgent, 1L)
+            .otherwise(0L)).cast("long").as("c"),
+          sum(when(col("o_totalprice") <= col("md") && !urgent, 1L)
+            .otherwise(0L)).cast("long").as("d"))
+      val orr = col("a").cast("double") * col("d") /
+        (col("b").cast("double") * col("c"))
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+        + lit(1.0) / col("c") + lit(1.0) / col("d"))
+      val f = c.select(col("a"), col("b"), col("c"), col("d"),
+        orr.as("orr"), se.as("se"))
+      f.select(col("a").as("n_hi_urgent"), col("b").as("n_hi_other"),
+        col("c").as("n_lo_urgent"), col("d").as("n_lo_other"),
+        (round(col("orr"), 6) + 0.0).as("odds_ratio"),
+        (round(exp(log(col("orr")) - lit(1.959963984540054) * col("se")),
+          6) + 0.0).as("ci_lo"),
+        (round(exp(log(col("orr")) + lit(1.959963984540054) * col("se")),
+          6) + 0.0).as("ci_hi"),
+        when((log(col("orr")) - lit(1.959963984540054) * col("se") > 0)
+          || (log(col("orr")) + lit(1.959963984540054) * col("se") < 0),
+          1L).otherwise(0L).as("reject_5pct"))
+    },
+
+    // ---- Moran's I spatial autocorrelation (same-region weights) ----
+    // Do neighboring nations (binary same-region contiguity) have
+    // correlated revenue? With block weights the cross-product term
+    // needs NO pair join: Σᵢⱼ wᵢⱼzᵢzⱼ = Σ_region[(Σz)² − Σz²], and the
+    // normality-assumption variance uses the closed forms S₁ = 2W,
+    // S₂ = 4Σ n_r(n_r−1)² — the whole test is one 25-row frame plus
+    // per-region sums. Exactness: z-deviations subtract the 8-dp
+    // rounded exact mean from exact-decimal revenue doubles; the
+    // region collapse is ≤ 5 rows. 100-TB story: one keyed corpus
+    // collapse to 25 rows; everything after is constant-size.
+    sql(
+      "q_morans_i",
+      """WITH rev AS (SELECT n.n_nationkey, n.n_regionkey,
+        |        sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rvd
+        |      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |      GROUP BY 1, 2),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rvd) AS s1
+        |      FROM rev),
+        |c0 AS (SELECT n, round(CAST(s1 AS DOUBLE) / n, 8) AS mu FROM m),
+        |z AS (SELECT n_regionkey, CAST(rvd AS DOUBLE) - c0.mu AS z, c0.n
+        |      FROM rev CROSS JOIN c0),
+        |rg AS (SELECT n_regionkey, max(n) AS n, sum(z) AS sz,
+        |        sum(z * z) AS szz, CAST(count(*) AS BIGINT) AS nr
+        |      FROM z GROUP BY 1),
+        |agg AS (SELECT max(n) AS n, sum(sz * sz - szz) AS cross_sum,
+        |        sum(szz) AS s_zz, CAST(sum(nr * (nr - 1)) AS BIGINT) AS w,
+        |        sum(4.0e0 * nr * (nr - 1) * (nr - 1)) AS s2 FROM rg),
+        |f AS (SELECT n, w, cross_sum, s_zz,
+        |       CAST(n AS DOUBLE) / w * cross_sum / s_zz AS i,
+        |       -1.0e0 / (n - 1) AS e_i,
+        |       (CAST(n AS DOUBLE) * n * (2.0e0 * w) - n * s2
+        |          + 3.0e0 * w * w)
+        |         / (CAST(w AS DOUBLE) * w * (CAST(n AS DOUBLE) * n - 1))
+        |         - (1.0e0 / (n - 1)) * (1.0e0 / (n - 1)) AS var_i
+        |      FROM agg)
+        |SELECT n AS n_nations, w AS w_pairs, round(i, 6) + 0.0
+        |    AS morans_i,
+        |  round(e_i, 6) + 0.0 AS e_i, round(var_i, 6) + 0.0 AS var_i,
+        |  round((i - e_i) / sqrt(var_i), 6) + 0.0 AS z_score,
+        |  CAST(CASE WHEN abs((i - e_i) / sqrt(var_i))
+        |       > 1.959963984540054e0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject_5pct
+        |FROM f""".stripMargin) { (s, dir) =>
+      val rev = nationDay(s, dir)
+        .groupBy(col("n_nationkey"), col("n_regionkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rvd"))
+      val m = rev.agg(count(lit(1)).as("n"), sum("rvd").as("s1"))
+      val c0 = m.select(col("n"),
+        round(col("s1").cast("double") / col("n"), 8).as("mu"))
+      val z = rev.crossJoin(broadcast(c0))
+        .select(col("n_regionkey"),
+          (col("rvd").cast("double") - col("mu")).as("z"), col("n"))
+      val rg = z.groupBy("n_regionkey").agg(max("n").as("n"),
+        sum("z").as("sz"), sum(col("z") * col("z")).as("szz"),
+        count(lit(1)).as("nr"))
+      val agg = rg.agg(max("n").as("n"),
+        sum(col("sz") * col("sz") - col("szz")).as("cross_sum"),
+        sum("szz").as("s_zz"),
+        sum(col("nr") * (col("nr") - 1)).cast("long").as("w"),
+        sum(lit(4.0) * col("nr") * (col("nr") - 1) * (col("nr") - 1))
+          .as("s2"))
+      val f = agg.select(col("n"), col("w"), col("cross_sum"),
+        col("s_zz"),
+        (col("n").cast("double") / col("w") * col("cross_sum")
+          / col("s_zz")).as("i"),
+        (lit(-1.0) / (col("n") - 1)).as("e_i"),
+        ((col("n").cast("double") * col("n") * (lit(2.0) * col("w"))
+          - col("n") * col("s2") + lit(3.0) * col("w") * col("w")) /
+          (col("w").cast("double") * col("w")
+            * (col("n").cast("double") * col("n") - 1)) -
+          (lit(1.0) / (col("n") - 1)) * (lit(1.0) / (col("n") - 1)))
+          .as("var_i"))
+      val zSc = (col("i") - col("e_i")) / sqrt(col("var_i"))
+      f.select(col("n").as("n_nations"), col("w").as("w_pairs"),
+        (round(col("i"), 6) + 0.0).as("morans_i"),
+        (round(col("e_i"), 6) + 0.0).as("e_i"),
+        (round(col("var_i"), 6) + 0.0).as("var_i"),
+        (round(zSc, 6) + 0.0).as("z_score"),
+        when(abs(zSc) > 1.959963984540054, 1L).otherwise(0L)
+          .as("reject_5pct"))
+    },
+
+    // ---- intraclass correlation ICC(1) (one-way random effects) ----
+    // How much of order-value variance is BETWEEN customer nations?
+    // MSB/MSW from one pass of exact per-group DECIMAL moments, the
+    // unbalanced-design k₀ = (N − Σn²/N)/(k−1), and
+    // ICC(1) = (MSB − MSW)/(MSB + (k₀−1)MSW). The between-group sum
+    // Σ(Σy_g)²/n_g and the within decomposition run doubles computed
+    // from exact decimals — the >2^53-magnitude casts go through the
+    // VARCHAR bounce so DuckDB takes the correctly-rounded strtod
+    // path the JVM's BigDecimal uses (the q_chow_test finding).
+    // 100-TB story: one keyed corpus collapse to 25 group-moment
+    // rows; 1-row math.
+    sql(
+      "q_icc",
+      """WITH y AS (SELECT c.c_nationkey AS g,
+        |        CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+        |      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(v) AS sv,
+        |        sum(CAST(CAST(v AS DECIMAL(20,2)) * v AS DECIMAL(38,4)))
+        |          AS svv
+        |      FROM y GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS k,
+        |        CAST(CAST(sum(sv) AS VARCHAR) AS DOUBLE) AS s_all,
+        |        CAST(CAST(sum(svv) AS VARCHAR) AS DOUBLE) AS ss_all,
+        |        sum(CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+        |          * CAST(CAST(sv AS VARCHAR) AS DOUBLE) / ng) AS sb,
+        |        sum(CAST(ng AS DOUBLE) * ng) AS sn2 FROM pg),
+        |f AS (SELECT n, k,
+        |       (sb - s_all * s_all / n) / (k - 1) AS msb,
+        |       (ss_all - sb) / (n - k) AS msw,
+        |       (n - sn2 / n) / (k - 1.0e0) AS k0 FROM tt)
+        |SELECT n AS n_obs, k AS k_groups, round(k0, 6) + 0.0 AS k0,
+        |  round(msb / msw, 6) + 0.0 AS f_stat,
+        |  round((msb - msw) / (msb + (k0 - 1) * msw), 6) + 0.0 AS icc1,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2
+        |FROM f""".stripMargin) { (s, dir) =>
+      val y = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("g"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"))
+      val pg = y.groupBy("g").agg(count(lit(1)).as("ng"),
+        sum("v").as("sv"),
+        sum((col("v").cast("decimal(20,2)") * col("v"))
+          .cast("decimal(38,4)")).as("svv"))
+      val tt = pg.agg(sum("ng").cast("long").as("n"),
+        count(lit(1)).as("k"),
+        sum("sv").cast("double").as("s_all"),
+        sum("svv").cast("double").as("ss_all"),
+        sum(col("sv").cast("double") * col("sv").cast("double")
+          / col("ng")).as("sb"),
+        sum(col("ng").cast("double") * col("ng")).as("sn2"))
+      val f = tt.select(col("n"), col("k"),
+        ((col("sb") - col("s_all") * col("s_all") / col("n"))
+          / (col("k") - 1)).as("msb"),
+        ((col("ss_all") - col("sb")) / (col("n") - col("k"))).as("msw"),
+        ((col("n") - col("sn2") / col("n")) / (col("k") - lit(1.0)))
+          .as("k0"))
+      f.select(col("n").as("n_obs"), col("k").as("k_groups"),
+        (round(col("k0"), 6) + 0.0).as("k0"),
+        (round(col("msb") / col("msw"), 6) + 0.0).as("f_stat"),
+        (round((col("msb") - col("msw"))
+          / (col("msb") + (col("k0") - 1) * col("msw")), 6) + 0.0)
+          .as("icc1"),
+        (col("k") - 1).cast("long").as("df1"),
+        (col("n") - col("k")).cast("long").as("df2"))
+    },
+
+    // ---- Cronbach's α internal-consistency coefficient ----
+    // Do quantity/discount/tax move together as one "scale"? Raw
+    // α = k/(k−1)·(1 − Σσᵢ²/σ_total²) plus the STANDARDIZED
+    // α = k·r̄/(1+(k−1)·r̄) from the mean pairwise correlation (the
+    // q_vif moment pairing) — raw α is scale-dominated by quantity's
+    // variance here, so the standardized read is the meaningful one,
+    // and ≈0 is the honest calibration answer for TPC-H's independent
+    // columns (the q_vif convention: the op's value is the shape).
+    // One corpus pass of 11 exact DECIMAL moments; 1-row math.
+    // 100-TB story: one pass, map-side combined; nothing scales.
+    sql(
+      "q_cronbach_alpha",
+      """WITH it AS (SELECT CAST(l_quantity AS DECIMAL(15,2)) AS i1,
+        |        CAST(l_discount AS DECIMAL(15,4)) AS i2,
+        |        CAST(l_tax AS DECIMAL(15,4)) AS i3,
+        |        CAST(CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(17,4))
+        |          + CAST(l_discount AS DECIMAL(15,4))
+        |          + CAST(l_tax AS DECIMAL(15,4)) AS s
+        |      FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |       sum(i1) AS s1,
+        |       sum(CAST(CAST(i1 AS DECIMAL(17,2)) * i1 AS DECIMAL(38,4)))
+        |         AS s11,
+        |       sum(i2) AS s2,
+        |       sum(CAST(CAST(i2 AS DECIMAL(17,4)) * i2 AS DECIMAL(38,8)))
+        |         AS s22,
+        |       sum(i3) AS s3,
+        |       sum(CAST(CAST(i3 AS DECIMAL(17,4)) * i3 AS DECIMAL(38,8)))
+        |         AS s33,
+        |       sum(CAST(CAST(i1 AS DECIMAL(17,2)) * i2 AS DECIMAL(38,6)))
+        |         AS s12,
+        |       sum(CAST(CAST(i1 AS DECIMAL(17,2)) * i3 AS DECIMAL(38,6)))
+        |         AS s13,
+        |       sum(CAST(CAST(i2 AS DECIMAL(17,4)) * i3 AS DECIMAL(38,8)))
+        |         AS s23,
+        |       sum(s) AS st,
+        |       sum(CAST(CAST(s AS DECIMAL(19,4)) * s AS DECIMAL(38,8)))
+        |         AS stt
+        |      FROM it),
+        |v AS (SELECT n,
+        |       (CAST(s11 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)
+        |         AS v1,
+        |       (CAST(s22 AS DOUBLE)
+        |          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n) / (n - 1)
+        |         AS v2,
+        |       (CAST(s33 AS DOUBLE)
+        |          - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / n) / (n - 1)
+        |         AS v3,
+        |       (CAST(stt AS DOUBLE)
+        |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n) / (n - 1)
+        |         AS vt,
+        |       (n * CAST(s12 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |         / sqrt((n * CAST(s11 AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |           * (n * CAST(s22 AS DOUBLE)
+        |             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS r12,
+        |       (n * CAST(s13 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+        |         / sqrt((n * CAST(s11 AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |           * (n * CAST(s33 AS DOUBLE)
+        |             - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r13,
+        |       (n * CAST(s23 AS DOUBLE)
+        |          - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+        |         / sqrt((n * CAST(s22 AS DOUBLE)
+        |             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |           * (n * CAST(s33 AS DOUBLE)
+        |             - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r23
+        |      FROM m),
+        |f AS (SELECT n, v1, v2, v3, vt, (r12 + r13 + r23) / 3 AS rbar
+        |      FROM v)
+        |SELECT n AS n_rows, round(v1, 6) + 0.0 AS var_quantity,
+        |  round(v2, 6) + 0.0 AS var_discount,
+        |  round(v3, 6) + 0.0 AS var_tax,
+        |  round(3.0e0 / 2 * (1 - (v1 + v2 + v3) / vt), 6) + 0.0
+        |    AS cronbach_alpha,
+        |  round(rbar, 6) + 0.0 AS mean_pairwise_r,
+        |  round(3 * rbar / (1 + 2 * rbar), 6) + 0.0 AS cronbach_alpha_std
+        |FROM f""".stripMargin) { (s, dir) =>
+      val it = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("decimal(15,2)").as("i1"),
+        col("l_discount").cast("decimal(15,4)").as("i2"),
+        col("l_tax").cast("decimal(15,4)").as("i3"),
+        (col("l_quantity").cast("decimal(15,2)").cast("decimal(17,4)")
+          + col("l_discount").cast("decimal(15,4)")
+          + col("l_tax").cast("decimal(15,4)")).as("s"))
+      val m = it.agg(count(lit(1)).as("n"),
+        sum("i1").as("s1"),
+        sum((col("i1").cast("decimal(17,2)") * col("i1"))
+          .cast("decimal(38,4)")).as("s11"),
+        sum("i2").as("s2"),
+        sum((col("i2").cast("decimal(17,4)") * col("i2"))
+          .cast("decimal(38,8)")).as("s22"),
+        sum("i3").as("s3"),
+        sum((col("i3").cast("decimal(17,4)") * col("i3"))
+          .cast("decimal(38,8)")).as("s33"),
+        sum((col("i1").cast("decimal(17,2)") * col("i2"))
+          .cast("decimal(38,6)")).as("s12"),
+        sum((col("i1").cast("decimal(17,2)") * col("i3"))
+          .cast("decimal(38,6)")).as("s13"),
+        sum((col("i2").cast("decimal(17,4)") * col("i3"))
+          .cast("decimal(38,8)")).as("s23"),
+        sum("s").as("st"),
+        sum((col("s").cast("decimal(19,4)") * col("s"))
+          .cast("decimal(38,8)")).as("stt"))
+      def vOf(ss: String, sl: String): org.apache.spark.sql.Column =
+        (col(ss).cast("double")
+          - col(sl).cast("double") * col(sl).cast("double") / col("n")) /
+          (col("n") - 1)
+      def rOf(sij: String, si: String, sj: String, sii: String,
+          sjj: String): org.apache.spark.sql.Column =
+        (col("n") * col(sij).cast("double")
+          - col(si).cast("double") * col(sj).cast("double")) /
+          sqrt((col("n") * col(sii).cast("double")
+            - col(si).cast("double") * col(si).cast("double")) *
+            (col("n") * col(sjj).cast("double")
+              - col(sj).cast("double") * col(sj).cast("double")))
+      val v = m.select(col("n"),
+        vOf("s11", "s1").as("v1"), vOf("s22", "s2").as("v2"),
+        vOf("s33", "s3").as("v3"), vOf("stt", "st").as("vt"),
+        rOf("s12", "s1", "s2", "s11", "s22").as("r12"),
+        rOf("s13", "s1", "s3", "s11", "s33").as("r13"),
+        rOf("s23", "s2", "s3", "s22", "s33").as("r23"))
+      val f = v.select(col("n"), col("v1"), col("v2"), col("v3"),
+        col("vt"),
+        ((col("r12") + col("r13") + col("r23")) / 3).as("rbar"))
+      f.select(col("n").as("n_rows"),
+        (round(col("v1"), 6) + 0.0).as("var_quantity"),
+        (round(col("v2"), 6) + 0.0).as("var_discount"),
+        (round(col("v3"), 6) + 0.0).as("var_tax"),
+        (round(lit(3.0) / 2 * (lit(1)
+          - (col("v1") + col("v2") + col("v3")) / col("vt")), 6) + 0.0)
+          .as("cronbach_alpha"),
+        (round(col("rbar"), 6) + 0.0).as("mean_pairwise_r"),
+        (round(lit(3) * col("rbar") / (lit(1) + lit(2) * col("rbar")), 6)
+          + 0.0).as("cronbach_alpha_std"))
     }
   )
 }

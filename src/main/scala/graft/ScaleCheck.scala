@@ -358,7 +358,26 @@ object ScaleCheck {
     // and the region-aligned residual ADF (EG)
     "q_prais_winsten", "q_newey_west", "q_hmm_forward", "q_cointegration",
     "q_periodogram", "q_turning_points", "q_max_drawdown",
-    "q_kendall_w", "q_spectral_entropy", "q_sharpe_ratio")
+    "q_kendall_w", "q_spectral_entropy", "q_sharpe_ratio",
+    // r13 batch: the bounded 250-row histogram pair sum (JT), the
+    // nation/region/day keyed collapses + calendar-bounded windows
+    // (grubbs, page, dagostino, chow, arch, pettitt, capm, sortino,
+    // calmar, moran), the two-rank-window EDF form (cvm), the exact-
+    // median counting pass (odds), and the moment collapses (icc,
+    // cronbach)
+    "q_jonckheere_terpstra", "q_grubbs_test", "q_page_trend",
+    "q_dagostino_k2", "q_chow_test", "q_arch_lm", "q_pettitt_test",
+    "q_capm_beta", "q_sortino_ratio", "q_calmar_ratio",
+    "q_cramer_von_mises", "q_odds_ratio", "q_morans_i", "q_icc",
+    "q_cronbach_alpha",
+    // r13 second batch: the two-rank-window dispersion/superiority
+    // tests (ansari, brunner–munzel), the bounded-histogram ordinal
+    // family (somers, cliffs), day-frame forecast monitors (theil_u,
+    // tracking), the 2D outlier quadratic (mahalanobis), and the
+    // contingency collapse (cramers_v)
+    "q_ansari_bradley", "q_theil_u", "q_somers_d", "q_cliffs_delta",
+    "q_mahalanobis_outlier", "q_cramers_v", "q_tracking_signal",
+    "q_brunner_munzel")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

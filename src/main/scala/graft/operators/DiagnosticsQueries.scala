@@ -1291,6 +1291,612 @@ object DiagnosticsQueries {
         (round(col("rbar"), 6) + 0.0).as("mean_pairwise_r"),
         (round(lit(3) * col("rbar") / (lit(1) + lit(2) * col("rbar")), 6)
           + 0.0).as("cronbach_alpha_std"))
+    },
+
+    // ---- Ansari–Bradley rank dispersion test ----
+    // Do 1-URGENT and 5-LOW order values differ in SPREAD (not
+    // location)? Scores a_i = min(r, N+1−r) fold both tails inward;
+    // AB = Σ scores in the urgent sample against the parity-split
+    // closed-form null mean/variance. Ties take the q_cramer_von_mises
+    // convention: a deterministic o_orderkey tiebreak shared by both
+    // engines (the discrete-data version of a continuous-data test).
+    // Scores and AB are exact integers; the lone doubles are E/Var/z.
+    // 100-TB story: one rank window (sort-based), one 1-row collapse.
+    sql(
+      "q_ansari_bradley",
+      """WITH s AS (SELECT o_orderkey AS k,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+        |          AS g
+        |      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |rk AS (SELECT g,
+        |        CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS r,
+        |        CAST(count(*) OVER () AS BIGINT) AS nn FROM s),
+        |sc AS (SELECT g, nn, least(r, nn + 1 - r) AS a FROM rk),
+        |m AS (SELECT max(nn) AS nn,
+        |       CAST(sum(CASE WHEN g = 1 THEN a ELSE 0 END) AS BIGINT)
+        |         AS ab,
+        |       CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n1,
+        |       CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n2
+        |      FROM sc),
+        |f AS (SELECT nn, ab, n1, n2,
+        |       CASE WHEN nn % 2 = 0 THEN n1 * (nn + 2) / 4.0e0
+        |            ELSE n1 * (nn + 1.0e0) * (nn + 1) / (4.0e0 * nn) END
+        |         AS e_ab,
+        |       CASE WHEN nn % 2 = 0
+        |            THEN CAST(n1 AS DOUBLE) * n2 * (nn + 2) * (nn - 2)
+        |                 / (48.0e0 * (nn - 1))
+        |            ELSE CAST(n1 AS DOUBLE) * n2 * (nn + 1) * (3 + nn * nn)
+        |                 / (48.0e0 * nn * nn) END AS var_ab
+        |      FROM m)
+        |SELECT nn AS n_total, n1 AS n_urgent, ab AS ab_stat,
+        |  round(e_ab, 4) + 0.0 AS e_ab, round(var_ab, 4) + 0.0 AS var_ab,
+        |  round((ab - e_ab) / sqrt(var_ab), 6) + 0.0 AS z,
+        |  CAST(CASE WHEN abs((ab - e_ab) / sqrt(var_ab))
+        |       > 1.959963984540054 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject_5pct
+        |FROM f""".stripMargin) { (s, dir) =>
+      val sd = t(s, dir, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2)
+            .as("g"))
+      val rk = sd.select(col("g"),
+        row_number().over(Window.orderBy("v", "k")).cast("long").as("r"),
+        count(lit(1)).over(Window.partitionBy()).cast("long").as("nn"))
+      val sc = rk.select(col("g"), col("nn"),
+        least(col("r"), col("nn") + 1 - col("r")).as("a"))
+      val m = sc.agg(max("nn").as("nn"),
+        sum(when(col("g") === 1, col("a")).otherwise(0L)).cast("long")
+          .as("ab"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).cast("long").as("n2"))
+      val f = m.select(col("nn"), col("ab"), col("n1"), col("n2"),
+        when(col("nn") % 2 === 0, col("n1") * (col("nn") + 2) / lit(4.0))
+          .otherwise(col("n1") * (col("nn") + lit(1.0)) * (col("nn") + 1)
+            / (lit(4.0) * col("nn"))).as("e_ab"),
+        when(col("nn") % 2 === 0,
+          col("n1").cast("double") * col("n2") * (col("nn") + 2)
+            * (col("nn") - 2) / (lit(48.0) * (col("nn") - 1)))
+          .otherwise(col("n1").cast("double") * col("n2")
+            * (col("nn") + 1) * (lit(3) + col("nn") * col("nn"))
+            / (lit(48.0) * col("nn") * col("nn"))).as("var_ab"))
+      val z = (col("ab") - col("e_ab")) / sqrt(col("var_ab"))
+      f.select(col("nn").as("n_total"), col("n1").as("n_urgent"),
+        col("ab").as("ab_stat"),
+        (round(col("e_ab"), 4) + 0.0).as("e_ab"),
+        (round(col("var_ab"), 4) + 0.0).as("var_ab"),
+        (round(z, 6) + 0.0).as("z"),
+        when(abs(z) > 1.959963984540054, 1L).otherwise(0L)
+          .as("reject_5pct"))
+    },
+
+    // ---- Theil's U (is weekly seasonality informative?) ----
+    // The forecast-accuracy ratio U = RMSE(seasonal-naive, lag 7) /
+    // RMSE(naive, lag 1) on daily revenue, both restricted to the
+    // same support (t > 7) so the ratio compares like with like.
+    // U < 1 reads "the weekly pattern predicts better than
+    // persistence". Differences of identical doubles, squared sums
+    // over the calendar-bounded day frame. 100-TB story: one corpus
+    // pass to the day frame, one lag window, one 1-row collapse.
+    sql(
+      "q_theil_u",
+      s"""WITH $DailyRevSql,
+        |l AS (SELECT CAST(rv AS DOUBLE) AS y,
+        |        lag(CAST(rv AS DOUBLE), 1) OVER (ORDER BY day) AS y1,
+        |        lag(CAST(rv AS DOUBLE), 7) OVER (ORDER BY day) AS y7
+        |      FROM daily),
+        |p AS (SELECT y, y1, y7 FROM l WHERE y7 IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |       sum((y - y1) * (y - y1)) AS s1,
+        |       sum((y - y7) * (y - y7)) AS s7 FROM p)
+        |SELECT n AS n_days, round(sqrt(s1 / n), 2) + 0.0 AS rmse_naive,
+        |  round(sqrt(s7 / n), 2) + 0.0 AS rmse_seasonal,
+        |  round(sqrt(s7 / s1), 6) + 0.0 AS theil_u,
+        |  CAST(CASE WHEN s7 < s1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seasonal_wins
+        |FROM m""".stripMargin) { (s, dir) =>
+      val daily = dailyRev(s, dir)
+      val w = Window.orderBy("day")
+      val l = daily.select(col("rv").cast("double").as("y"),
+        lag(col("rv").cast("double"), 1).over(w).as("y1"),
+        lag(col("rv").cast("double"), 7).over(w).as("y7"))
+      val p = l.where(col("y7").isNotNull)
+      val m = p.agg(count(lit(1)).as("n"),
+        sum((col("y") - col("y1")) * (col("y") - col("y1"))).as("s1"),
+        sum((col("y") - col("y7")) * (col("y") - col("y7"))).as("s7"))
+      m.select(col("n").as("n_days"),
+        (round(sqrt(col("s1") / col("n")), 2) + 0.0).as("rmse_naive"),
+        (round(sqrt(col("s7") / col("n")), 2) + 0.0).as("rmse_seasonal"),
+        (round(sqrt(col("s7") / col("s1")), 6) + 0.0).as("theil_u"),
+        when(col("s7") < col("s1"), 1L).otherwise(0L).as("seasonal_wins"))
+    },
+
+    // ---- ordinal association: Somers' D, gamma, Kendall tau-b ----
+    // How strongly does lineitem quantity track the priority ladder,
+    // as ORDINAL association? Concordant/discordant pair masses come
+    // from the q_jonckheere_terpstra 250-row histogram (5 priorities ×
+    // 50 quantities) — C, D, and the tie masses are exact DECIMAL
+    // polynomials in the cell counts, so D_yx = (C−D)/P_x,
+    // γ = (C−D)/(C+D) and τ_b = (C−D)/√(P_x·P_y) are single divisions
+    // of exact integers (brute-force-verified against the direct pair
+    // loop on sf0.001). 100-TB story: one corpus pass to the bounded
+    // histogram; a 250×250 broadcast pair sum; 1-row math.
+    sql(
+      "q_somers_d",
+      """WITH h AS (SELECT
+        |        CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS x,
+        |        CAST(l.l_quantity AS BIGINT) AS y,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      GROUP BY 1, 2),
+        |cd AS (SELECT
+        |       sum(CASE WHEN a.x < b.x AND a.y < b.y
+        |           THEN CAST(a.c AS DECIMAL(18,0)) * b.c
+        |           ELSE CAST(0 AS DECIMAL(18,0)) END) AS cc,
+        |       sum(CASE WHEN a.x < b.x AND a.y > b.y
+        |           THEN CAST(a.c AS DECIMAL(18,0)) * b.c
+        |           ELSE CAST(0 AS DECIMAL(18,0)) END) AS dd
+        |      FROM h a JOIN h b ON NOT (a.x = b.x AND a.y = b.y)),
+        |gx AS (SELECT x, CAST(sum(c) AS BIGINT) AS ng FROM h GROUP BY 1),
+        |gy AS (SELECT y, CAST(sum(c) AS BIGINT) AS tv FROM h GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        sum(CAST(ng AS DECIMAL(38,0)) * (ng - 1)) AS tx2 FROM gx),
+        |ty AS (SELECT sum(CAST(tv AS DECIMAL(38,0)) * (tv - 1)) AS ty2
+        |       FROM gy),
+        |f AS (SELECT tt.n, CAST(cd.cc AS DOUBLE) AS c,
+        |       CAST(cd.dd AS DOUBLE) AS d,
+        |       (CAST(tt.n AS DOUBLE) * (tt.n - 1)
+        |          - CAST(tt.tx2 AS DOUBLE)) / 2 AS px,
+        |       (CAST(tt.n AS DOUBLE) * (tt.n - 1)
+        |          - CAST(ty.ty2 AS DOUBLE)) / 2 AS py
+        |      FROM tt CROSS JOIN ty CROSS JOIN cd)
+        |SELECT n AS n_total, round(c, 1) + 0.0 AS concordant,
+        |  round(d, 1) + 0.0 AS discordant,
+        |  round((c - d) / px, 6) + 0.0 AS somers_d_yx,
+        |  round((c - d) / (c + d), 6) + 0.0 AS gamma,
+        |  round((c - d) / sqrt(px * py), 6) + 0.0 AS tau_b
+        |FROM f""".stripMargin) { (s, dir) =>
+      val h = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // ≤ 5×50 histogram cells
+      val cd = h.as("a").crossJoin(broadcast(h.as("b")))
+        .where(!(col("a.x") === col("b.x") && col("a.y") === col("b.y")))
+        .agg(
+          sum(when(col("a.x") < col("b.x") && col("a.y") < col("b.y"),
+            col("a.c").cast("decimal(18,0)") * col("b.c"))
+            .otherwise(lit(0).cast("decimal(18,0)"))).as("cc"),
+          sum(when(col("a.x") < col("b.x") && col("a.y") > col("b.y"),
+            col("a.c").cast("decimal(18,0)") * col("b.c"))
+            .otherwise(lit(0).cast("decimal(18,0)"))).as("dd"))
+      val gx = h.groupBy("x").agg(sum("c").cast("long").as("ng"))
+      val gy = h.groupBy("y").agg(sum("c").cast("long").as("tv"))
+      val tt = gx.agg(sum("ng").cast("long").as("n"),
+        sum(col("ng").cast("decimal(38,0)") * (col("ng") - 1)).as("tx2"))
+      val ty = gy.agg(
+        sum(col("tv").cast("decimal(38,0)") * (col("tv") - 1)).as("ty2"))
+      val f = tt.crossJoin(broadcast(ty)).crossJoin(broadcast(cd))
+        .select(col("n"), col("cc").cast("double").as("c"),
+          col("dd").cast("double").as("d"),
+          ((col("n").cast("double") * (col("n") - 1)
+            - col("tx2").cast("double")) / 2).as("px"),
+          ((col("n").cast("double") * (col("n") - 1)
+            - col("ty2").cast("double")) / 2).as("py"))
+      f.select(col("n").as("n_total"),
+        (round(col("c"), 1) + 0.0).as("concordant"),
+        (round(col("d"), 1) + 0.0).as("discordant"),
+        (round((col("c") - col("d")) / col("px"), 6) + 0.0)
+          .as("somers_d_yx"),
+        (round((col("c") - col("d")) / (col("c") + col("d")), 6) + 0.0)
+          .as("gamma"),
+        (round((col("c") - col("d")) / sqrt(col("px") * col("py")), 6)
+          + 0.0).as("tau_b"))
+    },
+
+    // ---- Cliff's delta ordinal effect size ----
+    // How often does an urgent lineitem out-quantity a low-priority
+    // one? δ = (#(x>y) − #(x<y))/(n·m) over the two groups' bounded
+    // quantity histograms (exact DECIMAL pair masses — the
+    // q_jonckheere_terpstra shape), labeled by the conventional
+    // magnitude thresholds (0.147/0.33/0.474) as pinned literals.
+    // 100-TB story: one corpus pass to ≤2×50 histogram rows; a
+    // bounded pair sum; 1-row math.
+    sql(
+      "q_cliffs_delta",
+      """WITH h AS (SELECT CASE WHEN o.o_orderpriority = '1-URGENT'
+        |          THEN 1 ELSE 2 END AS g,
+        |        CAST(l.l_quantity AS BIGINT) AS v,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+        |      GROUP BY 1, 2),
+        |p AS (SELECT
+        |       sum(CASE WHEN a.v > b.v
+        |           THEN CAST(a.c AS DECIMAL(18,0)) * b.c
+        |           ELSE CAST(0 AS DECIMAL(18,0)) END) AS gt,
+        |       sum(CASE WHEN a.v < b.v
+        |           THEN CAST(a.c AS DECIMAL(18,0)) * b.c
+        |           ELSE CAST(0 AS DECIMAL(18,0)) END) AS lt
+        |      FROM h a JOIN h b ON a.g = 1 AND b.g = 2),
+        |m AS (SELECT
+        |       CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT)
+        |         AS n1,
+        |       CAST(sum(CASE WHEN g = 2 THEN c ELSE 0 END) AS BIGINT)
+        |         AS n2 FROM h),
+        |f AS (SELECT m.n1, m.n2,
+        |       (CAST(p.gt AS DOUBLE) - CAST(p.lt AS DOUBLE))
+        |         / (CAST(m.n1 AS DOUBLE) * m.n2) AS delta
+        |      FROM p CROSS JOIN m)
+        |SELECT n1 AS n_urgent, n2 AS n_low,
+        |  round(delta, 6) + 0.0 AS cliffs_delta,
+        |  CASE WHEN abs(delta) < 0.147e0 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33e0 THEN 'small'
+        |       WHEN abs(delta) < 0.474e0 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM f""".stripMargin) { (s, dir) =>
+      val h = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .where(col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2)
+            .as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // ≤ 2×50 histogram cells
+      val p = h.as("a").crossJoin(broadcast(h.as("b")))
+        .where(col("a.g") === 1 && col("b.g") === 2)
+        .agg(
+          sum(when(col("a.v") > col("b.v"),
+            col("a.c").cast("decimal(18,0)") * col("b.c"))
+            .otherwise(lit(0).cast("decimal(18,0)"))).as("gt"),
+          sum(when(col("a.v") < col("b.v"),
+            col("a.c").cast("decimal(18,0)") * col("b.c"))
+            .otherwise(lit(0).cast("decimal(18,0)"))).as("lt"))
+      val m = h.agg(
+        sum(when(col("g") === 1, col("c")).otherwise(0L)).cast("long")
+          .as("n1"),
+        sum(when(col("g") === 2, col("c")).otherwise(0L)).cast("long")
+          .as("n2"))
+      val f = p.crossJoin(broadcast(m))
+        .select(col("n1"), col("n2"),
+          ((col("gt").cast("double") - col("lt").cast("double"))
+            / (col("n1").cast("double") * col("n2"))).as("delta"))
+      f.select(col("n1").as("n_urgent"), col("n2").as("n_low"),
+        (round(col("delta"), 6) + 0.0).as("cliffs_delta"),
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+    },
+
+    // ---- Mahalanobis multivariate day outliers ----
+    // Which days are jointly unusual in (revenue, order count)? The
+    // 2×2 covariance inverts in closed form, d²ᵗ is a per-row
+    // quadratic form around the 8-dp-rounded exact means, and the
+    // answer is the top-5 days plus the count beyond the pinned χ²₂
+    // 99% bar 9.21034037197618. Covariance sums run doubles over the
+    // calendar-bounded day frame (the q_dagostino_k2 drift class).
+    // 100-TB story: one corpus pass to the day frame, one bounded
+    // moment collapse, one per-row quadratic + top-k.
+    sql(
+      "q_mahalanobis_outlier",
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rv,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rv) AS s1,
+        |       CAST(sum(cnt) AS BIGINT) AS s2 FROM daily),
+        |c0 AS (SELECT n, round(CAST(s1 AS DOUBLE) / n, 8) AS mu,
+        |       round(CAST(s2 AS DOUBLE) / n, 8) AS mv FROM m),
+        |z AS (SELECT day, CAST(rv AS DOUBLE) - c0.mu AS du,
+        |        CAST(cnt AS DOUBLE) - c0.mv AS dv, c0.n
+        |      FROM daily CROSS JOIN c0),
+        |cv AS (SELECT max(n) AS n, sum(du * du) AS suu,
+        |        sum(dv * dv) AS svv, sum(du * dv) AS suv FROM z),
+        |ci AS (SELECT n, suu / n AS a, svv / n AS d, suv / n AS b
+        |       FROM cv),
+        |dd AS (SELECT z.day,
+        |        (z.du * (ci.d * z.du - ci.b * z.dv)
+        |          + z.dv * (ci.a * z.dv - ci.b * z.du))
+        |          / (ci.a * ci.d - ci.b * ci.b) AS d2
+        |      FROM z CROSS JOIN ci)
+        |SELECT day, round(d2, 6) + 0.0 AS mahal_d2,
+        |  CAST((SELECT count(*) FROM dd WHERE d2 > 9.21034037197618)
+        |    AS BIGINT) AS n_beyond_99pct
+        |FROM dd ORDER BY d2 DESC, day LIMIT 5""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"),
+          count(lit(1)).as("cnt"))
+      val m = daily.agg(count(lit(1)).as("n"), sum("rv").as("s1"),
+        sum("cnt").cast("long").as("s2"))
+      val c0 = m.select(col("n"),
+        round(col("s1").cast("double") / col("n"), 8).as("mu"),
+        round(col("s2").cast("double") / col("n"), 8).as("mv"))
+      val z = daily.crossJoin(broadcast(c0))
+        .select(col("day"),
+          (col("rv").cast("double") - col("mu")).as("du"),
+          (col("cnt").cast("double") - col("mv")).as("dv"), col("n"))
+      val cv = z.agg(max("n").as("n"),
+        sum(col("du") * col("du")).as("suu"),
+        sum(col("dv") * col("dv")).as("svv"),
+        sum(col("du") * col("dv")).as("suv"))
+      val ci = cv.select(col("n"), (col("suu") / col("n")).as("a"),
+        (col("svv") / col("n")).as("d"), (col("suv") / col("n")).as("b"))
+      val dd = z.crossJoin(broadcast(ci))
+        .select(col("day"),
+          ((col("du") * (col("d") * col("du") - col("b") * col("dv"))
+            + col("dv") * (col("a") * col("dv") - col("b") * col("du"))) /
+            (col("a") * col("d") - col("b") * col("b"))).as("d2"))
+        .localCheckpoint() // day frame with d2; reused for top-k + count
+      val nb = dd.agg(sum(when(col("d2") > 9.21034037197618, 1L)
+        .otherwise(0L)).cast("long").as("n_beyond_99pct"))
+      dd.orderBy(col("d2").desc, col("day")).limit(5)
+        .crossJoin(broadcast(nb))
+        .select(col("day"), (round(col("d2"), 6) + 0.0).as("mahal_d2"),
+          col("n_beyond_99pct"))
+        .orderBy(col("mahal_d2").desc, col("day"))
+    },
+
+    // ---- Cramér's V (with Bergsma bias correction) ----
+    // How associated are order priority and return flag? χ² over the
+    // 5×3 contingency grid (integer counts, exact expected cells from
+    // margin products), V = √(χ²/(n·(min(k,m)−1))) plus the
+    // bias-corrected V (Bergsma 2013) whose φ²₊ floor keeps small
+    // true associations from reading as noise inflation. ≈0 is the
+    // honest answer for TPC-H's independent columns (the q_vif
+    // convention). 100-TB story: one corpus pass to ≤15 cells;
+    // margin joins on the bounded grid; 1-row math.
+    sql(
+      "q_cramers_v",
+      """WITH ct AS (SELECT o.o_orderpriority AS a, l.l_returnflag AS b,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM ct GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM ct GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT a) AS BIGINT) AS k,
+        |        CAST(count(DISTINCT b) AS BIGINT) AS m FROM ct),
+        |x AS (SELECT ct.a, ct.b, ct.c,
+        |       CAST(ma.ca AS DOUBLE) * mb.cb / tt.n AS e, tt.n, tt.k,
+        |       tt.m
+        |      FROM ct JOIN ma ON ma.a = ct.a JOIN mb ON mb.b = ct.b
+        |      CROSS JOIN tt),
+        |q AS (SELECT max(n) AS n, max(k) AS k, max(m) AS m,
+        |       sum((c - e) * (c - e) / e) AS chi2 FROM x),
+        |f AS (SELECT n, k, m, chi2,
+        |       sqrt(chi2 / (n * (least(k, m) - 1))) AS v,
+        |       greatest(0.0e0, chi2 / n
+        |         - CAST((k - 1) AS DOUBLE) * (m - 1) / (n - 1)) AS phi2c,
+        |       k - CAST((k - 1) AS DOUBLE) * (k - 1) / (n - 1) AS kc,
+        |       m - CAST((m - 1) AS DOUBLE) * (m - 1) / (n - 1) AS mc
+        |      FROM q)
+        |SELECT n AS n_rows, CAST((k - 1) * (m - 1) AS BIGINT) AS df,
+        |  round(chi2, 6) + 0.0 AS chi2_stat, round(v, 6) + 0.0
+        |    AS cramers_v,
+        |  round(sqrt(phi2c / least(kc - 1, mc - 1)), 6) + 0.0
+        |    AS cramers_v_corrected
+        |FROM f""".stripMargin) { (s, dir) =>
+      val ct = t(s, dir, "lineitem").select("l_orderkey", "l_returnflag")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority").as("a"),
+          col("l_returnflag").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // ≤ 5×3 contingency cells
+      val ma = ct.groupBy("a").agg(sum("c").cast("long").as("ca"))
+      val mb = ct.groupBy("b").agg(sum("c").cast("long").as("cb"))
+      val tt = ct.agg(sum("c").cast("long").as("n"),
+        countDistinct("a").as("k"), countDistinct("b").as("m"))
+      val x = ct.join(broadcast(ma), "a").join(broadcast(mb), "b")
+        .crossJoin(broadcast(tt))
+        .select(col("c"),
+          (col("ca").cast("double") * col("cb") / col("n")).as("e"),
+          col("n"), col("k"), col("m"))
+      val q = x.agg(max("n").as("n"), max("k").as("k"), max("m").as("m"),
+        sum((col("c") - col("e")) * (col("c") - col("e")) / col("e"))
+          .as("chi2"))
+      val f = q.select(col("n"), col("k"), col("m"), col("chi2"),
+        sqrt(col("chi2") / (col("n") * (least(col("k"), col("m")) - 1)))
+          .as("v"),
+        greatest(lit(0.0), col("chi2") / col("n")
+          - (col("k") - 1).cast("double") * (col("m") - 1)
+            / (col("n") - 1)).as("phi2c"),
+        (col("k") - (col("k") - 1).cast("double") * (col("k") - 1)
+          / (col("n") - 1)).as("kc"),
+        (col("m") - (col("m") - 1).cast("double") * (col("m") - 1)
+          / (col("n") - 1)).as("mc"))
+      f.select(col("n").as("n_rows"),
+        ((col("k") - 1) * (col("m") - 1)).cast("long").as("df"),
+        (round(col("chi2"), 6) + 0.0).as("chi2_stat"),
+        (round(col("v"), 6) + 0.0).as("cramers_v"),
+        (round(sqrt(col("phi2c")
+          / (least(col("kc"), col("mc")) - 1)), 6) + 0.0)
+          .as("cramers_v_corrected"))
+    },
+
+    // ---- forecast tracking signal (cumulative bias monitor) ----
+    // The ops-room control chart for a naive daily-revenue forecast:
+    // TS_t = cumulative error / cumulative MAD, flagged past the
+    // conventional ±4 control limit (pinned). Both cumulative windows
+    // run in day order on BOTH engines — the sums are order-pinned,
+    // so every TS_t is bit-identical cross-engine. 100-TB story: one
+    // corpus pass to the day frame; two ordered windows; 1-row reads.
+    sql(
+      "q_tracking_signal",
+      s"""WITH $DailyRevSql,
+        |e AS (SELECT day, CAST(rv AS DOUBLE)
+        |        - lag(CAST(rv AS DOUBLE)) OVER (ORDER BY day) AS err
+        |      FROM daily),
+        |p AS (SELECT day, err,
+        |        sum(err) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |          AS ce,
+        |        avg(abs(err)) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |          AS mad
+        |      FROM e WHERE err IS NOT NULL),
+        |ts AS (SELECT day, ce / mad AS t FROM p),
+        |mx AS (SELECT day, t FROM ts ORDER BY abs(t) DESC, day LIMIT 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN abs(t) > 4.0e0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_breach,
+        |        (SELECT t FROM ts t2 ORDER BY day DESC LIMIT 1)
+        |          AS final_ts
+        |      FROM ts)
+        |SELECT agg.n AS n_days, round(agg.final_ts, 6) + 0.0 AS final_ts,
+        |  round(mx.t, 6) + 0.0 AS extreme_ts, mx.day AS extreme_day,
+        |  agg.n_breach AS n_beyond_4
+        |FROM agg CROSS JOIN mx""".stripMargin) { (s, dir) =>
+      val daily = dailyRev(s, dir)
+      val w = Window.orderBy("day")
+      val wCum = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val e = daily.select(col("day"),
+        (col("rv").cast("double")
+          - lag(col("rv").cast("double"), 1).over(w)).as("err"))
+      val p = e.where(col("err").isNotNull)
+        .select(col("day"),
+          sum("err").over(wCum).as("ce"),
+          avg(abs(col("err"))).over(wCum).as("mad"))
+      val ts = p.select(col("day"), (col("ce") / col("mad")).as("t"))
+        .localCheckpoint() // day frame; reused for max + last + counts
+      val mx = ts.orderBy(abs(col("t")).desc, col("day")).limit(1)
+        .select(col("t").as("xt"), col("day").as("extreme_day"))
+      val fin = ts.orderBy(col("day").desc).limit(1)
+        .select(col("t").as("final_t"))
+      val agg = ts.agg(count(lit(1)).as("n"),
+        sum(when(abs(col("t")) > 4.0, 1L).otherwise(0L)).cast("long")
+          .as("n_breach"))
+      agg.crossJoin(broadcast(fin)).crossJoin(broadcast(mx))
+        .select(col("n").as("n_days"),
+          (round(col("final_t"), 6) + 0.0).as("final_ts"),
+          (round(col("xt"), 6) + 0.0).as("extreme_ts"),
+          col("extreme_day"), col("n_breach").as("n_beyond_4"))
+    },
+
+    // ---- Brunner–Munzel generalized Wilcoxon test ----
+    // The rank test that stays valid under UNEQUAL variances: does a
+    // random urgent order value tend to exceed a low-priority one
+    // (p̂ = P(X<Y) + ½P(X=Y))? Combined and within-sample ranks (the
+    // q_cramer_von_mises deterministic tiebreak), group rank means,
+    // the BM rank-variance estimators, and the studentized statistic
+    // with its Welch-style df — brute-force-verified against a direct
+    // from-definition implementation on sf0.001. The fixed corpus n
+    // (~3k+ per group) puts the t reference within 1e-4 of normal, so
+    // the pinned 1.96 decision bar stands in for the t quantile
+    // (documented approximation). 100-TB story: two rank windows
+    // (sort-based), a 2-row collapse, 1-row math.
+    sql(
+      "q_brunner_munzel",
+      """WITH s AS (SELECT o_orderkey AS k,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+        |          AS g
+        |      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |rk AS (SELECT g,
+        |        CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS r,
+        |        CAST(row_number() OVER (PARTITION BY g ORDER BY v, k)
+        |          AS BIGINT) AS i
+        |      FROM s),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |       CAST(sum(r) AS BIGINT) AS sr FROM rk GROUP BY g),
+        |mm AS (SELECT
+        |       (SELECT ng FROM m WHERE g = 1) AS n1,
+        |       (SELECT ng FROM m WHERE g = 2) AS n2,
+        |       (SELECT sr FROM m WHERE g = 1) AS sr1,
+        |       (SELECT sr FROM m WHERE g = 2) AS sr2),
+        |rb AS (SELECT n1, n2, CAST(sr1 AS DOUBLE) / n1 AS rb1,
+        |        CAST(sr2 AS DOUBLE) / n2 AS rb2 FROM mm),
+        |sv AS (SELECT rk.g,
+        |        sum((rk.r - rk.i
+        |             - CASE WHEN rk.g = 1 THEN rb.rb1 ELSE rb.rb2 END
+        |             + (CASE WHEN rk.g = 1 THEN rb.n1 ELSE rb.n2 END + 1)
+        |               / 2.0e0)
+        |          * (rk.r - rk.i
+        |             - CASE WHEN rk.g = 1 THEN rb.rb1 ELSE rb.rb2 END
+        |             + (CASE WHEN rk.g = 1 THEN rb.n1 ELSE rb.n2 END + 1)
+        |               / 2.0e0)) AS ss
+        |      FROM rk CROSS JOIN rb GROUP BY rk.g),
+        |f AS (SELECT rb.n1, rb.n2, rb.rb1, rb.rb2,
+        |       (SELECT ss FROM sv WHERE g = 1) / (rb.n1 - 1) AS s1,
+        |       (SELECT ss FROM sv WHERE g = 2) / (rb.n2 - 1) AS s2
+        |      FROM rb),
+        |w AS (SELECT n1, n2, rb1, rb2, s1, s2,
+        |       CAST(n1 AS DOUBLE) * n2 * (rb2 - rb1) / (n1 + n2)
+        |         / sqrt(n1 * s1 + n2 * s2) AS bm_w,
+        |       (rb2 - (n2 + 1) / 2.0e0) / n1 AS p_hat,
+        |       (n1 * s1 + n2 * s2) * (n1 * s1 + n2 * s2)
+        |         / ((n1 * s1) * (n1 * s1) / (n1 - 1)
+        |            + (n2 * s2) * (n2 * s2) / (n2 - 1)) AS df
+        |      FROM f)
+        |SELECT n1 AS n_urgent, n2 AS n_low, round(p_hat, 6) + 0.0
+        |    AS p_hat,
+        |  round(bm_w, 6) + 0.0 AS bm_stat, round(df, 2) + 0.0 AS df_welch,
+        |  CAST(CASE WHEN abs(bm_w) > 1.959963984540054 THEN 1 ELSE 0 END
+        |       AS BIGINT) AS reject_5pct
+        |FROM w""".stripMargin) { (s, dir) =>
+      val sd = t(s, dir, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2)
+            .as("g"))
+      val rk = sd.select(col("g"),
+        row_number().over(Window.orderBy("v", "k")).cast("long").as("r"),
+        row_number().over(Window.partitionBy("g").orderBy("v", "k"))
+          .cast("long").as("i"))
+        .localCheckpoint() // rank frame; reused for means + variances
+      val m = rk.groupBy("g").agg(count(lit(1)).as("ng"),
+        sum("r").cast("long").as("sr"))
+      val mm = m.where(col("g") === 1)
+        .select(col("ng").as("n1"), col("sr").as("sr1"))
+        .crossJoin(broadcast(m.where(col("g") === 2)
+          .select(col("ng").as("n2"), col("sr").as("sr2"))))
+      val rb = mm.select(col("n1"), col("n2"),
+        (col("sr1").cast("double") / col("n1")).as("rb1"),
+        (col("sr2").cast("double") / col("n2")).as("rb2"))
+      val dev = col("r") - col("i") -
+        when(col("g") === 1, col("rb1")).otherwise(col("rb2")) +
+        (when(col("g") === 1, col("n1")).otherwise(col("n2")) + 1) /
+          lit(2.0)
+      val sv = rk.crossJoin(broadcast(rb))
+        .groupBy("g").agg(sum(dev * dev).as("ss"))
+      val f = rb
+        .crossJoin(broadcast(sv.where(col("g") === 1)
+          .select(col("ss").as("ss1"))))
+        .crossJoin(broadcast(sv.where(col("g") === 2)
+          .select(col("ss").as("ss2"))))
+        .select(col("n1"), col("n2"), col("rb1"), col("rb2"),
+          (col("ss1") / (col("n1") - 1)).as("s1"),
+          (col("ss2") / (col("n2") - 1)).as("s2"))
+      val bmW = col("n1").cast("double") * col("n2") *
+        (col("rb2") - col("rb1")) / (col("n1") + col("n2")) /
+        sqrt(col("n1") * col("s1") + col("n2") * col("s2"))
+      val w = f.select(col("n1"), col("n2"),
+        bmW.as("bm_w"),
+        ((col("rb2") - (col("n2") + 1) / lit(2.0)) / col("n1"))
+          .as("p_hat"),
+        ((col("n1") * col("s1") + col("n2") * col("s2"))
+          * (col("n1") * col("s1") + col("n2") * col("s2")) /
+          ((col("n1") * col("s1")) * (col("n1") * col("s1"))
+            / (col("n1") - 1)
+            + (col("n2") * col("s2")) * (col("n2") * col("s2"))
+              / (col("n2") - 1))).as("df"))
+      w.select(col("n1").as("n_urgent"), col("n2").as("n_low"),
+        (round(col("p_hat"), 6) + 0.0).as("p_hat"),
+        (round(col("bm_w"), 6) + 0.0).as("bm_stat"),
+        (round(col("df"), 2) + 0.0).as("df_welch"),
+        when(abs(col("bm_w")) > 1.959963984540054, 1L).otherwise(0L)
+          .as("reject_5pct"))
     }
   )
 }

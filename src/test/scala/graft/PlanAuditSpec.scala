@@ -293,7 +293,35 @@ class PlanAuditSpec extends SparkSpec {
                            // riding the day frame
     "q_turning_points",    // 1-row n riding the extrema count
     "q_kendall_w",         // 1-row k/n scalars riding the day rank sums
-    "q_spectral_entropy")  // the q_periodogram class + 1-row
+    "q_spectral_entropy",  // the q_periodogram class + 1-row
+    "q_jonckheere_terpstra", // ≤250-row (5 groups × 50 quantities)
+                           // broadcast histogram self-pair + 1-row
+                           // moment scalars — bounded by the value
+                           // domain, not the corpus
+    "q_grubbs_test",       // 1-row broadcast mean/sd scalar riding the
+                           // 25-nation frame
+    "q_dagostino_k2",      // 1-row broadcast mean scalar riding the
+                           // calendar-bounded day frame
+    "q_chow_test",         // three 1-row segment/pooled moment frames
+                           // crossJoined
+    "q_arch_lm",           // 1-row broadcast mean scalar riding the
+                           // day frame
+    "q_cramer_von_mises",  // two 1-row rank-moment frames crossJoined
+    "q_morans_i",          // 1-row broadcast mean scalar riding the
+                           // 25-nation frame
+    "q_odds_ratio",        // 1-row broadcast exact-median scalar
+                           // riding the counting pass
+    "q_somers_d",          // ≤250-row broadcast histogram self-pair
+                           // (the q_jonckheere_terpstra class)
+    "q_cliffs_delta",      // ≤100-row broadcast histogram pair sum
+    "q_mahalanobis_outlier", // 1-row broadcast mean/covariance scalars
+                           // riding the day frame
+    "q_cramers_v",         // 1-row broadcast n/k/m totals riding the
+                           // ≤15-cell contingency grid
+    "q_tracking_signal",   // two 1-row extreme/final scalars
+                           // crossJoined onto the 1-row counts
+    "q_brunner_munzel")    // 1-row broadcast rank-mean scalars riding
+                           // the rank frame + 2-row variance combine
                            // total/entropy/argmax scalars
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {

@@ -311,6 +311,8 @@ class PlanAuditSpec extends SparkSpec {
                            // 25-nation frame
     "q_odds_ratio",        // 1-row broadcast exact-median scalar
                            // riding the counting pass
+    "q_ansari_bradley",    // 1-row broadcast grand-total (N) scalar
+                           // riding the GlobalPrefix rank frame
     "q_somers_d",          // ≤250-row broadcast histogram self-pair
                            // (the q_jonckheere_terpstra class)
     "q_cliffs_delta",      // ≤100-row broadcast histogram pair sum

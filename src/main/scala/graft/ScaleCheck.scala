@@ -377,7 +377,14 @@ object ScaleCheck {
     // contingency collapse (cramers_v)
     "q_ansari_bradley", "q_theil_u", "q_somers_d", "q_cliffs_delta",
     "q_mahalanobis_outlier", "q_cramers_v", "q_tracking_signal",
-    "q_brunner_munzel")
+    "q_brunner_munzel",
+    // r13 third batch: the calendar-bounded Elo fold off the keyed
+    // corpus collapse, the triple-MA KZ filter, STL-lite seasonal
+    // strength, bounded composition/ballot grids (bray, dhondt,
+    // borda), and the corpus term passes (theil, entropy rate)
+    "q_elo_rating", "q_kolmogorov_zurbenko", "q_seasonal_strength",
+    "q_bray_curtis", "q_dhondt_seats", "q_theil_index",
+    "q_entropy_rate", "q_borda_count")
 
   def main(args: Array[String]): Unit = {
     // --build-only: materialize the corpus and exit — the mode the

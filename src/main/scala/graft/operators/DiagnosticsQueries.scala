@@ -55,7 +55,581 @@ object DiagnosticsQueries {
       |        JOIN nation n ON n.n_nationkey = c.c_nationkey
       |        GROUP BY 1, 2)""".stripMargin
 
+  /** The five region names, pinned in ladder order — the Elo oracle's
+    * recursive-CTE state columns r0..r4 are THIS list positionally. */
+  private val Regions =
+    Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  /** `CASE x WHEN 'AFRICA' THEN e.r0 ... ELSE e.r4 END` — the rating
+    * of the region named by SQL expression `x` in the recursion row. */
+  private def eloRatingOf(x: String): String =
+    Regions.init.zipWithIndex
+      .map { case (r, i) => s"WHEN '$r' THEN e.r$i" }
+      .mkString(s"CASE $x ", " ", s" ELSE e.r${Regions.size - 1} END")
+
+  /** The K·(1 − expected) Elo delta off the PRE-match ratings. */
+  private def eloDeltaSql: String =
+    s"""32 * (1 - 1 / (1 + power(10.0e0,
+       |          ((${eloRatingOf("m.l")})
+       |           - (${eloRatingOf("m.w")})) / 400.0e0)))""".stripMargin
+
+  /** One recursion column: apply ±delta when this region is the
+    * winner/loser of match t+1, else carry. */
+  private def eloColSql(idx: Int): String = {
+    val r = Regions(idx)
+    s"""e.r$idx + CASE WHEN m.w = '$r' THEN $eloDeltaSql
+       |        WHEN m.l = '$r' THEN -($eloDeltaSql)
+       |        ELSE 0 END""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- Elo ratings from daily revenue "matches" ----
+    // The sequential-rating operator: each day the top-revenue region
+    // beats the runner-up (exact-decimal revenues, name tiebreak), and
+    // ratings update by the classic Elo rule r += K(1 − E),
+    // E = 1/(1+10^((r_l−r_w)/400)), K = 32, start 1500. The oracle is
+    // a recursive CTE carrying the 5 ratings; the Spark side is the
+    // q_hmm_forward sorted single-fold over the SAME match list with
+    // the SAME operation order (delta computed once from pre-match
+    // ratings, applied ±) — verified equal to an independent
+    // from-definition fold on sf0.001. Days where fewer than two
+    // regions traded are excluded (no opponent). 100-TB story: one
+    // keyed corpus collapse to region×day, a per-day rank, then a
+    // calendar-bounded (≤ ~2.4k step) fold — corpus scale only touches
+    // the first collapse.
+    sql(
+      "q_elo_rating",
+      s"""WITH rev AS (SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS day,
+        |        sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rv
+        |      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |      JOIN region r ON r.r_regionkey = n.n_regionkey
+        |      GROUP BY 1, 2),
+        |rk AS (SELECT day, r_name,
+        |        rank() OVER (PARTITION BY day ORDER BY rv DESC, r_name)
+        |          AS pos
+        |      FROM rev),
+        |mt AS (SELECT day,
+        |        max(CASE WHEN pos = 1 THEN r_name END) AS w,
+        |        max(CASE WHEN pos = 2 THEN r_name END) AS l
+        |      FROM rk GROUP BY 1),
+        |ms AS (SELECT w, l,
+        |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |       FROM mt WHERE l IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ms),
+        |rec AS (
+        |  WITH RECURSIVE e(t, r0, r1, r2, r3, r4) AS (
+        |    SELECT CAST(0 AS BIGINT), 1500.0e0, 1500.0e0, 1500.0e0,
+        |           1500.0e0, 1500.0e0
+        |    UNION ALL
+        |    SELECT e.t + 1,
+        |      ${eloColSql(0)},
+        |      ${eloColSql(1)},
+        |      ${eloColSql(2)},
+        |      ${eloColSql(3)},
+        |      ${eloColSql(4)}
+        |    FROM e JOIN ms m ON m.t = e.t + 1
+        |  )
+        |  SELECT * FROM e WHERE t = (SELECT n FROM nn)
+        |),
+        |wins AS (SELECT w AS r_name, CAST(count(*) AS BIGINT) AS n_wins
+        |         FROM ms GROUP BY 1),
+        |fin AS (SELECT 'AFRICA' AS r_name, r0 AS rating FROM rec
+        |  UNION ALL SELECT 'AMERICA', r1 FROM rec
+        |  UNION ALL SELECT 'ASIA', r2 FROM rec
+        |  UNION ALL SELECT 'EUROPE', r3 FROM rec
+        |  UNION ALL SELECT 'MIDDLE EAST', r4 FROM rec)
+        |SELECT f.r_name, round(f.rating, 6) + 0.0 AS elo_rating,
+        |  coalesce(w.n_wins, 0) AS n_wins
+        |FROM fin f LEFT JOIN wins w ON w.r_name = f.r_name
+        |ORDER BY f.r_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+      val rk = rev.select(col("day"), col("r_name"),
+        rank().over(Window.partitionBy("day")
+          .orderBy(col("rv").desc, col("r_name"))).as("pos"))
+      val mt = rk.groupBy("day")
+        .agg(max(when(col("pos") === 1, col("r_name"))).as("w"),
+          max(when(col("pos") === 2, col("r_name"))).as("l"))
+      val ms = mt.where(col("l").isNotNull)
+        .select(col("w"), col("l"),
+          row_number().over(Window.orderBy("day")).cast("long").as("t"))
+      val regions = Regions
+      val folded = ms.as[(String, String, Long)]
+        .repartition(1)
+        .sortWithinPartitions("t")
+        .mapPartitions { it =>
+          // the oracle recursion's EXACT operation order: one delta
+          // from the pre-match ratings, applied +w / −l
+          val r = scala.collection.mutable.LinkedHashMap(
+            regions.map(_ -> 1500.0): _*)
+          val wins = scala.collection.mutable.LinkedHashMap(
+            regions.map(_ -> 0L): _*)
+          it.foreach { case (w, l, _) =>
+            val upd = 32 * (1 - 1 / (1
+              + math.pow(10.0, (r(l) - r(w)) / 400.0)))
+            r(w) += upd
+            r(l) -= upd
+            wins(w) += 1
+          }
+          regions.iterator.map(n => (n, r(n), wins(n)))
+        }
+        .toDF("r_name", "rating", "n_wins")
+      folded.select(col("r_name"),
+          (round(col("rating"), 6) + 0.0).as("elo_rating"),
+          col("n_wins"))
+        .orderBy("r_name")
+    },
+
+    // ---- Kolmogorov–Zurbenko filter (iterated moving average) ----
+    // The KZ(29,3) low-pass: three passes of a centered 29-day moving
+    // average over daily revenue — the spectral-leakage-robust trend
+    // extractor. Emits the variance split (raw vs filtered, in
+    // MILLIONS so the 2-dp grid sits ~50× above cross-engine
+    // window-summation drift — DuckDB's segment-tree sliding window
+    // vs Spark's running frame sum differ at last-ulp), the fraction
+    // of variance the filter removes, and the smoothed peak day.
+    // 100-TB story: one corpus pass to the calendar-bounded day frame;
+    // three bounded windows.
+    sql(
+      "q_kolmogorov_zurbenko",
+      s"""WITH $DailyRevSql,
+        |y AS (SELECT day, CAST(rv AS DOUBLE) AS y FROM daily),
+        |m1 AS (SELECT day, avg(y) OVER (ORDER BY day
+        |        ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS y1,
+        |        y FROM y),
+        |m2 AS (SELECT day, y, avg(y1) OVER (ORDER BY day
+        |        ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS y2
+        |       FROM m1),
+        |m3 AS (SELECT day, y, avg(y2) OVER (ORDER BY day
+        |        ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS kz
+        |       FROM m2),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(y) AS my,
+        |        avg(kz) AS mk FROM m3),
+        |v AS (SELECT mm.n,
+        |       sum((m3.y - mm.my) * (m3.y - mm.my)) / (mm.n - 1)
+        |         AS var_raw,
+        |       sum((m3.kz - mm.mk) * (m3.kz - mm.mk)) / (mm.n - 1)
+        |         AS var_kz
+        |      FROM m3 CROSS JOIN mm GROUP BY mm.n),
+        |pk AS (SELECT day, kz FROM m3 ORDER BY kz DESC, day LIMIT 1)
+        |SELECT v.n AS n_days,
+        |  round(v.var_raw / 1e6, 2) + 0.0 AS var_raw_millions,
+        |  round(v.var_kz / 1e6, 2) + 0.0 AS var_kz_millions,
+        |  round(1.0e0 - v.var_kz / v.var_raw, 6) AS variance_removed,
+        |  pk.day AS peak_day, round(pk.kz, 2) + 0.0 AS peak_kz
+        |FROM v CROSS JOIN pk""".stripMargin) { (s, dir) =>
+      val daily = dailyRev(s, dir)
+      val w29 = Window.orderBy("day").rowsBetween(-14, 14)
+      val y = daily.select(col("day"), col("rv").cast("double").as("y"))
+      val m3 = y
+        .withColumn("y1", avg("y").over(w29))
+        .withColumn("y2", avg("y1").over(w29))
+        .withColumn("kz", avg("y2").over(w29))
+        .select("day", "y", "kz")
+        .localCheckpoint() // day frame; reused for moments + peak
+      val mm = m3.agg(count(lit(1)).as("n"), avg("y").as("my"),
+        avg("kz").as("mk"))
+      val v = m3.crossJoin(broadcast(mm))
+        .groupBy("n")
+        .agg((sum((col("y") - col("my")) * (col("y") - col("my")))
+          / (first(col("n")) - 1)).as("var_raw"),
+          (sum((col("kz") - col("mk")) * (col("kz") - col("mk")))
+            / (first(col("n")) - 1)).as("var_kz"))
+      val pk = m3.orderBy(col("kz").desc, col("day")).limit(1)
+        .select(col("day").as("peak_day"), col("kz"))
+      v.crossJoin(broadcast(pk))
+        .select(col("n").as("n_days"),
+          (round(col("var_raw") / 1e6, 2) + 0.0).as("var_raw_millions"),
+          (round(col("var_kz") / 1e6, 2) + 0.0).as("var_kz_millions"),
+          round(lit(1.0) - col("var_kz") / col("var_raw"), 6)
+            .as("variance_removed"),
+          col("peak_day"), (round(col("kz"), 2) + 0.0).as("peak_kz"))
+    },
+
+    // ---- seasonal strength (STL-lite decomposition read) ----
+    // How much of detrended daily revenue is day-of-week seasonality?
+    // Trend = centered 7-day MA, seasonal = per-DOW mean of the
+    // detrended series, F_s = max(0, 1 − Var(remainder)/Var(detrended))
+    // — the Hyndman forecasting-feature. Variances ride in the same
+    // magnitude-safe MILLIONS grid as q_kolmogorov_zurbenko.
+    // 100-TB story: one corpus pass to the day frame; one bounded
+    // window + a 7-row seasonal join.
+    sql(
+      "q_seasonal_strength",
+      s"""WITH $DailyRevSql,
+        |y AS (SELECT day, CAST(rv AS DOUBLE) AS y,
+        |        CAST(dayofweek(day) AS BIGINT) AS dow FROM daily),
+        |tr AS (SELECT day, dow, y, avg(y) OVER (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |       FROM y),
+        |de AS (SELECT day, dow, y - trend AS dt FROM tr),
+        |sm AS (SELECT dow, avg(dt) AS s FROM de GROUP BY 1),
+        |rm AS (SELECT de.day, de.dt, de.dt - sm.s AS rem
+        |       FROM de JOIN sm ON sm.dow = de.dow),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |       sum(dt * dt) / count(*) AS v_dt,
+        |       sum(rem * rem) / count(*) AS v_rem FROM rm)
+        |SELECT n AS n_days,
+        |  round(v_dt / 1e6, 2) + 0.0 AS var_detrended_millions,
+        |  round(v_rem / 1e6, 2) + 0.0 AS var_remainder_millions,
+        |  round(greatest(0.0e0, 1.0e0 - v_rem / v_dt), 6)
+        |    AS seasonal_strength
+        |FROM v""".stripMargin) { (s, dir) =>
+      val daily = dailyRev(s, dir)
+      val y = daily.select(col("day"), col("rv").cast("double").as("y"),
+        dayofweek(col("day")).cast("long").as("dow"))
+      val tr = y.withColumn("trend",
+        avg("y").over(Window.orderBy("day").rowsBetween(-3, 3)))
+      val de = tr.select(col("day"), col("dow"),
+        (col("y") - col("trend")).as("dt"))
+        .localCheckpoint() // day frame; feeds seasonal means + join
+      val sm = de.groupBy("dow").agg(avg("dt").as("s"))
+      val rm = de.join(broadcast(sm), "dow")
+        .select(col("day"), col("dt"), (col("dt") - col("s")).as("rem"))
+      val v = rm.agg(count(lit(1)).as("n"),
+        (sum(col("dt") * col("dt")) / count(lit(1))).as("v_dt"),
+        (sum(col("rem") * col("rem")) / count(lit(1))).as("v_rem"))
+      v.select(col("n").as("n_days"),
+        (round(col("v_dt") / 1e6, 2) + 0.0).as("var_detrended_millions"),
+        (round(col("v_rem") / 1e6, 2) + 0.0)
+          .as("var_remainder_millions"),
+        round(greatest(lit(0.0), lit(1.0) - col("v_rem") / col("v_dt")),
+          6).as("seasonal_strength"))
+    },
+
+    // ---- Bray–Curtis composition dissimilarity matrix ----
+    // How differently do regions MIX the five order priorities?
+    // BC(a,b) = Σ|xₐ−x_b| / Σ(xₐ+x_b) over the priority-count
+    // composition vectors — the ecology community-dissimilarity read
+    // on a 5×5 bounded grid of exact integer counts. 100-TB story:
+    // one corpus pass to 25 composition cells; a bounded pair join.
+    sql(
+      "q_bray_curtis",
+      """WITH comp AS (SELECT r.r_name,
+        |        CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS pj,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+        |      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        |      JOIN region r ON r.r_regionkey = n.n_regionkey
+        |      GROUP BY 1, 2),
+        |p AS (SELECT a.r_name AS ra, b.r_name AS rb,
+        |       sum(abs(a.c - b.c)) AS num, sum(a.c + b.c) AS den
+        |      FROM comp a JOIN comp b ON a.pj = b.pj
+        |        AND a.r_name < b.r_name
+        |      GROUP BY 1, 2)
+        |SELECT ra AS region_a, rb AS region_b,
+        |  round(CAST(num AS DOUBLE) / den, 6) AS bray_curtis
+        |FROM p ORDER BY ra, rb""".stripMargin) { (s, dir) =>
+      val comp = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("pj"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // 25 composition cells
+      val p = comp.as("a")
+        .join(broadcast(comp.as("b")),
+          col("a.pj") === col("b.pj")
+            && col("a.r_name") < col("b.r_name"))
+        .groupBy(col("a.r_name").as("ra"), col("b.r_name").as("rb"))
+        .agg(sum(abs(col("a.c") - col("b.c"))).as("num"),
+          sum(col("a.c") + col("b.c")).as("den"))
+      p.select(col("ra").as("region_a"), col("rb").as("region_b"),
+          round(col("num").cast("double") / col("den"), 6)
+            .as("bray_curtis"))
+        .orderBy("region_a", "region_b")
+    },
+
+    // ---- D'Hondt / Sainte-Laguë seat apportionment ----
+    // Allocate 100 "seats" to regions proportional to revenue under
+    // both highest-quotient rules (divisors k vs 2k−1) — the
+    // fair-allocation operator (compute budgets, shard counts, ad
+    // slots). Quotients divide exact-decimal totals by integer
+    // divisors (identical doubles); the 500-row quotient grid is
+    // bounded; name tiebreak pins any exact quotient tie. 100-TB
+    // story: one keyed corpus collapse to 5 rows; a 500-row grid +
+    // top-100 selection.
+    sql(
+      "q_dhondt_seats",
+      """WITH rev AS (SELECT r.r_name,
+        |        sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rv
+        |      FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+        |      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        |      JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(1, 100)) AS k),
+        |qd AS (SELECT rev.r_name, CAST(rev.rv AS DOUBLE) / k.k AS q
+        |       FROM rev CROSS JOIN ks k),
+        |qs AS (SELECT rev.r_name,
+        |        CAST(rev.rv AS DOUBLE) / (2 * k.k - 1) AS q
+        |       FROM rev CROSS JOIN ks k),
+        |td AS (SELECT r_name FROM qd ORDER BY q DESC, r_name LIMIT 100),
+        |tsl AS (SELECT r_name FROM qs ORDER BY q DESC, r_name LIMIT 100),
+        |sd AS (SELECT r_name, CAST(count(*) AS BIGINT) AS seats_dhondt
+        |       FROM td GROUP BY 1),
+        |ss AS (SELECT r_name,
+        |        CAST(count(*) AS BIGINT) AS seats_sainte_lague
+        |       FROM tsl GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rv) AS DOUBLE) AS tv FROM rev)
+        |SELECT rev.r_name,
+        |  round(CAST(rev.rv AS DOUBLE) / tot.tv * 100, 4)
+        |    AS vote_share_pct,
+        |  coalesce(sd.seats_dhondt, 0) AS seats_dhondt,
+        |  coalesce(ss.seats_sainte_lague, 0) AS seats_sainte_lague
+        |FROM rev LEFT JOIN sd ON sd.r_name = rev.r_name
+        |LEFT JOIN ss ON ss.r_name = rev.r_name CROSS JOIN tot
+        |ORDER BY rev.r_name""".stripMargin) { (s, dir) =>
+      val rev = nationDay(s, dir)
+        .join(broadcast(t(s, dir, "region")
+          .select("r_regionkey", "r_name").withColumnRenamed("r_name",
+            "region_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("region_name").as("r_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+        .localCheckpoint() // 5 region totals
+      val ks = rev.sparkSession.range(1, 101)
+        .select(col("id").cast("long").as("k"))
+      val grid = rev.crossJoin(broadcast(ks))
+      val td = grid
+        .select(col("r_name"), (col("rv").cast("double") / col("k"))
+          .as("q"))
+        .orderBy(col("q").desc, col("r_name")).limit(100)
+      val tsl = grid
+        .select(col("r_name"),
+          (col("rv").cast("double") / (col("k") * 2 - 1)).as("q"))
+        .orderBy(col("q").desc, col("r_name")).limit(100)
+      val sd = td.groupBy("r_name").agg(count(lit(1)).as("seats_dhondt"))
+      val ss = tsl.groupBy("r_name")
+        .agg(count(lit(1)).as("seats_sainte_lague"))
+      val tot = rev.agg(sum("rv").cast("double").as("tv"))
+      rev.join(broadcast(sd), Seq("r_name"), "left")
+        .join(broadcast(ss), Seq("r_name"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r_name"),
+          round(col("rv").cast("double") / col("tv") * 100, 4)
+            .as("vote_share_pct"),
+          coalesce(col("seats_dhondt"), lit(0L)).as("seats_dhondt"),
+          coalesce(col("seats_sainte_lague"), lit(0L))
+            .as("seats_sainte_lague"))
+        .orderBy("r_name")
+    },
+
+    // ---- Theil T inequality index with between/within split ----
+    // How unequal are order values, and how much of the inequality is
+    // BETWEEN customer nations vs within them? T = (1/N)Σ(x/μ)ln(x/μ)
+    // decomposes additively: T_between from the nation means +
+    // T_within (emitted as the difference, so the additivity is pinned
+    // in the output). The corpus-sized Σ(x/μ)ln(x/μ) is a double sum
+    // of O(1)-magnitude terms around the exact-decimal grand mean
+    // (~1e-13 relative drift vs the 6-dp gate); group moments are
+    // exact decimals with the >2^53 casts VARCHAR-bounced. 100-TB
+    // story: one keyed collapse + one corpus term pass, both map-side
+    // combined.
+    sql(
+      "q_theil_index",
+      """WITH y AS (SELECT c.c_nationkey AS g,
+        |        CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+        |      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(v) AS sv
+        |       FROM y GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        CAST(CAST(sum(sv) AS VARCHAR) AS DOUBLE) AS s FROM pg),
+        |wi AS (SELECT y.g, sum(CAST(y.v AS DOUBLE) / (tt.s / tt.n)
+        |        * ln(CAST(y.v AS DOUBLE) / (tt.s / tt.n))) AS tsum,
+        |        max(tt.n) AS n
+        |      FROM y CROSS JOIN tt GROUP BY y.g),
+        |tot AS (SELECT sum(tsum) / max(n) AS theil_t FROM wi),
+        |bt AS (SELECT sum(CAST(CAST(pg.sv AS VARCHAR) AS DOUBLE) / tt.s
+        |        * ln((CAST(CAST(pg.sv AS VARCHAR) AS DOUBLE) / pg.ng)
+        |             / (tt.s / tt.n))) AS theil_between
+        |      FROM pg CROSS JOIN tt)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM tt) AS n_obs,
+        |  round((SELECT theil_t FROM tot), 6) + 0.0 AS theil_t,
+        |  round((SELECT theil_between FROM bt), 6) + 0.0
+        |    AS theil_between,
+        |  round((SELECT theil_t FROM tot)
+        |    - (SELECT theil_between FROM bt), 6) + 0.0 AS theil_within""".stripMargin) { (s, dir) =>
+      val y = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("g"),
+          col("o_totalprice").cast("decimal(18,2)").as("v"))
+      val pg = y.groupBy("g").agg(count(lit(1)).as("ng"),
+        sum("v").as("sv"))
+      val tt = pg.agg(sum("ng").cast("long").as("n"),
+        sum("sv").cast("double").as("s"))
+      val mu = col("s") / col("n")
+      val wi = y.crossJoin(broadcast(tt))
+        .groupBy("g")
+        .agg(sum(col("v").cast("double") / mu
+          * log(col("v").cast("double") / mu)).as("tsum"),
+          max("n").as("n"))
+      val tot = wi.agg((sum("tsum") / max("n")).as("theil_t"))
+      val bt = pg.crossJoin(broadcast(tt))
+        .agg(sum(col("sv").cast("double") / col("s")
+          * log((col("sv").cast("double") / col("ng")) / mu))
+          .as("theil_between"))
+      tt.select(col("n").as("n_obs"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(bt))
+        .select(col("n_obs"),
+          (round(col("theil_t"), 6) + 0.0).as("theil_t"),
+          (round(col("theil_between"), 6) + 0.0).as("theil_between"),
+          (round(col("theil_t") - col("theil_between"), 6) + 0.0)
+            .as("theil_within"))
+    },
+
+    // ---- Markov entropy rate of the event stream ----
+    // How predictable is a user's NEXT event? The first-order chain's
+    // entropy rate H = −Σ_ab p(ab)·ln p(b|a) over the per-user
+    // event-type transition counts (the q_markov_transitions frame),
+    // normalized by ln(#states) — 1 − H/Hmax is the predictability
+    // headroom a session-prefetcher can exploit. Exact integer counts;
+    // the entropy sum runs over ≤ #types² bounded rows. 100-TB story:
+    // one per-user lead window + one keyed count collapse.
+    sql(
+      "q_entropy_rate",
+      """WITH ev AS (SELECT user_id, event_type, ts, event_id
+        |      FROM events),
+        |tr AS (SELECT user_id, event_type AS a,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS b
+        |      FROM ev),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM tr
+        |      WHERE b IS NOT NULL GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM c
+        |       GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM c),
+        |h AS (SELECT sum(-(CAST(c.n_ab AS DOUBLE) / tt.n)
+        |        * ln(CAST(c.n_ab AS DOUBLE) / ra.n_a)) AS hr,
+        |       max(tt.n) AS n
+        |      FROM c JOIN ra ON ra.a = c.a CROSS JOIN tt),
+        |h0 AS (SELECT ln(CAST(count(*) AS DOUBLE)) AS hmax FROM ra)
+        |SELECT CAST(h.n AS BIGINT) AS n_transitions,
+        |  round(h.hr, 6) + 0.0 AS entropy_rate_nats,
+        |  round(h.hr / h0.hmax, 6) + 0.0 AS normalized_rate,
+        |  round(1.0e0 - h.hr / h0.hmax, 6) + 0.0 AS predictability
+        |FROM h CROSS JOIN h0""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+      val tr = ev.select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")).as("b"))
+      val c = tr.where(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint() // ≤ #types² transition cells
+      val ra = c.groupBy("a").agg(sum("n_ab").cast("long").as("n_a"))
+      val tt = c.agg(sum("n_ab").cast("long").as("n"))
+      val h = c.join(broadcast(ra), "a").crossJoin(broadcast(tt))
+        .agg(sum(-(col("n_ab").cast("double") / col("n"))
+          * log(col("n_ab").cast("double") / col("n_a"))).as("hr"),
+          max("n").as("n"))
+      val h0 = ra.agg(log(count(lit(1)).cast("double")).as("hmax"))
+      h.crossJoin(broadcast(h0))
+        .select(col("n").cast("long").as("n_transitions"),
+          (round(col("hr"), 6) + 0.0).as("entropy_rate_nats"),
+          (round(col("hr") / col("hmax"), 6) + 0.0)
+            .as("normalized_rate"),
+          (round(lit(1.0) - col("hr") / col("hmax"), 6) + 0.0)
+            .as("predictability"))
+    },
+
+    // ---- Borda count + Condorcet check (rank aggregation) ----
+    // 25 nation "voters" each rank the 5 priorities by mean order
+    // value; Borda aggregates the ranks, and the pairwise-majority
+    // matrix checks for a Condorcet winner (a priority that beats
+    // every other head-to-head) — rank aggregation as a first-class
+    // operator (model-ensemble voting, reviewer consensus). Ballots
+    // are deterministic (exact-decimal cell means, priority tiebreak);
+    // everything downstream is a bounded 125-row frame. 100-TB story:
+    // one corpus pass to the 125-cell frame; bounded windows + a 20-row
+    // pair join.
+    sql(
+      "q_borda_count",
+      """WITH cell AS (SELECT n.n_name,
+        |        CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS pj,
+        |        sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM orders o JOIN customer c2 ON c2.c_custkey = o.o_custkey
+        |      JOIN nation n ON n.n_nationkey = c2.c_nationkey
+        |      GROUP BY 1, 2),
+        |x AS (SELECT n_name, pj, CAST(s AS DOUBLE) / c AS avg_rev
+        |      FROM cell),
+        |rk AS (SELECT n_name, pj,
+        |        CAST(rank() OVER (PARTITION BY n_name
+        |          ORDER BY avg_rev DESC, pj) AS BIGINT) AS r FROM x),
+        |bd AS (SELECT pj, CAST(sum(5 - r) AS BIGINT) AS borda FROM rk
+        |       GROUP BY 1),
+        |pw AS (SELECT a.pj AS pa, b.pj AS pb,
+        |        CAST(sum(CASE WHEN a.r < b.r THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS wins
+        |      FROM rk a JOIN rk b ON a.n_name = b.n_name
+        |        AND a.pj <> b.pj
+        |      GROUP BY 1, 2),
+        |bl AS (SELECT CAST(count(DISTINCT n_name) AS BIGINT) AS b
+        |       FROM rk),
+        |cw AS (SELECT pa,
+        |        CAST(sum(CASE WHEN wins * 2 > bl.b THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS majorities
+        |      FROM pw CROSS JOIN bl GROUP BY 1)
+        |SELECT bd.pj AS priority, bd.borda AS borda_score,
+        |  cw.majorities AS pairwise_majorities,
+        |  CAST(CASE WHEN cw.majorities = 4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS condorcet_winner
+        |FROM bd JOIN cw ON cw.pa = bd.pj
+        |ORDER BY bd.pj""".stripMargin) { (s, dir) =>
+      val cell = nationDay(s, dir)
+        .groupBy(col("n_name"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("pj"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("c"))
+      val x = cell.select(col("n_name"), col("pj"),
+        (col("s").cast("double") / col("c")).as("avg_rev"))
+      val rk = x.select(col("n_name"), col("pj"),
+        rank().over(Window.partitionBy("n_name")
+          .orderBy(col("avg_rev").desc, col("pj"))).cast("long").as("r"))
+        .localCheckpoint() // 125-ballot frame
+      val bd = rk.groupBy("pj")
+        .agg(sum(lit(5) - col("r")).cast("long").as("borda"))
+      val pw = rk.as("a")
+        .join(broadcast(rk.as("b")),
+          col("a.n_name") === col("b.n_name")
+            && col("a.pj") =!= col("b.pj"))
+        .groupBy(col("a.pj").as("pa"), col("b.pj").as("pb"))
+        .agg(sum(when(col("a.r") < col("b.r"), 1L).otherwise(0L))
+          .cast("long").as("wins"))
+      val bl = rk.agg(countDistinct("n_name").as("b"))
+      val cw = pw.crossJoin(broadcast(bl))
+        .groupBy("pa")
+        .agg(sum(when(col("wins") * 2 > col("b"), 1L).otherwise(0L))
+          .cast("long").as("majorities"))
+      bd.join(cw, col("pa") === col("pj"))
+        .select(col("pj").as("priority"), col("borda").as("borda_score"),
+          col("majorities").as("pairwise_majorities"),
+          when(col("majorities") === 4, 1L).otherwise(0L)
+            .as("condorcet_winner"))
+        .orderBy("priority")
+    },
+
 
     // ---- Jonckheere–Terpstra ordered-alternative k-sample test ----
     // Does lineitem quantity TREND across the o_orderpriority ladder

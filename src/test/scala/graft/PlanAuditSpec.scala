@@ -322,8 +322,18 @@ class PlanAuditSpec extends SparkSpec {
                            // ≤15-cell contingency grid
     "q_tracking_signal",   // two 1-row extreme/final scalars
                            // crossJoined onto the 1-row counts
-    "q_brunner_munzel")    // 1-row broadcast rank-mean scalars riding
+    "q_brunner_munzel",    // 1-row broadcast rank-mean scalars riding
                            // the rank frame + 2-row variance combine
+    "q_kolmogorov_zurbenko", // 1-row moment + 1-row peak frames
+                           // crossJoined onto the day frame
+    "q_theil_index",       // 1-row broadcast grand-total scalar riding
+                           // the corpus term pass + 1-row combines
+    "q_entropy_rate",      // 1-row broadcast transition-total scalar
+                           // riding the ≤#types² cell frame
+    "q_dhondt_seats",      // 100-row divisor ladder × the 5-region
+                           // frame + 1-row total
+    "q_borda_count")       // 1-row broadcast block-count scalar riding
+                           // the 125-ballot frame
                            // total/entropy/argmax scalars
 
   test("no unexpected cartesian/nested-loop joins in any query plan") {

@@ -1068,8 +1068,17 @@ object TextAnalysisQueries {
       val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       // the corpus-sized token stream feeds the model build AND the
       // scoring pass — materialize once, serialized + spillable
+      // r13 (guide §2.5): repartition the 5k-doc frame BEFORE the
+      // explode — the single-row-group scan is one task, so the old
+      // cache materialized ~500k token rows in ONE partition and the
+      // 5-lang × token scoring fan-out below ran single-threaded off
+      // it. A ~600 KB doc-row shuffle buys full-width tokenize AND a
+      // 32-partition cache for the scoring pass.
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang").as("actual"),
+        .select(col("doc_id"), col("lang").as("actual"), col("text"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("doc_id"))
+        .select(col("doc_id"), col("actual"),
           explode(tokens(col("text"))).as("tok"))
         .localCheckpoint(true, ser)
       val cnt = d.groupBy(col("actual").as("lang"), col("tok"))

@@ -81,7 +81,14 @@ object GraphQueries {
     // deserialized default is the exact pattern that starved
     // third-decade aggregations (AGGREGATE_OUT_OF_MEMORY — same fix
     // as q_countmin/basketPairCounts/q_kcore, NOTES r7)
+    // r13: repartition the doc frame BEFORE the explode (guide §2.5)
+    // — the single-row-group scan is one task, and the tokenize +
+    // 2.5M-row explode used to run serially inside it; shuffling the
+    // 5k doc rows first is ~600 KB and buys full-width tokenization
     val ex = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .distinct()
       .localCheckpoint(true,
@@ -174,6 +181,12 @@ object GraphQueries {
       s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
       (liCount.computeIfAbsent(key, _ => li.count()) / 500000L).toInt)
     li
+      // same single-scan-task fix as basketPairCounts (r13, guide
+      // §2.5): shuffle raw (order, part) pairs first so the basket
+      // collect_set runs at `parts` width instead of inside the
+      // serial scan task; set-then-sort is arrival-order-invariant
+      .select("l_orderkey", "l_partkey")
+      .repartition(parts, col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .where(size(col("ps")) >= 2)
@@ -855,6 +868,15 @@ object GraphQueries {
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct()
           .localCheckpoint(true, ser)
+        // r13 note (measured, kept OUT): persisting eh clustered+sorted
+        // per join key (the copurchaseEdgesByDst bucketing pattern, one
+        // copy for the c-rounds and one for the p-rounds) measured
+        // 5.5 s → 8.0-10.2 s in matched subset A/B runs at sf0.1 — the
+        // per-round eh exchanges are ~8 MB here and the two extra
+        // edge-sized materializations cost more than five tiny
+        // shuffles save. At real cluster scale the bucketed shape wins
+        // (edge frame >> node frames); at this corpus the round cost
+        // is job-barrier latency, not shuffle volume.
         def l2(df: DataFrame): DataFrame =
           df.agg(sqrt(sum((col("s") * col("s")).cast("decimal(38,12)"))
             .cast("double")).as("z"))
@@ -1018,14 +1040,30 @@ object GraphQueries {
         .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // r13 optimization (guide §2.4/§3.1): the old shape shuffled the
+      // 2|E|-row edge frame through TWO degree equi-joins and then ran
+      // the five-moment aggregation over edge-sized rows. On the
+      // both-ways edge list the moments collapse algebraically to the
+      // NODE frame: m = Σd, sx = sy = Σd², sxx = syy = Σd³ (x over
+      // edges visits each node's degree exactly deg times), and only
+      // sxy = Σ_v d(v)·S(v) needs edge motion — one streamed pass with
+      // the node-sized degree frame BROADCAST (S(v) = Σ_{u∈N(v)} d(u)),
+      // then a node-sized product join. Exact BIGINT throughout, so
+      // the output is bit-identical; 2 edge shuffles → 0.
       val dg = ed.groupBy("src").agg(count(lit(1)).as("d"))
-      val j = ed.join(dg.select(col("src"), col("d").as("x")), "src")
-        .join(dg.select(col("src").as("dst"), col("d").as("y")), "dst")
-      val m = j.agg(count(lit(1)).as("m"),
-        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
-        sum(col("x") * col("y")).cast("long").as("sxy"),
-        sum(col("x") * col("x")).cast("long").as("sxx"),
-        sum(col("y") * col("y")).cast("long").as("syy"))
+        .localCheckpoint() // node-sized: moments + both sxy consumers
+      val m0 = dg.agg(sum("d").cast("long").as("m"),
+        sum(col("d") * col("d")).cast("long").as("sx"),
+        sum(col("d") * col("d") * col("d")).cast("long").as("sxx"))
+      val sv = ed
+        .join(broadcast(dg.select(col("src").as("dst"), col("d").as("y"))),
+          "dst")
+        .groupBy("src").agg(sum("y").cast("long").as("sy_nbr"))
+      val sxy = sv.join(dg, "src")
+        .agg(sum(col("d") * col("sy_nbr")).cast("long").as("sxy"))
+      val m = m0.crossJoin(broadcast(sxy))
+        .select(col("m"), col("sx"), col("sx").as("sy"), col("sxy"),
+          col("sxx"), col("sxx").as("syy"))
       val nn = dg.agg(count(lit(1)).as("n_nodes"))
       def dbl(n: String) = col(n).cast("double")
       m.crossJoin(broadcast(nn))

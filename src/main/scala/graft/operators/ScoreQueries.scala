@@ -458,15 +458,39 @@ object ScoreQueries {
         |  round(CAST((SELECT see FROM t2) AS DOUBLE) / (SELECT n FROM t2), 4)
         |FROM bs2
         |ORDER BY round""".stripMargin) { (s, dir) =>
+      // r13 optimization (guide §1.2/§6): the single-row-group corpus
+      // parquet decodes in ONE task, and the old shape paid that
+      // serial decode FOUR times (mean pass + two per-round collapses
+      // + final MSE). Cache the 3-column projection once — every
+      // later pass is a 32-way in-memory scan of ~600k skinny rows.
+      // Values are bit-identical: the cache stores the exact source
+      // columns, and every downstream aggregate is a DECIMAL sum
+      // (merge-order-free). Measured at sf0.1: 3.75 s → see
+      // OPTIMIZATION_r13.md (4 parquet passes → 1).
       val li = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("vq"), col("l_discount").as("vd"),
+          col("l_extendedprice").as("y"))
+        // hash exchange BEFORE the checkpoint (the q_quantile_reg
+        // lesson): the single-row-group scan yields a 1-partition
+        // cache, and every later pass would deserialize 600k rows
+        // single-threaded — worse than re-scanning parquet (measured:
+        // 5.8 s vs 3.6 s baseline). Hash partitioning on the row
+        // values (deterministic, high-cardinality — guide §2.5)
+        // instead of round-robin: keyless repartition pays a serial
+        // sort-before-repartition of the whole corpus inside the one
+        // scan task (SPARK-23207). One cheap exchange buys full-width
+        // CPU for all four passes.
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("vq"), col("vd"), col("y"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val b = li.agg(count(lit(1)).as("n"),
-        sum(col("l_extendedprice").cast("decimal(18,4)"))
+        sum(col("y").cast("decimal(18,4)"))
           .cast("decimal(38,4)").as("sy"))
         .select(col("n"), (col("sy").cast("double") / col("n")).as("mu"))
         .localCheckpoint()
       val e0 = li.crossJoin(broadcast(b.select("mu")))
-        .select(col("l_quantity").as("vq"), col("l_discount").as("vd"),
-          (col("l_extendedprice") - col("mu")).as("e"))
+        .select(col("vq"), col("vd"), (col("y") - col("mu")).as("e"))
       // one plain (vq, vd) cell collapse per round — ≤ |dom(q)|·|dom(d)|
       // groups (≈550 here), perfect map-side combine, no Expand
       // triplication (a groupingSets variant measured 3.5× slower at

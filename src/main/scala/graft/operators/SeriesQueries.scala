@@ -3243,17 +3243,21 @@ object SeriesQueries {
           row_number().over(Window.orderBy(col("d2"), col("ai"), col("bi")))
             .cast("long").as("rank"),
           col("da").as("day_i"), col("db").as("day_j"), col("d2"))
+      // r13 optimization (guide §2.4): the old discord pass
+      // checkpointed the DOUBLED pair frame (2× ~2.9M rows) and then
+      // re-joined it against its own per-i min to recover the argmin
+      // neighbor. min(struct(d2, dj)) is the lexicographic minimum —
+      // (min d2, then min dj among the min-d2 achievers) — exactly the
+      // old two-step's tie rule, in ONE aggregation with map-side
+      // partials and no materialization of the doubled frame.
       val u = p.select(col("ai").as("i"), col("da").as("di"),
-          col("bi").as("j"), col("db").as("dj"), col("d2"))
+          col("db").as("dj"), col("d2"))
         .unionByName(p.select(col("bi").as("i"), col("db").as("di"),
-          col("ai").as("j"), col("da").as("dj"), col("d2")))
-        .localCheckpoint() // directed pair frame, read twice
-      val nn = u.groupBy("i", "di").agg(min("d2").as("nnd"))
-        .select(col("i").as("ni"), col("di").as("ndi"), col("nnd"))
-      val dsc0 = nn.join(u,
-          col("i") === col("ni") && col("d2") === col("nnd"))
-        .groupBy(col("ni").as("i2"), col("ndi"), col("nnd"))
-        .agg(min("dj").as("dj"))
+          col("da").as("dj"), col("d2")))
+      val dsc0 = u.groupBy(col("i").as("i2"), col("di").as("ndi"))
+        .agg(min(struct(col("d2"), col("dj"))).as("mn"))
+        .select(col("i2"), col("ndi"), col("mn.d2").as("nnd"),
+          col("mn.dj").as("dj"))
       val dsc = dsc0.orderBy(desc("nnd"), col("i2")).limit(3)
         .select(lit("discord").as("kind"),
           row_number().over(Window.orderBy(desc("nnd"), col("i2")))

@@ -202,7 +202,18 @@ object StatsQueries {
     // headers, and at the 100× decade that cache starved downstream
     // aggregations (the q_kcore OOM) — serialized costs one decode per
     // read of a frame that is read 2-3 times
+    // r13 optimization (guide §2.5 input skew): the single-row-group
+    // corpus parquet scans in ONE task, so the basket groupBy's
+    // partial collect_set used to hash all 600k rows single-threaded
+    // inside the scan task. Repartitioning by the group key FIRST
+    // moves only raw 16-byte pairs through the scan task (partition +
+    // serialize, no agg work) and runs the whole aggregation at
+    // shuffle width. collect_set + sort_array is arrival-order-
+    // invariant, so the baskets are bit-identical.
     val baskets = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .localCheckpoint(true,

@@ -75,6 +75,17 @@ object DedupQueries {
   def prefixFilterPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      // r13 (guide §2.5, the MinhashPipeline.signatures fix): hash-
+      // repartition the raw doc rows FIRST — tokenize + 5-gram explode
+      // + one md5 per shingle (~2.5M at sf0.1) used to run inside the
+      // serial one-task scan, and the checkpoint it fed was a single
+      // partition that every one of the FIVE downstream consumers
+      // (df agg, sizes, rank, both intersection sides) re-read
+      // single-threaded. Per-doc shingling is row-local: values
+      // unchanged.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("words"))
       .where(size(col("words")) >= 5)
       .select(col("doc_id"),
@@ -164,6 +175,11 @@ object DedupQueries {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val docs = t(s, dir, "documents")
       .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      // r13 (guide §2.5): full-width tokenize/shingle + a 32-partition
+      // featurized cache instead of serial work in the one-task scan
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("words"))
       .where(size(col("words")) >= 3)
       .select(col("doc_id"), graft.expressions.ShinglesArray(col("words"), 3).as("sgl"))
@@ -475,6 +491,10 @@ object DedupQueries {
       // re-execute per consumer otherwise. At cluster scale this is a
       // persisted intermediate table.
       val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        // r13 (guide §2.5): same serial-scan fix as prefixFilterPairs
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .where(size(col("words")) >= 3)
         .select(col("doc_id"), graft.expressions.ShinglesArray(col("words"), 3).as("sgl"))
@@ -634,6 +654,12 @@ object DedupQueries {
       // Sketches via native codegen'd expressions (graft.expressions.*)
       // — value-identical to the HOF formulation (asserted in spec).
       val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        // r13 (guide §2.5): the two salted per-word hash passes are
+        // the sketch cost — run them at shuffle width, not in the
+        // serial one-task scan
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .select(col("doc_id"),
           graft.expressions.SaltedH32Array(col("words"), 0).as("wh0"),

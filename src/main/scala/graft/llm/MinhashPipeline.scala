@@ -34,6 +34,18 @@ object MinhashPipeline {
     * feeds four consumers (two band sides, two estimate sides). */
   def signatures(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      // r13 (guide §2.5): the single-row-group corpus scan is ONE
+      // task, and the signature build (one md5 per shingle — ~2.5M
+      // md5s at sf0.1) used to run serially inside it, leaving a
+      // 1-partition cache for every downstream consumer. A ~600 KB
+      // hash exchange of the raw doc rows buys full-width signature
+      // computation and a shuffle-width cache. Deterministic hash
+      // partitioning (not round-robin: keyless repartition pays a
+      // serial sort-before-repartition, SPARK-23207); per-doc
+      // signatures are row-local, so values are unchanged.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("words"))
       .where(size(col("words")) >= 3)
       .select(col("doc_id"),

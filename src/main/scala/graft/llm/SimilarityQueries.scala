@@ -1586,6 +1586,11 @@ object SimilarityQueries {
         |FROM f, n""".stripMargin) { (s, dir) =>
       def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
       val e = t(s, dir, "embeddings")
+        // r13 (guide §2.5): same serial-scan fix as q_geometric_median
+        // — the d² Gram expansion below reads this via a cache that
+        // would otherwise hold one partition
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("vec_id"))
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val scale = greatest(aggregate(transform(col("v"), x => abs(x)), lit(0.0),
         (m, x) => greatest(m, x)) / 127, lit(1e-300)).as("scale")
@@ -1690,6 +1695,12 @@ object SimilarityQueries {
       def dsum(c: org.apache.spark.sql.Column) =
         sum(c.cast("decimal(38,18)")).cast("double")
       val x = t(s, dir, "embeddings")
+        // r13 (guide §2.5): hash-repartition the vectors before the
+        // 64-way cell explode — the one-task scan otherwise leaves a
+        // single-partition cache and every Weiszfeld pass (2 per
+        // round × 3 objective reads) walks 128k cells single-threaded
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+          col("vec_id"))
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v0")))
         .select(col("vec_id"), (col("p") + 1).as("i"),
           col("v0").cast("double").as("v"))

@@ -22,6 +22,22 @@ object Tables {
     * generates µs-precision values). */
   private val nanosTimestampCols = Map("events" -> Seq("ts"))
 
+  /** Hash-repartition to the session's shuffle width — the r13 fix
+    * for the single-row-group scan bottleneck: the corpus parquet
+    * files decode in ONE task, so heavy per-row work (decimal moment
+    * products, sketch updates, shingle hashing) placed before the
+    * first exchange runs single-threaded. Putting it after this cheap
+    * deterministic exchange runs it at full width. Hash (never
+    * round-robin) partitioning: a keyless repartition pays a serial
+    * sort-before-repartition of the whole input inside the scan task
+    * (SPARK-23207). Callers pick high-cardinality deterministic keys;
+    * downstream aggregates must be merge-order-free (DECIMAL/integer
+    * sums, sets), which is the repo-wide convention already. */
+  def wide(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      keys: _*)
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

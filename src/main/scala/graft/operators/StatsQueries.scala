@@ -2051,7 +2051,10 @@ object StatsQueries {
           sum(d15(col(c))).as(s"s$i") } ++
           (for (i <- cm.indices; j <- i until cm.size) yield
             sum(d15(col(cm(i))) * d19(col(cm(j)))).as(s"p${i}_$j"))
-        val m = t(s, dir, "lineitem")
+        // r13 (guide §2.5, Tables.wide): the 10 decimal moment
+        // products used to accumulate inside the serial one-task scan
+        val m = Tables.wide(t(s, dir, "lineitem").select(cm.map(col): _*),
+            cm.map(col): _*)
           .agg(count(lit(1)).as("n"), aggs: _*)
           .localCheckpoint() // 1 row, projected 6× below
         val dbl = (nm: String) => col(nm).cast("double")
@@ -2900,9 +2903,13 @@ object StatsQueries {
         |FROM b ORDER BY rf""".stripMargin) { (s, dir) =>
       val d15 = (c: Column) => c.cast("decimal(15,4)")
       val d19 = (c: Column) => c.cast("decimal(19,4)")
-      val lin = t(s, dir, "lineitem")
       val x1 = col("l_quantity"); val x2 = col("l_discount")
       val y = col("l_extendedprice")
+      // r13 (guide §2.5, Tables.wide): 10 decimal moment products per
+      // row ran inside the serial one-task scan
+      val lin = Tables.wide(
+        t(s, dir, "lineitem").select(col("l_returnflag"), x1, x2, y),
+        x1, x2, y)
       val m = lin.groupBy(col("l_returnflag").as("rf"))
         .agg(count(lit(1)).as("n"),
           sum(d15(x1)).as("s1"), sum(d15(x2)).as("s2"), sum(d15(y)).as("sy"),
@@ -3002,7 +3009,8 @@ object StatsQueries {
       val d19 = (c: Column) => c.cast("decimal(19,4)")
       val x1 = col("l_quantity"); val x2 = col("l_discount")
       val y = col("l_extendedprice")
-      val m = t(s, dir, "lineitem")
+      // r13 (guide §2.5, Tables.wide): shuffle-width moment pass
+      val m = Tables.wide(t(s, dir, "lineitem").select(x1, x2, y), x1, x2, y)
         .agg(count(lit(1)).as("n"),
           sum(d15(x1)).as("s1"), sum(d15(x2)).as("s2"), sum(d15(y)).as("sy"),
           sum(d15(x1) * d19(x1)).as("s11"), sum(d15(x1) * d19(x2)).as("s12"),
@@ -3186,7 +3194,10 @@ object StatsQueries {
       // width convention)
       def d15(c: Column) = c.cast("decimal(15,4)")
       def d19(c: Column) = c.cast("decimal(19,4)")
-      val m = t(s, dir, "lineitem").agg(
+      // r13 (guide §2.5, Tables.wide): shuffle-width moment pass
+      val m = Tables.wide(t(s, dir, "lineitem")
+          .select(col("l_quantity"), col("l_discount"), col("l_extendedprice")),
+          col("l_quantity"), col("l_discount"), col("l_extendedprice")).agg(
         count(lit(1)).as("n"),
         sum(d15(col("l_quantity"))).cast("decimal(38,4)").as("s1"),
         sum(d15(col("l_discount"))).cast("decimal(38,4)").as("s2"),
@@ -5432,7 +5443,9 @@ object StatsQueries {
       val d15 = (c: Column) => c.cast("decimal(15,4)")
       val d19 = (c: Column) => c.cast("decimal(19,4)")
       val (x1, x2, x3) = (col("l_quantity"), col("l_discount"), col("l_tax"))
-      val m = t(s, dir, "lineitem").agg(count(lit(1)).as("n"),
+      // r13 (guide §2.5, Tables.wide): shuffle-width moment pass
+      val m = Tables.wide(t(s, dir, "lineitem").select(x1, x2, x3),
+          x1, x2, x3).agg(count(lit(1)).as("n"),
         sum(d15(x1)).as("s1"), sum(d15(x2)).as("s2"), sum(d15(x3)).as("s3"),
         sum(d15(x1) * d19(x1)).as("s11"), sum(d15(x2) * d19(x2)).as("s22"),
         sum(d15(x3) * d19(x3)).as("s33"), sum(d15(x1) * d19(x2)).as("s12"),

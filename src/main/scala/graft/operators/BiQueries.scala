@@ -160,7 +160,12 @@ object BiQueries {
         |  round(sum(CASE WHEN rn <= 4 THEN CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)
         |            ELSE 0 END), 4) AS cr4
         |FROM s GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
-      val g = t(s, dir, "lineitem")
+      // r13 (guide §2.5, Tables.wide): orders auto-broadcasts, so the
+      // probe-side join + partial agg ran inside the serial one-task
+      // lineitem scan
+      val g = graft.Tables.wide(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
+          col("l_orderkey"))
         .join(t(s, dir, "orders"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority").as("seg"), col("l_suppkey").as("sk"))

@@ -59,8 +59,13 @@ object TpchQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       def dsum(c: Column) = sum(c.cast("decimal(18,6)"))
-      t(s, dir, "lineitem")
-        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      // r13 (guide §2.5, Tables.wide): shuffle-width decimal sums;
+      // the shipdate filter still pushes to the scan below the exchange
+      graft.Tables.wide(t(s, dir, "lineitem")
+          .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          col("l_extendedprice"), col("l_quantity"), col("l_discount"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
